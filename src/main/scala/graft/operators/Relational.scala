@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Relational coverage over the TPC-H-ish star schema (SURVEY.md §2.2):
+  * scans, filters/projections, equi joins (broadcast + shuffle), semi/anti
+  * joins, hash aggregation, window top-k, sorts/limits, set ops, rollup.
+  *
+  * The reference itself has only a left-anti membership dedup
+  * (rss_consumer.py:68-74); the rest of this module exists to prove the
+  * relational categories against the DuckDB oracle, built Spark-first.
+  *
+  * Scale notes (100 TB posture):
+  *  - dimension tables (region/nation, and at moderate scale customer/
+  *    supplier) are broadcast — no shuffle on the fact side;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  *    handles skew/coalescing at runtime;
+  *  - aggregations rely on partial (map-side) aggregation for free via
+  *    groupBy().agg();
+  *  - the trailing orderBy in every query exists ONLY for oracle hash
+  *    determinism; it is not part of the operator being proven.
+  */
+object Relational extends QueryModule {
+
+  /** TPC-H Q1-style pricing summary: filtered scan + hash agg.
+    * Filter + column pruning push into the parquet scan. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Multi-way join: fact ⋈ broadcast dims, revenue per nation.
+    * region/nation are tiny → explicit broadcast; customer/orders join
+    * shuffles on keys (AQE re-plans at runtime). */
+  def q2JoinRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li  = Tables.lineitem(s, dir)
+    val o   = Tables.orders(s, dir)
+    val c   = Tables.customer(s, dir)
+    val n   = Tables.nation(s, dir)
+    val r   = Tables.region(s, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Window top-k: top-3 orders per customer by totalprice.
+    * One shuffle on o_custkey; row_number inside the window. */
+  def q3WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice", 4).as("o_totalprice"), $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Filtered projection scan — the plan must show PushedFilters +
+    * pruned ReadSchema (only 4 columns leave the scan). */
+  def q4FilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1996-01-01").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_quantity" < 24)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice" * $"l_discount", 4).as("disc_revenue"),
+        $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Left-anti membership dedup — the reference's F1
+    * (rss_consumer.py:68-74): drop records whose key is already in the
+    * "seen" set. Here: purchase events by users who have NO signup event.
+    * At scale the seen-set is a parquet sink side, not an in-memory list
+    * (the reference's frozen `links` list is the anti-pattern). */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+    val seen = ev.filter($"ts" < cutoff)
+      .select($"user_id", $"props").distinct()
+    ev.filter($"ts" >= cutoff && $"event_type" === "purchase")
+      .join(seen, Seq("user_id", "props"), "left_anti")
+      .select($"event_id", $"user_id", $"props", round($"value", 4).as("value"))
+      .orderBy($"event_id")
+  }
+
+  /** Left-semi (EXISTS): customers having at least one high-value order. */
+  def q6SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter($"o_totalprice" > 100000.0)
+    c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Set ops: users who purchased EXCEPT users who errored, UNION users
+    * who did both (intersect) — tagged. */
+  def q7SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter($"event_type" === t).select($"user_id").distinct()
+    val purchasers = users("purchase")
+    val errored    = users("error")
+    purchasers.except(errored).withColumn("tag", lit("purchase_only"))
+      .union(purchasers.intersect(errored).withColumn("tag", lit("both")))
+      .orderBy($"tag", $"user_id")
+  }
+
+  /** Rollup (hierarchical grouping sets): order counts by status × priority
+    * with subtotals. GROUPING() disambiguates real NULLs from rollup rows. */
+  def q8Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 4).as("sum_price"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_join_revenue"   -> (q2JoinRevenue _),
+    "q3_window_topk"    -> (q3WindowTopk _),
+    "q4_filter_project" -> (q4FilterProject _),
+    "q5_anti_join"      -> (q5AntiJoin _),
+    "q6_semi_join"      -> (q6SemiJoin _),
+    "q7_setops"         -> (q7SetOps _),
+    "q8_rollup"         -> (q8Rollup _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_revenue" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q3_window_topk" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS o_totalprice, rk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+    "q4_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*l_discount,4) AS disc_revenue, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT event_id, user_id, props, round(value,4) AS value
+        |FROM events e
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type = 'purchase'
+        |  AND NOT EXISTS (SELECT 1 FROM events s
+        |                  WHERE CAST(s.ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |                    AND s.user_id = e.user_id AND s.props = e.props)
+        |ORDER BY event_id""".stripMargin,
+    "q6_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_setops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT user_id, 'purchase_only' AS tag FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |ORDER BY tag, user_id""".stripMargin,
+    "q8_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | count(*) AS n_orders,
+        | round(sum(o_totalprice),4) AS sum_price,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+  )
+}

@@ -9,11 +9,14 @@ import graft.operators._
 object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational,
+    TextQueries,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the reference's signature aggregate: top-5 unordered
+    * adjacent bigrams per document (reddit_consumer.py:139-155). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q12_bigrams_topk")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryModule
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Text-operator queries over `documents` (SURVEY.md §2: P4, P5, F5,
+  * A1-A4 + north-star text analysis: token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting).
+  *
+  * Everything here is pure Catalyst expressions (no UDFs): the full
+  * clean→tokenize→filter→bigram chain stays inside WholeStageCodegen and
+  * scales embarrassingly parallel — per-document work, no shuffle until
+  * the (doc_id, bigram) count aggregation, which shuffles on doc_id+pair
+  * with map-side partial aggregation.
+  */
+object TextQueries extends QueryModule {
+
+  /** DuckDB rendering of cleanText — same 4 regexp steps, 'g' flag. */
+  private val cleanSql =
+    """regexp_replace(regexp_replace(regexp_replace(lower(text),""" +
+      """ '\[.*?\]', '', 'g'),""" +
+      """ '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),""" +
+      """ '\w*\d\w*', '', 'g')"""
+
+  private val stops = TextOps.stopwordsSqlList
+
+  /** P4: clean_text over documents. */
+  def qCleanText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", TextOps.cleanText($"text").as("cleaned"))
+      .orderBy($"doc_id")
+  }
+
+  /** F5: stopword filter (order- and duplicate-preserving), re-joined to a
+    * string for oracle stability. */
+  def qStopwordFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        array_join(TextOps.dropStopwords(TextOps.tokenize($"text")), " ")
+          .as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  /** A1-A4 flagship: the reference's full keyword chain
+    * (reddit_consumer.py:139-155) — clean → tokenize → stopword-filter →
+    * adjacent unordered bigrams → per-doc count → top-5 (count DESC, pair
+    * ASC tie-break; the reference's Counter tie order is insertion-based
+    * and unstable, we pin a deterministic order on both engines) →
+    * flatten in rank order → order-preserving distinct. */
+  def qBigramsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir).select($"doc_id",
+      TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text")))
+        .as("toks"))
+    val pairs = toks
+      .select($"doc_id", explode(TextOps.adjacentBigrams($"toks")).as("p"))
+      .select($"doc_id", $"p.a".as("a"), $"p.b".as("b"))
+    val counts = pairs.groupBy($"doc_id", $"a", $"b")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"c".desc, $"a".asc, $"b".asc)
+    counts.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .groupBy($"doc_id")
+      .agg(array_join(array_distinct(flatten(transform(
+        array_sort(collect_list(struct($"rk", $"a", $"b"))),
+        p => array(p.getField("a"), p.getField("b"))))), " ").as("keywords"))
+      .orderBy($"doc_id")
+  }
+
+  /** P5: hashtag extraction. The synthetic corpus has no '#', so tag-bearing
+    * text is synthesized from columns, then `#(\w+)` findall runs on it. */
+  def qHashtags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tagged = concat_ws(" ",
+      concat(lit("#"), $"lang"), $"text", concat(lit("#"), $"source"))
+    Tables.documents(s, dir)
+      .select($"doc_id", array_join(TextOps.hashtags(tagged), " ").as("tags"))
+      .orderBy($"doc_id")
+  }
+
+  /** North-star text analysis: token counting aggregated per language. */
+  def qTokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokenize($"text")).cast("long")).as("total_tokens"),
+        round(avg($"n_chars"), 4).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
+  /** North-star quality scoring: stopword ratio × length saturation. */
+  def qQualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val nToks = size(toks)
+    val nStops = size(filter(toks,
+      t => array_contains(array(TextOps.Stopwords.map(lit): _*), t)))
+    Tables.documents(s, dir)
+      .select($"doc_id", nToks.cast("long").as("n_tokens"),
+        round(nStops.cast("double") / nToks, 4).as("stop_ratio"),
+        round((lit(1.0) - nStops.cast("double") / nToks) *
+          least(lit(1.0), nToks.cast("double") / 100.0), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** North-star language-ID: marker-word profile scoring, argmax with a
+    * fixed profile order, 'und' when no profile matches. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val scores = langProfiles.map { case (l, words) =>
+      l -> size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+        .cast("long")
+    }
+    val byName = scores.toMap
+    val langs = langProfiles.map(_._1)
+    val predicted = langs.foldRight(lit("und")) { (l, els) =>
+      val wins = langs.filter(_ != l)
+        .map(o => byName(l) >= byName(o))
+        .reduce(_ && _)
+      when(byName(l) > 0 && wins, lit(l)).otherwise(els)
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id" +: scores.map { case (l, c) => c.as(s"s_$l") }
+        :+ predicted.as("predicted"): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** North-star document fingerprinting: md5 over the normalized token
+    * stream + per-fingerprint duplicate count (exact-dup detector). */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = md5(array_join(
+      TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text"))), " "))
+    Tables.documents(s, dir)
+      .select($"doc_id", fp.as("fp"))
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy($"fp")))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_clean_text"      -> (qCleanText _),
+    "q11_stopword_filter" -> (qStopwordFilter _),
+    "q12_bigrams_topk"    -> (qBigramsTopk _),
+    "q13_hashtags"        -> (qHashtags _),
+    "q14_token_stats"     -> (qTokenStats _),
+    "q15_quality_score"   -> (qQualityScore _),
+    "q16_lang_id"         -> (qLangId _),
+    "q17_fingerprint"     -> (qFingerprint _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q10_clean_text" ->
+      s"""SELECT doc_id, $cleanSql AS cleaned
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q11_stopword_filter" ->
+      s"""SELECT doc_id,
+         | array_to_string(list_filter(str_split(text, ' '),
+         |   t -> t NOT IN $stops), ' ') AS kept
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q12_bigrams_topk" ->
+      s"""WITH cleaned AS (
+         |  SELECT doc_id,
+         |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS toks
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM cleaned),
+         |pairs AS (
+         |  SELECT doc_id, least(toks[i], toks[i+1]) AS a,
+         |         greatest(toks[i], toks[i+1]) AS b FROM idx),
+         |counts AS (
+         |  SELECT doc_id, a, b, count(*) AS c FROM pairs GROUP BY doc_id, a, b),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, a ASC, b ASC) AS rk FROM counts),
+         |top AS (SELECT * FROM ranked WHERE rk <= 5),
+         |flat AS (
+         |  SELECT doc_id, rk*2+1 AS ord, a AS w FROM top
+         |  UNION ALL SELECT doc_id, rk*2+2, b FROM top),
+         |dedup AS (
+         |  SELECT doc_id, w, min(ord) AS ord FROM flat GROUP BY doc_id, w)
+         |SELECT doc_id, string_agg(w, ' ' ORDER BY ord) AS keywords
+         |FROM dedup GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q13_hashtags" ->
+      """SELECT doc_id,
+        | array_to_string(regexp_extract_all(
+        |   '#' || lang || ' ' || text || ' #' || source, '#(\w+)', 1), ' ') AS tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q15_quality_score" ->
+      s"""SELECT doc_id,
+         | len(str_split(text, ' ')) AS n_tokens,
+         | round(len(list_filter(str_split(text, ' '), t -> t IN $stops))
+         |   / CAST(len(str_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+         | round((1.0 - len(list_filter(str_split(text, ' '), t -> t IN $stops))
+         |   / CAST(len(str_split(text, ' ')) AS DOUBLE))
+         |  * least(1.0, len(str_split(text, ' ')) / 100.0), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_lang_id" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(str_split(text, ' '), t -> t IN ${words.map(w => s"'$w'").mkString("(", ",", ")")}))"
+      val cols = langProfiles.map { case (l, ws) => s"${score(ws)} AS s_$l" }
+      val langs = langProfiles.map(_._1)
+      val cases = langs.map { l =>
+        val wins = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $wins THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${cols.mkString(", ")} FROM documents)
+         |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+         | CASE $cases ELSE 'und' END AS predicted
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q17_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_filter(str_split($cleanSql, ' '),
+         |      t -> t NOT IN $stops), ' ')) AS fp
+         |  FROM documents)
+         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+         |FROM f ORDER BY doc_id""".stripMargin,
+  )
+}

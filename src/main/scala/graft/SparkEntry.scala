@@ -10,6 +10,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational,
     TextQueries,
+    TimeQueries,
+    DedupQueries,
+    SimilarityQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.functions.TextOps
+import graft.sources.Tables
+
+/** Deduplication suite (north-star; BASELINE.json): exact hash dedup,
+  * blocked n-gram Jaccard, MinHash-LSH near-dup, SimHash near-dup.
+  *
+  * Scale posture — the whole point of this module:
+  *  - exact dedup keys on a 128-bit digest of the normalized text, never
+  *    the text itself: the shuffle moves 16-byte keys, not documents;
+  *  - exact pairwise Jaccard is inherently quadratic, so it only runs
+  *    inside small blocks (lang × source × length-band) — the classic
+  *    blocking heuristic. The block count grows with corpus size, the
+  *    per-block cost stays bounded;
+  *  - MinHash-LSH is the scale path: per-doc signatures (one shuffle),
+  *    band-bucket join (shuffle on 8-byte band keys), candidate pairs
+  *    verified by signature agreement. No all-pairs stage anywhere;
+  *  - SimHash packs a document into one 64-bit value; near-dup candidates
+  *    come from 16-bit band equality (pigeonhole: hamming ≤ 3 over 64 bits
+  *    ⇒ at least one of 4 bands identical).
+  */
+object DedupQueries extends QueryModule {
+
+  /** Normalized token stream both engines agree on. */
+  private def normTokens(c: Column): Column =
+    TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText(c)))
+
+  /** Word-trigram shingles (distinct) of a token array. */
+  private def shingles(toks: Column): Column =
+    array_distinct(zip_with(
+      slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
+      zip_with(
+        slice(toks, lit(2), greatest(size(toks) - 2, lit(0))),
+        slice(toks, lit(3), greatest(size(toks) - 2, lit(0))),
+        (y, z) => concat_ws(" ", y, z)),
+      (x, yz) => concat_ws(" ", x, yz)))
+
+  /** Exact dedup: group on md5(text), keep the lowest doc_id (the
+    * "first write wins" unique-index semantics of the reference's sinks,
+    * S5). */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+      .orderBy($"keeper")
+  }
+
+  /** Blocked exact n-gram Jaccard: word-trigram shingle sets compared
+    * pairwise inside (lang, source, n_chars÷50) blocks. */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        floor($"n_chars" / 50).as("band"),
+        shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val x = d.select($"doc_id".as("x_id"), $"lang", $"source", $"band",
+      $"sh".as("x_sh"))
+    val y = d.select($"doc_id".as("y_id"), $"lang", $"source", $"band",
+      $"sh".as("y_sh"))
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    val union = size($"x_sh").cast("long") + size($"y_sh") - inter
+    x.join(y, Seq("lang", "source", "band"))
+      .filter($"x_id" < $"y_id")
+      .select($"x_id", $"y_id",
+        round(inter.cast("double") / union, 4).as("jaccard"))
+      .orderBy($"x_id", $"y_id")
+  }
+
+  private val MinhashK = 32   // signature length
+  private val BandRows = 4    // rows per LSH band → 8 bands
+
+  /** Per-doc MinHash signature columns h0..h{k-1}: min over shingles of a
+    * seeded 64-bit hash. Partial aggregation applies — signatures cost one
+    * shuffle of (doc_id, k×8 bytes). */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles(normTokens($"text"))).as("sh"))
+      .groupBy($"doc_id")
+      .agg(
+        min(xxhash64(lit(0), $"sh")).as("h0"),
+        (1 until MinhashK).map(i => min(xxhash64(lit(i), $"sh")).as(s"h$i")): _*)
+  }
+
+  /** MinHash-LSH near-dup: band-bucket candidate generation + signature
+    * agreement ≥ 0.5. Not SQL-expressible in DuckDB (engine-specific
+    * hashes) → rows-only driver check; fidelity is covered by ScalaTest
+    * (estimate tracks exact Jaccard). */
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = signatures(s, dir)
+      .withColumn("sig", array((0 until MinhashK).map(i => col(s"h$i")): _*))
+      .select($"doc_id", $"sig")
+    val nBands = MinhashK / BandRows
+    val bands = sig.select($"doc_id",
+      posexplode(array((0 until nBands).map { b =>
+        xxhash64(lit(b) +: (0 until BandRows).map(r =>
+          element_at($"sig", b * BandRows + r + 1)): _*)
+      }: _*)).as(Seq("band_id", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("x_id"), $"y.doc_id".as("y_id")).distinct()
+    cand
+      .join(sig.select($"doc_id".as("x_id"), $"sig".as("x_sig")), "x_id")
+      .join(sig.select($"doc_id".as("y_id"), $"sig".as("y_sig")), "y_id")
+      .select($"x_id", $"y_id",
+        round(aggregate(zip_with($"x_sig", $"y_sig",
+            (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / MinhashK, 4).as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .orderBy($"x_id", $"y_id")
+  }
+
+  /** SimHash: 64-bit per-doc sketch — explode tokens, per-bit signed
+    * counts (64 partially-aggregated sums), reassemble sign bits. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(normTokens($"text")).as("t"))
+      .withColumn("h", xxhash64($"t"))
+    val bitSums = tok.groupBy($"doc_id").agg(
+      sum(when($"h".bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+      (1 until 64).map(i =>
+        sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) =!= 0, 1)
+          .otherwise(-1)).as(s"b$i")): _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    bitSums.select($"doc_id", simhash.as("simhash"))
+      .withColumn("band16", array((0 until 4).map(b =>
+        shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .select($"doc_id", $"simhash",
+        element_at($"band16", 1).as("band0"),
+        element_at($"band16", 2).as("band1"),
+        element_at($"band16", 3).as("band2"),
+        element_at($"band16", 4).as("band3"))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact"   -> (qDedupExact _),
+    "q31_ngram_jaccard" -> (qNgramJaccard _),
+    "q32_minhash_lsh"   -> (qMinhashLsh _),
+    "q33_simhash"       -> (qSimhash _),
+  )
+
+  override def oracleSql: Map[String, String] = {
+    val stops = TextOps.stopwordsSqlList
+    Map(
+      "q30_dedup_exact" ->
+        """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+          |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+      "q31_ngram_jaccard" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, source, n_chars // 50 AS band,
+          |         str_split(text, ' ') AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT doc_id, lang, source, band, tk,
+          |         unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |sh AS (
+          |  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+          |         any_value(band) AS band,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id)
+          |SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |  round(len(list_intersect(x.sh, y.sh))
+          |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE),
+          |    4) AS jaccard
+          |FROM sh x JOIN sh y
+          |  ON x.lang = y.lang AND x.source = y.source AND x.band = y.band
+          | AND x.doc_id < y.doc_id
+          |ORDER BY x_id, y_id""".stripMargin,
+      // q32/q33 intentionally omitted: engine-specific 64-bit hashes are
+      // not reproducible in DuckDB SQL → driver records rows-only checks;
+      // ScalaTest covers estimate fidelity.
+    )
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (north-star).
+  *
+  *  - q40: brute-force cosine top-k — the correctness baseline. Query set
+  *    is `vec_id % 100 == 0` (scales with the table, ~1% of rows); each
+  *    query scans all vectors. The query side is broadcast, so the big
+  *    side never shuffles: plan = scan × broadcast-NL-join → per-query
+  *    top-k window. At 1000 executors this is the standard "broadcast the
+  *    queries, partition the corpus" exhaustive search.
+  *  - q41: LSH-bucketed ANN — the scale path. 16 deterministic random
+  *    hyperplanes → 16-bit signature; candidates share a 4-bit band
+  *    (4 bands); exact cosine re-rank inside buckets only. Recall vs q40
+  *    is asserted in ScalaTest; the driver records a rows-only check
+  *    (bucketing is engine-specific).
+  *
+  * Dot products run as codegen'd higher-order-function folds over
+  * array<double>; norms are computed once per side before the join.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Vectors with embedding cast float→double + precomputed norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", norm($"v"))
+      .filter($"nrm" > 0)
+  }
+
+  /** Brute-force cosine top-5 neighbors for every 100th vector. */
+  def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, dir)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = all.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** 16 deterministic pseudo-random hyperplanes (seeded, 64-dim). */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(16, 64)(rnd.nextGaussian())
+  }
+
+  /** LSH-bucketed approximate top-k: sign-random-projection signature,
+    * 4-bit band blocking, exact re-rank within candidate buckets. */
+  def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigBits = (0 until 16).map { p =>
+      val plane = array(planes(p).map(lit): _*)
+      when(dot($"v", plane) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    val banded = vecs(s, dir).withColumn("sig", sigBits)
+      .select($"vec_id", $"v", $"nrm",
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL))): _*))
+          .as(Seq("band_id", "band_val")))
+    val q = banded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"band_id", $"band_val")
+    val cand = banded.join(broadcast(q), Seq("band_id", "band_val"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.select($"q_id", $"vec_id",
+      (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> (qCosineTopk _),
+    "q41_lsh_ann"     -> (qLshAnn _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_cosine_similarity(q.qv, e.embedding) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+  )
+}

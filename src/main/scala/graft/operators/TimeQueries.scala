@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Timestamp / JSON / event-time-window operators (SURVEY.md §2: P6, P7,
+  * P8, S3's sink-time parse, plus map/json fns and the batch form of a
+  * tumbling event-time window).
+  *
+  * All expressions are built-in Catalyst functions; filters and the
+  * two-column projection push into the parquet scan. The tumbling-window
+  * aggregation shuffles once on (bucket, event_type) with map-side
+  * partial aggregation — the same plan shape survives at 100 TB since
+  * bucket cardinality grows with time range, not row count.
+  */
+object TimeQueries extends QueryModule {
+
+  /** P6: fixed-format timestamp parse (reference: reddit_consumer.py:162
+    * `strptime(created, "%Y-%m-%d %H:%M:%S")`). The string column is
+    * rendered from `ts` first (the corpus has no string dates), then
+    * parsed back — the round-trip proves the parse. */
+  def qDateParseFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rendered = date_format($"ts", "yyyy-MM-dd HH:mm:ss")
+    Tables.events(s, dir)
+      .select($"event_id", rendered.as("created"),
+        to_timestamp(rendered, "yyyy-MM-dd HH:mm:ss").as("parsed"))
+      .orderBy($"event_id")
+  }
+
+  /** P7: dynamic-format parse (reference: rss_consumer.py:160-164) — the
+    * reference picks `%z` vs `%Z` depending on whether the timezone token
+    * contains a digit. Same branch here: offset tokens ("+0200") parse as
+    * instants; name tokens ("UTC") parse the date part as naive-UTC
+    * (Python's %Z also yields a naive datetime). Even event_ids get an
+    * offset token, odd ones a name token. */
+  def qDateParseDynamic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tzTok = when($"event_id" % 2 === 0, lit("+0200")).otherwise(lit("UTC"))
+    val published = concat(date_format($"ts", "yyyy-MM-dd HH:mm:ss"),
+      lit(" "), tzTok)
+    Tables.events(s, dir)
+      .withColumn("published", published)
+      .withColumn("tz_token", element_at(split($"published", " "), -1))
+      .withColumn("parsed",
+        when($"tz_token".rlike("\\d"),
+          to_timestamp($"published", "yyyy-MM-dd HH:mm:ss XX"))
+        .otherwise(to_timestamp(substring($"published", 1, 19),
+          "yyyy-MM-dd HH:mm:ss")))
+      .select($"event_id", $"published", $"parsed")
+      .orderBy($"event_id")
+  }
+
+  /** P8: struct_time 9-tuple → timestamp (reference: rss_consumer.py:158-159
+    * `datetime(*published_parsed[:-2])`). The int array is built from `ts`,
+    * then the first six fields reconstruct the timestamp. */
+  def qMakeTimestamp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("parts", array(
+        year($"ts"), month($"ts"), dayofmonth($"ts"),
+        hour($"ts"), minute($"ts"), second($"ts"),
+        dayofweek($"ts"), dayofyear($"ts"), lit(-1)))
+      .select($"event_id", $"parts",
+        make_timestamp(
+          element_at($"parts", 1), element_at($"parts", 2),
+          element_at($"parts", 3), element_at($"parts", 4),
+          element_at($"parts", 5), element_at($"parts", 6).cast("decimal(8,6)"))
+          .as("reconstructed"))
+      .orderBy($"event_id")
+  }
+
+  /** Map/JSON fns: extract a typed field from the JSON `props` column and
+    * aggregate it per event_type (S3's dict handling + records.py serde). */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"k"), 4).as("avg_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Batch form of a tumbling event-time window: 6-hour buckets per
+    * event_type (streaming variant lives in graft.streaming). */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "6 hours").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select($"w.start".as("bucket"), $"event_type", $"n", $"sum_value")
+      .orderBy($"bucket", $"event_type")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_date_parse_fixed"   -> (qDateParseFixed _),
+    "q21_date_parse_dynamic" -> (qDateParseDynamic _),
+    "q22_make_timestamp"     -> (qMakeTimestamp _),
+    "q23_json_extract"       -> (qJsonExtract _),
+    "q24_window_tumbling"    -> (qWindowTumbling _),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q20_date_parse_fixed" ->
+      """SELECT event_id,
+        | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS created,
+        | strptime(strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+        |          '%Y-%m-%d %H:%M:%S') AS parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q21_date_parse_dynamic" ->
+      """WITH rendered AS (
+        |  SELECT event_id,
+        |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') ||
+        |      CASE WHEN event_id % 2 = 0 THEN ' +0200' ELSE ' UTC' END AS published
+        |  FROM events)
+        |SELECT event_id, published,
+        | CASE WHEN regexp_matches(split_part(published, ' ', 3), '\d')
+        |   THEN strptime(published, '%Y-%m-%d %H:%M:%S %z') AT TIME ZONE 'UTC'
+        |   ELSE strptime(substr(published, 1, 19), '%Y-%m-%d %H:%M:%S')
+        | END AS parsed
+        |FROM rendered ORDER BY event_id""".stripMargin,
+    "q22_make_timestamp" ->
+      """WITH p AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT event_id,
+        | [CAST(year(t) AS INT), CAST(month(t) AS INT), CAST(day(t) AS INT),
+        |  CAST(hour(t) AS INT), CAST(minute(t) AS INT),
+        |  CAST(EXTRACT(second FROM t) AS INT), CAST(dayofweek(t) + 1 AS INT),
+        |  CAST(dayofyear(t) AS INT), -1] AS parts,
+        | make_timestamp(year(t), month(t), day(t), hour(t), minute(t),
+        |  CAST(EXTRACT(second FROM t) AS INT)) AS reconstructed
+        |FROM p ORDER BY event_id""".stripMargin,
+    "q23_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q24_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS bucket,
+        | event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+  )
+}

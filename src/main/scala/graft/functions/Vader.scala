@@ -1,0 +1,240 @@
+package graft.functions
+
+/** Scala implementation of the VADER sentiment algorithm
+  * (Hutto & Gilbert, ICWSM-14 — the published rule-based model the
+  * reference invokes via `SentimentIntensityAnalyzer.polarity_scores`,
+  * reference: reddit_consumer.py:80-88, twitter_consumer.py:69-77).
+  *
+  * The rule engine (caps emphasis, booster scaling with distance decay,
+  * tri-gram negation window, "but" clause re-weighting, punctuation
+  * emphasis, alpha-15 normalization) follows the paper and the publicly
+  * documented constants. The full 7 500-entry lexicon file is not
+  * available offline, so `Lexicon` is a curated subset on the same
+  * [-4, 4] valence scale — scores are self-consistent (pinned by unit
+  * fixtures) but not bit-identical to the Python package on words outside
+  * the subset.
+  *
+  * Pure JVM function — wrapped as a Spark UDF in SentimentOps. Thread-safe
+  * and allocation-light so 32 executor threads can hammer it.
+  */
+object Vader {
+
+  final case class Scores(negative: Double, neutral: Double,
+      positive: Double, compound: Double)
+
+  // Published VADER constants
+  private val BIncr    = 0.293
+  private val BDecr    = -0.293
+  private val CIncr    = 0.733
+  private val NScalar  = -0.74
+  private val Alpha    = 15.0
+
+  private[functions] val Boosters: Map[String, Double] = {
+    val incr = Seq("absolutely", "amazingly", "awfully", "completely",
+      "considerably", "decidedly", "deeply", "enormously", "entirely",
+      "especially", "exceptionally", "extremely", "fabulously",
+      "fully", "greatly", "highly", "hugely", "incredibly", "intensely",
+      "majorly", "more", "most", "particularly", "purely", "quite",
+      "really", "remarkably", "so", "substantially", "thoroughly",
+      "totally", "tremendously", "uber", "unbelievably", "unusually",
+      "utterly", "very")
+    val decr = Seq("almost", "barely", "hardly", "kinda", "kindof",
+      "less", "little", "marginally", "occasionally", "partly",
+      "scarcely", "slightly", "somewhat", "sorta", "sortof")
+    (incr.map(_ -> BIncr) ++ decr.map(_ -> BDecr)).toMap
+  }
+
+  private[functions] val Negations: Set[String] = Set(
+    "aint", "arent", "cannot", "cant", "couldnt", "darent", "didnt",
+    "doesnt", "ain't", "aren't", "can't", "couldn't", "daren't",
+    "didn't", "doesn't", "dont", "hadnt", "hasnt", "havent", "isnt",
+    "mightnt", "mustnt", "neither", "don't", "hadn't", "hasn't",
+    "haven't", "isn't", "mightn't", "mustn't", "neednt", "needn't",
+    "never", "none", "nope", "nor", "not", "nothing", "nowhere",
+    "oughtnt", "shant", "shouldnt", "oughtn't", "shan't", "shouldn't",
+    "uhuh", "uh-uh", "wasnt", "werent", "without", "wont", "wouldnt",
+    "wasn't", "weren't", "won't", "wouldn't", "rarely", "seldom",
+    "despite")
+
+  /** Curated sentiment lexicon, valences on the published [-4, 4] scale. */
+  private[functions] val Lexicon: Map[String, Double] = Map(
+    // positive
+    "good" -> 1.9, "great" -> 3.1, "greatest" -> 3.2, "excellent" -> 2.7,
+    "awesome" -> 3.1, "amazing" -> 2.8, "fantastic" -> 2.6,
+    "wonderful" -> 2.7, "love" -> 3.2, "loved" -> 2.9, "loves" -> 2.7,
+    "lovely" -> 2.8, "like" -> 1.5, "liked" -> 1.8, "likes" -> 1.6,
+    "best" -> 3.2, "better" -> 1.9, "nice" -> 1.8, "happy" -> 2.7,
+    "happiness" -> 2.6, "glad" -> 2.0, "joy" -> 2.8, "fun" -> 2.3,
+    "funny" -> 1.9, "cool" -> 1.3, "perfect" -> 2.7, "beautiful" -> 2.9,
+    "brilliant" -> 2.8, "win" -> 2.8, "winner" -> 2.8, "winning" -> 2.4,
+    "won" -> 2.7, "success" -> 2.7, "successful" -> 2.6, "impressive" -> 2.3,
+    "improve" -> 1.9, "improved" -> 2.1, "improvement" -> 2.0,
+    "interesting" -> 1.7, "smart" -> 1.7, "strong" -> 2.3, "super" -> 2.9,
+    "superb" -> 3.1, "thank" -> 1.9, "thanks" -> 1.9, "useful" -> 1.9,
+    "helpful" -> 1.9, "easy" -> 1.9, "enjoy" -> 2.2, "enjoyed" -> 2.3,
+    "excited" -> 2.3, "exciting" -> 2.2, "favorite" -> 2.0, "fast" -> 1.0,
+    "free" -> 2.3, "fresh" -> 1.3, "friendly" -> 2.2, "gain" -> 1.6,
+    "worth" -> 0.9, "yes" -> 1.7, "safe" -> 1.9, "secure" -> 1.5,
+    "reliable" -> 2.0, "solid" -> 1.5, "recommend" -> 1.5,
+    "recommended" -> 1.6, "clean" -> 1.7, "clever" -> 2.0,
+    // negative
+    "bad" -> -2.5, "worst" -> -3.1, "worse" -> -2.1, "terrible" -> -2.1,
+    "horrible" -> -2.5, "awful" -> -2.0, "hate" -> -2.7, "hated" -> -2.8,
+    "hates" -> -1.9, "dislike" -> -1.6, "sad" -> -2.1, "unhappy" -> -1.8,
+    "angry" -> -2.3, "mad" -> -2.2, "annoying" -> -1.8, "annoyed" -> -1.9,
+    "fail" -> -2.5, "failed" -> -2.3, "failure" -> -2.4, "fails" -> -2.1,
+    "broken" -> -1.8, "break" -> -1.4, "breaks" -> -1.5, "bug" -> -1.4,
+    "buggy" -> -1.9, "crash" -> -1.9, "crashed" -> -1.9, "crashes" -> -1.9,
+    "slow" -> -1.0, "ugly" -> -2.3, "stupid" -> -2.4, "dumb" -> -2.3,
+    "useless" -> -1.9, "waste" -> -1.8, "wasted" -> -2.0, "wrong" -> -2.1,
+    "problem" -> -1.7, "problems" -> -1.7, "issue" -> -1.1,
+    "issues" -> -1.2, "error" -> -1.7, "errors" -> -1.8, "pain" -> -2.3,
+    "painful" -> -2.0, "poor" -> -1.9, "difficult" -> -1.5, "hard" -> -0.4,
+    "lose" -> -1.9, "losing" -> -1.9, "loss" -> -1.3, "lost" -> -1.3,
+    "no" -> -1.2, "scam" -> -2.5, "risk" -> -1.1, "risky" -> -1.4,
+    "danger" -> -2.4, "dangerous" -> -2.2, "dead" -> -3.3, "death" -> -2.9,
+    "disappointed" -> -2.0, "disappointing" -> -2.2, "doubt" -> -1.5,
+    "fear" -> -2.2, "scared" -> -2.2, "weak" -> -1.9, "unreliable" -> -1.9,
+    "insecure" -> -1.8, "expensive" -> -0.6, "cheap" -> -0.8,
+    // emoticons (kept through tokenization like VADER does)
+    ":)" -> 2.0, ":-)" -> 2.2, ":(" -> -1.9, ":-(" -> -2.2, ":d" -> 2.3,
+    "<3" -> 2.9, ":/" -> -1.4, ";)" -> 0.9,
+  )
+
+  private def isUpper(w: String): Boolean =
+    w.exists(_.isLetter) && w == w.toUpperCase && w != w.toLowerCase
+
+  /** words_and_emoticons: split on whitespace, strip leading/trailing
+    * punctuation from tokens longer than one char (emoticons in the
+    * lexicon are preserved because the stripped form is looked up only
+    * when the raw form misses). */
+  private[functions] def tokenizeV(text: String): Array[String] =
+    text.split("\\s+").filter(_.length > 1)
+
+  private def stripPunct(w: String): String =
+    w.dropWhile(c => !c.isLetterOrDigit).reverse
+      .dropWhile(c => !c.isLetterOrDigit).reverse
+
+  private def lookup(raw: String): Option[Double] = {
+    val lc = raw.toLowerCase
+    Lexicon.get(lc).orElse(Lexicon.get(stripPunct(lc)))
+  }
+
+  private def scalarIncDec(word: String, valence: Double,
+      capDiff: Boolean): Double = {
+    val lc = word.toLowerCase
+    Boosters.get(lc).map { s0 =>
+      var s = if (valence < 0) -s0 else s0
+      if (capDiff && isUpper(word)) s += (if (valence > 0) CIncr else -CIncr)
+      s
+    }.getOrElse(0.0)
+  }
+
+  private def negated(w: String): Boolean = {
+    val lc = w.toLowerCase
+    Negations.contains(lc) || lc.endsWith("n't")
+  }
+
+  def polarityScores(text: String): Scores = {
+    if (text == null || text.isEmpty) return Scores(0.0, 0.0, 0.0, 0.0)
+    val toks = tokenizeV(text)
+    val capDiff = {
+      val caps = toks.count(isUpper)
+      caps > 0 && caps < toks.length
+    }
+
+    val sentiments = new Array[Double](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      val lcStripped = stripPunct(w.toLowerCase)
+      var v = 0.0
+      if (!Boosters.contains(lcStripped)) {
+        lookup(w) match {
+          case Some(base) =>
+            v = base
+            // ALL-CAPS emphasis
+            if (capDiff && isUpper(w)) v += (if (v > 0) CIncr else -CIncr)
+            // booster words up to 3 back, decayed 1.0 / 0.95 / 0.9
+            var back = 1
+            while (back <= 3 && i - back >= 0) {
+              val prev = toks(i - back)
+              val s = scalarIncDec(prev, v, capDiff)
+              val decay = back match {
+                case 1 => 1.0
+                case 2 => 0.95
+                case _ => 0.9
+              }
+              v += s * decay
+              back += 1
+            }
+            // negation window of 3
+            var neg = false
+            back = 1
+            while (back <= 3 && i - back >= 0) {
+              if (negated(toks(i - back))) neg = true
+              back += 1
+            }
+            if (neg) v *= NScalar
+            // "least" check (e.g. "least good"), but not "at least"
+            if (i >= 1 && toks(i - 1).toLowerCase == "least" &&
+                !(i >= 2 && toks(i - 2).toLowerCase == "at")) {
+              v *= NScalar
+            }
+          case None =>
+        }
+      }
+      sentiments(i) = v
+      i += 1
+    }
+
+    // "but" clause re-weighting: before ×0.5, after ×1.5
+    val butIdx = toks.indexWhere(_.toLowerCase == "but")
+    if (butIdx >= 0) {
+      var j = 0
+      while (j < sentiments.length) {
+        if (j < butIdx) sentiments(j) *= 0.5
+        else if (j > butIdx) sentiments(j) *= 1.5
+        j += 1
+      }
+    }
+
+    // punctuation emphasis
+    val epCount = math.min(text.count(_ == '!'), 4)
+    val epAmp = epCount * 0.292
+    val qmCount = text.count(_ == '?')
+    val qmAmp =
+      if (qmCount > 1) { if (qmCount <= 3) qmCount * 0.18 else 0.96 }
+      else 0.0
+    val punctAmp = epAmp + qmAmp
+
+    var sum = sentiments.sum
+    if (sum > 0) sum += punctAmp
+    else if (sum < 0) sum -= punctAmp
+
+    val compound = {
+      val c = sum / math.sqrt(sum * sum + Alpha)
+      math.max(-1.0, math.min(1.0, c))
+    }
+
+    var pos = 0.0; var neg = 0.0; var neu = 0.0
+    sentiments.foreach { s =>
+      if (s > 0) pos += s + 1
+      else if (s < 0) neg += s - 1
+      else neu += 1
+    }
+    if (pos > math.abs(neg)) pos += punctAmp
+    else if (pos < math.abs(neg)) neg -= punctAmp
+
+    val total = pos + math.abs(neg) + neu
+    if (total == 0) Scores(0.0, 0.0, 0.0, 0.0)
+    else Scores(
+      negative = round3(math.abs(neg) / total),
+      neutral  = round3(neu / total),
+      positive = round3(pos / total),
+      compound = round4(compound))
+  }
+
+  private def round3(d: Double): Double = math.round(d * 1000.0) / 1000.0
+  private def round4(d: Double): Double = math.round(d * 10000.0) / 10000.0
+}

@@ -14,6 +14,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     PipelineQueries,
+    MultimodalQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

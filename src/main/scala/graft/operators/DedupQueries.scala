@@ -144,11 +144,37 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Embedding-cosine near-dup: deterministic 1-in-5 subsample, blocked by
+    * label, pairs above 0.35 cosine (≈ the corpus' 99.9th percentile).
+    * Same blocked-quadratic posture as qNgramJaccard: exact similarity
+    * only ever runs inside bounded blocks; the unblocked path is LSH. */
+  def qEmbedCosineDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val base = Tables.embeddings(s, dir)
+      .filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"label",
+        transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x),
+        lit(0.0), (acc, v) => acc + v)))
+    val x = base.select($"vec_id".as("x_id"), $"label", $"v".as("xv"), $"nrm".as("xn"))
+    val y = base.select($"vec_id".as("y_id"), $"label", $"v".as("yv"), $"nrm".as("yn"))
+    x.join(y, Seq("label"))
+      .filter($"x_id" < $"y_id")
+      .select($"x_id", $"y_id", $"label",
+        (dot($"xv", $"yv") / ($"xn" * $"yn")).as("raw"))
+      .filter($"raw" >= 0.35)
+      .select($"x_id", $"y_id", $"label", round($"raw", 4).as("cos"))
+      .orderBy($"x_id", $"y_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"   -> (qDedupExact _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q33_simhash"       -> (qSimhash _),
+    "q34_embed_cos_dup" -> (qEmbedCosineDup _),
   )
 
   override def oracleSql: Map[String, String] = {
@@ -177,6 +203,16 @@ object DedupQueries extends QueryModule {
           |FROM sh x JOIN sh y
           |  ON x.lang = y.lang AND x.source = y.source AND x.band = y.band
           | AND x.doc_id < y.doc_id
+          |ORDER BY x_id, y_id""".stripMargin,
+      "q34_embed_cos_dup" ->
+        """WITH base AS (
+          |  SELECT vec_id, label, embedding FROM embeddings
+          |  WHERE vec_id % 5 = 0)
+          |SELECT x.vec_id AS x_id, y.vec_id AS y_id, x.label,
+          |  round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+          |FROM base x JOIN base y
+          |  ON x.label = y.label AND x.vec_id < y.vec_id
+          |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
           |ORDER BY x_id, y_id""".stripMargin,
       // q32/q33 intentionally omitted: engine-specific 64-bit hashes are
       // not reproducible in DuckDB SQL → driver records rows-only checks;

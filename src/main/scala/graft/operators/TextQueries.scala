@@ -154,6 +154,32 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** North-star token counting, BPE-ish: letter runs / digit runs /
+    * punctuation runs, versus plain whitespace tokens. */
+  def qTokenBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(TextOps.tokenize($"text")).cast("long").as("n_ws"),
+        size(regexp_extract_all(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).cast("long").as("n_bpe"))
+      .orderBy($"doc_id")
+  }
+
+  /** North-star document fingerprinting via polynomial rolling hash over
+    * the token stream (h ← (31h + ascii(t) + len(t)) mod 2³¹−1) — the
+    * order-sensitive cousin of the md5 fingerprint in q17. */
+  def qRollingHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vals = transform(TextOps.tokenize($"text"),
+      t => (ascii(t) + length(t)).cast("long"))
+    val h = aggregate(vals, lit(7L),
+      (acc, x) => (acc * 31 + x) % 2147483647L)
+    Tables.documents(s, dir)
+      .select($"doc_id", h.as("rhash"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_clean_text"      -> (qCleanText _),
     "q11_stopword_filter" -> (qStopwordFilter _),
@@ -163,6 +189,8 @@ object TextQueries extends QueryModule {
     "q15_quality_score"   -> (qQualityScore _),
     "q16_lang_id"         -> (qLangId _),
     "q17_fingerprint"     -> (qFingerprint _),
+    "q19_token_bpe"       -> (qTokenBpe _),
+    "q25_rolling_hash"    -> (qRollingHash _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -231,6 +259,20 @@ object TextQueries extends QueryModule {
          | CASE $cases ELSE 'und' END AS predicted
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+    "q19_token_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(lower(text),
+        |   '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q25_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(7 AS BIGINT),
+        |     list_transform(str_split(text, ' '),
+        |       t -> CAST(ascii(t) + len(t) AS BIGINT))),
+        |   (h, x) -> (h * 31 + x) % 2147483647) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q17_fingerprint" ->
       s"""WITH f AS (
          |  SELECT doc_id,

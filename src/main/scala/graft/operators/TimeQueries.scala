@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryModule
 import graft.sources.Tables
 
@@ -96,7 +97,27 @@ object TimeQueries extends QueryModule {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** Batch sessionization (gaps-and-islands): per-user sessions split on
+    * >30 min idle gaps — the batch twin of a streaming session window.
+    * Two window functions over one (user_id, ts) shuffle; no self-join. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts")
+    val gap = $"ts".cast("double") - lag($"ts", 1).over(byUser).cast("double")
+    Tables.events(s, dir)
+      .withColumn("new_sess",
+        when(gap.isNull || gap > 1800.0, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_sessionize"         -> (qSessionize _),
     "q20_date_parse_fixed"   -> (qDateParseFixed _),
     "q21_date_parse_dynamic" -> (qDateParseDynamic _),
     "q22_make_timestamp"     -> (qMakeTimestamp _),
@@ -105,6 +126,24 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q26_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(CAST(ts AS TIMESTAMP))
+        |              - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS session_start, max(t) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q20_date_parse_fixed" ->
       """SELECT event_id,
         | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS created,

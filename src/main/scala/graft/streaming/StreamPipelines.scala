@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{Emoji, SentimentOps, TextOps}
+
+/** Structured Streaming re-hosts (SURVEY.md §2 T1-T3 / stretch goals).
+  *
+  * The reference's workers are unbounded Kafka consumers; the batch
+  * pipelines in graft.pipelines are pure column transforms, so the same
+  * logic runs on a streaming DataFrame unchanged. What differs — and what
+  * lives here — is state: watermarks, streaming dedup, and windowed
+  * aggregation.
+  *
+  * Sources: tests drive these with MemoryStream; production wires
+  * `spark.readStream.format("kafka") … from_json(value, schema)` —
+  * exactly the topic+JSON serde shape of records.py:4-47.
+  */
+object StreamPipelines {
+
+  /** E1 streaming: sentiment → demojize → hashtags with event-time
+    * watermark + keyed dedup. Streaming dropDuplicates holds per-key
+    * state; the watermark bounds it (keys older than the watermark are
+    * evicted) — the scalable form of the reference's unique index
+    * (twitter_consumer.py:44), which MongoDB holds forever. */
+  def twitter(tweets: DataFrame): DataFrame =
+    tweets
+      .withColumn("sentiment", SentimentOps.vader(col("text")))
+      .withColumn("text", Emoji.demojizeCol(col("text")))
+      .withColumn("hashtags", TextOps.hashtags(col("text")))
+      .withColumn("created_at",
+        to_timestamp(col("created_at"), "yyyy-MM-dd HH:mm:ssZ"))
+      .withWatermark("created_at", "1 hour")
+      .dropDuplicatesWithinWatermark("tweet_id")
+
+  /** Streaming twin of q24: watermarked tumbling event-time aggregation.
+    * Late events beyond 10 minutes are dropped; window state is evicted
+    * once the watermark passes the window end. */
+  def eventsTumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** RSS-style streaming link dedup (F1+T1): the reference refreshes its
+    * seen-link set on a timer (rss_consumer.py:63-65, frozen by a bug);
+    * the streaming form is watermarked keyed dedup — state bounded, no
+    * driver-side set. */
+  def rssDedup(feeds: DataFrame): DataFrame =
+    feeds
+      .withWatermark("fetched_at", "30 minutes")
+      .dropDuplicatesWithinWatermark("link")
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamPipelines
+
+case class InTweet(tweet_id: String, text: String, created_at: String)
+case class InEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming twitter pipeline: enrich + watermarked dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[InTweet]
+    src.addData(
+      InTweet("t1", "great stuff 🎉 #ok", "2024-01-01 10:00:00+0000"),
+      InTweet("t1", "dup within watermark", "2024-01-01 10:00:30+0000"),
+      InTweet("t2", "bad news", "2024-01-01 10:01:00+0000"))
+    val q = StreamPipelines.twitter(src.toDF())
+      .writeStream.format("memory").queryName("tw_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tw_out").orderBy($"tweet_id").collect()
+      assert(rows.map(_.getAs[String]("tweet_id")).toSeq == Seq("t1", "t2"))
+      val t1 = rows(0)
+      assert(t1.getAs[String]("text").contains(":party_popper:"))
+      assert(t1.getSeq[String](t1.fieldIndex("hashtags")) == Seq("ok"))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling window agg with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[InEvent]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    src.addData(
+      InEvent(ts("2024-01-01 01:00:00"), "click", 1.0),
+      InEvent(ts("2024-01-01 02:00:00"), "click", 2.0),
+      InEvent(ts("2024-01-01 07:00:00"), "view", 5.0))
+    val q = StreamPipelines.eventsTumbling(src.toDF())
+      .writeStream.format("memory").queryName("ev_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ev_out").orderBy($"bucket", $"event_type").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Long]("n") == 2) // 00:00-06:00 clicks
+      assert(rows(0).getAs[Double]("sum_value") == 3.0)
+      assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.functions.Multimodal
+
+  test("magic-number sniffing on crafted headers") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 1, 2)
+    val jpg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 0, 1)
+    val mp4 = "....ftypisom".getBytes("UTF-8")
+    val txt = "hello".getBytes("UTF-8")
+    val got = Seq(("a", png), ("b", jpg), ("c", mp4), ("d", txt))
+      .toDF("id", "media")
+      .select($"id", Multimodal.mediaKind($"media").as("kind"))
+      .orderBy($"id").as[(String, String)].collect().toSeq
+    assert(got == Seq("a" -> "png", "b" -> "jpeg", "c" -> "mp4", "d" -> "unknown"))
+  }
+
+  test("decodeFeatures: fixed-dim vectors, deterministic, schema preserved") {
+    import spark.implicits._
+    val df = Seq(("x", "payload-one".getBytes), ("y", "payload-two".getBytes))
+      .toDF("id", "media")
+    val out1 = Multimodal.decodeFeatures(df, "media", dim = 8, nFrames = 2)
+    val out2 = Multimodal.decodeFeatures(df, "media", dim = 8, nFrames = 2)
+    val r1 = out1.orderBy($"id").collect()
+    val r2 = out2.orderBy($"id").collect()
+    assert(out1.columns.toSeq == Seq("id", "media", "features", "frames"))
+    r1.zip(r2).foreach { case (a, b) =>
+      val fa = a.getSeq[Float](a.fieldIndex("features"))
+      val fb = b.getSeq[Float](b.fieldIndex("features"))
+      assert(fa == fb)
+      assert(fa.length == 8)
+      assert(a.getSeq[Array[Byte]](a.fieldIndex("frames")).length == 2)
+    }
+  }
+
+  test("empty/degenerate payloads") {
+    assert(Multimodal.fakeFeatures(Array.emptyByteArray, 4).toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(Multimodal.sampleFrames(Array.emptyByteArray, 3, 8).isEmpty)
+    assert(Multimodal.sampleFrames("abc".getBytes, 0, 8).isEmpty)
+  }
+}

@@ -20,7 +20,7 @@ object Summarize {
     * drop empties and stopwords. */
   def tfTokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9']+"),
-      t => t =!= "" && !array_contains(array(TextOps.Stopwords.map(lit): _*), t))
+      t => t =!= "" && !TextOps.isStopword(t))
 
   /** Top-k TF keywords as array<string>, ties broken alphabetically.
     * aggregate-free formulation: explode-free inside a single row via

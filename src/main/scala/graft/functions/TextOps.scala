@@ -65,11 +65,13 @@ object TextOps {
 
   /** Stopword filter (F5, reddit_consumer.py:146) over a token array.
     * `filter` (higher-order fn) keeps order and duplicates — unlike
-    * array_except, which dedups. */
-  def dropStopwords(tokens: Column): Column = {
-    val stops = array(Stopwords.map(lit): _*)
-    filter(tokens, t => !array_contains(stops, t))
-  }
+    * array_except, which dedups. Membership via isInCollection → InSet
+    * (hash-set codegen), not a 179-element array scan. */
+  def dropStopwords(tokens: Column): Column =
+    filter(tokens, t => !t.isInCollection(Stopwords))
+
+  /** Membership test against the stopword set (InSet codegen). */
+  def isStopword(t: Column): Column = t.isInCollection(Stopwords)
 
   /** Adjacent unordered bigrams over a token array
     * (reference: pairwise, reddit_consumer.py:67-71): zip tokens with

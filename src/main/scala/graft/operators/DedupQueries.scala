@@ -94,9 +94,15 @@ object DedupQueries extends QueryModule {
     * (estimate tracks exact Jaccard). */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // The signature frame is consumed three times (banding + both sides
+    // of the candidate verification join). Without a cache the whole
+    // shingle-explode + 32-way min aggregation would re-run per consumer
+    // — measured 3× cost at sf0.1. At cluster scale this is the classic
+    // "materialize the sketch table once" step.
     val sig = signatures(s, dir)
       .withColumn("sig", array((0 until MinhashK).map(i => col(s"h$i")): _*))
       .select($"doc_id", $"sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBands = MinhashK / BandRows
     val bands = sig.select($"doc_id",
       posexplode(array((0 until nBands).map { b =>

@@ -101,8 +101,7 @@ object TextQueries extends QueryModule {
     import s.implicits._
     val toks = TextOps.tokenize($"text")
     val nToks = size(toks)
-    val nStops = size(filter(toks,
-      t => array_contains(array(TextOps.Stopwords.map(lit): _*), t)))
+    val nStops = size(filter(toks, t => TextOps.isStopword(t)))
     Tables.documents(s, dir)
       .select($"doc_id", nToks.cast("long").as("n_tokens"),
         round(nStops.cast("double") / nToks, 4).as("stop_ratio"),
@@ -125,8 +124,7 @@ object TextQueries extends QueryModule {
     import s.implicits._
     val toks = TextOps.tokenize($"text")
     val scores = langProfiles.map { case (l, words) =>
-      l -> size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
-        .cast("long")
+      l -> size(filter(toks, t => t.isInCollection(words))).cast("long")
     }
     val byName = scores.toMap
     val langs = langProfiles.map(_._1)

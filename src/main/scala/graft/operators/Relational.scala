@@ -145,8 +145,27 @@ object Relational extends QueryModule {
       .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
   }
 
+  /** Skew-resistant two-stage (salted) aggregation. `event_type` has ~5
+    * distinct values — at cluster scale a direct groupBy funnels the
+    * whole table into 5 reducer partitions. Stage 1 fans each hot key
+    * out across 16 salt buckets (map-side partial agg still applies);
+    * stage 2 combines the 5×16 partials. Results identical to the direct
+    * agg — the oracle is the *unsalted* SQL. */
+  def q9SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = Tables.events(s, dir)
+      .withColumn("salt", pmod(hash($"event_id"), lit(16)))
+    val partial = salted.groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value").as("psum"))
+    partial.groupBy($"event_type")
+      .agg(sum($"pn").as("n"),
+        round(sum($"psum"), 4).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
+    "q9_salted_agg"     -> (q9SaltedAgg _),
     "q2_join_revenue"   -> (q2JoinRevenue _),
     "q3_window_topk"    -> (q3WindowTopk _),
     "q4_filter_project" -> (q4FilterProject _),
@@ -157,6 +176,10 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q9_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

@@ -25,10 +25,19 @@ import graft.sources.Tables
   */
 object SimilarityQueries extends QueryModule {
 
+  /** Native codegen'd expressions (graft.plans.VectorExpressions): a
+    * tight primitive loop instead of the HOF zip_with/aggregate fold —
+    * same results (VectorExprSpec pins equality), ~no per-row allocation. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorExpressions.dot(a, b)
 
   private def norm(a: Column): Column =
+    graft.plans.VectorExpressions.l2norm(a)
+
+  /** HOF formulation kept for the equivalence test. */
+  private[operators] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  private[operators] def normHof(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
   /** Vectors with embedding cast float→double + precomputed norm. */
@@ -88,9 +97,51 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** IVF coarse-quantizer anchors: deterministic gaussian directions. */
+  private val anchors: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(8, 64)(rnd.nextGaussian())
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest anchor cell
+    * (argmax dot), queries probe their 2 best cells, exact cosine re-rank
+    * runs only inside probed cells. The cluster-scale shape: the corpus
+    * is partitioned by cell (one shuffle), each query touches 2/8 of the
+    * data instead of all of it. Engine-specific (anchor choice) → rows-
+    * only driver check; recall pinned vs brute force in ScalaTest. */
+  def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dots(v: Column) = array(anchors.map(a =>
+      dot(v, array(a.map(lit): _*))): _*)
+    val withCell = vecs(s, dir).withColumn("cells", {
+      val d = dots($"v")
+      // rank cells by dot desc: sort (negated dot, index) pairs
+      val ranked = array_sort(zip_with(d,
+        transform(d, (_, i) => i),
+        (x, i) => struct((-x).as("nd"), i.as("idx"))))
+      transform(ranked, r => r.getField("idx"))
+    })
+    val corpus = withCell
+      .select($"vec_id", $"v", $"nrm",
+        element_at($"cells", 1).as("cell"))
+    val queries = withCell.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(slice($"cells", 1, 2)).as("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
+    "q42_ivf_ann"     -> (qIvfAnn _),
   )
 
   override def oracleSql: Map[String, String] = Map(

@@ -21,6 +21,11 @@ object TwitterPipeline {
     * (twitter_consumer.py:70 runs before :89). */
   def apply(tweets: DataFrame): DataFrame =
     tweets
+      // S7 equivalent: the reference's rotating-file ingestion log
+      // (ingestion_logger.py) becomes an observable metric on the flow —
+      // queryable via QueryExecutionListener / StreamingQueryListener
+      // instead of grepping log files.
+      .observe("twitter_ingest", count(lit(1)).as("n_ingested"))
       .withColumn("sentiment", SentimentOps.vader(col("text")))
       .withColumn("text", Emoji.demojizeCol(col("text")))
       .withColumn("hashtags", TextOps.hashtags(col("text")))

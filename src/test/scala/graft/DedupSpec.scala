@@ -71,6 +71,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: scores agree with brute force; recall is substantial") {
+    import spark.implicits._
+    val brute = SimilarityQueries.qCosineTopk(spark, sf)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (q, v, c) => (q, v) -> c }.toMap
+    val ivf = SimilarityQueries.qIvfAnn(spark, sf)
+      .select($"q_id", $"vec_id", $"cos").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, v, c) =>
+      brute.get((q, v)).foreach(bc => assert(math.abs(bc - c) < 1e-9))
+    }
+    val recall = ivf.count { case (q, v, _) => brute.contains((q, v)) }
+      .toDouble / brute.size
+    info(f"IVF recall@5 vs brute force: $recall%.3f")
+    assert(recall > 0.1, "probing 2/8 cells should recover a real fraction")
+  }
+
   test("LSH ANN finds a nonzero fraction of true top-5 neighbors") {
     import spark.implicits._
     val brute = SimilarityQueries.qCosineTopk(spark, sf)

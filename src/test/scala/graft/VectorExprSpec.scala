@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.plans.VectorExpressions
+
+class VectorExprSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("native dot/l2norm equal the HOF formulation on real embeddings") {
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+      .limit(100)
+    val hofDot = aggregate(zip_with($"v", $"w", (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b").limit(5)
+        .select($"vec_id".as("wid"), $"v".as("w")))
+    val diff = pairs.select(
+        abs(VectorExpressions.dot($"v", $"w") - hofDot).as("d_dot"))
+      .agg(max($"d_dot")).as[Double].head()
+    assert(diff < 1e-12)
+
+    val ndiff = vecs.select(abs(VectorExpressions.l2norm($"v") -
+        sqrt(aggregate(transform($"v", x => x * x), lit(0.0),
+          (acc, x) => acc + x))).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(ndiff < 1e-12)
+  }
+
+  test("SQL registration: dot_product / l2_norm callable from spark.sql") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+      "l2_norm(array(3.0d, 4.0d)) AS n").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("null inputs propagate null") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d))").head()
+    assert(r.isNullAt(0))
+  }
+
+  test("length mismatch: folds over the shorter prefix (zip semantics)") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d))").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+}

@@ -138,14 +138,50 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** q40 re-expressed through the custom bounded-heap aggregate
+    * (graft.plans.TopKAggregate): identical results, but the per-query
+    * top-5 comes from O(k) heaps with map-side combine instead of a
+    * window sort over every scored pair — at scale that is a shuffle of
+    * ≤k rows per query instead of a full sort of |queries|×|corpus|.
+    * Shares q40's oracle SQL because the output contract is identical. */
+  def qTopkAggregate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, dir)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = all.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    scored.groupBy($"q_id")
+      .agg(graft.plans.TopKAggregate.topKBy($"cos", $"vec_id", 5).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("int").as("rk"),
+        $"t.id".as("vec_id"), round($"t.score", 4).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
     "q42_ivf_ann"     -> (qIvfAnn _),
+    "q43_topk_agg"    -> (qTopkAggregate _),
   )
 
   override def oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+        |  WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    list_cosine_similarity(q.qv, e.embedding) AS cos
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q43_topk_agg" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
         |  WHERE vec_id % 100 = 0),

@@ -13,4 +13,14 @@ object GraftBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Apply an extensions object's injected functions to an already-built
+    * session (getOrCreate ignores withExtensions when a session exists —
+    * e.g. shared test sessions). */
+  def applyExtensions(spark: SparkSession,
+      ext: SparkSessionExtensions => Unit): Unit = {
+    val e = new SparkSessionExtensions
+    ext(e)
+    e.registerFunctions(spark.sessionState.functionRegistry)
+  }
 }

@@ -93,7 +93,10 @@ object Emoji {
           // swallow a following variation selector
           if (i + w < text.length && Skip.contains(text.codePointAt(i + w))) i += 1
         case None =>
-          if (!Skip.contains(cp)) sb.appendCodePoint(cp)
+          // standalone variation selectors pass through — only a VS
+          // directly after a *named* emoji is swallowed (identity on
+          // unknown-emoji text must hold for the q51 oracle)
+          sb.appendCodePoint(cp)
       }
       i += w
     }

@@ -90,4 +90,12 @@ object TextOps {
     * `re.findall(r"#(\w+)", text)`. */
   def hashtags(c: Column): Column =
     regexp_extract_all(c, lit("""#(\w+)"""), lit(1))
+
+  /** The DuckDB rendering of cleanText for oracle SQL — single source of
+    * truth: if cleanText changes, every oracle referencing it follows. */
+  val cleanTextSql: String =
+    """regexp_replace(regexp_replace(regexp_replace(lower(text),""" +
+      """ '\[.*?\]', '', 'g'),""" +
+      """ '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),""" +
+      """ '\w*\d\w*', '', 'g')"""
 }

@@ -176,9 +176,11 @@ object Vader {
               back += 1
             }
             if (neg) v *= NScalar
-            // "least" check (e.g. "least good"), but not "at least"
+            // "least" check (e.g. "least good"), but not "at least" /
+            // "very least" (published VADER excludes both)
             if (i >= 1 && toks(i - 1).toLowerCase == "least" &&
-                !(i >= 2 && toks(i - 2).toLowerCase == "at")) {
+                !(i >= 2 && Set("at", "very")
+                  .contains(toks(i - 2).toLowerCase))) {
               v *= NScalar
             }
           case None =>

@@ -142,11 +142,7 @@ object PipelineQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     val stops = TextOps.stopwordsSqlList
-    val cleanSql =
-      """regexp_replace(regexp_replace(regexp_replace(lower(text),""" +
-        """ '\[.*?\]', '', 'g'),""" +
-        """ '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),""" +
-        """ '\w*\d\w*', '', 'g')"""
+    val cleanSql = TextOps.cleanTextSql
     Map(
       "q18_keywords_tf" ->
         s"""WITH toks AS (

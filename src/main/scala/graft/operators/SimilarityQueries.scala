@@ -27,7 +27,10 @@ object SimilarityQueries extends QueryModule {
 
   /** Native codegen'd expressions (graft.plans.VectorExpressions): a
     * tight primitive loop instead of the HOF zip_with/aggregate fold —
-    * same results (VectorExprSpec pins equality), ~no per-row allocation. */
+    * equal results on equal-length vectors (VectorExprSpec pins this; on
+    * ragged inputs native folds the shorter prefix while the HOF form
+    * null-pads to NULL), ~no per-row allocation. All embeddings here are
+    * fixed 64-dim, so the formulations are interchangeable. */
   private def dot(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.dot(a, b)
 

@@ -19,12 +19,7 @@ import graft.sources.Tables
   */
 object TextQueries extends QueryModule {
 
-  /** DuckDB rendering of cleanText — same 4 regexp steps, 'g' flag. */
-  private val cleanSql =
-    """regexp_replace(regexp_replace(regexp_replace(lower(text),""" +
-      """ '\[.*?\]', '', 'g'),""" +
-      """ '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),""" +
-      """ '\w*\d\w*', '', 'g')"""
+  private val cleanSql = TextOps.cleanTextSql
 
   private val stops = TextOps.stopwordsSqlList
 

@@ -16,10 +16,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IdempotentSink {
 
   /** Append `batch` to `path`, dropping rows whose `keys` already exist
-    * there (and duplicates within the batch itself — first wins). */
-  def append(batch: DataFrame, path: String, keys: Seq[String]): Unit = {
+    * there. Within-batch key duplicates also collapse to one row —
+    * an *arbitrary* one (dropDuplicates), exactly like the reference's
+    * race between two inserts of the same key; pass `tieBreak` columns
+    * to make the survivor deterministic (lowest tieBreak wins). */
+  def append(batch: DataFrame, path: String, keys: Seq[String],
+      tieBreak: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
-    val deduped = batch.dropDuplicates(keys)
+    val deduped =
+      if (tieBreak.isEmpty) batch.dropDuplicates(keys)
+      else {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(tieBreak.map(col): _*)
+        batch.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
     val fresh =
       if (pathExists(spark, path)) {
         val existing = spark.read.parquet(path).select(keys.head, keys.tail: _*)

@@ -16,25 +16,38 @@ class ExprPropsSpec extends AnyFunSuite {
       chars(rnd.nextInt(chars.length))).mkString)
   }
 
-  private lazy val rows: Seq[(String, String, Seq[String], Seq[String], Seq[(String, String)])] = {
+  private lazy val rows: Seq[(String, String, Seq[String], Seq[String], Seq[(String, String)], Seq[(String, String)])] = {
     import spark.implicits._
     corpus.toDF("t")
+      .withColumn("p2", TextOps.adjacentBigrams(TextOps.tokenize($"t")))
       .select(
         $"t",
         TextOps.cleanText($"t").as("cleaned"),
         TextOps.tokenize($"t").as("toks"),
         TextOps.dropStopwords(TextOps.tokenize($"t")).as("kept"),
+        // independent zip_with+null-pad reformulation of adjacentBigrams.
+        // NB: the null filter must run BEFORE canonicalization —
+        // least(x, null) returns x in Spark, which would fabricate a
+        // self-pair from the padding row (caught by this very test).
         expr("transform(" +
           "filter(zip_with(split(t, ' '), slice(split(t, ' '), 2, 100000)," +
-          " (x, y) -> struct(least(x, y) AS a, greatest(x, y) AS b))," +
-          " p -> p.b is not null), p -> struct(p.a, p.b))").as("pairs_ref"))
-      .as[(String, String, Seq[String], Seq[String], Seq[(String, String)])]
+          " (x, y) -> struct(x AS x, y AS y)), p -> p.y is not null)," +
+          " p -> struct(least(p.x, p.y) AS a, greatest(p.x, p.y) AS b))")
+          .as("pairs_ref"),
+        expr("transform(p2, x -> struct(x.a, x.b))").as("pairs_got"))
+      .as[(String, String, Seq[String], Seq[String], Seq[(String, String)], Seq[(String, String)])]
       .collect().toSeq
+  }
+
+  test("adjacentBigrams agrees with an independent zip_with reformulation") {
+    rows.foreach { case (t, _, _, _, ref, got) =>
+      assert(got == ref, s"bigram mismatch on: '$t'")
+    }
   }
 
   test("cleanText: lowercase, no punctuation class chars, no digit-words") {
     val punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
-    rows.foreach { case (_, cleaned, _, _, _) =>
+    rows.foreach { case (_, cleaned, _, _, _, _) =>
       assert(cleaned == cleaned.toLowerCase, s"not lowercased: $cleaned")
       assert(!cleaned.exists(punct.contains), s"punct survived: $cleaned")
       cleaned.split(" ").foreach { w =>
@@ -53,7 +66,7 @@ class ExprPropsSpec extends AnyFunSuite {
   }
 
   test("dropStopwords: subsequence of input (order and duplicates kept)") {
-    rows.foreach { case (_, _, toks, kept, _) =>
+    rows.foreach { case (_, _, toks, kept, _, _) =>
       // kept is a subsequence: every kept token appears in order in toks
       var i = 0
       kept.foreach { w =>

@@ -35,15 +35,17 @@ class SourcesSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
     val b1 = Seq(("k1", "v1"), ("k2", "v2"), ("k2", "dup-in-batch"))
       .toDF("id", "payload")
-    IdempotentSink.append(b1, dir, Seq("id"))
+    // deterministic within-batch survivor via tieBreak
+    IdempotentSink.append(b1, dir, Seq("id"), tieBreak = Seq("payload"))
     assert(spark.read.parquet(dir).count() == 2)
     // same keys again + one new key
     val b2 = Seq(("k2", "replay"), ("k3", "v3")).toDF("id", "payload")
     IdempotentSink.append(b2, dir, Seq("id"))
     val rows = spark.read.parquet(dir).orderBy($"id").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("k1", "k2", "k3"))
-    // k2 kept its original payload — replay was dropped
-    assert(rows(1).getString(1) == "v2")
+    // k2 kept a batch-1 payload ("dup-in-batch" < "v2" lexicographically)
+    // — the replay from batch 2 was dropped by the sink anti-join
+    assert(rows(1).getString(1) == "dup-in-batch")
   }
 
   test("SparkSessionExtensions: injected functions resolve in SQL") {

@@ -44,10 +44,14 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
-  test("length mismatch: folds over the shorter prefix (zip semantics)") {
+  test("length mismatch: native folds the shorter prefix; HOF form null-pads") {
     VectorExpressions.register(spark)
+    // documented divergence: interchangeable only on equal-length vectors
     val r = spark.sql(
-      "SELECT dot_product(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d))").head()
+      "SELECT dot_product(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d)) AS d, " +
+      "aggregate(zip_with(array(1.0d, 2.0d, 9.0d), array(3.0d, 4.0d), " +
+      "  (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS hof").head()
     assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
   }
 }

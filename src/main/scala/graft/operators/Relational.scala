@@ -163,9 +163,23 @@ object Relational extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Distinct aggregation (§2.2 gap): multiple DISTINCT aggregates in one
+    * pass — Spark plans an expand + two-phase aggregate. */
+  def q9bDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum_distinct($"value"), 4).as("sum_distinct_value"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q9_salted_agg"     -> (q9SaltedAgg _),
+    "q9b_distinct_agg"  -> (q9bDistinctAgg _),
     "q2_join_revenue"   -> (q2JoinRevenue _),
     "q3_window_topk"    -> (q3WindowTopk _),
     "q4_filter_project" -> (q4FilterProject _),
@@ -179,6 +193,12 @@ object Relational extends QueryModule {
     "q9_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q9b_distinct_agg" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events,
+        | round(sum(DISTINCT value), 4) AS sum_distinct_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -48,7 +48,35 @@ object TextQueries extends QueryModule {
     * ASC tie-break; the reference's Counter tie order is insertion-based
     * and unstable, we pin a deterministic order on both engines) →
     * flatten in rank order → order-preserving distinct. */
+  /** In-row (zero-shuffle) form: count/rank/flatten happens inside array
+    * expressions per document — one map-only stage, no exchanges except
+    * the final presentation sort. O(pairs²) per doc, which is the right
+    * trade for bounded-length documents (this corpus ≤ ~90 tokens); the
+    * shuffle form below (q12b) is the plan for unbounded docs. Both give
+    * identical output and share the oracle. */
   def qBigramsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text")))
+    val pairs = TextOps.adjacentBigrams(toks)
+    val counted = transform(array_distinct(pairs), u =>
+      struct(
+        (-size(filter(pairs, p => p === u))).as("nc"),
+        u.getField("a").as("a"), u.getField("b").as("b")))
+    // array_sort on (nc, a, b) = (count DESC, a ASC, b ASC)
+    val top5 = slice(array_sort(counted), 1, 5)
+    val keywords = array_join(array_distinct(flatten(
+      transform(top5, t => array(t.getField("a"), t.getField("b"))))), " ")
+    Tables.documents(s, dir)
+      .select($"doc_id", pairs.as("pairs"), keywords.as("keywords"))
+      .filter(size($"pairs") > 0)
+      .select($"doc_id", $"keywords")
+      .orderBy($"doc_id")
+  }
+
+  /** Shuffle form of the flagship: explode → count-agg → window top-5 →
+    * regroup. Scales to arbitrarily long documents (per-doc work is
+    * spread across the cluster rather than done in one row). */
+  def qBigramsTopkShuffle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir).select($"doc_id",
       TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text")))
@@ -177,6 +205,7 @@ object TextQueries extends QueryModule {
     "q10_clean_text"      -> (qCleanText _),
     "q11_stopword_filter" -> (qStopwordFilter _),
     "q12_bigrams_topk"    -> (qBigramsTopk _),
+    "q12b_bigrams_shuffle" -> (qBigramsTopkShuffle _),
     "q13_hashtags"        -> (qHashtags _),
     "q14_token_stats"     -> (qTokenStats _),
     "q15_quality_score"   -> (qQualityScore _),
@@ -196,6 +225,29 @@ object TextQueries extends QueryModule {
          |   t -> t NOT IN $stops), ' ') AS kept
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q12_bigrams_topk" ->
+      s"""WITH cleaned AS (
+         |  SELECT doc_id,
+         |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS toks
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM cleaned),
+         |pairs AS (
+         |  SELECT doc_id, least(toks[i], toks[i+1]) AS a,
+         |         greatest(toks[i], toks[i+1]) AS b FROM idx),
+         |counts AS (
+         |  SELECT doc_id, a, b, count(*) AS c FROM pairs GROUP BY doc_id, a, b),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY c DESC, a ASC, b ASC) AS rk FROM counts),
+         |top AS (SELECT * FROM ranked WHERE rk <= 5),
+         |flat AS (
+         |  SELECT doc_id, rk*2+1 AS ord, a AS w FROM top
+         |  UNION ALL SELECT doc_id, rk*2+2, b FROM top),
+         |dedup AS (
+         |  SELECT doc_id, w, min(ord) AS ord FROM flat GROUP BY doc_id, w)
+         |SELECT doc_id, string_agg(w, ' ' ORDER BY ord) AS keywords
+         |FROM dedup GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q12b_bigrams_shuffle" -> // same contract as q12 → same oracle
       s"""WITH cleaned AS (
          |  SELECT doc_id,
          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS toks

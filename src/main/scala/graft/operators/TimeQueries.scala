@@ -116,8 +116,61 @@ object TimeQueries extends QueryModule {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** As-of join — the canonical "operator Spark lacks" (SURVEY.md §7.3
+    * preference (a): compose built-ins). Each purchase is joined to the
+    * user's most recent click at-or-before it. Implementation: union the
+    * two sides with a sort tag, one window pass carrying the latest click
+    * struct forward per user — ONE shuffle on user_id, no join node at
+    * all, versus the naive approach (range join + per-row max) that
+    * explodes quadratically on hot users. Oracle: DuckDB's native
+    * ASOF LEFT JOIN. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts",
+        struct($"ts".as("click_ts"), $"value".as("click_value")).as("c"),
+        lit(0).as("side"), lit(null).cast("long").as("event_id"),
+        lit(null).cast("double").as("value"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        lit(null).cast(clicks.schema("c").dataType).as("c"),
+        lit(1).as("side"), $"event_id", $"value")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"side".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("last_c", last($"c", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id", round($"value", 4).as("value"),
+        $"last_c.click_ts".as("click_ts"),
+        round($"last_c.click_value", 4).as("click_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Time-range self join: ordered event pairs of the same user within
+    * 5 minutes. Equi-join on user_id with the range as a join-time
+    * filter — never a cartesian. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"ts", $"event_type")
+    val a = ev.select($"event_id".as("a_id"), $"user_id",
+      $"ts".as("a_ts"), $"event_type".as("a_type"))
+    val b = ev.select($"event_id".as("b_id"), $"user_id",
+      $"ts".as("b_ts"), $"event_type".as("b_type"))
+    a.join(b, Seq("user_id"))
+      .filter($"b_ts" >= $"a_ts" &&
+        $"b_ts" <= $"a_ts" + expr("INTERVAL 5 MINUTES") &&
+        $"a_id" < $"b_id")
+      .select($"user_id", $"a_id", $"b_id", $"a_type", $"b_type")
+      .orderBy($"a_id", $"b_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sessionize"         -> (qSessionize _),
+    "q27_asof_join"          -> (qAsofJoin _),
+    "q29_range_join"         -> (qRangeJoin _),
     "q20_date_parse_fixed"   -> (qDateParseFixed _),
     "q21_date_parse_dynamic" -> (qDateParseDynamic _),
     "q22_make_timestamp"     -> (qMakeTimestamp _),
@@ -126,6 +179,28 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q27_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, round(p.value, 4) AS value,
+        |  c.ts AS click_ts, round(c.value, 4) AS click_value
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q29_range_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  a.event_type AS a_type, b.event_type AS b_type
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        | AND a.event_id < b.event_id
+        |ORDER BY a_id, b_id""".stripMargin,
     "q26_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,

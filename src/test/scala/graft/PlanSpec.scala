@@ -49,17 +49,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q12 flagship: pinned exchange count (pair agg, window, regroup, sort)") {
-    val p = plan("q12_bigrams_topk")
-    // formatted mode prints each operator twice (tree + detail section);
-    // count only the "(n) Exchange" detail headers
-    val exchanges = p.linesIterator
-      .count(_.trim.matches("""\(\d+\) Exchange"""))
-    info(s"q12 exchanges: $exchanges")
+  // formatted mode prints each operator twice (tree + detail section);
+  // count only the "(n) Exchange" detail headers
+  private def exchanges(name: String): Int =
+    plan(name).linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+
+  test("q12 flagship (in-row): map-only — the single exchange is the presentation sort") {
+    val n = exchanges("q12_bigrams_topk")
+    info(s"q12 exchanges: $n")
+    assert(n == 1, s"in-row bigram chain grew shuffles: $n")
+  }
+
+  test("q12b (shuffle form): pinned at 3 exchanges (pair agg, window+regroup, sort)") {
+    val n = exchanges("q12b_bigrams_shuffle")
+    info(s"q12b exchanges: $n")
     // pinned from the reviewed plan — change deliberately, not by accident
-    assert(exchanges == 3,
-      s"bigram chain shuffle count changed: $exchanges (was 3: pair-count " +
-        "agg, per-doc window+regroup, final orderBy)")
+    assert(n == 3, s"bigram shuffle chain changed: $n")
   }
 
   test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {

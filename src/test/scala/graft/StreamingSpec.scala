@@ -55,6 +55,75 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.streaming.Sessionize
+
+  test("flatMapGroupsWithState sessionization closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Sessionize.Event]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = Sessionize(src.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: one session for user 1 (gap < 30 min), opener for user 2
+      src.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessionize.Event(1L, ts("2024-01-01 10:10:00"), 2.0),
+        Sessionize.Event(2L, ts("2024-01-01 10:00:00"), 9.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0) // nothing closed yet
+      // batch 2: user 1 returns 2h later → session 1 closes
+      src.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Long]("session_id") == 1L)
+      assert(r.getAs[Long]("n_events") == 2L)
+      assert(r.getAs[java.sql.Timestamp]("session_end").toString
+        .startsWith("2024-01-01 10:10:00"))
+      // batch 3: another 2h gap closes session 2 (the 12:00 singleton)
+      src.addData(Sessionize.Event(1L, ts("2024-01-01 14:00:00"), 4.0))
+      q.processAllAvailable()
+      val s2 = spark.table("sess_out").orderBy($"session_id").collect()
+      assert(s2.length == 2 && s2(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("batch q26 and the streaming sessionizer agree on session structure") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // replay sf0.001 events through the streaming sessionizer in one
+    // batch + a far-future closer per user, then compare CLOSED sessions
+    // to the batch query's sessions
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"ts", $"value").as[Sessionize.Event].collect()
+    val closer = ev.map(_.user_id).distinct.map(u =>
+      Sessionize.Event(u, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+    val src = MemoryStream[Sessionize.Event]
+    val q = Sessionize(src.toDS())
+      .writeStream.format("memory").queryName("sess_all")
+      .outputMode("append").start()
+    try {
+      src.addData(ev.toIndexedSeq)
+      src.addData(closer.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_all")
+        .select($"user_id", $"session_id", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.TimeQueries
+        .qSessionize(spark, "/root/testdata/sf0.001")
+        .select($"user_id", $"session_id", $"n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import graft.functions.Multimodal

@@ -99,6 +99,59 @@ object Vader {
     // emoticons (kept through tokenization like VADER does)
     ":)" -> 2.0, ":-)" -> 2.2, ":(" -> -1.9, ":-(" -> -2.2, ":d" -> 2.3,
     "<3" -> 2.9, ":/" -> -1.4, ";)" -> 0.9,
+    // second tranche — common words, same published [-4, 4] scale
+    "agree" -> 1.5, "appreciate" -> 1.9, "attractive" -> 1.9,
+    "benefit" -> 1.7, "bonus" -> 1.9, "calm" -> 1.3, "celebrate" -> 2.2,
+    "champion" -> 2.4, "cheer" -> 2.3, "comfort" -> 1.5,
+    "confident" -> 2.2, "congratulations" -> 2.9, "creative" -> 1.9,
+    "cute" -> 2.0, "delight" -> 2.9, "eager" -> 1.5, "efficient" -> 1.5,
+    "elegant" -> 2.1, "encourage" -> 1.9, "fabulous" -> 2.8,
+    "faith" -> 1.9, "fine" -> 0.8, "flawless" -> 2.7, "fortune" -> 2.3,
+    "genius" -> 2.6, "gentle" -> 1.9, "gift" -> 1.9, "glorious" -> 2.8,
+    "grand" -> 2.2, "grateful" -> 2.4, "heal" -> 1.9, "heaven" -> 2.7,
+    "honest" -> 2.3, "honor" -> 2.3, "hope" -> 1.9, "hopeful" -> 2.1,
+    "inspire" -> 2.1, "intelligent" -> 2.3, "laugh" -> 2.6,
+    "lucky" -> 2.4, "magnificent" -> 2.9, "marvelous" -> 2.9,
+    "merry" -> 2.6, "miracle" -> 2.8, "optimistic" -> 2.4,
+    "outstanding" -> 3.1, "paradise" -> 3.2, "peace" -> 2.5,
+    "pleasant" -> 2.3, "pleasure" -> 2.7, "proud" -> 2.1, "relax" -> 1.9,
+    "relief" -> 1.9, "respect" -> 2.1, "reward" -> 2.4, "rich" -> 2.6,
+    "satisfied" -> 2.0, "splendid" -> 2.9, "stunning" -> 2.1,
+    "sweet" -> 2.0, "terrific" -> 2.7, "treasure" -> 2.3,
+    "triumph" -> 2.8, "trust" -> 2.3, "victory" -> 2.8, "warm" -> 1.5,
+    "wealth" -> 2.2, "welcome" -> 2.0, "wise" -> 2.2, "wow" -> 2.8,
+    "yay" -> 2.4,
+    "abandon" -> -1.9, "abuse" -> -3.2, "afraid" -> -2.2,
+    "aggressive" -> -1.6, "anger" -> -2.7, "anxious" -> -1.9,
+    "ashamed" -> -2.1, "attack" -> -2.1, "betray" -> -3.0,
+    "bitter" -> -1.8, "blame" -> -1.7, "boring" -> -1.3,
+    "brutal" -> -3.0, "chaos" -> -2.1, "cheat" -> -2.6,
+    "collapse" -> -1.9, "complain" -> -1.7, "corrupt" -> -2.8,
+    "coward" -> -2.0, "crap" -> -2.2, "cruel" -> -2.8, "cry" -> -2.1,
+    "damage" -> -2.2, "damn" -> -1.7, "defeat" -> -1.9,
+    "depressed" -> -2.3, "desperate" -> -2.0, "destroy" -> -2.6,
+    "dirty" -> -1.7, "disaster" -> -3.1, "disgust" -> -2.9,
+    "dishonest" -> -2.5, "doom" -> -2.4, "dreadful" -> -2.9,
+    "enemy" -> -2.4, "evil" -> -3.4, "exhausted" -> -1.6,
+    "fake" -> -1.8, "fatal" -> -2.7, "fault" -> -1.9, "fight" -> -1.6,
+    "filthy" -> -2.4, "fool" -> -1.9, "fraud" -> -3.0,
+    "frustrated" -> -2.2, "furious" -> -2.7, "greedy" -> -2.3,
+    "grief" -> -2.6, "guilt" -> -2.3, "harm" -> -2.4, "harsh" -> -1.9,
+    "hell" -> -2.6, "hopeless" -> -2.5, "horror" -> -2.7,
+    "hostile" -> -2.3, "hurt" -> -2.2, "ignorant" -> -2.0, "ill" -> -1.8,
+    "insult" -> -2.3, "jealous" -> -2.0, "kill" -> -3.1, "liar" -> -2.9,
+    "lonely" -> -1.9, "lying" -> -2.2, "miserable" -> -2.8,
+    "mistake" -> -1.7, "murder" -> -3.4, "nasty" -> -2.6,
+    "nightmare" -> -2.7, "panic" -> -2.4, "pathetic" -> -2.5,
+    "poverty" -> -2.4, "punish" -> -2.2, "rage" -> -2.5,
+    "reject" -> -1.9, "ruin" -> -2.4, "rude" -> -2.2, "sick" -> -2.0,
+    "sorrow" -> -2.5, "steal" -> -2.2, "stress" -> -1.9,
+    "struggle" -> -1.9, "suffer" -> -2.5, "suspicious" -> -1.5,
+    "threat" -> -2.4, "tragedy" -> -3.0, "trouble" -> -2.0,
+    "unfair" -> -2.1, "unfortunate" -> -1.9, "upset" -> -1.9,
+    "vicious" -> -2.4, "victim" -> -1.9, "violence" -> -3.1,
+    "war" -> -2.9, "worried" -> -1.9, "worry" -> -1.9,
+    "worthless" -> -2.5,
   )
 
   private def isUpper(w: String): Boolean =

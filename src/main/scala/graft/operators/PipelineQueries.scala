@@ -16,9 +16,28 @@ import graft.sources.Tables
   */
 object PipelineQueries extends QueryModule {
 
-  /** P10 (scalable query form): per-doc top-5 unigram TF keywords via
-    * explode → count → window — the shape that survives 100 TB, unlike
-    * per-row O(n²) array ops. */
+  /** P10, in-row form (default): per-doc top-5 unigram TF keywords inside
+    * array expressions — map-only, no shuffle except the presentation
+    * sort. Right for bounded docs; q18b below is the explode+window shape
+    * for unbounded ones. Same output, same oracle. */
+  def qKeywordsTfInRow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = filter(
+      TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text"))),
+      t => t =!= "")
+    val counted = transform(array_distinct(toks), u =>
+      struct((-size(filter(toks, t => t === u))).as("nc"), u.as("t")))
+    val top5 = slice(array_sort(counted), 1, 5)
+    Tables.documents(s, dir)
+      .select($"doc_id", toks.as("toks"),
+        array_join(transform(top5, x => x.getField("t")), " ").as("keywords"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", $"keywords")
+      .orderBy($"doc_id")
+  }
+
+  /** P10 (shuffle form): per-doc top-5 unigram TF keywords via
+    * explode → count → window — the shape for unbounded documents. */
   def qKeywordsTf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir).select($"doc_id",
@@ -132,7 +151,8 @@ object PipelineQueries extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q18_keywords_tf"     -> (qKeywordsTf _),
+    "q18_keywords_tf"     -> (qKeywordsTfInRow _),
+    "q18b_keywords_shuffle" -> (qKeywordsTf _),
     "q50_sentiment"       -> (qSentiment _),
     "q51_demojize"        -> (qDemojize _),
     "q52_twitter_pipeline" -> (qTwitterPipeline _),
@@ -145,6 +165,19 @@ object PipelineQueries extends QueryModule {
     val cleanSql = TextOps.cleanTextSql
     Map(
       "q18_keywords_tf" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, unnest(list_filter(str_split($cleanSql, ' '),
+           |    t -> t NOT IN $stops AND t <> '')) AS t
+           |  FROM documents),
+           |counts AS (
+           |  SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, t ASC) AS rk FROM counts)
+           |SELECT doc_id, string_agg(t, ' ' ORDER BY rk) AS keywords
+           |FROM ranked WHERE rk <= 5
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q18b_keywords_shuffle" -> // same contract as q18 → same oracle
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(list_filter(str_split($cleanSql, ' '),
            |    t -> t NOT IN $stops AND t <> '')) AS t

@@ -1,7 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
+  * and prints ONE JSON line. Contract hardening (round-1 verdict #3/#6/#7):
+  *  - the JSON line is the ONLY stdout this JVM writes — everything else
+  *    (Spark launch chatter, stray printlns) is redirected to stderr;
+  *  - the same line is also written to bench_out.json in the cwd so the
+  *    driver can recover it even if the sbt wrapper pollutes stdout;
+  *  - queries are materialized through the noop sink, not count(), so
+  *    Catalyst can't prune unreferenced projections and under-measure
+  *    pure-projection queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val stdout = System.out
+    System.setOut(System.err) // everything but the final JSON → stderr
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -14,17 +28,26 @@ object Bench {
     // absorb JIT + classloading cost (measured ~4s on the first query).
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count().count()
+        .groupBy("l_returnflag").count()
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    stdout.println(line)
+    stdout.flush()
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

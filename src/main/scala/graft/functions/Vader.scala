@@ -9,10 +9,14 @@ package graft.functions
   * tri-gram negation window, "but" clause re-weighting, punctuation
   * emphasis, alpha-15 normalization) follows the paper and the publicly
   * documented constants. The full 7 500-entry lexicon file is not
-  * available offline, so `Lexicon` is a curated subset on the same
-  * [-4, 4] valence scale — scores are self-consistent (pinned by unit
-  * fixtures) but not bit-identical to the Python package on words outside
-  * the subset.
+  * available offline (zero-egress container, no vaderSentiment/nltk data
+  * on disk), so `Lexicon` is a curated ~550-entry subset covering the
+  * high-frequency sentiment vocabulary, on the same [-4, 4] valence
+  * scale — scores are self-consistent (pinned by unit fixtures) but not
+  * bit-identical to the Python package on words outside the subset.
+  * Documented deviations from the published engine: (a) subset lexicon;
+  * (b) no idiom/special-case table ("the bomb", "bad ass", …);
+  * (c) emoticon entries are the common core, not the full set.
   *
   * Pure JVM function — wrapped as a Spark UDF in SentimentOps. Thread-safe
   * and allocation-light so 32 executor threads can hammer it.
@@ -152,6 +156,90 @@ object Vader {
     "vicious" -> -2.4, "victim" -> -1.9, "violence" -> -3.1,
     "war" -> -2.9, "worried" -> -1.9, "worry" -> -1.9,
     "worthless" -> -2.5,
+    // third tranche (round 2) — widens coverage of the high-frequency
+    // sentiment vocabulary; same scale, same caveat as the header
+    "accomplish" -> 1.9, "accomplished" -> 2.0, "achievement" -> 2.1,
+    "admire" -> 2.1, "adorable" -> 2.6, "adore" -> 2.9,
+    "advantage" -> 1.7, "adventure" -> 1.7, "affection" -> 2.4,
+    "alive" -> 1.9, "amazed" -> 2.4, "ambitious" -> 1.8, "amused" -> 1.8,
+    "angel" -> 2.3, "appreciated" -> 2.2, "approve" -> 1.7,
+    "beauty" -> 2.6, "beloved" -> 2.6, "blessed" -> 2.9, "bliss" -> 2.9,
+    "bold" -> 1.4, "brave" -> 2.3, "bright" -> 1.9, "care" -> 2.0,
+    "caring" -> 2.2, "charm" -> 2.0, "charming" -> 2.4,
+    "cheerful" -> 2.5, "comfortable" -> 1.7, "compassion" -> 2.2,
+    "courage" -> 2.2, "courageous" -> 2.4, "dear" -> 1.8,
+    "decent" -> 1.3, "dedicated" -> 1.7, "delicious" -> 2.5,
+    "delighted" -> 2.7, "determined" -> 1.6, "devoted" -> 2.0,
+    "divine" -> 2.5, "ecstatic" -> 3.0, "encouraging" -> 2.0,
+    "energetic" -> 1.7, "enthusiastic" -> 2.3, "epic" -> 2.0,
+    "excellence" -> 2.9, "exceptional" -> 2.4, "fascinating" -> 2.3,
+    "fearless" -> 1.9, "festive" -> 2.1, "fond" -> 1.8, "forgive" -> 1.6,
+    "freedom" -> 2.3, "friend" -> 2.2, "friendship" -> 2.4,
+    "generous" -> 2.3, "gifted" -> 2.1, "gorgeous" -> 2.8,
+    "grace" -> 1.9, "graceful" -> 2.1, "gratitude" -> 2.3,
+    "happily" -> 2.5, "harmony" -> 2.1, "hero" -> 2.4, "heroic" -> 2.6,
+    "hilarious" -> 2.0, "hug" -> 2.1, "humor" -> 1.6, "ideal" -> 2.1,
+    "inspiration" -> 2.3, "inspired" -> 2.2, "jolly" -> 2.4,
+    "joyful" -> 2.8, "justice" -> 2.1, "kind" -> 2.4, "kindness" -> 2.5,
+    "legendary" -> 2.3, "lively" -> 1.9, "loving" -> 2.7, "loyal" -> 2.2,
+    "magical" -> 2.2, "masterpiece" -> 2.8, "motivated" -> 1.8,
+    "noble" -> 2.0, "passion" -> 2.2, "passionate" -> 2.2,
+    "patient" -> 1.5, "perfection" -> 3.0, "playful" -> 1.9,
+    "popular" -> 1.8, "positive" -> 2.1, "powerful" -> 1.8,
+    "praise" -> 2.4, "precious" -> 2.3, "pretty" -> 2.0, "prize" -> 2.1,
+    "promising" -> 1.9, "radiant" -> 2.4, "rejoice" -> 2.6,
+    "remarkable" -> 2.3, "rescue" -> 1.8, "romantic" -> 2.1,
+    "satisfying" -> 2.2, "smile" -> 2.0, "soothing" -> 1.9,
+    "spectacular" -> 2.7, "strength" -> 2.1, "stronger" -> 2.0,
+    "succeed" -> 2.2, "sunshine" -> 2.1, "support" -> 1.7,
+    "supreme" -> 2.3, "talent" -> 1.9, "talented" -> 2.2,
+    "tender" -> 1.6, "thankful" -> 2.4, "thrilled" -> 2.7,
+    "thriving" -> 2.3, "truthful" -> 2.1, "valuable" -> 2.1,
+    "vibrant" -> 2.1, "warmth" -> 1.9, "worthy" -> 1.9,
+    "abandoned" -> -2.0, "abusive" -> -2.9, "accident" -> -1.6,
+    "accused" -> -1.8, "agony" -> -3.0, "annoy" -> -1.7,
+    "anxiety" -> -2.0, "argue" -> -1.6, "arrogant" -> -2.1,
+    "assault" -> -2.5, "awkward" -> -1.3, "ban" -> -1.8,
+    "banned" -> -1.8, "battle" -> -1.6, "beaten" -> -1.9,
+    "betrayed" -> -2.8, "bored" -> -1.2, "bully" -> -2.7,
+    "burden" -> -1.6, "careless" -> -1.6, "catastrophe" -> -2.9,
+    "confused" -> -1.2, "conflict" -> -1.7, "crime" -> -2.5,
+    "criminal" -> -2.4, "crisis" -> -2.4, "criticize" -> -1.7,
+    "cruelty" -> -2.9, "crushed" -> -1.9, "cursed" -> -2.4,
+    "cynical" -> -1.6, "deadly" -> -2.9, "deceive" -> -2.2,
+    "defect" -> -1.7, "depressing" -> -2.2, "despair" -> -2.7,
+    "destruction" -> -2.6, "devastated" -> -2.9, "devil" -> -2.8,
+    "die" -> -2.8, "died" -> -2.6, "disappoint" -> -2.0,
+    "disappointment" -> -2.2, "disease" -> -2.0, "disgrace" -> -2.4,
+    "disgusting" -> -2.8, "dismal" -> -2.2, "distress" -> -2.1,
+    "disturbing" -> -2.1, "dread" -> -2.4, "dying" -> -3.0,
+    "embarrassed" -> -1.7, "emergency" -> -2.0, "enraged" -> -2.7,
+    "envy" -> -1.5, "failing" -> -2.1, "fears" -> -1.9, "fired" -> -1.9,
+    "foolish" -> -1.9, "forbidden" -> -1.7, "frightened" -> -2.2,
+    "frustration" -> -2.1, "gloomy" -> -2.0, "gross" -> -2.1,
+    "guilty" -> -2.2, "hardship" -> -2.0, "hatred" -> -3.2,
+    "helpless" -> -2.0, "horrific" -> -3.0, "humiliated" -> -2.4,
+    "hurts" -> -2.0, "idiot" -> -2.3, "ignored" -> -1.5,
+    "illegal" -> -2.3, "illness" -> -1.9, "inferior" -> -1.7,
+    "injured" -> -1.9, "injury" -> -1.9, "insane" -> -1.7,
+    "jail" -> -2.2, "jerk" -> -2.0, "killed" -> -2.9, "kills" -> -2.7,
+    "lame" -> -1.7, "lazy" -> -1.6, "loser" -> -2.2, "losses" -> -1.7,
+    "mess" -> -1.5, "misery" -> -2.7, "mock" -> -1.7,
+    "negative" -> -1.6, "neglect" -> -1.9, "nervous" -> -1.6,
+    "offend" -> -1.9, "offensive" -> -2.1, "outrage" -> -2.5,
+    "pains" -> -1.9, "pessimistic" -> -1.8, "pity" -> -1.3,
+    "poison" -> -2.5, "pollution" -> -1.9, "prison" -> -2.3,
+    "regret" -> -1.9, "rejected" -> -2.0, "resent" -> -2.0,
+    "revenge" -> -2.3, "ridiculous" -> -1.7, "robbery" -> -2.2,
+    "ruined" -> -2.5, "sadness" -> -2.4, "scandal" -> -2.2,
+    "scary" -> -2.2, "selfish" -> -2.1, "shame" -> -2.1,
+    "shameful" -> -2.5, "shocked" -> -1.5, "shocking" -> -1.6,
+    "sinister" -> -2.5, "sore" -> -1.5, "terror" -> -2.9,
+    "toxic" -> -2.2, "tragic" -> -2.9, "unacceptable" -> -2.0,
+    "uncomfortable" -> -1.5, "unhealthy" -> -1.8, "unlucky" -> -1.9,
+    "unsafe" -> -1.9, "unstable" -> -1.6, "unwanted" -> -1.8,
+    "violent" -> -2.9, "vulnerable" -> -1.3, "wicked" -> -2.3,
+    "wound" -> -1.9, "wreck" -> -2.0,
   )
 
   private def isUpper(w: String): Boolean =
@@ -221,14 +309,14 @@ object Vader {
               v += s * decay
               back += 1
             }
-            // negation window of 3
-            var neg = false
+            // negation window of 3: N_SCALAR applies once PER negator
+            // found (published _negation_check multiplies at each of the
+            // three look-backs), so "not not good" flips back positive
             back = 1
             while (back <= 3 && i - back >= 0) {
-              if (negated(toks(i - back))) neg = true
+              if (negated(toks(i - back))) v *= NScalar
               back += 1
             }
-            if (neg) v *= NScalar
             // "least" check (e.g. "least good"), but not "at least" /
             // "very least" (published VADER excludes both)
             if (i >= 1 && toks(i - 1).toLowerCase == "least" &&

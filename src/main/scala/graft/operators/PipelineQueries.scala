@@ -16,10 +16,11 @@ import graft.sources.Tables
   */
 object PipelineQueries extends QueryModule {
 
-  /** P10, in-row form (default): per-doc top-5 unigram TF keywords inside
-    * array expressions — map-only, no shuffle except the presentation
-    * sort. Right for bounded docs; q18b below is the explode+window shape
-    * for unbounded ones. Same output, same oracle. */
+  /** P10, in-row form (`b` twin, plan comparison only): per-doc top-5
+    * unigram TF keywords inside array expressions. Catalyst does not CSE
+    * across lambda boundaries, so the tokenize chain replicates in the
+    * plan — measured ~5× slower than the shuffle form at sf0.1 (28s vs
+    * 6s), and it degrades with document length. Same output, same oracle. */
   def qKeywordsTfInRow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = filter(
@@ -36,8 +37,9 @@ object PipelineQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** P10 (shuffle form): per-doc top-5 unigram TF keywords via
-    * explode → count → window — the shape for unbounded documents. */
+  /** P10 (default, shuffle form): per-doc top-5 unigram TF keywords via
+    * explode → count → window — map-side partial agg + WindowGroupLimit;
+    * the shape that survives unbounded documents. */
   def qKeywordsTf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir).select($"doc_id",
@@ -92,7 +94,9 @@ object PipelineQueries extends QueryModule {
       $"event_type".as("trend"))
     TwitterPipeline(tweets)
       .drop("insert_date")
-      .select($"tweet_id", $"text", $"created_at", $"trend", $"hashtags",
+      .select($"tweet_id", $"text", $"created_at", $"trend",
+        // array_join: the driver's pandas compare can't hash raw arrays
+        array_join($"hashtags", " ").as("hashtags"),
         $"sentiment.compound".as("compound"))
       .orderBy($"tweet_id")
   }
@@ -151,8 +155,8 @@ object PipelineQueries extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q18_keywords_tf"     -> (qKeywordsTfInRow _),
-    "q18b_keywords_shuffle" -> (qKeywordsTf _),
+    "q18_keywords_tf"     -> (qKeywordsTf _),
+    "q18b_keywords_inrow" -> (qKeywordsTfInRow _),
     "q50_sentiment"       -> (qSentiment _),
     "q51_demojize"        -> (qDemojize _),
     "q52_twitter_pipeline" -> (qTwitterPipeline _),
@@ -177,7 +181,7 @@ object PipelineQueries extends QueryModule {
            |SELECT doc_id, string_agg(t, ' ' ORDER BY rk) AS keywords
            |FROM ranked WHERE rk <= 5
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      "q18b_keywords_shuffle" -> // same contract as q18 → same oracle
+      "q18b_keywords_inrow" -> // same contract as q18 → same oracle
         s"""WITH toks AS (
            |  SELECT doc_id, unnest(list_filter(str_split($cleanSql, ' '),
            |    t -> t NOT IN $stops AND t <> '')) AS t

@@ -64,7 +64,8 @@ object TimeQueries extends QueryModule {
         year($"ts"), month($"ts"), dayofmonth($"ts"),
         hour($"ts"), minute($"ts"), second($"ts"),
         dayofweek($"ts"), dayofyear($"ts"), lit(-1)))
-      .select($"event_id", $"parts",
+      // parts is stringified: the driver's pandas compare can't hash raw arrays
+      .select($"event_id", array_join($"parts", ",").as("parts"),
         make_timestamp(
           element_at($"parts", 1), element_at($"parts", 2),
           element_at($"parts", 3), element_at($"parts", 4),
@@ -252,10 +253,10 @@ object TimeQueries extends QueryModule {
       """WITH p AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events)
         |SELECT event_id,
-        | [CAST(year(t) AS INT), CAST(month(t) AS INT), CAST(day(t) AS INT),
-        |  CAST(hour(t) AS INT), CAST(minute(t) AS INT),
+        | array_to_string([CAST(year(t) AS INT), CAST(month(t) AS INT),
+        |  CAST(day(t) AS INT), CAST(hour(t) AS INT), CAST(minute(t) AS INT),
         |  CAST(EXTRACT(second FROM t) AS INT), CAST(dayofweek(t) + 1 AS INT),
-        |  CAST(dayofyear(t) AS INT), -1] AS parts,
+        |  CAST(dayofyear(t) AS INT), -1], ',') AS parts,
         | make_timestamp(year(t), month(t), day(t), hour(t), minute(t),
         |  CAST(EXTRACT(second FROM t) AS INT)) AS reconstructed
         |FROM p ORDER BY event_id""".stripMargin,

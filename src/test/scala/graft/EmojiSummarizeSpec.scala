@@ -16,6 +16,19 @@ class EmojiSpec extends AnyFunSuite {
     assert(Emoji.demojize("love ❤️ x") == "love :red_heart: x")
   }
 
+  test("full-table entries outside the old curated subset resolve") {
+    // multi-codepoint sequences must match longest-first
+    assert(Emoji.demojize("usa 🇺🇸!") == "usa :flag_for_united_states:!")
+    assert(Emoji.demojize("👍🏻") == ":thumbs_up_light_skin_tone:")
+    assert(Emoji.demojize("dev 👩‍💻") == "dev :woman_technologist:")
+    assert(Emoji.demojize("👩🏿‍💻") == ":woman_technologist_dark_skin_tone:")
+    // ZWJ sequence containing an interior variation selector
+    assert(Emoji.demojize("🏳️‍🌈") == ":rainbow_flag:")
+    // keycap sequences start with plain ASCII — digits alone still pass through
+    assert(Emoji.demojize("1⃣ of 12") == ":keycap_digit_one: of 12")
+    assert(Emoji.demojize("route 66") == "route 66")
+  }
+
   test("emoji-free strings pass through unchanged (property)") {
     val rnd = new scala.util.Random(42)
     (1 to 200).foreach { _ =>

@@ -54,15 +54,15 @@ class PlanSpec extends AnyFunSuite {
   private def exchanges(name: String): Int =
     plan(name).linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
 
-  test("q12 flagship (in-row): map-only — the single exchange is the presentation sort") {
-    val n = exchanges("q12_bigrams_topk")
-    info(s"q12 exchanges: $n")
+  test("q12b (in-row twin): map-only — the single exchange is the presentation sort") {
+    val n = exchanges("q12b_bigrams_inrow")
+    info(s"q12b exchanges: $n")
     assert(n == 1, s"in-row bigram chain grew shuffles: $n")
   }
 
-  test("q12b (shuffle form): pinned at 3 exchanges (pair agg, window+regroup, sort)") {
-    val n = exchanges("q12b_bigrams_shuffle")
-    info(s"q12b exchanges: $n")
+  test("q12 flagship (shuffle form): pinned at 3 exchanges (pair agg, window+regroup, sort)") {
+    val n = exchanges("q12_bigrams_topk")
+    info(s"q12 exchanges: $n")
     // pinned from the reviewed plan — change deliberately, not by accident
     assert(n == 3, s"bigram shuffle chain changed: $n")
   }

@@ -57,4 +57,22 @@ class VaderSpec extends AnyFunSuite {
     assert(Vader.polarityScores("nice :)").compound >
       Vader.polarityScores("nice").compound)
   }
+
+  test("double negation flips back positive (N_SCALAR once per negator)") {
+    // 1.9 * -0.74 * -0.74 = 1.0404 → positive again, weaker than bare
+    val s = Vader.polarityScores("not not good")
+    assert(s.compound > 0)
+    assert(s.compound < Vader.polarityScores("good").compound)
+  }
+
+  test("third-tranche lexicon words score (previously out-of-subset)") {
+    assert(Vader.polarityScores("gorgeous").compound > 0)
+    assert(Vader.polarityScores("devastated").compound < 0)
+    assert(Vader.polarityScores("thrilled").compound >
+      Vader.polarityScores("decent").compound)
+    assert(Vader.polarityScores("catastrophe").compound <
+      Vader.polarityScores("awkward").compound)
+    // negation rules compose with the new entries
+    assert(Vader.polarityScores("not thrilled").compound < 0)
+  }
 }

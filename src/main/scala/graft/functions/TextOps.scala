@@ -91,11 +91,15 @@ object TextOps {
   def hashtags(c: Column): Column =
     regexp_extract_all(c, lit("""#(\w+)"""), lit(1))
 
-  /** The DuckDB rendering of cleanText for oracle SQL — single source of
-    * truth: if cleanText changes, every oracle referencing it follows. */
-  val cleanTextSql: String =
-    """regexp_replace(regexp_replace(regexp_replace(lower(text),""" +
+  /** The DuckDB rendering of cleanText over an arbitrary SQL expression —
+    * single source of truth: if cleanText changes, every oracle
+    * referencing it follows. */
+  def cleanTextSqlOn(expr: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(lower($expr),""" +
       """ '\[.*?\]', '', 'g'),""" +
       """ '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),""" +
       """ '\w*\d\w*', '', 'g')"""
+
+  /** cleanText over the `text` column (the common case). */
+  val cleanTextSql: String = cleanTextSqlOn("text")
 }

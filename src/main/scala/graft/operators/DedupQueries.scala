@@ -50,22 +50,39 @@ object DedupQueries extends QueryModule {
       .orderBy($"keeper")
   }
 
-  /** Blocked exact n-gram Jaccard: word-trigram shingle sets compared
-    * pairwise inside (lang, source, n_chars÷50) blocks. */
+  /** Blocked exact n-gram Jaccard. Block key = the document's MINIMUM
+    * shingle (lexicographic) — a 1-permutation MinHash where the "hash"
+    * is string order, so it is exactly reproducible in the DuckDB oracle.
+    * Two docs with Jaccard J share their min shingle with probability J
+    * (the MinHash property), so true near-dups (J ≥ 0.95 in this corpus)
+    * land in the same block ~always, while unrelated docs almost never
+    * collide: measured blocks are ≤ 15 docs at sf0.1. The previous
+    * (lang, source, length-band) metadata key caught 1 of 25 planted
+    * near-dup pairs — dup text is planted across languages/sources, and
+    * length bands split pairs at ÷50 boundaries; a content-derived key is
+    * the correct blocking.
+    *
+    * Scale guard: blocks larger than `MaxBlock` docs are dropped whole
+    * (a degenerate min-shingle — e.g. a boilerplate header shared by
+    * millions of docs — would otherwise recreate all-pairs). Skipped
+    * blocks are the documented recall trade; the unbounded-scale path for
+    * such data is q32's banded MinHash-LSH. */
+  private val MaxBlock = 1000
+
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
-      .select($"doc_id", $"lang", $"source",
-        floor($"n_chars" / 50).as("band"),
-        shingles(TextOps.tokenize($"text")).as("sh"))
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
       .filter(size($"sh") > 0)
-    val x = d.select($"doc_id".as("x_id"), $"lang", $"source", $"band",
-      $"sh".as("x_sh"))
-    val y = d.select($"doc_id".as("y_id"), $"lang", $"source", $"band",
-      $"sh".as("y_sh"))
+      .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("x_id"), $"blk", $"sh".as("x_sh"))
+    val y = d.select($"doc_id".as("y_id"), $"blk", $"sh".as("y_sh"))
     val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
     val union = size($"x_sh").cast("long") + size($"y_sh") - inter
-    x.join(y, Seq("lang", "source", "band"))
+    x.join(y, Seq("blk"))
       .filter($"x_id" < $"y_id")
       .select($"x_id", $"y_id",
         round(inter.cast("double") / union, 4).as("jaccard"))
@@ -88,29 +105,53 @@ object DedupQueries extends QueryModule {
         (1 until MinhashK).map(i => min(xxhash64(lit(i), $"sh")).as(s"h$i")): _*)
   }
 
-  /** MinHash-LSH near-dup: band-bucket candidate generation + signature
-    * agreement ≥ 0.5. Not SQL-expressible in DuckDB (engine-specific
-    * hashes) → rows-only driver check; fidelity is covered by ScalaTest
-    * (estimate tracks exact Jaccard). */
   /** One persisted signature frame per (session, dir): the persist is
     * load-bearing (see qMinhashLsh) but repeated invocations in one
-    * long-lived session must reuse it, not pin a fresh copy each time. */
+    * long-lived session must reuse it, not pin a fresh copy each time.
+    * Keyed on the stable sessionUUID (not identityHashCode — that can
+    * collide after a GC); entries pinned by *other* sessions are
+    * unpersisted and evicted on access, so persisted blocks can't
+    * outlive their session. Results go stale if the parquet under `dir`
+    * is rewritten mid-session — acceptable for immutable test data. */
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
+    val prefix = org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@"
+    val it = sigCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.startsWith(prefix)) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    sigCache.computeIfAbsent(prefix + dir, _ =>
+      signatures(s, dir)
+        .withColumn("sig",
+          array((0 until MinhashK).map(i => col(s"h$i")): _*))
+        .select(col("doc_id"), col("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** MinHash-LSH near-dup: band-bucket candidate generation, then the
+    * classic LSH verify step — candidates re-checked with the EXACT
+    * shingle Jaccard, output = pairs ≥ 0.5. The exact check makes the
+    * result oracle-comparable (DuckDB recomputes all-pairs exact Jaccard
+    * ≥ 0.5; the engine only ever scores LSH candidates): banding with 8
+    * bands × 4 rows finds a J-similar pair with prob 1-(1-J⁴)⁸ — ≥
+    * 0.999998 at J ≥ 0.95, where every true pair in this corpus sits
+    * (nothing lives in [0.3, 0.95), measured) — and the fixed xxhash64
+    * seeds make the candidate set deterministic, so the compare is
+    * stable, not flaky. */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // The signature frame is consumed three times (banding + both sides
-    // of the candidate verification join). Without a cache the whole
-    // shingle-explode + 32-way min aggregation would re-run per consumer
-    // — measured 3× cost at sf0.1. At cluster scale this is the classic
-    // "materialize the sketch table once" step.
-    val cacheKey = System.identityHashCode(s) + "@" + dir
-    val sig = sigCache.computeIfAbsent(cacheKey, _ =>
-      signatures(s, dir)
-        .withColumn("sig", array((0 until MinhashK).map(i => col(s"h$i")): _*))
-        .select($"doc_id", $"sig")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // The signature frame is consumed by all bands of both join sides.
+    // Without the persist the whole shingle-explode + 32-way min
+    // aggregation would re-run per consumer — measured 3× cost at sf0.1.
+    // At cluster scale this is the classic "materialize the sketch table
+    // once" step.
+    val sig = cachedSignatures(s, dir)
     val nBands = MinhashK / BandRows
     val bands = sig.select($"doc_id",
       posexplode(array((0 until nBands).map { b =>
@@ -121,14 +162,17 @@ object DedupQueries extends QueryModule {
         $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("x_id"), $"y.doc_id".as("y_id")).distinct()
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", shingles(normTokens($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    val union = size($"x_sh").cast("long") + size($"y_sh") - inter
+    val jac = inter.cast("double") / union
     cand
-      .join(sig.select($"doc_id".as("x_id"), $"sig".as("x_sig")), "x_id")
-      .join(sig.select($"doc_id".as("y_id"), $"sig".as("y_sig")), "y_id")
-      .select($"x_id", $"y_id",
-        round(aggregate(zip_with($"x_sig", $"y_sig",
-            (a, b) => when(a === b, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, v) => acc + v) / MinhashK, 4).as("est_jaccard"))
-      .filter($"est_jaccard" >= 0.5)
+      .join(sh.select($"doc_id".as("x_id"), $"sh".as("x_sh")), "x_id")
+      .join(sh.select($"doc_id".as("y_id"), $"sh".as("y_sh")), "y_id")
+      .filter(jac >= 0.5)
+      .select($"x_id", $"y_id", round(jac, 4).as("jaccard"))
       .orderBy($"x_id", $"y_id")
   }
 
@@ -198,39 +242,67 @@ object DedupQueries extends QueryModule {
         """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
       "q31_ngram_jaccard" ->
-        """WITH t AS (
-          |  SELECT doc_id, lang, source, n_chars // 50 AS band,
-          |         str_split(text, ' ') AS tk
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |sh AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id),
+          |b AS (
+          |  SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk,
+          |         count(*) OVER (PARTITION BY list_aggregate(sh, 'min')) AS blk_n
+          |  FROM sh WHERE len(sh) > 0)
+          |SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |  round(len(list_intersect(x.sh, y.sh))
+          |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE),
+          |    4) AS jaccard
+          |FROM b x JOIN b y
+          |  ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |WHERE x.blk_n <= 1000
+          |ORDER BY x_id, y_id""".stripMargin,
+      // q32's oracle is the EXACT all-pairs answer (DuckDB can afford it
+      // at oracle scale); the engine reaches the same set through banded
+      // LSH candidates + exact verify — see qMinhashLsh's detection-prob
+      // argument for why the two agree on this corpus.
+      "q32_minhash_lsh" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH cleaned AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
           |  FROM documents),
           |idx AS (
-          |  SELECT doc_id, lang, source, band, tk,
-          |         unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
           |sh AS (
-          |  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
-          |         any_value(band) AS band,
+          |  SELECT doc_id,
           |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
           |  FROM idx GROUP BY doc_id)
           |SELECT x.doc_id AS x_id, y.doc_id AS y_id,
           |  round(len(list_intersect(x.sh, y.sh))
           |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE),
           |    4) AS jaccard
-          |FROM sh x JOIN sh y
-          |  ON x.lang = y.lang AND x.source = y.source AND x.band = y.band
-          | AND x.doc_id < y.doc_id
-          |ORDER BY x_id, y_id""".stripMargin,
+          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          |WHERE len(list_intersect(x.sh, y.sh))
+          |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |    >= 0.5
+          |ORDER BY x_id, y_id""".stripMargin
+      },
       "q34_embed_cos_dup" ->
         """WITH base AS (
           |  SELECT vec_id, label, embedding FROM embeddings
-          |  WHERE vec_id % 5 = 0)
+          |  WHERE vec_id % 5 = 0
+          |    AND list_dot_product(embedding, embedding) > 0)
           |SELECT x.vec_id AS x_id, y.vec_id AS y_id, x.label,
           |  round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
           |FROM base x JOIN base y
           |  ON x.label = y.label AND x.vec_id < y.vec_id
           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
           |ORDER BY x_id, y_id""".stripMargin,
-      // q32/q33 intentionally omitted: engine-specific 64-bit hashes are
-      // not reproducible in DuckDB SQL → driver records rows-only checks;
-      // ScalaTest covers estimate fidelity.
+      // q33 intentionally omitted: the 64-bit SimHash sketch itself is
+      // the output and its xxhash64 bit pattern is not reproducible in
+      // DuckDB SQL → rows-only check; ScalaTest covers fidelity.
     )
   }
 }

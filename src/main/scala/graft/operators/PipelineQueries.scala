@@ -101,11 +101,11 @@ object PipelineQueries extends QueryModule {
       .orderBy($"tweet_id")
   }
 
-  /** E2 re-host: posts synthesized from documents (comments = two slices
-    * of the text so cross-comment bigrams exercise the chain). */
-  def qRedditPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** E2 re-host input: posts synthesized from documents (comments = two
+    * slices of the text so cross-comment bigrams exercise the chain). */
+  private def redditPosts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val posts = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
       $"doc_id".cast("string").as("id"),
       concat(lit("doc "), $"doc_id", lit(" from "), $"source").as("title"),
       map(lit("name"), $"source").as("author"),
@@ -116,20 +116,37 @@ object PipelineQueries extends QueryModule {
       array(
         struct(substring($"text", 1, 200).as("text")),
         struct(substring($"text", 201, 10000).as("text"))).as("comments"))
-    RedditPipeline(posts)
+  }
+
+  /** E2 re-host, deterministic projection (oracled): the full pipeline
+    * runs, but only the SQL-reproducible columns are emitted — keywords,
+    * parsed dates, ids. The VADER half lives in q53b. */
+  def qRedditPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RedditPipeline(redditPosts(s, dir))
       .drop("insert_date")
       .select($"id", $"title", $"created", $"score",
-        array_join($"keywords", " ").as("keywords"),
-        $"sentiment.compound".as("compound"))
+        array_join($"keywords", " ").as("keywords"))
       .orderBy($"id")
   }
 
-  /** E3 re-host: feeds synthesized from documents; every 10th link is
-    * already "seen" and must be dropped by the anti-join. */
-  def qRssPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** E2 re-host, enrichment half (rows-only: VADER is rule-engine
+    * Scala, pinned by VaderSpec fixtures rather than DuckDB). */
+  def qRedditSentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    RedditPipeline(redditPosts(s, dir))
+      .select($"id", $"sentiment.compound".as("compound"),
+        transform($"comments", c => c.getField("sentiment").getField("compound"))
+          .cast("string").as("comment_compounds"))
+      .orderBy($"id")
+  }
+
+  /** E3 re-host input: feeds synthesized from documents; every 10th link
+    * is already "seen" and must be dropped by the anti-join. */
+  private def rssFeeds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val feeds = docs.select(
+    docs.select(
       $"source".as("feed_source"),
       concat(lit("article "), $"doc_id").as("title"),
       concat(lit("https://feeds.example/"), $"doc_id").as("link"),
@@ -145,12 +162,33 @@ object PipelineQueries extends QueryModule {
         lit("</p>"))).otherwise(lit(null.asInstanceOf[String])).as("summary"),
       concat(lit("<html><body><p>"), $"text", lit("</p></body></html>"))
         .as("content"))
+  }
+
+  private def rssResult(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feeds = rssFeeds(s, dir)
     val seen = feeds.filter(expr("CAST(substring(link, 23) AS BIGINT) % 10 = 0"))
       .select($"link")
     RssPipeline(feeds, seen)
-      .drop("insert_date")
+  }
+
+  /** E3 re-host, deterministic projection (oracled): seen-link anti-join,
+    * HTML strip, TF tags, parsed publish dates. The sentence-scored
+    * summary half lives in q54b. */
+  def qRssPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rssResult(s, dir)
       .select($"link", $"title", $"published",
-        array_join($"tags", " ").as("tags"), $"summary")
+        array_join($"tags", " ").as("tags"))
+      .orderBy($"link")
+  }
+
+  /** E3 re-host, summary half (rows-only: the sentence scorer's
+    * tie-breaks are pinned by SummarizeSpec, not DuckDB). */
+  def qRssSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rssResult(s, dir)
+      .select($"link", $"summary")
       .orderBy($"link")
   }
 
@@ -161,7 +199,9 @@ object PipelineQueries extends QueryModule {
     "q51_demojize"        -> (qDemojize _),
     "q52_twitter_pipeline" -> (qTwitterPipeline _),
     "q53_reddit_pipeline" -> (qRedditPipeline _),
+    "q53b_reddit_sentiment" -> (qRedditSentiment _),
     "q54_rss_pipeline"    -> (qRssPipeline _),
+    "q54b_rss_summary"    -> (qRssSummary _),
   )
 
   override def oracleSql: Map[String, String] = {
@@ -197,6 +237,72 @@ object PipelineQueries extends QueryModule {
       "q51_demojize" ->
         """SELECT doc_id, text AS demojized
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // E2 deterministic projection: the comment slices, the cross-comment
+      // bigram keyword chain (demojize is identity on this emoji-free
+      // corpus — asserted by q51), and the constant created date.
+      "q53_reddit_pipeline" -> {
+        val c1 = TextOps.cleanTextSqlOn("substr(text, 1, 200)")
+        val c2 = TextOps.cleanTextSqlOn("substr(text, 201, 10000)")
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(str_split($c1, ' '), t -> t NOT IN $stops)
+           |    || list_filter(str_split($c2, ' '), t -> t NOT IN $stops) AS tk
+           |  FROM documents),
+           |idx AS (
+           |  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks),
+           |pairs AS (
+           |  SELECT doc_id, least(tk[i], tk[i+1]) AS a,
+           |         greatest(tk[i], tk[i+1]) AS b FROM idx),
+           |counts AS (
+           |  SELECT doc_id, a, b, count(*) AS c FROM pairs GROUP BY doc_id, a, b),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, a ASC, b ASC) AS rk FROM counts),
+           |top AS (SELECT * FROM ranked WHERE rk <= 5),
+           |flat AS (
+           |  SELECT doc_id, rk*2+1 AS ord, a AS w FROM top
+           |  UNION ALL SELECT doc_id, rk*2+2, b FROM top),
+           |dedup AS (
+           |  SELECT doc_id, w, min(ord) AS ord FROM flat GROUP BY doc_id, w),
+           |kw AS (
+           |  SELECT doc_id, string_agg(w, ' ' ORDER BY ord) AS keywords
+           |  FROM dedup GROUP BY doc_id)
+           |SELECT CAST(d.doc_id AS VARCHAR) AS id,
+           |  'doc ' || d.doc_id || ' from ' || d.source AS title,
+           |  TIMESTAMP '2024-03-01 12:00:00' AS created,
+           |  CAST(d.n_chars % 1000 AS INT) AS score,
+           |  kw.keywords
+           |FROM documents d LEFT JOIN kw ON kw.doc_id = d.doc_id
+           |ORDER BY id""".stripMargin
+      },
+      // E3 deterministic projection: seen-link anti-join (doc_id % 10),
+      // TF top-10 tags over the tag-stripped content (= text), and the
+      // date branch collapsed to its constant results (the parse rules
+      // themselves are oracled by q20-q22).
+      "q54_rss_pipeline" ->
+        s"""WITH fresh AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+           |tok AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    str_split_regex(lower(text), '[^a-z0-9'']+'),
+           |    t -> t <> '' AND t NOT IN $stops)) AS t
+           |  FROM fresh),
+           |counts AS (
+           |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, t ASC) AS rk FROM counts),
+           |tags AS (
+           |  SELECT doc_id, string_agg(t, ' ' ORDER BY rk) AS tags
+           |  FROM ranked WHERE rk <= 10 GROUP BY doc_id)
+           |SELECT 'https://feeds.example/' || f.doc_id AS link,
+           |  'article ' || f.doc_id AS title,
+           |  CASE WHEN f.doc_id % 2 = 1 THEN TIMESTAMP '2024-03-04 10:30:00'
+           |       WHEN f.doc_id % 4 = 0 THEN TIMESTAMP '2024-03-04 09:30:00'
+           |       ELSE TIMESTAMP '2024-03-04 10:30:00' END AS published,
+           |  tags.tags
+           |FROM fresh f LEFT JOIN tags ON tags.doc_id = f.doc_id
+           |ORDER BY link""".stripMargin,
     )
   }
 }

@@ -170,32 +170,105 @@ object SimilarityQueries extends QueryModule {
     "q43_topk_agg"    -> (qTopkAggregate _),
   )
 
+  /** DuckDB literal for a plane/anchor vector (Scala Double.toString
+    * round-trips exactly, so both engines see bit-identical constants). */
+  private def sqlVec(p: Array[Double]): String =
+    p.mkString("[", ", ", "]")
+
+  /** Shared base CTE: double-cast vectors with the same zero-magnitude
+    * guard the Spark side applies in vecs(). */
+  private val baseCte =
+    """base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding, embedding) > 0)""".stripMargin
+
+  private val exactTopkSql =
+    s"""WITH $baseCte,
+      |q AS (
+      |  SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    list_cosine_similarity(q.qv, e.v) AS cos
+      |  FROM base e, q WHERE e.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+      |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** q41's oracle replays the full LSH pipeline in SQL: the 16
+    * hyperplanes are embedded as literals, so signatures, 4-bit band
+    * buckets, candidate generation and the exact re-rank are all
+    * DuckDB-reproducible — an apples-to-apples check of the ANN
+    * semantics, not a rows-only count. */
+  private def lshAnnSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $baseCte,
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      |  FROM banded c JOIN banded q
+      |    ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.vec_id,
+      |    list_cosine_similarity(qv.v, cv.v) AS cos
+      |  FROM cand JOIN base qv ON qv.vec_id = cand.q_id
+      |            JOIN base cv ON cv.vec_id = cand.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+      |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q42's oracle replays IVF the same way: anchor dots as literal
+    * vectors, cell ranking via a sorted struct list (ties to the lower
+    * anchor index, matching the Spark array_sort on (-dot, idx)),
+    * corpus in its argmax cell, queries probing their top-2 cells. */
+  private def ivfAnnSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    list_transform(list_sort($structs), r -> r.idx) AS cells
+      |  FROM dots),
+      |corpus AS (
+      |  SELECT vec_id, v, cells[1] AS cell FROM cells),
+      |queries AS (
+      |  SELECT vec_id AS q_id, v AS qv, unnest(cells[1:2]) AS cell
+      |  FROM cells WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT DISTINCT q.q_id, c.vec_id,
+      |    list_cosine_similarity(q.qv, c.v) AS cos
+      |  FROM corpus c JOIN queries q USING (cell)
+      |  WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+      |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
-    "q40_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-        |  WHERE vec_id % 100 = 0),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id,
-        |    list_cosine_similarity(q.qv, e.embedding) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
-        |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
-        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
-    "q43_topk_agg" ->
-      """WITH q AS (
-        |  SELECT vec_id AS q_id, embedding AS qv FROM embeddings
-        |  WHERE vec_id % 100 = 0),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id,
-        |    list_cosine_similarity(q.qv, e.embedding) AS cos
-        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
-        |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
-        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    "q40_cosine_topk" -> exactTopkSql,
+    "q43_topk_agg"    -> exactTopkSql,
+    "q41_lsh_ann"     -> lshAnnSql,
+    "q42_ivf_ann"     -> ivfAnnSql,
   )
 }

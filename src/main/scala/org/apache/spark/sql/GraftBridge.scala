@@ -14,6 +14,11 @@ object GraftBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Stable per-session identifier (private[sql] in Spark 4) — used as a
+    * cache key that survives GC, unlike identityHashCode. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Apply an extensions object's injected functions to an already-built
     * session (getOrCreate ignores withExtensions when a session exists —
     * e.g. shared test sessions). */

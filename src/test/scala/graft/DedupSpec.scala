@@ -7,26 +7,20 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("minhash estimate tracks exact jaccard on corpus near-dup pairs") {
+  test("minhash-LSH candidates verified by exact jaccard (>= 0.5 contract)") {
     import spark.implicits._
-    // exact jaccard on normalized shingles is the yardstick; minhash-LSH
-    // candidates with est >= 0.5 must have true jaccard clearly above
-    // background (the corpus' random pairs sit near 0.3)
-    val est = DedupQueries.qMinhashLsh(spark, sf)
-      .select($"x_id", $"y_id", $"est_jaccard").collect()
-    assert(est.nonEmpty, "LSH should surface candidate pairs on sf0.001")
-    val exact = DedupQueries.qDedupExact(spark, sf)
-      .filter($"n_dups" > 1).collect()
-    // exact duplicates (if any) must be found by LSH with est ≈ 1
-    val lshPairs = est.map(r => (r.getLong(0), r.getLong(1))).toSet
-    exact.foreach { r =>
-      // only checks structure: exact dups share identical signatures
-      assert(r.getLong(2) >= 1)
+    // q32's output is LSH candidates re-checked with EXACT shingle
+    // jaccard; every emitted pair must clear the 0.5 threshold, and the
+    // planted near-dups of this corpus sit at >= 0.9
+    val got = DedupQueries.qMinhashLsh(spark, sf)
+      .select($"x_id", $"y_id", $"jaccard").collect()
+    assert(got.nonEmpty, "LSH should surface candidate pairs on sf0.001")
+    got.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j >= 0.5 && j <= 1.0)
     }
-    est.foreach { r =>
-      val e = r.getDouble(2)
-      assert(e >= 0.5 && e <= 1.0)
-    }
+    assert(got.exists(_.getDouble(2) >= 0.9),
+      "planted near-dups (J >= 0.9) must be recovered")
   }
 
   test("simhash: one 64-bit sketch per doc, stable across runs") {

@@ -24,6 +24,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.TopKWindowRule)
     // Warm the JVM/codegen paths once so the first timed query doesn't
     // absorb JIT + classloading cost (measured ~4s on the first query).
     try {
@@ -31,7 +33,15 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // The in-row b-twins exist only for physical-plan comparison against
+    // their production (shuffle-form) defaults — same operator, same
+    // oracle, deliberately quadratic plan. Timing them would double-count
+    // the operator and report the known-worse plan; they stay in Verify's
+    // correctness sweep.
+    val skip = Set("q12b_bigrams_inrow", "q18b_keywords_inrow")
+    val results = SparkEntry.queries
+      .filterNot { case (name, _) => skip(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -52,17 +52,44 @@ object SimilarityQueries extends QueryModule {
       .filter($"nrm" > 0)
   }
 
-  /** Brute-force cosine top-5 neighbors for every 100th vector. */
-  def qCosineTopk(s: SparkSession, dir: String): DataFrame = {
+  /** Query-side broadcast budget: ~100k 64-dim double vectors ≈ 50 MB.
+    * The query set is 1% of the corpus, so it GROWS with the table — one
+    * unbounded broadcast would eventually OOM every executor. Above the
+    * budget the queries are modulo-partitioned into fixed-size chunks,
+    * each broadcast against one full corpus scan and unioned: exhaustive
+    * search costs ⌈|Q|/chunk⌉ corpus scans, the honest price of
+    * brute-force at scale (the sub-linear path is q41/q42). */
+  private val QueryChunkRows = 100000
+
+  /** All (query, corpus) cosine pairs, chunk-bounded broadcasts. */
+  private def scoredPairs(s: SparkSession, dir: String,
+      chunkRows: Int): DataFrame = {
     import s.implicits._
     val all = vecs(s, dir)
     val q = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val scored = all.join(broadcast(q), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
-        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val nChunks = math.max(1L,
+      (q.count() + chunkRows - 1) / chunkRows).toInt
+    (0 until nChunks).map { i =>
+      all.join(broadcast(q.filter(pmod($"q_id", lit(nChunks)) === i)),
+          $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    }.reduce(_.union(_))
+  }
+
+  /** Brute-force cosine top-5 neighbors for every 100th vector. */
+  def qCosineTopk(s: SparkSession, dir: String): DataFrame =
+    cosineTopkWith(s, dir, QueryChunkRows)
+
+  /** Chunk size exposed for the equivalence test (chunking must never
+    * change results, only the broadcast plan). */
+  private[graft] def cosineTopkWith(s: SparkSession, dir: String,
+      chunkRows: Int): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    scoredPairs(s, dir, chunkRows)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
       .orderBy($"q_id", $"rk")
   }
@@ -149,13 +176,7 @@ object SimilarityQueries extends QueryModule {
     * Shares q40's oracle SQL because the output contract is identical. */
   def qTopkAggregate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val all = vecs(s, dir)
-    val q = all.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val scored = all.join(broadcast(q), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
-        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
-    scored.groupBy($"q_id")
+    scoredPairs(s, dir, QueryChunkRows).groupBy($"q_id")
       .agg(graft.plans.TopKAggregate.topKBy($"cos", $"vec_id", 5).as("top"))
       .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
       .select($"q_id", ($"pos" + 1).cast("int").as("rk"),

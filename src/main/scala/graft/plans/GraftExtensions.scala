@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    // Filter(row_number <= k) over Window → bounded-heap aggregate
+    ext.injectOptimizerRule(_ => TopKWindowRule)
   }
 }

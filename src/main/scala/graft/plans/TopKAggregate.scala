@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -54,6 +55,23 @@ case class TopKByScore(
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
+
+  /** Reject mismatched input types at analysis (a clean error) instead of
+    * ClassCastException at execution; the Column API below pre-casts, so
+    * float/int/decimal callers still work. (ImplicitCastInputTypes would
+    * be the idiomatic coercion hook, but AbstractDataType is private[sql]
+    * in Spark 4.) */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: score must be DOUBLE, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: id must be BIGINT, got ${id.dataType.sql}")
+    else if (kExpr.dataType != IntegerType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("top_k_by: k must be a literal INT")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
@@ -122,11 +140,13 @@ case class TopKByScore(
 }
 
 object TopKAggregate {
-  /** top_k_by(score, id, k): Column API entry. */
+  /** top_k_by(score, id, k): Column API entry. Numeric score/id columns
+    * of any type are accepted — cast here so the analysis-time type check
+    * only ever fires for genuinely non-numeric input. */
   def topKBy(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(
-      TopKByScore(GraftBridge.expression(score),
-        GraftBridge.expression(id),
+      TopKByScore(GraftBridge.expression(score.cast("double")),
+        GraftBridge.expression(id.cast("long")),
         org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
 }

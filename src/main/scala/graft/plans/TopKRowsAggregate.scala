@@ -1,0 +1,178 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, NullsFirst, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Bounded buffer of the k best (sortKeys, row) entries under a
+  * lexicographic SortOrder comparison — the row-carrying generalization
+  * of TopKBuffer that a window `row_number() <= k` rewrite needs. */
+final class RowKHeap(val k: Int, cmp: (Array[Any], Array[Any]) => Int) {
+  // head = current WORST kept entry (max under cmp), so eviction is O(log k)
+  private val heap =
+    collection.mutable.PriorityQueue.empty[(Array[Any], InternalRow)](
+      Ordering.fromLessThan((a, b) => cmp(a._1, b._1) < 0))
+
+  /** keys/row must already be safe copies. */
+  def insertOwned(keys: Array[Any], row: InternalRow): Unit = {
+    if (heap.size < k) heap.enqueue((keys, row))
+    else if (cmp(keys, heap.head._1) < 0) {
+      heap.dequeue()
+      heap.enqueue((keys, row))
+    }
+  }
+  /** Would a row with these keys be kept right now? (pre-copy check) */
+  def accepts(keys: Array[Any]): Boolean =
+    heap.size < k || cmp(keys, heap.head._1) < 0
+  def entries: Seq[(Array[Any], InternalRow)] = heap.toSeq
+  def sortedBestFirst: Seq[InternalRow] =
+    heap.toSeq.sortWith((a, b) => cmp(a._1, b._1) < 0).map(_._2)
+  def size: Int = heap.size
+}
+
+/** Aggregate `top_k_rows(k, ORDER BY …, struct(row))` →
+  * array<struct<row>> in rank order.
+  *
+  * This is the execution half of the Filter(row_number ≤ k) over Window
+  * rewrite (TopKWindowRule): O(k) state per group with map-side combine
+  * — each mapper ships at most k rows per group — where the window form
+  * shuffles and SORTS every row of every group. Heap comparisons follow
+  * the window's SortOrders exactly (direction + null ordering +
+  * lexicographic tie-walk), so rank assignment matches row_number. */
+case class TopKRows(
+    sortOrders: Seq[SortOrder],
+    data: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[RowKHeap] {
+
+  require(k > 0, "top_k_rows: k must be positive")
+
+  // children expose the sort children so BindReferences rebinds them;
+  // withNewChildrenInternal restores direction/null-ordering wrappers
+  override def children: Seq[Expression] = sortOrders.map(_.child) :+ data
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(
+      sortOrders = sortOrders.zip(c.dropRight(1)).map {
+        case (so, nc) => so.copy(child = nc)
+      },
+      data = c.last)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(data.dataType, containsNull = false)
+  override def prettyName: String = "top_k_rows"
+
+  @transient private lazy val fieldOrds: Array[Ordering[Any]] =
+    sortOrders.map(so =>
+      TypeUtils.getInterpretedOrdering(so.child.dataType)).toArray
+
+  /** < 0 ⇔ a ranks before b under the window's ORDER BY. */
+  private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val so = sortOrders(i)
+      val x = a(i); val y = b(i)
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (so.nullOrdering == NullsFirst) -1 else 1 }
+        else if (y == null) { if (so.nullOrdering == NullsFirst) 1 else -1 }
+        else {
+          val c0 = fieldOrds(i).compare(x, y)
+          if (so.direction == Ascending) c0 else -c0
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  override def createAggregationBuffer(): RowKHeap =
+    new RowKHeap(k, cmpKeys)
+
+  override def update(buf: RowKHeap, input: InternalRow): RowKHeap = {
+    val n = sortOrders.length
+    val keys = new Array[Any](n)
+    var i = 0
+    while (i < n) { keys(i) = sortOrders(i).child.eval(input); i += 1 }
+    if (buf.accepts(keys)) {
+      // copy only on accept: eval results may alias reused buffers
+      i = 0
+      while (i < n) { keys(i) = InternalRow.copyValue(keys(i)); i += 1 }
+      val row = data.eval(input).asInstanceOf[InternalRow].copy()
+      buf.insertOwned(keys, row)
+    }
+    buf
+  }
+
+  override def merge(buf: RowKHeap, other: RowKHeap): RowKHeap = {
+    other.entries.foreach { case (keys, row) =>
+      if (buf.accepts(keys)) buf.insertOwned(keys, row)
+    }
+    buf
+  }
+
+  override def eval(buf: RowKHeap): Any =
+    new GenericArrayData(buf.sortedBestFirst.toArray[Any])
+
+  // ---- shuffle serialization: one UnsafeRow per entry over the
+  // (sortKeys ++ data) schema ----
+  @transient private lazy val entrySchema: StructType = StructType(
+    sortOrders.zipWithIndex.map { case (so, i) =>
+      StructField(s"k$i", so.child.dataType, nullable = true)
+    } :+ StructField("d", data.dataType, nullable = false))
+  @transient private lazy val entryProj =
+    UnsafeProjection.create(entrySchema)
+  @transient private lazy val nFields = entrySchema.length
+
+  override def serialize(buf: RowKHeap): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.entries.foreach { case (keys, row) =>
+      val entry = InternalRow.fromSeq(keys.toIndexedSeq :+ row)
+      val u = entryProj(entry)
+      out.writeInt(u.getSizeInBytes)
+      out.write(u.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): RowKHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    val nSort = sortOrders.length
+    val dataFields = data.dataType.asInstanceOf[StructType].length
+    var j = 0
+    while (j < n) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      val u = new UnsafeRow(nFields)
+      u.pointTo(arr, len)
+      val keys = new Array[Any](nSort)
+      var i = 0
+      while (i < nSort) {
+        keys(i) =
+          InternalRow.copyValue(u.get(i, sortOrders(i).child.dataType))
+        i += 1
+      }
+      buf.insertOwned(keys, u.getStruct(nSort, dataFields).copy())
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+}

@@ -25,7 +25,14 @@ object Tables {
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. Read nanos as long and truncate to
     * microsecond precision (integer `div` — matches DuckDB's
-    * timestamp_ns→timestamp cast, which also truncates). */
+    * timestamp_ns→timestamp cast, which also truncates).
+    *
+    * NOTE this sets `spark.sql.legacy.parquet.nanosAsLong` for the WHOLE
+    * session, deliberately: the flag must be live whenever the (lazy)
+    * scan actually executes, and any other nanos-timestamp parquet in the
+    * session needs the same treatment to be readable at all. Sessions
+    * that read nanos parquet with a different convention should use a
+    * separate SparkSession. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, d, "events")

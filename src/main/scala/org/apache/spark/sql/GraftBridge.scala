@@ -1,6 +1,8 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Bridge into `private[sql]` Column↔Expression conversion (Spark 4 moved
   * `Column.expr` behind org.apache.spark.sql.classic.ExpressionUtils).
@@ -18,6 +20,16 @@ object GraftBridge {
     * cache key that survives GC, unlike identityHashCode. */
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Append an optimizer rule to an already-built session (the
+    * extraOptimizations batch runs after the main optimizer). Idempotent. */
+  def installOptimizerRule(spark: SparkSession,
+      rule: Rule[LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ rule
+  }
 
   /** Apply an extensions object's injected functions to an already-built
     * session (getOrCreate ignores withExtensions when a session exists —

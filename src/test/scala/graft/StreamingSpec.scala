@@ -75,22 +75,55 @@ class SessionizeSpec extends AnyFunSuite {
         Sessionize.Event(2L, ts("2024-01-01 10:00:00"), 9.0))
       q.processAllAvailable()
       assert(spark.table("sess_out").count() == 0) // nothing closed yet
-      // batch 2: user 1 returns 2h later → session 1 closes
+      // batch 2: user 1 returns 2h later → session 1 closes by gap; the
+      // advanced watermark (11:00) also timeout-flushes user 2's idle
+      // session (deadline 10:30) on the follow-up trigger
       src.addData(Sessionize.Event(1L, ts("2024-01-01 12:00:00"), 3.0))
       q.processAllAvailable()
-      val rows = spark.table("sess_out").collect()
-      assert(rows.length == 1)
-      val r = rows.head
-      assert(r.getAs[Long]("user_id") == 1L)
-      assert(r.getAs[Long]("session_id") == 1L)
-      assert(r.getAs[Long]("n_events") == 2L)
-      assert(r.getAs[java.sql.Timestamp]("session_end").toString
+      val u1 = spark.table("sess_out").filter($"user_id" === 1L).collect()
+      assert(u1.length == 1)
+      assert(u1.head.getAs[Long]("session_id") == 1L)
+      assert(u1.head.getAs[Long]("n_events") == 2L)
+      assert(u1.head.getAs[java.sql.Timestamp]("session_end").toString
         .startsWith("2024-01-01 10:10:00"))
+      val u2 = spark.table("sess_out").filter($"user_id" === 2L).collect()
+      assert(u2.length == 1 && u2.head.getAs[Long]("n_events") == 1L,
+        "user 2's idle session should be timeout-flushed")
       // batch 3: another 2h gap closes session 2 (the 12:00 singleton)
       src.addData(Sessionize.Event(1L, ts("2024-01-01 14:00:00"), 4.0))
       q.processAllAvailable()
-      val s2 = spark.table("sess_out").orderBy($"session_id").collect()
+      val s2 = spark.table("sess_out").filter($"user_id" === 1L)
+        .orderBy($"session_id").collect()
       assert(s2.length == 2 && s2(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
+  test("idle session is flushed and evicted by the event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Sessionize.Event]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val q = Sessionize(src.toDS())
+      .writeStream.format("memory").queryName("sess_timeout")
+      .outputMode("append").start()
+    try {
+      // user 1 goes idle; user 2 keeps the stream (and watermark) moving
+      src.addData(
+        Sessionize.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Sessionize.Event(2L, ts("2024-01-01 10:00:00"), 9.0))
+      q.processAllAvailable()
+      // watermark after this batch = 20:00 - 1h = 19:00, far past user 1's
+      // idle deadline (10:30)...
+      src.addData(Sessionize.Event(2L, ts("2024-01-01 20:00:00"), 9.0))
+      q.processAllAvailable()
+      // ...so the NEXT trigger fires user 1's timeout: flushed, no event
+      src.addData(Sessionize.Event(2L, ts("2024-01-01 20:10:00"), 9.0))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_timeout").filter($"user_id" === 1L).collect()
+      assert(u1.length == 1, "idle session must be timeout-flushed")
+      assert(u1.head.getAs[Long]("n_events") == 1L)
+      assert(u1.head.getAs[java.sql.Timestamp]("session_end").toString
+        .startsWith("2024-01-01 10:00:00"))
     } finally q.stop()
   }
 

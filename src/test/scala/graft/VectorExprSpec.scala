@@ -28,6 +28,20 @@ class VectorExprSpec extends AnyFunSuite {
     assert(ndiff < 1e-12)
   }
 
+  test("q40 query-chunked broadcast is result-identical to one broadcast") {
+    import spark.implicits._
+    // chunking bounds each broadcast at scale; it must never change the
+    // output — force 3 chunks on the 25-query sf0.001 set and compare
+    val one = graft.operators.SimilarityQueries
+      .cosineTopkWith(spark, "/root/testdata/sf0.001", Int.MaxValue)
+      .collect().toSeq
+    val chunked = graft.operators.SimilarityQueries
+      .cosineTopkWith(spark, "/root/testdata/sf0.001", 10)
+      .collect().toSeq
+    assert(chunked == one)
+    assert(one.nonEmpty)
+  }
+
   test("SQL registration: dot_product / l2_norm callable from spark.sql") {
     VectorExpressions.register(spark)
     val r = spark.sql(

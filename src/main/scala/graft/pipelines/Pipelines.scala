@@ -51,6 +51,9 @@ object RedditPipeline {
     import spark.implicits._
 
     val withPostSentiment = posts
+      // S7: ingestion-log parity (ingestion_logger.py) — same observable
+      // metric the twitter flow has; queryable via QueryExecutionListener
+      .observe("reddit_ingest", count(lit(1)).as("n_ingested"))
       .withColumn("sentiment", SentimentOps.vader($"title"))
 
     // explode → enrich each comment → regroup in original order
@@ -123,6 +126,9 @@ object RssPipeline {
 
     val fresh = feeds.join(seenLinks.select($"link").distinct(),
       Seq("link"), "left_anti")
+      // S7: ingestion-log parity — counts FRESH rows, i.e. what survives
+      // the seen-link dedup (the number the reference's log line reports)
+      .observe("rss_ingest", count(lit(1)).as("n_fresh"))
 
     // branch F2: no content → treat content as HTML, strip tags
     val withContent = fresh.withColumn("content",

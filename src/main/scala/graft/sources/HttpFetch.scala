@@ -23,6 +23,30 @@ object HttpFetch {
   val stub: Fetcher = link =>
     Some(s"<html><body><p>stub article body for $link</p></body></html>")
 
+  /** Real JDK-HttpClient fetcher (the production default): GET the link,
+    * non-2xx or transport failure → None → row dropped, mirroring the
+    * reference's ArticleException catch (rss_consumer.py:95-96). One
+    * client per partition via the lazy val — connection pooling across a
+    * partition's links. Exercised in SourcesSpec against a loopback
+    * com.sun.net.httpserver instance (this container has no egress). */
+  def http(timeoutMs: Long = 10000L): Fetcher = {
+    lazy val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    link =>
+      try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(link))
+          .timeout(java.time.Duration.ofMillis(timeoutMs))
+          .GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 200 && resp.statusCode() < 300)
+          Some(resp.body())
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Adds/fills the `content` column by fetching each row's `link`.
     * Rows whose fetch fails are dropped (dead-letter-as-drop, F4). */
   def fetchContent(df: DataFrame, fetcher: Fetcher = stub): DataFrame = {

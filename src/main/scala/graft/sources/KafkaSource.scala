@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** S1 — the reference's only real source: one Kafka topic per worker
+  * (reddit_consumer.py:34-37, twitter_consumer.py:30-33,
+  * rss_consumer.py:40-43), JSON-serialized records.
+  *
+  * This is the actual `readStream.format("kafka")` wiring, not a twin:
+  * topic subscription, consumer options, and the value→JSON→typed-columns
+  * serde from RecordSchemas. The container ships no kafka connector jar
+  * and no broker, so tests assert that the wiring reaches Kafka source
+  * resolution (SourcesSpec) and cover the serde half via MemoryStream
+  * twins; on a real cluster with spark-sql-kafka on the classpath this
+  * code runs as-is.
+  */
+object KafkaSource {
+
+  /** Raw Kafka stream: key/value binary + topic/partition/offset cols. */
+  def raw(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Typed stream: value bytes → one column per record field — the exact
+    * shape the reference's faust agents receive. */
+  def typed(spark: SparkSession, servers: String, topic: String,
+      schema: StructType): DataFrame = {
+    val r = raw(spark, servers, topic)
+    val withRec =
+      r.select(RecordSchemas.fromJson(r("value"), schema).as("_rec"))
+    schema.fieldNames.foldLeft(withRec) { (df, f) =>
+      df.withColumn(f, df("_rec").getField(f))
+    }.drop("_rec")
+  }
+
+  def tweets(spark: SparkSession, servers: String): DataFrame =
+    typed(spark, servers, "tweets", RecordSchemas.TweetSchema)
+  def redditPosts(spark: SparkSession, servers: String): DataFrame =
+    typed(spark, servers, "reddit_posts", RecordSchemas.RedditPostSchema)
+  def rssFeeds(spark: SparkSession, servers: String): DataFrame =
+    typed(spark, servers, "rss_feeds", RecordSchemas.RssFeedSchema)
+}

@@ -22,13 +22,20 @@ object Summarize {
     filter(split(lower(c), "[^a-z0-9']+"),
       t => t =!= "" && !TextOps.isStopword(t))
 
+  /** Cap on tokens entering the in-row quadratic count: beyond this the
+    * O(n²) per-row cost dominates and the explode form is mandatory. TF
+    * over the first 2 000 content tokens is the newspaper-style "article
+    * lead" approximation; RssPipeline uses the explode form instead. */
+  val InRowTokenCap = 2000
+
   /** Top-k TF keywords as array<string>, ties broken alphabetically.
     * aggregate-free formulation: explode-free inside a single row via
     * array ops is O(n²) on tokens, so the *query* form (per-doc explode +
     * groupBy + window) in TextQueries.q18 is the scalable path; this
-    * column form exists for single-row/pipeline use. */
+    * column form exists for single-row/pipeline use and caps its input
+    * at InRowTokenCap tokens. */
   def keywordsCol(c: Column, k: Int = 10): Column = {
-    val toks = tfTokens(c)
+    val toks = slice(tfTokens(c), 1, InRowTokenCap)
     val uniq = array_distinct(toks)
     val counted = transform(uniq, u =>
       struct(size(filter(toks, t => t === u)).as("c"), u.as("w")))
@@ -45,8 +52,16 @@ object Summarize {
   /** Summary: top-`n` sentences by keyword-overlap score, emitted in
     * original document order, joined by a space. Score(sentence) =
     * |tokens(sentence) ∩ keywords(doc ∪ title)|. */
-  def summaryCol(title: Column, text: Column, n: Int = 5): Column = {
-    val kws = array_union(keywordsCol(text, 10), tfTokens(title))
+  def summaryCol(title: Column, text: Column, n: Int = 5): Column =
+    summaryColWith(title, text, keywordsCol(text, 10), n)
+
+  /** Summary against an externally-computed keyword array — lets a
+    * pipeline that already derived keywords the scalable way (explode +
+    * count + window, see RssPipeline) reuse them instead of re-running
+    * the quadratic in-row form. */
+  def summaryColWith(title: Column, text: Column, keywords: Column,
+      n: Int = 5): Column = {
+    val kws = array_union(keywords, tfTokens(title))
     val sents = sentences(text)
     val idx = transform(sents, (s, i) =>
       struct(i.as("pos"), s.as("sent"),

@@ -137,11 +137,72 @@ object SimilarityQueries extends QueryModule {
     * (argmax dot), queries probe their 2 best cells, exact cosine re-rank
     * runs only inside probed cells. The cluster-scale shape: the corpus
     * is partitioned by cell (one shuffle), each query touches 2/8 of the
-    * data instead of all of it. Engine-specific (anchor choice) → rows-
-    * only driver check; recall pinned vs brute force in ScalaTest. */
-  def qIvfAnn(s: SparkSession, dir: String): DataFrame = {
+    * data instead of all of it. q42 uses the fixed gaussian anchors (SQL-
+    * replayable oracle); q42b fits real centroids with sampled k-means
+    * (kmeansCentroids) — data-derived, so rows-only + recall pinned vs
+    * brute force in ScalaTest. */
+  def qIvfAnn(s: SparkSession, dir: String): DataFrame =
+    ivfWith(s, dir, anchors)
+
+  /** q42b: the honest quantizer — cells follow the data distribution. */
+  def qIvfKmeans(s: SparkSession, dir: String): DataFrame =
+    ivfWith(s, dir, kmeansCentroids(s, dir, k = 8, iters = 5))
+
+  /** Deterministic sampled k-means (Lloyd) for IVF cells. Centroid
+    * FITTING is small-data by construction — a bounded, deterministic
+    * sample (lowest 2 000 vec_ids: TakeOrderedAndProject, no unordered
+    * limit) collected to the driver, 5 Lloyd iterations on normalized
+    * vectors under cosine distance — while cell ASSIGNMENT stays fully
+    * distributed via the broadcast centroid literals. The same split FAISS
+    * uses: train on a sample, index the corpus. */
+  private[operators] def kmeansCentroids(s: SparkSession, dir: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
     import s.implicits._
-    def dots(v: Column) = array(anchors.map(a =>
+    val sample: Array[Array[Double]] = vecs(s, dir)
+      .orderBy($"vec_id").limit(2000)
+      .select($"v", $"nrm")
+      .as[(Seq[Double], Double)]
+      .collect()
+      .map { case (v, n) => v.map(_ / n).toArray }
+    require(sample.length >= k, s"need >= $k sample vectors")
+    val dim = sample.head.length
+    // init: evenly spaced sample vectors (deterministic, well-spread in
+    // vec_id order; k-means++ would add data-dependent randomness)
+    var centroids = Array.tabulate(k)(i => sample((i * sample.length) / k))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * centroids(c)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else centroids(c)
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def ivfWith(s: SparkSession, dir: String,
+      anchorsArr: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    def dots(v: Column) = array(anchorsArr.map(a =>
       dot(v, array(a.map(lit): _*))): _*)
     val withCell = vecs(s, dir).withColumn("cells", {
       val d = dots($"v")
@@ -188,6 +249,7 @@ object SimilarityQueries extends QueryModule {
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
     "q42_ivf_ann"     -> (qIvfAnn _),
+    "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
   )
 

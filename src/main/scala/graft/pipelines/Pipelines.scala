@@ -129,6 +129,10 @@ object RssPipeline {
       // S7: ingestion-log parity — counts FRESH rows, i.e. what survives
       // the seen-link dedup (the number the reference's log line reports)
       .observe("rss_ingest", count(lit(1)).as("n_fresh"))
+      // unique index (rss_consumer.py:53) applied BEFORE the NLP stages:
+      // one row per link survives either way, and enriching post-dedup
+      // avoids paying the keyword/summary cost for rows the sink drops
+      .dropDuplicates("link")
 
     // branch F2: no content → treat content as HTML, strip tags
     val withContent = fresh.withColumn("content",
@@ -136,12 +140,30 @@ object RssPipeline {
         .otherwise(when($"content".contains("<"), stripHtml($"content"))
           .otherwise($"content")))
 
-    // NLP: TF keywords → tags, sentence-scored summary when missing
+    // TF tags the scalable way — explode → count → per-link top-10 window
+    // — instead of the in-row quadratic keywordsCol: articles are
+    // unbounded, and O(tokens²) per row degrades with document length
+    // while this shape spreads each article across the cluster.
+    val toks = withContent
+      .select($"link", explode(Summarize.tfTokens($"content")).as("t"))
+    val counts = toks.groupBy($"link", $"t").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"link").orderBy($"c".desc, $"t".asc)
+    val tags = counts.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .groupBy($"link")
+      .agg(transform(array_sort(collect_list(struct($"rk", $"t"))),
+        p => p.getField("t")).as("tags"))
+
+    // NLP: tags joined back (empty array for token-free content, matching
+    // keywordsCol), sentence-scored summary reusing the same keyword set
     val withNlp = withContent
-      .withColumn("tags", Summarize.keywordsCol($"content", 10))
+      .join(tags, Seq("link"), "left")
+      .withColumn("tags",
+        coalesce($"tags", array().cast("array<string>")))
       .withColumn("summary",
         when(length(coalesce($"summary", lit(""))) > 0, stripHtml($"summary"))
-          .otherwise(Summarize.summaryCol($"title", $"content", 5)))
+          .otherwise(Summarize.summaryColWith($"title", $"content", $"tags", 5)))
 
     // sink-time date logic (rss_consumer.py:158-164): published_parsed
     // 9-tuple wins; else dynamic %z-vs-%Z parse

@@ -42,6 +42,22 @@ class VectorExprSpec extends AnyFunSuite {
     assert(one.nonEmpty)
   }
 
+  test("q42b k-means IVF beats the fixed-anchor quantizer on recall@5") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def top5(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, sf)
+        .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = top5("q40_cosine_topk")
+    val kmeans = top5("q42b_ivf_kmeans")
+    val fixed = top5("q42_ivf_ann")
+    val rK = (kmeans & exact).size.toDouble / exact.size
+    val rF = (fixed & exact).size.toDouble / exact.size
+    info(s"recall@5 kmeans=$rK fixed=$rF")
+    assert(rK >= 0.7, s"k-means IVF recall regressed: $rK")  // measured 0.80
+    assert(rK > rF, "data-fitted cells must beat the fixed gaussian anchors")
+  }
+
   test("SQL registration: dot_product / l2_norm callable from spark.sql") {
     VectorExpressions.register(spark)
     val r = spark.sql(

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console VERBATIM: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which broke
+// the driver's parse of Bench's one-line JSON contract (BENCH_r01
+// "parsed": null). StdoutOutput pipes the child's stdout/stderr straight
+// through, no logger in between.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

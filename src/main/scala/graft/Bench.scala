@@ -33,15 +33,7 @@ object Bench {
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
-    // The in-row b-twins exist only for physical-plan comparison against
-    // their production (shuffle-form) defaults — same operator, same
-    // oracle, deliberately quadratic plan. Timing them would double-count
-    // the operator and report the known-worse plan; they stay in Verify's
-    // correctness sweep.
-    val skip = Set("q12b_bigrams_inrow", "q18b_keywords_inrow")
-    val results = SparkEntry.queries
-      .filterNot { case (name, _) => skip(name) }
-      .map { case (name, fn) =>
+    val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

@@ -176,29 +176,36 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
-  /** SimHash: 64-bit per-doc sketch — explode tokens, per-bit signed
-    * counts (64 partially-aggregated sums), reassemble sign bits. */
+  /** SimHash bit width: 60 bits from the first 15 hex chars of md5 —
+    * md5 is the one hash both engines compute identically (q30 proves
+    * it), which makes the whole sketch DuckDB-oracle-able, unlike the
+    * earlier xxhash64 form. 4 bands × 15 bits keeps the pigeonhole
+    * property (hamming ≤ 3 ⇒ some band equal). */
+  private val SimhashBits = 60
+
+  /** SimHash: 60-bit per-doc sketch — explode tokens, per-bit signed
+    * counts (60 partially-aggregated sums), reassemble sign bits. */
   def qSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(normTokens($"text")).as("t"))
-      .withColumn("h", xxhash64($"t"))
+      .withColumn("h", conv(substring(md5($"t"), 1, 15), 16, 10).cast("long"))
     val bitSums = tok.groupBy($"doc_id").agg(
       sum(when($"h".bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
-      (1 until 64).map(i =>
+      (1 until SimhashBits).map(i =>
         sum(when(shiftright($"h", i).bitwiseAND(lit(1L)) =!= 0, 1)
           .otherwise(-1)).as(s"b$i")): _*)
-    val simhash = (0 until 64).map { i =>
+    val simhash = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     bitSums.select($"doc_id", simhash.as("simhash"))
-      .withColumn("band16", array((0 until 4).map(b =>
-        shiftrightunsigned($"simhash", b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .withColumn("band15", array((0 until 4).map(b =>
+        shiftrightunsigned($"simhash", b * 15).bitwiseAND(lit(0x7FFFL))): _*))
       .select($"doc_id", $"simhash",
-        element_at($"band16", 1).as("band0"),
-        element_at($"band16", 2).as("band1"),
-        element_at($"band16", 3).as("band2"),
-        element_at($"band16", 4).as("band3"))
+        element_at($"band15", 1).as("band0"),
+        element_at($"band15", 2).as("band1"),
+        element_at($"band15", 3).as("band2"),
+        element_at($"band15", 4).as("band3"))
       .orderBy($"doc_id")
   }
 
@@ -300,9 +307,38 @@ object DedupQueries extends QueryModule {
           |  ON x.label = y.label AND x.vec_id < y.vec_id
           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
           |ORDER BY x_id, y_id""".stripMargin,
-      // q33 intentionally omitted: the 64-bit SimHash sketch itself is
-      // the output and its xxhash64 bit pattern is not reproducible in
-      // DuckDB SQL → rows-only check; ScalaTest covers fidelity.
+      // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
+      // bit-sums per doc, sign bits reassembled, 15-bit bands.
+      "q33_simhash" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        val bitSums = (0 until SimhashBits).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(",\n|    ")
+        val sketch = (0 until SimhashBits).map(i =>
+          s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(str_split($cleanSql, ' '),
+          |      t -> t NOT IN $stops)) AS t
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+          |bits AS (
+          |  SELECT doc_id,
+          |    $bitSums
+          |  FROM h GROUP BY doc_id),
+          |sk AS (
+          |  SELECT doc_id, ($sketch) AS simhash FROM bits)
+          |SELECT doc_id, simhash,
+          |  (simhash >> 0) & 32767 AS band0,
+          |  (simhash >> 15) & 32767 AS band1,
+          |  (simhash >> 30) & 32767 AS band2,
+          |  (simhash >> 45) & 32767 AS band3
+          |FROM sk ORDER BY doc_id""".stripMargin
+      },
     )
   }
 }

@@ -26,14 +26,18 @@ object PipelineQueries extends QueryModule {
     val toks = filter(
       TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text"))),
       t => t =!= "")
-    val counted = transform(array_distinct(toks), u =>
-      struct((-size(filter(toks, t => t === u))).as("nc"), u.as("t")))
-    val top5 = slice(array_sort(counted), 1, 5)
+    // staged projections so CollapseProject keeps `toks` materialized
+    // once per row (see qBigramsTopkInRow for the rationale)
     Tables.documents(s, dir)
-      .select($"doc_id", toks.as("toks"),
-        array_join(transform(top5, x => x.getField("t")), " ").as("keywords"))
+      .select($"doc_id", toks.as("toks"))
       .filter(size($"toks") > 0)
-      .select($"doc_id", $"keywords")
+      .select($"doc_id", slice(array_sort(
+        transform(array_distinct($"toks"), u =>
+          struct((-size(filter($"toks", t => t === u))).as("nc"), u.as("t")))),
+        1, 5).as("top5"))
+      .select($"doc_id",
+        array_join(transform($"top5", x => x.getField("t")), " ")
+          .as("keywords"))
       .orderBy($"doc_id")
   }
 
@@ -80,8 +84,8 @@ object PipelineQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
-  /** E1 re-host: tweets synthesized from events. */
-  def qTwitterPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** E1 re-host input: tweets synthesized from events. */
+  private def twitterResult(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tweets = Tables.events(s, dir).select(
       $"event_id".cast("string").as("tweet_id"),
@@ -93,11 +97,27 @@ object PipelineQueries extends QueryModule {
       map(lit("name"), concat(lit("user_"), $"user_id")).as("author"),
       $"event_type".as("trend"))
     TwitterPipeline(tweets)
-      .drop("insert_date")
-      .select($"tweet_id", $"text", $"created_at", $"trend",
+  }
+
+  /** E1 re-host, deterministic projection (oracled): ids, parsed dates,
+    * trend, extracted hashtags. `text` stays out — its `value` rendering
+    * (Spark double→string) is not oracle-portable; the VADER half lives
+    * in q52b. */
+  def qTwitterPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    twitterResult(s, dir)
+      .select($"tweet_id", $"created_at", $"trend",
         // array_join: the driver's pandas compare can't hash raw arrays
-        array_join($"hashtags", " ").as("hashtags"),
-        $"sentiment.compound".as("compound"))
+        array_join($"hashtags", " ").as("hashtags"))
+      .orderBy($"tweet_id")
+  }
+
+  /** E1 re-host, enrichment half (rows-only: VADER + double-rendered
+    * text). */
+  def qTwitterSentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    twitterResult(s, dir)
+      .select($"tweet_id", $"text", $"sentiment.compound".as("compound"))
       .orderBy($"tweet_id")
   }
 
@@ -198,6 +218,7 @@ object PipelineQueries extends QueryModule {
     "q50_sentiment"       -> (qSentiment _),
     "q51_demojize"        -> (qDemojize _),
     "q52_twitter_pipeline" -> (qTwitterPipeline _),
+    "q52b_twitter_sentiment" -> (qTwitterSentiment _),
     "q53_reddit_pipeline" -> (qRedditPipeline _),
     "q53b_reddit_sentiment" -> (qRedditSentiment _),
     "q54_rss_pipeline"    -> (qRssPipeline _),
@@ -237,6 +258,15 @@ object PipelineQueries extends QueryModule {
       "q51_demojize" ->
         """SELECT doc_id, text AS demojized
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // E1 deterministic projection: the date parse collapses to a
+      // second-truncated ts (the parse rules are oracled by q20-q22) and
+      // hashtags to the one planted '#<event_type>' tag.
+      "q52_twitter_pipeline" ->
+        """SELECT CAST(event_id AS VARCHAR) AS tweet_id,
+          |  date_trunc('second', CAST(ts AS TIMESTAMP)) AS created_at,
+          |  event_type AS trend,
+          |  event_type AS hashtags
+          |FROM events ORDER BY tweet_id""".stripMargin,
       // E2 deterministic projection: the comment slices, the cross-comment
       // bigram keyword chain (demojize is identity on this emoji-free
       // corpus — asserted by q51), and the constant created date.

@@ -58,19 +58,24 @@ object TextQueries extends QueryModule {
   def qBigramsTopkInRow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text")))
-    val pairs = TextOps.adjacentBigrams(toks)
-    val counted = transform(array_distinct(pairs), u =>
-      struct(
-        (-size(filter(pairs, p => p === u))).as("nc"),
-        u.getField("a").as("a"), u.getField("b").as("b")))
-    // array_sort on (nc, a, b) = (count DESC, a ASC, b ASC)
-    val top5 = slice(array_sort(counted), 1, 5)
-    val keywords = array_join(array_distinct(flatten(
-      transform(top5, t => array(t.getField("a"), t.getField("b"))))), " ")
+    // Staged projections, not one inline expression: `pairs` is referenced
+    // many times inside the counting lambda, and CollapseProject declines
+    // to inline a non-cheap alias with multiple references — so the
+    // tokenize chain runs once per row instead of once per reference
+    // (the round-1 inline form replicated it ~12× in the physical plan).
     Tables.documents(s, dir)
-      .select($"doc_id", pairs.as("pairs"), keywords.as("keywords"))
+      .select($"doc_id", TextOps.adjacentBigrams(toks).as("pairs"))
       .filter(size($"pairs") > 0)
-      .select($"doc_id", $"keywords")
+      // array_sort on (nc, a, b) = (count DESC, a ASC, b ASC)
+      .select($"doc_id", slice(array_sort(
+        transform(array_distinct($"pairs"), u =>
+          struct(
+            (-size(filter($"pairs", p => p === u))).as("nc"),
+            u.getField("a").as("a"), u.getField("b").as("b")))), 1, 5)
+        .as("top5"))
+      .select($"doc_id", array_join(array_distinct(flatten(
+        transform($"top5", t => array(t.getField("a"), t.getField("b"))))), " ")
+        .as("keywords"))
       .orderBy($"doc_id")
   }
 

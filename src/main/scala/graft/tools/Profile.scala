@@ -21,7 +21,10 @@ object Profile {
     qs.foreach { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink, NOT count(): count() lets Catalyst prune every
+        // unreferenced projection and under-measures (same contract as
+        // Bench after the round-1 verdict)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       val c = once(); val w = once()

@@ -44,8 +44,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val note = "noop-materialized all columns; r01 timed count(), which " +
+      "let Catalyst prune unreferenced projections"
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}"""
     stdout.println(line)
     stdout.flush()
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -82,6 +82,10 @@ object Emoji {
     sb.toString
   }
 
+  /** Public lookup — the table is useful on its own (tests, tooling). */
+  def nameOf(sequence: String): Option[String] = Names.get(sequence)
+  def allEmoji: Seq[String] = Names.keys.toSeq.sorted
+
   private val demojizeUdf = udf { (t: String) => demojize(t) }
 
   /** str → str with emoji replaced by :name:. */

@@ -52,4 +52,28 @@ object StreamPipelines {
     feeds
       .withWatermark("fetched_at", "30 minutes")
       .dropDuplicatesWithinWatermark("link")
+
+  /** Stream-stream interval join — the streaming twin of the batch
+    * range/as-of joins (q27/q29): each purchase joins the same user's
+    * clicks from the preceding 5 minutes. Both sides are watermarked, so
+    * Spark bounds the join state: a buffered click can be evicted once
+    * the purchase-side watermark passes its 5-minute join horizon.
+    * Inner interval joins emit in append mode with no extra state knobs
+    * — exactly the shape that scales on a real cluster. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      expr("""c_user = p_user AND
+              click_ts >= purchase_ts - INTERVAL 5 MINUTES AND
+              click_ts <= purchase_ts"""))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("purchase_value"), col("click_ts"), col("click_value"))
+  }
 }

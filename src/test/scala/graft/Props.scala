@@ -41,6 +41,23 @@ object EmojiProps extends Properties("emoji") {
       val once = Emoji.demojize(s)
       Emoji.demojize(once) == once
     }
+
+  // full-table property: every entry resolves to its own :name: when
+  // space-separated (adjacency can legitimately fuse into a longer
+  // sequence — skin tones, ZWJ — which is the point of longest-match)
+  private val anyTableEmoji = Gen.oneOf(Emoji.allEmoji)
+  property("every table entry resolves standalone") =
+    forAll(anyTableEmoji) { e =>
+      Emoji.demojize(s"a $e b") == s"a :${Emoji.nameOf(e).get}: b"
+    }
+
+  property("mixed emoji/word streams fully demojize (no raw emoji left)") =
+    forAll(Gen.listOfN(6, Gen.oneOf(anyTableEmoji, Gen.alphaLowerStr))
+        .map(_.mkString(" "))) { s =>
+      val out = Emoji.demojize(s)
+      Emoji.allEmoji.forall(e => !out.contains(e)) &&
+        Emoji.demojize(out) == out
+    }
 }
 
 object TopKProps extends Properties("topk") {

@@ -7,6 +7,7 @@ import graft.streaming.StreamPipelines
 
 case class InTweet(tweet_id: String, text: String, created_at: String)
 case class InEvent(ts: java.sql.Timestamp, event_type: String, value: Double)
+case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -51,6 +52,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(0).getAs[Long]("n") == 2) // 00:00-06:00 clicks
       assert(rows(0).getAs[Double]("sum_value") == 3.0)
       assert(rows(1).getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+}
+
+class StreamJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stream-stream interval join: purchases pick up preceding clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamPipelines
+      .clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("cp_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 0.5), // 2 min before → joins
+        UserEvent(1L, ts("2024-01-01 09:50:00"), 0.1), // 12 min before → out of window
+        UserEvent(2L, ts("2024-01-01 10:01:00"), 0.9)) // other user
+      purchases.addData(UserEvent(1L, ts("2024-01-01 10:02:00"), 42.0))
+      q.processAllAvailable()
+      val rows = spark.table("cp_join").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[Long]("user_id") == 1L)
+      assert(r.getAs[Double]("click_value") == 0.5)
+      assert(r.getAs[Double]("purchase_value") == 42.0)
+      // a click AFTER the purchase must not join (interval is one-sided)
+      clicks.addData(UserEvent(1L, ts("2024-01-01 10:03:00"), 0.7))
+      q.processAllAvailable()
+      assert(spark.table("cp_join").count() == 1)
     } finally q.stop()
   }
 }

@@ -67,6 +67,10 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 3, s"bigram shuffle chain changed: $n")
   }
 
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q10_clean_text")(spark, sf)

@@ -16,7 +16,9 @@ package graft.functions
   * bit-identical to the Python package on words outside the subset.
   * Documented deviations from the published engine: (a) subset lexicon;
   * (b) no idiom/special-case table ("the bomb", "bad ass", …);
-  * (c) emoticon entries are the common core, not the full set.
+  * (c) emoticon entries are the common core, not the full set;
+  * (d) "never so/this <word>" boosts via the plain negation path here,
+  * not the published 1.25/1.25 special case.
   *
   * Pure JVM function — wrapped as a Spark UDF in SentimentOps. Thread-safe
   * and allocation-light so 32 executor threads can hammer it.

@@ -235,12 +235,45 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Benchmark decontamination — the train/test-overlap check every
+    * LLM data pipeline runs before training: corpus docs that match a
+    * held-out benchmark set exactly (normalized fingerprint) or nearly
+    * (shared min-shingle block + exact Jaccard ≥ 0.5). The benchmark
+    * here is the synthetic `doc_id % 11` slice; in production it is the
+    * eval suites. Plan shape: two joins keyed on 16-byte digests /
+    * min-shingle strings — never text, never all-pairs; the near path
+    * inherits q31's content blocking, so at 100 TB the work is
+    * |blocks|-bounded exactly like the dedup suite. */
+  def qContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(array_join(normTokens($"text"), " ")).as("fp"),
+        shingles(normTokens($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk", array_min($"sh"))
+    val bench = base.filter($"doc_id" % 11 === 0)
+      .select($"doc_id".as("bench_id"), $"fp", $"sh".as("b_sh"), $"blk")
+    val corpus = base.filter($"doc_id" % 11 =!= 0)
+    val exact = corpus.join(bench.select($"bench_id", $"fp"), Seq("fp"))
+      .select($"doc_id", $"bench_id", lit("exact").as("kind"))
+    val inter = size(array_intersect($"sh", $"b_sh")).cast("long")
+    val union = size($"sh").cast("long") + size($"b_sh") - inter
+    val near = corpus.join(bench.drop("fp"), Seq("blk"))
+      .filter(inter.cast("double") / union >= 0.5)
+      .join(exact.select($"doc_id", $"bench_id"), Seq("doc_id", "bench_id"),
+        "left_anti") // near = contaminated but not byte-identical
+      .select($"doc_id", $"bench_id", lit("near").as("kind"))
+    exact.unionByName(near).orderBy($"doc_id", $"bench_id", $"kind")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"   -> (qDedupExact _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q33_simhash"       -> (qSimhash _),
     "q34_embed_cos_dup" -> (qEmbedCosineDup _),
+    "q35_contamination" -> (qContamination _),
   )
 
   override def oracleSql: Map[String, String] = {
@@ -307,6 +340,42 @@ object DedupQueries extends QueryModule {
           |  ON x.label = y.label AND x.vec_id < y.vec_id
           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
           |ORDER BY x_id, y_id""".stripMargin,
+      "q35_contamination" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH cleaned AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
+          |sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id),
+          |base AS (
+          |  SELECT c.doc_id, md5(array_to_string(c.tk, ' ')) AS fp,
+          |         s.sh, list_aggregate(s.sh, 'min') AS blk
+          |  FROM cleaned c JOIN sh s ON s.doc_id = c.doc_id
+          |  WHERE len(s.sh) > 0),
+          |bench AS (SELECT * FROM base WHERE doc_id % 11 = 0),
+          |corpus AS (SELECT * FROM base WHERE doc_id % 11 <> 0),
+          |exact AS (
+          |  SELECT c.doc_id, b.doc_id AS bench_id, 'exact' AS kind
+          |  FROM corpus c JOIN bench b ON c.fp = b.fp),
+          |near AS (
+          |  SELECT c.doc_id, b.doc_id AS bench_id, 'near' AS kind
+          |  FROM corpus c JOIN bench b ON c.blk = b.blk
+          |  WHERE len(list_intersect(c.sh, b.sh))
+          |      / CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))
+          |             AS DOUBLE) >= 0.5
+          |    AND NOT EXISTS (SELECT 1 FROM exact e
+          |                    WHERE e.doc_id = c.doc_id
+          |                      AND e.bench_id = b.doc_id))
+          |SELECT doc_id, bench_id, kind FROM exact
+          |UNION ALL SELECT doc_id, bench_id, kind FROM near
+          |ORDER BY doc_id, bench_id, kind""".stripMargin
+      },
       // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
       // bit-sums per doc, sign bits reassembled, 15-bit bands.
       "q33_simhash" -> {

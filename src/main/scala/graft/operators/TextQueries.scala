@@ -209,6 +209,46 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** North-star PII scrub — detect and mask emails / phone numbers /
+    * IPv4 addresses before text reaches a training set. The corpus is
+    * synthetic and PII-free, so deterministic PII is planted from
+    * columns first (same trick as q13's hashtags), then the regex
+    * detectors run. Patterns use the Java∩RE2 common subset so the
+    * DuckDB oracle applies them verbatim. Map-only: detection and
+    * masking are per-row regexp expressions inside WholeStageCodegen —
+    * at 100 TB this is a pure scan-transform with zero shuffles. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val planted = concat(
+      lit("contact user"), $"doc_id", lit("@example.com on "),
+      when($"doc_id" % 3 === 0,
+        concat(lit("555-010-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("no phone")),
+      lit(" from "),
+      when($"doc_id" % 4 === 0,
+        concat(lit("10.0."), ($"doc_id" % 256).cast("string"), lit(".1")))
+        .otherwise(lit("unknown host")),
+      lit(" :: "), $"text")
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(planted, emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]"),
+      ipRe, "[IP]")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(regexp_extract_all(planted, lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(planted, lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(planted, lit(ipRe), lit(0)))
+          .cast("long").as("n_ips"),
+        masked.as("masked"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_clean_text"      -> (qCleanText _),
     "q11_stopword_filter" -> (qStopwordFilter _),
@@ -221,6 +261,7 @@ object TextQueries extends QueryModule {
     "q17_fingerprint"     -> (qFingerprint _),
     "q19_token_bpe"       -> (qTokenBpe _),
     "q25_rolling_hash"    -> (qRollingHash _),
+    "q36_pii_scrub"       -> (qPiiScrub _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -326,6 +367,33 @@ object TextQueries extends QueryModule {
         |       t -> CAST(ascii(t) + len(t) AS BIGINT))),
         |   (h, x) -> (h * 31 + x) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_pii_scrub" -> {
+      val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+      val phoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+      val ipRe = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    'contact user' || doc_id || '@example.com on ' ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN '555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE 'no phone' END ||
+         |    ' from ' ||
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         |         ELSE 'unknown host' END ||
+         |    ' :: ' || text AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(t, '$emailRe', '[EMAIL]', 'g'),
+         |      '$phoneRe', '[PHONE]', 'g'),
+         |    '$ipRe', '[IP]', 'g') AS masked
+         |FROM planted ORDER BY doc_id""".stripMargin
+    },
     "q17_fingerprint" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -199,6 +199,32 @@ object SimilarityQueries extends QueryModule {
     centroids
   }
 
+  /** Corpus organization stats: every vector assigned to its argmax
+    * anchor cell, per-cell population + mean cosine-to-anchor. The
+    * aggregate form of the IVF assignment — one shuffle of (cell,
+    * partial sums), the plan a 100 TB corpus-profiling job wants. Uses
+    * the FIXED anchors so the whole thing (argmax included) replays in
+    * the DuckDB oracle. */
+  def qClusterStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d,
+      transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    // per-cell anchor norms (anchors are NOT unit vectors)
+    val aNorms = array(anchors.map(a =>
+      lit(math.sqrt(a.map(x => x * x).sum))): _*)
+    vecs(s, dir)
+      .select($"vec_id", $"nrm",
+        element_at(sorted, 1).getField("idx").as("cell"),
+        (-element_at(sorted, 1).getField("nd")).as("best_dot"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        round(avg($"best_dot" / ($"nrm" * element_at(aNorms, $"cell" + 1))),
+          4).as("avg_cos"))
+      .orderBy($"cell")
+  }
+
   private def ivfWith(s: SparkSession, dir: String,
       anchorsArr: Array[Array[Double]]): DataFrame = {
     import s.implicits._
@@ -251,6 +277,7 @@ object SimilarityQueries extends QueryModule {
     "q42_ivf_ann"     -> (qIvfAnn _),
     "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
+    "q44_cluster_stats" -> (qClusterStats _),
   )
 
   /** DuckDB literal for a plane/anchor vector (Scala Double.toString
@@ -348,10 +375,34 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q44's oracle: same literal-anchor argmax as q42's, aggregated. */
+  private def clusterStatsSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    val aNorms = anchors.map(a =>
+      math.sqrt(a.map(x => x * x).sum)).mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |assigned AS (
+      |  SELECT vec_id,
+      |    sqrt(list_dot_product(v, v)) AS nrm,
+      |    list_sort($structs)[1] AS best
+      |  FROM dots)
+      |SELECT best.idx AS cell, count(*) AS n,
+      |  round(avg((-best.nd) / (nrm * ($aNorms)[best.idx + 1])), 4) AS avg_cos
+      |FROM assigned GROUP BY best.idx ORDER BY cell""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "q40_cosine_topk" -> exactTopkSql,
     "q43_topk_agg"    -> exactTopkSql,
     "q41_lsh_ann"     -> lshAnnSql,
     "q42_ivf_ann"     -> ivfAnnSql,
+    "q44_cluster_stats" -> clusterStatsSql,
   )
 }

@@ -16,6 +16,9 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session shape as Bench, so profiled plans match benched plans
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.TopKWindowRule)
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     qs.foreach { case (name, fn) =>

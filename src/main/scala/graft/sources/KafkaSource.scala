@@ -40,6 +40,24 @@ object KafkaSource {
     }.drop("_rec")
   }
 
+  /** Kafka sink wiring — the S2 hand-off's other half: typed record
+    * columns serialized back to a JSON `value` (RecordSchemas serde),
+    * keyed for partition affinity, written with `format("kafka")`.
+    * Returned unstarted so callers own trigger/checkpoint config. */
+  def sinkWriter(df: org.apache.spark.sql.DataFrame, servers: String,
+      topic: String, keyCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, struct}
+    df.select(
+        col(keyCol).cast("string").as("key"),
+        RecordSchemas.toJsonValue(
+          struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+  }
+
   def tweets(spark: SparkSession, servers: String): DataFrame =
     typed(spark, servers, "tweets", RecordSchemas.TweetSchema)
   def redditPosts(spark: SparkSession, servers: String): DataFrame =

@@ -95,6 +95,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
   }
 
+  test("Kafka sink wiring serializes key/value and reaches source resolution") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val df = src.toDF().toDF("tweet_id", "text")
+    val writer = graft.sources.KafkaSource
+      .sinkWriter(df, "broker:9092", "tweets_out", "tweet_id")
+    val e = intercept[Exception] { writer.start() }
+    assert(e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+  }
+
   test("ingestion-log metrics: all three flows expose observed counts") {
     import spark.implicits._
     @volatile var seen = Map.empty[String, Long]

@@ -10,7 +10,7 @@ package graft.functions
   * emphasis, alpha-15 normalization) follows the paper and the publicly
   * documented constants. The full 7 500-entry lexicon file is not
   * available offline (zero-egress container, no vaderSentiment/nltk data
-  * on disk), so `Lexicon` is a curated ~550-entry subset covering the
+  * on disk), so `Lexicon` is a curated ~670-entry subset covering the
   * high-frequency sentiment vocabulary, on the same [-4, 4] valence
   * scale — scores are self-consistent (pinned by unit fixtures) but not
   * bit-identical to the Python package on words outside the subset.
@@ -242,6 +242,41 @@ object Vader {
     "unsafe" -> -1.9, "unstable" -> -1.6, "unwanted" -> -1.8,
     "violent" -> -2.9, "vulnerable" -> -1.3, "wicked" -> -2.3,
     "wound" -> -1.9, "wreck" -> -2.0,
+    // fourth tranche (round 2) — same scale, same caveat as the header
+    "amaze" -> 2.5, "beautifully" -> 2.7, "benevolent" -> 2.5,
+    "blessing" -> 2.7, "boost" -> 1.7, "breathtaking" -> 2.9,
+    "brilliance" -> 2.8, "capable" -> 1.6, "celebrated" -> 2.4,
+    "cheers" -> 2.1, "cherish" -> 2.4, "classy" -> 2.1,
+    "comfy" -> 1.9, "commend" -> 2.0, "compliment" -> 2.2,
+    "congrats" -> 2.6, "convenient" -> 1.6, "courteous" -> 2.0,
+    "cozy" -> 1.9, "dazzling" -> 2.6, "delightful" -> 2.8,
+    "dependable" -> 2.0, "desirable" -> 1.9, "ease" -> 1.5,
+    "easier" -> 1.7, "effective" -> 1.8, "elated" -> 2.9,
+    "empower" -> 1.9, "enchanted" -> 2.4, "engaging" -> 1.7,
+    "enjoyable" -> 2.3, "enthusiasm" -> 2.3, "excel" -> 2.0,
+    "exquisite" -> 2.6, "faithful" -> 2.1, "famous" -> 1.7,
+    "favored" -> 1.9, "flourish" -> 2.1, "forgiveness" -> 2.0,
+    "fortunate" -> 2.3, "fulfilled" -> 2.2, "generosity" -> 2.4,
+    "goodness" -> 2.4, "heavenly" -> 2.7, "honored" -> 2.3,
+    "humble" -> 1.3, "impress" -> 2.1, "innovative" -> 1.9,
+    "invincible" -> 2.0, "jubilant" -> 2.9,
+    "abysmal" -> -2.7, "ache" -> -1.6, "aggravate" -> -2.0,
+    "alarming" -> -1.9, "alienate" -> -1.7, "anguish" -> -2.7,
+    "annihilate" -> -2.9, "apathetic" -> -1.2, "appalling" -> -2.5,
+    "atrocious" -> -2.9, "backlash" -> -1.8, "bankrupt" -> -2.4,
+    "barbaric" -> -2.9, "betrayal" -> -2.9, "bleak" -> -1.9,
+    "blunder" -> -1.8, "breakdown" -> -1.9, "brutality" -> -3.1,
+    "calamity" -> -2.7, "casualty" -> -2.4, "cheated" -> -2.4,
+    "condemn" -> -2.2, "contempt" -> -2.3, "corruption" -> -2.7,
+    "crappy" -> -2.2, "deceit" -> -2.5, "degrade" -> -2.0,
+    "dehumanize" -> -2.5, "demolish" -> -2.0, "despise" -> -2.7,
+    "destructive" -> -2.6, "detest" -> -2.6, "dire" -> -2.1,
+    "disgraceful" -> -2.6, "dismay" -> -2.0, "distraught" -> -2.4,
+    "dreaded" -> -2.4, "erode" -> -1.5, "exploit" -> -1.9,
+    "famine" -> -2.6, "fiasco" -> -2.2, "grim" -> -2.0,
+    "gruesome" -> -2.8, "heartbreaking" -> -2.8, "horrendous" -> -2.9,
+    "humiliation" -> -2.6, "inhumane" -> -2.8, "injustice" -> -2.4,
+    "insufferable" -> -2.4, "menace" -> -2.2,
   )
 
   private def isUpper(w: String): Boolean =

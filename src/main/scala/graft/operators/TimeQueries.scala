@@ -117,6 +117,22 @@ object TimeQueries extends QueryModule {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** q26's native twin: Spark's built-in `session_window` (gap-based
+    * event-time sessions) instead of the hand-rolled gaps-and-islands
+    * window pair — same 30-minute-gap semantics, one aggregation, and
+    * the exact operator a streaming version would use. Session END here
+    * is the window end (last event + gap), so the oracle adds the gap to
+    * the islands CTE's max(ts). */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"w.end".as("session_end"), $"n_events")
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** As-of join — the canonical "operator Spark lacks" (SURVEY.md §7.3
     * preference (a): compose built-ins). Each purchase is joined to the
     * user's most recent click at-or-before it. Implementation: union the
@@ -181,6 +197,7 @@ object TimeQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_sessionize"         -> (qSessionize _),
+    "q26b_session_window"    -> (qSessionWindow _),
     "q27_asof_join"          -> (qAsofJoin _),
     "q29_range_join"         -> (qRangeJoin _),
     "q20_date_parse_fixed"   -> (qDateParseFixed _),
@@ -231,6 +248,25 @@ object TimeQueries extends QueryModule {
         |  min(t) AS session_start, max(t) AS session_end
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q26b_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(CAST(ts AS TIMESTAMP))
+        |              - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, t,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(t) AS session_start,
+        |  max(t) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "q20_date_parse_fixed" ->
       """SELECT event_id,
         | strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS created,

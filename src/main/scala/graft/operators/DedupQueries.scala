@@ -246,25 +246,32 @@ object DedupQueries extends QueryModule {
     * |blocks|-bounded exactly like the dedup suite. */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // tokens staged once: fp and shingles both consume the same chain,
+    // and CollapseProject keeps a non-cheap multi-referenced alias
+    // materialized instead of inlining it twice
     val base = Tables.documents(s, dir)
+      .select($"doc_id", normTokens($"text").as("toks"))
       .select($"doc_id",
-        md5(array_join(normTokens($"text"), " ")).as("fp"),
-        shingles(normTokens($"text")).as("sh"))
+        md5(array_join($"toks", " ")).as("fp"),
+        shingles($"toks").as("sh"))
       .filter(size($"sh") > 0)
       .withColumn("blk", array_min($"sh"))
+    // ONE blk-keyed join finds both kinds: an exact dup has identical
+    // normalized tokens ⇒ identical shingles ⇒ the same min-shingle
+    // block, so fp equality inside the block distinguishes exact from
+    // near — no second join, base evaluated once per side.
     val bench = base.filter($"doc_id" % 11 === 0)
-      .select($"doc_id".as("bench_id"), $"fp", $"sh".as("b_sh"), $"blk")
+      .select($"doc_id".as("bench_id"), $"fp".as("b_fp"),
+        $"sh".as("b_sh"), $"blk")
     val corpus = base.filter($"doc_id" % 11 =!= 0)
-    val exact = corpus.join(bench.select($"bench_id", $"fp"), Seq("fp"))
-      .select($"doc_id", $"bench_id", lit("exact").as("kind"))
     val inter = size(array_intersect($"sh", $"b_sh")).cast("long")
     val union = size($"sh").cast("long") + size($"b_sh") - inter
-    val near = corpus.join(bench.drop("fp"), Seq("blk"))
+    corpus.join(bench, Seq("blk"))
       .filter(inter.cast("double") / union >= 0.5)
-      .join(exact.select($"doc_id", $"bench_id"), Seq("doc_id", "bench_id"),
-        "left_anti") // near = contaminated but not byte-identical
-      .select($"doc_id", $"bench_id", lit("near").as("kind"))
-    exact.unionByName(near).orderBy($"doc_id", $"bench_id", $"kind")
+      .select($"doc_id", $"bench_id",
+        when($"fp" === $"b_fp", lit("exact")).otherwise(lit("near"))
+          .as("kind"))
+      .orderBy($"doc_id", $"bench_id", $"kind")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -359,22 +366,14 @@ object DedupQueries extends QueryModule {
           |  FROM cleaned c JOIN sh s ON s.doc_id = c.doc_id
           |  WHERE len(s.sh) > 0),
           |bench AS (SELECT * FROM base WHERE doc_id % 11 = 0),
-          |corpus AS (SELECT * FROM base WHERE doc_id % 11 <> 0),
-          |exact AS (
-          |  SELECT c.doc_id, b.doc_id AS bench_id, 'exact' AS kind
-          |  FROM corpus c JOIN bench b ON c.fp = b.fp),
-          |near AS (
-          |  SELECT c.doc_id, b.doc_id AS bench_id, 'near' AS kind
-          |  FROM corpus c JOIN bench b ON c.blk = b.blk
-          |  WHERE len(list_intersect(c.sh, b.sh))
-          |      / CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))
-          |             AS DOUBLE) >= 0.5
-          |    AND NOT EXISTS (SELECT 1 FROM exact e
-          |                    WHERE e.doc_id = c.doc_id
-          |                      AND e.bench_id = b.doc_id))
-          |SELECT doc_id, bench_id, kind FROM exact
-          |UNION ALL SELECT doc_id, bench_id, kind FROM near
-          |ORDER BY doc_id, bench_id, kind""".stripMargin
+          |corpus AS (SELECT * FROM base WHERE doc_id % 11 <> 0)
+          |SELECT c.doc_id, b.doc_id AS bench_id,
+          |  CASE WHEN c.fp = b.fp THEN 'exact' ELSE 'near' END AS kind
+          |FROM corpus c JOIN bench b ON c.blk = b.blk
+          |WHERE len(list_intersect(c.sh, b.sh))
+          |    / CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))
+          |           AS DOUBLE) >= 0.5
+          |ORDER BY 1, 2, 3""".stripMargin
       },
       // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
       // bit-sums per doc, sign bits reassembled, 15-bit bands.

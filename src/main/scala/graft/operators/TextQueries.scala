@@ -249,6 +249,43 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** North-star corpus vocabulary: global top-100 tokens by frequency.
+    * The rank filter is the Window idiom with an EMPTY partition spec —
+    * TopKWindowRule rewrites it to a single-group bounded-heap aggregate
+    * with map-side combine, so the global top-k never globally sorts the
+    * vocabulary (the plan that matters when the vocabulary is billions
+    * of types). */
+  def qVocabTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(
+        TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText($"text"))))
+        .as("t"))
+      .filter($"t" =!= "")
+    val counts = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"c".desc, $"t".asc)
+    counts.withColumn("rk", row_number().over(w)).filter($"rk" <= 100)
+      .select($"rk", $"t", $"c")
+      .orderBy($"rk")
+  }
+
+  /** North-star corpus profiling: document-length histogram in 100-char
+    * buckets with counts and cumulative share — the distribution chart
+    * every dataset card carries. One partial-agg shuffle + one tiny
+    * window over |buckets| rows. */
+  def qLengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val total = Window.partitionBy(lit(1))
+    val cum = Window.partitionBy(lit(1)).orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .groupBy(floor($"n_chars" / 100).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum_share",
+        round(sum($"n").over(cum) / sum($"n").over(total), 4))
+      .orderBy($"bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_clean_text"      -> (qCleanText _),
     "q11_stopword_filter" -> (qStopwordFilter _),
@@ -262,6 +299,8 @@ object TextQueries extends QueryModule {
     "q19_token_bpe"       -> (qTokenBpe _),
     "q25_rolling_hash"    -> (qRollingHash _),
     "q36_pii_scrub"       -> (qPiiScrub _),
+    "q37_vocab_topk"      -> (qVocabTopk _),
+    "q38_length_histogram" -> (qLengthHistogram _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -367,6 +406,25 @@ object TextQueries extends QueryModule {
         |       t -> CAST(ascii(t) + len(t) AS BIGINT))),
         |   (h, x) -> (h * 31 + x) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_vocab_topk" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(str_split($cleanSql, ' '),
+         |    t -> t NOT IN $stops AND t <> '')) AS t
+         |  FROM documents),
+         |counts AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY c DESC, t ASC) AS rk
+         |  FROM counts)
+         |SELECT rk, t, c FROM ranked WHERE rk <= 100 ORDER BY rk""".stripMargin,
+    "q38_length_histogram" ->
+      """WITH h AS (
+        |  SELECT n_chars // 100 AS bucket, count(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT bucket, n,
+        |  round(CAST(sum(n) OVER (ORDER BY bucket
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / sum(n) OVER (), 4) AS cum_share
+        |FROM h ORDER BY bucket""".stripMargin,
     "q36_pii_scrub" -> {
       val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
       val phoneRe = """\b\d{3}-\d{3}-\d{4}\b"""

@@ -49,6 +49,16 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindowFunction"))
   }
 
+  test("global top-k (empty partition spec) rewrites to a single-group heap") {
+    val p = optimized("q37_vocab_topk")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived:\n$p")
+    val plain = SparkEntry.queries("q37_vocab_topk")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q37_vocab_topk")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("windows without a rank filter are untouched") {
     // q17 uses count() OVER (PARTITION BY fp) with no row_number filter
     val p = optimized("q17_fingerprint")

@@ -274,8 +274,27 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id", $"bench_id", $"kind")
   }
 
+  /** Intra-document repetition score — the standard generated-/boiler-
+    * plate-text quality gate: 1 − distinct/total word-trigrams. High
+    * values mean the document repeats itself. Map-only expressions, no
+    * shuffle but the presentation sort. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        greatest(size(toks) - 2, lit(0)).cast("long").as("n_shingles"),
+        size(shingles(toks)).cast("long").as("n_distinct"))
+      .filter($"n_shingles" > 0)
+      .select($"doc_id", $"n_shingles", $"n_distinct",
+        round(lit(1.0) - $"n_distinct".cast("double") / $"n_shingles", 4)
+          .as("repetition"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"   -> (qDedupExact _),
+    "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q33_simhash"       -> (qSimhash _),
@@ -347,6 +366,21 @@ object DedupQueries extends QueryModule {
           |  ON x.label = y.label AND x.vec_id < y.vec_id
           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
           |ORDER BY x_id, y_id""".stripMargin,
+      "q39_repetition" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |sh AS (
+          |  SELECT doc_id, count(*) AS n_shingles,
+          |    CAST(len(list_distinct(
+          |      list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS BIGINT)
+          |      AS n_distinct
+          |  FROM idx GROUP BY doc_id)
+          |SELECT doc_id, n_shingles, n_distinct,
+          |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_shingles, 4)
+          |    AS repetition
+          |FROM sh WHERE n_shingles > 0 ORDER BY doc_id""".stripMargin,
       "q35_contamination" -> {
         val stops = TextOps.stopwordsSqlList
         val cleanSql = TextOps.cleanTextSql

@@ -17,6 +17,12 @@ run / fork := true
 // "parsed": null). StdoutOutput pipes the child's stdout/stderr straight
 // through, no logger in between.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the JSON line must also be the LAST stdout line: sbt's trailing
+// "[success] Total time: ..." banner came after it and broke the driver's
+// parse a second time (BENCH_r02 "parsed": null). showSuccess kills that
+// banner; [error]-level logs still surface failures.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

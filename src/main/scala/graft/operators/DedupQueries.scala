@@ -109,41 +109,50 @@ object DedupQueries extends QueryModule {
     * load-bearing (see qMinhashLsh) but repeated invocations in one
     * long-lived session must reuse it, not pin a fresh copy each time.
     * Keyed on the stable sessionUUID (not identityHashCode — that can
-    * collide after a GC); entries pinned by *other* sessions are
-    * unpersisted and evicted on access, so persisted blocks can't
-    * outlive their session. Results go stale if the parquet under `dir`
-    * is rewritten mid-session — acceptable for immutable test data. */
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * collide after a GC). Eviction (round-2 ADVICE): only entries whose
+    * owning session is GONE — context stopped or session collected — are
+    * unpersisted; two LIVE sessions in one JVM (the newSession() test
+    * pattern) each keep their own entry instead of thrashing each
+    * other's load-bearing persist on every access. Results go stale if
+    * the parquet under `dir` is rewritten mid-session — acceptable for
+    * immutable test data. */
+  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
 
   private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
-    val prefix = org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@"
     val it = sigCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (!e.getKey.startsWith(prefix)) {
-        try e.getValue.unpersist() catch { case _: Throwable => () }
+      val owner = e.getValue._1.get()
+      if (owner == null || owner.sparkContext.isStopped) {
+        try e.getValue._2.unpersist() catch { case _: Throwable => () }
         it.remove()
       }
     }
-    sigCache.computeIfAbsent(prefix + dir, _ =>
+    val key = org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir
+    sigCache.computeIfAbsent(key, _ => (
+      new java.lang.ref.WeakReference(s),
       signatures(s, dir)
         .withColumn("sig",
           array((0 until MinhashK).map(i => col(s"h$i")): _*))
         .select(col("doc_id"), col("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
   }
 
   /** MinHash-LSH near-dup: band-bucket candidate generation, then the
     * classic LSH verify step — candidates re-checked with the EXACT
-    * shingle Jaccard, output = pairs ≥ 0.5. The exact check makes the
+    * shingle Jaccard, output = pairs ≥ 0.9. The exact check makes the
     * result oracle-comparable (DuckDB recomputes all-pairs exact Jaccard
-    * ≥ 0.5; the engine only ever scores LSH candidates): banding with 8
-    * bands × 4 rows finds a J-similar pair with prob 1-(1-J⁴)⁸ — ≥
-    * 0.999998 at J ≥ 0.95, where every true pair in this corpus sits
-    * (nothing lives in [0.3, 0.95), measured) — and the fixed xxhash64
-    * seeds make the candidate set deterministic, so the compare is
-    * stable, not flaky. */
+    * ≥ 0.9; the engine only ever scores LSH candidates): banding with 8
+    * bands × 4 rows finds a J-similar pair with prob 1-(1-J⁴)⁸ — 0.9998
+    * at the J = 0.9 output threshold and ≥ 0.999998 at J ≥ 0.95 where
+    * every true pair of this corpus sits. The threshold is 0.9, not the
+    * round-1 0.5, because oracle parity must hold on ANY corpus, not
+    * just one with an empty [0.3, 0.95) similarity band: at J = 0.5 a
+    * true pair is banded with probability only ~0.40, so a mid-range
+    * pair would be an oracle "miss" that is really a data property
+    * (round-2 ADVICE). Fixed xxhash64 seeds keep the candidate set
+    * deterministic, so the compare is stable, not flaky. */
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // The signature frame is consumed by all bands of both join sides.
@@ -171,7 +180,7 @@ object DedupQueries extends QueryModule {
     cand
       .join(sh.select($"doc_id".as("x_id"), $"sh".as("x_sh")), "x_id")
       .join(sh.select($"doc_id".as("y_id"), $"sh".as("y_sh")), "y_id")
-      .filter(jac >= 0.5)
+      .filter(jac >= 0.9)
       .select($"x_id", $"y_id", round(jac, 4).as("jaccard"))
       .orderBy($"x_id", $"y_id")
   }
@@ -331,7 +340,8 @@ object DedupQueries extends QueryModule {
       // q32's oracle is the EXACT all-pairs answer (DuckDB can afford it
       // at oracle scale); the engine reaches the same set through banded
       // LSH candidates + exact verify — see qMinhashLsh's detection-prob
-      // argument for why the two agree on this corpus.
+      // argument for why the two agree at the 0.9 output threshold on
+      // ANY corpus (not just one with a measured similarity gap).
       "q32_minhash_lsh" -> {
         val stops = TextOps.stopwordsSqlList
         val cleanSql = TextOps.cleanTextSql
@@ -352,7 +362,7 @@ object DedupQueries extends QueryModule {
           |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
           |WHERE len(list_intersect(x.sh, y.sh))
           |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-          |    >= 0.5
+          |    >= 0.9
           |ORDER BY x_id, y_id""".stripMargin
       },
       "q34_embed_cos_dup" ->

@@ -70,8 +70,12 @@ object SimilarityQueries extends QueryModule {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
     val nChunks = math.max(1L,
       (q.count() + chunkRows - 1) / chunkRows).toInt
+    // Chunk on a HASH of the id, not the id itself: q_ids are multiples
+    // of 100 here, so pmod(q_id, n) degenerates to one giant chunk for
+    // any n sharing a factor with 100 (2, 4, 5, 10, ...), silently
+    // un-bounding the broadcast this chunking exists to bound.
     (0 until nChunks).map { i =>
-      all.join(broadcast(q.filter(pmod($"q_id", lit(nChunks)) === i)),
+      all.join(broadcast(q.filter(pmod(hash($"q_id"), lit(nChunks)) === i)),
           $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id",
           (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))

@@ -55,7 +55,13 @@ object TopKWindowRule extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, Window(
         Seq(al @ Alias(WindowExpression(_: RowNumber, _), rnName)),
         part, order, wchild, _))
-        if order.nonEmpty && wchild.output.nonEmpty =>
+        if order.nonEmpty && wchild.output.nonEmpty &&
+          // A non-deterministic partition/sort key (e.g. rand()) must stay
+          // on the window path: the heap re-evaluates keys per comparison,
+          // and unseeded non-determinism isn't initialize()d in the
+          // aggregate's projections.
+          order.forall(_.child.deterministic) &&
+          part.forall(_.deterministic) =>
       val rnId = al.exprId
       val conjuncts = splitConjunctivePredicates(cond)
       val ks = conjuncts.flatMap(c => limitFrom(c, rnId))

@@ -7,20 +7,19 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("minhash-LSH candidates verified by exact jaccard (>= 0.5 contract)") {
+  test("minhash-LSH candidates verified by exact jaccard (>= 0.9 contract)") {
     import spark.implicits._
     // q32's output is LSH candidates re-checked with EXACT shingle
-    // jaccard; every emitted pair must clear the 0.5 threshold, and the
-    // planted near-dups of this corpus sit at >= 0.9
+    // jaccard; every emitted pair must clear the 0.9 threshold (where
+    // 8x4 banding detects with p >= 0.9998 on any corpus — round-2
+    // ADVICE), and this corpus's planted near-dups sit at >= 0.9
     val got = DedupQueries.qMinhashLsh(spark, sf)
       .select($"x_id", $"y_id", $"jaccard").collect()
     assert(got.nonEmpty, "LSH should surface candidate pairs on sf0.001")
     got.foreach { r =>
       val j = r.getDouble(2)
-      assert(j >= 0.5 && j <= 1.0)
+      assert(j >= 0.9 && j <= 1.0)
     }
-    assert(got.exists(_.getDouble(2) >= 0.9),
-      "planted near-dups (J >= 0.9) must be recovered")
   }
 
   test("simhash: one 64-bit sketch per doc, stable across runs") {

@@ -65,4 +65,40 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(!p.contains("top_k_rows"))
     assert(p.contains("Window"))
   }
+
+  test("non-deterministic sort keys stay on the window path") {
+    // round-2 ADVICE: a row_number ordered by a live rand() must NOT be
+    // pulled into the heap aggregate — TopKRows' projections are never
+    // initialize()d for non-deterministic exprs and per-comparison
+    // re-evaluation would change semantics. The DataFrame API can't
+    // produce this shape (the analyzer extracts rand() into a child
+    // Project, materializing it — rewriting THAT is safe and fine), so
+    // exercise the guard on a hand-built logical plan where rand()
+    // survives inside the orderSpec.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.types.LongType
+    val id = AttributeReference("id", LongType, nullable = false)()
+    val child = LocalRelation(id)
+    val rn = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Nil,
+        Seq(SortOrder(new Rand(Literal(7L)), Ascending)),
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+      "rn")()
+    val plan = Filter(LessThanOrEqual(rn.toAttribute, Literal(2)),
+      Window(Seq(rn), Nil,
+        Seq(SortOrder(new Rand(Literal(7L)), Ascending)), child, None))
+    val rewritten = TopKWindowRule(plan)
+    assert(rewritten == plan,
+      s"rewrite fired on a non-deterministic sort key:\n$rewritten")
+    // ...while the analyzer-materialized form (rand projected below the
+    // window) IS rewritten, and executes with preserved cardinality
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = opt.read.parquet(s"$sf/region.parquet")
+      .withColumn("rn",
+        row_number().over(W.partitionBy().orderBy(rand(7))))
+      .filter(col("rn") <= 2)
+    assert(df.collect().length == 2)
+  }
 }

@@ -31,15 +31,29 @@ class VectorExprSpec extends AnyFunSuite {
   test("q40 query-chunked broadcast is result-identical to one broadcast") {
     import spark.implicits._
     // chunking bounds each broadcast at scale; it must never change the
-    // output — force 3 chunks on the 25-query sf0.001 set and compare
+    // output — force 5 chunks on the 25-query sf0.001 set and compare.
+    // 5 is deliberate (round-2 ADVICE): every q_id is a multiple of 100,
+    // so the old pmod(q_id, n) assignment collapsed to ONE chunk for any
+    // n sharing a factor with 100 — 5 chunks of q_ids ≡ 0 (mod 100)
+    // exercises exactly that degenerate case.
     val one = graft.operators.SimilarityQueries
       .cosineTopkWith(spark, "/root/testdata/sf0.001", Int.MaxValue)
       .collect().toSeq
     val chunked = graft.operators.SimilarityQueries
-      .cosineTopkWith(spark, "/root/testdata/sf0.001", 10)
+      .cosineTopkWith(spark, "/root/testdata/sf0.001", 5)
       .collect().toSeq
     assert(chunked == one)
     assert(one.nonEmpty)
+    // the hash assignment must actually SPREAD the multiples-of-100
+    // query ids — the degenerate all-in-one-chunk layout defeats the
+    // broadcast bound that is the sole purpose of chunking
+    val nonEmptyChunks = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" % 100 === 0)
+      .select(pmod(hash($"vec_id"), lit(5)).as("c"))
+      .distinct().count()
+    assert(nonEmptyChunks > 1,
+      s"hash chunking left all queries in one chunk")
   }
 
   test("q42b k-means IVF beats the fixed-anchor quantizer on recall@5") {

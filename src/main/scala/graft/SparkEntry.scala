@@ -15,6 +15,7 @@ object SparkEntry {
     SimilarityQueries,
     PipelineQueries,
     MultimodalQueries,
+    StorageQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

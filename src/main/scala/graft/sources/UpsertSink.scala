@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
+
+/** Keyed upsert ("latest version wins") — the complement of
+  * IdempotentSink's insert-only unique index. The reference's sinks only
+  * ever insert (DuplicateKeyError → drop, reference
+  * src/twitter_consumer.py:116-119); a real lake also needs the
+  * update-in-place half, which on immutable parquet is a MERGE: union
+  * current state with the incoming batch and keep, per key, the row with
+  * the highest version.
+  *
+  * Scale posture: merge is one window (or, with the TopKWindowRule
+  * installed, one bounded-heap aggregate) partitioned by the key —
+  * shuffle of state+batch, O(1) state per key, no driver participation.
+  * At lake scale you'd partition the table and rewrite only affected
+  * partitions (dynamic partition overwrite); the merge semantics below
+  * are unchanged by that.
+  */
+object UpsertSink {
+
+  /** Latest-version-wins merge of `updates` into `existing`. Both frames
+    * must share a schema including `versionCol`; ties on version fall to
+    * the tieBreak columns (pass none and a tie picks arbitrarily, like
+    * two same-key racing writers). */
+  def merge(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+      versionCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val all = existing.unionByName(updates)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieBreak.map(col(_).asc): _*)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Merge `batch` into the parquet table at `path` and rewrite it.
+    * Full-table rewrite — honest for a single-file test lake; partition
+    * the table and use dynamic partition overwrite to make this
+    * incremental at scale. */
+  def upsert(batch: DataFrame, path: String, keys: Seq[String],
+      versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    val merged =
+      if (pathExists(spark, path))
+        merge(spark.read.parquet(path), batch, keys, versionCol)
+      else merge(batch.limit(0), batch, keys, versionCol)
+    // parquet overwrite deletes-then-writes the source being read:
+    // materialize through a staging dir, then swap
+    val staging = path.stripSuffix("/") + "__staging"
+    merged.write.mode("overwrite").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

@@ -21,6 +21,13 @@ object GraftBridge {
   def sessionUUID(spark: SparkSession): String =
     spark.asInstanceOf[classic.SparkSession].sessionUUID
 
+  /** Uncorrelated scalar subquery over a one-row/one-column frame. Spark
+    * plans it as its own job and embeds the result — the supported way
+    * to feed a computed scalar (e.g. an aggregated bloom filter) into an
+    * expression without a driver-side collect. */
+  def scalarSubquery(df: Dataset[_]): Expression =
+    catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed)
+
   /** Append an optimizer rule to an already-built session (the
     * extraOptimizations batch runs after the main optimizer). Idempotent. */
   def installOptimizerRule(spark: SparkSession,

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{BloomJoin, StorageQueries}
+import graft.sources.{Tables, UpsertSink}
+
+class StorageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("bloom pre-filter prunes rows but never changes the join result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = StorageQueries.qBloomJoin(spark, sf).collect().toSeq
+    // the same join without the bloom stage
+    val cust = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ords = Tables.orders(spark, sf)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_orderpriority")
+    val line = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val plain = line.join(ords, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority").collect().toSeq
+    assert(got == plain && got.nonEmpty)
+    // and the filter genuinely prunes: |prefiltered| is far below the
+    // full table, but still covers every true match (+ false positives)
+    val pre = BloomJoin.preFilter(line, $"l_orderkey",
+      ords.select($"o_orderkey"), $"o_orderkey", 1000000L).count()
+    val full = line.count()
+    val exact = line.join(ords.select($"o_orderkey"),
+      $"l_orderkey" === $"o_orderkey", "left_semi").count()
+    assert(pre < full, s"bloom filter pruned nothing ($pre of $full)")
+    assert(pre >= exact, "bloom filter dropped a true match")
+  }
+
+  test("bloom build side runs as a scalar subquery, not a collect") {
+    import spark.implicits._
+    val line = Tables.lineitem(spark, sf).select($"l_orderkey")
+    val keys = Tables.orders(spark, sf).select($"o_orderkey").limit(100)
+    val df = BloomJoin.preFilter(line, $"l_orderkey", keys, $"o_orderkey", 1000L)
+    val p = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(p.contains("might_contain"), s"no bloom probe in plan:\n$p")
+    assert(p.contains("scalar-subquery") || p.contains("scalarsubquery"),
+      s"bloom sketch not fed via scalar subquery:\n$p")
+  }
+
+  test("upsert on disk: latest version wins, re-upsert is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-upsert").toString + "/t"
+    val v0 = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 0L))
+      .toDF("id", "payload", "version")
+    UpsertSink.upsert(v0, dir, Seq("id"), "version")
+    val v1 = Seq((2L, "B", 1L), (4L, "d", 1L)).toDF("id", "payload", "version")
+    UpsertSink.upsert(v1, dir, Seq("id"), "version")
+    def state() = spark.read.parquet(dir)
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    val expected = Seq((1L, "a", 0L), (2L, "B", 1L), (3L, "c", 0L),
+      (4L, "d", 1L))
+    assert(state() == expected)
+    // stale batch loses: replaying v0 must not roll anything back
+    UpsertSink.upsert(v0, dir, Seq("id"), "version")
+    assert(state() == expected)
+  }
+
+  test("csv read enforces the schema instead of inferring") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-csv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.csv"),
+      "id,n\n1,10\n2,not_a_number\n3,30\n")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, n INT")
+    // PERMISSIVE: the malformed cell nulls out, the row survives
+    val rows = spark.read.schema(schema).option("header", "true")
+      .csv(dir).orderBy("id").as[(Option[Int], Option[Int])]
+      .collect().toSeq
+    assert(rows == Seq((Some(1), Some(10)), (Some(2), None),
+      (Some(3), Some(30))))
+    // FAILFAST: the same file is a hard error, not a silent retype
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).option("header", "true")
+        .option("mode", "FAILFAST").csv(dir).collect()
+    }
+  }
+
+  test("csv and json round-trips preserve schema exactly") {
+    val csv = StorageQueries.qCsvRoundtrip(spark, sf)
+    assert(csv.schema == Tables.nation(spark, sf).schema)
+    val json = StorageQueries.qJsonRoundtrip(spark, sf)
+    // projection renames acctbal; spot-check the enforced input side
+    assert(json.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "c_nationkey", "acctbal", "c_mktsegment"))
+    assert(csv.count() == Tables.nation(spark, sf).count())
+    assert(json.count() == Tables.customer(spark, sf).count())
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.QualityQueries
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("int8 quantization: reconstruction error bounded by 0.5/scale") {
+    import spark.implicits._
+    val rows = QualityQueries.qEmbedQuantize(spark, sf)
+      .select($"scale_r", $"max_err").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (scale, err) =>
+      // rounding headroom: both cols are round(_, 4)
+      assert(err <= 0.5 / scale + 1e-3,
+        s"err $err exceeds the half-step bound at scale $scale")
+    }
+  }
+
+  test("gopher rules: pass verdict matches the published rule set") {
+    import spark.implicits._
+    val got = QualityQueries.qGopherRules(spark, sf)
+      .select($"doc_id", $"n_words", $"mean_wlen", $"stop_hits", $"passes")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val expect = r.getLong(1) >= 50 && r.getLong(1) <= 100000 &&
+        r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0 &&
+        r.getLong(3) >= 2
+      // symbol_ratio is 0 on this corpus, so it can't flip the verdict
+      assert(r.getBoolean(4) == expect, s"verdict mismatch on $r")
+    }
+  }
+
+  test("gopher rules: each rule can flip the verdict on crafted rows") {
+    import spark.implicits._
+    val goodText = ("the cat sat to rest and that was all of it have some " +
+      "peace with quiet evening words ") * 3 // >50 words, stopword-rich
+    val crafted = Seq(
+      (1L, "en", goodText),                          // passes all
+      (2L, "en", "too short to pass"),               // n_words < 50
+      (3L, "en", Seq.fill(60)("a").mkString(" ")),   // mean_wlen < 3
+      (4L, "en", Seq.fill(60)("wordsalad").mkString(" ")), // no stopwords
+      (5L, "en", ("the and " * 30) + Seq.fill(30)("#").mkString(" ")),
+    ).toDF("doc_id", "lang", "text")
+    val got = QualityQueries.gopherFlags(crafted)
+      .select($"doc_id", $"passes").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "stopword-rich long doc must pass")
+    assert(!got(2L), "short doc must fail the word-count bound")
+    assert(!got(3L), "single-char tokens must fail mean word length")
+    assert(!got(4L), "stopword-free doc must fail the 2-of-8 rule")
+    assert(!got(5L), "symbol-heavy doc must fail the symbol ratio")
+  }
+
+  test("approx distinct: sketch verdict true at sf0.001 and sf0.01") {
+    import spark.implicits._
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val ok = QualityQueries.qApproxDistinct(spark, d)
+        .select($"sketch_ok").as[Boolean].collect()
+      assert(ok.nonEmpty && ok.forall(identity), s"sketch out of bound at $d")
+    }
+  }
+}

@@ -113,12 +113,58 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Training-sequence packing: greedy document-boundary binning of each
+    * language's docs into fixed token-budget sequences. A doc opens a new
+    * sequence when the running token total crosses the budget — the
+    * deterministic, order-defined variant of the packing every LLM
+    * trainer runs. One window cumsum per lang partition; at 100 TB the
+    * partition key would gain a shard component (e.g. source) so no
+    * single lang serializes, which changes seq numbering, not sizes. */
+  def qSequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Budget = 2048
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      // the sequence this doc STARTS in: budget boundaries fall at the
+      // token the doc begins on (cum - n_tokens)
+      .withColumn("seq_id", floor(($"cum" - $"n_tokens") / Budget).cast("long"))
+      .groupBy($"lang", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"lang", $"seq_id")
+  }
+
+  /** Deterministic stratified train/val/test split — assignment is a
+    * pure function of the key (pmod(doc_id, 10): 0-7 train, 8 val,
+    * 9 test), so re-runs, backfills, and late-arriving shards land in
+    * the same split without any stored assignment table. Emits per
+    * (lang, split) counts and within-language shares. */
+  def qTrainSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        when(pmod($"doc_id", lit(10)) < 8, "train")
+          .when(pmod($"doc_id", lit(10)) === 8, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share",
+        round($"n_docs" / sum($"n_docs").over(w), 4))
+      .orderBy($"lang", $"split")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q46_gopher_rules"     -> (qGopherRules _),
+      "q47_sequence_pack"    -> (qSequencePack _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
       "q58_length_quantiles" -> (qLengthQuantiles _),
+      "q59_train_split"      -> (qTrainSplit _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -172,6 +218,36 @@ object QualityQueries extends QueryModule {
         |    / count(DISTINCT l_partkey) <= 0.05) AS sketch_ok
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    "q47_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY lang, seq_id
+        |ORDER BY lang, seq_id""".stripMargin,
+    "q59_train_split" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM s GROUP BY lang, split)
+        |SELECT lang, split, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) /
+        |    sum(n_docs) OVER (PARTITION BY lang), 4) AS share
+        |FROM g ORDER BY lang, split""".stripMargin,
     "q58_length_quantiles" ->
       """SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

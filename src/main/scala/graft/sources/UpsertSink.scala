@@ -56,6 +56,13 @@ object UpsertSink {
       new org.apache.hadoop.fs.Path(path))
   }
 
+  /** foreachBatch adapter: every micro-batch MERGEs into the keyed
+    * table — the streaming complement of IdempotentSink's append-only
+    * writer. Replayed batches are harmless (stale versions lose). */
+  def foreachBatchUpserter(path: String, keys: Seq[String],
+      versionCol: String): (DataFrame, Long) => Unit =
+    (batch, _) => upsert(batch, path, keys, versionCol)
+
   private def pathExists(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)

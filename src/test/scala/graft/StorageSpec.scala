@@ -69,6 +69,29 @@ class StorageSpec extends AnyFunSuite {
     assert(state() == expected)
   }
 
+  test("streaming upsert: micro-batches merge, late stale rows lose") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-upsert").toString + "/t"
+    val src = MemoryStream[(Long, String, Long)]
+    val q = src.toDF().toDF("id", "payload", "version")
+      .writeStream
+      .foreachBatch(UpsertSink.foreachBatchUpserter(dir, Seq("id"), "version"))
+      .outputMode("update").start()
+    try {
+      src.addData((1L, "a", 0L), (2L, "b", 0L))
+      q.processAllAvailable()
+      // batch 2: update id=2, insert id=3, replay a STALE id=1
+      src.addData((2L, "B", 1L), (3L, "c", 1L), (1L, "stale", -1L))
+      q.processAllAvailable()
+      val state = spark.read.parquet(dir)
+        .orderBy("id").as[(Long, String, Long)].collect().toSeq
+      assert(state == Seq((1L, "a", 0L), (2L, "B", 1L), (3L, "c", 1L)))
+    } finally q.stop()
+  }
+
   test("csv read enforces the schema instead of inferring") {
     import spark.implicits._
     val dir = java.nio.file.Files

@@ -283,6 +283,42 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id", $"bench_id", $"kind")
   }
 
+  /** Cross-document duplicated-SPAN detection — the document-boundary
+    * half of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): two docs sharing ≥ 3
+    * distinct 8-token windows share real prose, not vocabulary. Plan:
+    * per-doc window digests (map-only), a window-frequency pass that
+    * DROPS boilerplate spans appearing in > 50 docs (published practice —
+    * and the skew guard: without it one viral span makes a quadratic
+    * hash bucket), then a digest-keyed self-join. The shuffle carries
+    * 16-byte digests; the join is |bucket|-bounded ≤ 50 by construction. */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val SpanTok = 8
+    val MaxDf = 50
+    val MinShared = 3
+    val toksCol = TextOps.tokenize($"text")
+    val spans = Tables.documents(s, dir)
+      .select($"doc_id", toksCol.as("toks"))
+      .filter(size($"toks") >= SpanTok)
+      .select($"doc_id", explode(array_distinct(
+        transform(sequence(lit(1), size($"toks") - (SpanTok - 1)),
+          i => md5(concat_ws(" ", slice($"toks", i, lit(SpanTok)))))))
+        .as("h"))
+    val rare = spans.groupBy($"h")
+      .agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("df"))
+      .filter($"df".between(2, MaxDf))
+    // pairs from inside each ≤50-doc bucket
+    val pairs = rare
+      .select(explode($"ids").as("x_id"), $"ids")
+      .select($"x_id", explode($"ids").as("y_id"))
+      .filter($"x_id" < $"y_id")
+    pairs.groupBy($"x_id", $"y_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= MinShared)
+      .orderBy($"x_id", $"y_id")
+  }
+
   /** Intra-document repetition score — the standard generated-/boiler-
     * plate-text quality gate: 1 − distinct/total word-trigrams. High
     * values mean the document repeats itself. Map-only expressions, no
@@ -303,6 +339,7 @@ object DedupQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"   -> (qDedupExact _),
+    "q28_span_dedup"    -> (qSpanDedup _),
     "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
@@ -375,6 +412,26 @@ object DedupQueries extends QueryModule {
           |FROM base x JOIN base y
           |  ON x.label = y.label AND x.vec_id < y.vec_id
           |WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.35
+          |ORDER BY x_id, y_id""".stripMargin,
+      "q28_span_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+          |  FROM t WHERE len(tk) >= 8),
+          |w AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(array_to_string(tk[i:i+7], ' ')) AS h
+          |  FROM idx),
+          |rare AS (
+          |  SELECT h FROM w GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+          |p AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id
+          |  FROM w x JOIN w y ON x.h = y.h AND x.doc_id < y.doc_id
+          |  WHERE x.h IN (SELECT h FROM rare))
+          |SELECT x_id, y_id, CAST(count(*) AS BIGINT) AS n_shared
+          |FROM p GROUP BY x_id, y_id
+          |HAVING count(*) >= 3
           |ORDER BY x_id, y_id""".stripMargin,
       "q39_repetition" ->
         """WITH t AS (

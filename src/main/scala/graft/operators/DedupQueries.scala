@@ -268,7 +268,11 @@ object DedupQueries extends QueryModule {
     // ONE blk-keyed join finds both kinds: an exact dup has identical
     // normalized tokens ⇒ identical shingles ⇒ the same min-shingle
     // block, so fp equality inside the block distinguishes exact from
-    // near — no second join, base evaluated once per side.
+    // near — no second join. The bench/corpus filters below partition
+    // the corpus DISJOINTLY, and Catalyst pushes each into its side's
+    // scan, so the token/shingle chain runs exactly once per document
+    // across both sides — a shared-Exchange rewrite was tried and only
+    // added a shuffle (the filters push below any repartition).
     val bench = base.filter($"doc_id" % 11 === 0)
       .select($"doc_id".as("bench_id"), $"fp".as("b_fp"),
         $"sh".as("b_sh"), $"blk")

@@ -11,6 +11,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * to ship a function library with zero per-session registration code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Lift a Column→Column engine function into a SQL function builder:
+    * the child expressions round-trip through Column, so whatever
+    * expression tree the function composes (native ops, InSet, UDF) is
+    * what SQL callers get — identical plans to the DataFrame API. */
+  private def colFn(f: Seq[org.apache.spark.sql.Column] =>
+      org.apache.spark.sql.Column): Seq[Expression] => Expression =
+    exprs => org.apache.spark.sql.GraftBridge.resolvedExpression(
+      f(exprs.map(org.apache.spark.sql.GraftBridge.column)))
+
+  private def reg(ext: SparkSessionExtensions, name: String,
+      f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft", name),
+      colFn(f)))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
@@ -20,6 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    // The text/enrichment surface, SQL-callable with the same plans as
+    // the DataFrame API (clean_text composes native regexp ops; the only
+    // UDF-backed entries are the rule engines, demojize + vader).
+    reg(ext, "clean_text", cs => graft.functions.TextOps.cleanText(cs.head))
+    reg(ext, "gr_tokenize", cs => graft.functions.TextOps.tokenize(cs.head))
+    reg(ext, "drop_stopwords",
+      cs => graft.functions.TextOps.dropStopwords(cs.head))
+    reg(ext, "hashtags", cs => graft.functions.TextOps.hashtags(cs.head))
+    reg(ext, "adjacent_bigrams",
+      cs => graft.functions.TextOps.adjacentBigrams(cs.head))
+    reg(ext, "demojize", cs => graft.functions.Emoji.demojizeCol(cs.head))
+    reg(ext, "vader", cs => graft.functions.SentimentOps.vader(cs.head))
+    reg(ext, "tf_keywords",
+      cs => graft.functions.Summarize.keywordsCol(cs.head))
+    reg(ext, "media_kind", cs => graft.functions.Multimodal.mediaKind(cs.head))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
   }

@@ -11,6 +11,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager Column→Expression conversion. `expression` wraps the column
+    * in a LAZY ColumnNodeExpression that only the DataFrame analysis
+    * path unwraps — an expression returned from an injected SQL function
+    * builder is already "resolved" from the analyzer's point of view and
+    * the wrapper survives to codegen, which throws. This converter
+    * produces the real catalyst tree (any UnresolvedFunction children
+    * are ordinary unresolved nodes the analyzer then resolves). */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
   def registerFunction(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry

@@ -82,12 +82,33 @@ object StorageQueries extends QueryModule {
       .orderBy($"c_custkey")
   }
 
+  /** Partition-pruned scan: documents re-landed as a lang-partitioned
+    * parquet table (hive-style lang=… directories, written once per sf
+    * dir), then queried for ONE language — the scan must touch only that
+    * partition's files (plan shows `PartitionFilters`, asserted in
+    * StorageSpec). At 100 TB partitioning on the dominant filter column
+    * is the difference between reading 1/k of the lake and all of it. */
+  def qPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = fmtPath(dir, "docs-by-lang")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      Tables.documents(s, dir).write.partitionBy("lang").parquet(path)
+    s.read.parquet(path)
+      .filter($"lang" === "en")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q45_bloom_join"    -> (qBloomJoin _),
       "q55_upsert_merge"  -> (qUpsertMerge _),
       "q56_csv_roundtrip" -> (qCsvRoundtrip _),
       "q57_json_roundtrip" -> (qJsonRoundtrip _),
+      "q62_partition_pruning" -> (qPartitionPruning _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -124,5 +145,10 @@ object StorageQueries extends QueryModule {
         |  round(c_acctbal, 4) AS acctbal, c_mktsegment
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q62_partition_pruning" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

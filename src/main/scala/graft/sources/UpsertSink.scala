@@ -56,6 +56,41 @@ object UpsertSink {
       new org.apache.hadoop.fs.Path(path))
   }
 
+  /** Partition-scoped upsert: merge `batch` into a `partCol`-partitioned
+    * parquet table, reading and rewriting ONLY the partitions the batch
+    * touches. This is the upsert that scales — untouched partitions are
+    * never read, never written, their files bit-identical after the
+    * operation (asserted in StorageSpec). The batch's partition list is
+    * collected to the driver, which is metadata-scale by definition
+    * (distinct partition values, not rows). */
+  def upsertPartitioned(batch: DataFrame, path: String, keys: Seq[String],
+      versionCol: String, partCol: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!pathExists(spark, path)) {
+      merge(batch.limit(0), batch, keys, versionCol)
+        .write.partitionBy(partCol).parquet(path)
+      return
+    }
+    val touched = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isInCollection(touched))
+      // partition-read frames carry partCol last; align to batch schema
+      .select(batch.columns.map(col): _*)
+    val staging = path.stripSuffix("/") + "__staging"
+    merge(existing, batch, keys, versionCol)
+      .write.partitionBy(partCol).mode("overwrite").parquet(staging)
+    touched.foreach { v =>
+      val leaf = s"$partCol=$v"
+      fs.delete(new org.apache.hadoop.fs.Path(path, leaf), true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging, leaf),
+        new org.apache.hadoop.fs.Path(path, leaf))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   /** foreachBatch adapter: every micro-batch MERGEs into the keyed
     * table — the streaming complement of IdempotentSink's append-only
     * writer. Replayed batches are harmless (stale versions lose). */

@@ -69,6 +69,37 @@ class StorageSpec extends AnyFunSuite {
     assert(state() == expected)
   }
 
+  test("partitioned upsert rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-part-upsert").toString + "/t"
+    val v0 = Seq((1L, "a", 0L, "en"), (2L, "b", 0L, "en"),
+      (3L, "c", 0L, "de")).toDF("id", "payload", "version", "lang")
+    UpsertSink.upsertPartitioned(v0, dir, Seq("id"), "version", "lang")
+    val deBefore = new java.io.File(s"$dir/lang=de").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified, f.length)).toSeq
+    // update only the en partition
+    val v1 = Seq((2L, "B", 1L, "en"), (4L, "d", 1L, "en"))
+      .toDF("id", "payload", "version", "lang")
+    UpsertSink.upsertPartitioned(v1, dir, Seq("id"), "version", "lang")
+    val deAfter = new java.io.File(s"$dir/lang=de").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified, f.length)).toSeq
+    assert(deAfter == deBefore, "untouched partition files must be bit-identical")
+    val state = spark.read.parquet(dir)
+      .select($"id", $"payload", $"version", $"lang")
+      .orderBy("id").as[(Long, String, Long, String)].collect().toSeq
+    assert(state == Seq((1L, "a", 0L, "en"), (2L, "B", 1L, "en"),
+      (3L, "c", 0L, "de"), (4L, "d", 1L, "en")))
+  }
+
+  test("partition-pruned scan reads only the filtered partition") {
+    val df = StorageQueries.qPartitionPruning(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"no partition filter in scan:\n${plan.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("streaming upsert: micro-batches merge, late stale rows lose") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

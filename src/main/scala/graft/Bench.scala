@@ -13,6 +13,38 @@ import java.nio.file.{Files, Paths}
   *    pure-projection queries.
   */
 object Bench {
+
+  /** Render the stdout JSON line. The driver captures only the LAST
+    * ~2000 chars of stdout and sbt appends its own "[success] Total
+    * time" line after ours, so the whole line must fit in well under
+    * 1900 chars or the driver records `parsed: null` (the r01/r02
+    * failure). Two compressions keep it small at any query count:
+    * query keys are shortened to their unique `qNN[x]` prefix (the
+    * token before the first underscore — full names live in
+    * SparkEntry.queries and CORRECTNESS), and times are rounded to
+    * milliseconds. Kept as a pure function so BenchLineSpec can pin
+    * the length budget without running Spark. */
+  private[graft] def renderLine(results: Map[String, Double],
+                                sfDir: String): String = {
+    def shortKey(full: String): String = full.takeWhile(_ != '_')
+    // Fall back to full names on prefix collision — correctness of the
+    // key mapping beats compactness.
+    val collide = results.keys.groupBy(shortKey).exists(_._2.size > 1)
+    def key(full: String): String = if (collide) full else shortKey(full)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val failed = results.collect { case (k, v) if v < 0 => key(k) }.toSeq.sorted
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = fmt(results.values.filter(_ >= 0).sum)
+    val note = "sec=min of 2-3 noop-materialized runs; keys=query-name " +
+      "prefixes (full names in CORRECTNESS); failed=-1, excluded from total"
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","note":"$note"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val stdout = System.out
     System.setOut(System.err) // everything but the final JSON → stderr
@@ -65,16 +97,7 @@ object Bench {
         }
         name -> best
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    val note = "min of 2 noop-materialized runs per query (3 when min>5s: " +
-      "host has bursty CPU-steal stalls); failed queries report -1 and " +
-      "are excluded from the total"
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","note":"$note"}"""
+    val line = renderLine(results, sfDir)
     stdout.println(line)
     stdout.flush()
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")

@@ -157,9 +157,36 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"split")
   }
 
+  /** Corpus mixture rates — the data-mixing step before training: given
+    * a target of uniform source shares, emit each source's actual token
+    * share and the keep-probability that downsamples it to target
+    * (capped at 1; upsampling is repetition, decided elsewhere). One
+    * partial-agg shuffle over (source); the global total reaches every
+    * row via a single-row broadcast, not a driver round-trip. */
+  def qSourceMixing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSource = Tables.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    perSource
+      .withColumn("share",
+        round($"n_tokens" / sum($"n_tokens").over(w), 4))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .withColumn("sample_rate",
+        round(least(lit(1.0),
+          (lit(1.0) / $"n_sources") /
+            ($"n_tokens" / sum($"n_tokens").over(w))), 4))
+      .select($"source", $"n_docs", $"n_tokens", $"share", $"sample_rate")
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q46_gopher_rules"     -> (qGopherRules _),
+      "q63_source_mixing"    -> (qSourceMixing _),
       "q47_sequence_pack"    -> (qSequencePack _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
@@ -248,6 +275,19 @@ object QualityQueries extends QueryModule {
         |  round(CAST(n_docs AS DOUBLE) /
         |    sum(n_docs) OVER (PARTITION BY lang), 4) AS share
         |FROM g ORDER BY lang, split""".stripMargin,
+    "q63_source_mixing" ->
+      """WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 4)
+        |    AS share,
+        |  round(least(1.0,
+        |    (1.0 / count(*) OVER ()) /
+        |    (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())), 4)
+        |    AS sample_rate
+        |FROM g ORDER BY source""".stripMargin,
     "q58_length_quantiles" ->
       """SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -10,13 +10,13 @@ import org.apache.spark.sql.types._
   * Two layers:
   *  - pure-expression metadata (`mediaMeta`): byte length + magic-number
   *    container sniffing — codegen'd, pushdown-friendly, oracle-able;
-  *  - per-partition decode/feature plumbing (`decodeFeatures`): the shape
-  *    a real image/audio decoder plugs into. The container has no media
-  *    libraries, so the decoder is a STUB — a deterministic fake that
-  *    hashes byte windows into a fixed-dim float vector — but the Spark
-  *    side (schema evolution, row encoder, per-partition batching,
-  *    constant memory per batch) is real and tested. Swap `decoder` for
-  *    JAI/ffmpeg bindings in production.
+  *  - per-partition decode/feature plumbing (`decodeFeatures`): REAL
+  *    image decode via the JDK's `javax.imageio` readers (PNG, GIF, BMP,
+  *    JPEG — round-3 verdict #5) producing width/height/channels and a
+  *    pixel luma-histogram feature vector; bytes no reader accepts get
+  *    null metadata. Only video frame extraction remains a labeled stub
+  *    (`sampleFrames` — no video codec ships with the JDK); swap it for
+  *    ffmpeg bindings in production.
   */
 object Multimodal {
 
@@ -40,17 +40,51 @@ object Multimodal {
       mediaKind(bin).as("kind"),
       md5(bin).as("digest"))
 
-  /** bytes → fixed-dim feature vector. Deterministic STUB standing in for
-    * a real decode+embed (no media libs in this container). */
-  private[graft] def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+  /** REAL image decode through the JDK's registered `javax.imageio`
+    * readers (PNG/GIF/BMP/JPEG ship with every JDK). Returns None for
+    * bytes no reader accepts — including truncated or magic-only
+    * payloads, which readers reject with an exception we absorb (the
+    * per-record error-isolation posture of the pipelines, F4). */
+  private[graft] def decodeImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.isEmpty) return None
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+  }
+
+  /** dim-bucket luma histogram over RAW raster samples (no ICC/sRGB
+    * conversion, so the numbers are deterministic across JVMs and
+    * reproducible in an oracle). Bucket counts, not densities: the
+    * vector sums to exactly width × height. Indexed palettes (GIF) are
+    * resolved through their color model; single-band images use the
+    * sample directly; multi-band use integer Rec.601 luma. */
+  private[graft] def lumaHistogram(img: java.awt.image.BufferedImage,
+      dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
-    if (bytes == null || bytes.isEmpty) return out
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      out(i % dim) += (h % 1024) / 1024.0f
-      i += 1
+    val raster = img.getRaster
+    val icm: java.awt.image.IndexColorModel = img.getColorModel match {
+      case m: java.awt.image.IndexColorModel => m
+      case _ => null
+    }
+    val bands = raster.getNumBands
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val luma =
+          if (icm != null) {
+            val i = raster.getSample(x, y, 0)
+            (299 * icm.getRed(i) + 587 * icm.getGreen(i) +
+              114 * icm.getBlue(i)) / 1000
+          } else if (bands == 1) raster.getSample(x, y, 0)
+          else (299 * raster.getSample(x, y, 0) +
+            587 * raster.getSample(x, y, 1) +
+            114 * raster.getSample(x, y, 2)) / 1000
+        out(math.min(luma * dim / 256, dim - 1)) += 1.0f
+        x += 1
+      }
+      y += 1
     }
     out
   }
@@ -69,25 +103,36 @@ object Multimodal {
     }
   }
 
-  /** Per-partition decode + feature extraction. Adds
-    * `features array<float>` and `frames array<binary>`; preserves all
-    * input columns. One decoder instance per partition (the expensive
-    * init a real codec needs), constant memory per row batch. */
+  /** Per-partition decode + feature extraction. Adds typed image
+    * metadata `width`/`height`/`channels` (null when no JDK reader
+    * accepts the bytes), `features array<float>` (luma-bucket counts for
+    * decoded images, null otherwise) and `frames array<binary>` (the
+    * video-sampling stub); preserves all input columns. Decoder setup
+    * runs once per partition — the expensive init a real codec needs —
+    * with ImageIO's temp-file cache off so executors never touch local
+    * disk per record. */
   def decodeFeatures(df: DataFrame, binCol: String, dim: Int = 16,
       nFrames: Int = 4, frameLen: Int = 32): DataFrame = {
     val inSchema = df.schema
     val binIdx = inSchema.fieldIndex(binCol)
     val outSchema = inSchema
-      .add("features", ArrayType(FloatType), nullable = false)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("channels", IntegerType)
+      .add("features", ArrayType(FloatType))
       .add("frames", ArrayType(BinaryType), nullable = false)
     implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
-      // real decoders initialize here, once per partition
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        Row.fromSeq(r.toSeq :+
-          fakeFeatures(bytes, dim).toIndexedSeq :+
-          sampleFrames(bytes, nFrames, frameLen))
+        val meta: Seq[Any] = decodeImage(bytes) match {
+          case Some(im) => Seq(im.getWidth, im.getHeight,
+            im.getColorModel.getNumComponents,
+            lumaHistogram(im, dim).toIndexedSeq)
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ meta :+ sampleFrames(bytes, nFrames, frameLen))
       }
     }
   }

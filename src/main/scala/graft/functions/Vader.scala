@@ -14,11 +14,12 @@ package graft.functions
   * high-frequency sentiment vocabulary, on the same [-4, 4] valence
   * scale — scores are self-consistent (pinned by unit fixtures) but not
   * bit-identical to the Python package on words outside the subset.
-  * Documented deviations from the published engine: (a) subset lexicon;
-  * (b) no idiom/special-case table ("the bomb", "bad ass", …);
-  * (c) emoticon entries are the common core, not the full set;
-  * (d) "never so/this <word>" boosts via the plain negation path here,
-  * not the published 1.25/1.25 special case.
+  * The published idiom/special-case table ("the bomb", "kiss of death",
+  * …), the multiword booster bigrams ("kind of", "sort of"), and the
+  * "never so/this" ×1.25 negation special case (including the published
+  * and/or-precedence quirk at the 3-back window) are implemented —
+  * round-3 verdict #4. Remaining documented deviations: (a) subset
+  * lexicon; (b) emoticon entries are the common core, not the full set.
   *
   * Pure JVM function — wrapped as a Spark UDF in SentimentOps. Thread-safe
   * and allocation-light so 32 executor threads can hammer it.
@@ -27,6 +28,10 @@ object Vader {
 
   final case class Scores(negative: Double, neutral: Double,
       positive: Double, compound: Double)
+
+  /** Stable (sorted) view of the lexicon for the q50a broadcast-join
+    * scoring path and its DuckDB VALUES-literal oracle. */
+  def lexiconEntries: Seq[(String, Double)] = Lexicon.toSeq.sortBy(_._1)
 
   // Published VADER constants
   private val BIncr    = 0.293
@@ -313,6 +318,52 @@ object Vader {
     Negations.contains(lc) || lc.endsWith("n't")
   }
 
+  /** Published SPECIAL_CASES idiom table (vaderSentiment 3.3.2). Values
+    * on the lexicon's [-4, 4] scale; an idiom match REPLACES the word's
+    * valence (caps emphasis and all), as in the published engine. */
+  private[functions] val SpecialCases: Map[String, Double] = Map(
+    "the shit" -> 3.0, "the bomb" -> 3.0, "bad ass" -> 1.5,
+    "badass" -> 1.5, "bus stop" -> 0.0, "yeah right" -> -2.0,
+    "kiss of death" -> -1.5, "to die for" -> 3.0,
+    "beating heart" -> 3.1, "broken heart" -> -2.9)
+
+  /** Multiword booster bigrams from the published BOOSTER_DICT — looked
+    * up only by the idiom pass (single tokens can never match them). */
+  private[functions] val BoosterPhrases: Map[String, Double] = Map(
+    "kind of" -> BDecr, "kind-of" -> BDecr,
+    "sort of" -> BDecr, "sort-of" -> BDecr)
+
+  /** Published _special_idioms_check: the five two-/three-token windows
+    * ENDING at or just before the lexicon hit are searched first (first
+    * match wins), then the forward windows starting at the hit (each
+    * overriding), then multiword booster bigrams behind the hit ADD
+    * their raw scalar. Called only when i ≥ 3, mirroring the published
+    * call site (inside the distance loop at start_i == 2). */
+  private def specialIdioms(valence0: Double, toks: Array[String],
+      i: Int): Double = {
+    def lc(j: Int) = toks(j).toLowerCase
+    var v = valence0
+    val onezero      = s"${lc(i - 1)} ${lc(i)}"
+    val twoonezero   = s"${lc(i - 2)} ${lc(i - 1)} ${lc(i)}"
+    val twoone       = s"${lc(i - 2)} ${lc(i - 1)}"
+    val threetwoone  = s"${lc(i - 3)} ${lc(i - 2)} ${lc(i - 1)}"
+    val threetwo     = s"${lc(i - 3)} ${lc(i - 2)}"
+    Seq(onezero, twoonezero, twoone, threetwoone, threetwo)
+      .find(SpecialCases.contains).foreach(sq => v = SpecialCases(sq))
+    if (toks.length - 1 > i) {
+      val zeroone = s"${lc(i)} ${lc(i + 1)}"
+      if (SpecialCases.contains(zeroone)) v = SpecialCases(zeroone)
+    }
+    if (toks.length - 1 > i + 1) {
+      val zeroonetwo = s"${lc(i)} ${lc(i + 1)} ${lc(i + 2)}"
+      if (SpecialCases.contains(zeroonetwo)) v = SpecialCases(zeroonetwo)
+    }
+    Seq(threetwoone, threetwo, twoone).foreach { ng =>
+      BoosterPhrases.get(ng).foreach(v += _)
+    }
+    v
+  }
+
   def polarityScores(text: String): Scores = {
     if (text == null || text.isEmpty) return Scores(0.0, 0.0, 0.0, 0.0)
     val toks = tokenizeV(text)
@@ -333,25 +384,55 @@ object Vader {
             v = base
             // ALL-CAPS emphasis
             if (capDiff && isUpper(w)) v += (if (v > 0) CIncr else -CIncr)
-            // booster words up to 3 back, decayed 1.0 / 0.95 / 0.9
+            // look-back window of 3, one pass per distance exactly as
+            // the published engine: each distance d is SKIPPED whole
+            // (booster, negation, idioms) when the word d back is itself
+            // a lexicon entry — "no good" scores both words, it does not
+            // negate "good" — otherwise: booster scalar decayed
+            // 1.0/0.95/0.9, then the negation check, then (d == 3 only)
+            // the idiom pass.
+            // negation branches — the published _negation_check runs
+            // once per look-back distance, so "not not good" flips back
+            // positive. Distances 2 and 3 carry the published special
+            // cases: "never so/this <w>" BOOSTS ×1.25 instead of
+            // flipping, and "without doubt <w>" leaves valence alone.
+            // The distance-3 "never so/this" condition reproduces the
+            // published and/or precedence verbatim — `never and (so|this
+            // at i-2) OR (so|this at i-1)` — i.e. so/this directly
+            // before the word triggers 1.25 with or without "never";
+            // that quirk is the package's actual scoring behavior.
+            def lcAt(j: Int) = toks(j).toLowerCase
             var back = 1
             while (back <= 3 && i - back >= 0) {
-              val prev = toks(i - back)
-              val s = scalarIncDec(prev, v, capDiff)
-              val decay = back match {
-                case 1 => 1.0
-                case 2 => 0.95
-                case _ => 0.9
+              if (!Lexicon.contains(lcAt(i - back))) {
+                val s = scalarIncDec(toks(i - back), v, capDiff)
+                val decay = back match {
+                  case 1 => 1.0
+                  case 2 => 0.95
+                  case _ => 0.9
+                }
+                v += s * decay
+                back match {
+                  case 1 =>
+                    if (negated(toks(i - 1))) v *= NScalar
+                  case 2 =>
+                    if (lcAt(i - 2) == "never" &&
+                        (lcAt(i - 1) == "so" || lcAt(i - 1) == "this"))
+                      v *= 1.25
+                    else if (lcAt(i - 2) == "without" &&
+                        lcAt(i - 1) == "doubt") ()
+                    else if (negated(toks(i - 2))) v *= NScalar
+                  case _ =>
+                    if ((lcAt(i - 3) == "never" &&
+                          (lcAt(i - 2) == "so" || lcAt(i - 2) == "this")) ||
+                        (lcAt(i - 1) == "so" || lcAt(i - 1) == "this"))
+                      v *= 1.25
+                    else if (lcAt(i - 3) == "without" &&
+                        (lcAt(i - 2) == "doubt" || lcAt(i - 1) == "doubt")) ()
+                    else if (negated(toks(i - 3))) v *= NScalar
+                    v = specialIdioms(v, toks, i)
+                }
               }
-              v += s * decay
-              back += 1
-            }
-            // negation window of 3: N_SCALAR applies once PER negator
-            // found (published _negation_check multiplies at each of the
-            // three look-backs), so "not not good" flips back positive
-            back = 1
-            while (back <= 3 && i - back >= 0) {
-              if (negated(toks(i - back))) v *= NScalar
               back += 1
             }
             // "least" check (e.g. "least good"), but not "at least" /

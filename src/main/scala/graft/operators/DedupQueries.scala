@@ -185,6 +185,59 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Duplicate-CLUSTER resolution: q32's near-dup PAIRS resolved into
+    * keeper/loser clusters — the step an actual dedup pipeline ships.
+    * Connected components over the verified-pair graph; keeper = the
+    * component's minimum doc_id (the reference sinks' "first write wins"
+    * unique-index semantics — reference src/rss_consumer.py:53 — is the
+    * degenerate exact-dup form of this). Algorithm: iterative min-label
+    * propagation — each round every node takes the min label among itself
+    * and its neighbors — converging in graph-diameter rounds with an
+    * early-stop on the changed-row count; near-dup components are tiny
+    * cliques (diameter ≤ 2), so MaxCcIters is generous headroom, and a
+    * non-converged exit still emits per-node labels (documented partial,
+    * never wrong pairs). Each round shuffles only (doc_id, label); the
+    * edge list — |near-dup pairs|, orders of magnitude smaller than the
+    * corpus — is persisted once. localCheckpoint truncates the iterative
+    * lineage so round N doesn't replay rounds 1..N-1 (a real cluster
+    * would checkpoint to reliable storage). At billions of edges one
+    * would switch to Large-Star/Small-Star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) for O(log n)
+    * rounds; plain min-propagation is the right cost for the shallow
+    * near-dup graphs a dedup pass emits. */
+  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MaxCcIters = 20
+    val pairs = qMinhashLsh(s, dir).select($"x_id", $"y_id")
+    val edges = pairs.union(pairs.select($"y_id", $"x_id"))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both directions are present, so select(src) covers every node.
+    var labels = edges.select($"src".as("doc_id"))
+      .distinct()
+      .select($"doc_id", $"doc_id".as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIters) {
+      val neigh = edges
+        .join(labels.select($"doc_id".as("dst"), $"lbl".as("dst_lbl")),
+          "dst")
+        .groupBy($"src").agg(min($"dst_lbl").as("n_lbl"))
+        .select($"src".as("doc_id"), $"n_lbl")
+      val stepped = labels
+        .join(neigh, Seq("doc_id"), "left")
+        .select($"doc_id", $"lbl".as("old_lbl"),
+          least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = stepped.filter($"lbl" < $"old_lbl").count()
+      labels = stepped.select($"doc_id", $"lbl")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"lbl".as("keeper_id")).orderBy($"doc_id")
+  }
+
   /** SimHash bit width: 60 bits from the first 15 hex chars of md5 —
     * md5 is the one hash both engines compute identically (q30 proves
     * it), which makes the whole sketch DuckDB-oracle-able, unlike the
@@ -251,8 +304,12 @@ object DedupQueries extends QueryModule {
     * here is the synthetic `doc_id % 11` slice; in production it is the
     * eval suites. Plan shape: two joins keyed on 16-byte digests /
     * min-shingle strings — never text, never all-pairs; the near path
-    * inherits q31's content blocking, so at 100 TB the work is
-    * |blocks|-bounded exactly like the dedup suite. */
+    * inherits q31's content blocking AND its MaxBlock guard (round-3
+    * verdict #2): a degenerate min-shingle — shared boilerplate across
+    * the corpus or a huge benchmark suite — would otherwise recreate
+    * all-pairs inside that block. One windowed count over blk caps both
+    * join sides at once, so at 100 TB the work is |blocks|-bounded with
+    * block size ≤ MaxBlock exactly like the dedup suite. */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // tokens staged once: fp and shingles both consume the same chain,
@@ -265,14 +322,17 @@ object DedupQueries extends QueryModule {
         shingles($"toks").as("sh"))
       .filter(size($"sh") > 0)
       .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
     // ONE blk-keyed join finds both kinds: an exact dup has identical
     // normalized tokens ⇒ identical shingles ⇒ the same min-shingle
     // block, so fp equality inside the block distinguishes exact from
     // near — no second join. The bench/corpus filters below partition
-    // the corpus DISJOINTLY, and Catalyst pushes each into its side's
-    // scan, so the token/shingle chain runs exactly once per document
-    // across both sides — a shared-Exchange rewrite was tried and only
-    // added a shuffle (the filters push below any repartition).
+    // the corpus DISJOINTLY. They sit ABOVE the blk_n window (the cap
+    // must count the whole block, bench + corpus together), so the
+    // token/shingle chain + window run once and both sides reuse the
+    // blk-partitioned Exchange the window already paid for.
     val bench = base.filter($"doc_id" % 11 === 0)
       .select($"doc_id".as("bench_id"), $"fp".as("b_fp"),
         $"sh".as("b_sh"), $"blk")
@@ -350,6 +410,7 @@ object DedupQueries extends QueryModule {
     "q33_simhash"       -> (qSimhash _),
     "q34_embed_cos_dup" -> (qEmbedCosineDup _),
     "q35_contamination" -> (qContamination _),
+    "q64_dup_clusters"  -> (qDupClusters _),
   )
 
   override def oracleSql: Map[String, String] = {
@@ -465,13 +526,15 @@ object DedupQueries extends QueryModule {
           |  SELECT doc_id,
           |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
           |  FROM idx GROUP BY doc_id),
-          |base AS (
+          |base0 AS (
           |  SELECT c.doc_id, md5(array_to_string(c.tk, ' ')) AS fp,
           |         s.sh, list_aggregate(s.sh, 'min') AS blk
           |  FROM cleaned c JOIN sh s ON s.doc_id = c.doc_id
           |  WHERE len(s.sh) > 0),
-          |bench AS (SELECT * FROM base WHERE doc_id % 11 = 0),
-          |corpus AS (SELECT * FROM base WHERE doc_id % 11 <> 0)
+          |base AS (
+          |  SELECT *, count(*) OVER (PARTITION BY blk) AS blk_n FROM base0),
+          |bench AS (SELECT * FROM base WHERE doc_id % 11 = 0 AND blk_n <= 1000),
+          |corpus AS (SELECT * FROM base WHERE doc_id % 11 <> 0 AND blk_n <= 1000)
           |SELECT c.doc_id, b.doc_id AS bench_id,
           |  CASE WHEN c.fp = b.fp THEN 'exact' ELSE 'near' END AS kind
           |FROM corpus c JOIN bench b ON c.blk = b.blk
@@ -479,6 +542,41 @@ object DedupQueries extends QueryModule {
           |    / CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))
           |           AS DOUBLE) >= 0.5
           |ORDER BY 1, 2, 3""".stripMargin
+      },
+      // q64: the oracle recomputes q32's exact-Jaccard ≥ 0.9 pairs
+      // (identical CTE chain — DuckDB affords all-pairs at oracle scale),
+      // then takes connected components with a recursive reachability
+      // CTE: min doc_id reachable from each node IS the component min,
+      // which is exactly what min-label propagation converges to.
+      "q64_dup_clusters" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH RECURSIVE cleaned AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
+          |sh AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id),
+          |p AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id
+          |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          |  WHERE len(list_intersect(x.sh, y.sh))
+          |      / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |      >= 0.9),
+          |e AS (
+          |  SELECT x_id AS src, y_id AS dst FROM p
+          |  UNION ALL
+          |  SELECT y_id AS src, x_id AS dst FROM p),
+          |reach AS (
+          |  SELECT src AS doc_id, src AS r FROM e
+          |  UNION
+          |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src)
+          |SELECT doc_id, min(r) AS keeper_id
+          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
       // bit-sums per doc, sign bits reassembled, 15-bit bands.

@@ -74,6 +74,38 @@ object PipelineQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** P1's lexicon half as a DISTRIBUTED broadcast join — no UDF: explode
+    * VADER-tokenized words (whitespace split, tokens > 1 char), score
+    * against the lexicon table, raw lowercase form first (emoticons like
+    * ":)" live in the lexicon with punctuation) then the punct-stripped
+    * form — exactly the engine's two-step lookup. Oracled with the
+    * lexicon embedded as a DuckDB VALUES literal (the q41-planes trick;
+    * round-3 verdict #6), which makes the lexicon path a green
+    * CORRECTNESS row; the rule engine (negation, boosters, idioms)
+    * remains fixture-tested in VaderSpec. At 100 TB this is the shape a
+    * lexicon scorer should have anyway: a broadcast hash join against a
+    * few-thousand-row dim table, fully codegen'd, one partial-agg
+    * shuffle of (doc_id, sum, count). */
+  def qLexiconSentiment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = graft.functions.Vader.lexiconEntries.toDF("w", "v")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", "\\s+")).as("t"))
+      .filter(length($"t") > 1)
+      .select($"doc_id", lower($"t").as("raw"))
+      .withColumn("stripped", regexp_replace($"raw",
+        "^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$", ""))
+    toks
+      .join(broadcast(lex.select($"w".as("raw"), $"v".as("v_raw"))),
+        Seq("raw"), "left")
+      .join(broadcast(lex.select($"w".as("stripped"), $"v".as("v_str"))),
+        Seq("stripped"), "left")
+      .select($"doc_id", coalesce($"v_raw", $"v_str").as("v"))
+      .groupBy($"doc_id")
+      .agg(count($"v").as("n_hits"), round(sum($"v"), 4).as("lex_sum"))
+      .orderBy($"doc_id")
+  }
+
   /** P3: demojize. The corpus is emoji-free, so the oracle asserts the
     * identity property (demojize(emoji-free) == input) — real emoji
     * behavior is pinned by EmojiSpec fixtures. */
@@ -216,6 +248,7 @@ object PipelineQueries extends QueryModule {
     "q18_keywords_tf"     -> (qKeywordsTf _),
     "q18b_keywords_inrow" -> (qKeywordsTfInRow _),
     "q50_sentiment"       -> (qSentiment _),
+    "q50a_lexicon_sentiment" -> (qLexiconSentiment _),
     "q51_demojize"        -> (qDemojize _),
     "q52_twitter_pipeline" -> (qTwitterPipeline _),
     "q52b_twitter_sentiment" -> (qTwitterSentiment _),
@@ -255,6 +288,33 @@ object PipelineQueries extends QueryModule {
            |SELECT doc_id, string_agg(t, ' ' ORDER BY rk) AS keywords
            |FROM ranked WHERE rk <= 5
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q50a_lexicon_sentiment" -> {
+        // the full lexicon as a VALUES literal — same trick as q41's
+        // hyperplanes: engine constants are replayable in SQL
+        val values = graft.functions.Vader.lexiconEntries
+          .map { case (w, v) => s"('${w.replace("'", "''")}',$v)" }
+          .mkString(",")
+        s"""WITH lex AS (
+           |  SELECT w, CAST(v AS DOUBLE) AS v FROM (VALUES $values) t(w, v)),
+           |tok AS (
+           |  SELECT doc_id, lower(t) AS raw
+           |  FROM (SELECT doc_id,
+           |          unnest(regexp_split_to_array(text, '\\s+')) AS t
+           |        FROM documents)
+           |  WHERE length(t) > 1),
+           |st AS (
+           |  SELECT doc_id, raw,
+           |    regexp_replace(raw,
+           |      '^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$$', '', 'g') AS stripped
+           |  FROM tok),
+           |sc AS (
+           |  SELECT s.doc_id, coalesce(lr.v, ls.v) AS v
+           |  FROM st s
+           |  LEFT JOIN lex lr ON s.raw = lr.w
+           |  LEFT JOIN lex ls ON s.stripped = ls.w)
+           |SELECT doc_id, count(v) AS n_hits, round(sum(v), 4) AS lex_sum
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
       "q51_demojize" ->
         """SELECT doc_id, text AS demojized
           |FROM documents ORDER BY doc_id""".stripMargin,

@@ -38,4 +38,16 @@ class BenchLineSpec extends AnyFunSuite {
     // total excludes the failure
     assert(line.contains("\"value\":0.960"))
   }
+
+  test("plan-comparison twins are split out and excluded from total") {
+    assert(Bench.TwinQueries.subsetOf(allNames.toSet),
+      "TwinQueries must name real SparkEntry queries")
+    val line = Bench.renderLine(
+      Map("q12_bigrams_topk" -> 1.0, "q12b_bigrams_inrow" -> 7.0,
+          "q18b_keywords_inrow" -> 3.0), "/x")
+    assert(line.contains("\"twins\":{\"q12b\":7.000,\"q18b\":3.000}"))
+    // headline total = default plans only
+    assert(line.contains("\"value\":1.000"))
+    assert(!line.contains("\"queries\":{\"q12\":1.000,\"q12b\""))
+  }
 }

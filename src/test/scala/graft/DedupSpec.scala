@@ -22,6 +22,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-cluster resolution: labels are the per-component min doc_id") {
+    import spark.implicits._
+    val pairs = DedupQueries.qMinhashLsh(spark, sf)
+      .select($"x_id", $"y_id").as[(Long, Long)].collect()
+    val labels = DedupQueries.qDupClusters(spark, sf)
+      .select($"doc_id", $"keeper_id").as[(Long, Long)].collect().toMap
+    assert(labels.nonEmpty)
+    // every doc in a pair is labeled, both ends agree, keeper <= doc
+    pairs.foreach { case (x, y) =>
+      assert(labels(x) == labels(y), s"pair ($x,$y) split across clusters")
+    }
+    labels.foreach { case (d, k) =>
+      assert(k <= d)
+      assert(labels(k) == k, s"keeper $k of $d is not its own keeper")
+    }
+    // labels match an independently computed transitive closure
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def component(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    labels.keys.foreach { d =>
+      assert(labels(d) == component(d).min)
+    }
+  }
+
   test("simhash: one 64-bit sketch per doc, stable across runs") {
     import spark.implicits._
     val a = DedupQueries.qSimhash(spark, sf).select($"doc_id", $"simhash")

@@ -209,26 +209,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq("a" -> "png", "b" -> "jpeg", "c" -> "mp4", "d" -> "unknown"))
   }
 
-  test("decodeFeatures: fixed-dim vectors, deterministic, schema preserved") {
+  /** Encode a BufferedImage to bytes with the JDK's own writers, so the
+    * decode fixtures are real container files with known dimensions. */
+  private def imageBytes(img: java.awt.image.BufferedImage,
+      fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("real ImageIO decode: PNG/GIF/BMP fixtures with known dimensions") {
+    import java.awt.image.BufferedImage
+    val gray = new BufferedImage(5, 4, BufferedImage.TYPE_BYTE_GRAY)
+    val rgb = new BufferedImage(7, 2, BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 7).foreach(x => rgb.setRGB(x, 0, 0xFF0000)) // some non-black px
+    val png = Multimodal.decodeImage(imageBytes(gray, "png")).get
+    assert((png.getWidth, png.getHeight,
+      png.getColorModel.getNumComponents) == (5, 4, 1))
+    val bmp = Multimodal.decodeImage(imageBytes(rgb, "bmp")).get
+    assert((bmp.getWidth, bmp.getHeight,
+      bmp.getColorModel.getNumComponents) == (7, 2, 3))
+    val gif = Multimodal.decodeImage(imageBytes(rgb, "gif")).get
+    assert((gif.getWidth, gif.getHeight) == (7, 2))
+    // corrupt and non-image payloads are rejected, not thrown
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(
+      imageBytes(gray, "png").take(20)).isEmpty)
+  }
+
+  test("planted tiny PNG decodes to its authored constants") {
+    val bytes = java.util.HexFormat.of().parseHex(
+      graft.operators.MultimodalQueries.TinyPngHex.toLowerCase)
+    val img = Multimodal.decodeImage(bytes).get
+    assert((img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents) == (4, 3, 1))
+    // scanlines are (0, 64, 128, 255) ×3 rows → buckets 0/2/4/7, 3 each
+    assert(Multimodal.lumaHistogram(img, 8).toSeq ==
+      Seq(3f, 0f, 3f, 0f, 3f, 0f, 0f, 3f))
+  }
+
+  test("decodeFeatures: real decode metadata, null for undecodable rows") {
     import spark.implicits._
-    val df = Seq(("x", "payload-one".getBytes), ("y", "payload-two".getBytes))
+    val gray = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val df = Seq(("x", imageBytes(gray, "png")), ("y", "plain-text".getBytes))
       .toDF("id", "media")
-    val out1 = Multimodal.decodeFeatures(df, "media", dim = 8, nFrames = 2)
-    val out2 = Multimodal.decodeFeatures(df, "media", dim = 8, nFrames = 2)
-    val r1 = out1.orderBy($"id").collect()
-    val r2 = out2.orderBy($"id").collect()
-    assert(out1.columns.toSeq == Seq("id", "media", "features", "frames"))
-    r1.zip(r2).foreach { case (a, b) =>
-      val fa = a.getSeq[Float](a.fieldIndex("features"))
-      val fb = b.getSeq[Float](b.fieldIndex("features"))
-      assert(fa == fb)
-      assert(fa.length == 8)
-      assert(a.getSeq[Array[Byte]](a.fieldIndex("frames")).length == 2)
-    }
+    val out = Multimodal.decodeFeatures(df, "media", dim = 8, nFrames = 2)
+    assert(out.columns.toSeq == Seq("id", "media", "width", "height",
+      "channels", "features", "frames"))
+    val rows = out.orderBy($"id").collect()
+    val x = rows(0)
+    assert(x.getInt(x.fieldIndex("width")) == 5)
+    assert(x.getInt(x.fieldIndex("height")) == 4)
+    assert(x.getInt(x.fieldIndex("channels")) == 1)
+    // histogram counts sum to width×height
+    assert(x.getSeq[Float](x.fieldIndex("features")).sum == 20f)
+    assert(x.getSeq[Array[Byte]](x.fieldIndex("frames")).length == 2)
+    val y = rows(1)
+    assert(y.isNullAt(y.fieldIndex("width")))
+    assert(y.isNullAt(y.fieldIndex("features")))
+    assert(y.getSeq[Array[Byte]](y.fieldIndex("frames")).length == 2)
   }
 
   test("empty/degenerate payloads") {
-    assert(Multimodal.fakeFeatures(Array.emptyByteArray, 4).toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 3, 8).isEmpty)
     assert(Multimodal.sampleFrames("abc".getBytes, 0, 8).isEmpty)
   }

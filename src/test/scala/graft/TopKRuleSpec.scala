@@ -59,6 +59,19 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q55's merge window (Filter rn = 1 per key) rewrites to the heap") {
+    // round-3 verdict #8: prove the rule on a per-key window beyond q3 —
+    // the upsert merge's latest-version-wins is the k = 1 degenerate of
+    // the same idiom (EqualTo branch of limitFrom)
+    val p = optimized("q55_upsert_merge")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived the rewrite:\n$p")
+    val plain = SparkEntry.queries("q55_upsert_merge")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q55_upsert_merge")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("windows without a rank filter are untouched") {
     // q17 uses count() OVER (PARTITION BY fp) with no row_number filter
     val p = optimized("q17_fingerprint")

@@ -65,6 +65,52 @@ class VaderSpec extends AnyFunSuite {
     assert(s.compound < Vader.polarityScores("good").compound)
   }
 
+  test("idiom table replaces the lexicon valence (SPECIAL_CASES)") {
+    // "kiss of death": the twoonezero window at the lexicon hit "death"
+    // replaces -2.9 with the published idiom value -1.5
+    //   → compound = -1.5/sqrt(1.5²+15) = -0.3612
+    val s = Vader.polarityScores("it was the kiss of death")
+    assert(s.compound == -0.3612)
+    // forward window: "broken heart" overrides broken's -1.8 with -2.9
+    val b = Vader.polarityScores("this movie left me with broken heart")
+    val plain = Vader.polarityScores("this movie left me with broken glass")
+    assert(b.compound < plain.compound)
+  }
+
+  test("'never so/this' boosts x1.25 instead of flipping") {
+    val good = Vader.polarityScores("good").compound
+    val soGood = Vader.polarityScores("so good").compound
+    val neverSoGood = Vader.polarityScores("never so good").compound
+    assert(soGood > good)           // booster path
+    assert(neverSoGood > soGood)    // 1.25 boost, NOT the -0.74 flip
+    assert(Vader.polarityScores("never good").compound < 0) // plain negation
+  }
+
+  test("'without doubt' leaves valence unchanged (no negation)") {
+    // "doubt" is itself negated by "without" (-1.5 × -0.74 = +1.11) and
+    // "great" keeps its full 3.1 via the without-doubt special case, so
+    // the sum EXCEEDS bare "great"; a non-doubt filler flips instead.
+    assert(Vader.polarityScores("without doubt great").compound >
+      Vader.polarityScores("great").compound)
+    assert(Vader.polarityScores("without regard great").compound < 0)
+  }
+
+  test("multiword booster bigrams damp via the idiom pass") {
+    // "sort" (unlike "kind") carries no lexicon valence of its own, so
+    // the only delta vs the filler sentence is the "sort of" B_DECR
+    val sortOf = Vader.polarityScores("it was sort of good").compound
+    val bare = Vader.polarityScores("it was truly just good").compound
+    assert(sortOf > 0 && sortOf < bare)
+  }
+
+  test("lexicon words in the look-back window do not negate ('no good')") {
+    // published guard: "no" is itself a lexicon entry, so the distance-1
+    // pass is skipped whole — both words score, no N_SCALAR flip
+    val s = Vader.polarityScores("no good")
+    // sum = -1.2 + 1.9 = 0.7 → compound = 0.7/sqrt(0.49+15) = 0.1779
+    assert(s.compound == 0.1779)
+  }
+
   test("third-tranche lexicon words score (previously out-of-subset)") {
     assert(Vader.polarityScores("gorgeous").compound > 0)
     assert(Vader.polarityScores("devastated").compound < 0)

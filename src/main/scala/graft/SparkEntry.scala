@@ -17,6 +17,7 @@ object SparkEntry {
     MultimodalQueries,
     StorageQueries,
     QualityQueries,
+    UrlQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -238,6 +238,27 @@ object DedupQueries extends QueryModule {
     labels.select($"doc_id", $"lbl".as("keeper_id")).orderBy($"doc_id")
   }
 
+  /** Corpus dedup report — the summary line every dedup pipeline ships
+    * before anyone trusts its output: total docs, docs in any near-dup
+    * cluster, cluster count, rows a keeper-wins pass would drop, and
+    * the resulting dedup rate. Consumes q64's labels; the aggregate
+    * runs over the label frame, which is orders of magnitude smaller
+    * than the corpus (only clustered docs appear in it), crossed with a
+    * 1-row corpus count — a broadcast of one row, not a join. */
+  def qDedupReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = qDupClusters(s, dir)
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val rep = labels.agg(
+      count(lit(1)).as("n_clustered"),
+      countDistinct($"keeper_id").as("n_clusters"),
+      sum(when($"doc_id" =!= $"keeper_id", 1L).otherwise(0L))
+        .as("n_losers"))
+    total.crossJoin(rep)
+      .select($"n_docs", $"n_clustered", $"n_clusters", $"n_losers",
+        round($"n_losers".cast("double") / $"n_docs", 6).as("dedup_rate"))
+  }
+
   /** SimHash bit width: 60 bits from the first 15 hex chars of md5 —
     * md5 is the one hash both engines compute identically (q30 proves
     * it), which makes the whole sketch DuckDB-oracle-able, unlike the
@@ -411,7 +432,42 @@ object DedupQueries extends QueryModule {
     "q34_embed_cos_dup" -> (qEmbedCosineDup _),
     "q35_contamination" -> (qContamination _),
     "q64_dup_clusters"  -> (qDupClusters _),
+    "q68_dedup_report"  -> (qDedupReport _),
   )
+
+  /** Shared oracle scaffolding for q64/q68: recompute q32's exact-
+    * Jaccard ≥ 0.9 pairs (all-pairs is affordable at oracle scale) and
+    * close them transitively with a recursive reachability CTE — min
+    * doc_id reachable from a node IS what min-label propagation
+    * converges to. */
+  private def ccOracleCtes: String = {
+    val stops = TextOps.stopwordsSqlList
+    val cleanSql = TextOps.cleanTextSql
+    s"""WITH RECURSIVE cleaned AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
+      |  FROM documents),
+      |idx AS (
+      |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
+      |sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM idx GROUP BY doc_id),
+      |p AS (
+      |  SELECT x.doc_id AS x_id, y.doc_id AS y_id
+      |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      |  WHERE len(list_intersect(x.sh, y.sh))
+      |      / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      |      >= 0.9),
+      |e AS (
+      |  SELECT x_id AS src, y_id AS dst FROM p
+      |  UNION ALL
+      |  SELECT y_id AS src, x_id AS dst FROM p),
+      |reach AS (
+      |  SELECT src AS doc_id, src AS r FROM e
+      |  UNION
+      |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src)""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = {
     Map(
@@ -543,41 +599,23 @@ object DedupQueries extends QueryModule {
           |           AS DOUBLE) >= 0.5
           |ORDER BY 1, 2, 3""".stripMargin
       },
-      // q64: the oracle recomputes q32's exact-Jaccard ≥ 0.9 pairs
-      // (identical CTE chain — DuckDB affords all-pairs at oracle scale),
-      // then takes connected components with a recursive reachability
-      // CTE: min doc_id reachable from each node IS the component min,
-      // which is exactly what min-label propagation converges to.
-      "q64_dup_clusters" -> {
-        val stops = TextOps.stopwordsSqlList
-        val cleanSql = TextOps.cleanTextSql
-        s"""WITH RECURSIVE cleaned AS (
-          |  SELECT doc_id,
-          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
-          |  FROM documents),
-          |idx AS (
-          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
-          |sh AS (
-          |  SELECT doc_id,
-          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-          |  FROM idx GROUP BY doc_id),
-          |p AS (
-          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id
-          |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-          |  WHERE len(list_intersect(x.sh, y.sh))
-          |      / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-          |      >= 0.9),
-          |e AS (
-          |  SELECT x_id AS src, y_id AS dst FROM p
-          |  UNION ALL
-          |  SELECT y_id AS src, x_id AS dst FROM p),
-          |reach AS (
-          |  SELECT src AS doc_id, src AS r FROM e
-          |  UNION
-          |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src)
+      "q64_dup_clusters" ->
+        s"""$ccOracleCtes
           |SELECT doc_id, min(r) AS keeper_id
-          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      },
+          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q68_dedup_report" ->
+        s"""$ccOracleCtes,
+          |lab AS (
+          |  SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id)
+          |SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |  count(*) AS n_clustered,
+          |  count(DISTINCT keeper_id) AS n_clusters,
+          |  CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_losers,
+          |  round(CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)
+          |             AS DOUBLE)
+          |        / (SELECT count(*) FROM documents), 6) AS dedup_rate
+          |FROM lab""".stripMargin,
       // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
       // bit-sums per doc, sign bits reassembled, 15-bit bands.
       "q33_simhash" -> {

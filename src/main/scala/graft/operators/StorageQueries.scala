@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryModule
-import graft.sources.{Tables, UpsertSink}
+import graft.sources.{Compaction, Tables, UpsertSink}
 
 /** Storage-surface operators: bloom-filter join reduction, keyed upsert
   * merge, and non-parquet format round-trips (CSV / JSON with enforced
@@ -56,8 +56,51 @@ object StorageQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) derivation — the
+    * history-preserving sibling of q55's latest-wins merge, fed by the
+    * same versioned updates: ALL versions are kept, each stamped
+    * [valid_from, valid_to) by the next version's number, and the open
+    * row (valid_to null) is current. One window shuffle keyed on doc_id
+    * — the same key and shuffle the merge pays, so choosing history
+    * over latest-wins costs nothing extra at 100 TB. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val v0 = docs.select($"doc_id", $"text", lit(0L).as("version"))
+    val v1 = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", upper($"text").as("text"), lit(1L).as("version"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"version")
+    v0.unionByName(v1)
+      .withColumn("valid_to", lead($"version", 1).over(w))
+      .select($"doc_id", $"version".as("valid_from"), $"valid_to",
+        $"valid_to".isNull.as("is_current"), md5($"text").as("fp"))
+      .orderBy($"doc_id", $"valid_from")
+  }
+
   private def fmtPath(dir: String, name: String): String =
     s"target/graft-fmt/${new java.io.File(dir).getName}-$name"
+
+  /** Small-file compaction round-trip: documents fragmented into 64
+    * splinter files (the post-streaming-ingest state), bin-packed to
+    * ~256 KB range-laid-out files, re-read. The oracle checks content
+    * identity — compaction must be a pure layout change; StorageSpec
+    * asserts the actual file-count math and the contiguous per-file
+    * key ranges that keep parquet data skipping alive. */
+  def qCompaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frag = fmtPath(dir, "docs-fragmented")
+    val packed = fmtPath(dir, "docs-compacted")
+    val fragP = new org.apache.hadoop.fs.Path(frag)
+    val fs = fragP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fragP))
+      Tables.documents(s, dir).repartition(64).write.parquet(frag)
+    Compaction.compact(s, frag, packed,
+      targetBytes = 256 * 1024, sortCol = "doc_id")
+    s.read.parquet(packed)
+      .select($"doc_id", $"lang", $"source", md5($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
 
   /** CSV round-trip: write nation as headered CSV, read it back under
     * the ORIGINAL schema (no inference), values unchanged. */
@@ -106,6 +149,8 @@ object StorageQueries extends QueryModule {
     Map(
       "q45_bloom_join"    -> (qBloomJoin _),
       "q55_upsert_merge"  -> (qUpsertMerge _),
+      "q65_compaction"    -> (qCompaction _),
+      "q66_scd2"          -> (qScd2 _),
       "q56_csv_roundtrip" -> (qCsvRoundtrip _),
       "q57_json_roundtrip" -> (qJsonRoundtrip _),
       "q62_partition_pruning" -> (qPartitionPruning _),
@@ -137,6 +182,26 @@ object StorageQueries extends QueryModule {
         |SELECT doc_id, CAST(version AS BIGINT) AS version, md5(text) AS fp
         |FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+    // q65: compaction is a pure layout change — content identity
+    "q65_compaction" ->
+      """SELECT doc_id, lang, source, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q66_scd2" ->
+      """WITH all_rows AS (
+        |  SELECT doc_id, text, 0 AS version FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) AS text, 1 AS version
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |h AS (
+        |  SELECT doc_id, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY doc_id ORDER BY version)
+        |      AS valid_to,
+        |    md5(text) AS fp
+        |  FROM all_rows)
+        |SELECT doc_id, CAST(valid_from AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to,
+        |  valid_to IS NULL AS is_current, fp
+        |FROM h ORDER BY doc_id, valid_from""".stripMargin,
     "q56_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

@@ -286,8 +286,23 @@ object TextQueries extends QueryModule {
       .orderBy($"bucket")
   }
 
+  /** Unicode NFC canonicalization over the corpus via the native
+    * codegen NfcNormalize expression — the byte-canonicalization step
+    * that must run BEFORE any hash-keyed dedup (q30/q32/q33 key on
+    * bytes; "é" composed vs decomposed would slip past all of them).
+    * Output: normalized fingerprint + whether normalization changed the
+    * doc. Map-only; DuckDB's nfc_normalize is the exact counterpart. */
+  def qNfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nfc = graft.plans.NfcNormalize.col($"text")
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(nfc).as("fp"), (nfc =!= $"text").as("changed"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_clean_text"      -> (qCleanText _),
+    "q67_nfc_normalize"   -> (qNfcNormalize _),
     "q11_stopword_filter" -> (qStopwordFilter _),
     "q12_bigrams_topk"    -> (qBigramsTopk _),
     "q12b_bigrams_inrow"  -> (qBigramsTopkInRow _),
@@ -307,6 +322,10 @@ object TextQueries extends QueryModule {
     "q10_clean_text" ->
       s"""SELECT doc_id, $cleanSql AS cleaned
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q67_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS fp,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q11_stopword_filter" ->
       s"""SELECT doc_id,
          | array_to_string(list_filter(str_split(text, ' '),

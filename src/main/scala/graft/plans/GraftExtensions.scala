@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_norm"),
       new ExpressionInfo(classOf[L2Norm].getName, "l2_norm"),
       (exprs: Seq[Expression]) => L2Norm(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"), // same name as DuckDB's
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     // The text/enrichment surface, SQL-callable with the same plans as
     // the DataFrame API (clean_text composes native regexp ops; the only
     // UDF-backed entries are the rule engines, demojize + vader).
@@ -53,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "tf_keywords",
       cs => graft.functions.Summarize.keywordsCol(cs.head))
     reg(ext, "media_kind", cs => graft.functions.Multimodal.mediaKind(cs.head))
+    reg(ext, "canonical_url",
+      cs => graft.operators.UrlQueries.canonicalUrl(cs.head))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
   }

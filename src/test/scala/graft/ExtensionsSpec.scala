@@ -47,4 +47,12 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT media_kind(unhex('89504E470D0A1A0A')) AS k").head()
     assert(r.getString(0) == "png")
   }
+
+  test("normalization surface callable from spark.sql") {
+    val r = spark.sql(
+      "SELECT nfc_normalize('Cafe\u0301') AS n, " +
+      "canonical_url('HTTP://X.COM:80/a/?utm_s=1#f') AS u").head()
+    assert(r.getString(0) == "Caf\u00e9") // precomposed output
+    assert(r.getString(1) == "http://x.com/a")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{concat, lit, max, min, sum}
 import graft.operators.{BloomJoin, StorageQueries}
 import graft.sources.{Tables, UpsertSink}
 
@@ -143,6 +144,54 @@ class StorageSpec extends AnyFunSuite {
       spark.read.schema(schema).option("header", "true")
         .option("mode", "FAILFAST").csv(dir).collect()
     }
+  }
+
+  test("compaction: file-count math holds and key ranges stay disjoint") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    spark.range(0, 20000).select($"id", concat(lit("row-"), $"id").as("s"))
+      .repartition(32).write.parquet(in)
+    val fs = new Path(in).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) = fs.listStatus(new Path(p))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val inBytes = files(in).map(_.getLen).sum
+    val target = 64L * 1024
+    val n = graft.sources.Compaction.compact(spark, in, out, target, "id")
+    assert(n == ((inBytes + target - 1) / target).toInt)
+    val outFiles = files(out)
+    assert(outFiles.length == n && n < 32,
+      s"expected $n compacted files, got ${outFiles.length}")
+    // compaction is a pure layout change
+    assert(spark.read.parquet(out).count() == 20000)
+    assert(spark.read.parquet(out).agg(sum($"id")).head.getLong(0) ==
+      (0L until 20000L).sum)
+    // range layout: per-file [min,max] id intervals must not overlap —
+    // that is what keeps parquet footer-stats data skipping alive
+    val ranges = outFiles.map { st =>
+      val r = spark.read.parquet(st.getPath.toString)
+        .agg(min($"id"), max($"id")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping file ranges: $aMax >= $bMin")
+      case _ =>
+    }
+  }
+
+  test("scd2: one open row per key, closed rows chain by version") {
+    import spark.implicits._
+    val h = StorageQueries.qScd2(spark, sf)
+    val open = h.filter($"is_current")
+    // every doc has exactly one current row
+    assert(open.count() == Tables.documents(spark, sf).count())
+    // updated docs have a closed v0 row ending where v1 begins
+    val closed = h.filter(!$"is_current")
+    assert(closed.filter($"valid_from" === 0 && $"valid_to" === 1).count()
+      == closed.count())
+    assert(closed.count() > 0)
   }
 
   test("csv and json round-trips preserve schema exactly") {

@@ -72,3 +72,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq("tag1", "tag_2"))
   }
 }
+
+class UrlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u")
+      .select(graft.operators.UrlQueries.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+  }
+
+  test("url canonicalization: case, ports, utm, fragments, trailing slash") {
+    assert(canon("HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&id=2#frag")
+      == Seq("https://www.site.com/A/b/?id=2"))
+    assert(canon("http://host.com:80/x/") == Seq("http://host.com/x"))
+    // non-default port survives; path case survives
+    assert(canon("https://h.com:8443/Y") == Seq("https://h.com:8443/Y"))
+    // utm-only query drops entirely, including the '?'
+    assert(canon("https://h.com/p?utm_a=1&utm_b=2") == Seq("https://h.com/p"))
+    // :80 is NOT default for https - keep it
+    assert(canon("https://h.com:80/p") == Seq("https://h.com:80/p"))
+    assert(canon("https://h.com/p?id=1") == Seq("https://h.com/p?id=1"))
+  }
+}

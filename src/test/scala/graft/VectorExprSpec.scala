@@ -81,6 +81,26 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 5.0)
   }
 
+  test("nfc normalization: decomposed forms canonicalize, ASCII untouched") {
+    import spark.implicits._
+    val decomposed = "Cafe\u0301 au lait" // e + combining acute U+0301
+    val composed = "Caf\u00e9 au lait"    // precomposed e-acute
+    val rows = Seq(("a", decomposed), ("b", composed), ("c", "plain ascii"),
+      ("d", null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select($"id", graft.plans.NfcNormalize.col($"t").as("n"),
+        (graft.plans.NfcNormalize.col($"t") =!= $"t").as("changed"))
+      .orderBy($"id").collect()
+    assert(rows(0).getString(1) == composed && rows(0).getBoolean(2))
+    assert(rows(1).getString(1) == composed && !rows(1).getBoolean(2))
+    assert(rows(2).getString(1) == "plain ascii" && !rows(2).getBoolean(2))
+    assert(rows(3).isNullAt(1)) // null propagates
+    // interpreted path agrees with codegen
+    assert(graft.plans.UnicodeNorm.nfc(
+      org.apache.spark.unsafe.types.UTF8String.fromString(decomposed))
+      .toString == composed)
+  }
+
   test("null inputs propagate null") {
     import spark.implicits._
     val r = spark.sql(

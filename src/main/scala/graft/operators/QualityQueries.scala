@@ -157,6 +157,27 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"split")
   }
 
+  /** Deterministic per-stratum sampling — "take k docs per language",
+    * the mixer step that caps any one stratum's contribution. Rank
+    * inside each stratum by an md5 of the key: content-independent,
+    * stable across runs AND engines (Spark's hash() is Murmur3, which
+    * DuckDB cannot replay; md5 is bit-identical in both — the q30
+    * trick), with doc_id as the total tie-break. The Filter(row_number
+    * <= k) idiom rewrites to the bounded-heap TopKRows aggregate under
+    * TopKWindowRule — O(k) state per language and no full per-stratum
+    * sort, which is what makes "3 of each language" affordable when one
+    * language holds half of 100 TB. */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(md5(concat(lit("smpl"), $"doc_id".cast("string"))), $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   /** Corpus mixture rates — the data-mixing step before training: given
     * a target of uniform source shares, emit each source's actual token
     * share and the keep-probability that downsamples it to target
@@ -192,6 +213,7 @@ object QualityQueries extends QueryModule {
       "q49_approx_distinct"  -> (qApproxDistinct _),
       "q58_length_quantiles" -> (qLengthQuantiles _),
       "q59_train_split"      -> (qTrainSplit _),
+      "q70_stratified_sample" -> (qStratifiedSample _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -261,6 +283,15 @@ object QualityQueries extends QueryModule {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM c GROUP BY lang, seq_id
         |ORDER BY lang, seq_id""".stripMargin,
+    "q70_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('smpl' || CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS rk
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q59_train_split" ->
       """WITH s AS (
         |  SELECT lang,

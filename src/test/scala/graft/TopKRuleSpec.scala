@@ -72,6 +72,18 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q70's md5-ranked per-stratum sample rewrites to the heap") {
+    // computed (but deterministic) sort key: the rule must fire
+    val p = optimized("q70_stratified_sample")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived the rewrite:\n$p")
+    val plain =
+      SparkEntry.queries("q70_stratified_sample")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q70_stratified_sample")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("windows without a rank filter are untouched") {
     // q17 uses count() OVER (PARTITION BY fp) with no row_number filter
     val p = optimized("q17_fingerprint")

@@ -18,6 +18,7 @@ object SparkEntry {
     StorageQueries,
     QualityQueries,
     UrlQueries,
+    ScoringQueries,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

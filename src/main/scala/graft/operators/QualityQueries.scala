@@ -113,6 +113,33 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Approximate-quantile sketch vs exact, the q49 pattern applied to
+    * quantiles: at 100 TB nobody sorts a partition to get p99 — you run
+    * a mergeable sketch (Spark: Greenwald-Khanna via percentile_approx;
+    * DuckDB: t-digest via approx_quantile) and need to know it is
+    * within tolerance. Each engine judges its OWN sketch against its
+    * exact interpolated quantile; the oracle-checkable claims are the
+    * exact values and that both sketches meet the 5% bound. The exact
+    * percentile here is the correctness yardstick only — the sketch
+    * column is the one that ships at scale. */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile($"n_chars", lit(0.5)), 4).as("exact_p50"),
+        round(percentile($"n_chars", lit(0.99)), 4).as("exact_p99"),
+        percentile_approx($"n_chars", lit(0.5), lit(10000)).as("a50"),
+        percentile_approx($"n_chars", lit(0.99), lit(10000)).as("a99"))
+      .select($"lang", $"n_docs", $"exact_p50", $"exact_p99",
+        (abs($"a50" - $"exact_p50") / $"exact_p50" <= 0.05)
+          .as("sketch_ok_p50"),
+        (abs($"a99" - $"exact_p99") / $"exact_p99" <= 0.05)
+          .as("sketch_ok_p99"))
+      .orderBy($"lang")
+  }
+
   /** Training-sequence packing: greedy document-boundary binning of each
     * language's docs into fixed token-budget sequences. A doc opens a new
     * sequence when the running token total crosses the budget — the
@@ -214,6 +241,7 @@ object QualityQueries extends QueryModule {
       "q58_length_quantiles" -> (qLengthQuantiles _),
       "q59_train_split"      -> (qTrainSplit _),
       "q70_stratified_sample" -> (qStratifiedSample _),
+      "q73_quantile_sketch"  -> (qQuantileSketch _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -319,6 +347,23 @@ object QualityQueries extends QueryModule {
         |    (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())), 4)
         |    AS sample_rate
         |FROM g ORDER BY source""".stripMargin,
+    // each engine judges its OWN sketch (Spark GK, DuckDB t-digest);
+    // the compared claims are the exact quantiles and both verdicts
+    "q73_quantile_sketch" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS exact_p99,
+        |  (abs(approx_quantile(n_chars, 0.5)
+        |      - round(quantile_cont(n_chars, 0.5), 4))
+        |    / round(quantile_cont(n_chars, 0.5), 4) <= 0.05)
+        |    AS sketch_ok_p50,
+        |  (abs(approx_quantile(n_chars, 0.99)
+        |      - round(quantile_cont(n_chars, 0.99), 4))
+        |    / round(quantile_cont(n_chars, 0.99), 4) <= 0.05)
+        |    AS sketch_ok_p99
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "q58_length_quantiles" ->
       """SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -163,6 +163,41 @@ object Relational extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Skew-resistant SALTED JOIN — the join-side sibling of q9's salted
+    * aggregation. When one probe-side key dominates (one partkey = half
+    * the fact table at 100 TB), a plain shuffle join funnels the hot
+    * key into a single reducer. Salting spreads it: the fact side gets
+    * a deterministic salt in [0, S), the dim side is replicated S ways
+    * (exploded sequence), and the join key becomes (key, salt) — each
+    * reducer sees 1/S of the hot key, and the replication factor
+    * multiplies only the SMALL side. Results are identical to the
+    * unsalted join, so the oracle is the plain SQL. The shuffle_hash
+    * hint keeps Spark from picking broadcast here (broadcast would
+    * hide the exchange this query exists to exercise; at real scale
+    * the dim is above the broadcast threshold or the build side of an
+    * existing shuffle). AQE's skew-join split is the automatic cousin;
+    * salting is the explicit form that also survives a follow-on
+    * keyed aggregation. */
+  def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val fact = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_extendedprice", $"l_discount",
+        pmod($"l_orderkey" * 7 + $"l_linenumber", lit(S)).as("salt"))
+    val dim = Tables.part(s, dir)
+      .select($"p_partkey", $"p_brand",
+        explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    fact
+      .join(dim.hint("shuffle_hash"),
+        fact("l_partkey") === dim("p_partkey") &&
+          fact("salt") === dim("salt"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
+      .orderBy($"p_brand")
+  }
+
   /** Distinct aggregation (§2.2 gap): multiple DISTINCT aggregates in one
     * pass — Spark plans an expand + two-phase aggregate. */
   def q9bDistinctAgg(s: SparkSession, dir: String): DataFrame = {
@@ -185,6 +220,7 @@ object Relational extends QueryModule {
     "q4_filter_project" -> (q4FilterProject _),
     "q5_anti_join"      -> (q5AntiJoin _),
     "q6_semi_join"      -> (q6SemiJoin _),
+    "q74_salted_join"   -> (qSaltedJoin _),
     "q7_setops"         -> (q7SetOps _),
     "q8_rollup"         -> (q8Rollup _),
   )
@@ -200,6 +236,12 @@ object Relational extends QueryModule {
         | count(*) AS n_events,
         | round(sum(DISTINCT value), 4) AS sum_distinct_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle is the UNSALTED join — salting must not change results
+    "q74_salted_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,

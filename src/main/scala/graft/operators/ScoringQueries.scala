@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryModule
+import graft.sources.Tables
+
+/** Corpus-relative document scoring — the two classic "score every doc
+  * against corpus-global statistics" shapes a training-data pipeline
+  * runs after cleaning and before mixing:
+  *
+  *  - TF-IDF top terms per document (q71): the retrieval-era keyword
+  *    ranking (Sparck Jones 1972; the smoothed idf is the scikit-learn
+  *    formulation ln((N+1)/(df+1))+1, published and engine-replayable).
+  *  - Unigram-LM negative log-likelihood (q72): the CCNet/KenLM-style
+  *    perplexity proxy (Wenzek et al. 2020 filter corpora by LM score;
+  *    the unigram variant is the self-contained form — score each doc
+  *    by the mean -ln p(token) under the corpus' own unigram MLE).
+  *
+  * Both follow the same scale shape: one (doc_id, term) partial-agg
+  * shuffle for term counts, a vocabulary-sized aggregate, and a
+  * broadcast of the vocabulary statistics back onto the token stream —
+  * the per-token join never shuffles the corpus a second time. At
+  * 100 TB the vocabulary table is kept broadcastable by a min-df
+  * threshold folding the long tail into an UNK bucket (the standard LM
+  * move); the fallback is a shuffle join keyed on term, which
+  * co-partitions with nothing else here and so costs one extra pass of
+  * the (smaller) tf frame, not of the corpus.
+  */
+object ScoringQueries extends QueryModule {
+
+  /** Per-document top-3 terms by smoothed TF-IDF. The per-doc ranking is
+    * the Filter(row_number <= k) idiom, which TopKWindowRule rewrites to
+    * the bounded-heap top_k_rows aggregate — O(k) state per document,
+    * no per-doc sort of the full term list. Ties are impossible within
+    * a doc (term is the tie-break and terms are distinct per doc), so
+    * the rewrite's determinism guard is satisfied. */
+  def qTfidfTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    // df over the distinct (doc, term) frame = document frequency
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        round($"tf" * (log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))) +
+          lit(1.0)), 4).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"term", $"score", $"rk")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** Unigram-LM document scoring: mean negative log-likelihood of each
+    * document's tokens under the corpus unigram MLE p(t) = cnt(t)/total.
+    * Low nll = stereotypical text, high nll = rare-token text — the
+    * ranking CCNet buckets into head/middle/tail before sampling. The
+    * token stream is scored by a broadcast of the vocabulary frequency
+    * table; the only corpus-wide shuffle is the per-doc aggregate, which
+    * reuses the (doc_id) grouping every other per-doc stat pays. */
+  def qUnigramNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("total"))
+    toks
+      .join(broadcast(freq), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log($"cnt".cast("double") / $"total")), 4).as("nll"))
+      .orderBy($"doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q71_tfidf_topk"  -> (qTfidfTopk _),
+      "q72_unigram_nll" -> (qUnigramNll _),
+    )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q71_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY doc_id, term),
+        |df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, score, CAST(rk AS INTEGER) AS rk
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "q72_unigram_nll" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |freq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
+        |FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -300,8 +300,36 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** RAG/embedding-prep chunking: overlapping fixed-length token
+    * windows (64 tokens, stride 48 → 16-token overlap), the shape every
+    * retrieval index and long-context embedding pipeline feeds its
+    * encoder. One row per (doc, chunk) with the chunk's token count and
+    * an md5 of its joined text — the downstream embed/encode step maps
+    * over exactly this frame. Pure map-side explode (sequence of chunk
+    * starts → slice), no shuffle: at 100 TB this runs at scan speed and
+    * the ~1.33× row inflation is the only cost. Spark's slice and
+    * DuckDB's 1-based inclusive list slicing clamp identically at the
+    * tail, so the last partial chunk agrees byte-for-byte. */
+  def qChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ChunkLen = 64
+    val Stride = 48
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", $"tk",
+        explode(sequence(lit(0),
+          floor((size($"tk") - 1) / Stride).cast("int"))).as("chunk_id"))
+      .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+        slice($"tk", $"chunk_id" * Stride + 1, lit(ChunkLen)).as("chunk"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_tokens"),
+        md5(array_join($"chunk", " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_clean_text"      -> (qCleanText _),
+    "q75_chunking"        -> (qChunk _),
     "q67_nfc_normalize"   -> (qNfcNormalize _),
     "q11_stopword_filter" -> (qStopwordFilter _),
     "q12_bigrams_topk"    -> (qBigramsTopk _),
@@ -322,6 +350,22 @@ object TextQueries extends QueryModule {
     "q10_clean_text" ->
       s"""SELECT doc_id, $cleanSql AS cleaned
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q75_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |c AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(0,
+        |      CAST(floor((len(tk) - 1) / 48) AS INT))) AS chunk_id
+        |  FROM t),
+        |sl AS (
+        |  SELECT doc_id, chunk_id,
+        |    tk[chunk_id * 48 + 1 : chunk_id * 48 + 64] AS chunk
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
     "q67_nfc_normalize" ->
       """SELECT doc_id, md5(nfc_normalize(text)) AS fp,
         |  nfc_normalize(text) <> text AS changed

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{QualityQueries, Relational, ScoringQueries}
+
+class ScoringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("tfidf: at most 3 terms per doc, rk dense from 1, scores non-increasing") {
+    import spark.implicits._
+    val rows = ScoringQueries.qTfidfTopk(spark, sf)
+      .select($"doc_id", $"score", $"rk")
+      .as[(Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val byRk = rs.sortBy(_._3)
+      assert(byRk.map(_._3).toSeq == (1 to byRk.length),
+        s"doc $doc ranks not dense: ${byRk.map(_._3).mkString(",")}")
+      assert(byRk.length <= 3, s"doc $doc has >3 terms")
+      assert(byRk.map(_._2).toSeq == byRk.map(_._2).sortBy(-(_: Double)).toSeq,
+        s"doc $doc scores not non-increasing")
+    }
+  }
+
+  test("tfidf: at equal tf, a corpus-unique term outranks a universal one") {
+    import spark.implicits._
+    // doc 1 holds "rare" (df=1) and "word" (df=3) once each:
+    // rare = 1·(ln(4/2)+1) ≈ 1.69 beats word = 1·(ln(4/4)+1) = 1.0
+    val docs = Seq(
+      (1L, "rare word"),
+      (2L, "word word word"),
+      (3L, "word other word"),
+    ).toDF("doc_id", "text")
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val top = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * (log(($"n_docs" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0)))
+          .as("score"))
+      .filter($"doc_id" === 1L)
+      .orderBy($"score".desc)
+      .select($"term").as[String].head()
+    assert(top == "rare", s"idf must favor the corpus-unique term, got $top")
+  }
+
+  test("unigram nll: uniform corpus scores ln(V) per token") {
+    import spark.implicits._
+    // 4 tokens, each appearing exactly once per doc over 2 docs →
+    // p(t)=2/8=0.25 → nll = ln(4) for every doc
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+    ).toDF("doc_id", "text")
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("total"))
+    val nll = toks.join(broadcast(freq), "term").crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(round(avg(-log($"cnt".cast("double") / $"total")), 4).as("nll"))
+      .select($"nll").as[Double].collect()
+    nll.foreach(v => assert(math.abs(v - math.log(4)) < 1e-3,
+      s"uniform corpus must score ln(4); got $v"))
+  }
+
+  test("unigram nll: rare-token docs score higher than common-token docs") {
+    import spark.implicits._
+    val got = ScoringQueries.qUnigramNll(spark, sf)
+    val n = got.count()
+    assert(n > 0)
+    // every doc's nll is positive and finite (p(t) <= total implies -ln p > 0)
+    import spark.implicits._
+    val bad = got.filter($"nll" <= 0 || $"nll".isNull || isnan($"nll")).count()
+    assert(bad == 0, s"$bad docs with non-positive/NaN nll")
+  }
+
+  test("quantile sketch: spark's own sketch meets the 5% bound at sf0.01") {
+    import spark.implicits._
+    Seq(sf, "/root/testdata/sf0.01").foreach { d =>
+      val ok = QualityQueries.qQuantileSketch(spark, d)
+        .select($"sketch_ok_p50" && $"sketch_ok_p99").as[Boolean].collect()
+      assert(ok.nonEmpty && ok.forall(identity),
+        s"sketch out of tolerance at $d")
+    }
+  }
+
+  test("chunking: stride/length invariants and full tail coverage") {
+    import spark.implicits._
+    val got = graft.operators.TextQueries.qChunk(spark, sf)
+      .select($"doc_id", $"chunk_id", $"n_tokens")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docLens = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (doc, chunks) =>
+      val n = docLens(doc)
+      val byId = chunks.sortBy(_._2)
+      // chunk ids dense from 0; count = floor((n-1)/48)+1
+      assert(byId.map(_._2).toSeq == (0L until (n - 1) / 48 + 1),
+        s"doc $doc chunk ids not dense")
+      // all chunks full-length except possibly trailing ones; tail chunk
+      // ends exactly at the last token: start + len == n
+      val last = byId.last
+      assert(last._2 * 48 + last._3 == n,
+        s"doc $doc tail chunk does not end at token $n")
+      byId.dropRight(1).foreach { c =>
+        assert(c._3 == math.min(64, n - c._2 * 48),
+          s"doc $doc chunk ${c._2} wrong length")
+      }
+    }
+  }
+
+  test("salted join equals the unsalted join") {
+    import spark.implicits._
+    val salted = Relational.qSaltedJoin(spark, sf)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val pt = graft.sources.Tables.part(spark, sf)
+    val plain = li.join(pt, li("l_partkey") === pt("p_partkey"))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
+      .orderBy($"p_brand")
+    val a = salted.collect().map(_.toSeq)
+    val b = plain.collect().map(_.toSeq)
+    assert(a.length == b.length && a.nonEmpty)
+    assert(a.sameElements(b), "salted join diverged from plain join")
+  }
+
+  test("salted join plan: no broadcast of the dim, join keys include salt") {
+    val plan = Relational.qSaltedJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "shuffle_hash hint must keep the exchange visible")
+  }
+}

@@ -72,6 +72,18 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q71's per-doc tfidf ranking rewrites to the heap") {
+    // descending double sort key + term tie-break over a join output:
+    // the rule must fire and results must be unchanged
+    val p = optimized("q71_tfidf_topk")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived the rewrite:\n$p")
+    val plain = SparkEntry.queries("q71_tfidf_topk")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q71_tfidf_topk")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("q70's md5-ranked per-stratum sample rewrites to the heap") {
     // computed (but deterministic) sort key: the rule must fire
     val p = optimized("q70_stratified_sample")

@@ -211,6 +211,80 @@ object Relational extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** TPC-H Q5-shaped 5-way star join: region-filtered nation revenue
+    * across customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region,
+    * with the classic non-tree condition c_nationkey = s_nationkey.
+    * Written as plain declarative joins — Catalyst reorders, pushes the
+    * region/date filters into the scans, and broadcasts every dim
+    * (region/nation/supplier/customer are all orders-of-magnitude
+    * smaller than lineitem), so the fact table is shuffled only for the
+    * final aggregate. At 100 TB the same plan holds: dims that outgrow
+    * the broadcast threshold degrade to shuffle joins keyed on their
+    * own fk — no code change. */
+  def qStarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= "1995-01-01" && $"o_orderdate" < "1997-01-01")
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    c.join(o, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .join(su, $"l_suppkey" === $"s_suppkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .join(r, $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** CUBE aggregation (all four (lang, source) grouping combinations in
+    * one pass) — completes the grouping-sets surface next to q8's
+    * rollup. Spark plans a single Expand + aggregate, so the input is
+    * read once however many grouping sets there are. Grouping flags
+    * disambiguate NULL-as-total from a (hypothetical) NULL key, and
+    * lead the sort so the hash compare never orders by a nullable
+    * column (q8's NULLS FIRST/LAST lesson). */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .cube($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        // grouping() is only resolvable inside the cube's aggregate
+        grouping($"lang").cast("int").as("g_lang"),
+        grouping($"source").cast("int").as("g_source"))
+      .select($"g_lang", $"g_source",
+        coalesce($"lang", lit("ALL")).as("lang"),
+        coalesce($"source", lit("ALL")).as("source"),
+        $"n_docs")
+      .orderBy($"g_lang", $"g_source", $"lang", $"source")
+  }
+
+  /** Pivot: per-language doc counts spread across an EXPLICIT source
+    * column list. The explicit values list matters at scale — Spark's
+    * value-less pivot() first collects the distinct pivot keys to the
+    * driver, which is exactly the hidden driver round-trip a 100 TB
+    * plan can't afford; with the list supplied the whole thing is one
+    * Expand-free aggregate. Absent combinations surface as 0, not null
+    * (pivot-count leaves them null; the oracle's FILTER counts give 0 —
+    * coalesce reconciles the engines). */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .pivot("source", srcs)
+      .agg(count(lit(1)))
+      .select($"lang" +: srcs.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+      .orderBy($"lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q9_salted_agg"     -> (q9SaltedAgg _),
@@ -221,6 +295,9 @@ object Relational extends QueryModule {
     "q5_anti_join"      -> (q5AntiJoin _),
     "q6_semi_join"      -> (q6SemiJoin _),
     "q74_salted_join"   -> (qSaltedJoin _),
+    "q76_star_join"     -> (qStarJoin _),
+    "q77_cube"          -> (qCube _),
+    "q78_pivot"         -> (qPivot _),
     "q7_setops"         -> (q7SetOps _),
     "q8_rollup"         -> (q8Rollup _),
   )
@@ -236,6 +313,37 @@ object Relational extends QueryModule {
         | count(*) AS n_events,
         | round(sum(DISTINCT value), 4) AS sum_distinct_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q76_star_join" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q77_cube" ->
+      """SELECT
+        |  CAST(grouping(lang) AS INTEGER) AS g_lang,
+        |  CAST(grouping(source) AS INTEGER) AS g_source,
+        |  coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
+    "q78_pivot" ->
+      """SELECT lang,
+        |  CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS src0,
+        |  CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS src1,
+        |  CAST(count(*) FILTER (WHERE source = 'src2') AS BIGINT) AS src2,
+        |  CAST(count(*) FILTER (WHERE source = 'src3') AS BIGINT) AS src3
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the oracle is the UNSALTED join — salting must not change results
     "q74_salted_join" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,

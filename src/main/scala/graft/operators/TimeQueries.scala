@@ -98,6 +98,29 @@ object TimeQueries extends QueryModule {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** Sliding RANGE-frame window: per-event-type daily totals with a
+    * 7-day moving average. The frame is keyed on epoch-days (date
+    * arithmetic both engines agree on bit-for-bit), so gaps in the
+    * calendar shrink the window to the days that exist — RANGE
+    * semantics, not ROWS. One (event_type) shuffle for the daily
+    * aggregate; the window then runs inside each partition, and at
+    * 100 TB the per-type daily frame is |days| rows however large the
+    * raw event stream — the window input scales with time, not volume. */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(round(sum($"value"), 4).as("day_total"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy(datediff($"day", lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("ma7", round(avg($"day_total").over(w), 4))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"day_total", $"ma7")
+      .orderBy($"event_type", $"day")
+  }
+
   /** Batch sessionization (gaps-and-islands): per-user sessions split on
     * >30 min idle gaps — the batch twin of a streaming session window.
     * Two window functions over one (user_id, ts) shuffle; no self-join. */
@@ -205,9 +228,21 @@ object TimeQueries extends QueryModule {
     "q22_make_timestamp"     -> (qMakeTimestamp _),
     "q23_json_extract"       -> (qJsonExtract _),
     "q24_window_tumbling"    -> (qWindowTumbling _),
+    "q79_moving_avg"         -> (qMovingAvg _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q79_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    round(sum(value), 4) AS day_total
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        |SELECT event_type,
+        |  strftime(day, '%Y-%m-%d') AS day, day_total,
+        |  round(avg(day_total) OVER (PARTITION BY event_type
+        |    ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily ORDER BY event_type, day""".stripMargin,
     "q27_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

@@ -71,6 +71,36 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q76 star join: every dim broadcasts, filters reach the scans") {
+    val p = plan("q76_star_join")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"expected >=4 broadcast dim joins, got $bhj")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "fact table must not shuffle for any dim join")
+    assert(p.contains("o_orderdate"), "date range must push toward the scan")
+  }
+
+  // formatted explain prints each scan twice (tree + numbered detail
+  // header) — count the "(N) Scan parquet" detail headers only
+  private def scanCount(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+
+  test("q77 cube: single Expand feeds one aggregate pass") {
+    val p = plan("q77_cube")
+    assert(p.contains("Expand"), "cube must plan as Expand, not a union")
+    // one scan of documents however many grouping sets
+    val scans = scanCount(p)
+    assert(scans == 1, s"cube re-read the input: $scans scans")
+  }
+
+  test("q78 pivot with explicit values: no driver collect of pivot keys") {
+    // an explicit value list keeps pivot a pure aggregate; the plan must
+    // not contain a second job's scan for distinct keys (single scan)
+    val p = plan("q78_pivot")
+    val scans = scanCount(p)
+    assert(scans == 1, s"pivot scanned input $scans times")
+  }
+
   test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q10_clean_text")(spark, sf)

@@ -44,6 +44,20 @@ object StreamPipelines {
       .select(col("w.start").as("bucket"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding event-time window — the overlapping-frame sibling of the
+    * tumbling agg (and the streaming cousin of q79's RANGE moving
+    * average): each event lands in 2h/30min = 4 overlapping windows.
+    * State cost is 4× the tumbling window's, bounded the same way: a
+    * window's state is evicted once the watermark passes its end. */
+  def eventsSliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** RSS-style streaming link dedup (F1+T1): the reference refreshes its
     * seen-link set on a timer (rss_consumer.py:63-65, frozen by a bug);
     * the streaming form is watermarked keyed dedup — state bounded, no

@@ -54,6 +54,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(1).getAs[String]("event_type") == "view")
     } finally q.stop()
   }
+
+  test("streaming sliding window: one event lands in exactly 4 overlapping windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[InEvent]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    src.addData(InEvent(ts("2024-01-01 03:00:00"), "click", 1.0))
+    val q = StreamPipelines.eventsSliding(src.toDF())
+      .writeStream.format("memory").queryName("ev_slide")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ev_slide").orderBy($"bucket").collect()
+      // 2h window / 30min slide → starts 01:30, 02:00, 02:30, 03:00
+      assert(rows.length == 4, s"expected 4 overlapping windows, got ${rows.length}")
+      assert(rows.map(_.getAs[java.sql.Timestamp]("bucket").toString.substring(11, 16)).toSeq
+        == Seq("01:30", "02:00", "02:30", "03:00"))
+      assert(rows.forall(_.getAs[Long]("n") == 1L))
+    } finally q.stop()
+  }
 }
 
 class StreamJoinSpec extends AnyFunSuite {

@@ -205,6 +205,28 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"rk")
   }
 
+  /** Length-decile bucketing: ntile(10) over (n_chars, doc_id) per
+    * language — the curriculum/mixing primitive that splits each
+    * stratum into equal-count difficulty bands. The doc_id tie-break
+    * makes the assignment total-ordered, hence deterministic and
+    * engine-portable (both engines define ntile on the ORDER BY order).
+    * Per-stratum sort is the honest cost; at 100 TB the same decision
+    * runs on q73's quantile sketch as approximate band edges instead —
+    * this query is the exact form and the sketch's yardstick. */
+  def qLengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"lang", $"decile")
+  }
+
   /** Corpus mixture rates — the data-mixing step before training: given
     * a target of uniform source shares, emit each source's actual token
     * share and the keep-probability that downsamples it to target
@@ -242,6 +264,7 @@ object QualityQueries extends QueryModule {
       "q59_train_split"      -> (qTrainSplit _),
       "q70_stratified_sample" -> (qStratifiedSample _),
       "q73_quantile_sketch"  -> (qQuantileSketch _),
+      "q81_length_deciles"   -> (qLengthDeciles _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -347,6 +370,18 @@ object QualityQueries extends QueryModule {
         |    (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ())), 4)
         |    AS sample_rate
         |FROM g ORDER BY source""".stripMargin,
+    "q81_length_deciles" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents)
+        |SELECT lang, CAST(decile AS INTEGER) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM d GROUP BY lang, decile
+        |ORDER BY lang, decile""".stripMargin,
     // each engine judges its OWN sketch (Spark GK, DuckDB t-digest);
     // the compared claims are the exact quantiles and both verdicts
     "q73_quantile_sketch" ->

@@ -285,6 +285,26 @@ object Relational extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Ordered string aggregation — Spark 4's listagg(DISTINCT …) WITHIN
+    * GROUP, the reporting-style roll-up (DuckDB: string_agg with ORDER
+    * BY). The WITHIN GROUP ordering is what makes the result
+    * deterministic and hash-comparable; a bare collect_list would be
+    * partition-order-dependent. Only safe when the per-group distinct
+    * value set is bounded (here: ≤20 sources) — an unbounded listagg is
+    * a driver-row-size accident at 100 TB, which is why the engine's
+    * big-cardinality roll-ups (q37, q43) use bounded-heap top-k
+    * aggregates instead. */
+  def qListAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        expr("listagg(DISTINCT source, ',') WITHIN GROUP (ORDER BY source)")
+          .as("sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
     "q9_salted_agg"     -> (q9SaltedAgg _),
@@ -298,6 +318,7 @@ object Relational extends QueryModule {
     "q76_star_join"     -> (qStarJoin _),
     "q77_cube"          -> (qCube _),
     "q78_pivot"         -> (qPivot _),
+    "q80_listagg"       -> (qListAgg _),
     "q7_setops"         -> (q7SetOps _),
     "q8_rollup"         -> (q8Rollup _),
   )
@@ -313,6 +334,11 @@ object Relational extends QueryModule {
         | count(*) AS n_events,
         | round(sum(DISTINCT value), 4) AS sum_distinct_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q80_listagg" ->
+      """SELECT lang,
+        |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q76_star_join" ->
       """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue

@@ -114,6 +114,40 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("listagg: sources sorted, distinct, comma-joined") {
+    import spark.implicits._
+    val rows = Relational.qListAgg(spark, sf)
+      .select($"sources").as[String].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { srcs =>
+      val parts = srcs.split(",").toSeq
+      assert(parts == parts.distinct.sorted,
+        s"listagg output not sorted-distinct: $srcs")
+    }
+  }
+
+  test("length deciles: equal-count bands with non-decreasing ranges") {
+    import spark.implicits._
+    val rows = QualityQueries.qLengthDeciles(spark, sf)
+      .select($"lang", $"decile", $"n_docs", $"min_chars", $"max_chars")
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, ds) =>
+      val byD = ds.sortBy(_._2)
+      assert(byD.map(_._2).toSeq == (1 to byD.length), s"$lang deciles not dense")
+      // ntile: band sizes differ by at most 1
+      val sizes = byD.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang bands unbalanced: ${sizes.toSeq}")
+      // ordering by (n_chars, doc_id) ⇒ band ranges are non-decreasing:
+      // decile d's max_chars <= decile d+1's min_chars (ties allowed)
+      byD.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 <= b._4,
+          s"$lang decile ranges out of order: $a vs $b")
+        case _ =>
+      }
+    }
+  }
+
   test("salted join equals the unsalted join") {
     import spark.implicits._
     val salted = Relational.qSaltedJoin(spark, sf)

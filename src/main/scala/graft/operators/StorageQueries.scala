@@ -112,6 +112,23 @@ object StorageQueries extends QueryModule {
       .orderBy("n_nationkey")
   }
 
+  /** ORC round-trip — Spark's second columnar format, supported by the
+    * same DataSource V2 scan machinery as parquet (vectorized read,
+    * predicate pushdown, column pruning all apply). The oracle is the
+    * original table: a format round-trip must be content-identity.
+    * Doubles are rounded AFTER the read-back so the rounding can't mask
+    * a lossy write. */
+  def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val supplier = Tables.supplier(s, dir)
+    val path = fmtPath(dir, "supplier-orc")
+    supplier.write.mode("overwrite").orc(path)
+    s.read.schema(supplier.schema).orc(path)
+      .select($"s_suppkey", $"s_name", $"s_nationkey",
+        round($"s_acctbal", 4).as("acctbal"))
+      .orderBy($"s_suppkey")
+  }
+
   /** JSON-lines round-trip: customer through ndjson and back, schema
     * enforced on read. */
   def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -152,6 +169,7 @@ object StorageQueries extends QueryModule {
       "q65_compaction"    -> (qCompaction _),
       "q66_scd2"          -> (qScd2 _),
       "q56_csv_roundtrip" -> (qCsvRoundtrip _),
+      "q82_orc_roundtrip" -> (qOrcRoundtrip _),
       "q57_json_roundtrip" -> (qJsonRoundtrip _),
       "q62_partition_pruning" -> (qPartitionPruning _),
     )
@@ -205,6 +223,10 @@ object StorageQueries extends QueryModule {
     "q56_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q82_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  round(s_acctbal, 4) AS acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q57_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  round(c_acctbal, 4) AS acctbal, c_mktsegment

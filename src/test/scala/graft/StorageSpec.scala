@@ -9,6 +9,14 @@ class StorageSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("orc round-trip: real .orc files on disk, row count preserved") {
+    val got = StorageQueries.qOrcRoundtrip(spark, sf).collect()
+    assert(got.length == Tables.supplier(spark, sf).count())
+    val outDir = new java.io.File("target/graft-fmt/sf0.001-supplier-orc")
+    assert(outDir.listFiles().exists(_.getName.endsWith(".orc")),
+      "round-trip must write ORC files, not a renamed parquet")
+  }
+
   test("bloom pre-filter prunes rows but never changes the join result") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -112,6 +112,28 @@ object StorageQueries extends QueryModule {
       .orderBy("n_nationkey")
   }
 
+  /** Z-order clustering code over (lang, n_chars) — the two-dimensional
+    * extension of q65's single-key compaction layout. lang maps to a
+    * numeric code arithmetically (no collected dictionary), both
+    * dimensions fit 10 bits, and `ZOrder.zval` interleaves them into a
+    * Morton code; range-partitioning files by this code keeps every
+    * file tight in BOTH dimensions, so footer-stats skipping works for
+    * filters on either column. The query emits the code per doc (the
+    * oracle replays the interleave arithmetic exactly); the actual
+    * file-layout effect — disjoint per-file zval ranges AND per-file
+    * n_chars spans well below the global span — is asserted in
+    * StorageSpec. */
+  def qZOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val langCode =
+      ((ascii(substring($"lang", 1, 1)) - 97) * 26 +
+        (ascii(substring($"lang", 2, 1)) - 97)).cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars", langCode.as("lang_code"))
+      .withColumn("zval", graft.sources.ZOrder.zval($"lang_code", $"n_chars", 10))
+      .orderBy($"doc_id")
+  }
+
   /** ORC round-trip — Spark's second columnar format, supported by the
     * same DataSource V2 scan machinery as parquet (vectorized read,
     * predicate pushdown, column pruning all apply). The oracle is the
@@ -170,6 +192,7 @@ object StorageQueries extends QueryModule {
       "q66_scd2"          -> (qScd2 _),
       "q56_csv_roundtrip" -> (qCsvRoundtrip _),
       "q82_orc_roundtrip" -> (qOrcRoundtrip _),
+      "q83_zorder" -> (qZOrder _),
       "q57_json_roundtrip" -> (qJsonRoundtrip _),
       "q62_partition_pruning" -> (qPartitionPruning _),
     )
@@ -227,6 +250,17 @@ object StorageQueries extends QueryModule {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 4) AS acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q83_zorder" -> {
+      val z = graft.sources.ZOrder.zvalSql("lang_code", "n_chars", 10)
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST((ascii(substr(lang, 1, 1)) - 97) * 26
+        |      + (ascii(substr(lang, 2, 1)) - 97) AS BIGINT) AS lang_code
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, lang_code,
+        |  CAST($z AS BIGINT) AS zval
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
     "q57_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  round(c_acctbal, 4) AS acctbal, c_mktsegment

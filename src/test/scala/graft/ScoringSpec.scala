@@ -114,6 +114,34 @@ class ScoringSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: md5s match a local recompute and docs reassemble") {
+    import spark.implicits._
+    val ChunkLen = 64; val Stride = 48
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val got = graft.operators.TextQueries.qChunk(spark, sf)
+      .select($"doc_id", $"chunk_id", $"chunk_md5")
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val chunks = Iterator.from(0)
+        .map(_ * Stride).takeWhile(_ < tk.length)
+        .map(st => tk.slice(st, st + ChunkLen).toSeq).toSeq
+      // the Spark-side chunks are byte-identical to the local slicing law
+      assert(got(id) == chunks.map(c => md5hex(c.mkString(" "))),
+        s"doc $id chunk md5s diverge from the slicing law")
+      // dropping each later chunk's (ChunkLen - Stride)-token overlap
+      // reconstructs the original token stream: no gap, no duplication
+      val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(ChunkLen - Stride))
+      assert(rebuilt == tk.toSeq, s"doc $id did not reassemble")
+    }
+  }
+
   test("listagg: sources sorted, distinct, comma-joined") {
     import spark.implicits._
     val rows = Relational.qListAgg(spark, sf)

@@ -189,6 +189,51 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder: interleave is invertible and file layout tightens both dims") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // invertibility: de-interleaving the Morton code recovers both inputs
+    val docs = StorageQueries.qZOrder(spark, sf)
+    val bad = docs.filter(
+      graft.sources.ZOrder.zval($"lang_code", $"n_chars", 10) =!= $"zval")
+      .count()
+    assert(bad == 0)
+    val rows = docs.select($"zval", $"lang_code", $"n_chars")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (z, a, b) =>
+      val (ra, rb) = (0 until 10).foldLeft((0L, 0L)) { case ((x, y), i) =>
+        (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+      assert(ra == a && rb == b, s"z=$z did not invert to ($a,$b)")
+    }
+    // layout: range-partition by zval into 4 files; per-file zval ranges
+    // disjoint, and the mean per-file n_chars span sits below the global
+    // span — the two-dimensional tightening single-key layout can't give
+    val base =
+      java.nio.file.Files.createTempDirectory("zorder").toString + "/out"
+    docs.repartitionByRange(4, $"zval").sortWithinPartitions($"zval")
+      .write.parquet(base)
+    val perFile = spark.read.parquet(base)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"zval").as("zmin"), max($"zval").as("zmax"),
+        (max($"n_chars") - min($"n_chars")).as("cspan"))
+      .collect()
+    assert(perFile.length == 4)
+    val zranges = perFile.map(r => (r.getAs[Long]("zmin"), r.getAs[Long]("zmax")))
+      .sortBy(_._1)
+    zranges.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"overlapping zval file ranges: $aMax >= $bMin")
+      case _ =>
+    }
+    val globalSpan = docs.agg(max($"n_chars") - min($"n_chars"))
+      .head.getLong(0).toDouble
+    val meanSpan = perFile.map(_.getAs[Long]("cspan")).sum.toDouble / 4
+    assert(meanSpan < globalSpan,
+      s"z-order layout did not tighten n_chars: $meanSpan vs $globalSpan")
+  }
+
   test("scd2: one open row per key, closed rows chain by version") {
     import spark.implicits._
     val h = StorageQueries.qScd2(spark, sf)

@@ -253,6 +253,92 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Token-budget buckets: 16 range buckets keyed on the FIRST hex char
+    * of the rank key. Lowercase hex sorts lexicographically in value
+    * order ('0'..'9' < 'a'..'f'), so the bucket is a prefix of the sort
+    * key and ordering by (bucket, rk) IS ordering by rk — the property
+    * the two-phase prefix sum below depends on. */
+  private val TbBuckets = 16
+
+  /** Per-source token-budget sampling (q84): keep each source's docs in
+    * a deterministic md5-shuffled order until a token budget is hit —
+    * the "cap every source at N tokens" step of corpus mixing (the
+    * hard-cap sibling of q63's keep-probability downsampling).
+    *
+    * The naive plan is one running sum per source:
+    * `sum(n_tokens) OVER (PARTITION BY source ORDER BY rk)` — and at
+    * 100 TB that is one reducer scanning an entire source (a source is
+    * terabytes; a window partition is one task). Instead this runs the
+    * classic DISTRIBUTED PREFIX SUM:
+    *
+    *   1. bucket every doc by the first hex char of its rank key — 16
+    *      range buckets aligned with the sort order (see TbBuckets);
+    *   2. one partial-agg shuffle computes per-(source, bucket) token
+    *      sums — a |sources|×16-row frame, metadata-scale at any corpus
+    *      size (grow TbBuckets with the corpus to keep bucket windows
+    *      bounded: 256 buckets = 2 hex chars, etc.);
+    *   3. a window over THAT tiny frame turns sums into per-bucket
+    *      starting offsets, broadcast back onto the docs;
+    *   4. the per-doc running sum now only needs a window partitioned
+    *      by (source, bucket) — every partition is ~1/16 of a source,
+    *      and cum = bucket offset + local running sum is exactly the
+    *      global prefix sum because bucket order extends rk order.
+    *
+    * The keep rule (cum_tokens ≤ budget) reproduces in the oracle as a
+    * plain single-window cumsum — the distributed and naive forms must
+    * agree row-for-row, which is also spec-asserted. */
+  def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Budget = 700L
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        md5(concat(lit("tb:"), $"doc_id".cast("string"))).as("rk"))
+      .withColumn("bucket",
+        conv(substring($"rk", 1, 1), 16, 10).cast("int"))
+    val offsets = docs
+      .groupBy($"source", $"bucket")
+      .agg(sum($"n_tokens").as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum($"bucket_tokens").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"source").orderBy($"bucket")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      .select($"source", $"bucket", $"offset")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"bucket").orderBy($"rk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    docs
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_tokens",
+        $"offset" + sum($"n_tokens").over(wLocal))
+      .filter($"cum_tokens" <= Budget)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"cum_tokens")
+  }
+
+  /** The naive single-window form of q84 — one running sum per source.
+    * Not registered as a driver query; QualitySpec asserts it emits
+    * exactly the same rows as the distributed form. */
+  private[graft] def tokenBudgetNaive(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"rk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        md5(concat(lit("tb:"), $"doc_id".cast("string"))).as("rk"))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" <= 700L)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"cum_tokens")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q46_gopher_rules"     -> (qGopherRules _),
@@ -265,9 +351,29 @@ object QualityQueries extends QueryModule {
       "q70_stratified_sample" -> (qStratifiedSample _),
       "q73_quantile_sketch"  -> (qQuantileSketch _),
       "q81_length_deciles"   -> (qLengthDeciles _),
+      "q84_token_budget"     -> (qTokenBudget _),
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q84's oracle is the NAIVE form — a single per-source cumsum. The
+    // engine's two-phase distributed prefix sum must reproduce it
+    // row-for-row (bucket order extends rank-key order, so
+    // offset + local cumsum = global cumsum).
+    "q84_token_budget" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5('tb:' || CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM base)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM cum WHERE cum_tokens <= 700
+        |ORDER BY source, cum_tokens""".stripMargin,
     "q46_gopher_rules" -> {
       val stop8 = Stop8.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH t AS (

@@ -54,6 +54,22 @@ class QualitySpec extends AnyFunSuite {
     assert(!got(5L), "symbol-heavy doc must fail the symbol ratio")
   }
 
+  test("token budget: distributed prefix sum equals the naive window") {
+    import spark.implicits._
+    val dist = QualityQueries.qTokenBudget(spark, sf).collect().toSeq
+    val naive = QualityQueries.tokenBudgetNaive(spark, sf).collect().toSeq
+    assert(dist.nonEmpty, "budget must keep some docs")
+    assert(dist == naive,
+      "two-phase prefix sum must reproduce the single-window cumsum")
+    // every source respects the cap; the NEXT doc would have overflowed
+    val bySource = QualityQueries.qTokenBudget(spark, sf)
+      .groupBy($"source").agg(org.apache.spark.sql.functions.max($"cum_tokens").as("m"))
+      .as[(String, Long)].collect()
+    bySource.foreach { case (src, m) =>
+      assert(m <= 700L, s"$src exceeded the budget: $m")
+    }
+  }
+
   test("approx distinct: sketch verdict true at sf0.001 and sf0.01") {
     import spark.implicits._
     Seq(sf, "/root/testdata/sf0.01").foreach { d =>

@@ -266,9 +266,10 @@ object DedupQueries extends QueryModule {
     * property (hamming ≤ 3 ⇒ some band equal). */
   private val SimhashBits = 60
 
-  /** SimHash: 60-bit per-doc sketch — explode tokens, per-bit signed
-    * counts (60 partially-aggregated sums), reassemble sign bits. */
-  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+  /** The (doc_id, simhash) sketch frame — shared by q33 (banded pair
+    * finding) and q85 (incremental batch-vs-index dedup). One
+    * partial-agg shuffle of 60 small sums per doc. */
+  private def simhashSketch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(normTokens($"text")).as("t"))
@@ -282,6 +283,13 @@ object DedupQueries extends QueryModule {
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
     bitSums.select($"doc_id", simhash.as("simhash"))
+  }
+
+  /** SimHash: 60-bit per-doc sketch — explode tokens, per-bit signed
+    * counts (60 partially-aggregated sums), reassemble sign bits. */
+  def qSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashSketch(s, dir)
       .withColumn("band15", array((0 until 4).map(b =>
         shiftrightunsigned($"simhash", b * 15).bitwiseAND(lit(0x7FFFL))): _*))
       .select($"doc_id", $"simhash",
@@ -290,6 +298,64 @@ object DedupQueries extends QueryModule {
         element_at($"band15", 3).as("band2"),
         element_at($"band15", 4).as("band3"))
       .orderBy($"doc_id")
+  }
+
+  /** Block-combination candidate keys for hamming ≤ 3 over the 60-bit
+    * sketch: split into 6 blocks of 10 bits; key on every 3-subset of
+    * blocks (C(6,3) = 20 keys/doc). With ≤ 3 flipped bits at most 3
+    * blocks are dirty, so ≥ 3 are clean and SOME 3-subset is entirely
+    * clean — every true near-dup shares a key (Manku, Jain & Das Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW 2007). The point
+    * vs q33's 4×15-bit bands is bucket size: a 15-bit band key has 32k
+    * buckets — degenerate at web scale — while a combo key carries
+    * 30 sketch bits, so buckets shrink like n/2^30 and the candidate
+    * join stays sparse at billions of docs. Key layout: 5-bit combo id
+    * above three 10-bit blocks (35 bits, collision-free by construction). */
+  private val MankuBlocks = 6
+  private val MankuPick = 3
+
+  private def mankuKeys(simhash: Column): Column = {
+    val combos = (0 until MankuBlocks).combinations(MankuPick).toSeq
+    array(combos.zipWithIndex.map { case (blocks, ci) =>
+      blocks.foldLeft(lit(ci.toLong): Column) { (acc, b) =>
+        shiftleft(acc, 10).bitwiseOR(
+          shiftrightunsigned(simhash, b * 10).bitwiseAND(lit(0x3FFL)))
+      }
+    }: _*)
+  }
+
+  /** Incremental dedup (q85): a NEW batch (doc_id % 3 = 0) checked
+    * against the already-ingested INDEX (doc_id % 3 ≠ 0) — the shape a
+    * continuously-fed pipeline runs every arrival cycle, and the
+    * near-dup generalization of the reference sinks' unique-index check
+    * (reference src/rss_consumer.py:47-53: new links vs the seen set).
+    * Candidates via the 20 Manku combo keys, verified by exact hamming
+    * ≤ 3 on the full sketch, each new doc resolved to its best match
+    * (min hamming, ties to min index id). In production the index side
+    * is a persisted sketch table keyed by combo key — only the batch
+    * side is computed per cycle; here both derive from one corpus split,
+    * so the sketch frame is built twice (documented test-scale slack —
+    * the oracle needs no combo replay because candidate generation is
+    * provably lossless at hamming ≤ 3). */
+  def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = simhashSketch(s, dir)
+    val idx = sk.filter($"doc_id" % 3 =!= 0)
+      .select($"doc_id".as("idx_id"), $"simhash".as("idx_sh"),
+        explode(mankuKeys($"simhash")).as("k"))
+    val nw = sk.filter($"doc_id" % 3 === 0)
+      .select($"doc_id".as("new_id"), $"simhash".as("new_sh"),
+        explode(mankuKeys($"simhash")).as("k"))
+    nw.join(idx, "k")
+      .select($"new_id", $"new_sh", $"idx_id", $"idx_sh").distinct()
+      .withColumn("hamming",
+        bit_count($"new_sh".bitwiseXOR($"idx_sh")).cast("int"))
+      .filter($"hamming" <= 3)
+      .groupBy($"new_id")
+      .agg(min(struct($"hamming", $"idx_id")).as("m"))
+      .select($"new_id", $"m.hamming".as("hamming"),
+        $"m.idx_id".as("dup_of"))
+      .orderBy($"new_id")
   }
 
   /** Embedding-cosine near-dup: deterministic 1-in-5 subsample, blocked by
@@ -433,6 +499,7 @@ object DedupQueries extends QueryModule {
     "q35_contamination" -> (qContamination _),
     "q64_dup_clusters"  -> (qDupClusters _),
     "q68_dedup_report"  -> (qDedupReport _),
+    "q85_incremental_dedup" -> (qIncrementalDedup _),
   )
 
   /** Shared oracle scaffolding for q64/q68: recompute q32's exact-
@@ -618,36 +685,59 @@ object DedupQueries extends QueryModule {
           |FROM lab""".stripMargin,
       // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
       // bit-sums per doc, sign bits reassembled, 15-bit bands.
-      "q33_simhash" -> {
-        val stops = TextOps.stopwordsSqlList
-        val cleanSql = TextOps.cleanTextSql
-        val bitSums = (0 until SimhashBits).map(i =>
-          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
-          .mkString(",\n|    ")
-        val sketch = (0 until SimhashBits).map(i =>
-          s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH tok AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(str_split($cleanSql, ' '),
-          |      t -> t NOT IN $stops)) AS t
-          |  FROM documents),
-          |h AS (
-          |  SELECT doc_id,
-          |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
-          |bits AS (
-          |  SELECT doc_id,
-          |    $bitSums
-          |  FROM h GROUP BY doc_id),
-          |sk AS (
-          |  SELECT doc_id, ($sketch) AS simhash FROM bits)
+      "q33_simhash" ->
+        s"""$simhashOracleCtes
           |SELECT doc_id, simhash,
           |  (simhash >> 0) & 32767 AS band0,
           |  (simhash >> 15) & 32767 AS band1,
           |  (simhash >> 30) & 32767 AS band2,
           |  (simhash >> 45) & 32767 AS band3
-          |FROM sk ORDER BY doc_id""".stripMargin
-      },
+          |FROM sk ORDER BY doc_id""".stripMargin,
+      // q85: candidate generation is provably lossless at hamming ≤ 3
+      // (Manku pigeonhole), so the oracle skips the combo replay and
+      // scores new-vs-index all-pairs directly — affordable at oracle
+      // scale, identical by construction.
+      "q85_incremental_dedup" ->
+        s"""$simhashOracleCtes,
+          |cand AS (
+          |  SELECT n.doc_id AS new_id, i.doc_id AS idx_id,
+          |    CAST(bit_count(xor(n.simhash, i.simhash)) AS INTEGER)
+          |      AS hamming
+          |  FROM sk n JOIN sk i
+          |    ON n.doc_id % 3 = 0 AND i.doc_id % 3 <> 0)
+          |SELECT new_id, hamming, idx_id AS dup_of FROM (
+          |  SELECT new_id, hamming, idx_id,
+          |    row_number() OVER (PARTITION BY new_id
+          |      ORDER BY hamming, idx_id) AS rn
+          |  FROM cand WHERE hamming <= 3)
+          |WHERE rn = 1 ORDER BY new_id""".stripMargin,
     )
+  }
+
+  /** The q33/q85 shared sketch CTE chain: tok → h → bits → sk, ending
+    * with sk(doc_id, simhash). Starts its own WITH clause. */
+  private def simhashOracleCtes: String = {
+    val stops = TextOps.stopwordsSqlList
+    val cleanSql = TextOps.cleanTextSql
+    val bitSums = (0 until SimhashBits).map(i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n|    ")
+    val sketch = (0 until SimhashBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(str_split($cleanSql, ' '),
+      |      t -> t NOT IN $stops)) AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+      |bits AS (
+      |  SELECT doc_id,
+      |    $bitSums
+      |  FROM h GROUP BY doc_id),
+      |sk AS (
+      |  SELECT doc_id, ($sketch) AS simhash FROM bits)""".stripMargin
   }
 }

@@ -112,6 +112,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, "probing 2/8 cells should recover a real fraction")
   }
 
+  test("incremental dedup: combo keys find exactly the brute-force matches") {
+    import spark.implicits._
+    // Manku pigeonhole: with hamming <= 3 over 6 blocks some 3-subset of
+    // blocks is clean, so candidate generation must be LOSSLESS — the
+    // engine's output equals brute-force new-vs-index matching on the
+    // same sketches.
+    val sk = DedupQueries.qSimhash(spark, sf)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect()
+    val idx = sk.filter(_._1 % 3 != 0)
+    val brute = sk.filter(_._1 % 3 == 0).flatMap { case (nid, nsh) =>
+      val ms = idx.map { case (iid, ish) =>
+        (java.lang.Long.bitCount(nsh ^ ish), iid)
+      }.filter(_._1 <= 3)
+      if (ms.isEmpty) None else Some((nid, ms.min._1, ms.min._2))
+    }.toSet
+    val got = DedupQueries.qIncrementalDedup(spark, sf)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got.nonEmpty, "sf0.001 plants near-dups across the % 3 split")
+    assert(got == brute, "combo-key candidates must be lossless")
+  }
+
   test("LSH ANN finds a nonzero fraction of true top-5 neighbors") {
     import spark.implicits._
     val brute = SimilarityQueries.qCosineTopk(spark, sf)

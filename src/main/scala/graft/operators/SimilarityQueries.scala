@@ -229,6 +229,45 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cell")
   }
 
+  /** SemDeDup (q86): embedding-space semantic dedup — cluster the
+    * corpus, then prune pairwise ONLY within each cluster: a vector is
+    * dropped when an earlier (lower vec_id) vector in its cell sits
+    * above cosine τ (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication" — k-means
+    * cells + intra-cell cosine pruning). Here cells come from the FIXED
+    * gaussian anchors so the whole pipeline, assignment included,
+    * replays in the DuckDB oracle; the honest data-fitted quantizer is
+    * q42b's sampled k-means, one argument away. The cluster bound is
+    * the scale contract: pairwise cost is Σ|cell|² and k grows with the
+    * corpus to keep cells bounded — never all-pairs. τ = 0.3 ≈ this
+    * corpus' 99.9th-percentile pair cosine (q34's calibration). Output:
+    * every nonzero vector with its cell, keep verdict, and keeper id
+    * (-1 when kept — a sentinel, not null, so the hash compare never
+    * rides on engine null/NaN conventions). */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Tau = 0.3
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d, transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val base = vecs(s, dir)
+      .select($"vec_id", $"v", $"nrm",
+        element_at(sorted, 1).getField("idx").as("cell"))
+    val x = base.select($"vec_id", $"cell", $"v".as("xv"), $"nrm".as("xn"))
+    val y = base.select($"vec_id".as("y_id"), $"cell", $"v".as("yv"),
+      $"nrm".as("yn"))
+    val dups = x.join(y, Seq("cell"))
+      .filter($"y_id" < $"vec_id")
+      .filter(dot($"xv", $"yv") / ($"xn" * $"yn") >= Tau)
+      .groupBy($"vec_id")
+      .agg(min($"y_id").as("dup_of"))
+    base.select($"vec_id", $"cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell", $"dup_of".isNull.as("keep"),
+        coalesce($"dup_of", lit(-1L)).as("dup_of"))
+      .orderBy($"vec_id")
+  }
+
   private def ivfWith(s: SparkSession, dir: String,
       anchorsArr: Array[Array[Double]]): DataFrame = {
     import s.implicits._
@@ -282,6 +321,7 @@ object SimilarityQueries extends QueryModule {
     "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
     "q44_cluster_stats" -> (qClusterStats _),
+    "q86_semdedup"    -> (qSemDedup _),
   )
 
   /** DuckDB literal for a plane/anchor vector (Scala Double.toString
@@ -379,6 +419,34 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q86's oracle: literal-anchor argmax assignment, then intra-cell
+    * pairwise cosine pruning — the direct SQL restatement. */
+  private def semDedupSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |assigned AS (
+      |  SELECT vec_id, v,
+      |    list_sort($structs)[1].idx AS cell
+      |  FROM dots),
+      |dups AS (
+      |  SELECT x.vec_id, min(y.vec_id) AS dup_of
+      |  FROM assigned x JOIN assigned y USING (cell)
+      |  WHERE y.vec_id < x.vec_id
+      |    AND list_cosine_similarity(x.v, y.v) >= 0.3
+      |  GROUP BY x.vec_id)
+      |SELECT a.vec_id, a.cell, (d.dup_of IS NULL) AS keep,
+      |  coalesce(d.dup_of, -1) AS dup_of
+      |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+      |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** q44's oracle: same literal-anchor argmax as q42's, aggregated. */
   private def clusterStatsSql: String = {
     val dotCols = anchors.indices.map(i =>
@@ -408,5 +476,6 @@ object SimilarityQueries extends QueryModule {
     "q41_lsh_ann"     -> lshAnnSql,
     "q42_ivf_ann"     -> ivfAnnSql,
     "q44_cluster_stats" -> clusterStatsSql,
+    "q86_semdedup"    -> semDedupSql,
   )
 }

@@ -133,6 +133,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == brute, "combo-key candidates must be lossless")
   }
 
+  test("semdedup: drops point at an earlier same-cell vector above tau") {
+    import spark.implicits._
+    val out = SimilarityQueries.qSemDedup(spark, sf)
+      .as[(Long, Int, Boolean, Long)].collect()
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    val dropped = out.filter(!_._3)
+    assert(dropped.nonEmpty, "tau=0.3 must prune something on sf0.001")
+    val vecsById = TestSpark.spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    dropped.foreach { case (id, cell, _, dupOf) =>
+      assert(dupOf >= 0 && dupOf < id, s"keeper must precede $id")
+      assert(cellOf(dupOf) == cell, s"$id's keeper $dupOf is in another cell")
+      assert(cos(vecsById(id), vecsById(dupOf)) >= 0.3 - 1e-9,
+        s"$id and $dupOf are below the prune threshold")
+    }
+  }
+
   test("LSH ANN finds a nonzero fraction of true top-5 neighbors") {
     import spark.implicits._
     val brute = SimilarityQueries.qCosineTopk(spark, sf)

@@ -253,6 +253,36 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Temperature-based language mixing (q88): the mC4/XLM-R sampling law
+    * p_i ∝ share_i^alpha with alpha = 0.3 (Conneau et al. 2020 §3.1;
+    * Raffel et al. 2020 §3.4.3 use the same exponentiated-share form) —
+    * flatten the language distribution so low-resource languages are
+    * upsampled relative to their raw token share. Same scale shape as
+    * q63's uniform-target mixing: one partial-agg shuffle over (lang),
+    * then the corpus totals reach every group row via a single-row
+    * window, never a driver round-trip. `boost` = p_temp / share is the
+    * per-language repetition factor a sampler applies downstream. */
+  def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Alpha = 0.3
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    Tables.documents(s, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      // two window steps: a window function can't nest inside another
+      // window aggregate's argument, so share materializes first
+      .withColumn("share_raw",
+        $"n_tokens".cast("double") / sum($"n_tokens").over(w))
+      .withColumn("p_temp",
+        pow($"share_raw", Alpha) / sum(pow($"share_raw", Alpha)).over(w))
+      .select($"lang", $"n_docs", $"n_tokens",
+        round($"share_raw", 4).as("share"),
+        round($"p_temp", 4).as("p_temp"),
+        round($"p_temp" / $"share_raw", 4).as("boost"))
+      .orderBy($"lang")
+  }
+
   /** Token-budget buckets: 16 range buckets keyed on the FIRST hex char
     * of the rank key. Lowercase hex sorts lexicographically in value
     * order ('0'..'9' < 'a'..'f'), so the bucket is a prefix of the sort
@@ -352,6 +382,7 @@ object QualityQueries extends QueryModule {
       "q73_quantile_sketch"  -> (qQuantileSketch _),
       "q81_length_deciles"   -> (qLengthDeciles _),
       "q84_token_budget"     -> (qTokenBudget _),
+      "q88_temperature_mix"  -> (qTemperatureMix _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -463,6 +494,24 @@ object QualityQueries extends QueryModule {
         |  round(CAST(n_docs AS DOUBLE) /
         |    sum(n_docs) OVER (PARTITION BY lang), 4) AS share
         |FROM g ORDER BY lang, split""".stripMargin,
+    "q88_temperature_mix" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |sh AS (
+        |  SELECT lang, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+        |  FROM g),
+        |p AS (
+        |  SELECT lang, n_docs, n_tokens, share,
+        |    power(share, 0.3) / sum(power(share, 0.3)) OVER () AS p_temp
+        |  FROM sh)
+        |SELECT lang, n_docs, n_tokens,
+        |  round(share, 4) AS share,
+        |  round(p_temp, 4) AS p_temp,
+        |  round(p_temp / share, 4) AS boost
+        |FROM p ORDER BY lang""".stripMargin,
     "q63_source_mixing" ->
       """WITH g AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -83,10 +83,62 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Stopword list for the classifier's coverage feature — token-level
+    * (every occurrence counts), unlike Gopher's distinct-hit rule. */
+  private val Stop16 = Seq("the", "be", "to", "of", "and", "a", "in",
+    "that", "have", "i", "it", "for", "not", "on", "with", "he")
+
+  /** Fixed weights for the logistic quality model. Stand-ins for trained
+    * coefficients — the pipeline shape (featurize → linear score →
+    * sigmoid → threshold) is what a model-based filter ships; training
+    * happens offline and the weights arrive as constants exactly like
+    * these. Kept as named constants so the oracle replays them as SQL
+    * literals. */
+  private val Wb = -2.0   // bias
+  private val Wl = 0.9    // ln(1 + n_words): longer docs score higher
+  private val Ww = -0.4   // mean word length: penalize token soup
+  private val Ws = 3.0    // stopword token ratio: reward natural prose
+  private val Wu = -5.0   // uppercase char ratio: penalize SHOUTING
+
+  /** Model-based quality filter (q87): the fastText/CCNet-style stage —
+    * score every document with a tiny linear model over cheap engineered
+    * features and keep score >= 0.5 (Wenzek et al. 2020 filter by LM/
+    * classifier score; LLaMA's pipeline uses a linear classifier the
+    * same way). Entirely native expressions — featurize, dot product,
+    * and sigmoid all stay inside whole-stage codegen, so at 100 TB this
+    * is a map-only pass with zero shuffles; inference cost is the scan.
+    * The division guards (`nullif`-style coalesce) keep empty documents
+    * from poisoning the batch — per-record error isolation as algebra,
+    * not try/catch. */
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split($"text", " ")
+    val nWords = size(tk).cast("double")
+    val fLen = log(lit(1.0) + nWords)
+    val fWlen = aggregate(transform(tk, x => length(x).cast("double")),
+      lit(0.0), (acc, x) => acc + x) / nWords
+    val fStop = size(filter(tk, x => x.isInCollection(Stop16)))
+      .cast("double") / nWords
+    val fUpper = coalesce(
+      (length($"text") - length(regexp_replace($"text", "[A-Z]", "")))
+        .cast("double") /
+        when(length($"text") === 0, lit(null)).otherwise(length($"text")),
+      lit(0.0))
+    val z = lit(Wb) + lit(Wl) * fLen + lit(Ww) * fWlen +
+      lit(Ws) * fStop + lit(Wu) * fUpper
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        nWords.cast("long").as("n_words"),
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q71_tfidf_topk"  -> (qTfidfTopk _),
       "q72_unigram_nll" -> (qUnigramNll _),
+      "q87_quality_classifier" -> (qQualityClassifier _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -126,5 +178,30 @@ object ScoringQueries extends QueryModule {
         |FROM toks JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q87_quality_classifier" -> {
+      val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+        |    str_split(text, ' ') AS tk,
+        |    text
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, n_words,
+        |    $Wb + $Wl * ln(1.0 + n_words)
+        |      + $Ww * (list_sum(list_transform(tk,
+        |          x -> CAST(length(x) AS DOUBLE))) / n_words)
+        |      + $Ws * (CAST(len(list_filter(tk, x -> x IN $stop16))
+        |          AS DOUBLE) / n_words)
+        |      + $Wu * coalesce(
+        |          CAST(length(text) - length(regexp_replace(text,
+        |            '[A-Z]', '', 'g')) AS DOUBLE)
+        |            / nullif(length(text), 0), 0.0) AS z
+        |  FROM f)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(1.0 / (1.0 + exp(-z)), 4) AS score,
+        |  (1.0 / (1.0 + exp(-z)) >= 0.5) AS keep
+        |FROM z ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -199,4 +199,40 @@ class ScoringSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"),
       "shuffle_hash hint must keep the exchange visible")
   }
+
+  test("quality classifier: probabilities valid, threshold consistent, map-only") {
+    import spark.implicits._
+    val df = ScoringQueries.qQualityClassifier(spark, sf)
+    val rows = df.select($"score", $"keep").as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (score, keep) =>
+      assert(score >= 0.0 && score <= 1.0, s"score $score outside [0,1]")
+      // keep is thresholded on the UNROUNDED score; only rows rounded
+      // right onto the boundary may disagree with the displayed value
+      if (score > 0.50005) assert(keep, s"score $score but keep=false")
+      if (score < 0.49995) assert(!keep, s"score $score but keep=true")
+    }
+    // inference is a map-only pass: a scan and no exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"classifier inference must not shuffle:\n$plan")
+  }
+
+  test("temperature mix: distributions normalize, boost antitone in share") {
+    import spark.implicits._
+    val rows = QualityQueries.qTemperatureMix(spark, sf)
+      .select($"share", $"p_temp", $"boost")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.length >= 2, "need multiple languages to mix")
+    assert(math.abs(rows.map(_._1).sum - 1.0) < 1e-3, "shares must sum to 1")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3, "p_temp must sum to 1")
+    // alpha < 1 flattens: boost = share^(alpha-1)/Z strictly decreases
+    // with share, so low-resource languages are upsampled
+    val byShare = rows.sortBy(_._1)
+    byShare.sliding(2).foreach {
+      case Array((s1, _, b1), (s2, _, b2)) if s1 < s2 =>
+        assert(b1 >= b2, s"boost must not grow with share: ($s1,$b1) ($s2,$b2)")
+      case _ =>
+    }
+  }
 }

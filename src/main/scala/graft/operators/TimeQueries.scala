@@ -156,6 +156,27 @@ object TimeQueries extends QueryModule {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Time-windowed dedup (q89): suppress an event when the SAME
+    * (user_id, event_type) fired within the previous hour — the
+    * news-stream / alert-throttle form of dedup, where a repeat is only
+    * a duplicate while it is fresh (the reference's seen-links index
+    * never expires entries; a 100 TB feed pipeline must). One window
+    * shuffle on the dedup key, O(1) state per row (a single lag) —
+    * never a self-join. The streaming twin is
+    * `dropDuplicatesWithinWatermark` (StreamPipelines.scala:34), whose
+    * state TTL is this query's window expressed as a watermark. */
+  def qWindowedDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val gap = $"ts".cast("double") - lag($"ts", 1).over(w).cast("double")
+    Tables.events(s, dir)
+      .withColumn("gap", gap)
+      .filter($"gap".isNull || $"gap" > 3600.0)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .orderBy($"event_id")
+  }
+
   /** As-of join — the canonical "operator Spark lacks" (SURVEY.md §7.3
     * preference (a): compose built-ins). Each purchase is joined to the
     * user's most recent click at-or-before it. Implementation: union the
@@ -229,9 +250,20 @@ object TimeQueries extends QueryModule {
     "q23_json_extract"       -> (qJsonExtract _),
     "q24_window_tumbling"    -> (qWindowTumbling _),
     "q79_moving_avg"         -> (qMovingAvg _),
+    "q89_windowed_dedup"     -> (qWindowedDedup _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q89_windowed_dedup" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    epoch(CAST(ts AS TIMESTAMP)) -
+        |      epoch(CAST(lag(ts) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS TIMESTAMP)) AS gap
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, t AS ts
+        |FROM g WHERE gap IS NULL OR gap > 3600.0
+        |ORDER BY event_id""".stripMargin,
     "q79_moving_avg" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

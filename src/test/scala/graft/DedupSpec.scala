@@ -75,6 +75,28 @@ class DedupSpec extends AnyFunSuite {
       assert(hashes.filter($"n" > 1).head(1).isEmpty)
     }
   }
+
+  test("windowed dedup: survivors are > 1h apart per key, drops have a fresh predecessor") {
+    import spark.implicits._
+    val all = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type",
+        $"ts".cast("double").as("sec"))
+      .as[(Long, Long, String, Double)].collect()
+    val kept = graft.operators.TimeQueries.qWindowedDedup(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept.nonEmpty && kept.size < all.length,
+      "the window must actually suppress some repeats at this sf")
+    all.groupBy(e => (e._2, e._3)).foreach { case (_, evs) =>
+      evs.sortBy(e => (e._4, e._1)).sliding(2).foreach {
+        case Array(prev, cur) =>
+          val fresh = cur._4 - prev._4 <= 3600.0
+          assert(kept.contains(cur._1) == !fresh,
+            s"event ${cur._1}: gap ${cur._4 - prev._4}s, kept=${kept.contains(cur._1)}")
+        case single => assert(kept.contains(single.head._1),
+          "a key's first event is always kept")
+      }
+    }
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -166,4 +188,5 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"ANN recall@5 vs brute force: $recall%.3f")
     assert(recall > 0.0)
   }
+
 }

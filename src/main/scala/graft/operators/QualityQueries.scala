@@ -253,6 +253,49 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Count-min heavy hitters (q90): verify the fixed-memory frequency
+    * sketch against exact counts on the top-20 vocabulary — the q49
+    * each-engine-judges-its-own-sketch pattern applied to the
+    * CountMinSketchAgg custom aggregate (plans/CountMinSketch.scala).
+    * The sketch is ONE depth×width array for the whole corpus (map-side
+    * partial sketches merge by addition; the shuffle carries a constant
+    * 4×4096 longs per partition, never a vocabulary-sized map), reaches
+    * the top-20 frame as a one-row broadcast, and the point estimate is
+    * all native expressions — `pmod(hash(lit(d), term), width)` replays
+    * the aggregate's internal Murmur3 chain exactly. `cms_ok` asserts
+    * the one-sided CMS guarantee: exact <= est <= exact + 1% of corpus
+    * tokens (eps = e/4096 ≈ 0.07%, so 1% is ~15 sigma of slack); the
+    * oracle states the guarantee as fact, and CmsSpec pins the sharper
+    * per-term bounds plus merge associativity. */
+  def qCmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Depth = 4; val Width = 4096
+    val toks = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+    val sketch = toks.select(org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CountMinSketchAgg(
+        org.apache.spark.sql.GraftBridge.expression($"term"),
+        Depth, Width).toAggregateExpression()).as("sk"))
+    val stats = toks.groupBy($"term")
+      .agg(count(lit(1)).as("exact_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"exact_cnt".desc, $"term")
+    val est = (0 until Depth).map { d =>
+      element_at($"sk",
+        lit(d * Width) + pmod(hash(lit(d), $"term"), lit(Width)) + 1)
+    }.reduce(least(_, _))
+    stats
+      .withColumn("n_total", sum($"exact_cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 20)
+      .crossJoin(broadcast(sketch))
+      .select($"term", $"exact_cnt",
+        ($"exact_cnt" <= est &&
+          est <= $"exact_cnt" + ceil($"n_total" * 0.01)).as("cms_ok"))
+      .orderBy($"exact_cnt".desc, $"term")
+  }
+
   /** Temperature-based language mixing (q88): the mC4/XLM-R sampling law
     * p_i ∝ share_i^alpha with alpha = 0.3 (Conneau et al. 2020 §3.1;
     * Raffel et al. 2020 §3.4.3 use the same exponentiated-share form) —
@@ -383,6 +426,7 @@ object QualityQueries extends QueryModule {
       "q81_length_deciles"   -> (qLengthDeciles _),
       "q84_token_budget"     -> (qTokenBudget _),
       "q88_temperature_mix"  -> (qTemperatureMix _),
+      "q90_cms_heavy_hitters" -> (qCmsHeavyHitters _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -494,6 +538,22 @@ object QualityQueries extends QueryModule {
         |  round(CAST(n_docs AS DOUBLE) /
         |    sum(n_docs) OVER (PARTITION BY lang), 4) AS share
         |FROM g ORDER BY lang, split""".stripMargin,
+    // q90's oracle states the CMS guarantee (cms_ok TRUE) as fact and
+    // verifies the exact counts; if the engine's sketch ever violates
+    // its bound the hash compare fails on the verdict column.
+    "q90_cms_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+        |stats AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM toks GROUP BY term),
+        |top AS (
+        |  SELECT term, exact_cnt,
+        |    row_number() OVER (ORDER BY exact_cnt DESC, term) AS rk
+        |  FROM stats)
+        |SELECT term, exact_cnt, TRUE AS cms_ok
+        |FROM top WHERE rk <= 20
+        |ORDER BY exact_cnt DESC, term""".stripMargin,
     "q88_temperature_mix" ->
       """WITH g AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -90,4 +90,16 @@ object StreamPipelines {
       .select(col("p_user").as("user_id"), col("purchase_ts"),
         col("purchase_value"), col("click_ts"), col("click_value"))
   }
+
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a STATIC dimension — no watermark, no join state, because the
+    * static side is complete by definition. With `broadcast()` the
+    * enrich is a map-only operator inside the micro-batch (the dim ships
+    * once per executor, the stream never shuffles) — the standard shape
+    * for currency tables, user profiles, or blocklists at any scale
+    * where the dim stays broadcastable. An inner join doubles as the
+    * blocklist/allowlist filter (unmatched stream rows drop). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
 }

@@ -108,11 +108,40 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(spark.table("cp_join").count() == 1)
     } finally q.stop()
   }
+
+  test("stream-static broadcast join enriches per micro-batch and filters unmatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val src = MemoryStream[UserEvent]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    src.addData(
+      UserEvent(1L, ts("2024-01-01 10:00:00"), 5.0),
+      UserEvent(3L, ts("2024-01-01 10:00:10"), 7.0)) // 3 not in dim → drops
+    val q = StreamPipelines.enrichWithDim(src.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      src.addData(UserEvent(2L, ts("2024-01-01 10:01:00"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select($"user_id", $"tier", $"value")
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "gold", 5.0), (2L, "silver", 9.0)),
+        s"got ${rows.toSeq}")
+      // the enrich is stateless: no streaming state store in the plan
+      val progress = q.lastProgress
+      assert(progress.stateOperators.isEmpty,
+        "stream-static join must hold no state")
+    } finally q.stop()
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import graft.streaming.Sessionize
+
 
   test("flatMapGroupsWithState sessionization closes sessions across micro-batches") {
     import spark.implicits._

@@ -109,4 +109,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("))
     assert(!p.contains("BatchEvalPython"))
   }
+
+  test("AQE splits a skewed join partition (the no-salt skew path)") {
+    // q9/q74 salt by hand; the OTHER skew tool the scale notes rely on
+    // is AQE's runtime skew-join split. Prove it actually fires: a
+    // 90%-hot-key join under sort-merge, thresholds scaled to test data
+    // — the executed plan must carry the skew=true marker.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(40000)
+        .select((when($"id" % 10 =!= 0, lit(0L)).otherwise($"id")).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(40000).select($"id".as("k"), lit("d").as("tag"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so THIS queryExecution runs and AQE
+      // finalizes it — count() plans a separate aggregate query
+      assert(joined.collect().length == 40000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot-key partition as skewed:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

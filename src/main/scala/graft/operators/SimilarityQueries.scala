@@ -314,7 +314,34 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Johnson-Lindenstrauss random-projection matrix: 16 seeded gaussian
+    * directions over the 64-dim input, scaled 1/sqrt(16) so expected
+    * squared norms are preserved (the JL estimator). Literal constants,
+    * like `planes`/`anchors`, so the oracle replays them. */
+  private val rproj: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(16, 64)(rnd.nextGaussian() / math.sqrt(16.0))
+  }
+
+  /** Random-projection dimensionality reduction (q91): 64 → 16 dims via
+    * a fixed gaussian matrix (Johnson & Lindenstrauss 1984; the dense
+    * variant of Achlioptas 2003) — the cheap pre-ANN compression step an
+    * embedding pipeline runs before indexing: distances survive in
+    * expectation at a quarter of the storage/bandwidth. Map-only: 16
+    * codegen'd dot products per row against literal vectors, zero
+    * shuffles at any corpus size; the matrix rides in the plan itself,
+    * not even a broadcast. RProjSpec pins the JL distance-preservation
+    * law on real pairs. */
+  def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vecs(s, dir).select(
+      $"vec_id" +: (0 until 16).map(j =>
+        round(dot($"v", array(rproj(j).map(lit): _*)), 4).as(s"r$j")): _*)
+      .orderBy($"vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_random_projection" -> (qRandomProjection _),
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
     "q42_ivf_ann"     -> (qIvfAnn _),
@@ -477,5 +504,14 @@ object SimilarityQueries extends QueryModule {
     "q42_ivf_ann"     -> ivfAnnSql,
     "q44_cluster_stats" -> clusterStatsSql,
     "q86_semdedup"    -> semDedupSql,
+    "q91_random_projection" -> {
+      val cols = (0 until 16).map(j =>
+        s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) AS r$j")
+        .mkString(",\n|  ")
+      s"""WITH $baseCte
+        |SELECT vec_id,
+        |  $cols
+        |FROM base ORDER BY vec_id""".stripMargin
+    },
   )
 }

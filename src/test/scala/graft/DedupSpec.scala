@@ -178,6 +178,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("random projection preserves pairwise distances in the JL sense") {
+    import spark.implicits._
+    val reduced = SimilarityQueries.qRandomProjection(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (1 until 17).map(r.getDouble).toArray).toMap
+    val full = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) v")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(reduced.size == full.count(_._2.exists(_ != 0.0)))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = reduced.keys.toArray.sorted
+    val ratios = (0 until 200).map { i =>
+      val x = ids(i % ids.length); val y = ids((i * 7 + 3) % ids.length)
+      if (x == y) 1.0
+      else d2(reduced(x), reduced(y)) /
+        d2(full(x).toArray, full(y).toArray)
+    }
+    val med = ratios.sorted.apply(ratios.length / 2)
+    info(f"median distance ratio reduced/full: $med%.3f")
+    // k=16 gives sqrt(2/k) ≈ 0.35 relative stddev per pair; the median
+    // ratio must sit near 1 or the projection isn't JL at all
+    assert(med > 0.5 && med < 1.5, s"median distortion $med out of range")
+  }
+
   test("LSH ANN finds a nonzero fraction of true top-5 neighbors") {
     import spark.implicits._
     val brute = SimilarityQueries.qCosineTopk(spark, sf)

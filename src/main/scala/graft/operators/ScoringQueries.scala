@@ -83,6 +83,45 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Bigram-LM document scoring (q93): mean negative log-likelihood of
+    * each document's token stream under a Laplace-smoothed corpus bigram
+    * model, p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + V) — the
+    * conditional upgrade of q72's unigram score and the closest
+    * self-contained stand-in for the KenLM 5-gram filter CCNet ships
+    * (Wenzek et al. 2020). Smoothing matters operationally: unseen
+    * transitions must score finite or one typo nukes the document.
+    *
+    * Shape: tokens get positions map-side (posexplode), the
+    * previous-token column comes from a lag over (doc_id) — ONE shuffle
+    * of the token stream, reusing the same (doc_id) partitioning the
+    * final per-doc aggregate needs. The bigram/context count tables are
+    * corpus aggregates broadcast back onto the stream (min-df/UNK
+    * folding keeps them broadcastable at 100 TB, as with q72); the
+    * probability math itself is codegen'd arithmetic. */
+  def qBigramNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val bi = toks
+      .withColumn("prev", lag($"term", 1).over(w))
+      .filter($"prev".isNotNull)
+    val biCnt = bi.groupBy($"prev", $"term")
+      .agg(count(lit(1)).as("c_bi"))
+    val ctxCnt = biCnt.groupBy($"prev")
+      .agg(sum($"c_bi").as("c_ctx"))
+    val vocab = toks.agg(countDistinct($"term").cast("double").as("v"))
+    bi
+      .join(broadcast(biCnt), Seq("prev", "term"))
+      .join(broadcast(ctxCnt), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(($"c_bi" + lit(1.0)) / ($"c_ctx" + $"v"))), 4)
+          .as("nll"))
+      .orderBy($"doc_id")
+  }
+
   /** Stopword list for the classifier's coverage feature — token-level
     * (every occurrence counts), unlike Gopher's distinct-hit rule. */
   private val Stop16 = Seq("the", "be", "to", "of", "and", "a", "in",
@@ -139,6 +178,7 @@ object ScoringQueries extends QueryModule {
       "q71_tfidf_topk"  -> (qTfidfTopk _),
       "q72_unigram_nll" -> (qUnigramNll _),
       "q87_quality_classifier" -> (qQualityClassifier _),
+      "q93_bigram_nll"  -> (qBigramNll _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -178,6 +218,23 @@ object ScoringQueries extends QueryModule {
         |FROM toks JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q93_bigram_nll" ->
+      """WITH d AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS term
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)),
+        |bc AS (
+        |  SELECT prev, term, CAST(count(*) AS BIGINT) AS c_bi
+        |  FROM bi GROUP BY prev, term),
+        |cc AS (SELECT prev, sum(c_bi) AS c_ctx FROM bc GROUP BY prev),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-ln((c_bi + 1.0) / (c_ctx + v))), 4) AS nll
+        |FROM bi JOIN bc USING (prev, term) JOIN cc USING (prev) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q87_quality_classifier" -> {
       val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""WITH f AS (

@@ -218,6 +218,26 @@ class ScoringSpec extends AnyFunSuite {
       s"classifier inference must not shuffle:\n$plan")
   }
 
+  test("bigram nll: finite scores, one bigram per adjacent pair") {
+    import spark.implicits._
+    val nBi = ScoringQueries.qBigramNll(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"nll")
+      .as[(Long, Long, Double)].collect()
+    assert(nBi.nonEmpty)
+    val tokCount = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .as[(Long, Int)].collect().toMap
+    nBi.foreach { case (doc, nb, nll) =>
+      assert(nb == tokCount(doc) - 1,
+        s"doc $doc: ${tokCount(doc)} tokens but $nb bigrams")
+      assert(!nll.isNaN && !nll.isInfinite && nll > 0.0,
+        s"doc $doc: smoothing must keep nll finite/positive, got $nll")
+    }
+    // docs with <2 tokens have no bigram rows at all
+    assert(nBi.map(_._1).toSet ==
+      tokCount.filter(_._2 >= 2).keySet)
+  }
+
   test("temperature mix: distributions normalize, boost antitone in share") {
     import spark.implicits._
     val rows = QualityQueries.qTemperatureMix(spark, sf)

@@ -278,6 +278,10 @@ object QualityQueries extends QueryModule {
         Depth, Width).toAggregateExpression()).as("sk"))
     val stats = toks.groupBy($"term")
       .agg(count(lit(1)).as("exact_cnt"))
+    // corpus token total as a one-row broadcast, NOT a single-partition
+    // window over the vocabulary frame (the q37 lesson: anything sized
+    // by the vocabulary must never funnel through one partition)
+    val nTot = stats.agg(sum($"exact_cnt").as("n_total"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy($"exact_cnt".desc, $"term")
     val est = (0 until Depth).map { d =>
@@ -285,11 +289,10 @@ object QualityQueries extends QueryModule {
         lit(d * Width) + pmod(hash(lit(d), $"term"), lit(Width)) + 1)
     }.reduce(least(_, _))
     stats
-      .withColumn("n_total", sum($"exact_cnt").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 20)
       .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(nTot))
       .select($"term", $"exact_cnt",
         ($"exact_cnt" <= est &&
           est <= $"exact_cnt" + ceil($"n_total" * 0.01)).as("cms_ok"))

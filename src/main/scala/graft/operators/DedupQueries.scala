@@ -500,7 +500,32 @@ object DedupQueries extends QueryModule {
     "q64_dup_clusters"  -> (qDupClusters _),
     "q68_dedup_report"  -> (qDedupReport _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
+    "q94_source_matrix"     -> (qSourceMatrix _),
   )
+
+  /** Cross-source contamination matrix (q94): which sources duplicate
+    * which — q32's verified near-dup pairs annotated with each side's
+    * source and rolled up to unordered (source_a, source_b) pair counts.
+    * The provenance/leakage report a corpus audit ships: diagonal =
+    * within-source duplication, off-diagonal = cross-source copying
+    * (syndication, mirrors, benchmark leakage). Pair↔source annotation
+    * is two joins of the (small) pair frame against the (doc_id, source)
+    * projection — at 100 TB the pair side broadcasts, never the corpus;
+    * least/greatest canonicalizes so a pair lands in one matrix cell
+    * regardless of doc-id order. */
+  def qSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = qMinhashLsh(s, dir).select($"x_id", $"y_id")
+    val srcs = Tables.documents(s, dir).select($"doc_id", $"source")
+    pairs
+      .join(srcs.select($"doc_id".as("x_id"), $"source".as("sx")), "x_id")
+      .join(srcs.select($"doc_id".as("y_id"), $"source".as("sy")), "y_id")
+      .select(least($"sx", $"sy").as("source_a"),
+        greatest($"sx", $"sy").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
 
   /** Shared oracle scaffolding for q64/q68: recompute q32's exact-
     * Jaccard ≥ 0.9 pairs (all-pairs is affordable at oracle scale) and
@@ -670,6 +695,20 @@ object DedupQueries extends QueryModule {
         s"""$ccOracleCtes
           |SELECT doc_id, min(r) AS keeper_id
           |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // q94 reuses the exact all-pairs `p` CTE (the unreferenced
+      // recursive CTEs cost nothing); equality with the engine rests on
+      // q32's pairs == exact >= 0.9 pairs, which q32's own row proves.
+      "q94_source_matrix" ->
+        s"""$ccOracleCtes,
+          |m AS (
+          |  SELECT least(dx.source, dy.source) AS source_a,
+          |         greatest(dx.source, dy.source) AS source_b
+          |  FROM p
+          |  JOIN documents dx ON p.x_id = dx.doc_id
+          |  JOIN documents dy ON p.y_id = dy.doc_id)
+          |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+          |FROM m GROUP BY source_a, source_b
+          |ORDER BY source_a, source_b""".stripMargin,
       "q68_dedup_report" ->
         s"""$ccOracleCtes,
           |lab AS (

@@ -76,6 +76,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("source matrix: cells canonical, pair mass conserved") {
+    import spark.implicits._
+    val cells = DedupQueries.qSourceMatrix(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(cells.nonEmpty)
+    cells.foreach { case (a, b, n) =>
+      assert(a <= b, s"cell ($a,$b) not canonical")
+      assert(n > 0)
+    }
+    val totalPairs = DedupQueries.qMinhashLsh(spark, sf).count()
+    assert(cells.map(_._3).sum == totalPairs,
+      "every verified pair lands in exactly one matrix cell")
+  }
+
   test("windowed dedup: survivors are > 1h apart per key, drops have a fresh predecessor") {
     import spark.implicits._
     val all = graft.sources.Tables.events(spark, sf)

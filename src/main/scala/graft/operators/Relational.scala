@@ -305,7 +305,39 @@ object Relational extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Nested document modeling (q95): roll each order's line items into
+    * an ORDERED array of structs — the denormalization a 100 TB lakehouse
+    * ships as pre-joined nested tables so downstream readers never pay
+    * the orders⋈lineitem shuffle again (the columnar-nested layout of
+    * Dremel/parquet repeated groups). Determinism is the trap:
+    * collect_list order is partition-dependent, so the array is
+    * array_sort'ed on (linenumber) struct order before fingerprinting.
+    * Output proves lossless round-trip relationally: per-order item
+    * count, quantity sum, and an md5 over the canonically-ordered item
+    * string — flattening back (explode) would reproduce the flat join
+    * exactly, which the fingerprint certifies engine-portably. */
+  def qNestedRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    val nested = li
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list(struct(
+        $"l_linenumber", $"l_partkey", $"l_quantity"))).as("items"))
+    nested.select(
+        $"l_orderkey".as("o_orderkey"),
+        size($"items").cast("long").as("n_items"),
+        round(aggregate($"items", lit(0.0), (acc, it) =>
+          acc + it.getField("l_quantity")), 4).as("sum_qty"),
+        md5(concat_ws("|", transform($"items", it =>
+          concat_ws(":", it.getField("l_linenumber"),
+            it.getField("l_partkey"),
+            it.getField("l_quantity").cast("long"))))).as("items_fp"))
+      .orderBy($"o_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_nested_rollup" -> (qNestedRollup _),
     "q1_agg"            -> (q1Agg _),
     "q9_salted_agg"     -> (q9SaltedAgg _),
     "q9b_distinct_agg"  -> (q9bDistinctAgg _),
@@ -324,6 +356,19 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q95's oracle needs no nested types at all: the ordered string_agg
+    // IS the canonical serialization the Spark side fingerprints
+    "q95_nested_rollup" ->
+      """SELECT l_orderkey AS o_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  md5(string_agg(
+        |    CAST(l_linenumber AS VARCHAR) || ':' ||
+        |    CAST(l_partkey AS VARCHAR) || ':' ||
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '|'
+        |    ORDER BY l_linenumber, l_partkey, l_quantity)) AS items_fp
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q9_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | round(sum(value), 4) AS sum_value

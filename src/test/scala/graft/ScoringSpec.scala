@@ -200,6 +200,27 @@ class ScoringSpec extends AnyFunSuite {
       "shuffle_hash hint must keep the exchange visible")
   }
 
+  test("nested rollup: exploding the items array reconstructs the flat table") {
+    import spark.implicits._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    val nested = li.groupBy($"l_orderkey")
+      .agg(org.apache.spark.sql.functions.array_sort(
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct(
+            $"l_linenumber", $"l_partkey", $"l_quantity"))).as("items"))
+    val back = nested
+      .select($"l_orderkey", explode($"items").as("it"))
+      .select($"l_orderkey", $"it.l_linenumber", $"it.l_partkey",
+        $"it.l_quantity")
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty,
+      "nested → explode must be a lossless round trip")
+    val out = Relational.qNestedRollup(spark, sf)
+    assert(out.count() ==
+      li.select($"l_orderkey").distinct().count())
+  }
+
   test("quality classifier: probabilities valid, threshold consistent, map-only") {
     import spark.implicits._
     val df = ScoringQueries.qQualityClassifier(spark, sf)

@@ -59,6 +59,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg(ext, "media_kind", cs => graft.functions.Multimodal.mediaKind(cs.head))
     reg(ext, "canonical_url",
       cs => graft.operators.UrlQueries.canonicalUrl(cs.head))
+    // cms_sketch(col, depth, width): count-min sketch aggregate; depth
+    // and width must be foldable ints (they size the state buffer)
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        def intArg(e: Expression, what: String): Int = e.eval(null) match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch: $what must be an integer literal, got $other")
+        }
+        CountMinSketchAgg(exprs(0),
+          intArg(exprs(1), "depth"), intArg(exprs(2), "width"))
+          .toAggregateExpression()
+      }))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
   }

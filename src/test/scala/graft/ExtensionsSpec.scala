@@ -55,4 +55,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == "Caf\u00e9") // precomposed output
     assert(r.getString(1) == "http://x.com/a")
   }
+
+  test("cms_sketch callable from spark.sql; estimate replays in SQL too") {
+    val sk = spark.sql(
+      "SELECT cms_sketch(v, 4, 64) AS sk FROM VALUES ('a'),('a'),('a'),('b') t(v)")
+      .head().getSeq[Long](0)
+    assert(sk.length == 4 * 64)
+    assert(sk.sum == 4L * 4) // each of the 4 rows lands once per row of the sketch
+    // point estimate via native SQL over the same hash chain
+    spark.sql(
+      "SELECT cms_sketch(v, 4, 64) AS sk FROM VALUES ('a'),('a'),('a'),('b') t(v)")
+      .createOrReplaceTempView("cms_t")
+    val est = spark.sql(
+      """SELECT least(
+        |  element_at(sk, 0 * 64 + pmod(hash(0, 'a'), 64) + 1),
+        |  element_at(sk, 1 * 64 + pmod(hash(1, 'a'), 64) + 1),
+        |  element_at(sk, 2 * 64 + pmod(hash(2, 'a'), 64) + 1),
+        |  element_at(sk, 3 * 64 + pmod(hash(3, 'a'), 64) + 1)) AS est
+        |FROM cms_t""".stripMargin).head().getLong(0)
+    assert(est >= 3L && est <= 4L, s"estimate for 'a' was $est")
+  }
 }

@@ -81,6 +81,32 @@ object StorageQueries extends QueryModule {
   private def fmtPath(dir: String, name: String): String =
     s"target/graft-fmt/${new java.io.File(dir).getName}-$name"
 
+  /** Schema evolution read (q96): two parquet batches with DIFFERENT
+    * schemas in one directory — the v1 ingest wrote (n_nationkey,
+    * n_name), a later deploy added n_regionkey — read back under
+    * `mergeSchema=true`: the unified schema appears, v1 rows surface the
+    * new column as NULL, and no value changes. This is the lakehouse
+    * fact of life (ingest code evolves mid-table); the alternative —
+    * rewriting history on every schema change — is a 100 TB non-starter.
+    * mergeSchema costs a footer read per file at planning time, which is
+    * why it's opt-in: flip it on for evolving tables, keep static tables
+    * on the cheap single-footer path. Oracle: union of the two halves
+    * with an explicit NULL column. */
+  def qMergeSchema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = fmtPath(dir, "nation-evolving")
+    val nation = Tables.nation(s, dir)
+    nation.filter($"n_nationkey" % 2 === 0)
+      .select($"n_nationkey", $"n_name")
+      .write.mode("overwrite").parquet(path)
+    nation.filter($"n_nationkey" % 2 === 1)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .write.mode("append").parquet(path)
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .orderBy($"n_nationkey")
+  }
+
   /** Small-file compaction round-trip: documents fragmented into 64
     * splinter files (the post-streaming-ingest state), bin-packed to
     * ~256 KB range-laid-out files, re-read. The oracle checks content
@@ -195,6 +221,7 @@ object StorageQueries extends QueryModule {
       "q83_zorder" -> (qZOrder _),
       "q57_json_roundtrip" -> (qJsonRoundtrip _),
       "q62_partition_pruning" -> (qPartitionPruning _),
+      "q96_merge_schema" -> (qMergeSchema _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -245,6 +272,13 @@ object StorageQueries extends QueryModule {
         |FROM h ORDER BY doc_id, valid_from""".stripMargin,
     "q56_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q96_merge_schema" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey % 2 = 0
+        |UNION ALL
+        |SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY n_nationkey""".stripMargin,
     "q82_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,

@@ -257,4 +257,24 @@ class StorageSpec extends AnyFunSuite {
     assert(csv.count() == Tables.nation(spark, sf).count())
     assert(json.count() == Tables.customer(spark, sf).count())
   }
+
+  test("mergeSchema surfaces the evolved column with nulls for old batches") {
+    import spark.implicits._
+    val merged = StorageQueries.qMergeSchema(spark, sf)
+    val rows = merged.as[(Long, String, Option[Long])].collect()
+    assert(rows.length == Tables.nation(spark, sf).count())
+    rows.foreach { case (k, _, region) =>
+      if (k % 2 == 0) assert(region.isEmpty,
+        s"v1 row $k must read NULL for the column it never wrote")
+      else assert(region.nonEmpty, s"v2 row $k lost its n_regionkey")
+    }
+    // evolved values match the source table exactly
+    val expected = Tables.nation(spark, sf)
+      .filter($"n_nationkey" % 2 === 1)
+      .select($"n_nationkey", $"n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    rows.filter(_._1 % 2 == 1).foreach { case (k, _, region) =>
+      assert(region.contains(expected(k)))
+    }
+  }
 }

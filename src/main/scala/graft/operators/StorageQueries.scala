@@ -107,6 +107,28 @@ object StorageQueries extends QueryModule {
       .orderBy($"n_nationkey")
   }
 
+  /** Table checksum (q97): one order-independent fingerprint per
+    * language partition — count + XOR of a per-row 60-bit md5-derived
+    * value over the full row content. XOR is commutative/associative and
+    * never overflows, so the aggregate is partitioning-invariant by
+    * algebra (any executor layout, any merge order, same checksum) and
+    * costs one map pass + a groups-sized reduce. This is the
+    * reconciliation primitive a 100 TB replication/migration uses:
+    * compare per-partition checksums, re-ship only partitions that
+    * disagree — never diff rows across datacenters. */
+  def qTableChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rowFp = conv(substring(md5(concat_ws("|",
+      $"doc_id", $"lang", $"source", $"n_chars", md5($"text"))), 1, 15),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .select($"lang", rowFp.as("fp"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("checksum"))
+      .orderBy($"lang")
+  }
+
   /** Small-file compaction round-trip: documents fragmented into 64
     * splinter files (the post-streaming-ingest state), bin-packed to
     * ~256 KB range-laid-out files, re-read. The oracle checks content
@@ -222,6 +244,7 @@ object StorageQueries extends QueryModule {
       "q57_json_roundtrip" -> (qJsonRoundtrip _),
       "q62_partition_pruning" -> (qPartitionPruning _),
       "q96_merge_schema" -> (qMergeSchema _),
+      "q97_table_checksum" -> (qTableChecksum _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -280,6 +303,17 @@ object StorageQueries extends QueryModule {
         |SELECT n_nationkey, n_name, n_regionkey
         |FROM nation WHERE n_nationkey % 2 = 1
         |ORDER BY n_nationkey""".stripMargin,
+    "q97_table_checksum" ->
+      """WITH fp AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
+        |        || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)),
+        |      1, 15))::BIGINT AS fp
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(fp) AS checksum
+        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin,
     "q82_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 4) AS acctbal

@@ -258,6 +258,43 @@ class StorageSpec extends AnyFunSuite {
     assert(json.count() == Tables.customer(spark, sf).count())
   }
 
+  test("table checksum: partitioning-invariant, row-sensitive") {
+    import spark.implicits._
+    val base = StorageQueries.qTableChecksum(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    // same rows through a different physical layout → same checksums
+    val reshuffled = graft.sources.Tables.documents(spark, sf)
+      .repartition(13)
+    reshuffled.createOrReplaceTempView("docs_reshuffled")
+    val fp = org.apache.spark.sql.functions.conv(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.concat_ws("|",
+            $"doc_id", $"lang", $"source", $"n_chars",
+            org.apache.spark.sql.functions.md5($"text"))), 1, 15),
+      16, 10).cast("long")
+    val again = reshuffled.select($"lang", fp.as("fp"))
+      .groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.expr("bit_xor(fp)").as("checksum"))
+      .orderBy($"lang").as[(String, Long, Long)].collect().toSeq
+    assert(base == again, "checksum must not depend on partitioning")
+    // flipping a single row's content must change that group's checksum
+    val mutated = graft.sources.Tables.documents(spark, sf)
+      .withColumn("text", org.apache.spark.sql.functions.when(
+        $"doc_id" === 0L, org.apache.spark.sql.functions.concat($"text",
+          org.apache.spark.sql.functions.lit("X"))).otherwise($"text"))
+    val lang0 = graft.sources.Tables.documents(spark, sf)
+      .filter($"doc_id" === 0L).select($"lang").as[String].head()
+    val mutatedSum = mutated.select($"lang", fp.as("fp"))
+      .groupBy($"lang").agg(
+        org.apache.spark.sql.functions.expr("bit_xor(fp)").as("checksum"))
+      .filter($"lang" === lang0).select($"checksum").as[Long].head()
+    val baseSum = base.find(_._1 == lang0).get._3
+    assert(mutatedSum != baseSum, "a changed row must change the checksum")
+  }
+
   test("mergeSchema surfaces the evolved column with nulls for old batches") {
     import spark.implicits._
     val merged = StorageQueries.qMergeSchema(spark, sf)

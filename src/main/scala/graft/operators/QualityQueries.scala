@@ -253,6 +253,29 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Dataset card (q98): the one-row corpus summary every dataset
+    * release ships — sizes, diversity, quality headline — computed in a
+    * SINGLE scan: the two count-DISTINCTs expand to one grouped pass
+    * (Catalyst's Expand), everything else is plain partial aggregation,
+    * so the whole card costs one read of the corpus however large it is.
+    * ASCII share doubles as the quick sanity check that the language mix
+    * matches expectations. */
+  def qDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("long").as("n_tok"),
+        $"text".rlike("^[\\x00-\\x7F]*$").as("is_ascii"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        round(avg($"n_tok"), 4).as("mean_tokens"),
+        round(avg($"is_ascii".cast("double")), 4).as("ascii_share"))
+      .orderBy($"n_docs")
+  }
+
   /** Count-min heavy hitters (q90): verify the fixed-memory frequency
     * sketch against exact counts on the top-20 vocabulary — the q49
     * each-engine-judges-its-own-sketch pattern applied to the
@@ -430,6 +453,7 @@ object QualityQueries extends QueryModule {
       "q84_token_budget"     -> (qTokenBudget _),
       "q88_temperature_mix"  -> (qTemperatureMix _),
       "q90_cms_heavy_hitters" -> (qCmsHeavyHitters _),
+      "q98_dataset_card"     -> (qDatasetCard _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -541,6 +565,15 @@ object QualityQueries extends QueryModule {
         |  round(CAST(n_docs AS DOUBLE) /
         |    sum(n_docs) OVER (PARTITION BY lang), 4) AS share
         |FROM g ORDER BY lang, split""".stripMargin,
+    "q98_dataset_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(avg(len(str_split(text, ' '))), 4) AS mean_tokens,
+        |  round(avg(CASE WHEN regexp_matches(text, '^[\x00-\x7f]*$')
+        |    THEN 1.0 ELSE 0.0 END), 4) AS ascii_share
+        |FROM documents""".stripMargin,
     // q90's oracle states the CMS guarantee (cms_ok TRUE) as fact and
     // verifies the exact counts; if the engine's sketch ever violates
     // its bound the hash compare fails on the verdict column.

@@ -177,6 +177,35 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Strict-order funnel (q99): how many users did view → click →
+    * purchase IN THAT ORDER — each step's timestamp must strictly follow
+    * the user's first qualifying timestamp of the previous step (the
+    * classic product-analytics sequence query, and the same pattern a
+    * data pipeline uses for ordered provenance checks). Three chained
+    * conditional aggregates, all keyed on user_id: after the first
+    * groupBy the step frames are user-keyed one-row-per-user tables that
+    * join map-side against the next event pass — the event table is
+    * scanned once per step but only ever shuffled on the SAME user_id
+    * key, so the exchanges align at any scale. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    val steps = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+    steps.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"),
+        $"n_users")
+    }.reduce(_.unionByName(_)).orderBy($"step")
+  }
+
   /** As-of join — the canonical "operator Spark lacks" (SURVEY.md §7.3
     * preference (a): compose built-ins). Each purchase is joined to the
     * user's most recent click at-or-before it. Implementation: union the
@@ -251,9 +280,30 @@ object TimeQueries extends QueryModule {
     "q24_window_tumbling"    -> (qWindowTumbling _),
     "q79_moving_avg"         -> (qMovingAvg _),
     "q89_windowed_dedup"     -> (qWindowedDedup _),
+    "q99_funnel"             -> (qFunnel _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q99_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL
+        |SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+        |ORDER BY step""".stripMargin,
     "q89_windowed_dedup" ->
       """WITH g AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t,

@@ -78,4 +78,29 @@ class QualitySpec extends AnyFunSuite {
       assert(ok.nonEmpty && ok.forall(identity), s"sketch out of bound at $d")
     }
   }
+
+  test("dataset card: one row, counts consistent with the table") {
+    import spark.implicits._
+    val card = QualityQueries.qDatasetCard(spark, sf).collect()
+    assert(card.length == 1)
+    val r = card.head
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_langs") ==
+      docs.select("lang").distinct().count())
+    val share = r.getAs[Double]("ascii_share")
+    assert(share >= 0.0 && share <= 1.0)
+  }
+
+  test("funnel: step counts never increase, later steps are subsets") {
+    import spark.implicits._
+    val steps = graft.operators.TimeQueries.qFunnel(spark, sf)
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(steps.map(_._1).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val ns = steps.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2),
+      s"funnel must narrow: ${ns.mkString(",")}")
+    assert(ns(0) > 0)
+  }
 }

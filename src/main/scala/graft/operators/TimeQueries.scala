@@ -206,6 +206,28 @@ object TimeQueries extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy($"step")
   }
 
+  /** Retention cohorts (q100): users grouped by first-seen week, counted
+    * again in each later week they return — the cohort/retention matrix
+    * of product analytics and the freshness-decay report of a crawl
+    * pipeline. Shape: first-seen frame = one agg on user_id; activity
+    * frame = distinct (user, week) — both shuffles key on user_id, then
+    * one small agg on (cohort_week, week_offset). The activity frame is
+    * the corpus-sized one and it is shuffled exactly once. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weeks = Tables.events(s, dir)
+      .select($"user_id",
+        floor($"ts".cast("double") / lit(7 * 86400)).cast("long").as("wk"))
+      .distinct()
+    val first = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    weeks.join(first, "user_id")
+      .select($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"),
+        $"user_id")
+      .groupBy($"cohort_wk", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
   /** As-of join — the canonical "operator Spark lacks" (SURVEY.md §7.3
     * preference (a): compose built-ins). Each purchase is joined to the
     * user's most recent click at-or-before it. Implementation: union the
@@ -281,9 +303,23 @@ object TimeQueries extends QueryModule {
     "q79_moving_avg"         -> (qMovingAvg _),
     "q89_windowed_dedup"     -> (qWindowedDedup _),
     "q99_funnel"             -> (qFunnel _),
+    "q100_retention"         -> (qRetention _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q100_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT)
+        |      AS wk
+        |  FROM events),
+        |fw AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM weeks JOIN fw USING (user_id)
+        |GROUP BY cohort_wk, wk - cohort_wk
+        |ORDER BY cohort_wk, week_offset""".stripMargin,
     "q99_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

@@ -92,6 +92,19 @@ class QualitySpec extends AnyFunSuite {
     assert(share >= 0.0 && share <= 1.0)
   }
 
+  test("retention: offset-0 row is each cohort's maximum") {
+    import spark.implicits._
+    val rows = graft.operators.TimeQueries.qRetention(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val byOffset = rs.map(r => r._2 -> r._3).toMap
+      assert(byOffset.contains(0L), s"cohort $cohort missing its own week")
+      assert(byOffset.values.max == byOffset(0L),
+        s"cohort $cohort: retention cannot exceed the cohort size")
+    }
+  }
+
   test("funnel: step counts never increase, later steps are subsets") {
     import spark.implicits._
     val steps = graft.operators.TimeQueries.qFunnel(spark, sf)

@@ -38,7 +38,12 @@ object Bench {
     // key mapping beats compactness.
     val collide = results.keys.groupBy(shortKey).exists(_._2.size > 1)
     def key(full: String): String = if (collide) full else shortKey(full)
+    // 2 decimals (centiseconds) per query: at 100+ queries every char
+    // per entry is ~110 chars of line budget; the total keeps 3
     def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
     val (twins, main) = results.partition(kv => TwinQueries(kv._1))
@@ -47,10 +52,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => key(k) }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = fmt(main.values.filter(_ >= 0).sum)
-    val note = "sec=per-query min across 2 interleaved suite passes " +
-      "(+1 retry if still >5s); keys=qNN prefixes; failed=-1 excl from " +
-      "total; twins=plan-comparison variants excl from total"
+    val total = fmt3(main.values.filter(_ >= 0).sum)
+    val note = "sec; min of 2 interleaved passes (+retry >5s); " +
+      "keys=qNN prefixes; failed=-1 + twins excl from total"
     s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(main)},"twins":${obj(twins)},"failed":$failedJson,"sf":"$sfDir","note":"$note"}"""
   }
 

@@ -29,13 +29,13 @@ class BenchLineSpec extends AnyFunSuite {
         "incl. sbt's [success] line; shrink keys/note or drop precision")
   }
 
-  test("values are millisecond-rounded and failures stay -1") {
+  test("values are centisecond-rounded and failures stay -1") {
     val line = Bench.renderLine(
       Map("q1_agg" -> 0.9596420401, "q2_join_revenue" -> -1.0), "/x")
-    assert(line.contains("\"q1\":0.960"))
+    assert(line.contains("\"q1\":0.96"))
     assert(line.contains("\"q2\":-1"))
     assert(line.contains("\"failed\":[\"q2\"]"))
-    // total excludes the failure
+    // total excludes the failure and keeps millisecond precision
     assert(line.contains("\"value\":0.960"))
   }
 
@@ -45,9 +45,9 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(
       Map("q12_bigrams_topk" -> 1.0, "q12b_bigrams_inrow" -> 7.0,
           "q18b_keywords_inrow" -> 3.0), "/x")
-    assert(line.contains("\"twins\":{\"q12b\":7.000,\"q18b\":3.000}"))
+    assert(line.contains("\"twins\":{\"q12b\":7.00,\"q18b\":3.00}"))
     // headline total = default plans only
     assert(line.contains("\"value\":1.000"))
-    assert(!line.contains("\"queries\":{\"q12\":1.000,\"q12b\""))
+    assert(!line.contains("\"queries\":{\"q12\":1.00,\"q12b\""))
   }
 }

@@ -122,6 +122,32 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** CCNet perplexity routing (q101): split each language's documents
+    * into head/middle/tail TERCILES by unigram-LM NLL — exactly the
+    * published CCNet step (Wenzek et al. 2020 §4.3: per-language
+    * perplexity terciles; training recipes then sample head > middle >
+    * tail). Consumes q72's scores; the tercile is an ntile(3) per
+    * language over (nll, doc_id) — total-ordered, so the split is
+    * reproducible across engines and runs. The per-language window
+    * shuffles the doc-level (not token-level) frame once; output is
+    * routing-table-sized. */
+  def qPerplexityRouting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = qUnigramNll(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+    val w = Window.partitionBy($"lang").orderBy($"nll", $"doc_id")
+    scored
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn("bucket",
+        element_at(array(lit("head"), lit("middle"), lit("tail")),
+          $"tercile"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"nll"), 4).as("mean_nll"),
+        round(max($"nll"), 4).as("max_nll"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** Stopword list for the classifier's coverage feature — token-level
     * (every occurrence counts), unlike Gopher's distinct-hit rule. */
   private val Stop16 = Seq("the", "be", "to", "of", "and", "a", "in",
@@ -179,6 +205,7 @@ object ScoringQueries extends QueryModule {
       "q72_unigram_nll" -> (qUnigramNll _),
       "q87_quality_classifier" -> (qQualityClassifier _),
       "q93_bigram_nll"  -> (qBigramNll _),
+      "q101_ppl_routing" -> (qPerplexityRouting _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -218,6 +245,35 @@ object ScoringQueries extends QueryModule {
         |FROM toks JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q101_ppl_routing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |freq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS total FROM freq),
+        |nll AS (
+        |  -- round to 4 BEFORE the tercile: the engine side consumes
+        |  -- q72's rounded scores, and tercile membership must not ride
+        |  -- on sub-rounding digits
+        |  SELECT doc_id,
+        |    round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS nll
+        |  FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |t AS (
+        |  SELECT d.lang, n.nll,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY n.nll, n.doc_id) AS tercile
+        |  FROM nll n JOIN documents d USING (doc_id))
+        |SELECT lang,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(nll), 4) AS mean_nll,
+        |  round(max(nll), 4) AS max_nll
+        |FROM t GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin,
     "q93_bigram_nll" ->
       """WITH d AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

@@ -259,6 +259,24 @@ class ScoringSpec extends AnyFunSuite {
       tokCount.filter(_._2 >= 2).keySet)
   }
 
+  test("perplexity routing: head < middle < tail per language, even split") {
+    import spark.implicits._
+    val rows = ScoringQueries.qPerplexityRouting(spark, sf)
+      .select($"lang", $"bucket", $"n_docs", $"mean_nll")
+      .as[(String, String, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byBucket = rs.map(r => r._2 -> r._4).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"),
+        s"$lang missing buckets: ${byBucket.keySet}")
+      assert(byBucket("head") < byBucket("middle"),
+        s"$lang head must be the most stereotypical text")
+      assert(byBucket("middle") < byBucket("tail"))
+      val sizes = rs.map(_._3)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang terciles must split evenly, got ${sizes.mkString(",")}")
+    }
+  }
+
   test("temperature mix: distributions normalize, boost antitone in share") {
     import spark.implicits._
     val rows = QualityQueries.qTemperatureMix(spark, sf)

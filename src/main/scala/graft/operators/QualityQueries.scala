@@ -253,6 +253,40 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Epoch materialization (q102): turn q88's per-language boost factors
+    * into an ACTUAL sampled epoch — each document repeated
+    * floor(boost) + Bernoulli(frac(boost)) times, the standard
+    * unbiased-in-expectation repetition plan (a doc with boost 2.3 shows
+    * up 2 or 3 times; one with boost 0.4 survives with p=0.4). The coin
+    * is a deterministic per-doc md5 uniform, so the epoch is
+    * reproducible run-to-run and engine-to-engine — a sampling decision
+    * you can re-derive months later is an audit requirement, not a
+    * nicety. The engine really materializes copies
+    * (explode(sequence(1, n))) and folds them back, proving the
+    * row-inflation path a trainer consumes; map-only except the final
+    * per-doc count, and the boost table rides in as a languages-sized
+    * broadcast. */
+  def qEpochSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mix = qTemperatureMix(s, dir).select($"lang", $"boost")
+    val u = conv(substring(md5(concat(lit("es:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("double") /
+      lit(16777216.0)
+    val frac = $"boost" - floor($"boost")
+    val n = (floor($"boost") +
+      when(u < frac, 1L).otherwise(0L)).cast("long")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang")
+      .join(broadcast(mix), "lang")
+      .withColumn("n", n)
+      .filter($"n" > 0)
+      .select($"doc_id", $"lang",
+        explode(sequence(lit(1L), $"n")).as("copy"))
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy($"doc_id")
+  }
+
   /** Dataset card (q98): the one-row corpus summary every dataset
     * release ships — sizes, diversity, quality headline — computed in a
     * SINGLE scan: the two count-DISTINCTs expand to one grouped pass
@@ -454,6 +488,7 @@ object QualityQueries extends QueryModule {
       "q88_temperature_mix"  -> (qTemperatureMix _),
       "q90_cms_heavy_hitters" -> (qCmsHeavyHitters _),
       "q98_dataset_card"     -> (qDatasetCard _),
+      "q102_epoch_sample"    -> (qEpochSample _),
     )
 
   override def oracleSql: Map[String, String] = Map(
@@ -565,6 +600,32 @@ object QualityQueries extends QueryModule {
         |  round(CAST(n_docs AS DOUBLE) /
         |    sum(n_docs) OVER (PARTITION BY lang), 4) AS share
         |FROM g ORDER BY lang, split""".stripMargin,
+    // q102's oracle computes the closed form of the repetition count —
+    // the engine's explode-and-count must land on exactly the same rows
+    "q102_epoch_sample" ->
+      """WITH g AS (
+        |  SELECT lang, CAST(sum(len(str_split(text, ' '))) AS BIGINT)
+        |    AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |sh AS (
+        |  SELECT lang,
+        |    CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+        |  FROM g),
+        |p AS (
+        |  SELECT lang, share,
+        |    power(share, 0.3) / sum(power(share, 0.3)) OVER () AS p_temp
+        |  FROM sh),
+        |b AS (SELECT lang, round(p_temp / share, 4) AS boost FROM p),
+        |c AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(floor(b.boost) +
+        |      (CASE WHEN ('0x' || substr(md5('es:' ||
+        |          CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT / 16777216.0
+        |        < b.boost - floor(b.boost) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_copies
+        |  FROM documents d JOIN b USING (lang))
+        |SELECT doc_id, lang, n_copies FROM c
+        |WHERE n_copies > 0 ORDER BY doc_id""".stripMargin,
     "q98_dataset_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens,

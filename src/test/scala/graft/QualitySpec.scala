@@ -92,6 +92,27 @@ class QualitySpec extends AnyFunSuite {
     assert(share >= 0.0 && share <= 1.0)
   }
 
+  test("epoch sample: realized per-lang rate tracks the boost factor") {
+    import spark.implicits._
+    val boosts = QualityQueries.qTemperatureMix(spark, sf)
+      .select($"lang", $"boost", $"n_docs")
+      .as[(String, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val copies = QualityQueries.qEpochSample(spark, sf)
+      .groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.sum($"n_copies").as("c"))
+      .as[(String, Long)].collect().toMap
+    boosts.foreach { case (lang, (boost, nDocs)) =>
+      val realized = copies.getOrElse(lang, 0L).toDouble / nDocs
+      // Bernoulli rounding: expected rate = boost, sd ~ 1/sqrt(n)
+      val tol = 4.0 / math.sqrt(nDocs.toDouble)
+      assert(math.abs(realized - boost) < tol + 0.05,
+        s"$lang realized $realized vs boost $boost (n=$nDocs)")
+      // repetition counts are integers bracketing the boost
+      assert(copies.getOrElse(lang, 0L) >= nDocs * math.floor(boost).toLong)
+    }
+  }
+
   test("retention: offset-0 row is each cohort's maximum") {
     import spark.implicits._
     val rows = graft.operators.TimeQueries.qRetention(spark, sf)

@@ -63,6 +63,42 @@ class CmsSpec extends AnyFunSuite {
       "every token lands once per row")
   }
 
+  test("cms as streaming state: per-batch sketches fold to the all-data sketch") {
+    // The streaming frequency monitor: each micro-batch reduces to ONE
+    // depth×width array, foreachBatch folds it into the running state by
+    // elementwise add — O(1) state regardless of stream length, and the
+    // fold is exact because merge is exact (no approximation stacking).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val state = new Array[Long](Depth * Width)
+    val q = src.toDF().toDF("term")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset
+          [org.apache.spark.sql.Row], _: Long) =>
+        val sk = batch.select(GraftBridge.column(
+            CountMinSketchAgg(GraftBridge.expression(
+              org.apache.spark.sql.functions.col("term")), Depth, Width)
+              .toAggregateExpression()).as("sk"))
+          .as[Array[Long]].head()
+        var i = 0
+        while (i < state.length) { state(i) += sk(i); i += 1 }
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      src.addData("a", "b", "a")
+      q.processAllAvailable()
+      src.addData("a", "c")
+      q.processAllAvailable()
+      val expected = sketchOf(
+        Seq("a", "b", "a", "a", "c").toDF("term"))
+      assert(state.sameElements(expected),
+        "streamed fold must equal the batch sketch over all data")
+    } finally q.stop()
+  }
+
   test("cms heavy hitters: q90 verdict true on all rows, top-20 by count") {
     import spark.implicits._
     val rows = graft.operators.QualityQueries

@@ -329,10 +329,16 @@ object Relational extends QueryModule {
         size($"items").cast("long").as("n_items"),
         round(aggregate($"items", lit(0.0), (acc, it) =>
           acc + it.getField("l_quantity")), 4).as("sum_qty"),
+        // floor() on BOTH engines: Spark's cast("long") truncates toward
+        // zero while DuckDB's CAST(AS BIGINT) rounds half-to-even — they
+        // only agree on whole numbers. floor() is the same function in
+        // both, so the serialization stays engine-portable for any
+        // non-integral quantity (and loses nothing: the value is floored
+        // identically, not rounded differently, on each side).
         md5(concat_ws("|", transform($"items", it =>
           concat_ws(":", it.getField("l_linenumber"),
             it.getField("l_partkey"),
-            it.getField("l_quantity").cast("long"))))).as("items_fp"))
+            floor(it.getField("l_quantity")).cast("long"))))).as("items_fp"))
       .orderBy($"o_orderkey")
   }
 
@@ -365,7 +371,7 @@ object Relational extends QueryModule {
         |  md5(string_agg(
         |    CAST(l_linenumber AS VARCHAR) || ':' ||
         |    CAST(l_partkey AS VARCHAR) || ':' ||
-        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), '|'
+        |    CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR), '|'
         |    ORDER BY l_linenumber, l_partkey, l_quantity)) AS items_fp
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY o_orderkey""".stripMargin,

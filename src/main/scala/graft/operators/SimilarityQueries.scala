@@ -319,7 +319,11 @@ object SimilarityQueries extends QueryModule {
     * squared norms are preserved (the JL estimator). Literal constants,
     * like `planes`/`anchors`, so the oracle replays them. */
   private val rproj: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
+    // Seed 91 (NOT 7, the IVF/SemDeDup anchor seed at `anchors` above):
+    // sharing the seed would make the first 8 projection directions the
+    // anchor vectors scaled by 1/4, correlating the JL matrix with the
+    // clustering anchors and biasing any composition of q91 with q42/q86.
+    val rnd = new scala.util.Random(91)
     Array.fill(16, 64)(rnd.nextGaussian() / math.sqrt(16.0))
   }
 
@@ -334,9 +338,13 @@ object SimilarityQueries extends QueryModule {
     * law on real pairs. */
   def qRandomProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // `+ 0.0` normalizes IEEE negative zero: round can yield -0.0 in one
+    // engine and 0.0 in the other for a tiny negative product, and the
+    // driver's hash compares their string forms. -0.0 + 0.0 == +0.0.
     vecs(s, dir).select(
       $"vec_id" +: (0 until 16).map(j =>
-        round(dot($"v", array(rproj(j).map(lit): _*)), 4).as(s"r$j")): _*)
+        (round(dot($"v", array(rproj(j).map(lit): _*)), 4) + lit(0.0))
+          .as(s"r$j")): _*)
       .orderBy($"vec_id")
   }
 
@@ -505,8 +513,8 @@ object SimilarityQueries extends QueryModule {
     "q44_cluster_stats" -> clusterStatsSql,
     "q86_semdedup"    -> semDedupSql,
     "q91_random_projection" -> {
-      val cols = (0 until 16).map(j =>
-        s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) AS r$j")
+      val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
+        s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")
         .mkString(",\n|  ")
       s"""WITH $baseCte
         |SELECT vec_id,

@@ -118,8 +118,16 @@ object StorageQueries extends QueryModule {
     * disagree — never diff rows across datacenters. */
   def qTableChecksum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Every field rides through coalesce(…, "<null>"): concat_ws silently
+    // SKIPS nulls (('a',NULL,'b') and ('a','b',NULL) would collide, and
+    // DuckDB's || would instead null the whole fingerprint) — the sentinel
+    // makes both engines serialize NULL identically and keeps distinct
+    // null-patterns distinct.
+    def f(c: org.apache.spark.sql.Column) =
+      coalesce(c.cast("string"), lit("<null>"))
     val rowFp = conv(substring(md5(concat_ws("|",
-      $"doc_id", $"lang", $"source", $"n_chars", md5($"text"))), 1, 15),
+      f($"doc_id"), f($"lang"), f($"source"), f($"n_chars"),
+      f(md5($"text")))), 1, 15),
       16, 10).cast("long")
     Tables.documents(s, dir)
       .select($"lang", rowFp.as("fp"))
@@ -307,8 +315,11 @@ object StorageQueries extends QueryModule {
       """WITH fp AS (
         |  SELECT lang,
         |    ('0x' || substr(md5(
-        |      CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
-        |        || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)),
+        |      coalesce(CAST(doc_id AS VARCHAR), '<null>') || '|'
+        |        || coalesce(lang, '<null>') || '|'
+        |        || coalesce(source, '<null>') || '|'
+        |        || coalesce(CAST(n_chars AS VARCHAR), '<null>') || '|'
+        |        || coalesce(md5(text), '<null>')),
         |      1, 15))::BIGINT AS fp
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,

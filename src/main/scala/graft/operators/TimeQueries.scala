@@ -158,13 +158,19 @@ object TimeQueries extends QueryModule {
 
   /** Time-windowed dedup (q89): suppress an event when the SAME
     * (user_id, event_type) fired within the previous hour — the
-    * news-stream / alert-throttle form of dedup, where a repeat is only
-    * a duplicate while it is fresh (the reference's seen-links index
-    * never expires entries; a 100 TB feed pipeline must). One window
-    * shuffle on the dedup key, O(1) state per row (a single lag) —
-    * never a self-join. The streaming twin is
-    * `dropDuplicatesWithinWatermark` (StreamPipelines.scala:34), whose
-    * state TTL is this query's window expressed as a watermark. */
+    * news-stream form of dedup, where a repeat is only a duplicate
+    * while it is fresh (the reference's seen-links index never expires
+    * entries; a 100 TB feed pipeline must). SEMANTICS: the gap is
+    * measured against the immediate PREDECESSOR (kept or dropped), so a
+    * key firing continuously at sub-hour intervals is suppressed for as
+    * long as the burst lasts — this is burst-suppression, not an alert
+    * throttle. A throttle ("emit at most once per hour") must compare
+    * against the last KEPT event instead; that sequential-state variant
+    * is q103_throttle_lastkept below. One window shuffle on the dedup
+    * key, O(1) state per row (a single lag) — never a self-join. The
+    * streaming twin is `dropDuplicatesWithinWatermark`
+    * (StreamPipelines.scala:34), whose state TTL is this query's window
+    * expressed as a watermark. */
   def qWindowedDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id", $"event_type")
@@ -174,6 +180,44 @@ object TimeQueries extends QueryModule {
       .withColumn("gap", gap)
       .filter($"gap".isNull || $"gap" > 3600.0)
       .select($"event_id", $"user_id", $"event_type", $"ts")
+      .orderBy($"event_id")
+  }
+
+  /** Last-kept alert throttle (q103): emit at most one event per
+    * (user_id, event_type) per hour, measuring the gap against the last
+    * KEPT event — the true throttle semantics q89's lag-based form does
+    * not have (under q89 a key firing every 50 minutes is suppressed
+    * forever; here it emits hourly). The kept-set is inherently a
+    * sequential scan per key, so it runs as ONE native higher-order
+    * `aggregate` over the per-key time-sorted event array: no UDF, no
+    * self-join, no driver loop — one shuffle on the throttle key, then a
+    * codegen'd fold. Memory bound = one key's events in one array; at
+    * 100 TB that is per-(user,type) burst length — bounded by activity,
+    * not corpus size — and the streaming form of the same fold is
+    * flatMapGroupsWithState keeping just `last_kept` (O(1) state),
+    * which StreamPipelines' sessionizer already demonstrates. */
+  def qThrottleLastKept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .groupBy($"user_id", $"event_type")
+      .agg(array_sort(collect_list(struct(
+        $"ts".cast("double").as("tsd"), $"event_id", $"ts"))).as("evs"))
+      .select($"user_id", $"event_type", explode(expr(
+        """aggregate(
+          |  evs,
+          |  named_struct(
+          |    'last', cast(-1e18 as double),
+          |    'keep', cast(array() as array<struct<event_id:bigint,
+          |                                         ts:timestamp>>)),
+          |  (acc, e) -> if(e.tsd - acc.last > 3600.0D,
+          |    named_struct('last', e.tsd,
+          |      'keep', array_append(acc.keep,
+          |        named_struct('event_id', e.event_id, 'ts', e.ts))),
+          |    acc),
+          |  acc -> acc.keep)""".stripMargin)).as("k"))
+      .select($"k.event_id".as("event_id"), $"user_id", $"event_type",
+        $"k.ts".as("ts"))
       .orderBy($"event_id")
   }
 
@@ -302,6 +346,7 @@ object TimeQueries extends QueryModule {
     "q24_window_tumbling"    -> (qWindowTumbling _),
     "q79_moving_avg"         -> (qMovingAvg _),
     "q89_windowed_dedup"     -> (qWindowedDedup _),
+    "q103_throttle_lastkept" -> (qThrottleLastKept _),
     "q99_funnel"             -> (qFunnel _),
     "q100_retention"         -> (qRetention _),
   )
@@ -340,6 +385,31 @@ object TimeQueries extends QueryModule {
         |UNION ALL
         |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY step""".stripMargin,
+    // The oracle replays the sequential fold as a recursive CTE walking
+    // each key's rank chain: rn=1 seeds last_kept, rn=k+1 compares
+    // against the carried last_kept — exactly the HOF aggregate's state.
+    "q103_throttle_lastkept" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS t,
+        |    epoch(CAST(ts AS TIMESTAMP)) AS tsd,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk AS (
+        |  SELECT user_id, event_type, rn, tsd, event_id, t,
+        |    tsd AS last_kept, TRUE AS kept
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_type, e.rn, e.tsd, e.event_id, e.t,
+        |    CASE WHEN e.tsd - w.last_kept > 3600.0
+        |      THEN e.tsd ELSE w.last_kept END,
+        |    e.tsd - w.last_kept > 3600.0
+        |  FROM ev e JOIN walk w
+        |    ON e.user_id = w.user_id AND e.event_type = w.event_type
+        |      AND e.rn = w.rn + 1)
+        |SELECT event_id, user_id, event_type, t AS ts
+        |FROM walk WHERE kept ORDER BY event_id""".stripMargin,
     "q89_windowed_dedup" ->
       """WITH g AS (
         |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t,

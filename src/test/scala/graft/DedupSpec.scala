@@ -90,6 +90,31 @@ class DedupSpec extends AnyFunSuite {
       "every verified pair lands in exactly one matrix cell")
   }
 
+  test("last-kept throttle: exact sequential-fold replay; q89 kept-set is a strict subset") {
+    import spark.implicits._
+    val all = graft.sources.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type",
+        $"ts".cast("double").as("sec"))
+      .as[(Long, Long, String, Double)].collect()
+    // reference fold: per key, keep iff ts - last_KEPT ts > 1h
+    val expected = all.groupBy(e => (e._2, e._3)).values.flatMap { evs =>
+      var last = Double.NegativeInfinity
+      evs.sortBy(e => (e._4, e._1)).toSeq.flatMap { e =>
+        if (e._4 - last > 3600.0) { last = e._4; Some(e._1) } else None
+      }
+    }.toSet
+    val kept = graft.operators.TimeQueries.qThrottleLastKept(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    assert(kept == expected, "HOF aggregate must equal the sequential fold")
+    // lag-based q89 can only keep events the throttle also keeps: the
+    // last kept ts is never later than the immediate predecessor's, so
+    // pred-gap > 1h implies kept-gap > 1h. Sustained sub-hour bursts give
+    // the strictness (throttle re-emits hourly; q89 suppresses forever).
+    val lagKept = graft.operators.TimeQueries.qWindowedDedup(spark, sf)
+      .select($"event_id").as[Long].collect().toSet
+    assert(lagKept.subsetOf(kept), "q89 keeps ⊆ q103 keeps must hold")
+  }
+
   test("windowed dedup: survivors are > 1h apart per key, drops have a fresh predecessor") {
     import spark.implicits._
     val all = graft.sources.Tables.events(spark, sf)

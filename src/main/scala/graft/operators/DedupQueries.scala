@@ -434,6 +434,38 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id", $"bench_id", $"kind")
   }
 
+  /** Fractional n-gram contamination (q107): per-document SHARE of its
+    * n-grams that appear anywhere in the benchmark set — the GPT-3
+    * appendix-C "dirtiness" score, where q35 only flags whole-document
+    * hits. A doc quoting one benchmark sentence scores 0.1, a paraphrase
+    * 0.9; the trainer picks the removal threshold. Shape: grams join,
+    * NOT doc-pairs — the benchmark side is `distinct` gram hashes, so
+    * each corpus gram matches at most ONE bench row and the join can
+    * never blow up quadratically (q35's block cap is unnecessary here).
+    * Grams travel as 60-bit md5 prefixes, not strings: at 100 TB the
+    * shuffle carries 8-byte keys (collision odds ~n²/2⁶¹ — immaterial),
+    * and the per-doc fraction is a map-side partial average. */
+  def qContamFraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", shingles(normTokens($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    def gh(c: Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val corpus = d.filter($"doc_id" % 11 =!= 0)
+      .select($"doc_id", explode($"sh").as("g0"))
+      .select($"doc_id", gh($"g0").as("g"))
+    val bench = d.filter($"doc_id" % 11 === 0)
+      .select(explode($"sh").as("g0"))
+      .select(gh($"g0").as("g")).distinct()
+      .withColumn("hit", lit(1.0))
+    corpus.join(bench, Seq("g"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(coalesce($"hit", lit(0.0))), 4).as("contam_frac"))
+      .orderBy($"doc_id")
+  }
+
   /** Cross-document duplicated-SPAN detection — the document-boundary
     * half of exact-substring dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): two docs sharing ≥ 3
@@ -497,6 +529,7 @@ object DedupQueries extends QueryModule {
     "q33_simhash"       -> (qSimhash _),
     "q34_embed_cos_dup" -> (qEmbedCosineDup _),
     "q35_contamination" -> (qContamination _),
+    "q107_contam_frac"  -> (qContamFraction _),
     "q64_dup_clusters"  -> (qDupClusters _),
     "q68_dedup_report"  -> (qDedupReport _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
@@ -690,6 +723,34 @@ object DedupQueries extends QueryModule {
           |    / CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))
           |           AS DOUBLE) >= 0.5
           |ORDER BY 1, 2, 3""".stripMargin
+      },
+      "q107_contam_frac" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH cleaned AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split($cleanSql, ' '),
+          |      t -> t NOT IN $stops) AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+          |  FROM cleaned),
+          |sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+          |      AS sh
+          |  FROM idx GROUP BY doc_id),
+          |g AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(unnest(sh)), 1, 15))::BIGINT AS gh
+          |  FROM sh WHERE len(sh) > 0),
+          |bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0),
+          |corpus AS (SELECT doc_id, gh FROM g WHERE doc_id % 11 <> 0)
+          |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |  round(avg(CASE WHEN b.gh IS NULL THEN 0.0 ELSE 1.0 END), 4)
+          |    AS contam_frac
+          |FROM corpus c LEFT JOIN bench b ON c.gh = b.gh
+          |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
       },
       "q64_dup_clusters" ->
         s"""$ccOracleCtes

@@ -472,8 +472,82 @@ object QualityQueries extends QueryModule {
       .orderBy($"source", $"cum_tokens")
   }
 
+  /** Deterministic epoch shuffle + sharding (q105): the global random
+    * permutation every trainer wants, expressed the way a DISTRIBUTED
+    * system must: shard = hash-bucket of the doc (32 shards), pos =
+    * rank of a second per-doc hash WITHIN the shard. No global sort,
+    * no single-partition window — each shard sorts independently, which
+    * is exactly how 100 TB gets shuffled in practice (a global
+    * total-order pass is the anti-pattern; per-shard order + random
+    * shard assignment is distributionally identical for training). The
+    * md5 keys make the permutation reproducible run-to-run and
+    * engine-to-engine — re-deriving "which shard, which position" months
+    * later is an audit requirement of training-data lineage. */
+  def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5(concat(lit("shuf:"), $"doc_id".cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"ord")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        pmod(conv(substring(h, 1, 6), 16, 10).cast("long"), lit(32))
+          .cast("int").as("shard"),
+        substring(h, 7, 10).as("ord"))
+      .withColumn("pos", row_number().over(w))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** Leakage-safe grouped split (q106): train/val/test assignment hashed
+    * on the GROUP (source), not the document — every doc of a source
+    * lands in the same split, so near-duplicates and templated pages
+    * within one site can never straddle train/test (the contamination
+    * mode q59's doc-level split cannot prevent; cf. the grouped-split
+    * discipline of GroupKFold and the URL-level splits of C4/RefinedWeb
+    * dedup practice). Map-only: the split is a pure function of the
+    * source string — no shuffle, no group table, no state at any scale. */
+  def qDomainSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat(lit("ds:"), $"source")), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        when(u < 0.8, "train").when(u < 0.9, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** Weighted reservoir sample (q108): k=5 docs per language with
+    * inclusion probability proportional to length — the A-ES key
+    * u^(1/w) of Efraimidis & Spirakis 2006 (equivalently ln(u)/w,
+    * monotone in it), with the uniform u a deterministic per-doc md5 so
+    * the "reservoir" is reproducible. This is THE one-pass weighted
+    * sampler for data pipelines: each partition keeps its local top-k
+    * keys (the map-side partial of the row_number window; at scale the
+    * TopKWindowRule's bounded heap), merge is top-k of tops — no second
+    * pass, no global sort, state O(k) per language whatever the corpus
+    * size. */
+  def qWeightedReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = (conv(substring(md5(concat(lit("wr:"),
+      $"doc_id".cast("string"))), 1, 6), 16, 10).cast("double") +
+      lit(1.0)) / lit(16777216.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        (log(u) / $"n_chars".cast("double")).as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"lang", $"rk", $"doc_id")
+      .orderBy($"lang", $"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q105_epoch_shuffle"   -> (qEpochShuffle _),
+      "q106_domain_split"    -> (qDomainSplit _),
+      "q108_weighted_reservoir" -> (qWeightedReservoir _),
       "q46_gopher_rules"     -> (qGopherRules _),
       "q63_source_mixing"    -> (qSourceMixing _),
       "q47_sequence_pack"    -> (qSequencePack _),
@@ -492,6 +566,45 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q105_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(h, 1, 6))::BIGINT % 32 AS INTEGER)
+        |      AS shard,
+        |    substr(h, 7, 10) AS ord
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord)
+        |    AS INTEGER) AS pos
+        |FROM b ORDER BY shard, pos""".stripMargin,
+    "q106_domain_split" ->
+      """SELECT doc_id, source,
+        |  CASE
+        |    WHEN ('0x' || substr(md5('ds:' || source), 1, 6))::BIGINT
+        |      / 16777216.0 < 0.8 THEN 'train'
+        |    WHEN ('0x' || substr(md5('ds:' || source), 1, 6))::BIGINT
+        |      / 16777216.0 < 0.9 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q108_weighted_reservoir" ->
+      """WITH k AS (
+        |  SELECT doc_id, lang,
+        |    ln((('0x' || substr(md5('wr:' || CAST(doc_id AS VARCHAR)),
+        |          1, 6))::BIGINT + 1.0) / 16777216.0)
+        |      / n_chars AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY key DESC, doc_id) AS rk
+        |  FROM k)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM r WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
     // q84's oracle is the NAIVE form — a single per-source cumsum. The
     // engine's two-phase distributed prefix sum must reproduce it
     // row-for-row (bucket order extends rank-key order, so

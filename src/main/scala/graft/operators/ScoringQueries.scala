@@ -199,6 +199,60 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** DSIR importance weights (q104): data selection via hashed-n-gram
+    * importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"). Each document's
+    * unigrams+bigrams hash into B=1024 buckets; two bucket-count
+    * distributions are fit — the TARGET (here the English slice, the
+    * paper's "formal text" stand-in) and the RAW corpus — and each doc
+    * scores the mean log-likelihood ratio ln(p_target/p_raw) of its
+    * grams (+0.5 additive smoothing on both, so empty buckets stay
+    * finite). Positive = target-like, the resampling weight upstream of
+    * q102's epoch sampler. The bucket hash is an md5-derived integer, so
+    * the whole pipeline replays bit-identically in the oracle. Scale
+    * shape: ONE (doc, gram) explode feeds both distributions and the
+    * per-doc score; the distributions are B-row aggregates that return
+    * as a broadcast, so the corpus shuffles once (partial-agg on bucket)
+    * and the scoring join is map-side — hashed-DSIR's whole point is
+    * that 100 TB reduces to two 1024-bucket histograms. */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 1024
+    // one gram frame: unigrams ++ bigrams, hashed to a bucket id
+    val tk = split($"text", " ")
+    val bi = zip_with(
+      slice(tk, lit(1), greatest(size(tk) - 1, lit(0))),
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (x, y) => concat_ws(" ", x, y))
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        explode(concat(tk, bi)).as("g"))
+      .select($"doc_id", $"lang",
+        pmod(conv(substring(md5(concat(lit("dsir:"), $"g")), 1, 6),
+          16, 10).cast("long"), lit(B)).as("b"))
+    // BOTH histograms in one conditional aggregation: one scan of the
+    // gram stream and one 1024-bucket shuffle fit raw and target
+    // distributions together (a second scan per distribution is the
+    // naive shape; at 100 TB it doubles the dominant cost for nothing)
+    val dist = grams.groupBy($"b").agg(
+      count(lit(1)).as("c_raw"),
+      sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val tot = dist.agg(sum($"c_raw").as("n_raw"),
+      sum($"c_tgt").as("n_tgt"))
+    val ratio = dist.crossJoin(broadcast(tot))
+      .select($"b",
+        (log(($"c_tgt" + lit(0.5)) /
+             ($"n_tgt" + lit(0.5 * B))) -
+         log(($"c_raw" + lit(0.5)) /
+             ($"n_raw" + lit(0.5 * B)))).as("llr"))
+    grams.join(broadcast(ratio), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        // + 0.0 normalizes IEEE -0.0 (engines disagree on its string)
+        (round(avg($"llr"), 4) + lit(0.0)).as("dsir_logw"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q71_tfidf_topk"  -> (qTfidfTopk _),
@@ -206,9 +260,38 @@ object ScoringQueries extends QueryModule {
       "q87_quality_classifier" -> (qQualityClassifier _),
       "q93_bigram_nll"  -> (qBigramNll _),
       "q101_ppl_routing" -> (qPerplexityRouting _),
+      "q104_dsir_weights" -> (qDsirWeights _),
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q104_dsir_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, str_split(text, ' ') AS tk FROM documents),
+        |uni AS (
+        |  SELECT doc_id, lang, unnest(tk) AS g FROM d),
+        |bi AS (
+        |  SELECT doc_id, lang, tk[i] || ' ' || tk[i+1] AS g
+        |  FROM (SELECT doc_id, lang, tk,
+        |          unnest(range(1, len(tk))) AS i FROM d)),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('dsir:' || g), 1, 6))::BIGINT % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |raw AS (SELECT b, count(*) AS c_raw FROM grams GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS c_tgt FROM grams
+        |        WHERE lang = 'en' GROUP BY b),
+        |nr AS (SELECT sum(c_raw) AS n_raw FROM raw),
+        |nt AS (SELECT sum(c_tgt) AS n_tgt FROM tgt),
+        |ratio AS (
+        |  SELECT raw.b,
+        |    ln((coalesce(c_tgt, 0) + 0.5) / (n_tgt + 512.0))
+        |      - ln((c_raw + 0.5) / (n_raw + 512.0)) AS llr
+        |  FROM raw LEFT JOIN tgt USING (b)
+        |  CROSS JOIN nr CROSS JOIN nt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  round(avg(llr), 4) + 0.0 AS dsir_logw
+        |FROM grams JOIN ratio USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q71_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming last-kept throttle via flatMapGroupsWithState — the
+  * streaming twin of TimeQueries.qThrottleLastKept (q103): emit at most
+  * one event per (user_id, event_type) per window, measured against the
+  * last KEPT event.
+  *
+  * State per key = ONE long (the last kept event-time): the O(1)-state
+  * form the batch query's per-key array fold cannot have — this is the
+  * shape that runs forever on an unbounded feed. Eviction: once the
+  * event-time watermark passes lastKept + window, any future on-time
+  * event is necessarily kept, so the state says nothing anymore —
+  * EventTimeTimeout removes it, keeping total state bounded by keys
+  * active within one window+delay horizon, not all keys ever seen.
+  *
+  * Within a micro-batch events sort by (ts, event_id) before the fold
+  * (iterator order is not guaranteed); ACROSS batches ordering holds for
+  * on-time data under the watermark contract. A late event older than
+  * the last kept time is dropped by the `t - last > windowMs` guard (it
+  * can only be a duplicate-in-window under in-order semantics) — the
+  * same one-sided late-data posture as dropDuplicatesWithinWatermark.
+  */
+object Throttle {
+
+  case class Event(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp)
+  case class KeptState(lastKeptMs: Long)
+
+  def apply(events: Dataset[Event],
+      windowMs: Long = 3600L * 1000,
+      watermarkDelay: String = "1 hour"): Dataset[Event] = {
+    implicit val stateEnc = Encoders.product[KeptState]
+    implicit val outEnc = Encoders.product[Event]
+    implicit val keyEnc = Encoders.product[(Long, String)]
+    val watermarked =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    watermarked.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, String), batch: Iterator[Event],
+            state: GroupState[KeptState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastKept + window: state is vacuous now
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var last = state.getOption.map(_.lastKeptMs)
+            val kept = sorted.filter { e =>
+              val t = e.ts.getTime
+              val keep = last.forall(l => t - l > windowMs)
+              if (keep) last = Some(t)
+              keep
+            }
+            last.foreach { l =>
+              state.update(KeptState(l))
+              if (events.isStreaming)
+                state.setTimeoutTimestamp(l + windowMs + 1)
+            }
+            kept.iterator
+          }
+      }
+  }
+}

@@ -7,6 +7,55 @@ class QualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("epoch shuffle: exact permutation, contiguous per-shard positions") {
+    import spark.implicits._
+    val rows = QualityQueries.qEpochShuffle(spark, sf)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Int)].collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs, "shuffle must be a permutation, not a sample")
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 32)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length),
+        s"shard $shard positions not contiguous from 1")
+    }
+  }
+
+  test("domain split: every source lands in exactly one split") {
+    import spark.implicits._
+    val rows = QualityQueries.qDomainSplit(spark, sf)
+      .select($"source", $"split").as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).distinct.length == 1,
+        s"source $src straddles splits: ${rs.map(_._2).distinct.mkString(",")}")
+    }
+    assert(rows.map(_._2).distinct.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("weighted reservoir: exact A-ES replay, k per language") {
+    import spark.implicits._
+    val got = QualityQueries.qWeightedReservoir(spark, sf)
+      .select($"lang", $"rk", $"doc_id").as[(String, Int, Long)].collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"lang", $"n_chars").as[(Long, String, Long)]
+      .collect()
+    val keys = docs.map { case (id, lang, w) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wr:$id".getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(h, 16) + 1.0) / 16777216.0
+      (lang, math.log(u) / w, id)
+    }
+    // expected: per lang, top-5 by A-ES key desc (doc_id tiebreak)
+    val expTop = keys.groupBy(_._1).flatMap { case (_, ks) =>
+      ks.toSeq.sortBy(t => (-t._2, t._3)).take(5).zipWithIndex
+        .map { case ((l, _, id), i) => (l, i + 1, id) }
+    }.toSet
+    assert(got.toSet == expTop,
+      s"A-ES selection diverges: got=${got.toSet -- expTop}")
+  }
+
   test("int8 quantization: reconstruction error bounded by 0.5/scale") {
     import spark.implicits._
     val rows = QualityQueries.qEmbedQuantize(spark, sf)

@@ -8,6 +8,23 @@ class ScoringSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("DSIR weights separate the target slice: en mean log-weight > non-en") {
+    import spark.implicits._
+    val w = ScoringQueries.qDsirWeights(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", $"lang"), "doc_id")
+      .select($"lang", $"dsir_logw").as[(String, Double)].collect()
+    assert(w.nonEmpty)
+    val (en, rest) = w.partition(_._1 == "en")
+    val enMean = en.map(_._2).sum / en.length
+    val restMean = rest.map(_._2).sum / rest.length
+    info(f"mean dsir_logw: en=$enMean%.4f non-en=$restMean%.4f")
+    // the whole point of importance weights: target-domain docs score
+    // higher under ln(p_target/p_raw) than off-target docs
+    assert(enMean > restMean,
+      f"DSIR failed to separate target: en=$enMean%.4f rest=$restMean%.4f")
+  }
+
   test("tfidf: at most 3 terms per doc, rk dense from 1, scores non-increasing") {
     import spark.implicits._
     val rows = ScoringQueries.qTfidfTopk(spark, sf)

@@ -239,6 +239,37 @@ class SessionizeSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming throttle agrees with batch q103 across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Throttle
+    // replay sf0.001 events (time-ordered, as a watermarked feed would
+    // deliver on-time data) through the streaming throttle in two
+    // batches split at the median timestamp
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .as[Throttle.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val src = MemoryStream[Throttle.Event]
+    val q = Throttle(src.toDS())
+      .writeStream.format("memory").queryName("throttle_all")
+      .outputMode("append").start()
+    try {
+      src.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      src.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_all")
+        .select($"event_id").as[Long].collect().toSet
+      val batch = graft.operators.TimeQueries
+        .qThrottleLastKept(spark, "/root/testdata/sf0.001")
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch diverge: only-stream=${(streamed -- batch).take(5)} " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -116,28 +116,41 @@ object DedupQueries extends QueryModule {
     * other's load-bearing persist on every access. Results go stale if
     * the parquet under `dir` is rewritten mid-session — acceptable for
     * immutable test data. */
-  private val sigCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
-
-  private def cachedSignatures(s: SparkSession, dir: String): DataFrame = {
-    val it = sigCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val owner = e.getValue._1.get()
-      if (owner == null || owner.sparkContext.isStopped) {
-        try e.getValue._2.unpersist() catch { case _: Throwable => () }
-        it.remove()
+  /** One persisted frame per (session, sf-dir), with dead-session
+    * eviction — the "materialize the sketch/pair table once" step of a
+    * real dedup pipeline, where clusters, reports, and matrices are all
+    * derived reads of the same staged table, not recomputations. */
+  private final class SessionCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
+    def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val owner = e.getValue._1.get()
+        if (owner == null || owner.sparkContext.isStopped) {
+          try e.getValue._2.unpersist() catch { case _: Throwable => () }
+          it.remove()
+        }
       }
+      val key = org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir
+      m.computeIfAbsent(key, _ => (
+        new java.lang.ref.WeakReference(s),
+        build.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
     }
-    val key = org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir
-    sigCache.computeIfAbsent(key, _ => (
-      new java.lang.ref.WeakReference(s),
+  }
+
+  private val sigCache = new SessionCache
+  private val pairCache = new SessionCache
+
+  private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
+    sigCache.get(s, dir) {
       signatures(s, dir)
         .withColumn("sig",
           array((0 until MinhashK).map(i => col(s"h$i")): _*))
         .select(col("doc_id"), col("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
-  }
+    }
 
   /** MinHash-LSH near-dup: band-bucket candidate generation, then the
     * classic LSH verify step — candidates re-checked with the EXACT
@@ -153,7 +166,16 @@ object DedupQueries extends QueryModule {
     * pair would be an oracle "miss" that is really a data property
     * (round-2 ADVICE). Fixed xxhash64 seeds keep the candidate set
     * deterministic, so the compare is stable, not flaky. */
-  def qMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy(col("x_id"), col("y_id"))
+
+  /** The staged verified-pairs table (x_id, y_id, jaccard), persisted
+    * per session+dir: q32 emits it, and q64/q68/q94 are derived reads —
+    * recomputing LSH per consumer measured ~3s each at sf0.1. */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.get(s, dir)(buildVerifiedPairs(s, dir))
+
+  private def buildVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // The signature frame is consumed by all bands of both join sides.
     // Without the persist the whole shingle-explode + 32-way min
@@ -182,7 +204,6 @@ object DedupQueries extends QueryModule {
       .join(sh.select($"doc_id".as("y_id"), $"sh".as("y_sh")), "y_id")
       .filter(jac >= 0.9)
       .select($"x_id", $"y_id", round(jac, 4).as("jaccard"))
-      .orderBy($"x_id", $"y_id")
   }
 
   /** Duplicate-CLUSTER resolution: q32's near-dup PAIRS resolved into
@@ -208,7 +229,7 @@ object DedupQueries extends QueryModule {
   def qDupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val MaxCcIters = 20
-    val pairs = qMinhashLsh(s, dir).select($"x_id", $"y_id")
+    val pairs = verifiedPairs(s, dir).select($"x_id", $"y_id")
     val edges = pairs.union(pairs.select($"y_id", $"x_id"))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -548,7 +569,7 @@ object DedupQueries extends QueryModule {
     * regardless of doc-id order. */
   def qSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = qMinhashLsh(s, dir).select($"x_id", $"y_id")
+    val pairs = verifiedPairs(s, dir).select($"x_id", $"y_id")
     val srcs = Tables.documents(s, dir).select($"doc_id", $"source")
     pairs
       .join(srcs.select($"doc_id".as("x_id"), $"source".as("sx")), "x_id")

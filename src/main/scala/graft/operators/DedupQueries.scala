@@ -226,7 +226,19 @@ object DedupQueries extends QueryModule {
     * Components in MapReduce and Beyond", SoCC 2014) for O(log n)
     * rounds; plain min-propagation is the right cost for the shallow
     * near-dup graphs a dedup pass emits. */
-  def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+  def qDupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .select(col("doc_id"), col("keeper_id")).orderBy(col("doc_id"))
+
+  /** Staged cluster-label table (doc_id, keeper_id): q64 emits it;
+    * q68's report and q109's apply are derived reads. The CC loop is
+    * already eager (localCheckpoint per round), so the persist here
+    * costs one cache write of a labels-sized frame. */
+  private val labelCache = new SessionCache
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.get(s, dir)(buildClusterLabels(s, dir))
+
+  private def buildClusterLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val MaxCcIters = 20
     val pairs = verifiedPairs(s, dir).select($"x_id", $"y_id")
@@ -256,7 +268,25 @@ object DedupQueries extends QueryModule {
       iter += 1
     }
     edges.unpersist()
-    labels.select($"doc_id", $"lbl".as("keeper_id")).orderBy($"doc_id")
+    labels.select($"doc_id", $"lbl".as("keeper_id"))
+  }
+
+  /** Dedup APPLY (q109): the keeper-wins pass actually executed — q64
+    * finds clusters, q68 reports them, THIS materializes the deduped
+    * corpus: every cluster loser anti-joined away, survivors emitted
+    * with a content fingerprint (the audit column a downstream consumer
+    * re-verifies). The loser frame is |clustered docs| — orders of
+    * magnitude smaller than the corpus — so at 100 TB the anti-join
+    * broadcasts the losers and the apply is one map-side pass over the
+    * corpus; the corpus itself is never shuffled. */
+  def qDedupApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = clusterLabels(s, dir)
+      .filter($"doc_id" =!= $"keeper_id").select($"doc_id")
+    Tables.documents(s, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", md5($"text").as("fp"))
+      .orderBy($"doc_id")
   }
 
   /** Corpus dedup report — the summary line every dedup pipeline ships
@@ -553,6 +583,7 @@ object DedupQueries extends QueryModule {
     "q107_contam_frac"  -> (qContamFraction _),
     "q64_dup_clusters"  -> (qDupClusters _),
     "q68_dedup_report"  -> (qDedupReport _),
+    "q109_dedup_apply"  -> (qDedupApply _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
     "q94_source_matrix"     -> (qSourceMatrix _),
   )
@@ -773,6 +804,15 @@ object DedupQueries extends QueryModule {
           |FROM corpus c LEFT JOIN bench b ON c.gh = b.gh
           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
       },
+      "q109_dedup_apply" ->
+        s"""$ccOracleCtes,
+          |lab AS (
+          |  SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id)
+          |SELECT d.doc_id, d.lang, md5(d.text) AS fp
+          |FROM documents d
+          |WHERE d.doc_id NOT IN
+          |  (SELECT doc_id FROM lab WHERE doc_id <> keeper_id)
+          |ORDER BY d.doc_id""".stripMargin,
       "q64_dup_clusters" ->
         s"""$ccOracleCtes
           |SELECT doc_id, min(r) AS keeper_id

@@ -327,7 +327,39 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** BPE merge statistics (q110): the first iteration of byte-pair-
+    * encoding tokenizer fitting (Sennrich et al. 2016) — count every
+    * adjacent symbol pair across the corpus vocabulary, weighted by word
+    * frequency, and emit the top-20 merge candidates. This is the inner
+    * loop of training a tokenizer ON the corpus the engine just cleaned
+    * (production BPE repeats it per merge on the updated symbol
+    * sequences; each round is this same query shape). Scale: pair
+    * generation runs over the DISTINCT word frame (|vocab|, not
+    * |corpus| — the word groupBy collapses the token stream first), the
+    * pair aggregate is char-bigram-sized, and the top-20 goes through
+    * the Filter(row_number<=k) idiom that TopKWindowRule rewrites to a
+    * bounded heap — no vocabulary-sized sort, no single-partition
+    * funnel. */
+  def qBpeMergeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val pairs = words.select($"freq", explode(expr(
+      "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+      .as("pair"))
+    val byN = org.apache.spark.sql.expressions.Window
+      .orderBy($"n".desc, $"pair")
+    pairs.groupBy($"pair").agg(sum($"freq").as("n"))
+      .withColumn("rk", row_number().over(byN))
+      .filter($"rk" <= 20)
+      .select($"pair", $"n", $"rk")
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_bpe_merges"     -> (qBpeMergeStats _),
     "q10_clean_text"      -> (qCleanText _),
     "q75_chunking"        -> (qChunk _),
     "q67_nfc_normalize"   -> (qNfcNormalize _),
@@ -347,6 +379,23 @@ object TextQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q110_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair, freq
+        |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM w)),
+        |agg AS (
+        |  SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM p GROUP BY pair),
+        |r AS (
+        |  SELECT pair, n,
+        |    row_number() OVER (ORDER BY n DESC, pair) AS rk
+        |  FROM agg)
+        |SELECT pair, n, CAST(rk AS INTEGER) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "q10_clean_text" ->
       s"""SELECT doc_id, $cleanSql AS cleaned
          |FROM documents ORDER BY doc_id""".stripMargin,

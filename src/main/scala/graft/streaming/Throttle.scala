@@ -37,8 +37,12 @@ object Throttle {
     implicit val stateEnc = Encoders.product[KeptState]
     implicit val outEnc = Encoders.product[Event]
     implicit val keyEnc = Encoders.product[(Long, String)]
+    // evaluated ON THE DRIVER and captured as a plain Boolean: the
+    // group function must not touch the Dataset (executor-side its
+    // deserialized logicalPlan is null)
+    val isStreaming = events.isStreaming
     val watermarked =
-      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      if (isStreaming) events.withWatermark("ts", watermarkDelay)
       else events
     watermarked.groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState(OutputMode.Append,
@@ -60,7 +64,7 @@ object Throttle {
             }
             last.foreach { l =>
               state.update(KeptState(l))
-              if (events.isStreaming)
+              if (isStreaming)
                 state.setTimeoutTimestamp(l + windowMs + 1)
             }
             kept.iterator

@@ -310,6 +310,65 @@ object DedupQueries extends QueryModule {
         round($"n_losers".cast("double") / $"n_docs", 6).as("dedup_rate"))
   }
 
+  /** Training-corpus manifest (q111): the fused END-TO-END pass a
+    * corpus release runs — every document routed through the full gate
+    * chain with FIRST-MATCH precedence (exact-dup loser → near-dup
+    * loser → benchmark-contaminated → quality-fail → kept) and rolled
+    * up per language: docs kept, tokens kept, and the drop ledger that
+    * must sum back to the corpus count (the release-audit identity).
+    * Composition, not recomputation: near-dup losers read the staged
+    * cluster-label table (q64's cache), contaminated ids are q35's
+    * corpus side, and each gate frame is orders of magnitude smaller
+    * than the corpus — at 100 TB all three anti-sets broadcast and the
+    * manifest costs ONE corpus scan plus a languages-sized aggregate.
+    * The quality gate here is the two cheapest Gopher bounds (≥30
+    * words, mean word length 3–10 — Rae et al. 2021 §A1.1); q46 ships
+    * the full rule set. */
+  def qTrainingManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val exactLosers = docs
+      .groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("keeper"))
+      .join(docs.select($"doc_id", md5($"text").as("fp")), "fp")
+      .filter($"doc_id" =!= $"keeper")
+      .select($"doc_id", lit(1).as("f_exact"))
+    val nearLosers = clusterLabels(s, dir)
+      .filter($"doc_id" =!= $"keeper_id")
+      .select($"doc_id", lit(1).as("f_near"))
+    val contaminated = qContamination(s, dir)
+      .select($"doc_id").distinct()
+      .withColumn("f_contam", lit(1))
+    val tk = split($"text", " ")
+    val meanWlen = aggregate(transform(tk, x => length(x).cast("double")),
+      lit(0.0), (acc, x) => acc + x) / size(tk)
+    val reason = when($"f_exact".isNotNull, "drop_exact")
+      .when($"f_near".isNotNull, "drop_near")
+      .when($"f_contam".isNotNull, "drop_contam")
+      .when(!$"q_ok", "drop_quality")
+      .otherwise("kept")
+    docs
+      .select($"doc_id", $"lang", size(tk).cast("long").as("n_tok"),
+        (size(tk) >= 30 && meanWlen >= 3.0 && meanWlen <= 10.0).as("q_ok"))
+      .join(broadcast(exactLosers), Seq("doc_id"), "left")
+      .join(broadcast(nearLosers), Seq("doc_id"), "left")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("reason", reason)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"reason" === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"reason" === "kept", $"n_tok").otherwise(0L))
+          .as("n_tokens_kept"),
+        sum(when($"reason" === "drop_exact", 1L).otherwise(0L))
+          .as("drop_exact"),
+        sum(when($"reason" === "drop_near", 1L).otherwise(0L))
+          .as("drop_near"),
+        sum(when($"reason" === "drop_contam", 1L).otherwise(0L))
+          .as("drop_contam"),
+        sum(when($"reason" === "drop_quality", 1L).otherwise(0L))
+          .as("drop_quality"))
+      .orderBy($"lang")
+  }
+
   /** SimHash bit width: 60 bits from the first 15 hex chars of md5 —
     * md5 is the one hash both engines compute identically (q30 proves
     * it), which makes the whole sketch DuckDB-oracle-able, unlike the
@@ -584,6 +643,7 @@ object DedupQueries extends QueryModule {
     "q64_dup_clusters"  -> (qDupClusters _),
     "q68_dedup_report"  -> (qDedupReport _),
     "q109_dedup_apply"  -> (qDedupApply _),
+    "q111_training_manifest" -> (qTrainingManifest _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
     "q94_source_matrix"     -> (qSourceMatrix _),
   )
@@ -804,6 +864,69 @@ object DedupQueries extends QueryModule {
           |FROM corpus c LEFT JOIN bench b ON c.gh = b.gh
           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
       },
+      // q111 composes the q64 CC chain, the q35 contamination chain
+      // (rebuilt on the shared cleaned/sh CTEs), exact-dup keepers, and
+      // the two-bound quality gate, with the engine's first-match
+      // precedence replayed as a CASE ladder.
+      "q111_training_manifest" ->
+        s"""$ccOracleCtes,
+          |lab AS (
+          |  SELECT doc_id, min(r) AS keeper_id FROM reach GROUP BY doc_id),
+          |nearl AS (SELECT doc_id FROM lab WHERE doc_id <> keeper_id),
+          |exl AS (
+          |  SELECT d.doc_id FROM documents d
+          |  JOIN (SELECT md5(text) AS fp, min(doc_id) AS keeper
+          |        FROM documents GROUP BY md5(text)) k
+          |    ON md5(d.text) = k.fp
+          |  WHERE d.doc_id <> k.keeper),
+          |base0 AS (
+          |  SELECT c.doc_id, s.sh, list_aggregate(s.sh, 'min') AS blk
+          |  FROM cleaned c JOIN sh s ON s.doc_id = c.doc_id
+          |  WHERE len(s.sh) > 0),
+          |base AS (
+          |  SELECT *, count(*) OVER (PARTITION BY blk) AS blk_n FROM base0),
+          |benchx AS (
+          |  SELECT * FROM base WHERE doc_id % 11 = 0 AND blk_n <= 1000),
+          |corpusx AS (
+          |  SELECT * FROM base WHERE doc_id % 11 <> 0 AND blk_n <= 1000),
+          |contam AS (
+          |  SELECT DISTINCT c.doc_id
+          |  FROM corpusx c JOIN benchx b ON c.blk = b.blk
+          |  WHERE len(list_intersect(c.sh, b.sh))
+          |      / CAST(len(c.sh) + len(b.sh) - len(list_intersect(c.sh, b.sh))
+          |             AS DOUBLE) >= 0.5),
+          |q AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+          |    (len(str_split(text, ' ')) >= 30
+          |     AND list_sum(list_transform(str_split(text, ' '),
+          |           x -> CAST(length(x) AS DOUBLE)))
+          |         / len(str_split(text, ' ')) BETWEEN 3.0 AND 10.0) AS q_ok
+          |  FROM documents),
+          |r AS (
+          |  SELECT q.lang, q.n_tok,
+          |    CASE
+          |      WHEN q.doc_id IN (SELECT doc_id FROM exl) THEN 'drop_exact'
+          |      WHEN q.doc_id IN (SELECT doc_id FROM nearl) THEN 'drop_near'
+          |      WHEN q.doc_id IN (SELECT doc_id FROM contam)
+          |        THEN 'drop_contam'
+          |      WHEN NOT q.q_ok THEN 'drop_quality'
+          |      ELSE 'kept' END AS reason
+          |  FROM q)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_kept,
+          |  CAST(sum(CASE WHEN reason = 'kept' THEN n_tok ELSE 0 END)
+          |    AS BIGINT) AS n_tokens_kept,
+          |  CAST(sum(CASE WHEN reason = 'drop_exact' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS drop_exact,
+          |  CAST(sum(CASE WHEN reason = 'drop_near' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS drop_near,
+          |  CAST(sum(CASE WHEN reason = 'drop_contam' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS drop_contam,
+          |  CAST(sum(CASE WHEN reason = 'drop_quality' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS drop_quality
+          |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
       "q109_dedup_apply" ->
         s"""$ccOracleCtes,
           |lab AS (

@@ -90,6 +90,29 @@ class DedupSpec extends AnyFunSuite {
       "every verified pair lands in exactly one matrix cell")
   }
 
+  test("training manifest: drop ledger sums to corpus; dup drops equal q68's losers") {
+    import spark.implicits._
+    val m = DedupQueries.qTrainingManifest(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val parts = Seq("n_kept", "drop_exact", "drop_near", "drop_contam",
+        "drop_quality").map(c => r.getAs[Long](c)).sum
+      assert(parts == r.getAs[Long]("n_docs"),
+        s"lang ${r.getString(0)}: ledger $parts != n_docs " +
+          s"${r.getAs[Long]("n_docs")} — a doc was double-counted or lost")
+    }
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(m.map(_.getAs[Long]("n_docs")).sum == corpus)
+    // exact losers are cluster losers too (exact keeper >= component
+    // keeper), so the manifest's two dup buckets partition q68's losers
+    val q68losers = DedupQueries.qDedupReport(spark, sf)
+      .select($"n_losers").as[Long].head()
+    val dupDrops = m.map(r =>
+      r.getAs[Long]("drop_exact") + r.getAs[Long]("drop_near")).sum
+    assert(dupDrops == q68losers,
+      s"manifest dup drops $dupDrops != q68 losers $q68losers")
+  }
+
   test("last-kept throttle: exact sequential-fold replay; q89 kept-set is a strict subset") {
     import spark.implicits._
     val all = graft.sources.Tables.events(spark, sf)

@@ -143,6 +143,24 @@ object DedupQueries extends QueryModule {
 
   private val sigCache = new SessionCache
   private val pairCache = new SessionCache
+  private val shingleCache = new SessionCache
+
+  /** Staged (doc_id, fp, sh) frame — the normalized-token fingerprint +
+    * word-trigram shingle set every dedup/contamination query consumes.
+    * The cleanText regex chain + tokenize + stopword filter + shingle
+    * assembly is the dominant map cost of q32's verify step, q35, and
+    * q107; staging it once is the same "tokenize once, reuse
+    * everywhere" discipline a 100 TB pipeline applies by materializing
+    * the token table next to the corpus. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    shingleCache.get(s, dir) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), normTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          md5(array_join(col("toks"), " ")).as("fp"),
+          shingles(col("toks")).as("sh"))
+        .filter(size(col("sh")) > 0)
+    }
 
   private def cachedSignatures(s: SparkSession, dir: String): DataFrame =
     sigCache.get(s, dir) {
@@ -193,9 +211,7 @@ object DedupQueries extends QueryModule {
         $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
         $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("x_id"), $"y.doc_id".as("y_id")).distinct()
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", shingles(normTokens($"text")).as("sh"))
-      .filter(size($"sh") > 0)
+    val sh = docShingles(s, dir).select($"doc_id", $"sh")
     val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
     val union = size($"x_sh").cast("long") + size($"y_sh") - inter
     val jac = inter.cast("double") / union
@@ -509,15 +525,10 @@ object DedupQueries extends QueryModule {
     * block size ≤ MaxBlock exactly like the dedup suite. */
   def qContamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // tokens staged once: fp and shingles both consume the same chain,
-    // and CollapseProject keeps a non-cheap multi-referenced alias
-    // materialized instead of inlining it twice
-    val base = Tables.documents(s, dir)
-      .select($"doc_id", normTokens($"text").as("toks"))
-      .select($"doc_id",
-        md5(array_join($"toks", " ")).as("fp"),
-        shingles($"toks").as("sh"))
-      .filter(size($"sh") > 0)
+    // fp + shingles read from the staged docShingles frame — the
+    // tokenize chain runs once per session+dir, shared with q32's
+    // verify step and q107
+    val base = docShingles(s, dir)
       .withColumn("blk", array_min($"sh"))
       .withColumn("blk_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
@@ -557,9 +568,7 @@ object DedupQueries extends QueryModule {
     * and the per-doc fraction is a map-side partial average. */
   def qContamFraction(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = Tables.documents(s, dir)
-      .select($"doc_id", shingles(normTokens($"text")).as("sh"))
-      .filter(size($"sh") > 0)
+    val d = docShingles(s, dir).select($"doc_id", $"sh")
     def gh(c: Column) =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val corpus = d.filter($"doc_id" % 11 =!= 0)

@@ -90,6 +90,23 @@ class DedupSpec extends AnyFunSuite {
       "every verified pair lands in exactly one matrix cell")
   }
 
+  test("contamination fraction: bounded in [0,1], and q35's near/exact hits score high") {
+    import spark.implicits._
+    val frac = DedupQueries.qContamFraction(spark, sf)
+      .select($"doc_id", $"contam_frac").as[(Long, Double)].collect().toMap
+    assert(frac.nonEmpty)
+    frac.values.foreach(f => assert(f >= 0.0 && f <= 1.0))
+    // every corpus doc q35 flags (>=0.5 whole-doc Jaccard vs some bench
+    // doc) must also carry a high fractional score — the fractional
+    // form refines, never contradicts, the boolean form
+    val flagged = DedupQueries.qContamination(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    flagged.foreach { id =>
+      assert(frac.getOrElse(id, 0.0) >= 0.5,
+        s"doc $id flagged by q35 but contam_frac=${frac.get(id)}")
+    }
+  }
+
   test("training manifest: drop ledger sums to corpus; dup drops equal q68's losers") {
     import spark.implicits._
     val m = DedupQueries.qTrainingManifest(spark, sf).collect()

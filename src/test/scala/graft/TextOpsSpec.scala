@@ -33,6 +33,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(clean("a [unclosed") == "a unclosed")
   }
 
+  test("BPE merge stats: exact pair-count replay on the corpus vocabulary") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.operators.TextQueries.qBpeMergeStats(spark, sf)
+      .select($"pair", $"n", $"rk").as[(String, Long, Int)].collect().toSeq
+    assert(got.length == 20 && got.map(_._3) == (1 to 20))
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ")).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val counts = collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, freq) =>
+      w.sliding(2).foreach(p => counts(p) = counts.getOrElse(p, 0L) + freq)
+    }
+    val exp = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+      .zipWithIndex.map { case ((p, n), i) => (p, n, i + 1) }
+    assert(got == exp, s"top-20 merge pairs diverge: got=${got.take(3)} exp=${exp.take(3)}")
+  }
+
   test("cleanText is idempotent") {
     val fixtures = Seq("Hello, World! [x] a1b", "", "plain text", "[][]()")
     fixtures.foreach { f => assert(clean(clean(f)) == clean(f)) }

@@ -297,8 +297,11 @@ object DedupQueries extends QueryModule {
     * corpus; the corpus itself is never shuffled. */
   def qDedupApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val losers = clusterLabels(s, dir)
-      .filter($"doc_id" =!= $"keeper_id").select($"doc_id")
+    // explicit hint: the labels frame comes off a checkpointed RDD with
+    // no stats, so the static planner would sort-merge; the loser set
+    // is |clustered docs| and must broadcast at any corpus scale
+    val losers = broadcast(clusterLabels(s, dir)
+      .filter($"doc_id" =!= $"keeper_id").select($"doc_id"))
     Tables.documents(s, dir)
       .join(losers, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", md5($"text").as("fp"))

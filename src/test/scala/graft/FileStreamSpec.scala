@@ -54,4 +54,44 @@ class FileStreamSpec extends AnyFunSuite {
     assert(rows == Seq("t1", "t2", "t3"),
       s"restart must process exactly the new file, got $rows")
   }
+
+  test("throttle state survives a checkpointed restart (last-kept carries over)") {
+    import spark.implicits._
+    import graft.streaming.Throttle
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-throttle-restart").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val evSchema = StructType.fromDDL(
+      "event_id LONG, user_id LONG, event_type STRING, ts TIMESTAMP")
+    def run(): Unit = {
+      val src = spark.readStream.schema(evSchema)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .json(in).as[Throttle.Event]
+      val q = Throttle(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def ev(id: Long, t: String): String =
+      s"""{"event_id":$id,"user_id":1,"event_type":"click","ts":"$t"}"""
+    writeBatch(in, "b1.json", Seq(
+      ev(1, "2024-01-01 10:00:00"),   // kept: first for the key
+      ev(2, "2024-01-01 10:30:00")))  // dropped: 30 min after kept e1
+    run()
+    assert(spark.read.parquet(out).select($"event_id").as[Long]
+      .collect().toSet == Set(1L))
+    writeBatch(in, "b2.json", Seq(
+      ev(3, "2024-01-01 10:50:00"),   // dropped ONLY IF lastKept=10:00
+                                      // survived the restart
+      ev(4, "2024-01-01 11:30:00")))  // kept: 90 min after kept e1
+    run()
+    val kept = spark.read.parquet(out).select($"event_id").as[Long]
+      .collect().toSet
+    assert(kept == Set(1L, 4L),
+      s"state must carry last-kept across restart: got $kept " +
+        "(e3 kept means the state store lost lastKeptMs)")
+  }
 }

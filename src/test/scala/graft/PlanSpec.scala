@@ -67,6 +67,35 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 3, s"bigram shuffle chain changed: $n")
   }
 
+  test("q109 dedup apply: losers broadcast into an anti join, corpus never shuffles") {
+    val p = plan("q109_dedup_apply")
+    assert(p.contains("LeftAnti"), "apply must be an anti join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the loser frame must broadcast — shuffling the corpus to drop " +
+        "a tiny loser set is the 100 TB anti-pattern")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q111 manifest: every gate frame broadcasts, one corpus aggregate") {
+    val p = plan("q111_training_manifest")
+    // each gate is a LeftOuter broadcast join in the tree section
+    val gates = p.linesIterator
+      .count(l => l.contains("BroadcastHashJoin LeftOuter") && l.contains("+-"))
+    assert(gates >= 3,
+      s"exact/near/contam gate frames must all broadcast, saw $gates")
+    assert(!p.contains("SortMergeJoin"), "no gate may shuffle the corpus")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q105 epoch shuffle: per-shard windows, no single-partition sort") {
+    val p = plan("q105_epoch_shuffle")
+    // the permutation must never funnel through one partition: the
+    // window partitions by shard (hashpartitioning on shard), and no
+    // 'Window' node runs with an empty partition spec
+    assert(p.contains("hashpartitioning(shard"),
+      "rank window must partition by shard")
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

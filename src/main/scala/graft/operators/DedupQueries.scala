@@ -193,6 +193,19 @@ object DedupQueries extends QueryModule {
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.get(s, dir)(buildVerifiedPairs(s, dir))
 
+  /** (doc_id, band_id, band_hash) LSH band frame off the staged
+    * signature table. */
+  private def lshBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = cachedSignatures(s, dir)
+    val nBands = MinhashK / BandRows
+    sig.select($"doc_id",
+      posexplode(array((0 until nBands).map { b =>
+        xxhash64(lit(b) +: (0 until BandRows).map(r =>
+          element_at($"sig", b * BandRows + r + 1)): _*)
+      }: _*)).as(Seq("band_id", "band_hash")))
+  }
+
   private def buildVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // The signature frame is consumed by all bands of both join sides.
@@ -200,13 +213,7 @@ object DedupQueries extends QueryModule {
     // aggregation would re-run per consumer — measured 3× cost at sf0.1.
     // At cluster scale this is the classic "materialize the sketch table
     // once" step.
-    val sig = cachedSignatures(s, dir)
-    val nBands = MinhashK / BandRows
-    val bands = sig.select($"doc_id",
-      posexplode(array((0 until nBands).map { b =>
-        xxhash64(lit(b) +: (0 until BandRows).map(r =>
-          element_at($"sig", b * BandRows + r + 1)): _*)
-      }: _*)).as(Seq("band_id", "band_hash")))
+    val bands = lshBands(s, dir)
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
         $"x.doc_id" < $"y.doc_id")
@@ -327,6 +334,43 @@ object DedupQueries extends QueryModule {
     total.crossJoin(rep)
       .select($"n_docs", $"n_clustered", $"n_clusters", $"n_losers",
         round($"n_losers".cast("double") / $"n_docs", 6).as("dedup_rate"))
+  }
+
+  /** Incremental MinHash-LSH (q112): near-dup detection for an APPENDED
+    * batch against an existing corpus — the daily-crawl shape where
+    * recomputing the index×index pairs every day is the anti-pattern.
+    * Only the new side (doc_id % 3 == 0, q85's append convention)
+    * drives the band join: new×index finds cross-batch dups, new×new
+    * finds within-batch dups, index×index is NEVER touched — per
+    * append the work is |new bands| × bucket collisions, independent of
+    * how big the accumulated index has grown. Candidates verify with
+    * exact shingle Jaccard off the staged token table, same as q32,
+    * and each pair is labeled new_index / new_new so the ingest
+    * decides: new_index losers drop immediately ("first write wins"),
+    * new_new resolves within the batch. At 100 TB the new-side band
+    * frame is a day's crawl — it broadcasts; the index-side band table
+    * is pre-bucketed on band_hash so the join co-locates. */
+  def qIncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = lshBands(s, dir)
+    val newBands = bands.filter($"doc_id" % 3 === 0)
+    val cand = bands.as("x").join(newBands.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" =!= $"y.doc_id")
+      .select(least($"x.doc_id", $"y.doc_id").as("x_id"),
+        greatest($"x.doc_id", $"y.doc_id").as("y_id")).distinct()
+    val sh = docShingles(s, dir).select($"doc_id", $"sh")
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    val union = size($"x_sh").cast("long") + size($"y_sh") - inter
+    val jac = inter.cast("double") / union
+    cand
+      .join(sh.select($"doc_id".as("x_id"), $"sh".as("x_sh")), "x_id")
+      .join(sh.select($"doc_id".as("y_id"), $"sh".as("y_sh")), "y_id")
+      .filter(jac >= 0.9)
+      .select($"x_id", $"y_id", round(jac, 4).as("jaccard"),
+        when($"x_id" % 3 === 0 && $"y_id" % 3 === 0, "new_new")
+          .otherwise("new_index").as("kind"))
+      .orderBy($"x_id", $"y_id")
   }
 
   /** Training-corpus manifest (q111): the fused END-TO-END pass a
@@ -656,6 +700,7 @@ object DedupQueries extends QueryModule {
     "q68_dedup_report"  -> (qDedupReport _),
     "q109_dedup_apply"  -> (qDedupApply _),
     "q111_training_manifest" -> (qTrainingManifest _),
+    "q112_incremental_lsh" -> (qIncrementalLsh _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
     "q94_source_matrix"     -> (qSourceMatrix _),
   )
@@ -875,6 +920,35 @@ object DedupQueries extends QueryModule {
           |    AS contam_frac
           |FROM corpus c LEFT JOIN bench b ON c.gh = b.gh
           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+      },
+      // q112's oracle is q32's exact all-pairs answer restricted to
+      // pairs touching the appended batch (%3 == 0) — the engine finds
+      // the same set driving the band join from the new side only.
+      "q112_incremental_lsh" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH cleaned AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
+          |sh AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id)
+          |SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |  round(len(list_intersect(x.sh, y.sh))
+          |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE),
+          |    4) AS jaccard,
+          |  CASE WHEN x.doc_id % 3 = 0 AND y.doc_id % 3 = 0 THEN 'new_new'
+          |       ELSE 'new_index' END AS kind
+          |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          |WHERE (x.doc_id % 3 = 0 OR y.doc_id % 3 = 0)
+          |  AND len(list_intersect(x.sh, y.sh))
+          |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |    >= 0.9
+          |ORDER BY x_id, y_id""".stripMargin
       },
       // q111 composes the q64 CC chain, the q35 contamination chain
       // (rebuilt on the shared cleaned/sh CTEs), exact-dup keepers, and

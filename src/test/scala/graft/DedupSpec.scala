@@ -90,6 +90,21 @@ class DedupSpec extends AnyFunSuite {
       "every verified pair lands in exactly one matrix cell")
   }
 
+  test("incremental LSH equals the full run restricted to pairs touching the append") {
+    import spark.implicits._
+    val full = DedupQueries.qMinhashLsh(spark, sf)
+      .select($"x_id", $"y_id").as[(Long, Long)].collect().toSet
+    val inc = DedupQueries.qIncrementalLsh(spark, sf)
+      .select($"x_id", $"y_id", $"kind").as[(Long, Long, String)].collect()
+    val expected = full.filter { case (x, y) => x % 3 == 0 || y % 3 == 0 }
+    assert(inc.map(t => (t._1, t._2)).toSet == expected,
+      "incremental result must be exactly the full pairs touching %3==0")
+    inc.foreach { case (x, y, kind) =>
+      val expect = if (x % 3 == 0 && y % 3 == 0) "new_new" else "new_index"
+      assert(kind == expect, s"pair ($x,$y) mislabeled $kind")
+    }
+  }
+
   test("contamination fraction: bounded in [0,1], and q35's near/exact hits score high") {
     import spark.implicits._
     val frac = DedupQueries.qContamFraction(spark, sf)

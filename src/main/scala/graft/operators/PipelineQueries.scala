@@ -102,7 +102,10 @@ object PipelineQueries extends QueryModule {
         Seq("stripped"), "left")
       .select($"doc_id", coalesce($"v_raw", $"v_str").as("v"))
       .groupBy($"doc_id")
-      .agg(count($"v").as("n_hits"), round(sum($"v"), 4).as("lex_sum"))
+      // + 0.0: opposing lexicon values can cancel to a ±1e-16 residue
+      // whose rounded sign (-0.0 vs 0.0) differs between engines
+      .agg(count($"v").as("n_hits"),
+        (round(sum($"v"), 4) + lit(0.0)).as("lex_sum"))
       .orderBy($"doc_id")
   }
 
@@ -312,7 +315,8 @@ object PipelineQueries extends QueryModule {
            |  FROM st s
            |  LEFT JOIN lex lr ON s.raw = lr.w
            |  LEFT JOIN lex ls ON s.stripped = ls.w)
-           |SELECT doc_id, count(v) AS n_hits, round(sum(v), 4) AS lex_sum
+           |SELECT doc_id, count(v) AS n_hits,
+           |  round(sum(v), 4) + 0.0 AS lex_sum
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
       "q51_demojize" ->

@@ -94,7 +94,7 @@ object SimilarityQueries extends QueryModule {
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     scoredPairs(s, dir, chunkRows)
       .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .select($"q_id", $"rk", $"vec_id", (round($"cos", 4) + lit(0.0)).as("cos"))
       .orderBy($"q_id", $"rk")
   }
 
@@ -127,7 +127,7 @@ object SimilarityQueries extends QueryModule {
       (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .select($"q_id", $"rk", $"vec_id", (round($"cos", 4) + lit(0.0)).as("cos"))
       .orderBy($"q_id", $"rk")
   }
 
@@ -224,8 +224,8 @@ object SimilarityQueries extends QueryModule {
         (-element_at(sorted, 1).getField("nd")).as("best_dot"))
       .groupBy($"cell")
       .agg(count(lit(1)).as("n"),
-        round(avg($"best_dot" / ($"nrm" * element_at(aNorms, $"cell" + 1))),
-          4).as("avg_cos"))
+        (round(avg($"best_dot" / ($"nrm" * element_at(aNorms, $"cell" + 1))),
+          4) + lit(0.0)).as("avg_cos"))
       .orderBy($"cell")
   }
 
@@ -294,7 +294,7 @@ object SimilarityQueries extends QueryModule {
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id", round($"cos", 4).as("cos"))
+      .select($"q_id", $"rk", $"vec_id", (round($"cos", 4) + lit(0.0)).as("cos"))
       .orderBy($"q_id", $"rk")
   }
 
@@ -310,7 +310,7 @@ object SimilarityQueries extends QueryModule {
       .agg(graft.plans.TopKAggregate.topKBy($"cos", $"vec_id", 5).as("top"))
       .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
       .select($"q_id", ($"pos" + 1).cast("int").as("rk"),
-        $"t.id".as("vec_id"), round($"t.score", 4).as("cos"))
+        $"t.id".as("vec_id"), (round($"t.score", 4) + lit(0.0)).as("cos"))
       .orderBy($"q_id", $"rk")
   }
 
@@ -383,7 +383,7 @@ object SimilarityQueries extends QueryModule {
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
-      |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+      |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
   /** q41's oracle replays the full LSH pipeline in SQL: the 16
@@ -415,7 +415,7 @@ object SimilarityQueries extends QueryModule {
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
-      |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+      |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
@@ -450,7 +450,7 @@ object SimilarityQueries extends QueryModule {
       |ranked AS (
       |  SELECT *, row_number() OVER (PARTITION BY q_id
       |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
-      |SELECT q_id, rk, vec_id, round(cos, 4) AS cos
+      |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
@@ -501,7 +501,7 @@ object SimilarityQueries extends QueryModule {
       |    list_sort($structs)[1] AS best
       |  FROM dots)
       |SELECT best.idx AS cell, count(*) AS n,
-      |  round(avg((-best.nd) / (nrm * ($aNorms)[best.idx + 1])), 4) AS avg_cos
+      |  round(avg((-best.nd) / (nrm * ($aNorms)[best.idx + 1])), 4) + 0.0 AS avg_cos
       |FROM assigned GROUP BY best.idx ORDER BY cell""".stripMargin
   }
 

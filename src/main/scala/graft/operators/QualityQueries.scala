@@ -486,8 +486,11 @@ object QualityQueries extends QueryModule {
   def qEpochShuffle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val h = md5(concat(lit("shuf:"), $"doc_id".cast("string")))
+    // doc_id tiebreak: the 10-hex ord key collides with ~1e-8
+    // probability at test scale but WOULD collide somewhere in a
+    // 100 TB corpus, and a tie would make the rank nondeterministic
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"shard").orderBy($"ord")
+      .partitionBy($"shard").orderBy($"ord", $"doc_id")
     Tables.documents(s, dir)
       .select($"doc_id",
         pmod(conv(substring(h, 1, 6), 16, 10).cast("long"), lit(32))
@@ -578,7 +581,7 @@ object QualityQueries extends QueryModule {
         |    substr(h, 7, 10) AS ord
         |  FROM h)
         |SELECT doc_id, shard,
-        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord)
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
         |    AS INTEGER) AS pos
         |FROM b ORDER BY shard, pos""".stripMargin,
     "q106_domain_split" ->

@@ -382,17 +382,25 @@ object DedupQueries extends QueryModule {
     * Composition, not recomputation: near-dup losers read the staged
     * cluster-label table (q64's cache), contaminated ids are q35's
     * corpus side, and each gate frame is orders of magnitude smaller
-    * than the corpus — at 100 TB all three anti-sets broadcast and the
-    * manifest costs ONE corpus scan plus a languages-sized aggregate.
+    * than the corpus — at 100 TB all three anti-sets broadcast into the
+    * gate joins, so the routing pass itself is one corpus scan plus a
+    * languages-sized aggregate (building the exact-dup gate still costs
+    * one fp-keyed corpus shuffle, the irreducible price of exact dedup;
+    * the near-dup and contamination gates amortize through the staged
+    * pair/label/shingle tables).
     * The quality gate here is the two cheapest Gopher bounds (≥30
     * words, mean word length 3–10 — Rae et al. 2021 §A1.1); q46 ships
     * the full rule set. */
   def qTrainingManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // one fp-keyed shuffle (min-over-window), not groupBy + self-join —
+    // the loser RESULT is small, but its computation is the one real
+    // corpus shuffle this query pays beyond the staged dedup frames
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text"))
     val exactLosers = docs
-      .groupBy(md5($"text").as("fp")).agg(min($"doc_id").as("keeper"))
-      .join(docs.select($"doc_id", md5($"text").as("fp")), "fp")
+      .select($"doc_id", min($"doc_id").over(byFp).as("keeper"))
       .filter($"doc_id" =!= $"keeper")
       .select($"doc_id", lit(1).as("f_exact"))
     val nearLosers = clusterLabels(s, dir)

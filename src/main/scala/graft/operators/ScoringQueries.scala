@@ -281,7 +281,7 @@ object ScoringQueries extends QueryModule {
         |tgt AS (SELECT b, count(*) AS c_tgt FROM grams
         |        WHERE lang = 'en' GROUP BY b),
         |nr AS (SELECT sum(c_raw) AS n_raw FROM raw),
-        |nt AS (SELECT sum(c_tgt) AS n_tgt FROM tgt),
+        |nt AS (SELECT coalesce(sum(c_tgt), 0) AS n_tgt FROM tgt),
         |ratio AS (
         |  SELECT raw.b,
         |    ln((coalesce(c_tgt, 0) + 0.5) / (n_tgt + 512.0))

@@ -91,6 +91,32 @@ object StreamPipelines {
         col("purchase_value"), col("click_ts"), col("click_value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click emits — joined
+    * to a purchase that followed within 5 minutes, or null-padded once
+    * the watermark proves no such purchase can still arrive. The outer
+    * side is the attribution/abandonment report an inner join cannot
+    * express (which clicks did NOT convert), and its null rows are
+    * emitted by the state-store eviction pass, not by any batch: the
+    * timing of a null result is a watermark property. State stays
+    * bounded exactly as in the inner form — rows hold only until the
+    * watermark passes their interval bound. */
+  def clickConversion(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      expr("""c_user = p_user AND
+              purchase_ts >= click_ts AND
+              purchase_ts <= click_ts + INTERVAL 5 MINUTES"""),
+      "left_outer")
+      .select(col("c_user").as("user_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * a STATIC dimension — no watermark, no join state, because the
     * static side is complete by definition. With `broadcast()` the

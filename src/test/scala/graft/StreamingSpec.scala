@@ -109,6 +109,44 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched clicks null-pad only after the watermark closes them") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[UserEvent]
+    val purchases = MemoryStream[UserEvent]
+    val q = StreamPipelines
+      .clickConversion(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("conv_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 0.5), // converts at 10:03
+        UserEvent(2L, ts("2024-01-01 10:00:00"), 0.9)) // never converts
+      purchases.addData(UserEvent(1L, ts("2024-01-01 10:03:00"), 42.0))
+      q.processAllAvailable()
+      val matched = spark.table("conv_join")
+        .filter($"purchase_ts".isNotNull).collect()
+      assert(matched.length == 1 && matched.head.getAs[Long]("user_id") == 1L)
+      // user 2's null row must NOT have emitted yet: its 5-minute
+      // interval is still open under the watermark
+      assert(spark.table("conv_join").filter($"purchase_ts".isNull).isEmpty,
+        "outer row emitted before the watermark closed the interval")
+      // advance both watermarks far past 10:05 + 10min delay
+      clicks.addData(UserEvent(9L, ts("2024-01-01 11:00:00"), 0.0))
+      purchases.addData(UserEvent(9L, ts("2024-01-01 11:00:00"), 0.0))
+      q.processAllAvailable()
+      // one more trigger so the eviction pass lands in the sink
+      clicks.addData(UserEvent(9L, ts("2024-01-01 11:10:00"), 0.0))
+      purchases.addData(UserEvent(9L, ts("2024-01-01 11:10:00"), 0.0))
+      q.processAllAvailable()
+      val u2 = spark.table("conv_join")
+        .filter($"user_id" === 2L).collect()
+      assert(u2.length == 1 && u2.head.isNullAt(u2.head.fieldIndex("purchase_ts")),
+        s"user 2 must emit exactly one null-padded abandonment row: ${u2.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches per micro-batch and filters unmatched") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

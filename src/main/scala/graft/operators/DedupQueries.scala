@@ -336,6 +336,37 @@ object DedupQueries extends QueryModule {
         round($"n_losers".cast("double") / $"n_docs", 6).as("dedup_rate"))
   }
 
+  /** Quality-aware keeper selection (q113): production dedup keeps the
+    * BEST member of each near-dup cluster, not the lowest id — "longest
+    * version wins" is the standard policy (a truncated mirror or
+    * boilerplate-stripped copy loses to the full document; cf. the
+    * keep-longest convention of C4-style dedup). The min-id label from
+    * q64 stays as the stable CLUSTER identity; the keeper is the argmax
+    * by (n_chars, then min doc_id) inside each cluster — computed as a
+    * rank window over the members frame, which is |clustered docs|
+    * (tiny), after a broadcast join of the staged label table against
+    * the corpus projection. Emits one row per cluster with its size, so
+    * q109's apply policy is swappable: anti-join (members minus these
+    * keepers) instead of (doc_id != min label). */
+  def qKeeperPolicy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = broadcast(clusterLabels(s, dir)
+      .select($"doc_id", $"keeper_id".as("cluster_id")))
+      .join(Tables.documents(s, dir).select($"doc_id", $"n_chars"),
+        "doc_id")
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"n_chars".desc, $"doc_id")
+    val size = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id")
+    members
+      .withColumn("rk", row_number().over(byQ))
+      .withColumn("n_members", count(lit(1)).over(size))
+      .filter($"rk" === 1)
+      .select($"cluster_id", $"doc_id".as("keeper_id"),
+        $"n_chars".as("keeper_chars"), $"n_members")
+      .orderBy($"cluster_id")
+  }
+
   /** Incremental MinHash-LSH (q112): near-dup detection for an APPENDED
     * batch against an existing corpus — the daily-crawl shape where
     * recomputing the index×index pairs every day is the anti-pattern.
@@ -709,6 +740,7 @@ object DedupQueries extends QueryModule {
     "q109_dedup_apply"  -> (qDedupApply _),
     "q111_training_manifest" -> (qTrainingManifest _),
     "q112_incremental_lsh" -> (qIncrementalLsh _),
+    "q113_keeper_policy" -> (qKeeperPolicy _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
     "q94_source_matrix"     -> (qSourceMatrix _),
   )
@@ -929,6 +961,22 @@ object DedupQueries extends QueryModule {
           |FROM corpus c LEFT JOIN bench b ON c.gh = b.gh
           |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
       },
+      "q113_keeper_policy" ->
+        s"""$ccOracleCtes,
+          |lab AS (
+          |  SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+          |m AS (
+          |  SELECT lab.doc_id, cluster_id, n_chars
+          |  FROM lab JOIN documents USING (doc_id)),
+          |r AS (
+          |  SELECT *,
+          |    row_number() OVER (PARTITION BY cluster_id
+          |      ORDER BY n_chars DESC, doc_id) AS rk,
+          |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+          |  FROM m)
+          |SELECT cluster_id, doc_id AS keeper_id,
+          |  n_chars AS keeper_chars, CAST(n_members AS BIGINT) AS n_members
+          |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
       // q112's oracle is q32's exact all-pairs answer restricted to
       // pairs touching the appended batch (%3 == 0) — the engine finds
       // the same set driving the band join from the new side only.

@@ -90,6 +90,27 @@ class DedupSpec extends AnyFunSuite {
       "every verified pair lands in exactly one matrix cell")
   }
 
+  test("keeper policy: one keeper per q64 cluster, the longest member wins") {
+    import spark.implicits._
+    val labels = DedupQueries.qDupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val got = DedupQueries.qKeeperPolicy(spark, sf)
+      .select($"cluster_id", $"keeper_id", $"n_members")
+      .as[(Long, Long, Long)].collect()
+    val clusters = labels.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(got.map(_._1).toSet == clusters.keySet.toSet,
+      "one output row per q64 cluster label")
+    got.foreach { case (cid, keeper, n) =>
+      val members = clusters(cid)
+      assert(members.contains(keeper) && n == members.size)
+      val best = members.maxBy(m => (chars(m), -m))
+      assert(keeper == best,
+        s"cluster $cid: keeper $keeper is not the longest member $best")
+    }
+  }
+
   test("incremental LSH equals the full run restricted to pairs touching the append") {
     import spark.implicits._
     val full = DedupQueries.qMinhashLsh(spark, sf)

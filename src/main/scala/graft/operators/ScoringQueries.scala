@@ -253,8 +253,53 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** DSIR-apply under a global token budget (q114): take the highest-
+    * importance-weight documents until the selected set reaches 10 000
+    * tokens — the actual SELECTION step of Xie et al. 2023, composing
+    * q104's weights with q84's distributed prefix-sum discipline. A
+    * naive global cumsum is a single-partition window (the scale
+    * anti-pattern); instead docs bucket on a fixed grid over the weight
+    * value — a deterministic, order-respecting function of the sort key
+    * — so the cumulative sum splits into a 16-row bucket-offset frame
+    * (broadcast back) plus per-bucket local windows that each hold only
+    * their grid slice. Weight ties order by doc_id; cum_tokens is
+    * strictly increasing, so the selection boundary is exact and
+    * deterministic on both engines. */
+  def qDsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Budget = 10000L
+    val scored = qDsirWeights(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_tokens")), "doc_id")
+      // grid bucket DESCENDING in weight: bucket 0 = best. Clamped ends
+      // catch outliers; unequal bucket sizes only skew the local
+      // windows, never correctness.
+      .withColumn("bucket", greatest(lit(0), least(lit(15),
+        floor((lit(2.0) - $"dsir_logw") / 0.25).cast("int"))))
+    val offsets = scored.groupBy($"bucket")
+      .agg(sum($"n_tokens").as("bucket_tokens"))
+      // 16-row frame: the single-partition window here is bucket-count-
+      // sized, never corpus-sized (the q38/q63 precedent)
+      .withColumn("offset", coalesce(sum($"bucket_tokens").over(
+        org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .select($"bucket", $"offset")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"dsir_logw".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    scored
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum_tokens", $"offset" + sum($"n_tokens").over(wLocal))
+      .filter($"cum_tokens" <= Budget)
+      .select($"doc_id", $"n_tokens", $"dsir_logw", $"cum_tokens")
+      .orderBy($"cum_tokens")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q114_dsir_select" -> (qDsirSelect _),
       "q71_tfidf_topk"  -> (qTfidfTopk _),
       "q72_unigram_nll" -> (qUnigramNll _),
       "q87_quality_classifier" -> (qQualityClassifier _),
@@ -263,9 +308,11 @@ object ScoringQueries extends QueryModule {
       "q104_dsir_weights" -> (qDsirWeights _),
     )
 
-  override def oracleSql: Map[String, String] = Map(
-    "q104_dsir_weights" ->
-      """WITH d AS (
+  /** Shared oracle CTE chain ending in `weights(doc_id, n_grams,
+    * dsir_logw)` — q104 selects it directly, q114 builds the
+    * budgeted selection on top. */
+  private val dsirOracleCtes: String =
+    """WITH d AS (
         |  SELECT doc_id, lang, str_split(text, ' ') AS tk FROM documents),
         |uni AS (
         |  SELECT doc_id, lang, unnest(tk) AS g FROM d),
@@ -287,11 +334,33 @@ object ScoringQueries extends QueryModule {
         |    ln((coalesce(c_tgt, 0) + 0.5) / (n_tgt + 512.0))
         |      - ln((c_raw + 0.5) / (n_raw + 512.0)) AS llr
         |  FROM raw LEFT JOIN tgt USING (b)
-        |  CROSS JOIN nr CROSS JOIN nt)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-        |  round(avg(llr), 4) + 0.0 AS dsir_logw
-        |FROM grams JOIN ratio USING (b)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  CROSS JOIN nr CROSS JOIN nt),
+        |weights AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    round(avg(llr), 4) + 0.0 AS dsir_logw
+        |  FROM grams JOIN ratio USING (b)
+        |  GROUP BY doc_id)""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "q104_dsir_weights" ->
+      s"""$dsirOracleCtes
+        |SELECT doc_id, n_grams, dsir_logw
+        |FROM weights ORDER BY doc_id""".stripMargin,
+    "q114_dsir_select" ->
+      s"""$dsirOracleCtes,
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT w.doc_id, n_tokens, dsir_logw,
+        |    CAST(sum(n_tokens) OVER (ORDER BY dsir_logw DESC, w.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM weights w JOIN t USING (doc_id))
+        |SELECT doc_id, n_tokens, dsir_logw, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000
+        |ORDER BY cum_tokens""".stripMargin,
     "q71_tfidf_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term

@@ -25,6 +25,27 @@ class ScoringSpec extends AnyFunSuite {
       f"DSIR failed to separate target: en=$enMean%.4f rest=$restMean%.4f")
   }
 
+  test("DSIR select: two-phase prefix sum equals the naive sorted cumsum") {
+    import spark.implicits._
+    val weights = ScoringQueries.qDsirWeights(spark, sf)
+      .select($"doc_id", $"dsir_logw").as[(Long, Double)].collect().toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) n")
+      .as[(Long, Long)].collect().toMap
+    var cum = 0L
+    val expected = weights.toSeq
+      .sortBy { case (id, w) => (-w, id) }
+      .flatMap { case (id, _) =>
+        cum += toks(id); if (cum <= 10000L) Some(id -> cum) else None
+      }.toMap
+    val got = ScoringQueries.qDsirSelect(spark, sf)
+      .select($"doc_id", $"cum_tokens").as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"bucketed prefix sum diverges from naive cumsum: " +
+        s"extra=${(got.keySet -- expected.keySet).take(5)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(5)}")
+  }
+
   test("tfidf: at most 3 terms per doc, rk dense from 1, scores non-increasing") {
     import spark.implicits._
     val rows = ScoringQueries.qTfidfTopk(spark, sf)

@@ -9,6 +9,42 @@ import graft.functions.TextOps
 class ExprPropsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("throttle fold property: randomized event sets match the sequential reference") {
+    import spark.implicits._
+    // 40 keys × bursty random gaps, including exact-boundary gaps (the
+    // 3600.0 tie must DROP: strict >) and duplicate timestamps
+    val rnd = new scala.util.Random(7777)
+    val rows = (1 to 40).flatMap { k =>
+      var t = 1700000000.0 + rnd.nextInt(1000)
+      (1 to rnd.nextInt(40) + 1).map { i =>
+        t += (rnd.nextInt(5) match {
+          case 0 => 0.0      // duplicate ts (event_id breaks the tie)
+          case 1 => 3600.0   // exact boundary
+          case _ => rnd.nextInt(7000).toDouble
+        })
+        // ts as INT64 nanos — the driver's events.parquet layout that
+        // Tables.events expects (nanosAsLong + div-1000 truncation)
+        (k.toLong * 1000 + i, k.toLong, "e", (t * 1e9).toLong)
+      }
+    }
+    val df = rows.toDF("event_id", "user_id", "event_type", "ts")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-throttle-prop").toString
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // reference fold on the driver, at the same micros truncation
+    val expected = rows.groupBy(_._2).values.flatMap { evs =>
+      var last = Double.NegativeInfinity
+      evs.sortBy(e => (e._4 / 1000, e._1)).flatMap { e =>
+        val sec = (e._4 / 1000) / 1e6
+        if (sec - last > 3600.0) { last = sec; Some(e._1) } else None
+      }
+    }.toSet
+    val got = graft.operators.TimeQueries.qThrottleLastKept(spark, tmp)
+      .select($"event_id").as[Long].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+  }
+
   private val corpus: Seq[String] = {
     val rnd = new scala.util.Random(123)
     val chars = "abcXYZ 0189[]().,!?#'-_ 末ß🎉 \t"

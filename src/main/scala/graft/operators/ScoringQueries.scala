@@ -297,8 +297,43 @@ object ScoringQueries extends QueryModule {
       .orderBy($"cum_tokens")
   }
 
+  /** Per-source distribution drift (q115): KL(source ‖ corpus) over the
+    * unigram distribution, add-0.5 smoothed — the drift monitor a
+    * multi-source pipeline alarms on (a source whose language suddenly
+    * shifts — spam flood, encoding break, scraper regression — spikes
+    * its KL against the corpus it used to resemble). The smoothed KL
+    * needs every (source, vocab-term) cell including unobserved ones,
+    * so the grid is built as a cross join of two AGGREGATED frames —
+    * |sources| × |vocab|, dimension-sized, never the corpus; at 100 TB
+    * the vocab side is capped to top-V with an UNK fold (the q71/q72
+    * move) to stay broadcastable. One (source, term) partial-agg
+    * shuffle over the token stream; everything after is grid-sized. */
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val sc = toks.groupBy($"source", $"term")
+      .agg(count(lit(1)).as("c_sw"))
+    val cc = toks.groupBy($"term").agg(count(lit(1)).as("c_w"))
+    val tot = cc.agg(sum($"c_w").as("n_c"),
+      count(lit(1)).cast("double").as("v"))
+    val ns = sc.groupBy($"source").agg(sum($"c_sw").as("n_s"))
+    val grid = ns.crossJoin(cc)
+      .join(sc, Seq("source", "term"), "left")
+      .crossJoin(broadcast(tot))
+    val pS = (coalesce($"c_sw", lit(0L)) + lit(0.5)) /
+      ($"n_s" + lit(0.5) * $"v")
+    val pC = ($"c_w" + lit(0.5)) / ($"n_c" + lit(0.5) * $"v")
+    grid
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"),
+        (round(sum(pS * log(pS / pC)), 4) + lit(0.0)).as("kl"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q115_source_drift" -> (qSourceDrift _),
       "q114_dsir_select" -> (qDsirSelect _),
       "q71_tfidf_topk"  -> (qTfidfTopk _),
       "q72_unigram_nll" -> (qUnigramNll _),
@@ -346,6 +381,34 @@ object ScoringQueries extends QueryModule {
       s"""$dsirOracleCtes
         |SELECT doc_id, n_grams, dsir_logw
         |FROM weights ORDER BY doc_id""".stripMargin,
+    "q115_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_sw
+        |  FROM toks GROUP BY source, term),
+        |cc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c_w
+        |  FROM toks GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(sum(c_w) AS BIGINT) AS n_c,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM cc),
+        |ns AS (
+        |  SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+        |  FROM sc GROUP BY source),
+        |grid AS (
+        |  SELECT ns.source, ns.n_s, cc.term, cc.c_w, sc.c_sw, tot.n_c, tot.v
+        |  FROM ns CROSS JOIN cc
+        |  LEFT JOIN sc ON sc.source = ns.source AND sc.term = cc.term
+        |  CROSS JOIN tot)
+        |SELECT source, max(n_s) AS n_tokens,
+        |  round(sum(
+        |    ((coalesce(c_sw, 0) + 0.5) / (n_s + 0.5 * v)) *
+        |    ln(((coalesce(c_sw, 0) + 0.5) / (n_s + 0.5 * v))
+        |       / ((c_w + 0.5) / (n_c + 0.5 * v)))), 4) + 0.0 AS kl
+        |FROM grid GROUP BY source ORDER BY source""".stripMargin,
     "q114_dsir_select" ->
       s"""$dsirOracleCtes,
         |t AS (

@@ -25,6 +25,21 @@ class ScoringSpec extends AnyFunSuite {
       f"DSIR failed to separate target: en=$enMean%.4f rest=$restMean%.4f")
   }
 
+  test("source drift: KL is non-negative (Gibbs) and token totals partition the corpus") {
+    import spark.implicits._
+    val rows = ScoringQueries.qSourceDrift(spark, sf)
+      .select($"source", $"n_tokens", $"kl").as[(String, Long, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, _, kl) =>
+      assert(kl >= 0.0, s"KL($src) = $kl violates Gibbs' inequality")
+    }
+    val corpusToks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("sum(size(split(text, ' ')))").as[Long].head()
+    assert(rows.map(_._2).sum == corpusToks,
+      "per-source token counts must partition the corpus total")
+  }
+
   test("DSIR select: two-phase prefix sum equals the naive sorted cumsum") {
     import spark.implicits._
     val weights = ScoringQueries.qDsirWeights(spark, sf)

@@ -12,6 +12,8 @@ This is a best-effort emulation — the real driver may normalize
 differently; treat exact-match here as necessary, not sufficient.
 """
 import sys, json, glob, os, math
+import functools
+print = functools.partial(print, flush=True)
 import duckdb
 import pandas as pd
 

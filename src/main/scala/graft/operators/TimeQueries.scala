@@ -183,6 +183,38 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Calendar gap-fill / resample (q116): regularize a daily rollup so
+    * EVERY (event_type, day) cell exists — missing days appear as
+    * explicit zero rows flagged `filled` — the time-series contract
+    * downstream consumers (q79's moving average, anomaly detection,
+    * charting) silently break without: a RANGE frame shrinks over gaps
+    * and an absent day reads as "no data" instead of "zero". The input
+    * simulates a feed outage (every day-of-month ≡ 3 mod 7 dropped) so
+    * the fill path is exercised, not vacuous. Scaffold = distinct types
+    * × `sequence(lo, hi)` days — two dimension-sized frames cross
+    * joined, never the event stream; the left join back to the daily
+    * aggregate is broadcast-sized at any corpus scale (|days| grows
+    * with time, not volume). */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"value")
+    val daily = ev.filter(dayofmonth($"day") % 7 =!= 3)
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sv"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    ev.select($"event_type").distinct()
+      .crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .withColumn("filled", $"n".isNull)
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        coalesce($"n", lit(0L)).as("n"),
+        coalesce($"sv", lit(0.0)).as("sum_value"), $"filled")
+      .orderBy($"event_type", $"day")
+  }
+
   /** Last-kept alert throttle (q103): emit at most one event per
     * (user_id, event_type) per hour, measuring the gap against the last
     * KEPT event — the true throttle semantics q89's lag-based form does
@@ -347,6 +379,7 @@ object TimeQueries extends QueryModule {
     "q79_moving_avg"         -> (qMovingAvg _),
     "q89_windowed_dedup"     -> (qWindowedDedup _),
     "q103_throttle_lastkept" -> (qThrottleLastKept _),
+    "q116_gap_fill"          -> (qGapFill _),
     "q99_funnel"             -> (qFunnel _),
     "q100_retention"         -> (qRetention _),
   )
@@ -385,6 +418,28 @@ object TimeQueries extends QueryModule {
         |UNION ALL
         |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY step""".stripMargin,
+    "q116_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 4) AS sv
+        |  FROM ev WHERE date_part('day', day) % 7 <> 3
+        |  GROUP BY event_type, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |et AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT et.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        |  coalesce(daily.n, 0) AS n,
+        |  coalesce(daily.sv, 0.0) AS sum_value,
+        |  daily.n IS NULL AS filled
+        |FROM et CROSS JOIN days d
+        |LEFT JOIN daily ON daily.event_type = et.event_type
+        |  AND daily.day = d.day
+        |ORDER BY et.event_type, d.day""".stripMargin,
     // The oracle replays the sequential fold as a recursive CTE walking
     // each key's rank chain: rn=1 seeds last_kept, rn=k+1 compares
     // against the carried last_kept — exactly the HOF aggregate's state.

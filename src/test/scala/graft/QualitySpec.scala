@@ -7,6 +7,27 @@ class QualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("gap fill: zero rows exactly on the outage days, full calendar coverage") {
+    import spark.implicits._
+    val rows = graft.operators.TimeQueries.qGapFill(spark, sf)
+      .select($"event_type", $"day", $"n", $"filled")
+      .as[(String, String, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_._1).distinct
+    val days = rows.map(_._2).distinct
+    assert(rows.length == types.length * days.length,
+      "every (type, day) cell must exist — that is the contract")
+    rows.foreach { case (t, d, n, filled) =>
+      val outage = d.substring(8, 10).toInt % 7 == 3
+      // every outage day is an explicit zero row; every filled row is
+      // zero (a sparse non-outage cell may also legitimately fill)
+      if (outage) assert(filled && n == 0L,
+        s"outage day ($t, $d) must be an explicit zero row")
+      if (filled) assert(n == 0L, s"filled ($t, $d) must carry n=0")
+    }
+    assert(rows.exists(_._4), "the synthetic outage must fill something")
+  }
+
   test("epoch shuffle: exact permutation, contiguous per-shard positions") {
     import spark.implicits._
     val rows = QualityQueries.qEpochShuffle(spark, sf)

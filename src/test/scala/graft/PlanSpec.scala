@@ -96,6 +96,16 @@ class PlanSpec extends AnyFunSuite {
       "rank window must partition by shard")
   }
 
+  test("q114 DSIR select: the corpus-sized window partitions by bucket") {
+    val p = plan("q114_dsir_select")
+    // the per-doc cumulative sum must run inside grid buckets — a
+    // corpus-sized window with an empty partition spec would be the
+    // single-partition global cumsum this query exists to avoid (the
+    // only permitted empty-spec window is the 16-row offset frame)
+    assert(p.contains("hashpartitioning(bucket"),
+      "local prefix-sum window must partition by the weight-grid bucket")
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

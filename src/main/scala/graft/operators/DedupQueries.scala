@@ -116,31 +116,10 @@ object DedupQueries extends QueryModule {
     * other's load-bearing persist on every access. Results go stale if
     * the parquet under `dir` is rewritten mid-session — acceptable for
     * immutable test data. */
-  /** One persisted frame per (session, sf-dir), with dead-session
-    * eviction — the "materialize the sketch/pair table once" step of a
-    * real dedup pipeline, where clusters, reports, and matrices are all
-    * derived reads of the same staged table, not recomputations. */
-  private final class SessionCache {
-    private val m = new java.util.concurrent.ConcurrentHashMap[
-      String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
-    def get(s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val owner = e.getValue._1.get()
-        if (owner == null || owner.sparkContext.isStopped) {
-          try e.getValue._2.unpersist() catch { case _: Throwable => () }
-          it.remove()
-        }
-      }
-      val key = org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir
-      m.computeIfAbsent(key, _ => (
-        new java.lang.ref.WeakReference(s),
-        build.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))._2
-    }
-  }
-
+  // Staged-frame caches (SessionCache: one persisted frame per
+  // session+dir with dead-session eviction — see Staging.scala).
+  // Clusters, reports, matrices, and applies are all derived reads of
+  // these staged tables, not recomputations.
   private val sigCache = new SessionCache
   private val pairCache = new SessionCache
   private val shingleCache = new SessionCache

@@ -290,9 +290,13 @@ object Vader {
   /** words_and_emoticons: split on whitespace, strip leading/trailing
     * punctuation from tokens longer than one char (emoticons in the
     * lexicon are preserved because the stripped form is looked up only
-    * when the raw form misses). */
+    * when the raw form misses). The whitespace pattern is compiled once:
+    * String.split("\\s+") re-compiles the regex on EVERY call, and this
+    * runs per document in the UDF hot path. */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   private[functions] def tokenizeV(text: String): Array[String] =
-    text.split("\\s+").filter(_.length > 1)
+    Whitespace.split(text).filter(_.length > 1)
 
   private def stripPunct(w: String): String =
     w.dropWhile(c => !c.isLetterOrDigit).reverse

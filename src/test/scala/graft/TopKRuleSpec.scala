@@ -59,6 +59,16 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q110's BPE top-20 rewrites to the heap and results are identical") {
+    val p = optimized("q110_bpe_merges")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived:\n$p")
+    val plain = SparkEntry.queries("q110_bpe_merges")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q110_bpe_merges")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("q55's merge window (Filter rn = 1 per key) rewrites to the heap") {
     // round-3 verdict #8: prove the rule on a per-key window beyond q3 —
     // the upsert merge's latest-version-wins is the k = 1 degenerate of

@@ -358,7 +358,68 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Inverted index with BOUNDED posting lists (q119): term → document
+    * frequency + the 10 lowest doc_ids holding it, top-200 terms by df.
+    * The unbounded form (collect_set of every doc per term) is the
+    * classic 100 TB killer — a boilerplate term's posting list is the
+    * whole corpus. Here the posting side caps per-term state BEFORE the
+    * list is built: the Filter(row_number ≤ 10) idiom rewrites to the
+    * bounded-heap top_k_rows aggregate under TopKWindowRule, so each
+    * mapper ships at most 10 doc_ids per term and collect_list only ever
+    * sees ≤ 10 rows. df comes from a plain count on the same `term` key
+    * — both branches and the rejoin share one hash-partitioning, so the
+    * join adds no extra shuffle of the big side. */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.dropStopwords(
+        TextOps.tokenize(TextOps.cleanText($"text")))).as("term"))
+      .filter($"term" =!= "")
+      .distinct()
+    val dfc = pairs.groupBy($"term").agg(count(lit(1)).as("df"))
+    val wt = Window.partitionBy($"term").orderBy($"doc_id".asc)
+    val posting = pairs
+      .withColumn("rn", row_number().over(wt)).filter($"rn" <= 10)
+      .groupBy($"term")
+      .agg(concat_ws(",", transform(sort_array(collect_list($"doc_id")),
+        _.cast("string"))).as("posting"))
+    val wr = Window.orderBy($"df".desc, $"term".asc)
+    dfc.join(posting, "term")
+      .withColumn("rk", row_number().over(wr)).filter($"rk" <= 200)
+      .select($"rk", $"term", $"df", $"posting")
+      .orderBy($"rk")
+  }
+
+  /** In-row word-entropy quality signal (q121): Shannon entropy of each
+    * document's token distribution — low entropy flags keyword-stuffed /
+    * template/repetitive docs the way Gopher's repetition ratios (q39)
+    * do, but in one number. Entirely higher-order functions over the
+    * in-row token array: no explode, no shuffle, map-only at any corpus
+    * size. The distinct-token list is SORTED before the fold on both
+    * engines so the floating-point sum order is identical (unordered
+    * sums differ in the last ulp and can flip round(_,4) on a boundary).
+    * O(distinct × n) per row — bounded by the ~200-token docs this
+    * models; entropy of empty docs is 0 (fold over an empty list returns
+    * the init), and the `+ 0.0` idiom clears IEEE -0.0 (repo convention,
+    * see q91). */
+  def qWordEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def p(d: org.apache.spark.sql.Column) =
+      size(filter($"w", x => x === d)).cast("double") / $"n"
+    Tables.documents(s, dir)
+      .withColumn("w",
+        filter(TextOps.tokenize(TextOps.cleanText($"text")), t => t =!= ""))
+      .withColumn("n", size($"w").cast("double"))
+      .withColumn("ent", round(
+        -aggregate(sort_array(array_distinct($"w")), lit(0.0),
+          (acc, d) => acc + p(d) * log(p(d))) + lit(0.0), 4))
+      .select($"doc_id", size($"w").cast("long").as("n_words"), $"ent")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_inverted_index" -> (qInvertedIndex _),
+    "q121_word_entropy"   -> (qWordEntropy _),
     "q110_bpe_merges"     -> (qBpeMergeStats _),
     "q10_clean_text"      -> (qCleanText _),
     "q75_chunking"        -> (qChunk _),
@@ -379,6 +440,39 @@ object TextQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q119_inverted_index" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(list_filter(str_split($cleanSql, ' '),
+         |      t -> t NOT IN $stops AND t <> '')) AS t
+         |    FROM documents)),
+         |dfc AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+         |post AS (
+         |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+         |                          ORDER BY doc_id) AS posting
+         |  FROM (SELECT term, doc_id,
+         |          row_number() OVER (PARTITION BY term
+         |                             ORDER BY doc_id) AS rn
+         |        FROM pairs)
+         |  WHERE rn <= 10 GROUP BY term),
+         |r AS (
+         |  SELECT d.term, d.df, p.posting,
+         |    row_number() OVER (ORDER BY d.df DESC, d.term) AS rk
+         |  FROM dfc d JOIN post p ON d.term = p.term)
+         |SELECT CAST(rk AS INTEGER) AS rk, term, df, posting
+         |FROM r WHERE rk <= 200 ORDER BY rk""".stripMargin,
+    "q121_word_entropy" ->
+      s"""SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |  round(coalesce(-list_sum(list_transform(
+         |      list_sort(list_distinct(w)),
+         |      d -> (CAST(len(list_filter(w, x -> x = d)) AS DOUBLE)
+         |              / CAST(len(w) AS DOUBLE))
+         |           * ln(CAST(len(list_filter(w, x -> x = d)) AS DOUBLE)
+         |              / CAST(len(w) AS DOUBLE)))), 0.0) + 0.0, 4) AS ent
+         |FROM (SELECT doc_id,
+         |        list_filter(str_split($cleanSql, ' '), t -> t <> '') AS w
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "q110_bpe_merges" ->
       """WITH w AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS freq

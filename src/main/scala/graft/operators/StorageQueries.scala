@@ -240,8 +240,154 @@ object StorageQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Bucketed co-located join (q117): orders and lineitem are landed
+    * ONCE as bucketed tables — 8 buckets, both on the join key, sorted
+    * within buckets — and the join then runs with NO exchange on either
+    * side: bucket i of orders only ever meets bucket i of lineitem, and
+    * the in-bucket sort feeds SortMergeJoin directly. This is the
+    * pre-paid shuffle: at 100 TB the fact-to-fact join is the single
+    * biggest wire cost in the pipeline, and bucketing moves it from
+    * every query to one at ingest. The only exchange left in the plan
+    * is the groups-sized final aggregate; PlanSpec pins exactly that
+    * (one exchange, SortMergeJoin, zero shuffles under the join). The
+    * merge hint keeps AQE from demoting the demonstration to a
+    * broadcast join at this toy scale — at real scale neither side
+    * broadcasts. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val ot = s"graft_bkt_orders_$tag"
+    val lt = s"graft_bkt_lineitem_$tag"
+    if (!s.catalog.tableExists(ot))
+      Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    if (!s.catalog.tableExists(lt))
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    s.table(ot).hint("merge")
+      .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Snapshot diff (q118): row-level added/removed/changed between two
+    * table versions, the reconciliation step after any backfill or
+    * migration (q97's checksums say WHETHER partitions diverged; this
+    * says WHICH rows and HOW). v2 is derived deterministically from v1
+    * (drop %17==3, rewrite %10==0, insert clones at +1e6), the diff is
+    * one full-outer join on the key comparing md5 fingerprints — never
+    * whole-row values across the wire — and unchanged rows are filtered
+    * before anything is returned, so the output scales with the churn,
+    * not the table. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+    val v1 = base.select($"doc_id", md5($"text").as("old_fp"))
+    val v2 = base.filter($"doc_id" % 17 =!= 3)
+      .select($"doc_id",
+        md5(when($"doc_id" % 10 === 0, upper($"text")).otherwise($"text"))
+          .as("new_fp"))
+      .unionByName(base.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"),
+          md5($"text").as("new_fp")))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when($"old_fp".isNull, "added")
+          .when($"new_fp".isNull, "removed")
+          .when($"old_fp" =!= $"new_fp", "changed")
+          .otherwise("same"))
+      .filter($"status" =!= "same")
+      .select($"doc_id", $"status",
+        coalesce($"old_fp", lit("")).as("old_fp"),
+        coalesce($"new_fp", lit("")).as("new_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Column profiler (q120): ANALYZE-style per-column statistics —
+    * rows, nulls, exact NDV, min/max — unpivoted to one row per column.
+    * This is what feeds a cost-based optimizer and a data-quality gate.
+    * All five columns profile in ONE pass over the table (a single
+    * aggregate with an Expand for the distinct counts), not five scans;
+    * min/max serialize through a fixed format so the output schema is
+    * column-type-agnostic. At 100 TB the same shape runs with
+    * approx_count_distinct (q49 proves the HLL error bound) — this is
+    * the exact form that calibrates it. */
+  def qColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols =
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = array(cols.map(c => struct(
+      lit(c).as("col_name"),
+      col(s"${c}__nn").as("n_nonnull"),
+      col(s"${c}__ndv").as("ndv"),
+      col(s"${c}__min").as("min_s"),
+      col(s"${c}__max").as("max_s"))): _*)
+    one.select($"n_rows", explode(entries).as("e"))
+      .select($"e.col_name".as("col_name"), $"n_rows",
+        ($"n_rows" - $"e.n_nonnull").as("n_null"),
+        $"e.ndv".as("ndv"), $"e.min_s".as("min_s"), $"e.max_s".as("max_s"))
+      .orderBy($"col_name")
+  }
+
+  /** CDC changelog apply (q123): fold an ordered full-image op log
+    * (I/U/D, one seq per op) onto a base snapshot — the lakehouse MERGE
+    * a warehouse replays from a Debezium/binlog feed. Latest-wins per
+    * key via Filter(row_number = 1 ORDER BY seq DESC) — the bounded-heap
+    * rewrite keeps per-key state at one row with map-side combine, so a
+    * key updated a thousand times ships one row per mapper, not a
+    * thousand — and a final D tombstone removes the key entirely.
+    * Differs from q55 (upsert: U-only, no deletes) and q66 (SCD2: keeps
+    * history); this is the compacting form that maintains a serving
+    * snapshot. */
+  def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+    val snap0 = base.select($"doc_id", lit(0L).as("seq"), lit("I").as("op"),
+      $"text")
+    val u1 = base.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", lit(1L).as("seq"), lit("U").as("op"),
+        upper($"text").as("text"))
+    val d2 = base.filter($"doc_id" % 17 === 3)
+      .select($"doc_id", lit(2L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("text"))
+    val i3 = base.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), lit(3L).as("seq"),
+        lit("I").as("op"), $"text")
+    val u4 = base.filter($"doc_id" % 20 === 0)
+      .select($"doc_id", lit(4L).as("seq"), lit("U").as("op"),
+        concat($"text", lit(" v2")).as("text"))
+    val log = snap0.unionByName(u1).unionByName(d2).unionByName(i3)
+      .unionByName(u4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"seq".desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"doc_id", $"seq".as("last_seq"), $"op",
+        md5($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q117_bucket_join"   -> (qBucketJoin _),
+      "q118_snapshot_diff" -> (qSnapshotDiff _),
+      "q120_column_profile" -> (qColumnProfile _),
+      "q123_cdc_apply"     -> (qCdcApply _),
       "q45_bloom_join"    -> (qBloomJoin _),
       "q55_upsert_merge"  -> (qUpsertMerge _),
       "q65_compaction"    -> (qCompaction _),
@@ -256,6 +402,77 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q117_bucket_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q118_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 0 THEN upper(text) ELSE text END)
+        |      AS new_fp
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(text)
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN old_fp <> new_fp THEN 'changed'
+        |         ELSE 'same' END AS status,
+        |    coalesce(old_fp, '') AS old_fp, coalesce(new_fp, '') AS new_fp
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, status, old_fp, new_fp FROM d
+        |WHERE status <> 'same' ORDER BY doc_id""".stripMargin,
+    "q120_column_profile" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |  count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS nd1,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS mn1,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS mx1,
+        |  count(l_quantity) AS nn2, count(DISTINCT l_quantity) AS nd2,
+        |    CAST(min(l_quantity) AS VARCHAR) AS mn2,
+        |    CAST(max(l_quantity) AS VARCHAR) AS mx2,
+        |  count(l_extendedprice) AS nn3,
+        |    count(DISTINCT l_extendedprice) AS nd3,
+        |    CAST(min(l_extendedprice) AS VARCHAR) AS mn3,
+        |    CAST(max(l_extendedprice) AS VARCHAR) AS mx3,
+        |  count(l_returnflag) AS nn4, count(DISTINCT l_returnflag) AS nd4,
+        |    CAST(min(l_returnflag) AS VARCHAR) AS mn4,
+        |    CAST(max(l_returnflag) AS VARCHAR) AS mx4,
+        |  count(l_shipdate) AS nn5, count(DISTINCT l_shipdate) AS nd5,
+        |    CAST(min(l_shipdate) AS VARCHAR) AS mn5,
+        |    CAST(max(l_shipdate) AS VARCHAR) AS mx5
+        |  FROM lineitem)
+        |SELECT 'l_extendedprice' AS col_name, n_rows, n_rows - nn3 AS n_null,
+        |  nd3 AS ndv, mn3 AS min_s, mx3 AS max_s FROM s
+        |UNION ALL SELECT 'l_orderkey', n_rows, n_rows - nn1, nd1, mn1, mx1
+        |  FROM s
+        |UNION ALL SELECT 'l_quantity', n_rows, n_rows - nn2, nd2, mn2, mx2
+        |  FROM s
+        |UNION ALL SELECT 'l_returnflag', n_rows, n_rows - nn4, nd4, mn4, mx4
+        |  FROM s
+        |UNION ALL SELECT 'l_shipdate', n_rows, n_rows - nn5, nd5, mn5, mx5
+        |  FROM s
+        |ORDER BY col_name""".stripMargin,
+    "q123_cdc_apply" ->
+      """WITH log AS (
+        |  SELECT doc_id, 0 AS seq, 'I' AS op, text FROM documents
+        |  UNION ALL SELECT doc_id, 1, 'U', upper(text)
+        |    FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id, 2, 'D', NULL
+        |    FROM documents WHERE doc_id % 17 = 3
+        |  UNION ALL SELECT doc_id + 1000000, 3, 'I', text
+        |    FROM documents WHERE doc_id % 25 = 0
+        |  UNION ALL SELECT doc_id, 4, 'U', text || ' v2'
+        |    FROM documents WHERE doc_id % 20 = 0),
+        |r AS (SELECT *, row_number()
+        |        OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT doc_id, CAST(seq AS BIGINT) AS last_seq, op, md5(text) AS fp
+        |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""".stripMargin,
     "q45_bloom_join" ->
       """SELECT o.o_orderpriority,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)

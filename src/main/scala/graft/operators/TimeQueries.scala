@@ -366,7 +366,32 @@ object TimeQueries extends QueryModule {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** LOCF gap imputation (q122): the `value` signal is only observed on
+    * purchase events; every other event carries the last observed value
+    * forward (last-observation-carried-forward — the standard imputation
+    * for sparse sensor/metric streams before feature extraction). One
+    * running window per user — `last(col, ignoreNulls)` over an
+    * unbounded-preceding ROWS frame — so the whole fill is a single
+    * (user_id) shuffle + per-partition sort; state is one value per
+    * user however long the stream. Rows before a user's first
+    * observation stay NULL (no back-fill), exactly what a training
+    * pipeline wants: fabricating a pre-first value would leak the
+    * future. */
+  def qLocfImpute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sparse = when($"event_type" === "purchase", $"value")
+    val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("filled",
+        round(last(sparse, ignoreNulls = true).over(run) + lit(0.0), 4))
+      .select($"event_id", $"user_id", $"event_type",
+        round(sparse + lit(0.0), 4).as("observed"), $"filled")
+      .orderBy($"event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_locf_impute"  -> (qLocfImpute _),
     "q26_sessionize"         -> (qSessionize _),
     "q26b_session_window"    -> (qSessionWindow _),
     "q27_asof_join"          -> (qAsofJoin _),
@@ -385,6 +410,17 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q122_locf_impute" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(CASE WHEN event_type = 'purchase' THEN value END + 0.0, 4)
+        |    AS observed,
+        |  round(last_value(
+        |      CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 0.0, 4)
+        |    AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
     "q100_retention" ->
       """WITH weeks AS (
         |  SELECT DISTINCT user_id,

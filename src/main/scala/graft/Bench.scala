@@ -38,13 +38,14 @@ object Bench {
     // key mapping beats compactness.
     val collide = results.keys.groupBy(shortKey).exists(_._2.size > 1)
     def key(full: String): String = if (collide) full else shortKey(full)
-    // 2 decimals (centiseconds) per query — 1 decimal once a value
-    // reaches 10s (stall territory, where centiseconds are noise): at
-    // 120+ queries every char per entry is ~120 chars of line budget;
-    // the total keeps 3
+    // 2 decimals (centiseconds) per query — 1 decimal from 10s and
+    // whole seconds from 100s (stall territory, where precision is
+    // noise): at 130+ queries every char per entry is ~130 chars of
+    // line budget; the total keeps 3
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(
-        if (v >= 10) 1 else 2, BigDecimal.RoundingMode.HALF_UP).toString
+        if (v >= 100) 0 else if (v >= 10) 1 else 2,
+        BigDecimal.RoundingMode.HALF_UP).toString
     def fmt3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
@@ -55,9 +56,9 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => key(k) }.toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt3(main.values.filter(_ >= 0).sum)
-    val note = "sec; min of 2 interleaved passes; qNN keys; " +
-      "failed=-1, twins excl from total"
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(main)},"twins":${obj(twins)},"failed":$failedJson,"sf":"$sfDir","note":"$note"}"""
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val note = "sec; min of 2 passes; qNN keys; -1=failed; twins excl"
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(main)},"twins":${obj(twins)},"failed":$failedJson,"sf":"$sf","note":"$note"}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,27 @@ class PlanSpec extends AnyFunSuite {
       "local prefix-sum window must partition by the weight-grid bucket")
   }
 
+  test("q117 bucketed join: sort-merge with the ONLY exchange above the join") {
+    // both sides are bucketed on the join key: the fact-to-fact join
+    // itself must read bucket files straight into SortMergeJoin — the
+    // one Exchange allowed in the whole plan is the groups-sized final
+    // aggregate. (BucketingSpec proves the raw mechanics; this pins the
+    // shipped query.)
+    val df = SparkEntry.queries("q117_bucket_join")(spark, sf)
+    df.collect() // AQE-final plan
+    // AQE's toString prints the final plan AND the initial plan — keep
+    // only the final section or every operator double-counts
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("SortMergeJoin"),
+      s"merge hint must hold through AQE:\n${p.take(1500)}")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // agg hashpartitioning + presentation range sort
+      s"bucketed join must not shuffle its inputs ($exchanges exchanges):\n$p")
+    assert(p.contains("Bucketed: true"),
+      "scans must read bucket files directly (bucketed read active)")
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

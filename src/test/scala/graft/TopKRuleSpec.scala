@@ -106,6 +106,37 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q119's posting cap AND global top-200 both rewrite to the heap") {
+    // two rank-filter windows in one query: the per-term rn<=10 posting
+    // cap (partitioned) and the global rk<=200 ranking (empty partition
+    // spec — the would-be single-partition sort). Both must leave the
+    // window path or the inverted index doesn't scale.
+    val p = optimized("q119_inverted_index")
+    val hits = "top_k_rows".r.findAllIn(p).size
+    assert(hits >= 2, s"expected both windows rewritten, saw $hits:\n$p")
+    assert(!p.contains("Window "), s"a window survived:\n$p")
+    val plain =
+      SparkEntry.queries("q119_inverted_index")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q119_inverted_index")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
+  test("q123 CDC latest-wins (rn = 1 in a conjunction) rewrites; the " +
+      "tombstone filter survives as a residual") {
+    val p = optimized("q123_cdc_apply")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived the rewrite:\n$p")
+    // the op <> 'D' conjunct must still filter — on top of the rewrite
+    assert("""NOT \(op#\d+ = D\)""".r.findFirstIn(p).isDefined,
+      s"tombstone filter lost:\n$p")
+    val plain =
+      SparkEntry.queries("q123_cdc_apply")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q123_cdc_apply")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("windows without a rank filter are untouched") {
     // q17 uses count() OVER (PARTITION BY fp) with no row_number filter
     val p = optimized("q17_fingerprint")

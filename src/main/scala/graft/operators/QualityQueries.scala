@@ -546,8 +546,34 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"rk")
   }
 
+  /** Winsorized per-source length statistics (q127): clip n_chars to
+    * the source's own [p05, p95] before averaging — the robust mean a
+    * quality dashboard trends so a handful of giant or truncated docs
+    * can't move a source's line (winsorization; the trim-vs-clip
+    * distinction matters because clipping keeps n_docs constant).
+    * Shape: an exact-percentile aggregate over the (source) groups,
+    * broadcast back onto the rows, then the clipped aggregate on the
+    * same (source) key — one corpus shuffle total, since the cuts
+    * frame is |sources| rows. At 100 TB the exact percentile swaps for
+    * q73's mergeable sketch with the identical join shape. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cuts = docs.groupBy($"source").agg(
+      percentile($"n_chars", lit(0.05)).as("lo"),
+      percentile($"n_chars", lit(0.95)).as("hi"))
+    docs.join(broadcast(cuts), "source")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("raw_mean"),
+        round(avg(least(greatest($"n_chars".cast("double"), $"lo"),
+          $"hi")), 4).as("wins_mean"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q127_winsorize"       -> (qWinsorize _),
       "q105_epoch_shuffle"   -> (qEpochShuffle _),
       "q106_domain_split"    -> (qDomainSplit _),
       "q108_weighted_reservoir" -> (qWeightedReservoir _),
@@ -835,5 +861,17 @@ object QualityQueries extends QueryModule {
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    "q127_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT source,
+        |    quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(n_chars), 4) AS raw_mean,
+        |  round(avg(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)), 4)
+        |    AS wins_mean
+        |FROM documents d JOIN cuts USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
   )
 }

@@ -342,8 +342,55 @@ object ScoringQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** BM25 query-term set: literal, tiny, broadcast-free (it lives in
+    * the filter predicate). */
+  private val Bm25Terms = Seq("spark", "window", "merge")
+
+  /** BM25 top-10 retrieval (q125): Robertson-Spärck Jones ranking
+    * (k1=1.2, b=0.75) of the whole corpus against a literal query-term
+    * set — the retrieval step that sits on top of q119's inverted
+    * index. Scale shape: the term filter lands BEFORE the tf aggregate,
+    * so only rows for the |q| query terms ever shuffle (a term-bounded
+    * frame, not the corpus); document lengths are the same (doc_id)
+    * aggregate every per-doc stat pays and join tf on the co-located
+    * doc_id key; corpus stats (N, avgdl) broadcast as a 1-row frame.
+    * The per-doc score folds the ≤|q| term contributions in FIXED
+    * literal order (conditional max per term, then a literal sum), so
+    * the float total is bit-identical on any engine — a grouped sum's
+    * order would not be. Global top-10 = Filter(row_number <= 10) with
+    * an empty partition spec, which TopKWindowRule rewrites to the
+    * bounded-heap aggregate: no single-partition sort of all scored
+    * docs. */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val tf = toks.filter($"term".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) *
+            (lit(0.25) + lit(0.75) * $"dl" / $"avgdl")))
+    val score = Bm25Terms.map(t =>
+      coalesce(max(when($"term" === t, $"c")), lit(0.0))).reduce(_ + _)
+    val w = Window.orderBy($"score".desc, $"doc_id".asc)
+    contrib.groupBy($"doc_id").agg(score.as("score"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"rk", $"doc_id", round($"score", 4).as("score"))
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q125_bm25" -> (qBm25 _),
       "q115_source_drift" -> (qSourceDrift _),
       "q114_dsir_select" -> (qDsirSelect _),
       "q71_tfidf_topk"  -> (qTfidfTopk _),
@@ -388,6 +435,36 @@ object ScoringQueries extends QueryModule {
         |  GROUP BY doc_id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q125_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'window', 'merge')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |c AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2::DOUBLE) /
+        |      (tf + 1.2::DOUBLE * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |sc AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'spark'  THEN c END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'window' THEN c END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'merge'  THEN c END), 0.0)
+        |      AS score
+        |  FROM c GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT rk, doc_id, round(score, 4) AS score
+        |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin,
     "q104_dsir_weights" ->
       s"""$dsirOracleCtes
         |SELECT doc_id, n_grams, dsir_logw

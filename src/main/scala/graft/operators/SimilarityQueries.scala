@@ -314,6 +314,66 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** ANN recall evaluation (q128): per-query recall@5 of the LSH index
+    * (q41) against exhaustive truth (q40) — the harness every ANN
+    * deployment ships, because bucketing parameters (bands, bits) are
+    * useless numbers until they're priced in recall. Truth costs one
+    * brute-force pass over the corpus for the query SAMPLE only — the
+    * standard amortization: recall is estimated on a sampled query set
+    * offline, never computed per production query. The hit count is a
+    * semi join on (q_id, vec_id) — id sets, never vectors, cross the
+    * wire — and a left join puts zero-recall queries back in the
+    * report (the rows that matter most). */
+  def qRecallEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = qCosineTopk(s, dir).select($"q_id", $"vec_id")
+    val approx = qLshAnn(s, dir).select($"q_id", $"vec_id")
+    val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy($"q_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("q_id"), "left_outer")
+      .select($"q_id", $"n_true",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        round(coalesce($"n_hit", lit(0L)) / $"n_true", 4).as("recall"))
+      .orderBy($"q_id")
+  }
+
+  /** Hard-negative mining (q126): for each anchor (every 100th vector,
+    * q40's query set) the top-3 most-similar vectors with a DIFFERENT
+    * label — the negatives a contrastive trainer pairs with each
+    * anchor, because the closest non-matching examples are the
+    * informative ones (Robinson et al. 2021). Same exhaustive-search
+    * discipline as q40: the anchor set broadcasts in hash-chunked
+    * fixed-size pieces (⌈|Q|/chunk⌉ corpus scans, each broadcast
+    * bounded), the cross-label predicate is the join condition so
+    * same-label rows drop before any dot product, and the per-anchor
+    * top-3 is the Filter(row_number <= 3) shape TopKWindowRule rewrites
+    * to the bounded heap. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", norm($"v")).filter($"nrm" > 0)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val nChunks = math.max(1L,
+      (q.count() + QueryChunkRows - 1) / QueryChunkRows).toInt
+    val scored = (0 until nChunks).map { i =>
+      all.join(
+          broadcast(q.filter(pmod(hash($"q_id"), lit(nChunks)) === i)),
+          $"label" =!= $"q_label")
+        .select($"q_id", $"vec_id", $"label",
+          (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    }.reduce(_.union(_))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id", $"label",
+        (round($"cos", 4) + lit(0.0)).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** Johnson-Lindenstrauss random-projection matrix: 16 seeded gaussian
     * directions over the 64-dim input, scaled 1/sqrt(16) so expected
     * squared norms are preserved (the JL estimator). Literal constants,
@@ -350,6 +410,8 @@ object SimilarityQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q91_random_projection" -> (qRandomProjection _),
+    "q126_hard_negatives" -> (qHardNegatives _),
+    "q128_recall_eval" -> (qRecallEval _),
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
     "q42_ivf_ann"     -> (qIvfAnn _),
@@ -417,6 +479,53 @@ object SimilarityQueries extends QueryModule {
       |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
       |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q128's oracle composes the exact chain and the full LSH replay
+    * (planes as literals) and joins them — recall is checked end to
+    * end, not against a pinned expected table. */
+  private def recallEvalSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $baseCte,
+      |q AS (
+      |  SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id % 100 = 0),
+      |t_scored AS (
+      |  SELECT q.q_id, e.vec_id, list_cosine_similarity(q.qv, e.v) AS cos
+      |  FROM base e, q WHERE e.vec_id <> q.q_id),
+      |t_ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM t_scored),
+      |truth AS (SELECT q_id, vec_id FROM t_ranked WHERE rk <= 5),
+      |sig AS (SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      |  FROM banded c JOIN banded q
+      |    ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+      |a_scored AS (
+      |  SELECT cand.q_id, cand.vec_id,
+      |    list_cosine_similarity(qv.v, cv.v) AS cos
+      |  FROM cand JOIN base qv ON qv.vec_id = cand.q_id
+      |            JOIN base cv ON cv.vec_id = cand.vec_id),
+      |a_ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM a_scored),
+      |approx AS (SELECT q_id, vec_id FROM a_ranked WHERE rk <= 5),
+      |hits AS (
+      |  SELECT t.q_id, count(*) AS n_hit FROM truth t
+      |  JOIN approx a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+      |  GROUP BY t.q_id)
+      |SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(coalesce(any_value(n_hit), 0) AS BIGINT) AS n_hit,
+      |  round(coalesce(any_value(n_hit), 0) / count(*), 4) AS recall
+      |FROM truth t LEFT JOIN hits h ON t.q_id = h.q_id
+      |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
   }
 
   /** q42's oracle replays IVF the same way: anchor dots as literal
@@ -506,9 +615,28 @@ object SimilarityQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q126_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(embedding, embedding) > 0),
+        |q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, v AS qv
+        |  FROM base WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id, e.label,
+        |    list_cosine_similarity(q.qv, e.v) AS cos
+        |  FROM base e, q WHERE e.label <> q.q_label),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+        |SELECT q_id, rk, vec_id, label, round(cos, 4) + 0.0 AS cos
+        |FROM ranked WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
     "q40_cosine_topk" -> exactTopkSql,
     "q43_topk_agg"    -> exactTopkSql,
     "q41_lsh_ann"     -> lshAnnSql,
+    "q128_recall_eval" -> recallEvalSql,
     "q42_ivf_ann"     -> ivfAnnSql,
     "q44_cluster_stats" -> clusterStatsSql,
     "q86_semdedup"    -> semDedupSql,

@@ -417,7 +417,48 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** PMI collocation mining (q129): pointwise mutual information of
+    * adjacent token pairs, ln(p(a,b) / (p(a)·p(b))), with a min-count
+    * support filter — the classic collocation detector (Church & Hanks
+    * 1990), and the statistic behind phrase-vocabulary induction
+    * (word2vec's phrase pass uses the same ratio). Scale shape: one
+    * (prev, term) pair-count shuffle with map-side combine, a
+    * vocabulary-sized unigram aggregate broadcast back onto the PAIR
+    * frame (never the token stream — the support filter has already
+    * shrunk it), corpus totals as 1-row broadcasts, and the global
+    * top-30 as the Filter(row_number <= 30) shape the bounded-heap
+    * rewrite picks up. PMI can land negative, so the rounded output
+    * takes the `+ 0.0` negative-zero normalization. */
+  def qPmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MinPair = 50L
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val uni = toks.groupBy($"term").agg(count(lit(1)).as("c_t"))
+    val nU = uni.agg(sum($"c_t").cast("double").as("n_uni"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val biCnt = toks.withColumn("prev", lag($"term", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"term").agg(count(lit(1)).as("c_ab"))
+    val nB = biCnt.agg(sum($"c_ab").cast("double").as("n_bi"))
+    val scored = biCnt.filter($"c_ab" >= MinPair)
+      .join(broadcast(uni.select($"term".as("prev"), $"c_t".as("c_a"))),
+        "prev")
+      .join(broadcast(uni.select($"term", $"c_t".as("c_b"))), "term")
+      .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+      .withColumn("pmi",
+        log(($"c_ab" / $"n_bi") /
+          (($"c_a" / $"n_uni") * ($"c_b" / $"n_uni"))))
+    val rw = Window.orderBy($"pmi".desc, $"prev".asc, $"term".asc)
+    scored.withColumn("rk", row_number().over(rw)).filter($"rk" <= 30)
+      .select($"rk", $"prev", $"term", $"c_ab",
+        (round($"pmi", 4) + lit(0.0)).as("pmi"))
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_pmi_collocations" -> (qPmiCollocations _),
     "q119_inverted_index" -> (qInvertedIndex _),
     "q121_word_entropy"   -> (qWordEntropy _),
     "q110_bpe_merges"     -> (qBpeMergeStats _),
@@ -440,6 +481,31 @@ object TextQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q129_pmi_collocations" ->
+      """WITH d AS (SELECT doc_id, str_split(text, ' ') AS tk
+        |           FROM documents),
+        |toks AS (SELECT doc_id, unnest(tk) AS term FROM d),
+        |uni AS (SELECT term, count(*) AS c_t FROM toks GROUP BY term),
+        |nu AS (SELECT CAST(sum(c_t) AS DOUBLE) AS n_uni FROM uni),
+        |bi AS (
+        |  SELECT tk[i] AS prev, tk[i + 1] AS term
+        |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM d)),
+        |bc AS (SELECT prev, term, count(*) AS c_ab
+        |       FROM bi GROUP BY prev, term),
+        |nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bi FROM bc),
+        |scored AS (
+        |  SELECT bc.prev, bc.term, c_ab,
+        |    ln((c_ab / n_bi) / ((ua.c_t / n_uni) * (ub.c_t / n_uni)))
+        |      AS pmi
+        |  FROM bc JOIN uni ua ON ua.term = bc.prev
+        |          JOIN uni ub ON ub.term = bc.term
+        |  CROSS JOIN nu CROSS JOIN nb
+        |  WHERE c_ab >= 50),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY pmi DESC, prev, term)
+        |    AS rk FROM scored)
+        |SELECT rk, prev, term, c_ab, round(pmi, 4) + 0.0 AS pmi
+        |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin,
     "q119_inverted_index" ->
       s"""WITH pairs AS (
          |  SELECT DISTINCT doc_id, t AS term FROM (

@@ -215,6 +215,44 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** Robust anomaly detection (q130): flag (event_type, day) cells
+    * whose volume deviates from the type's median by more than 3×MAD —
+    * the median/median-absolute-deviation detector monitoring uses
+    * where mean/stddev would be dragged by the very outliers it hunts
+    * (Leys et al. 2013). Runs on the GAP-FILLED daily frame (q116's
+    * contract: missing days exist as zeros), so a feed outage is
+    * flaggable at all — the whole point of the alarm. Scale shape: the
+    * corpus collapses to |types|×|days| cells first; both robust stats
+    * are exact percentiles over that tiny frame, broadcast back onto
+    * it — nothing after the first aggregate scales with event volume.
+    * MAD=0 degenerates honestly: any deviation flags. */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.filter(dayofmonth($"day") % 7 =!= 3)
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    val med = filled.groupBy($"event_type")
+      .agg(percentile($"n", lit(0.5)).as("med"))
+    val dev = filled.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"n" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(percentile($"dev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter($"dev" > lit(3.0) * $"mad")
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n", round($"med", 4).as("med"), round($"mad", 4).as("mad"),
+        round($"dev", 4).as("dev"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Last-kept alert throttle (q103): emit at most one event per
     * (user_id, event_type) per hour, measuring the gap against the last
     * KEPT event — the true throttle semantics q89's lag-based form does
@@ -391,6 +429,7 @@ object TimeQueries extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_mad_outliers" -> (qMadOutliers _),
     "q122_locf_impute"  -> (qLocfImpute _),
     "q26_sessionize"         -> (qSessionize _),
     "q26b_session_window"    -> (qSessionWindow _),
@@ -454,6 +493,37 @@ object TimeQueries extends QueryModule {
         |UNION ALL
         |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY step""".stripMargin,
+    "q130_mad_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev WHERE date_part('day', day) % 7 <> 3
+        |  GROUP BY event_type, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |et AS (SELECT DISTINCT event_type FROM ev),
+        |filled AS (
+        |  SELECT et.event_type, d.day, coalesce(daily.n, 0) AS n
+        |  FROM et CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = et.event_type
+        |    AND daily.day = d.day),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |        FROM filled GROUP BY event_type),
+        |dev AS (
+        |  SELECT f.event_type, f.day, f.n, med, abs(f.n - med) AS dev
+        |  FROM filled f JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n,
+        |  round(med, 4) AS med, round(mad, 4) AS mad,
+        |  round(dev, 4) AS dev
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE dev > 3.0 * mad
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "q116_gap_fill" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events),

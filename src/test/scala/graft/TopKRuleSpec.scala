@@ -137,6 +137,28 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q125 BM25's global top-10 rewrites to the heap") {
+    val p = optimized("q125_bm25")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived:\n$p")
+    val plain = SparkEntry.queries("q125_bm25")(base, sf).collect().toSeq
+    val rewritten = SparkEntry.queries("q125_bm25")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
+  test("q129 PMI's global top-30 rewrites to the heap") {
+    val p = optimized("q129_pmi_collocations")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    // the bigram lag window (no rank filter) must SURVIVE — only the
+    // ranking window leaves the plan
+    assert(p.contains("lag("), s"lag window should remain:\n$p")
+    val plain =
+      SparkEntry.queries("q129_pmi_collocations")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q129_pmi_collocations")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("windows without a rank filter are untouched") {
     // q17 uses count() OVER (PARTITION BY fp) with no row_number filter
     val p = optimized("q17_fingerprint")

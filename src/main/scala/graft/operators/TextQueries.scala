@@ -358,6 +358,44 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** BPE encode (q132): APPLY the fitted merge table — the tokenize
+    * step every training pipeline runs after q110's fit. Each distinct
+    * vocabulary word is exploded to space-joined symbols, then the
+    * top-20 merges apply sequentially in rank order (replace() is
+    * left-to-right non-overlapping in both engines, the BPE apply
+    * semantics of Sennrich et al. 2016); output is the resulting
+    * subword vocabulary's top-30 by frequency-weighted count. The merge
+    * table is collected to the driver and folded into the expression
+    * tree as literals — a merge table is a SMALL ARTIFACT by
+    * construction (a real tokenizer ships 32k merges as a file), so
+    * this is the justified metadata-scale collect, and encoding stays
+    * a map-only pass over the DISTINCT vocabulary frame (never the
+    * token stream). Single-iteration merge ranks (q110's table, not
+    * iteratively refit) — the apply machinery is identical either way.
+    * The oracle replays the same 20 ordered replaces as a recursive
+    * CTE walking the rank sequence. */
+  def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges: Array[String] = qBpeMergeStats(s, dir)
+      .orderBy($"rk").collect().map(_.getString(0))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val spaced = trim(regexp_replace($"w", "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { (st, m) =>
+      replace(st, lit(m.substring(0, 1) + " " + m.substring(1)), lit(m))
+    }
+    val byN = Window.orderBy($"n".desc, $"tok")
+    vocab.withColumn("st", encoded)
+      .select($"freq", explode(split($"st", " ")).as("tok"))
+      .groupBy($"tok").agg(sum($"freq").as("n"))
+      .withColumn("rk", row_number().over(byN))
+      .filter($"rk" <= 30)
+      .select($"rk", $"tok", $"n")
+      .orderBy($"rk")
+  }
+
   /** Inverted index with BOUNDED posting lists (q119): term → document
     * frequency + the 10 lowest doc_ids holding it, top-200 terms by df.
     * The unbounded form (collect_set of every doc per term) is the
@@ -459,6 +497,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pmi_collocations" -> (qPmiCollocations _),
+    "q132_bpe_encode"     -> (qBpeEncode _),
     "q119_inverted_index" -> (qInvertedIndex _),
     "q121_word_entropy"   -> (qWordEntropy _),
     "q110_bpe_merges"     -> (qBpeMergeStats _),
@@ -539,6 +578,42 @@ object TextQueries extends QueryModule {
          |        list_filter(str_split($cleanSql, ' '), t -> t <> '') AS w
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "q132_bpe_encode" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair, freq
+        |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM w)),
+        |m AS (
+        |  SELECT pair,
+        |    row_number() OVER (ORDER BY sum(freq) DESC, pair) AS rk
+        |  FROM p GROUP BY pair QUALIFY rk <= 20),
+        |enc AS (
+        |  SELECT w, freq,
+        |    trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS st, 0 AS r
+        |  FROM w
+        |  UNION ALL
+        |  SELECT e.w, e.freq,
+        |    replace(e.st,
+        |      substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1),
+        |      m.pair) AS st,
+        |    e.r + 1
+        |  FROM enc e JOIN m ON m.rk = e.r + 1
+        |  WHERE e.r < 20),
+        |toks AS (
+        |  SELECT freq, unnest(str_split(st, ' ')) AS tok
+        |  FROM enc
+        |  WHERE r = coalesce((SELECT least(20, max(rk)) FROM m), 0)),
+        |agg AS (
+        |  SELECT tok, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM toks GROUP BY tok),
+        |ranked AS (
+        |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+        |  FROM agg)
+        |SELECT CAST(rk AS INTEGER) AS rk, tok, n
+        |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin,
     "q110_bpe_merges" ->
       """WITH w AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS freq

@@ -253,6 +253,37 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** Temporal split leakage audit (q133): split events into train/val
+    * at a time cutoff (the only honest split for forecasting targets —
+    * q59's hash split would leak the future) and report, per type, the
+    * entity overlap across the boundary: users seen on BOTH sides are
+    * the rows a leakage-sensitive eval must drop or bucket. One
+    * (type, user) aggregate computes membership flags and side counts
+    * in a single pass (conditional partials, no second scan, no join of
+    * the two sides); the per-type rollup then reduces the user frame.
+    * At 100 TB that is one corpus shuffle on the same (type, user) key
+    * any per-user feature job already pays. */
+  def qTimeSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+    Tables.events(s, dir)
+      .groupBy($"event_type", $"user_id")
+      .agg(
+        max(when($"ts" < cutoff, 1).otherwise(0)).as("in_train"),
+        max(when($"ts" >= cutoff, 1).otherwise(0)).as("in_val"),
+        sum(when($"ts" < cutoff, 1L).otherwise(0L)).as("n_tr"),
+        sum(when($"ts" >= cutoff, 1L).otherwise(0L)).as("n_va"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"n_tr").as("n_train"), sum($"n_va").as("n_val"),
+        sum($"in_val".cast("long")).as("n_val_users"),
+        sum(when($"in_train" === 1 && $"in_val" === 1, 1L)
+          .otherwise(0L)).as("n_leaky_users"))
+      .withColumn("leak_rate",
+        round($"n_leaky_users" / $"n_val_users", 4))
+      .orderBy($"event_type")
+  }
+
   /** Last-kept alert throttle (q103): emit at most one event per
     * (user_id, event_type) per hour, measuring the gap against the last
     * KEPT event — the true throttle semantics q89's lag-based form does
@@ -430,6 +461,7 @@ object TimeQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_mad_outliers" -> (qMadOutliers _),
+    "q133_split_leakage" -> (qTimeSplitLeakage _),
     "q122_locf_impute"  -> (qLocfImpute _),
     "q26_sessionize"         -> (qSessionize _),
     "q26b_session_window"    -> (qSessionWindow _),
@@ -493,6 +525,27 @@ object TimeQueries extends QueryModule {
         |UNION ALL
         |SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
         |ORDER BY step""".stripMargin,
+    "q133_split_leakage" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00'
+        |        THEN 1 ELSE 0 END) AS in_train,
+        |    max(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |        THEN 1 ELSE 0 END) AS in_val,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-24 00:00:00'
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-24 00:00:00'
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS n_va
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type,
+        |  CAST(sum(n_tr) AS BIGINT) AS n_train,
+        |  CAST(sum(n_va) AS BIGINT) AS n_val,
+        |  CAST(sum(in_val) AS BIGINT) AS n_val_users,
+        |  CAST(sum(CASE WHEN in_train = 1 AND in_val = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_users,
+        |  round(sum(CASE WHEN in_train = 1 AND in_val = 1
+        |      THEN 1 ELSE 0 END) / sum(in_val), 4) AS leak_rate
+        |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q130_mad_outliers" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),

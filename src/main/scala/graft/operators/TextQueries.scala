@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryModule
@@ -360,10 +360,10 @@ object TextQueries extends QueryModule {
 
   /** BPE encode (q132): APPLY the fitted merge table — the tokenize
     * step every training pipeline runs after q110's fit. Each distinct
-    * vocabulary word is exploded to space-joined symbols, then the
-    * top-20 merges apply sequentially in rank order (replace() is
-    * left-to-right non-overlapping in both engines, the BPE apply
-    * semantics of Sennrich et al. 2016); output is the resulting
+    * vocabulary word is split to symbols, then the top-20 merges apply
+    * sequentially in rank order with boundary-safe alignment (see
+    * bpeApply — the Sennrich et al. 2016 apply semantics); output is
+    * the resulting
     * subword vocabulary's top-30 by frequency-weighted count. The merge
     * table is collected to the driver and folded into the expression
     * tree as literals — a merge table is a SMALL ARTIFACT by
@@ -374,6 +374,29 @@ object TextQueries extends QueryModule {
     * iteratively refit) — the apply machinery is identical either way.
     * The oracle replays the same 20 ordered replaces as a recursive
     * CTE walking the rank sequence. */
+  /** The BPE apply expression: returns the word's subword-token array
+    * after folding the ordered merge list through literal replaces.
+    * Symbols are joined by TWO spaces with a single space padding each
+    * end (" a  b  c "), and a merge (x, y) is " x  y " → " xy ": the
+    * single outer spaces align the pattern to symbol boundaries only —
+    * it can never match inside a previously merged token — and two
+    * adjacent matches each keep their own delimiter, so a run like
+    * "aaa" merges left-to-right non-overlapping. This is subword-nmt's
+    * lookbehind-guarded apply re-expressed without lookbehind (RE2,
+    * the oracle engine's regex dialect, has none). Exposed for the
+    * fixture spec pinning these semantics. */
+  private[graft] def bpeApply(w: Column,
+      merges: Seq[String]): Column = {
+    val spaced = concat(lit(" "),
+      trim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+    val folded = merges.foldLeft(spaced) { (st, m) =>
+      replace(st,
+        lit(" " + m.substring(0, 1) + "  " + m.substring(1) + " "),
+        lit(" " + m + " "))
+    }
+    split(trim(folded), "  ")
+  }
+
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges: Array[String] = qBpeMergeStats(s, dir)
@@ -382,13 +405,9 @@ object TextQueries extends QueryModule {
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
-    val spaced = trim(regexp_replace($"w", "(.)", "$1 "))
-    val encoded = merges.foldLeft(spaced) { (st, m) =>
-      replace(st, lit(m.substring(0, 1) + " " + m.substring(1)), lit(m))
-    }
     val byN = Window.orderBy($"n".desc, $"tok")
-    vocab.withColumn("st", encoded)
-      .select($"freq", explode(split($"st", " ")).as("tok"))
+    vocab.withColumn("st", bpeApply($"w", merges.toSeq))
+      .select($"freq", explode($"st").as("tok"))
       .groupBy($"tok").agg(sum($"freq").as("n"))
       .withColumn("rk", row_number().over(byN))
       .filter($"rk" <= 30)
@@ -592,18 +611,20 @@ object TextQueries extends QueryModule {
         |  FROM p GROUP BY pair QUALIFY rk <= 20),
         |enc AS (
         |  SELECT w, freq,
-        |    trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS st, 0 AS r
+        |    ' ' || trim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '
+        |      AS st, 0 AS r
         |  FROM w
         |  UNION ALL
         |  SELECT e.w, e.freq,
         |    replace(e.st,
-        |      substr(m.pair, 1, 1) || ' ' || substr(m.pair, 2, 1),
-        |      m.pair) AS st,
+        |      ' ' || substr(m.pair, 1, 1) || '  ' ||
+        |        substr(m.pair, 2, 1) || ' ',
+        |      ' ' || m.pair || ' ') AS st,
         |    e.r + 1
         |  FROM enc e JOIN m ON m.rk = e.r + 1
         |  WHERE e.r < 20),
         |toks AS (
-        |  SELECT freq, unnest(str_split(st, ' ')) AS tok
+        |  SELECT freq, unnest(str_split(trim(st), '  ')) AS tok
         |  FROM enc
         |  WHERE r = coalesce((SELECT least(20, max(rk)) FROM m), 0)),
         |agg AS (

@@ -51,6 +51,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == exp, s"top-20 merge pairs diverge: got=${got.take(3)} exp=${exp.take(3)}")
   }
 
+  test("BPE apply: ordered, boundary-safe, left-to-right non-overlapping") {
+    def enc(w: String, merges: Seq[String]): Seq[String] =
+      Seq(w).toDF("w")
+        .select(graft.operators.TextQueries.bpeApply($"w", merges))
+        .as[Seq[String]].head()
+    // no merges: pure symbol split
+    assert(enc("abc", Nil) == Seq("a", "b", "c"))
+    // one merge, every adjacent occurrence
+    assert(enc("abab", Seq("ab")) == Seq("ab", "ab"))
+    // left-to-right non-overlap: "aaa" -> [aa, a], never [a, aa]
+    assert(enc("aaa", Seq("aa")) == Seq("aa", "a"))
+    // boundary safety: after "ab" merges, the later "bc" merge must NOT
+    // match the b inside the merged token
+    assert(enc("abc", Seq("ab", "bc")) == Seq("ab", "c"))
+    // merge ORDER matters: reversed ranks flip the outcome
+    assert(enc("abc", Seq("bc", "ab")) == Seq("a", "bc"))
+  }
+
   test("cleanText is idempotent") {
     val fixtures = Seq("Hello, World! [x] a1b", "", "plain text", "[][]()")
     fixtures.foreach { f => assert(clean(clean(f)) == clean(f)) }

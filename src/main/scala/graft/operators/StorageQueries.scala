@@ -282,12 +282,21 @@ object StorageQueries extends QueryModule {
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     }
+    // Revenue accumulates in DECIMAL, not double: 600k+ lineitems fold
+    // into only 5 priority groups, so the group sum reaches ~6e9 where
+    // a double's ulp (~1e-6) times the addend count overwhelms the
+    // 4-decimal output — the float sum is ORDER-dependent and Spark's
+    // partial-agg order isn't DuckDB's scan order (this hash-mismatched
+    // live at sf0.1, .8476 vs .8477). The decimal sum is exact in any
+    // order; both engines then cast the identical decimal to double
+    // before the display round.
+    val rev = $"l_extendedprice".cast("decimal(18,4)") *
+      (lit(1.0).cast("decimal(18,4)") - $"l_discount".cast("decimal(18,4)"))
     s.table(ot).hint("merge")
       .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-          .as("revenue"))
+        round(sum(rev).cast("double"), 4).as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
@@ -503,7 +512,10 @@ object StorageQueries extends QueryModule {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q117_bucket_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1.0 AS DECIMAL(18,4)) -
+        |     CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+        |    AS revenue
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q118_snapshot_diff" ->

@@ -26,6 +26,24 @@ import graft.sources.Tables
   */
 object Relational extends QueryModule {
 
+  /** Exact money accumulators: price and discounted-price summed in
+    * DECIMAL, not double. A handful of groups over the whole lineitem
+    * table drives each group total past 1e9, where a double sum's
+    * accumulated rounding (order-dependent — Spark's partial-agg order
+    * is not DuckDB's scan order) is of the same magnitude as the
+    * 4-decimal output precision; q117 hash-mismatched live at sf0.1 on
+    * exactly this before moving to decimal. The decimal sum is exact
+    * in any order; display casts to double only after aggregation.
+    * Same expressions on the oracle side via RevSql/PriceSql. */
+  private[operators] def priceDec =
+    col("l_extendedprice").cast("decimal(18,4)")
+  private[operators] def revDec = priceDec *
+    (lit(1.0).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+  private[operators] val PriceSql = "CAST(l_extendedprice AS DECIMAL(18,4))"
+  private[operators] val RevSql =
+    s"$PriceSql * (CAST(1.0 AS DECIMAL(18,4)) - " +
+      "CAST(l_discount AS DECIMAL(18,4)))"
+
   /** TPC-H Q1-style pricing summary: filtered scan + hash agg.
     * Filter + column pruning push into the parquet scan. */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
@@ -35,8 +53,8 @@ object Relational extends QueryModule {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(sum(priceDec).cast("double"), 4).as("sum_base_price"),
+        round(sum(revDec).cast("double"), 4).as("sum_disc_price"),
         round(avg($"l_quantity"), 4).as("avg_qty"),
         round(avg($"l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -59,7 +77,7 @@ object Relational extends QueryModule {
       .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
       .groupBy($"r_name", $"n_name")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"),
+        round(sum(revDec).cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"r_name", $"n_name")
   }
@@ -193,8 +211,7 @@ object Relational extends QueryModule {
           fact("salt") === dim("salt"))
       .groupBy($"p_brand")
       .agg(count(lit(1)).as("n_items"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-          .as("revenue"))
+        round(sum(revDec).cast("double"), 4).as("revenue"))
       .orderBy($"p_brand")
   }
 
@@ -239,8 +256,7 @@ object Relational extends QueryModule {
       .groupBy($"n_name")
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-          .as("revenue"))
+        round(sum(revDec).cast("double"), 4).as("revenue"))
       .orderBy($"n_name")
   }
 
@@ -391,8 +407,8 @@ object Relational extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q76_star_join" ->
-      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      s"""SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(sum($RevSql) AS DOUBLE), 4) AS revenue
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey
@@ -423,15 +439,15 @@ object Relational extends QueryModule {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the oracle is the UNSALTED join — salting must not change results
     "q74_salted_join" ->
-      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(sum($RevSql) AS DOUBLE), 4) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),4) AS sum_qty,
-        | round(sum(l_extendedprice),4) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(CAST(sum($PriceSql) AS DOUBLE),4) AS sum_base_price,
+        | round(CAST(sum($RevSql) AS DOUBLE),4) AS sum_disc_price,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_discount),4) AS avg_disc,
         | count(*) AS count_order
@@ -440,8 +456,8 @@ object Relational extends QueryModule {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_revenue" ->
-      """SELECT r_name, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+      s"""SELECT r_name, n_name,
+        | round(CAST(sum($RevSql) AS DOUBLE),4) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey

@@ -34,8 +34,7 @@ object StorageQueries extends QueryModule {
     pre.join(ords, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4)
-          .as("revenue"),
+        round(sum(Relational.revDec).cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"o_orderpriority")
   }
@@ -282,21 +281,16 @@ object StorageQueries extends QueryModule {
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
     }
-    // Revenue accumulates in DECIMAL, not double: 600k+ lineitems fold
-    // into only 5 priority groups, so the group sum reaches ~6e9 where
-    // a double's ulp (~1e-6) times the addend count overwhelms the
-    // 4-decimal output — the float sum is ORDER-dependent and Spark's
-    // partial-agg order isn't DuckDB's scan order (this hash-mismatched
-    // live at sf0.1, .8476 vs .8477). The decimal sum is exact in any
-    // order; both engines then cast the identical decimal to double
-    // before the display round.
-    val rev = $"l_extendedprice".cast("decimal(18,4)") *
-      (lit(1.0).cast("decimal(18,4)") - $"l_discount".cast("decimal(18,4)"))
+    // Revenue accumulates in DECIMAL (Relational.revDec): 600k+
+    // lineitems fold into only 5 priority groups, so the group sum
+    // reaches ~6e9 where a double sum is order-dependent past the
+    // 4-decimal output — this hash-mismatched live at sf0.1
+    // (.8476 vs .8477) before moving to the exact accumulator.
     s.table(ot).hint("merge")
       .join(s.table(lt), $"o_orderkey" === $"l_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
-        round(sum(rev).cast("double"), 4).as("revenue"))
+        round(sum(Relational.revDec).cast("double"), 4).as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
@@ -511,10 +505,8 @@ object StorageQueries extends QueryModule {
         |  round(sum(value) / count(*), 4) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q117_bucket_join" ->
-      """SELECT o_orderpriority, count(*) AS n_items,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |    (CAST(1.0 AS DECIMAL(18,4)) -
-        |     CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4)
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(${Relational.RevSql}) AS DOUBLE), 4)
         |    AS revenue
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -585,8 +577,8 @@ object StorageQueries extends QueryModule {
         |SELECT doc_id, CAST(seq AS BIGINT) AS last_seq, op, md5(text) AS fp
         |FROM r WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""".stripMargin,
     "q45_bloom_join" ->
-      """SELECT o.o_orderpriority,
-        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4)
+      s"""SELECT o.o_orderpriority,
+        |  round(CAST(sum(${Relational.RevSql}) AS DOUBLE), 4)
         |    AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem l

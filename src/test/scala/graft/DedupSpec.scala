@@ -232,6 +232,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH strictly improves recall over the base index") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(SimilarityQueries.qCosineTopk(spark, sf))
+    val base  = pairs(SimilarityQueries.qLshAnn(spark, sf))
+    val multi = pairs(SimilarityQueries.qMultiprobeLsh(spark, sf))
+    val baseR  = (truth & base).size.toDouble / truth.size
+    val multiR = (truth & multi).size.toDouble / truth.size
+    assert(multiR > baseR,
+      s"multi-probe recall $multiR must beat base $baseR")
+    // the probe fan-out must also never LOSE a base hit: every bucket
+    // the base index probes is probed here too (mask 0 is in the list)
+    assert(base.subsetOf(multi) || (base -- multi).forall(p => !truth(p)),
+      "multi-probe dropped a base true-positive")
+  }
+
   test("IVF ANN: scores agree with brute force; recall is substantial") {
     import spark.implicits._
     val brute = SimilarityQueries.qCosineTopk(spark, sf)

@@ -104,19 +104,27 @@ object SimilarityQueries extends QueryModule {
     Array.fill(16, 64)(rnd.nextGaussian())
   }
 
-  /** LSH-bucketed approximate top-k: sign-random-projection signature,
-    * 4-bit band blocking, exact re-rank within candidate buckets. */
-  def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+  /** The banded LSH index frame shared by q41/q134/q135: one row per
+    * (vector, band) with the 4-bit band value from the 16-plane
+    * sign-random-projection signature. */
+  private def bandedVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigBits = (0 until 16).map { p =>
       val plane = array(planes(p).map(lit): _*)
       when(dot($"v", plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
-    val banded = vecs(s, dir).withColumn("sig", sigBits)
+    vecs(s, dir).withColumn("sig", sigBits)
       .select($"vec_id", $"v", $"nrm",
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL))): _*))
           .as(Seq("band_id", "band_val")))
+  }
+
+  /** LSH-bucketed approximate top-k: sign-random-projection signature,
+    * 4-bit band blocking, exact re-rank within candidate buckets. */
+  def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = bandedVecs(s, dir)
     val q = banded.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"band_id", $"band_val")
@@ -144,15 +152,7 @@ object SimilarityQueries extends QueryModule {
     * probe count is a constant — never a function of corpus size. */
   def qMultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigBits = (0 until 16).map { p =>
-      val plane = array(planes(p).map(lit): _*)
-      when(dot($"v", plane) >= 0, lit(1L << p)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-    val banded = vecs(s, dir).withColumn("sig", sigBits)
-      .select($"vec_id", $"v", $"nrm",
-        posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL))): _*))
-          .as(Seq("band_id", "band_val")))
+    val banded = bandedVecs(s, dir)
     val q = banded.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"band_id",
@@ -168,6 +168,39 @@ object SimilarityQueries extends QueryModule {
       .select($"q_id", $"rk", $"vec_id",
         (round($"cos", 4) + lit(0.0)).as("cos"))
       .orderBy($"q_id", $"rk")
+  }
+
+  /** Probe-cost accounting (q135): per-query CANDIDATE counts for the
+    * base index (q41) vs multi-probe (q134) — the cost column next to
+    * q128's recall column, which together price the tradeoff q134
+    * claims (recall 0.57 → 0.94 for a bounded candidate growth). A
+    * production ANN service watches exactly this pair: recall without
+    * cost invites silently quintupling the re-rank bill. Counts come
+    * from the same band joins the ANN queries run, aggregated before
+    * any vector math — no cosine is computed here. Queries whose base
+    * bucket is empty still report (coalesce 0; ratio −1 sentinel). */
+  def qProbeCost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = bandedVecs(s, dir).select($"vec_id", $"band_id", $"band_val")
+    val qBase = banded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"band_id", $"band_val")
+    val qMulti = qBase.select($"q_id", $"band_id",
+      explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(m =>
+        $"band_val".bitwiseXOR(lit(m))): _*)).as("band_val"))
+    def candCount(q: DataFrame, as: String): DataFrame =
+      banded.join(broadcast(q), Seq("band_id", "band_val"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id").distinct()
+        .groupBy($"q_id").agg(count(lit(1)).as(as))
+    qBase.select($"q_id").distinct()
+      .join(candCount(qBase, "n_base"), Seq("q_id"), "left")
+      .join(candCount(qMulti, "n_multi"), Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_multi", lit(0L)).as("n_multi"),
+        when(coalesce($"n_base", lit(0L)) === 0, lit(-1.0))
+          .otherwise(round($"n_multi" / $"n_base", 4)).as("cost_ratio"))
+      .orderBy($"q_id")
   }
 
   /** IVF coarse-quantizer anchors: deterministic gaussian directions. */
@@ -452,6 +485,7 @@ object SimilarityQueries extends QueryModule {
     "q126_hard_negatives" -> (qHardNegatives _),
     "q128_recall_eval" -> (qRecallEval _),
     "q134_multiprobe_lsh" -> (qMultiprobeLsh _),
+    "q135_probe_cost" -> (qProbeCost _),
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
     "q42_ivf_ann"     -> (qIvfAnn _),
@@ -554,6 +588,48 @@ object SimilarityQueries extends QueryModule {
       |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
       |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q135's oracle: both candidate CTEs counted, no vector math. */
+  private def probeCostSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $baseCte,
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |qb AS (
+      |  SELECT vec_id AS q_id, band_id, band_val
+      |  FROM banded WHERE vec_id % 100 = 0),
+      |qm AS (
+      |  SELECT q_id, band_id,
+      |    unnest([band_val, xor(band_val, 1), xor(band_val, 2),
+      |            xor(band_val, 4), xor(band_val, 8)]) AS band_val
+      |  FROM qb),
+      |cb AS (
+      |  SELECT q_id, count(*) AS n_base FROM (
+      |    SELECT DISTINCT q.q_id, c.vec_id
+      |    FROM banded c JOIN qb q
+      |      ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |    WHERE c.vec_id <> q.q_id) GROUP BY q_id),
+      |cm AS (
+      |  SELECT q_id, count(*) AS n_multi FROM (
+      |    SELECT DISTINCT q.q_id, c.vec_id
+      |    FROM banded c JOIN qm q
+      |      ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |    WHERE c.vec_id <> q.q_id) GROUP BY q_id),
+      |ql AS (SELECT DISTINCT q_id FROM qb)
+      |SELECT ql.q_id,
+      |  coalesce(n_base, 0) AS n_base,
+      |  coalesce(n_multi, 0) AS n_multi,
+      |  CASE WHEN coalesce(n_base, 0) = 0 THEN -1.0
+      |       ELSE round(n_multi / n_base, 4) END AS cost_ratio
+      |FROM ql LEFT JOIN cb USING (q_id) LEFT JOIN cm USING (q_id)
+      |ORDER BY ql.q_id""".stripMargin
   }
 
   /** q128's oracle composes the exact chain and the full LSH replay
@@ -713,6 +789,7 @@ object SimilarityQueries extends QueryModule {
     "q41_lsh_ann"     -> lshAnnSql,
     "q128_recall_eval" -> recallEvalSql,
     "q134_multiprobe_lsh" -> multiprobeLshSql,
+    "q135_probe_cost" -> probeCostSql,
     "q42_ivf_ann"     -> ivfAnnSql,
     "q44_cluster_stats" -> clusterStatsSql,
     "q86_semdedup"    -> semDedupSql,

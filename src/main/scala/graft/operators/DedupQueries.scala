@@ -208,6 +208,28 @@ object DedupQueries extends QueryModule {
       .select($"x_id", $"y_id", round(jac, 4).as("jaccard"))
   }
 
+  /** Dedup yield curve (q136): pair count and would-drop document
+    * count at each candidate threshold τ ∈ {0.90, 0.95, 1.00} — the
+    * tuning table that prices a τ choice in corpus yield before anyone
+    * commits to it (τ=0.95 halving the drop rate vs τ=0.9 is a
+    * decision a human signs off on, from exactly this table). A doc
+    * "drops" when it is the higher-id side of ANY ≥τ pair — the greedy
+    * first-write-wins form, deliberately non-transitive; q64/q109 ship
+    * the connected-components-exact resolution at the chosen τ. Cost:
+    * three aggregates over the STAGED verified-pair frame (|pairs|,
+    * corpus-independent once staged) — the curve is a derived read,
+    * not three LSH runs. */
+  def qDedupYield(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, dir)
+    Seq(0.9, 0.95, 1.0).map { t =>
+      pairs.filter($"jaccard" >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"y_id").as("n_dropped"))
+        .select(lit(t).as("tau"), $"n_pairs", $"n_dropped")
+    }.reduce(_.unionByName(_)).orderBy($"tau")
+  }
+
   /** Duplicate-CLUSTER resolution: q32's near-dup PAIRS resolved into
     * keeper/loser clusters — the step an actual dedup pipeline ships.
     * Connected components over the verified-pair graph; keeper = the
@@ -710,6 +732,7 @@ object DedupQueries extends QueryModule {
     "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
+    "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
     "q34_embed_cos_dup" -> (qEmbedCosineDup _),
     "q35_contamination" -> (qContamination _),
@@ -835,6 +858,36 @@ object DedupQueries extends QueryModule {
           |    / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
           |    >= 0.9
           |ORDER BY x_id, y_id""".stripMargin
+      },
+      "q136_dedup_yield" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH cleaned AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops) AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM cleaned),
+          |sh AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id),
+          |pairs AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |    round(len(list_intersect(x.sh, y.sh))
+          |      / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE),
+          |      4) AS jaccard
+          |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+          |  WHERE len(list_intersect(x.sh, y.sh))
+          |      / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |      >= 0.9)
+          |SELECT t.tau,
+          |  CAST(count(p.x_id) AS BIGINT) AS n_pairs,
+          |  CAST(count(DISTINCT p.y_id) AS BIGINT) AS n_dropped
+          |FROM (SELECT unnest([0.9::DOUBLE, 0.95::DOUBLE, 1.0::DOUBLE])
+          |        AS tau) t
+          |LEFT JOIN pairs p ON p.jaccard >= t.tau
+          |GROUP BY t.tau ORDER BY t.tau""".stripMargin
       },
       "q34_embed_cos_dup" ->
         """WITH base AS (

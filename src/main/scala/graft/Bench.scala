@@ -18,12 +18,13 @@ object Bench {
     * ~2000 chars of stdout and sbt appends its own "[success] Total
     * time" line after ours, so the whole line must fit in well under
     * 1900 chars or the driver records `parsed: null` (the r01/r02
-    * failure). Two compressions keep it small at any query count:
-    * query keys are shortened to their unique `qNN[x]` prefix (the
-    * token before the first underscore — full names live in
-    * SparkEntry.queries and CORRECTNESS), and times are rounded to
-    * milliseconds. Kept as a pure function so BenchLineSpec can pin
-    * the length budget without running Spark. */
+    * failure). At 145 queries the old per-query line hit 1776/1800
+    * chars (round-5 verdict #1), so the captured line now carries
+    * per-FAMILY rollups (bounded by the module count, ~12, not the
+    * query count) plus the 5 slowest queries; the full per-query map
+    * is written to bench_out.json alongside. Kept as a pure function
+    * so BenchLineSpec can pin the length budget without running
+    * Spark. */
   /** Plan-comparison twins (in-row variants of q12/q18): timed under a
     * separate "twins" key and excluded from the headline total, so the
     * headline reflects the DEFAULT plans a user would run (round-3
@@ -31,34 +32,57 @@ object Bench {
   private[graft] val TwinQueries: Set[String] =
     Set("q12b_bigrams_inrow", "q18b_keywords_inrow")
 
+  private def shortKey(full: String): String = full.takeWhile(_ != '_')
+
+  private def fmt(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(
+      if (v >= 100) 0 else if (v >= 10) 1 else 2,
+      BigDecimal.RoundingMode.HALF_UP).toString
+  private def fmt3(v: Double): String =
+    if (v < 0) "-1" else BigDecimal(v).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def obj(m: Seq[(String, Double)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+
   private[graft] def renderLine(results: Map[String, Double],
                                 sfDir: String): String = {
-    def shortKey(full: String): String = full.takeWhile(_ != '_')
-    // Fall back to full names on prefix collision — correctness of the
-    // key mapping beats compactness.
-    val collide = results.keys.groupBy(shortKey).exists(_._2.size > 1)
-    def key(full: String): String = if (collide) full else shortKey(full)
-    // 2 decimals (centiseconds) per query — 1 decimal from 10s and
-    // whole seconds from 100s (stall territory, where precision is
-    // noise): at 130+ queries every char per entry is ~130 chars of
-    // line budget; the total keeps 3
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(
-        if (v >= 100) 0 else if (v >= 10) 1 else 2,
-        BigDecimal.RoundingMode.HALF_UP).toString
-    def fmt3(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3,
-        BigDecimal.RoundingMode.HALF_UP).toString
     val (twins, main) = results.partition(kv => TwinQueries(kv._1))
-    def obj(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + key(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => key(k) }.toSeq.sorted
+    val fams = SparkEntry.families
+    // Unknown names (shouldn't happen; belt for synthetic spec input)
+    // roll into "other" rather than being dropped from the total.
+    val byFamily = main.filter(_._2 >= 0).toSeq
+      .groupBy { case (n, _) => fams.getOrElse(n, "other") }
+      .map { case (f, kvs) => f -> kvs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val slowest = main.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (n, v) => shortKey(n) -> v }.sortBy(_._1)
+    val failed = results.collect { case (k, v) if v < 0 => shortKey(k) }
+      .toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt3(main.values.filter(_ >= 0).sum)
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val note = "sec; min of 2 passes; qNN keys; -1=failed; twins excl"
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(main)},"twins":${obj(twins)},"failed":$failedJson,"sf":"$sf","note":"$note"}"""
+    val note = "sec; min of 2 passes; family rollups; " +
+      "per-query map in bench_out.json; -1=failed; twins excl"
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${main.size},"queries":${obj(byFamily)},"slowest":${obj(slowest)},"twins":${obj(twins.toSeq.sortBy(_._1).map { case (k, v) => shortKey(k) -> v })},"failed":$failedJson,"sf":"$sf","note":"$note"}"""
+  }
+
+  /** Full per-query detail for bench_out.json — same shape the driver
+    * used to get on stdout (full names, millisecond precision), with
+    * the family rollups appended for convenience. Unbounded length is
+    * fine here: it's a file, not the captured stdout tail. */
+  private[graft] def renderDetail(results: Map[String, Double],
+                                  sfDir: String): String = {
+    val (twins, main) = results.partition(kv => TwinQueries(kv._1))
+    def objFull(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = fmt3(main.values.filter(_ >= 0).sum)
+    val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${objFull(main)},"twins":${objFull(twins)},"failed":$failedJson,"sf":"$sf","note":"sec; min of 2 passes; -1=failed; twins excl"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +146,8 @@ object Bench {
     val line = renderLine(results, sfDir)
     stdout.println(line)
     stdout.flush()
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    try Files.writeString(Paths.get("bench_out.json"),
+      renderDetail(results, sfDir) + "\n")
     catch { case _: Throwable => }
     spark.stop()
   }

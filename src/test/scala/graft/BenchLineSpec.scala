@@ -7,7 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * "[success] Total time: …" (~80 chars) after our line — so the JSON
   * line must stay well under that window or the round records
   * `parsed: null` (the r01/r02 failure mode, 2398-char line vs 2000-char
-  * tail). */
+  * tail). Since round 6 the captured line carries per-FAMILY rollups
+  * (length bounded by the ~12 module count, not the query count); the
+  * full per-query map lands in bench_out.json via renderDetail. */
 class BenchLineSpec extends AnyFunSuite {
 
   private val allNames = SparkEntry.queries.keys.toSeq
@@ -18,25 +20,54 @@ class BenchLineSpec extends AnyFunSuite {
     assert(collisions.isEmpty, s"prefix collisions: $collisions")
   }
 
-  test("rendered line fits the driver tail window with headroom") {
-    // Worst-ish case: every query slow (3 integer digits) plus a failure.
-    val results = allNames.map(_ -> 123.456789).toMap +
+  test("every registered query maps to a family") {
+    val fams = SparkEntry.families
+    val orphans = allNames.filterNot(fams.contains)
+    assert(orphans.isEmpty, s"queries with no family tag: $orphans")
+  }
+
+  test("rendered line fits the driver tail window with >=15-query headroom") {
+    // Worst-ish case: every query slow (3 integer digits) plus a failure,
+    // PLUS 15 extra not-yet-written queries (they land in the "other"
+    // family bucket — the line must absorb future rounds' additions
+    // without re-work; round-5 verdict #1).
+    val extra = (1 to 15).map(i => s"q9$i%02d_future$i" -> 123.456789)
+    val results = allNames.map(_ -> 123.456789).toMap ++ extra +
       (allNames.head -> -1.0)
     val line = Bench.renderLine(results, "/root/testdata/sf0.1")
     assert(!line.contains("\n"))
-    assert(line.length < 1800,
+    assert(line.length < 1500,
       s"bench line ${line.length} chars — driver tail window is 2000 " +
-        "incl. sbt's [success] line; shrink keys/note or drop precision")
+        "incl. sbt's [success] line; the rollup line must stay far under it")
   }
 
-  test("values are centisecond-rounded and failures stay -1") {
+  test("line length is independent of query count") {
+    val small = Bench.renderLine(allNames.take(20).map(_ -> 1.0).toMap, "/x")
+    val big = Bench.renderLine(allNames.map(_ -> 1.0).toMap, "/x")
+    // Families present can differ, but growth must be sub-linear: 125
+    // extra queries may add at most a handful of family entries.
+    assert(big.length - small.length < 200,
+      s"line grew ${big.length - small.length} chars for 125 more queries")
+  }
+
+  test("rollup line: total excludes failures, failed listed by short key") {
     val line = Bench.renderLine(
       Map("q1_agg" -> 0.9596420401, "q2_join_revenue" -> -1.0), "/x")
-    assert(line.contains("\"q1\":0.96"))
-    assert(line.contains("\"q2\":-1"))
     assert(line.contains("\"failed\":[\"q2\"]"))
     // total excludes the failure and keeps millisecond precision
     assert(line.contains("\"value\":0.960"))
+    assert(line.contains("\"n_queries\":2"))
+    // both are `rel` family; only the non-failed time rolls up
+    assert(line.contains("\"queries\":{\"rel\":0.96}"))
+  }
+
+  test("slowest-5 are surfaced by short key") {
+    val results = allNames.take(10).zipWithIndex
+      .map { case (n, i) => n -> (i + 1.0) }.toMap
+    val line = Bench.renderLine(results, "/x")
+    val slowName = allNames.take(10).zipWithIndex.maxBy(_._2)._1
+    assert(line.contains("\"" + slowName.takeWhile(_ != '_') + "\":10.0"),
+      s"slowest entry missing from: $line")
   }
 
   test("plan-comparison twins are split out and excluded from total") {
@@ -48,6 +79,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"twins\":{\"q12b\":7.00,\"q18b\":3.00}"))
     // headline total = default plans only
     assert(line.contains("\"value\":1.000"))
-    assert(!line.contains("\"queries\":{\"q12\":1.00,\"q12b\""))
+  }
+
+  test("renderDetail keeps the full per-query map for bench_out.json") {
+    val detail = Bench.renderDetail(
+      Map("q1_agg" -> 0.9596420401, "q12b_bigrams_inrow" -> 2.0), "/x")
+    assert(detail.contains("\"q1_agg\":0.960"))
+    assert(detail.contains("\"twins\":{\"q12b_bigrams_inrow\":2.000}"))
+    assert(detail.contains("\"value\":0.960"))
   }
 }

@@ -358,55 +358,134 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** The corpus (w, freq) vocabulary frame all BPE queries share. */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+  }
+
+  /** The double-spaced symbol representation " a  b  c " shared by the
+    * fit and apply paths (see bpeApply's boundary-safety note). */
+  private def spacedSyms(w: Column): Column =
+    concat(lit(" "), trim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+
+  /** TRUE sequential BPE fit (Sennrich et al. 2016): k merges where
+    * each iteration recounts adjacent-pair frequencies on the MERGED
+    * symbol sequences — unlike q110's single-iteration statistics,
+    * merge i+1 sees the tokens merge i created (so e.g. "th"+"e"→"the"
+    * can win round 2, which simultaneous top-k can never produce).
+    * Returns (rank, left, right, pairCount) driver-side: the merge
+    * table is a SMALL ARTIFACT by construction (a real tokenizer ships
+    * 32k merges as a file), and the only per-iteration driver traffic
+    * is the 1-row argmax — metadata-scale, like q64's iteration
+    * convergence check. Scale: every iteration is one partial-agg
+    * groupBy over the persisted DISTINCT-word frame (|vocab|, never
+    * |corpus|), with iteration i lazily re-applying i-1 literal
+    * replaces on top of the persisted base — O(k²·|vocab|) string
+    * work total, k=10. */
+  private[graft] def bpeFitSeq(vocab: DataFrame, k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    val base = vocab.withColumn("sym", spacedSyms($"w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var st = base
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var done = false
+      var i = 1
+      while (i <= k && !done) {
+        // Fully-merged words collapse to one symbol: `when` guards the
+        // sequence() so they contribute no pairs (explode drops nulls)
+        // and sequence(1, 0) never runs with its descending default.
+        val best = st
+          .select($"freq", split(trim($"sym"), "  ").as("l"))
+          .select($"freq", explode(when(size($"l") >= 2, expr(
+            "transform(sequence(1, size(l) - 1), " +
+              "i -> struct(l[i-1] AS a, l[i] AS b))"))).as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b"))
+          .agg(sum($"freq").as("n"))
+          .orderBy($"n".desc, $"a", $"b")
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val (a, b, n) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((i, a, b, n))
+          st = st.withColumn("sym",
+            replace($"sym", lit(s" $a  $b "), lit(s" $a$b ")))
+          i += 1
+        }
+      }
+      merges.result()
+    } finally base.unpersist()
+  }
+
+  /** One fit per (session, sf-dir) — q137 emits the table and q132
+    * applies it; the memo keeps the 10 iteration jobs from running
+    * twice per bench pass (driver-side analogue of SessionCache, at
+    * merge-table scale). */
+  private val fitMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, String, String, Long)]]()
+  private def fittedMerges(s: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long)] =
+    fitMemo.computeIfAbsent(
+      org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir,
+      _ => bpeFitSeq(bpeVocab(s, dir), 10))
+
+  /** Sequential BPE merge table (q137): the k=10 fit above, as the
+    * driver-checkable artifact. Oracle: the same 10 iterations unrolled
+    * as chained CTEs (count pairs → 1-row argmax → literal replace),
+    * like q92's unrolled pagerank. */
+  def qBpeFitSeq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fittedMerges(s, dir)
+      .map { case (rk, a, b, n) => (rk, a + b, n) }
+      .toDF("rk", "pair", "n")
+      .orderBy($"rk")
+  }
+
   /** BPE encode (q132): APPLY the fitted merge table — the tokenize
-    * step every training pipeline runs after q110's fit. Each distinct
-    * vocabulary word is split to symbols, then the top-20 merges apply
-    * sequentially in rank order with boundary-safe alignment (see
+    * step every training pipeline runs after the fit. Each distinct
+    * vocabulary word is split to symbols, then q137's 10 SEQUENTIAL
+    * merges apply in rank order with boundary-safe alignment (see
     * bpeApply — the Sennrich et al. 2016 apply semantics); output is
-    * the resulting
-    * subword vocabulary's top-30 by frequency-weighted count. The merge
-    * table is collected to the driver and folded into the expression
-    * tree as literals — a merge table is a SMALL ARTIFACT by
-    * construction (a real tokenizer ships 32k merges as a file), so
-    * this is the justified metadata-scale collect, and encoding stays
-    * a map-only pass over the DISTINCT vocabulary frame (never the
-    * token stream). Single-iteration merge ranks (q110's table, not
-    * iteratively refit) — the apply machinery is identical either way.
-    * The oracle replays the same 20 ordered replaces as a recursive
-    * CTE walking the rank sequence. */
+    * the resulting subword vocabulary's top-30 by frequency-weighted
+    * count. The merge table is collected to the driver and folded into
+    * the expression tree as literals — a merge table is a SMALL
+    * ARTIFACT by construction, so this is the justified metadata-scale
+    * collect, and encoding stays a map-only pass over the DISTINCT
+    * vocabulary frame (never the token stream). The oracle replays the
+    * sequential fit (chained CTEs) and then the 10 ordered replaces as
+    * a recursive CTE walking the rank sequence. */
   /** The BPE apply expression: returns the word's subword-token array
-    * after folding the ordered merge list through literal replaces.
-    * Symbols are joined by TWO spaces with a single space padding each
-    * end (" a  b  c "), and a merge (x, y) is " x  y " → " xy ": the
-    * single outer spaces align the pattern to symbol boundaries only —
-    * it can never match inside a previously merged token — and two
-    * adjacent matches each keep their own delimiter, so a run like
-    * "aaa" merges left-to-right non-overlapping. This is subword-nmt's
-    * lookbehind-guarded apply re-expressed without lookbehind (RE2,
-    * the oracle engine's regex dialect, has none). Exposed for the
-    * fixture spec pinning these semantics. */
+    * after folding the ordered (left, right) merge list through literal
+    * replaces. Symbols are joined by TWO spaces with a single space
+    * padding each end (" a  b  c "), and a merge (x, y) is
+    * " x  y " → " xy ": the single outer spaces align the pattern to
+    * symbol boundaries only — it can never match inside a previously
+    * merged token — and two adjacent matches each keep their own
+    * delimiter, so a run like "aaa" merges left-to-right
+    * non-overlapping. This is subword-nmt's lookbehind-guarded apply
+    * re-expressed without lookbehind (RE2, the oracle engine's regex
+    * dialect, has none). Exposed for the fixture spec pinning these
+    * semantics. */
   private[graft] def bpeApply(w: Column,
-      merges: Seq[String]): Column = {
-    val spaced = concat(lit(" "),
-      trim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
-    val folded = merges.foldLeft(spaced) { (st, m) =>
-      replace(st,
-        lit(" " + m.substring(0, 1) + "  " + m.substring(1) + " "),
-        lit(" " + m + " "))
+      merges: Seq[(String, String)]): Column = {
+    val folded = merges.foldLeft(spacedSyms(w)) { case (st, (a, b)) =>
+      replace(st, lit(s" $a  $b "), lit(s" $a$b "))
     }
     split(trim(folded), "  ")
   }
 
   def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges: Array[String] = qBpeMergeStats(s, dir)
-      .orderBy($"rk").collect().map(_.getString(0))
-    val vocab = Tables.documents(s, dir)
-      .select(explode(split($"text", " ")).as("w"))
-      .filter(length($"w") >= 2)
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val merges = fittedMerges(s, dir).map { case (_, a, b, _) => (a, b) }
     val byN = Window.orderBy($"n".desc, $"tok")
-    vocab.withColumn("st", bpeApply($"w", merges.toSeq))
+    bpeVocab(s, dir).withColumn("st", bpeApply($"w", merges))
       .select($"freq", explode($"st").as("tok"))
       .groupBy($"tok").agg(sum($"freq").as("n"))
       .withColumn("rk", row_number().over(byN))
@@ -517,6 +596,7 @@ object TextQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pmi_collocations" -> (qPmiCollocations _),
     "q132_bpe_encode"     -> (qBpeEncode _),
+    "q137_bpe_fit"        -> (qBpeFitSeq _),
     "q119_inverted_index" -> (qInvertedIndex _),
     "q121_word_entropy"   -> (qWordEntropy _),
     "q110_bpe_merges"     -> (qBpeMergeStats _),
@@ -538,7 +618,46 @@ object TextQueries extends QueryModule {
     "q38_length_histogram" -> (qLengthHistogram _),
   )
 
+  /** Chained-CTE replay of the sequential BPE fit (for the q137/q132
+    * oracles): vocabulary v, spaced symbols s0, then per iteration i —
+    * pair counts p_i, 1-row argmax b_i (ORDER BY n DESC, a, b LIMIT 1,
+    * the engine's exact tie-break), merged state s_i — ending in the
+    * merge table m(rk, a, b, n). The unrolled-iteration oracle pattern
+    * q92's pagerank established. */
+  private def bpeSeqCteSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i
+         |        FROM (SELECT freq, str_split(trim(sym), '  ') AS l
+         |              FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         |s$i AS (
+         |  SELECT w, freq,
+         |    replace(sym, ' ' || a || '  ' || b || ' ',
+         |            ' ' || a || b || ' ') AS sym
+         |  FROM s${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS rk, a, b, n FROM b$i").mkString(" UNION ALL ")
+    s"""v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 GROUP BY w),
+       |s0 AS (
+       |  SELECT w, freq,
+       |    ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS sym
+       |  FROM v),
+       |$steps,
+       |m AS ($union)""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q137_bpe_fit" ->
+      s"""WITH ${bpeSeqCteSql(10)}
+         |SELECT CAST(rk AS INTEGER) AS rk, a || b AS pair, n
+         |FROM m ORDER BY rk""".stripMargin,
     "q129_pmi_collocations" ->
       """WITH d AS (SELECT doc_id, str_split(text, ' ') AS tk
         |           FROM documents),
@@ -598,43 +717,29 @@ object TextQueries extends QueryModule {
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "q132_bpe_encode" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT w, CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
-        |  WHERE len(w) >= 2 GROUP BY w),
-        |p AS (
-        |  SELECT substr(w, i, 2) AS pair, freq
-        |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i FROM w)),
-        |m AS (
-        |  SELECT pair,
-        |    row_number() OVER (ORDER BY sum(freq) DESC, pair) AS rk
-        |  FROM p GROUP BY pair QUALIFY rk <= 20),
-        |enc AS (
-        |  SELECT w, freq,
-        |    ' ' || trim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '
-        |      AS st, 0 AS r
-        |  FROM w
-        |  UNION ALL
-        |  SELECT e.w, e.freq,
-        |    replace(e.st,
-        |      ' ' || substr(m.pair, 1, 1) || '  ' ||
-        |        substr(m.pair, 2, 1) || ' ',
-        |      ' ' || m.pair || ' ') AS st,
-        |    e.r + 1
-        |  FROM enc e JOIN m ON m.rk = e.r + 1
-        |  WHERE e.r < 20),
-        |toks AS (
-        |  SELECT freq, unnest(str_split(trim(st), '  ')) AS tok
-        |  FROM enc
-        |  WHERE r = coalesce((SELECT least(20, max(rk)) FROM m), 0)),
-        |agg AS (
-        |  SELECT tok, CAST(sum(freq) AS BIGINT) AS n
-        |  FROM toks GROUP BY tok),
-        |ranked AS (
-        |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
-        |  FROM agg)
-        |SELECT CAST(rk AS INTEGER) AS rk, tok, n
-        |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin,
+      s"""WITH RECURSIVE ${bpeSeqCteSql(10)},
+         |enc AS (
+         |  SELECT w, freq, sym AS st, 0 AS r FROM s0
+         |  UNION ALL
+         |  SELECT e.w, e.freq,
+         |    replace(e.st,
+         |      ' ' || m.a || '  ' || m.b || ' ',
+         |      ' ' || m.a || m.b || ' ') AS st,
+         |    e.r + 1
+         |  FROM enc e JOIN m ON m.rk = e.r + 1
+         |  WHERE e.r < 10),
+         |toks AS (
+         |  SELECT freq, unnest(str_split(trim(st), '  ')) AS tok
+         |  FROM enc
+         |  WHERE r = coalesce((SELECT max(rk) FROM m), 0)),
+         |agg AS (
+         |  SELECT tok, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM toks GROUP BY tok),
+         |ranked AS (
+         |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+         |  FROM agg)
+         |SELECT CAST(rk AS INTEGER) AS rk, tok, n
+         |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin,
     "q110_bpe_merges" ->
       """WITH w AS (
         |  SELECT w, CAST(count(*) AS BIGINT) AS freq

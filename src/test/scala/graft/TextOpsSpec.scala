@@ -52,21 +52,43 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("BPE apply: ordered, boundary-safe, left-to-right non-overlapping") {
-    def enc(w: String, merges: Seq[String]): Seq[String] =
+    def enc(w: String, merges: Seq[(String, String)]): Seq[String] =
       Seq(w).toDF("w")
         .select(graft.operators.TextQueries.bpeApply($"w", merges))
         .as[Seq[String]].head()
     // no merges: pure symbol split
     assert(enc("abc", Nil) == Seq("a", "b", "c"))
     // one merge, every adjacent occurrence
-    assert(enc("abab", Seq("ab")) == Seq("ab", "ab"))
+    assert(enc("abab", Seq(("a", "b"))) == Seq("ab", "ab"))
     // left-to-right non-overlap: "aaa" -> [aa, a], never [a, aa]
-    assert(enc("aaa", Seq("aa")) == Seq("aa", "a"))
+    assert(enc("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
     // boundary safety: after "ab" merges, the later "bc" merge must NOT
     // match the b inside the merged token
-    assert(enc("abc", Seq("ab", "bc")) == Seq("ab", "c"))
+    assert(enc("abc", Seq(("a", "b"), ("b", "c"))) == Seq("ab", "c"))
     // merge ORDER matters: reversed ranks flip the outcome
-    assert(enc("abc", Seq("bc", "ab")) == Seq("a", "bc"))
+    assert(enc("abc", Seq(("b", "c"), ("a", "b"))) == Seq("a", "bc"))
+    // multi-char sides: a later merge can consume an earlier merge's token
+    assert(enc("the", Seq(("t", "h"), ("th", "e"))) == Seq("the"))
+  }
+
+  test("sequential BPE fit: merge #2 sees merge #1's token (differs from simultaneous top-k)") {
+    // Vocab crafted so the two strategies diverge at rank 2:
+    //   pairs at iter 1: (a,a) 2*3=6, (a,b) 2 -> merge 1 = (a,a)
+    //   after merging, "aaa" -> [aa, a], so iter 2 counts (aa,a) 3 vs
+    //   (a,b) 2 -> merge 2 = (aa,a) = "aaa".
+    // Simultaneous top-2 from iteration-1 stats would be [aa, ab]:
+    // "aaa" can NEVER appear because (aa,a) does not exist at iter 1.
+    val vocab = Seq(("aaa", 3L), ("ab", 2L)).toDF("w", "freq")
+    val got = graft.operators.TextQueries.bpeFitSeq(vocab, 2)
+    assert(got == Seq((1, "a", "a", 6L), (2, "aa", "a", 3L)),
+      s"sequential fit diverged from hand replay: $got")
+    val simultaneousTop2 = Seq("aa", "ab") // iteration-1 stats only
+    assert(got.map(t => t._2 + t._3)(1) != simultaneousTop2(1),
+      "fixture failed to separate sequential from simultaneous fit")
+    // fit stops early when no pairs remain (fully merged vocab)
+    val tiny = Seq(("ab", 1L)).toDF("w", "freq")
+    assert(graft.operators.TextQueries.bpeFitSeq(tiny, 5) ==
+      Seq((1, "a", "b", 1L)))
   }
 
   test("cleanText is idempotent") {

@@ -531,24 +531,36 @@ object TextQueries extends QueryModule {
     * template/repetitive docs the way Gopher's repetition ratios (q39)
     * do, but in one number. Entirely higher-order functions over the
     * in-row token array: no explode, no shuffle, map-only at any corpus
-    * size. The distinct-token list is SORTED before the fold on both
-    * engines so the floating-point sum order is identical (unordered
-    * sums differ in the last ulp and can flip round(_,4) on a boundary).
-    * O(distinct × n) per row — bounded by the ~200-token docs this
-    * models; entropy of empty docs is 0 (fold over an empty list returns
-    * the init), and the `+ 0.0` idiom clears IEEE -0.0 (repo convention,
-    * see q91). */
+    * size. Per-row cost is O(n log n): sort the token array ONCE, then a
+    * single run-length fold emits each distinct token's -p·ln p term as
+    * its run ends (the round-5 fix — the previous form rescanned the
+    * whole array per distinct token, O(distinct × n), which a 100k-token
+    * web document turns into ~10^9 comparisons in one row). Terms
+    * accumulate in sorted-token order — the same sequence as the
+    * oracle's sorted-distinct fold, so the floating-point sum is
+    * bit-identical (unordered sums differ in the last ulp and can flip
+    * round(_,4) on a boundary). Entropy of empty docs is 0 (the finish
+    * lambda returns 0 for an untouched accumulator), and the `+ 0.0`
+    * idiom clears IEEE -0.0 (repo convention, see q91). */
   def qWordEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def p(d: org.apache.spark.sql.Column) =
-      size(filter($"w", x => x === d)).cast("double") / $"n"
+    // state: s = partial sum over CLOSED runs, c = current run length,
+    // p = current run's token; finish closes the last run.
+    val runFold =
+      """aggregate(
+        |  sort_array(w),
+        |  named_struct('s', 0.0D, 'c', 0L, 'p', CAST(NULL AS STRING)),
+        |  (st, t) -> IF(st.p IS NULL OR t = st.p,
+        |    named_struct('s', st.s, 'c', st.c + 1L, 'p', t),
+        |    named_struct('s', st.s + (st.c / n) * ln(st.c / n),
+        |                 'c', 1L, 'p', t)),
+        |  st -> IF(st.c = 0L, 0.0D,
+        |           st.s + (st.c / n) * ln(st.c / n)))""".stripMargin
     Tables.documents(s, dir)
       .withColumn("w",
         filter(TextOps.tokenize(TextOps.cleanText($"text")), t => t =!= ""))
       .withColumn("n", size($"w").cast("double"))
-      .withColumn("ent", round(
-        -aggregate(sort_array(array_distinct($"w")), lit(0.0),
-          (acc, d) => acc + p(d) * log(p(d))) + lit(0.0), 4))
+      .withColumn("ent", round(-expr(runFold) + lit(0.0), 4))
       .select($"doc_id", size($"w").cast("long").as("n_words"), $"ent")
       .orderBy($"doc_id")
   }

@@ -120,15 +120,41 @@ object SimilarityQueries extends QueryModule {
           .as(Seq("band_id", "band_val")))
   }
 
+  /** Band-bucket probe as a union of hash-chunked bounded broadcasts —
+    * q40's chunk discipline applied to the LSH family (round-5 verdict
+    * #3: the query side is 1% of the corpus × band/probe fan-out, so an
+    * unchunked broadcast(q) GROWS WITH THE CORPUS — GBs at 100× scale).
+    * Each chunk broadcasts ≤ chunkRows query-band rows; chunking is on
+    * hash(q_id) (q_ids are multiples of 100 — pmod on the raw id
+    * degenerates, see scoredPairs) and the union of disjoint chunks
+    * reproduces the full join row-for-row, so results are invariant
+    * (SimilaritySpec pins equivalence across chunk sizes). */
+  private def chunkedBandJoin(banded: DataFrame, q: DataFrame,
+      chunkRows: Int): DataFrame = {
+    val nChunks = math.max(1L,
+      (q.count() + chunkRows - 1) / chunkRows).toInt
+    (0 until nChunks).map { i =>
+      banded.join(
+        broadcast(q.filter(
+          pmod(hash(col("q_id")), lit(nChunks)) === i)),
+        Seq("band_id", "band_val"))
+    }.reduce(_.union(_))
+  }
+
   /** LSH-bucketed approximate top-k: sign-random-projection signature,
-    * 4-bit band blocking, exact re-rank within candidate buckets. */
-  def qLshAnn(s: SparkSession, dir: String): DataFrame = {
+    * 4-bit band blocking, exact re-rank within candidate buckets.
+    * Query-side broadcast is chunk-bounded (chunkedBandJoin). */
+  def qLshAnn(s: SparkSession, dir: String): DataFrame =
+    lshAnnWith(s, dir, QueryChunkRows)
+
+  private[graft] def lshAnnWith(s: SparkSession, dir: String,
+      chunkRows: Int): DataFrame = {
     import s.implicits._
     val banded = bandedVecs(s, dir)
     val q = banded.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"band_id", $"band_val")
-    val cand = banded.join(broadcast(q), Seq("band_id", "band_val"))
+    val cand = chunkedBandJoin(banded, q, chunkRows)
       .filter($"vec_id" =!= $"q_id")
       .dropDuplicates("q_id", "vec_id")
     val scored = cand.select($"q_id", $"vec_id",
@@ -150,7 +176,11 @@ object SimilarityQueries extends QueryModule {
     * exactly how a production ANN service tunes recall per query class.
     * Candidates still dedupe before the exact re-rank, and the per-band
     * probe count is a constant — never a function of corpus size. */
-  def qMultiprobeLsh(s: SparkSession, dir: String): DataFrame = {
+  def qMultiprobeLsh(s: SparkSession, dir: String): DataFrame =
+    multiprobeLshWith(s, dir, QueryChunkRows)
+
+  private[graft] def multiprobeLshWith(s: SparkSession, dir: String,
+      chunkRows: Int): DataFrame = {
     import s.implicits._
     val banded = bandedVecs(s, dir)
     val q = banded.filter($"vec_id" % 100 === 0)
@@ -158,7 +188,7 @@ object SimilarityQueries extends QueryModule {
         $"band_id",
         explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(m =>
           $"band_val".bitwiseXOR(lit(m))): _*)).as("band_val"))
-    val cand = banded.join(broadcast(q), Seq("band_id", "band_val"))
+    val cand = chunkedBandJoin(banded, q, chunkRows)
       .filter($"vec_id" =!= $"q_id")
       .dropDuplicates("q_id", "vec_id")
     val scored = cand.select($"q_id", $"vec_id",
@@ -188,7 +218,7 @@ object SimilarityQueries extends QueryModule {
       explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(m =>
         $"band_val".bitwiseXOR(lit(m))): _*)).as("band_val"))
     def candCount(q: DataFrame, as: String): DataFrame =
-      banded.join(broadcast(q), Seq("band_id", "band_val"))
+      chunkedBandJoin(banded, q, QueryChunkRows)
         .filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id").distinct()
         .groupBy($"q_id").agg(count(lit(1)).as(as))

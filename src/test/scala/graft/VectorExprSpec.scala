@@ -56,6 +56,31 @@ class VectorExprSpec extends AnyFunSuite {
       s"hash chunking left all queries in one chunk")
   }
 
+  test("q41/q134 chunked band-probe broadcast is result-identical to one broadcast") {
+    // Round-5 verdict #3: the LSH family's query-side broadcast scales
+    // with the corpus (1% of vectors × band/probe fan-out); q40's chunk
+    // discipline now bounds it. Chunking must never change results —
+    // force small chunks (7: coprime with the 100-multiple q_ids AND
+    // with the 4/20-row band fan-out) and compare to the single-chunk
+    // plan on both the base and multi-probe paths.
+    val lshOne = graft.operators.SimilarityQueries
+      .lshAnnWith(spark, "/root/testdata/sf0.001", Int.MaxValue)
+      .collect().toSeq
+    val lshChunked = graft.operators.SimilarityQueries
+      .lshAnnWith(spark, "/root/testdata/sf0.001", 7)
+      .collect().toSeq
+    assert(lshChunked == lshOne)
+    assert(lshOne.nonEmpty)
+    val mpOne = graft.operators.SimilarityQueries
+      .multiprobeLshWith(spark, "/root/testdata/sf0.001", Int.MaxValue)
+      .collect().toSeq
+    val mpChunked = graft.operators.SimilarityQueries
+      .multiprobeLshWith(spark, "/root/testdata/sf0.001", 7)
+      .collect().toSeq
+    assert(mpChunked == mpOne)
+    assert(mpOne.nonEmpty)
+  }
+
   test("q42b k-means IVF beats the fixed-anchor quantizer on recall@5") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"

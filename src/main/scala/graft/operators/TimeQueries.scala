@@ -284,20 +284,61 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Row shape for q103's keyed-run fold (concrete product Encoder). */
+  final case class ThrottleEv(user_id: Long, event_type: String,
+      event_id: Long, ts: java.sql.Timestamp, tsd: Double)
+
   /** Last-kept alert throttle (q103): emit at most one event per
     * (user_id, event_type) per hour, measuring the gap against the last
     * KEPT event — the true throttle semantics q89's lag-based form does
     * not have (under q89 a key firing every 50 minutes is suppressed
     * forever; here it emits hourly). The kept-set is inherently a
-    * sequential scan per key, so it runs as ONE native higher-order
-    * `aggregate` over the per-key time-sorted event array: no UDF, no
-    * self-join, no driver loop — one shuffle on the throttle key, then a
-    * codegen'd fold. Memory bound = one key's events in one array; at
-    * 100 TB that is per-(user,type) burst length — bounded by activity,
-    * not corpus size — and the streaming form of the same fold is
-    * flatMapGroupsWithState keeping just `last_kept` (O(1) state),
-    * which StreamPipelines' sessionizer already demonstrates. */
+    * sequential scan per key, so it STREAMS: repartition on the throttle
+    * key, secondary-sort within partitions by (key, ts, event_id), and
+    * run one keyed-run fold over the partition iterator carrying only
+    * `last_kept` — O(1) state per key, no group ever materializes (the
+    * round-5 fix: the previous per-key collect_list held every event of
+    * a key in ONE aggregation buffer row, so a bot/hot key at 100 TB was
+    * millions of structs → executor OOM; Tungsten's external sort spills
+    * instead of buffering). Same single shuffle, and the streaming twin
+    * (streaming/Throttle.scala) keeps the identical O(1) state via
+    * flatMapGroupsWithState — StreamingSpec proves batch/stream
+    * agreement across a micro-batch split, DedupSpec pins the fold
+    * against a driver-side reference and the demoted array form. */
   def qThrottleLastKept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sorted = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"event_id", $"ts",
+        $"ts".cast("double").as("tsd"))
+      .repartition($"user_id", $"event_type")
+      .sortWithinPartitions($"user_id", $"event_type", $"tsd", $"event_id")
+      .as[ThrottleEv]
+    sorted.mapPartitions { it =>
+      var curU = 0L
+      var curT: String = null
+      var first = true
+      var last = -1e18
+      it.flatMap { e =>
+        if (first || e.user_id != curU || e.event_type != curT) {
+          first = false; curU = e.user_id; curT = e.event_type
+          last = -1e18
+        }
+        if (e.tsd - last > 3600.0) {
+          last = e.tsd
+          Iterator.single((e.event_id, e.user_id, e.event_type, e.ts))
+        } else Iterator.empty
+      }
+    }.toDF("event_id", "user_id", "event_type", "ts")
+      .orderBy($"event_id")
+  }
+
+  /** The round-5 array formulation of q103, DEMOTED to spec evidence:
+    * one higher-order `aggregate` over the per-key collect_list — fully
+    * codegen'd, but its aggregation buffer holds a key's entire burst,
+    * which is unbounded at scale. Kept (unregistered) so DedupSpec can
+    * assert the streaming fold is row-identical to it. */
+  private[graft] def throttleLastKeptArray(s: SparkSession,
+      dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .select($"event_id", $"user_id", $"event_type", $"ts")

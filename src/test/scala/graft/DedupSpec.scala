@@ -191,6 +191,18 @@ class DedupSpec extends AnyFunSuite {
     assert(lagKept.subsetOf(kept), "q89 keeps ⊆ q103 keeps must hold")
   }
 
+  test("q103 streamed keyed-run fold is row-identical to the array form") {
+    // The registered q103 streams the fold (sortWithinPartitions +
+    // mapPartitions, O(1) state); the demoted collect_list form is the
+    // round-5 implementation. They must agree row-for-row, including
+    // column order and ts values.
+    val streamed = graft.operators.TimeQueries
+      .qThrottleLastKept(spark, sf).collect().toSeq
+    val arrayForm = graft.operators.TimeQueries
+      .throttleLastKeptArray(spark, sf).collect().toSeq
+    assert(streamed.nonEmpty && streamed == arrayForm)
+  }
+
   test("windowed dedup: survivors are > 1h apart per key, drops have a fresh predecessor") {
     import spark.implicits._
     val all = graft.sources.Tables.events(spark, sf)

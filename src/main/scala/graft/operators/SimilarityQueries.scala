@@ -130,14 +130,22 @@ object SimilarityQueries extends QueryModule {
     * reproduces the full join row-for-row, so results are invariant
     * (SimilaritySpec pins equivalence across chunk sizes). */
   private def chunkedBandJoin(banded: DataFrame, q: DataFrame,
-      chunkRows: Int): DataFrame = {
+      chunkRows: Int): DataFrame =
+    chunkedBroadcastJoin(banded, q, Seq("band_id", "band_val"), chunkRows)
+
+  /** The general form: equi-join `big` against a union of hash-chunked
+    * bounded broadcasts of the query frame (chunked on hash(q_id) —
+    * see chunkedBandJoin). Also used by the IVF cell probe, whose query
+    * side has the same corpus-proportional growth. */
+  private def chunkedBroadcastJoin(big: DataFrame, q: DataFrame,
+      keys: Seq[String], chunkRows: Int): DataFrame = {
     val nChunks = math.max(1L,
       (q.count() + chunkRows - 1) / chunkRows).toInt
     (0 until nChunks).map { i =>
-      banded.join(
+      big.join(
         broadcast(q.filter(
           pmod(hash(col("q_id")), lit(nChunks)) === i)),
-        Seq("band_id", "band_val"))
+        keys)
     }.reduce(_.union(_))
   }
 
@@ -252,57 +260,116 @@ object SimilarityQueries extends QueryModule {
 
   /** q42b: the honest quantizer — cells follow the data distribution. */
   def qIvfKmeans(s: SparkSession, dir: String): DataFrame =
-    ivfWith(s, dir, kmeansCentroids(s, dir, k = 8, iters = 5))
+    ivfWith(s, dir, lloydCentroids(s, dir))
 
-  /** Deterministic sampled k-means (Lloyd) for IVF cells. Centroid
-    * FITTING is small-data by construction — a bounded, deterministic
-    * sample (lowest 2 000 vec_ids: TakeOrderedAndProject, no unordered
-    * limit) collected to the driver, 5 Lloyd iterations on normalized
-    * vectors under cosine distance — while cell ASSIGNMENT stays fully
-    * distributed via the broadcast centroid literals. The same split FAISS
-    * uses: train on a sample, index the corpus. */
-  private[operators] def kmeansCentroids(s: SparkSession, dir: String,
-      k: Int, iters: Int): Array[Array[Double]] = {
+  private val LloydIters = 5
+  private val Dim = 64
+  private val LloydK = 8
+
+  /** Round to 9 decimals — the cross-engine float contract of the Lloyd
+    * fit. The per-dim mean is the ONLY operation whose result depends on
+    * distributed accumulation order (Spark partial-merge vs DuckDB's
+    * sequential sum differ in the last ulp); snapping means and
+    * normalized components to a 1e-9 grid on BOTH engines makes every
+    * downstream dot product bit-identical, which is what lets q42b carry
+    * a hash-checked oracle. (9 decimals ≫ clustering precision; ulp
+    * drift is ~1e-16, so a grid flip needs a true value within 1e-16 of
+    * a rounding boundary.) */
+  private def rnd9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Normalize to unit length (sequential j-order norm fold, matching
+    * the oracle's list_dot_product) and snap to the 1e-9 grid; a
+    * zero-norm mean keeps the previous centroid. */
+  private def unitRound(v: Array[Double],
+      prev: Array[Double]): Array[Double] = {
+    var ss = 0.0
+    var j = 0
+    while (j < v.length) { ss += v(j) * v(j); j += 1 }
+    val n = math.sqrt(ss)
+    if (n > 0) v.map(x => rnd9(x / n)) else prev
+  }
+
+  /** DISTRIBUTED Lloyd iterations for the q42b quantizer (the round-5
+    * fix: the previous fit collected a 2 000-vector sample to the
+    * driver — the one data-scale-coupled collect in the repo).
+    *
+    * Seeding: the corpus vec_id range splits into 8 equal integer
+    * buckets and each bucket's MINIMUM-vec_id vector seeds one cell —
+    * data points spread across the id space (gaussian-anchor seeds
+    * measured 0.44 recall@5 at sf0.001; these seeds + 5 iterations
+    * measure ≥ 0.7). Pure integer arithmetic, so the oracle replays it
+    * exactly; the engine side is a 1-row min/max agg, an 8-row bucket
+    * agg, and an 8-row seed fetch — all metadata-scale.
+    *
+    * Each of the 5 iterations is one full-corpus pass: assignment =
+    * argmax dot against 8 broadcast centroid literals (map-only),
+    * update = one partial-agg groupBy producing 64 per-cell means — the
+    * only driver traffic is the k×(dim+1) aggregate result, 8 rows per
+    * iteration, metadata-scale at any corpus size. Deterministic by
+    * construction (data-derived but integer-exact seed, fixed
+    * iterations, grid-rounded means — see rnd9), so the whole fit
+    * replays in the DuckDB oracle as unrolled CTEs and q42b is
+    * hash-checked like everything else. Same FAISS-style split as
+    * before: fit produces a small artifact, the corpus-side index
+    * (ivfWith) stays fully distributed. */
+  private[graft] def lloydCentroids(s: SparkSession,
+      dir: String): Array[Array[Double]] =
+    lloydMemo.computeIfAbsent(
+      org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir,
+      _ => fitLloyd(s, dir))
+
+  private val lloydMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+
+  private def fitLloyd(s: SparkSession,
+      dir: String): Array[Array[Double]] = {
     import s.implicits._
-    val sample: Array[Array[Double]] = vecs(s, dir)
-      .orderBy($"vec_id").limit(2000)
-      .select($"v", $"nrm")
-      .as[(Seq[Double], Double)]
-      .collect()
-      .map { case (v, n) => v.map(_ / n).toArray }
-    require(sample.length >= k, s"need >= $k sample vectors")
-    val dim = sample.head.length
-    // init: evenly spaced sample vectors (deterministic, well-spread in
-    // vec_id order; k-means++ would add data-dependent randomness)
-    var centroids = Array.tabulate(k)(i => sample((i * sample.length) / k))
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Int](k)
-      sample.foreach { v =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          var d = 0.0; var j = 0
-          while (j < dim) { d += v(j) * centroids(c)(j); j += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-        counts(best) += 1
+    val base = vecs(s, dir)
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val b = base.agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"))
+        .head()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = hi - lo + 1
+      // Bucket boundary at floor(b·span/8): an id belongs to bucket b
+      // when it is ≥ that boundary, i.e. bkt = ((id-lo)·8 + 7) div span
+      // — this reproduces the evenly-spaced floor(i·N/8) seed POSITIONS
+      // of the round-4 sampled fit on dense ids (recall@5 is seed-
+      // chaotic on this corpus: the ceil-boundary variant, one id off
+      // on half the seeds, converges to a 0.44-recall optimum vs 0.80
+      // here — measured, same algorithm, 5..20 iters).
+      val seedIds = base.select($"vec_id",
+          expr(s"((vec_id - ${lo}L) * $LloydK + ${LloydK - 1}) div ${span}L")
+            .as("bkt"))
+        .groupBy($"bkt").agg(min($"vec_id").as("vid"))
+        .orderBy($"vid").collect().map(_.getLong(1))
+      var cents: Array[Array[Double]] = base
+        .filter($"vec_id".isin(seedIds: _*))
+        .orderBy($"vec_id")
+        .select($"nv").as[Seq[Double]].collect().map(_.toArray)
+      var it = 0
+      while (it < LloydIters) {
+        val d = array(cents.map(c => dot($"nv", array(c.map(lit): _*))): _*)
+        val ranked = array_sort(zip_with(d, transform(d, (_, i) => i),
+          (x, i) => struct((-x).as("nd"), i.as("idx"))))
+        val cell = element_at(ranked, 1).getField("idx")
+        val aggCols = (0 until Dim).map(j =>
+          avg(element_at($"nv", j + 1)).as(s"m$j"))
+        val rows = base.select(cell.as("cell"), $"nv")
+          .groupBy($"cell")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+        val byCell = rows.map(r => r.getInt(0) ->
+          Array.tabulate(Dim)(j => rnd9(r.getDouble(j + 1)))).toMap
+        cents = Array.tabulate(cents.length)(c =>
+          byCell.get(c).map(m => unitRound(m, cents(c)))
+            .getOrElse(cents(c)))
+        it += 1
       }
-      centroids = Array.tabulate(k) { c =>
-        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
-        else {
-          val m = sums(c).map(_ / counts(c))
-          val n = math.sqrt(m.map(x => x * x).sum)
-          if (n > 0) m.map(_ / n) else centroids(c)
-        }
-      }
-      it += 1
-    }
-    centroids
+      cents
+    } finally base.unpersist()
   }
 
   /** Corpus organization stats: every vector assigned to its argmax
@@ -389,7 +456,8 @@ object SimilarityQueries extends QueryModule {
     val queries = withCell.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
         explode(slice($"cells", 1, 2)).as("cell"))
-    val scored = corpus.join(broadcast(queries), Seq("cell"))
+    val scored = chunkedBroadcastJoin(corpus, queries, Seq("cell"),
+        QueryChunkRows)
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
@@ -744,6 +812,84 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q42b's oracle: the distributed Lloyd fit REPLAYED as unrolled CTEs
+    * (like q92's pagerank iterations), then the same IVF probe as q42
+    * but dotting against the fitted centroid TABLE c3 instead of
+    * literal anchor columns. Per iteration i: a_i assigns each
+    * normalized vector to its argmax-dot cell (ties to the lower cell,
+    * matching the Spark sort on (-dot, idx)); m_i takes per-(cell, dim)
+    * means snapped to the 1e-9 grid (see rnd9 — the one
+    * accumulation-order-sensitive op); g_i rebuilds the mean list in
+    * dim order with its j-order norm; c_i normalizes onto the same
+    * grid, keeping the previous centroid for empty/zero-norm cells. */
+  private def ivfKmeansSql: String = {
+    val iters = (1 to LloydIters).map { i =>
+      s"""a$i AS (
+         |  SELECT vec_id, nv, cell,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY d DESC, cell ASC) AS rk
+         |  FROM (SELECT b.vec_id, b.nv, s.cell,
+         |          list_dot_product(b.nv, s.c) AS d
+         |        FROM nbase b, c${i - 1} s)),
+         |m$i AS (
+         |  SELECT cell, i, round(avg(nv[i]), 9) AS m
+         |  FROM (SELECT cell, nv, unnest(range(1, ${Dim + 1})) AS i
+         |        FROM a$i WHERE rk = 1)
+         |  GROUP BY cell, i),
+         |g$i AS (
+         |  SELECT cell, list(m ORDER BY i) AS ml,
+         |    sqrt(list_dot_product(list(m ORDER BY i),
+         |                          list(m ORDER BY i))) AS nrm
+         |  FROM m$i GROUP BY cell),
+         |c$i AS (
+         |  SELECT p.cell,
+         |    CASE WHEN g.cell IS NOT NULL AND g.nrm > 0
+         |         THEN list_transform(g.ml, x -> round(x / g.nrm, 9))
+         |         ELSE p.c END AS c
+         |  FROM c${i - 1} p LEFT JOIN g$i g USING (cell))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseCte,
+      |nbase AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM base),
+      |ser AS (
+      |  SELECT min(vec_id) AS lo, max(vec_id) AS hi FROM base),
+      |sb AS (
+      |  SELECT vec_id,
+      |    ((vec_id - ser.lo) * $LloydK + ${LloydK - 1})
+      |      // (ser.hi - ser.lo + 1) AS bkt
+      |  FROM nbase, ser),
+      |sm AS (SELECT bkt, min(vec_id) AS vid FROM sb GROUP BY bkt),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY n.vec_id) - 1 AS cell, n.nv AS c
+      |  FROM nbase n JOIN sm ON n.vec_id = sm.vid),
+      |$iters,
+      |fdots AS (
+      |  SELECT b.vec_id, b.v, s.cell, list_dot_product(b.v, s.c) AS d
+      |  FROM base b, c$LloydIters s),
+      |fcells AS (
+      |  SELECT vec_id, v, cell,
+      |    row_number() OVER (PARTITION BY vec_id
+      |                       ORDER BY d DESC, cell ASC) AS rk
+      |  FROM fdots),
+      |corpus AS (
+      |  SELECT vec_id, v, cell FROM fcells WHERE rk = 1),
+      |queries AS (
+      |  SELECT vec_id AS q_id, v AS qv, cell
+      |  FROM fcells WHERE vec_id % 100 = 0 AND rk <= 2),
+      |scored AS (
+      |  SELECT DISTINCT q.q_id, c.vec_id,
+      |    list_cosine_similarity(q.qv, c.v) AS cos
+      |  FROM corpus c JOIN queries q USING (cell)
+      |  WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+      |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** q86's oracle: literal-anchor argmax assignment, then intra-cell
     * pairwise cosine pruning — the direct SQL restatement. */
   private def semDedupSql: String = {
@@ -821,6 +967,7 @@ object SimilarityQueries extends QueryModule {
     "q134_multiprobe_lsh" -> multiprobeLshSql,
     "q135_probe_cost" -> probeCostSql,
     "q42_ivf_ann"     -> ivfAnnSql,
+    "q42b_ivf_kmeans" -> ivfKmeansSql,
     "q44_cluster_stats" -> clusterStatsSql,
     "q86_semdedup"    -> semDedupSql,
     "q91_random_projection" -> {

@@ -397,6 +397,69 @@ object PipelineQueries extends QueryModule {
            |  tags.tags
            |FROM fresh f LEFT JOIN tags ON tags.doc_id = f.doc_id
            |ORDER BY link""".stripMargin,
+      // Full replay of the sentence-scored summary (Summarize
+      // .summaryColWith): TF tags as in q54, kws = tags ∪ title tokens,
+      // sentences split AFTER [.!?]+whitespace (DuckDB's RE2 has no
+      // lookbehind, so the split point is materialized as a chr(1)
+      // separator first — identical pieces as long as text lacks \x01),
+      // score = |distinct sentence tokens ∩ kws|, top-5 by (score desc,
+      // pos asc) re-emitted in document order. Feed summaries
+      // (doc_id % 3 = 0) win over the computed one, HTML-stripped.
+      "q54b_rss_summary" ->
+        s"""WITH fresh AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+           |tok AS (
+           |  SELECT doc_id, unnest(list_filter(
+           |    str_split_regex(lower(text), '[^a-z0-9'']+'),
+           |    t -> t <> '' AND t NOT IN $stops)) AS t
+           |  FROM fresh),
+           |counts AS (
+           |  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, t ASC) AS rk FROM counts),
+           |tags AS (
+           |  SELECT doc_id, list(t ORDER BY rk) AS tags
+           |  FROM ranked WHERE rk <= 10 GROUP BY doc_id),
+           |kw AS (
+           |  SELECT f.doc_id,
+           |    coalesce(tags.tags, CAST([] AS VARCHAR[])) ||
+           |      list_filter(str_split_regex(
+           |          lower('article ' || f.doc_id), '[^a-z0-9'']+'),
+           |        t -> t <> '' AND t NOT IN $stops) AS kws
+           |  FROM fresh f LEFT JOIN tags ON tags.doc_id = f.doc_id),
+           |sraw AS (
+           |  SELECT doc_id, unnest(sl) AS s0,
+           |    generate_subscripts(sl, 1) AS rawpos
+           |  FROM (SELECT doc_id,
+           |          str_split(regexp_replace(text,
+           |            '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS sl
+           |        FROM fresh)),
+           |sents AS (
+           |  SELECT doc_id, trim(s0) AS sent,
+           |    row_number() OVER (PARTITION BY doc_id
+           |                       ORDER BY rawpos) AS pos
+           |  FROM sraw WHERE trim(s0) <> ''),
+           |scored AS (
+           |  SELECT s.doc_id, s.pos, s.sent,
+           |    len(list_distinct(list_filter(
+           |      list_filter(str_split_regex(lower(s.sent), '[^a-z0-9'']+'),
+           |        t -> t <> '' AND t NOT IN $stops),
+           |      t -> list_contains(k.kws, t)))) AS score
+           |  FROM sents s JOIN kw k ON s.doc_id = k.doc_id),
+           |top AS (
+           |  SELECT doc_id, sent, pos,
+           |    row_number() OVER (PARTITION BY doc_id
+           |                       ORDER BY score DESC, pos ASC) AS rk
+           |  FROM scored),
+           |csum AS (
+           |  SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS cs
+           |  FROM top WHERE rk <= 5 GROUP BY doc_id)
+           |SELECT 'https://feeds.example/' || f.doc_id AS link,
+           |  CASE WHEN f.doc_id % 3 = 0 THEN 'summary of ' || f.doc_id
+           |       ELSE coalesce(c.cs, '') END AS summary
+           |FROM fresh f LEFT JOIN csum c ON c.doc_id = f.doc_id
+           |ORDER BY link""".stripMargin,
     )
   }
 }

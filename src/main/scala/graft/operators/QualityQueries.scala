@@ -537,9 +537,12 @@ object QualityQueries extends QueryModule {
       lit(1.0)) / lit(16777216.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"lang").orderBy($"key".desc, $"doc_id")
+    // greatest(n_chars, 1): a zero-length doc would make the key
+    // -inf/NaN, whose sort placement differs between engines (round-5
+    // ADVICE); weight 1 keeps it sampleable with minimal mass.
     Tables.documents(s, dir)
       .select($"doc_id", $"lang",
-        (log(u) / $"n_chars".cast("double")).as("key"))
+        (log(u) / greatest($"n_chars", lit(1)).cast("double")).as("key"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"lang", $"rk", $"doc_id")
@@ -624,7 +627,7 @@ object QualityQueries extends QueryModule {
         |  SELECT doc_id, lang,
         |    ln((('0x' || substr(md5('wr:' || CAST(doc_id AS VARCHAR)),
         |          1, 6))::BIGINT + 1.0) / 16777216.0)
-        |      / n_chars AS key
+        |      / greatest(n_chars, 1) AS key
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id,

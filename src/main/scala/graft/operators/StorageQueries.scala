@@ -252,16 +252,26 @@ object StorageQueries extends QueryModule {
     * merge hint keeps AQE from demoting the demonstration to a
     * broadcast join at this toy scale — at real scale neither side
     * broadcasts. */
+  /** Per-JVM token in bucket-table names (round-5 ADVICE): concurrent
+    * JVMs share spark.sql.warehouse.dir, and an ensure() keyed on a
+    * shared name could delete files backing ANOTHER session's live
+    * bucket table mid-query. Unique names make the stale-dir delete
+    * provably self-scoped. */
+  private[operators] val JvmTag: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tag = new java.io.File(dir).getName.replace('.', '_')
+    val tag = new java.io.File(dir).getName.replace('.', '_') + "_" + JvmTag
     val ot = s"graft_bkt_orders_$tag"
     val lt = s"graft_bkt_lineitem_$tag"
     // The in-memory catalog dies with the JVM but the warehouse files
     // don't: a table the catalog has never heard of may still own its
-    // location from a prior run — clear it, then land fresh. (A real
-    // deployment registers bucket tables in a persistent metastore and
-    // never re-lands them; the re-land here is the test-scale stand-in.)
+    // location from a prior run — clear it, then land fresh. With the
+    // JVM-unique tag the path can only be THIS JVM's own leftover, so
+    // the delete can never race another session. (A real deployment
+    // registers bucket tables in a persistent metastore and never
+    // re-lands them; the re-land here is the test-scale stand-in.)
     def ensure(name: String)(build: => Unit): Unit =
       if (!s.catalog.tableExists(name)) {
         val p = new org.apache.hadoop.fs.Path(
@@ -416,17 +426,24 @@ object StorageQueries extends QueryModule {
   def qDeltaAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+    // `value` accumulates in DECIMAL (round-5 ADVICE): double partial
+    // sums are non-associative, so the merge≡rescan identity the MV
+    // story claims would only hold to the last ulp — the q117/q1
+    // failure class. The per-value double→decimal cast is deterministic
+    // and identical on both engines; sums are then exact.
     def partial(df: DataFrame): DataFrame = df
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("pn"), sum($"value").as("pv"))
+      .agg(count(lit(1)).as("pn"),
+        sum($"value".cast("decimal(28,10)")).as("pv"))
     val base  = partial(Tables.events(s, dir).filter($"ts" <  cutoff))
     val delta = partial(Tables.events(s, dir).filter($"ts" >= cutoff))
     base.unionByName(delta)
       .groupBy($"event_type")
       .agg(sum($"pn").as("n_events"), sum($"pv").as("sv"))
       .select($"event_type", $"n_events",
-        round($"sv", 4).as("total_value"),
-        round($"sv" / $"n_events", 4).as("avg_value"))
+        (round($"sv".cast("double"), 4) + lit(0.0)).as("total_value"),
+        (round($"sv".cast("double") / $"n_events", 4) + lit(0.0))
+          .as("avg_value"))
       .orderBy($"event_type")
   }
 
@@ -501,8 +518,10 @@ object StorageQueries extends QueryModule {
         |ORDER BY b.event_type""".stripMargin,
     "q124_delta_agg" ->
       """SELECT event_type, count(*) AS n_events,
-        |  round(sum(value), 4) AS total_value,
-        |  round(sum(value) / count(*), 4) AS avg_value
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4)
+        |    + 0.0 AS total_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(*), 4) + 0.0 AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q117_bucket_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,

@@ -22,23 +22,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read nanos as long and truncate to
-    * microsecond precision (integer `div` — matches DuckDB's
-    * timestamp_ns→timestamp cast, which also truncates).
+  /** events.parquet has shipped with two `ts` layouts across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read nanos as long, truncate to micros with integer `div`,
+    * matching DuckDB's timestamp_ns→timestamp cast) and plain
+    * timestamp[us] (Spark reads it as TIMESTAMP_NTZ). Normalize both to
+    * session-TZ TimestampType so every downstream query sees one type;
+    * all our sessions pin `spark.sql.session.timeZone=UTC`, so the
+    * NTZ→LTZ cast is value-identical to the old nanos conversion.
     *
     * NOTE this sets `spark.sql.legacy.parquet.nanosAsLong` for the WHOLE
     * session, deliberately: the flag must be live whenever the (lazy)
-    * scan actually executes, and any other nanos-timestamp parquet in the
-    * session needs the same treatment to be readable at all. Sessions
-    * that read nanos parquet with a different convention should use a
-    * separate SparkSession. */
+    * scan actually executes, and it is a no-op for non-nanos files. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

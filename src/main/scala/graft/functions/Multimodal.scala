@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   *    image decode via the JDK's `javax.imageio` readers (PNG, GIF, BMP,
   *    JPEG — round-3 verdict #5) producing width/height/channels and a
   *    pixel luma-histogram feature vector; bytes no reader accepts get
-  *    null metadata. Only video frame extraction remains a labeled stub
-  *    (`sampleFrames` — no video codec ships with the JDK); swap it for
-  *    ffmpeg bindings in production.
+  *    null metadata. Video frame extraction is REAL for RIFF/AVI — a
+  *    pure-JVM demux of the `movi` chunk list (`parseAvi`), with MJPEG-
+  *    style frames decoding through the same ImageIO path; containers a
+  *    bare JVM cannot demux (mp4 etc.) fall back to a byte-window
+  *    surrogate — swap in ffmpeg bindings for those in production.
   */
 object Multimodal {
 
@@ -89,25 +91,163 @@ object Multimodal {
     out
   }
 
-  /** Frame sampling STUB: n evenly spaced byte windows standing in for
-    * video frame extraction. */
+  /** Parsed RIFF/AVI container: header dimensions plus the raw payload
+    * of every video frame chunk in the `movi` list. */
+  private[graft] case class AviInfo(width: Int, height: Int,
+      headerFrames: Int, frames: IndexedSeq[Array[Byte]])
+
+  private def leU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** REAL video demux for the one container a pure JVM can walk without
+    * a codec: RIFF/AVI. Chunk grammar is fourcc + LE u32 size + body
+    * (word-aligned); `LIST hdrl → avih` carries width/height/frame
+    * count, `LIST movi` holds the frames as `##db`/`##dc` chunks. The
+    * walk is bounds-checked at every step — truncated or lying sizes end
+    * the parse with whatever was read so far, never a throw (per-record
+    * error isolation, F4). Compressed frame PIXELS still need a codec;
+    * MJPEG-style frames whose payload is a JDK-readable image decode
+    * through `decodeImage` downstream. */
+  private[graft] def parseAvi(bytes: Array[Byte]): Option[AviInfo] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "AVI ") return None
+    var width = 0; var height = 0; var headerFrames = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val id = tag(bytes, p)
+        val sz = leU32(bytes, p + 4)
+        val body = p + 8
+        if (sz < 0 || body + sz > to) return // truncated/corrupt: stop
+        val end = body + sz.toInt
+        if (id == "LIST" && sz >= 4) {
+          val listType = tag(bytes, body)
+          walk(body + 4, end, inMovi || listType == "movi")
+        } else if (id == "avih" && sz >= 40) {
+          headerFrames = leU32(bytes, body + 16).toInt
+          width = leU32(bytes, body + 32).toInt
+          height = leU32(bytes, body + 36).toInt
+        } else if (inMovi && (id.endsWith("db") || id.endsWith("dc"))) {
+          frames += java.util.Arrays.copyOfRange(bytes, body, end)
+        }
+        p = end + (sz.toInt & 1) // chunks are word-aligned
+      }
+    }
+    // RIFF size counts everything after offset 8; trust the smaller of
+    // the declared and the actual extent.
+    walk(12, math.min(bytes.length.toLong, 8L + leU32(bytes, 4)).toInt, false)
+    Some(AviInfo(width, height, headerFrames, frames.toIndexedSeq))
+  }
+
+  /** Frame sampling. RIFF/AVI payloads get REAL demuxed frames: n evenly
+    * spaced `movi` chunk payloads (indices ⌊i·total/n⌋), each returned
+    * whole so it can be decoded downstream. Anything else falls back to
+    * the byte-window surrogate (n evenly spaced windows of ≤ frameLen
+    * bytes) — the honest stand-in for containers a bare JVM cannot
+    * demux. */
   private[graft] def sampleFrames(bytes: Array[Byte], n: Int,
       frameLen: Int): Seq[Array[Byte]] = {
     if (bytes == null || bytes.length == 0 || n <= 0) return Seq.empty
-    val step = math.max(1, bytes.length / n)
-    (0 until n).flatMap { i =>
-      val from = i * step
-      if (from < bytes.length)
-        Some(bytes.slice(from, math.min(from + frameLen, bytes.length)))
-      else None
+    parseAvi(bytes) match {
+      case Some(info) if info.frames.nonEmpty =>
+        val total = info.frames.length
+        if (n >= total) info.frames
+        else (0 until n).map(i => info.frames(i * total / n))
+      case _ =>
+        val step = math.max(1, bytes.length / n)
+        (0 until n).flatMap { i =>
+          val from = i * step
+          if (from < bytes.length)
+            Some(bytes.slice(from, math.min(from + frameLen, bytes.length)))
+          else None
+        }
+    }
+  }
+
+  /** Mean luma over the raster, same sample conventions as
+    * `lumaHistogram` (exact for flat fixtures: mean == the constant). */
+  private[graft] def lumaMean(img: java.awt.image.BufferedImage): Double = {
+    val raster = img.getRaster
+    val icm: java.awt.image.IndexColorModel = img.getColorModel match {
+      case m: java.awt.image.IndexColorModel => m
+      case _ => null
+    }
+    val bands = raster.getNumBands
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        sum += (
+          if (icm != null) {
+            val i = raster.getSample(x, y, 0)
+            (299 * icm.getRed(i) + 587 * icm.getGreen(i) +
+              114 * icm.getBlue(i)) / 1000
+          } else if (bands == 1) raster.getSample(x, y, 0)
+          else (299 * raster.getSample(x, y, 0) +
+            587 * raster.getSample(x, y, 1) +
+            114 * raster.getSample(x, y, 2)) / 1000)
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (img.getWidth.toLong * img.getHeight)
+  }
+
+  /** Per-partition video demux + per-frame decode. For RIFF/AVI payloads:
+    * header width/height, demuxed frame count, and the mean luma of
+    * `nSample` evenly spaced frames decoded through the SAME ImageIO path
+    * as still images (first/mid/last for nSample=3). Non-AVI payloads get
+    * null metadata and n_sampled=0 — same error-isolation posture as
+    * `decodeFeatures`. Runs in `mapPartitions` so demuxer/decoder setup is
+    * per-partition, and the frame walk touches only chunk headers plus the
+    * sampled frames — at 100 TB the cost is per-payload linear in chunk
+    * COUNT, not in decoded pixels of unsampled frames. */
+  def videoFeatures(df: DataFrame, binCol: String,
+      nSample: Int = 3): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema
+      .add("v_width", IntegerType)
+      .add("v_height", IntegerType)
+      .add("n_total_frames", LongType)
+      .add("n_sampled", LongType, nullable = false)
+      .add("luma_first", DoubleType)
+      .add("luma_mid", DoubleType)
+      .add("luma_last", DoubleType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val extra: Seq[Any] = parseAvi(bytes) match {
+          case Some(info) if info.frames.nonEmpty =>
+            val sampled = sampleFrames(bytes, nSample, 0)
+            val lumas = sampled.map(f =>
+              decodeImage(f).map(lumaMean).map(Double.box).orNull)
+            Seq(info.width, info.height, info.frames.length.toLong,
+              sampled.length.toLong,
+              lumas.headOption.orNull,
+              if (lumas.length > 1) lumas(lumas.length / 2) else null,
+              if (lumas.length > 1) lumas.last else null)
+          case _ => Seq(null, null, null, 0L, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
     }
   }
 
   /** Per-partition decode + feature extraction. Adds typed image
     * metadata `width`/`height`/`channels` (null when no JDK reader
     * accepts the bytes), `features array<float>` (luma-bucket counts for
-    * decoded images, null otherwise) and `frames array<binary>` (the
-    * video-sampling stub); preserves all input columns. Decoder setup
+    * decoded images, null otherwise) and `frames array<binary>` (real
+    * demuxed AVI frames, byte windows otherwise — see `sampleFrames`);
+    * preserves all input columns. Decoder setup
     * runs once per partition — the expensive init a real codec needs —
     * with ImageIO's temp-file cache off so executors never touch local
     * disk per record. */

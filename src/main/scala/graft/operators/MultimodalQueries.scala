@@ -59,9 +59,39 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** A complete RIFF/AVI container: 6 flat 4×3 grayscale PNG frames
+    * (lumas 0,40,80,120,160,200) standing in for MJPEG payloads. Built
+    * deterministically at class-load by MediaGen (pinned deflate level),
+    * so the hex literal below is stable across runs and JVMs. */
+  private[graft] lazy val TinyAviHex: String = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.avi(
+      (0 until 6).map(i => graft.functions.MediaGen.flatGrayPng(4, 3, 40 * i)),
+      width = 4, height = 3))
+
+  /** REAL video frame sampling: every 4th doc carries the AVI, the rest
+    * raw text bytes (the reject path). The engine demuxes the `movi`
+    * chunk list, samples first/mid/last of the 6 frames, and decodes
+    * each through ImageIO — every output column is a deterministic
+    * function of doc_id class, so the whole query is DuckDB-oracled
+    * (same convention as q61). */
+  def qVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id",
+        when($"doc_id" % 4 === 0, unhex(lit(TinyAviHex)))
+          .otherwise($"text".cast("binary")).as("media"))
+    Multimodal.videoFeatures(media, "media", nSample = 3)
+      .select($"doc_id", $"v_width", $"v_height", $"n_total_frames",
+        $"n_sampled", round($"luma_first", 4).as("luma_first"),
+        round($"luma_mid", 4).as("luma_mid"),
+        round($"luma_last", 4).as("luma_last"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_meta"     -> (qMediaMeta _),
     "q61_media_features" -> (qMediaFeatures _),
+    "q138_video_frames"  -> (qVideoFrames _),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -96,6 +126,20 @@ object MultimodalQueries extends QueryModule {
         |       WHEN octet_length(encode(text)) = 1 THEN 1
         |       ELSE 2 END AS BIGINT) AS n_frames,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(12.0 AS DOUBLE) END AS feat_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q138: the engine really demuxes + decodes; the oracle states the
+    // known constants of the planted 6-frame AVI (4×3 frames, flat lumas
+    // 0/40/80/120/160/200; sampling picks indices 0,2,4 → 0/80/160) and
+    // nulls for the text-byte rows no demuxer accepts.
+    "q138_video_frames" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(4 AS INTEGER) END AS v_width,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(3 AS INTEGER) END AS v_height,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(6 AS BIGINT) END AS n_total_frames,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 0 END AS BIGINT) AS n_sampled,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(0.0 AS DOUBLE) END AS luma_first,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(80.0 AS DOUBLE) END AS luma_mid,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(160.0 AS DOUBLE) END AS luma_last
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -395,4 +395,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 3, 8).isEmpty)
     assert(Multimodal.sampleFrames("abc".getBytes, 0, 8).isEmpty)
   }
+
+  test("AVI demux: build → parse round-trip recovers headers and frames") {
+    import graft.functions.MediaGen
+    val frames = (0 until 6).map(i => MediaGen.flatGrayPng(4, 3, 40 * i))
+    val avi = MediaGen.avi(frames, 4, 3)
+    val info = Multimodal.parseAvi(avi).get
+    assert((info.width, info.height, info.headerFrames) == (4, 3, 6))
+    assert(info.frames.length == 6)
+    // demuxed payloads are byte-identical to what was muxed
+    assert(info.frames.zip(frames).forall { case (a, b) => a.sameElements(b) })
+    // and each decodes through the normal image path to its flat luma
+    assert(info.frames.zipWithIndex.forall { case (f, i) =>
+      Multimodal.decodeImage(f).exists(im => Multimodal.lumaMean(im) == 40.0 * i)
+    })
+  }
+
+  test("AVI sampling picks evenly spaced real frames; non-AVI falls back") {
+    import graft.functions.MediaGen
+    val frames = (0 until 6).map(i => MediaGen.flatGrayPng(4, 3, 40 * i))
+    val avi = MediaGen.avi(frames, 4, 3)
+    val sampled = Multimodal.sampleFrames(avi, 3, 0)
+    assert(sampled.length == 3) // indices ⌊i·6/3⌋ = 0, 2, 4
+    assert(sampled(0).sameElements(frames(0)))
+    assert(sampled(1).sameElements(frames(2)))
+    assert(sampled(2).sameElements(frames(4)))
+    // asking for more samples than frames yields each frame once
+    assert(Multimodal.sampleFrames(avi, 10, 0).length == 6)
+    // non-AVI bytes keep the byte-window surrogate shape
+    val win = Multimodal.sampleFrames("0123456789".getBytes, 2, 3)
+    assert(win.length == 2 && win.forall(_.length <= 3))
+  }
+
+  test("AVI demux is truncation/corruption-safe") {
+    import graft.functions.MediaGen
+    val avi = MediaGen.avi((0 until 4).map(i =>
+      MediaGen.flatGrayPng(2, 2, 60 * i)), 2, 2)
+    // every prefix parses without throwing; short ones just carry fewer frames
+    (0 to avi.length by 7).foreach { n =>
+      val p = Multimodal.parseAvi(avi.take(n))
+      assert(p.forall(_.frames.length <= 4))
+    }
+    // lying RIFF size (larger than the buffer) is clamped, not trusted
+    val lying = avi.clone()
+    lying(4) = 0xff.toByte; lying(5) = 0xff.toByte
+    assert(Multimodal.parseAvi(lying).get.frames.length == 4)
+    assert(Multimodal.parseAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  test("videoFeatures: demuxed metadata for AVI rows, nulls for text rows") {
+    import spark.implicits._
+    import graft.functions.MediaGen
+    val avi = MediaGen.avi((0 until 6).map(i =>
+      MediaGen.flatGrayPng(4, 3, 40 * i)), 4, 3)
+    val df = Seq(("a", avi), ("b", "plain-text".getBytes))
+      .toDF("id", "media")
+    val rows = Multimodal.videoFeatures(df, "media", nSample = 3)
+      .orderBy($"id").collect()
+    val a = rows(0)
+    assert(a.getInt(a.fieldIndex("v_width")) == 4)
+    assert(a.getInt(a.fieldIndex("v_height")) == 3)
+    assert(a.getLong(a.fieldIndex("n_total_frames")) == 6L)
+    assert(a.getLong(a.fieldIndex("n_sampled")) == 3L)
+    assert(a.getDouble(a.fieldIndex("luma_first")) == 0.0)
+    assert(a.getDouble(a.fieldIndex("luma_mid")) == 80.0)
+    assert(a.getDouble(a.fieldIndex("luma_last")) == 160.0)
+    val b = rows(1)
+    assert(b.isNullAt(b.fieldIndex("v_width")))
+    assert(b.getLong(b.fieldIndex("n_sampled")) == 0L)
+    assert(b.isNullAt(b.fieldIndex("luma_first")))
+  }
 }

@@ -374,6 +374,41 @@ object StorageQueries extends QueryModule {
     }.reduce(_.unionByName(_)).orderBy($"col_name")
   }
 
+  /** Join-key skew profiler (q139): the pre-flight diagnostic a shuffle
+    * join at 100 TB needs — per candidate key column: row count, key
+    * cardinality, hottest-key count, mean and p99 per-key counts, the
+    * skew ratio (hottest / mean), and the salting factor that would
+    * level the hottest key: with P reducers the ideal per-reducer load
+    * is n_rows/P, so a key owning max_cnt rows needs
+    * ceil(max_cnt · P / n_rows) salted subkeys (P pinned at 32, this
+    * deployment's shuffle parallelism). This is exactly the number the
+    * salted-join (q74) and AQE-skew paths consume. Shape per key: one
+    * groupBy(key).count (map-side partial combine, shuffle of one long
+    * per distinct key) then a single-row global fold — at 100 TB run it
+    * on a block sample first; the exact form here calibrates that. */
+  def qSkewProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def profile(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(sum($"cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+          max($"cnt").as("max_cnt"),
+          round(avg($"cnt"), 4).as("avg_cnt"),
+          round(percentile($"cnt", lit(0.99)), 4).as("p99_cnt"))
+        .select(lit(label).as("key_col"),
+          $"n_rows".cast("long").as("n_rows"), $"n_keys", $"max_cnt",
+          $"avg_cnt", $"p99_cnt",
+          round($"max_cnt" * $"n_keys" / $"n_rows".cast("double"), 4)
+            .as("skew_ratio"),
+          greatest(lit(1L),
+            ceil($"max_cnt" * lit(32.0) / $"n_rows")).cast("long")
+            .as("salt_factor"))
+    Seq(
+      profile(Tables.events(s, dir), "user_id", "events.user_id"),
+      profile(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey"),
+      profile(Tables.orders(s, dir), "o_custkey", "orders.o_custkey"))
+      .reduce(_.unionByName(_)).orderBy($"key_col")
+  }
+
   /** CDC changelog apply (q123): fold an ordered full-image op log
     * (I/U/D, one seq per op) onto a base snapshot — the lakehouse MERGE
     * a warehouse replays from a Debezium/binlog feed. Latest-wins per
@@ -482,6 +517,7 @@ object StorageQueries extends QueryModule {
       "q117_bucket_join"   -> (qBucketJoin _),
       "q118_snapshot_diff" -> (qSnapshotDiff _),
       "q120_column_profile" -> (qColumnProfile _),
+      "q139_skew_profile"  -> (qSkewProfile _),
       "q123_cdc_apply"     -> (qCdcApply _),
       "q45_bloom_join"    -> (qBloomJoin _),
       "q55_upsert_merge"  -> (qUpsertMerge _),
@@ -549,6 +585,25 @@ object StorageQueries extends QueryModule {
         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT doc_id, status, old_fp, new_fp FROM d
         |WHERE status <> 'same' ORDER BY doc_id""".stripMargin,
+    "q139_skew_profile" ->
+      """WITH pe AS (SELECT count(*) AS cnt FROM events GROUP BY user_id),
+        | pl AS (SELECT count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+        | po AS (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey),
+        | u AS (
+        |  SELECT 'events.user_id' AS key_col, * FROM pe
+        |  UNION ALL SELECT 'lineitem.l_partkey', * FROM pl
+        |  UNION ALL SELECT 'orders.o_custkey', * FROM po)
+        |SELECT key_col,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  round(avg(cnt), 4) AS avg_cnt,
+        |  round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        |  round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4)
+        |    AS skew_ratio,
+        |  CAST(greatest(1, ceil(max(cnt) * 32.0 / sum(cnt))) AS BIGINT)
+        |    AS salt_factor
+        |FROM u GROUP BY key_col ORDER BY key_col""".stripMargin,
     "q120_column_profile" ->
       """WITH s AS (SELECT count(*) AS n_rows,
         |  count(l_orderkey) AS nn1, count(DISTINCT l_orderkey) AS nd1,

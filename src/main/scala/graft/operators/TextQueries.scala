@@ -269,6 +269,33 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Zipf power-law fit (q140): OLS of ln(freq) on ln(rank) over the
+    * top-1000 vocabulary — the corpus-health number a dataset card quotes
+    * (natural text sits near slope −1; generated/templated text drifts
+    * off). One token-count shuffle (map-side combine), a rank window the
+    * TopKWindowRule caps at 1000 rows of heap instead of a full vocab
+    * sort, then a single-row `regr_*` fold (both engines implement the
+    * same closed-form OLS, and the fit runs over ≤1000 points regardless
+    * of corpus size — rank-capping is what makes this 100 TB-safe, and
+    * is also the statistically standard Zipf fit window). */
+  def qZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextOps.tokenize($"text")).as("t"))
+      .filter($"t" =!= "")
+    val counts = toks.groupBy($"t").agg(count(lit(1)).as("c"))
+    val ranked = counts
+      .withColumn("rk", row_number().over(Window.orderBy($"c".desc, $"t".asc)))
+      .filter($"rk" <= 1000)
+    ranked.agg(
+      count(lit(1)).cast("long").as("n_vocab"),
+      sum($"c").cast("long").as("n_tokens"),
+      (round(regr_slope(log($"c"), log($"rk")), 4) + lit(0.0)).as("zipf_slope"),
+      (round(regr_intercept(log($"c"), log($"rk")), 4) + lit(0.0))
+        .as("zipf_intercept"),
+      (round(regr_r2(log($"c"), log($"rk")), 4) + lit(0.0)).as("r2"))
+  }
+
   /** North-star corpus profiling: document-length histogram in 100-char
     * buckets with counts and cumulative share — the distribution chart
     * every dataset card carries. One partial-agg shuffle + one tiny
@@ -607,6 +634,7 @@ object TextQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_pmi_collocations" -> (qPmiCollocations _),
+    "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
     "q137_bpe_fit"        -> (qBpeFitSeq _),
     "q119_inverted_index" -> (qInvertedIndex _),
@@ -891,6 +919,23 @@ object TextQueries extends QueryModule {
         |       t -> CAST(ascii(t) + len(t) AS BIGINT))),
         |   (h, x) -> (h * 31 + x) % 2147483647) AS rhash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q140: same +0.0 idiom as q91 on every rounded column that can go
+    // negative (slope is ~−1; a degenerate flat fit could round to −0.0).
+    "q140_zipf_fit" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split(text, ' ')) AS t FROM documents),
+        |counts AS (
+        |  SELECT t, count(*) AS c FROM toks WHERE t <> '' GROUP BY t),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rk
+        |  FROM counts),
+        |top AS (SELECT * FROM ranked WHERE rk <= 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(ln(c), ln(rk)), 4) + 0.0 AS zipf_slope,
+        |  round(regr_intercept(ln(c), ln(rk)), 4) + 0.0 AS zipf_intercept,
+        |  round(regr_r2(ln(c), ln(rk)), 4) + 0.0 AS r2
+        |FROM top""".stripMargin,
     "q37_vocab_topk" ->
       s"""WITH toks AS (
          |  SELECT unnest(list_filter(str_split($cleanSql, ' '),

@@ -98,6 +98,35 @@ object QualityQueries extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  /** Mergeable-sketch rollup (q141): the two-level pattern a 100 TB
+    * warehouse actually runs — build one DataSketches HLL per
+    * (returnflag, ship-month) partition slice, then UNION the sketch
+    * OBJECTS per returnflag and estimate, instead of re-scanning raw
+    * rows. At scale the monthly sketches are precomputed once (bytes per
+    * slice), and any rollup window is a cheap union over them; this
+    * query proves the merged estimate still meets the error bound by
+    * joining it back to the exact distinct (same each-engine-judges-its-
+    * own-sketch oracle convention as q49; lgConfigK=14 gives ~0.8% rsd,
+    * comfortable headroom under the asserted 5%). The exact side is the
+    * calibration cost you pay once, not the steady-state path. */
+  def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val monthly = li
+      .groupBy($"l_returnflag", date_trunc("month", $"l_shipdate").as("m"))
+      .agg(hll_sketch_agg($"l_partkey", lit(14)).as("sk"))
+    val merged = monthly.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_buckets"),
+        hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("est"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    merged.join(exact, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_buckets", $"exact_parts",
+        (abs($"est" - $"exact_parts").cast("double") /
+          $"exact_parts" <= 0.05).as("merge_ok"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Exact linear-interpolation quantiles of document length per
     * language — Spark `percentile` and DuckDB `quantile_cont` implement
     * the same estimator, so the values hash-match at round(4). */
@@ -585,6 +614,7 @@ object QualityQueries extends QueryModule {
       "q47_sequence_pack"    -> (qSequencePack _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
+      "q141_sketch_rollup"   -> (qSketchRollup _),
       "q58_length_quantiles" -> (qLengthQuantiles _),
       "q59_train_split"      -> (qTrainSplit _),
       "q70_stratified_sample" -> (qStratifiedSample _),
@@ -698,6 +728,20 @@ object QualityQueries extends QueryModule {
         |  round(list_max(list_transform(v,
         |    x -> abs(x - floor(x * scale + 0.5) / scale))), 4) AS max_err
         |FROM s ORDER BY vec_id""".stripMargin,
+    // q141: DuckDB has no two-level sketch union, so its half of the
+    // each-engine-judges-its-own-sketch convention runs single-level
+    // HLL over the same rows; the hard oracled facts are n_buckets and
+    // exact_parts, plus both sketches meeting the 5% bound.
+    "q141_sketch_rollup" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+        |    AS n_buckets,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  (abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+        |      - count(DISTINCT l_partkey))
+        |    / count(DISTINCT l_partkey) <= 0.05) AS merge_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q49_approx_distinct" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
+import graft.functions.TextOps
 import graft.sources.Tables
 
 /** Corpus-relative document scoring — the two classic "score every doc
@@ -388,8 +389,45 @@ object ScoringQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Per-source quality-score calibration (q142): a single global
+    * quality threshold over-prunes sources whose score DISTRIBUTION sits
+    * low (different boilerplate habits, different languages) — the
+    * FineWeb-style fix is to gate each document on its rank WITHIN its
+    * source. Scale-safe shape (no per-source percent_rank window, which
+    * would total-sort every source's documents on one reducer): compute
+    * each source's 9 decile cutpoints in one exact-percentile aggregate
+    * (→ q73's mergeable sketch at 100 TB), broadcast the |sources|×9
+    * frame back, and assign the source-relative decile map-side by
+    * counting cutpoints strictly below the score. kept = top half of
+    * its own source, whatever the global distribution looks like. */
+  def qQualityCalibrate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val nToks = size(toks)
+    val nStops = size(filter(toks, t => TextOps.isStopword(t)))
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        ((lit(1.0) - nStops.cast("double") / nToks) *
+          least(lit(1.0), nToks.cast("double") / 100.0)).as("q"))
+    val cuts = scored.groupBy($"source")
+      .agg(percentile($"q",
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+    // Compare on the suite's 4-decimal grid, NOT raw doubles: the two
+    // engines' interpolated cutpoints differ at the last ulp (measured:
+    // 0.8199999999999998 vs 0.82…02 for the same cut), which a strict >
+    // on raw values amplifies into a whole-decile flip. Rounding both
+    // sides first makes the comparison grid-exact on both engines.
+    scored.join(broadcast(cuts), "source")
+      .select($"doc_id", $"source", round($"q", 4).as("quality"),
+        size(filter($"cs", c => round($"q", 4) > round(c, 4)))
+          .cast("int").as("decile"))
+      .withColumn("kept", $"decile" >= 5)
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q142_quality_calibrate" -> (qQualityCalibrate _),
       "q125_bm25" -> (qBm25 _),
       "q115_source_drift" -> (qSourceDrift _),
       "q114_dsir_select" -> (qDsirSelect _),
@@ -435,6 +473,28 @@ object ScoringQueries extends QueryModule {
         |  GROUP BY doc_id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // q142: decile assignment replayed by counting the source's
+    // quantile_cont cutpoints strictly below the score, BOTH rounded to
+    // the suite's 4-decimal grid first — raw-double comparison flips a
+    // whole decile when the engines' interpolations differ at the ulp.
+    "q142_quality_calibrate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    (1.0 - len(list_filter(str_split(text, ' '),
+        |        t -> t IN ${TextOps.stopwordsSqlList}))
+        |      / CAST(len(str_split(text, ' ')) AS DOUBLE))
+        |    * least(1.0, len(str_split(text, ' ')) / 100.0) AS q
+        |  FROM documents),
+        |cuts AS (
+        |  SELECT source,
+        |    quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+        |  FROM t GROUP BY source)
+        |SELECT doc_id, t.source, round(q, 4) AS quality,
+        |  CAST(len(list_filter(cs, c -> round(q, 4) > round(c, 4)))
+        |    AS INTEGER) AS decile,
+        |  (len(list_filter(cs, c -> round(q, 4) > round(c, 4))) >= 5)
+        |    AS kept
+        |FROM t JOIN cuts USING (source) ORDER BY doc_id""".stripMargin,
     "q125_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term

@@ -173,6 +173,46 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Band index AT REST (q143): q41 recomputes the 16 hyperplane dot
+    * products per vector on every run — fine for one query batch, wrong
+    * for the ANN service shape, where the index is built once at ingest
+    * and served to every query batch after. This lands bandedVecs as a
+    * BUCKETED table — 8 buckets on (band_id, band_val), sorted within
+    * buckets — and probes it with a bucket-co-located self-join: bucket
+    * i of the probe side (a filter of the same table, so bucketing is
+    * preserved) only ever meets bucket i of the index, and the executed
+    * plan shows SortMergeJoin over two bucketed scans with ZERO exchange
+    * under the join (PlanSpec pins it). At 100 TB this is the difference
+    * between re-signing the corpus per query batch and a pure read; it
+    * also makes q112's incremental-append story concrete — new vectors
+    * append to the same bucket layout, the index is never rebuilt.
+    * Results are identical to q41 (same oracle replay): persistence and
+    * co-location change the PLAN, never the answer. */
+  def qBandIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bt = StorageQueries.bucketTableName(dir, "bands")
+    StorageQueries.ensureTable(s, bt) {
+      bandedVecs(s, dir).write.mode("overwrite")
+        .bucketBy(8, "band_id", "band_val")
+        .sortBy("band_id", "band_val")
+        .saveAsTable(bt)
+    }
+    val banded = s.table(bt)
+    val q = banded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"band_id", $"band_val")
+    val cand = banded.hint("merge").join(q, Seq("band_id", "band_val"))
+      .filter($"vec_id" =!= $"q_id")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.select($"q_id", $"vec_id",
+      (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id",
+        (round($"cos", 4) + lit(0.0)).as("cos"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** Multi-probe LSH (q134): q41's banded index, but each query probes
     * its exact band bucket AND the four one-bit-flip neighbors — the
     * standard recall lever (Lv et al. 2007, "Multi-probe LSH") that
@@ -586,6 +626,7 @@ object SimilarityQueries extends QueryModule {
     "q135_probe_cost" -> (qProbeCost _),
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
+    "q143_band_index" -> (qBandIndexProbe _),
     "q42_ivf_ann"     -> (qIvfAnn _),
     "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
@@ -963,6 +1004,9 @@ object SimilarityQueries extends QueryModule {
     "q40_cosine_topk" -> exactTopkSql,
     "q43_topk_agg"    -> exactTopkSql,
     "q41_lsh_ann"     -> lshAnnSql,
+    // q143 = q41 served from the at-rest bucketed index: same answer,
+    // different plan — the oracle replay is identical by construction.
+    "q143_band_index" -> lshAnnSql,
     "q128_recall_eval" -> recallEvalSql,
     "q134_multiprobe_lsh" -> multiprobeLshSql,
     "q135_probe_cost" -> probeCostSql,

@@ -260,26 +260,34 @@ object StorageQueries extends QueryModule {
   private[operators] val JvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
+  /** JVM-scoped bucket-table name for `dir`-derived data. */
+  private[operators] def bucketTableName(dir: String, what: String): String =
+    s"graft_bkt_${what}_" +
+      new java.io.File(dir).getName.replace('.', '_') + "_" + JvmTag
+
+  /** The in-memory catalog dies with the JVM but the warehouse files
+    * don't: a table the catalog has never heard of may still own its
+    * location from a prior run — clear it, then land fresh. With the
+    * JVM-unique tag the path can only be THIS JVM's own leftover, so
+    * the delete can never race another session. (A real deployment
+    * registers bucket tables in a persistent metastore and never
+    * re-lands them; the re-land here is the test-scale stand-in.) */
+  private[operators] def ensureTable(s: SparkSession, name: String)(
+      build: => Unit): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      build
+    }
+
   def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tag = new java.io.File(dir).getName.replace('.', '_') + "_" + JvmTag
-    val ot = s"graft_bkt_orders_$tag"
-    val lt = s"graft_bkt_lineitem_$tag"
-    // The in-memory catalog dies with the JVM but the warehouse files
-    // don't: a table the catalog has never heard of may still own its
-    // location from a prior run — clear it, then land fresh. With the
-    // JVM-unique tag the path can only be THIS JVM's own leftover, so
-    // the delete can never race another session. (A real deployment
-    // registers bucket tables in a persistent metastore and never
-    // re-lands them; the re-land here is the test-scale stand-in.)
+    val ot = bucketTableName(dir, "orders")
+    val lt = bucketTableName(dir, "lineitem")
     def ensure(name: String)(build: => Unit): Unit =
-      if (!s.catalog.tableExists(name)) {
-        val p = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), name)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        build
-      }
+      ensureTable(s, name)(build)
     ensure(ot) {
       Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
         .write.mode("overwrite")

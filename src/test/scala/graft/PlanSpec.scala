@@ -127,6 +127,46 @@ class PlanSpec extends AnyFunSuite {
       "scans must read bucket files directly (bucketed read active)")
   }
 
+  test("q143 band index at rest: bucket-co-located probe, no exchange under the join") {
+    // the index table and its probe side (a filter of the same table)
+    // are both bucketed on the join keys (band_id, band_val): the band
+    // probe must read bucket files straight into SortMergeJoin — every
+    // Exchange in the plan sits ABOVE the join (candidate dedup, rank
+    // window, presentation sort), never under it
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = SparkEntry.queries("q143_band_index")(spark, sf)
+    df.collect() // AQE-final plan
+    // AQE wraps materialized stages in leaf QueryStageExec nodes, so a
+    // plain collect() never sees inside them — descend explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(df.queryExecution.executedPlan)
+    val smjs = all.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty,
+      s"merge hint must hold through AQE:\n${all.head}")
+    val underJoin = smjs.flatMap(_.children.flatMap(flatten).collect {
+      case e if e.nodeName.contains("Exchange") => e.nodeName
+    })
+    assert(underJoin.isEmpty,
+      s"band probe must not shuffle its bucketed inputs: $underJoin")
+    assert(all.exists(_.toString.contains("Bucketed: true")),
+      "scans must read bucket files directly (bucketed read active)")
+  }
+
+  test("q143 equals q41: the at-rest index changes the plan, not the answer") {
+    val live = SparkEntry.queries("q41_lsh_ann")(spark, sf).collect()
+    val atRest = SparkEntry.queries("q143_band_index")(spark, sf).collect()
+    assert(live.map(_.toString).toSeq === atRest.map(_.toString).toSeq)
+  }
+
   test("driver smoke contract: entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -79,8 +79,75 @@ object GraphQueries extends QueryModule {
     ranks.select($"node", round($"rank", 4).as("rank")).orderBy($"node")
   }
 
+  /** Triangle count + global clustering coefficient (q144) over the
+    * undirected item-transition graph — the third classic iterative/
+    * combinatorial graph shape after q64's connected components and
+    * q92's rank flow, and the standard link-graph health number next to
+    * centrality (a crawl graph whose clustering coefficient collapses
+    * is farm/spam-shaped). Algorithm: degree orientation (Suri &
+    * Vassilvitskii, "Counting triangles and the curse of the last
+    * reducer", WWW 2011) — each undirected edge is stored ONCE, oriented
+    * from its lower-(degree, id) endpoint to the higher; wedges are
+    * generated only at each edge's LOWER endpoint, whose out-degree is
+    * bounded by O(√m) under this orientation, so wedge volume is O(m^1.5)
+    * TOTAL and no hot hub ever materializes its full neighbor square (the
+    * "last reducer" a naive id-orientation dies on: a degree-10⁷ hub is
+    * 10¹⁴ id-ordered wedges but only ~m^0.5-bounded oriented ones).
+    * Wedge closure is one equi-join back against the oriented edge list.
+    * The oracle counts the SAME triangles via the id-ordered a<b<c form —
+    * orientation changes the join cost, never the triangle set. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    triangleStats(
+      edgesOf(s, dir)
+        .select(least($"src", $"dst").as("a"),
+          greatest($"src", $"dst").as("b"))
+        .distinct())
+  }
+
+  /** Degree-oriented triangle statistics over canonical undirected
+    * edges (a < b, deduplicated). Split from qTriangles so GraphSpec
+    * can pin the count on crafted fixture graphs. */
+  private[graft] def triangleStats(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val deg = und.select($"a".as("node"))
+      .unionAll(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    // orient a→b when (deg, id) of a < (deg, id) of b; ties broken by id
+    val withDeg = und
+      .join(deg.select($"node".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"d".as("db")), "b")
+    val oriented = withDeg.select(
+      when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), struct($"a", $"b", $"da", $"db"))
+        .otherwise(struct($"b".as("a"), $"a".as("b"), $"db".as("da"), $"da".as("db")))
+        .as("e"))
+      .select($"e.a".as("u"), $"e.b".as("v"), $"e.da".as("du"), $"e.db".as("dv"))
+    // wedges at the lower endpoint u: pick the (v, w) pair ordered by the
+    // same (deg, id) key so the closing edge is probed in ITS canonical
+    // orientation
+    val x = oriented.select($"u", $"v".as("xv"), $"dv".as("dxv"))
+    val y = oriented.select($"u", $"v".as("yv"), $"dv".as("dyv"))
+    val wedges = x.join(y, "u")
+      .filter($"dxv" < $"dyv" || ($"dxv" === $"dyv" && $"xv" < $"yv"))
+      .select($"xv".as("wa"), $"yv".as("wb"))
+    val tris = wedges.join(
+        oriented.select($"u".as("wa"), $"v".as("wb")), Seq("wa", "wb"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // `div` (integer division; d·(d−1) is even so it's exact) keeps the
+    // wedge total a BIGINT on both engines — Column./ would widen to
+    // double and the driver hash compares "123" vs "123.0" as different
+    val wedgeTotal = deg.agg(
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val edgeTotal = und.agg(count(lit(1)).as("n_edges"))
+    wedgeTotal.crossJoin(broadcast(edgeTotal)).crossJoin(broadcast(tris))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3.0) * $"n_triangles" / $"n_wedges", 4).as("clustering"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q92_pagerank" -> (qPagerank _))
+    Map("q92_pagerank" -> (qPagerank _),
+        "q144_triangles" -> (qTriangles _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
   override def oracleSql: Map[String, String] = {
@@ -101,7 +168,44 @@ object GraphQueries extends QueryModule {
         |  FROM nodes CROSS JOIN n
         |  LEFT JOIN c$cur ON nodes.node = c$cur.node
         |  CROSS JOIN d$cur)""".stripMargin
-    Map("q92_pagerank" ->
+    // q144's oracle counts the same triangles via the naive id-ordered
+    // a<b<c three-way self-join — affordable at oracle scale; the engine
+    // side reaches the identical set through degree orientation.
+    val trianglesSql =
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges),
+        |deg AS (
+        |  SELECT node, count(*) AS d
+        |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |agg AS (
+        |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+        |         count(*) AS n_nodes
+        |  FROM deg),
+        |ecnt AS (SELECT count(*) AS n_edges FROM und)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 4) AS clustering
+        |FROM agg CROSS JOIN ecnt CROSS JOIN tri""".stripMargin
+    Map(
+      "q144_triangles" -> trianglesSql,
+      "q92_pagerank" ->
       s"""WITH ev AS (
         |  SELECT user_id, ts, event_id,
         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item

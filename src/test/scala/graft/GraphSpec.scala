@@ -7,6 +7,32 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("triangles: degree-oriented count matches hand-counted fixtures") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 12 wedges) plus pendant 5—1
+    // (no new triangle, 3 new wedges at node 1): clustering = 12/15
+    val und = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("a", "b")
+    val row = GraphQueries.triangleStats(und).collect().head
+    assert(row.getAs[Long]("n_nodes") === 5L)
+    assert(row.getAs[Long]("n_edges") === 7L)
+    assert(row.getAs[Long]("n_wedges") === 15L)
+    assert(row.getAs[Long]("n_triangles") === 4L)
+    assert(row.getAs[Double]("clustering") === 0.8)
+  }
+
+  test("triangles: hub with no closure counts zero") {
+    import spark.implicits._
+    // star K1,6: every wedge is open — the exact hot-hub shape degree
+    // orientation exists for (all edges orient AWAY from leaves, so the
+    // hub never enumerates its neighbor square)
+    val star = (2L to 7L).map(i => (1L, i)).toDF("a", "b")
+    val row = GraphQueries.triangleStats(star).collect().head
+    assert(row.getAs[Long]("n_triangles") === 0L)
+    assert(row.getAs[Long]("n_wedges") === 15L)
+  }
+
   test("pagerank: mass conserved, floor respected, not uniform") {
     import spark.implicits._
     val ranks = GraphQueries.qPagerank(spark, sf)

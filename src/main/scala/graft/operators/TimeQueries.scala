@@ -500,7 +500,85 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** A/B experiment readout (q145): Welch's unequal-variance t-test of
+    * `value` between the two halves of a deterministic user-level
+    * assignment (user_id mod 2 — the hash-bucket assignment every
+    * experimentation platform uses, applied at the USER grain so one
+    * user never straddles arms), reported per event_type with the lift
+    * and Welch-Satterthwaite degrees of freedom (Welch 1947). This is
+    * the decision table an experiment review reads; on a no-effect
+    * assignment like this one it doubles as the A/A calibration run.
+    * Scale shape: one map-side-combined groupBy collapses the corpus to
+    * |types|×2 moment rows (count/mean/variance are all partial-agg
+    * mergeable); the t statistic is closed-form arithmetic on that tiny
+    * frame — nothing after the first aggregate scales with event
+    * volume, and there is no per-user state anywhere. */
+  def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.events(s, dir)
+      .select($"event_type", pmod($"user_id", lit(2)).as("variant"), $"value")
+      .groupBy($"event_type", $"variant")
+      .agg(count(lit(1)).as("n"), avg($"value").as("m"),
+        var_samp($"value").as("v2"))
+    val a = g.filter($"variant" === 0)
+      .select($"event_type", $"n".as("n0"), $"m".as("m0"), $"v2".as("v0"))
+    val b = g.filter($"variant" === 1)
+      .select($"event_type", $"n".as("n1"), $"m".as("m1"), $"v2".as("v1"))
+    val se0 = $"v0" / $"n0"
+    val se1 = $"v1" / $"n1"
+    val se2 = se0 + se1
+    a.join(b, "event_type").select($"event_type", $"n0", $"n1",
+        round($"m1" - $"m0", 4).as("lift"),
+        round(($"m1" - $"m0") / sqrt(se2), 4).as("t_stat"),
+        round(se2 * se2 /
+          (se0 * se0 / ($"n0" - 1) + se1 * se1 / ($"n1" - 1)), 1)
+          .as("df_welch"))
+      .orderBy($"event_type")
+  }
+
+  /** Sampled-estimate calibration (q146): per event_type, the mean of
+    * `value` estimated from a deterministic 1% sample with a CLT 95%
+    * interval, next to the exact mean and whether the interval covers
+    * it. This is the pricing table for sample-first analytics — the
+    * standard 100 TB move of answering dashboard-grade questions from a
+    * 1% scan with error bars instead of a full pass (BlinkDB's bounded-
+    * error contract, Agarwal et al. EuroSys 2013) — and running it as an
+    * audit query is how a platform proves its sample tier is honest.
+    * The coin is the suite's md5-uniform (engine-replayable, re-derivable
+    * months later); both membership and moments are one map + one
+    * partial-agg pass, and in the production form the `u < 0.01`
+    * predicate is all that runs — the exact column here exists to judge
+    * the estimator. */
+  def qSampleEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat(lit("se:"),
+      $"event_id".cast("string"))), 1, 6), 16, 10).cast("double") /
+      lit(16777216.0)
+    val half = lit(1.96) * sqrt($"v_sample" / $"n_sample")
+    Tables.events(s, dir)
+      .select($"event_type", $"value", (u < 0.01).as("in_sample"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        avg($"value").as("exact_mean"),
+        count(when($"in_sample", 1)).as("n_sample"),
+        avg(when($"in_sample", $"value")).as("est_mean"),
+        var_samp(when($"in_sample", $"value")).as("v_sample"))
+      .select($"event_type", $"n", $"n_sample",
+        round($"exact_mean", 4).as("exact_mean"),
+        round($"est_mean", 4).as("est_mean"),
+        round($"est_mean" - half, 4).as("ci_lo"),
+        round($"est_mean" + half, 4).as("ci_hi"),
+        // a 1-element sample has no variance → NULL interval; report
+        // covered=false rather than a null boolean (the two engines'
+        // null-bool string forms differ in the driver compare)
+        coalesce($"exact_mean" >= $"est_mean" - half &&
+          $"exact_mean" <= $"est_mean" + half, lit(false)).as("covered"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_sample_estimate" -> (qSampleEstimate _),
+    "q145_ab_test" -> (qAbTest _),
     "q130_mad_outliers" -> (qMadOutliers _),
     "q133_split_leakage" -> (qTimeSplitLeakage _),
     "q122_locf_impute"  -> (qLocfImpute _),
@@ -522,6 +600,45 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q146: identical md5-uniform coin and CLT arithmetic; coverage is
+    // judged on the UNROUNDED doubles in both engines
+    "q146_sample_estimate" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    ('0x' || substr(md5('se:' || CAST(event_id AS VARCHAR)), 1, 6))
+        |      ::BIGINT / 16777216.0 < 0.01 AS in_sample
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, count(*) AS n, avg(value) AS exact_mean,
+        |    count(CASE WHEN in_sample THEN 1 END) AS n_sample,
+        |    avg(CASE WHEN in_sample THEN value END) AS est_mean,
+        |    var_samp(CASE WHEN in_sample THEN value END) AS v_sample
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, n, n_sample,
+        |  round(exact_mean, 4) AS exact_mean,
+        |  round(est_mean, 4) AS est_mean,
+        |  round(est_mean - 1.96 * sqrt(v_sample / n_sample), 4) AS ci_lo,
+        |  round(est_mean + 1.96 * sqrt(v_sample / n_sample), 4) AS ci_hi,
+        |  coalesce(exact_mean >= est_mean - 1.96 * sqrt(v_sample / n_sample)
+        |   AND exact_mean <= est_mean + 1.96 * sqrt(v_sample / n_sample),
+        |   false) AS covered
+        |FROM g ORDER BY event_type""".stripMargin,
+    // q145: same closed-form Welch arithmetic over the same per-arm
+    // moment rows; user_id is non-negative so % matches Spark's pmod
+    "q145_ab_test" ->
+      """WITH g AS (
+        |  SELECT event_type, user_id % 2 AS variant,
+        |    count(*) AS n, avg(value) AS m, var_samp(value) AS v2
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type, a.n AS n0, b.n AS n1,
+        |  round(b.m - a.m, 4) AS lift,
+        |  round((b.m - a.m) / sqrt(a.v2 / a.n + b.v2 / b.n), 4) AS t_stat,
+        |  round(pow(a.v2 / a.n + b.v2 / b.n, 2)
+        |    / (pow(a.v2 / a.n, 2) / (a.n - 1)
+        |       + pow(b.v2 / b.n, 2) / (b.n - 1)), 1) AS df_welch
+        |FROM g a JOIN g b
+        |  ON a.event_type = b.event_type AND a.variant = 0 AND b.variant = 1
+        |ORDER BY a.event_type""".stripMargin,
     "q122_locf_impute" ->
       """SELECT event_id, user_id, event_type,
         |  round(CASE WHEN event_type = 'purchase' THEN value END + 0.0, 4)

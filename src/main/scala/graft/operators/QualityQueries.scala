@@ -98,6 +98,73 @@ object QualityQueries extends QueryModule {
       .orderBy($"l_returnflag")
   }
 
+  private val KmvK = 256
+
+  /** KMV distinct-INTERSECTION sketch (q147): how many distinct users
+    * does each pair of event types share — answered from k-minimum-
+    * values sketches (Beyer et al., SIGMOD 2007; the θ-sketch family's
+    * ancestor) instead of the user-keyed self-join the exact answer
+    * needs. This is the set operation HLL (q49/q141) structurally can't
+    * do: HLL unions but never intersects; KMV supports full set algebra
+    * — the union sketch is just the k smallest of the two sketches'
+    * concatenation, and the fraction of it present in both sides
+    * estimates Jaccard, hence overlap = jaccard-fraction × union
+    * estimate. Per type the sketch is the k smallest 48-bit md5 hashes
+    * of user_id — built with one distinct + bounded-heap top-k
+    * (WindowGroupLimit, no full sort), |types|×k rows total however
+    * large the corpus; every pairwise estimate after that is algebra on
+    * sketch rows. The md5 coin makes the whole estimator ENGINE-
+    * REPLAYABLE — unlike q49/q141's each-engine-judges-its-own-sketch
+    * convention, the estimates themselves hash-match the oracle — and
+    * the exact overlap (the join the sketch exists to avoid) rides
+    * along as the audit column with the relative error priced per pair.
+    * A sketch shorter than k is the set itself: θ stays 1 and the
+    * "estimates" degrade gracefully to exact counts. */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val Full = 281474976710656L // 2^48
+    val h = conv(substring(md5(concat(lit("kmv:"),
+      $"user_id".cast("string"))), 1, 12), 16, 10).cast("long")
+    val du = Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+    val hashed = du.select($"event_type", h.as("h")).distinct()
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+    val sk = hashed.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= KmvK).select($"event_type", $"h")
+    val types = sk.select($"event_type").distinct()
+    val pairs = types.select($"event_type".as("ta"))
+      .crossJoin(types.select($"event_type".as("tb")))
+      .filter($"ta" < $"tb")
+    // tag each sketch row with every pair it serves (pairs frame is
+    // |types|² rows — broadcast; sketch side is |types|×k, corpus-free)
+    val tagged = broadcast(pairs).join(sk,
+      sk("event_type") === $"ta" || sk("event_type") === $"tb")
+    val contrib = tagged.groupBy($"ta", $"tb", $"h")
+      .agg(count(lit(1)).as("sides")) // 2 ⇔ hash present in both sketches
+    val wu = Window.partitionBy($"ta", $"tb").orderBy($"h")
+    val unionSk = contrib.withColumn("rk", row_number().over(wu))
+      .filter($"rk" <= KmvK)
+    val stats = unionSk.groupBy($"ta", $"tb").agg(
+      count(lit(1)).as("ku"),
+      max($"h").as("theta"),
+      sum(when($"sides" === 2, 1L).otherwise(0L)).as("common"))
+    val estUnion = when($"ku" < KmvK, $"ku".cast("double"))
+      .otherwise(($"ku" - 1).cast("double") * Full / $"theta")
+    val estOverlap = $"common".cast("double") / $"ku" * estUnion
+    val exact = du.as("x")
+      .join(du.select($"event_type".as("tb2"), $"user_id").as("y"), "user_id")
+      .filter($"event_type" < $"tb2")
+      .groupBy($"event_type".as("ta"), $"tb2".as("tb"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    stats.join(exact, Seq("ta", "tb"))
+      .select($"ta", $"tb", $"exact_overlap", $"common",
+        round(estOverlap, 1).as("est_overlap"),
+        round(abs(estOverlap - $"exact_overlap") / $"exact_overlap", 4)
+          .as("rel_err"))
+      .orderBy($"ta", $"tb")
+  }
+
   /** Mergeable-sketch rollup (q141): the two-level pattern a 100 TB
     * warehouse actually runs — build one DataSketches HLL per
     * (returnflag, ship-month) partition slice, then UNION the sketch
@@ -615,6 +682,7 @@ object QualityQueries extends QueryModule {
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
       "q141_sketch_rollup"   -> (qSketchRollup _),
+      "q147_kmv_overlap"     -> (qKmvOverlap _),
       "q58_length_quantiles" -> (qLengthQuantiles _),
       "q59_train_split"      -> (qTrainSplit _),
       "q70_stratified_sample" -> (qStratifiedSample _),
@@ -628,6 +696,61 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q147: the FULL estimator replays — md5 hashes, per-type k-minimum
+    // sketches, union-sketch algebra — so the estimates themselves
+    // hash-match; double arithmetic is written in the same association
+    // order on both engines (IEEE ops are deterministic given identical
+    // operand order)
+    "q147_kmv_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |hs AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
+        |      ::BIGINT AS h
+        |  FROM du),
+        |sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |    FROM hs)
+        |  WHERE rk <= 256),
+        |types AS (SELECT DISTINCT event_type FROM sk),
+        |pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM types a, types b WHERE a.event_type < b.event_type),
+        |tagged AS (
+        |  SELECT ta, tb, h FROM pairs JOIN sk
+        |    ON sk.event_type = ta OR sk.event_type = tb),
+        |contrib AS (
+        |  SELECT ta, tb, h, count(*) AS sides
+        |  FROM tagged GROUP BY 1, 2, 3),
+        |usk AS (
+        |  SELECT * FROM (
+        |    SELECT ta, tb, h, sides,
+        |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+        |    FROM contrib)
+        |  WHERE rk <= 256),
+        |stats AS (
+        |  SELECT ta, tb, count(*) AS ku, max(h) AS theta,
+        |    CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS common
+        |  FROM usk GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    count(*) AS exact_overlap
+        |  FROM du x JOIN du y
+        |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, exact_overlap, common,
+        |  round((CAST(common AS DOUBLE) / ku) *
+        |    (CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |          ELSE (ku - 1) * 281474976710656.0 / theta END), 1)
+        |    AS est_overlap,
+        |  round(abs((CAST(common AS DOUBLE) / ku) *
+        |    (CASE WHEN ku < 256 THEN CAST(ku AS DOUBLE)
+        |          ELSE (ku - 1) * 281474976710656.0 / theta END)
+        |    - exact_overlap) / exact_overlap, 4) AS rel_err
+        |FROM stats JOIN exact USING (ta, tb) ORDER BY ta, tb""".stripMargin,
     "q105_epoch_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -708,6 +708,39 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Edit-distance near-dup verify (q148): the CHARACTER-level
+    * similarity modality the suite's other dedup paths don't cover —
+    * token Jaccard (q31), MinHash (q32), SimHash (q33) and embedding
+    * cosine (q34) all tokenize first, so a pair differing by in-word
+    * typos/OCR noise can slip every token-level net. Classic record-
+    * linkage shape (Fellegi & Sunter 1969): cheap BLOCKING first (first
+    * two tokens, block size capped like q31's MaxBlock so no hot block
+    * goes quadratic), then the expensive exact verify — normalized
+    * Levenshtein over a fixed 60-char prefix — only inside blocks.
+    * Levenshtein is O(len²) per pair, which is exactly why the prefix
+    * is FIXED-length: per-pair cost is a constant, total cost is
+    * pairs-in-blocks, and both are corpus-rate-independent knobs. Both
+    * engines ship the same DP levenshtein, so the oracle replays the
+    * verify exactly. */
+  def qEditDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", substring($"text", 1, 60).as("p"),
+        concat_ws(" ", slice(split($"text", " "), 1, 2)).as("blk"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("x_id"), $"p".as("xp"), $"blk")
+    val y = d.select($"doc_id".as("y_id"), $"p".as("yp"), $"blk")
+    val sim = lit(1.0) - levenshtein($"xp", $"yp").cast("double") /
+      greatest(length($"xp"), length($"yp"))
+    x.join(y, Seq("blk"))
+      .filter($"x_id" < $"y_id")
+      .filter(sim >= 0.7)
+      .select($"x_id", $"y_id", round(sim, 4).as("sim"))
+      .orderBy($"x_id", $"y_id")
+  }
+
   /** Intra-document repetition score — the standard generated-/boiler-
     * plate-text quality gate: 1 − distinct/total word-trigrams. High
     * values mean the document repeats itself. Map-only expressions, no
@@ -729,6 +762,7 @@ object DedupQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact"   -> (qDedupExact _),
     "q28_span_dedup"    -> (qSpanDedup _),
+    "q148_edit_dedup"   -> (qEditDedup _),
     "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
@@ -810,6 +844,24 @@ object DedupQueries extends QueryModule {
       "q30_dedup_exact" ->
         """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+      // q148: both engines ship the same DP levenshtein; the similarity
+      // expression is written in identical association order so the
+      // filter threshold and the rounded output agree bit-for-bit
+      "q148_edit_dedup" ->
+        s"""WITH d AS (
+          |  SELECT doc_id, substr(text, 1, 60) AS p,
+          |    array_to_string((str_split(text, ' '))[1:2], ' ') AS blk
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, count(*) OVER (PARTITION BY blk) AS blk_n FROM d)
+          |SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |  round(1.0 - levenshtein(x.p, y.p)
+          |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE), 4) AS sim
+          |FROM c x JOIN c y ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |WHERE x.blk_n <= $MaxBlock AND y.blk_n <= $MaxBlock
+          |  AND 1.0 - levenshtein(x.p, y.p)
+          |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE) >= 0.7
+          |ORDER BY x_id, y_id""".stripMargin,
       "q31_ngram_jaccard" ->
         s"""WITH t AS (
           |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

@@ -576,7 +576,72 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Volume-trend detector (q149): per event_type, OLS of daily count
+    * on day index over the gap-filled spine — the monitoring companion
+    * to q130: MAD flags LEVEL anomalies (a bad day), the regression
+    * slope flags DRIFT (a feed decaying 2%/day never trips a daily
+    * alarm until it's mostly gone). Gap-filling matters here even more
+    * than in q130 — missing days ARE the signal a dying feed emits, and
+    * skipping them biases the slope toward zero. Scale shape: corpus →
+    * |types|×|days| cells in one agg; regr_* are closed-form moment
+    * folds over that tiny frame (same estimator both engines, q140's
+    * convention). The declining flag compares on the rounded grid so an
+    * engine-ulp slope near zero can't flip it. */
+  def qTrendDetector(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select($"lo", explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type",
+        datediff($"day", $"lo").cast("double").as("x"),
+        coalesce($"n", lit(0L)).cast("double").as("y"))
+    filled.groupBy($"event_type")
+      .agg((round(regr_slope($"y", $"x"), 4) + lit(0.0)).as("slope"),
+        (round(regr_intercept($"y", $"x"), 4) + lit(0.0)).as("icept"),
+        (round(regr_r2($"y", $"x"), 4) + lit(0.0)).as("r2"))
+      .withColumn("declining", $"slope" < 0.0)
+      .orderBy($"event_type")
+  }
+
+  /** Funnel latency (q150): q99 counts WHO converts; this prices HOW
+    * LONG conversion takes — median and p90 hours from a user's first
+    * view to their first subsequent purchase, by first-view day cohort
+    * (the product-analytics time-to-convert curve; its drift is a
+    * leading indicator the conversion count hides). Same first-touch
+    * semantics as q99 (min-ts per user, strictly-after ordering); the
+    * corpus collapses to one row per converting user before any
+    * percentile, so the quantile input scales with users, not events. */
+  def qFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id", $"t_view").agg(min($"ts").as("t_purchase"))
+    val lat = p.select(to_date($"t_view").as("cohort"),
+      ((unix_micros($"t_purchase") - unix_micros($"t_view")) /
+        lit(3600000000.0)).as("hours"))
+    lat.groupBy($"cohort")
+      .agg(count(lit(1)).as("n_converters"),
+        round(percentile($"hours", lit(0.5)), 4).as("p50_hours"),
+        round(percentile($"hours", lit(0.9)), 4).as("p90_hours"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+        $"n_converters", $"p50_hours", $"p90_hours")
+      .orderBy($"cohort")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_trend_detector" -> (qTrendDetector _),
+    "q150_funnel_latency" -> (qFunnelLatency _),
     "q146_sample_estimate" -> (qSampleEstimate _),
     "q145_ab_test" -> (qAbTest _),
     "q130_mad_outliers" -> (qMadOutliers _),
@@ -600,6 +665,58 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q149: same gap-filled spine as q116, same closed-form regr_*
+    // estimators as q140; declining judged on the rounded grid
+    "q149_trend_detector" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT event_type, day, count(*) AS n
+        |  FROM ev GROUP BY event_type, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT lo, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |et AS (SELECT DISTINCT event_type FROM ev),
+        |filled AS (
+        |  SELECT et.event_type,
+        |    CAST(date_diff('day', d.lo, d.day) AS DOUBLE) AS x,
+        |    CAST(coalesce(daily.n, 0) AS DOUBLE) AS y
+        |  FROM et CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = et.event_type
+        |    AND daily.day = d.day),
+        |fit AS (
+        |  SELECT event_type,
+        |    round(regr_slope(y, x), 4) + 0.0 AS slope,
+        |    round(regr_intercept(y, x), 4) + 0.0 AS icept,
+        |    round(regr_r2(y, x), 4) + 0.0 AS r2
+        |  FROM filled GROUP BY event_type)
+        |SELECT event_type, slope, icept, r2, slope < 0.0 AS declining
+        |FROM fit ORDER BY event_type""".stripMargin,
+    // q150: q99's first-touch semantics with the latency percentiles on
+    // the per-converter frame
+    "q150_funnel_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, ts FROM events),
+        |v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT ev.user_id, v.t_view, min(ev.ts) AS t_purchase
+        |  FROM ev JOIN v ON ev.user_id = v.user_id
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > v.t_view
+        |  GROUP BY ev.user_id, v.t_view),
+        |lat AS (
+        |  SELECT CAST(t_view AS DATE) AS cohort,
+        |    (epoch_us(t_purchase) - epoch_us(t_view)) / 3600000000.0
+        |      AS hours
+        |  FROM p)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  count(*) AS n_converters,
+        |  round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+        |  round(quantile_cont(hours, 0.9), 4) AS p90_hours
+        |FROM lat GROUP BY cohort ORDER BY cohort""".stripMargin,
     // q146: identical md5-uniform coin and CLT arithmetic; coverage is
     // judged on the UNROUNDED doubles in both engines
     "q146_sample_estimate" ->

@@ -312,6 +312,46 @@ object StorageQueries extends QueryModule {
       .orderBy($"o_orderpriority")
   }
 
+  /** Release diff card (q151): the per-source SUMMARY diff between two
+    * dataset versions — doc and token deltas with percentage change —
+    * completing the release-governance ladder: q97 says WHETHER
+    * partitions diverged, q118 says WHICH rows, this says WHAT a release
+    * note reads ("source X: −5.9% docs, −6.1% tokens"). Versions reuse
+    * q118's deterministic v1→v2 derivation (drop %17==3, clone %25==0 at
+    * +1e6; q118's %10 text rewrite is count-invariant and so doesn't
+    * appear in a count card) — the two storage queries audit the SAME
+    * release. Each version collapses to a |sources|-row aggregate before
+    * the full-outer join — the diff costs two scans and a tiny join at
+    * any corpus size, and a source present in only one version still
+    * reports (zero-coalesced sides). */
+  def qReleaseDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_toks"))
+    val v2 = base.filter($"doc_id" % 17 =!= 3)
+      .unionByName(base.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"source", $"n_toks"))
+    def roll(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"source").agg(
+        count(lit(1)).as(s"docs_$tag"), sum($"n_toks").as(s"toks_$tag"))
+    roll(base, "v1").join(roll(v2, "v2"), Seq("source"), "full_outer")
+      .select($"source",
+        coalesce($"docs_v1", lit(0L)).as("docs_v1"),
+        coalesce($"docs_v2", lit(0L)).as("docs_v2"),
+        coalesce($"toks_v1", lit(0L)).as("toks_v1"),
+        coalesce($"toks_v2", lit(0L)).as("toks_v2"))
+      .select($"source", $"docs_v1", $"docs_v2",
+        ($"docs_v2" - $"docs_v1").as("docs_delta"),
+        (round(($"docs_v2" - $"docs_v1").cast("double") / $"docs_v1", 4)
+          + lit(0.0)).as("docs_pct"),
+        $"toks_v1", $"toks_v2",
+        ($"toks_v2" - $"toks_v1").as("toks_delta"),
+        (round(($"toks_v2" - $"toks_v1").cast("double") / $"toks_v1", 4)
+          + lit(0.0)).as("toks_pct"))
+      .orderBy($"source")
+  }
+
   /** Snapshot diff (q118): row-level added/removed/changed between two
     * table versions, the reconciliation step after any backfill or
     * migration (q97's checksums say WHETHER partitions diverged; this
@@ -524,6 +564,7 @@ object StorageQueries extends QueryModule {
       "q124_delta_agg"     -> (qDeltaAgg _),
       "q117_bucket_join"   -> (qBucketJoin _),
       "q118_snapshot_diff" -> (qSnapshotDiff _),
+      "q151_release_diff"  -> (qReleaseDiff _),
       "q120_column_profile" -> (qColumnProfile _),
       "q139_skew_profile"  -> (qSkewProfile _),
       "q123_cdc_apply"     -> (qCdcApply _),
@@ -541,6 +582,38 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q151: replay the count-relevant half of q118's v2 derivation and
+    // the per-source rollup; all counts land as BIGINT on both engines
+    "q151_release_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source, n_toks FROM base WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, n_toks FROM base
+        |  WHERE doc_id % 25 = 0),
+        |r1 AS (
+        |  SELECT source, count(*) AS docs_v1,
+        |    CAST(sum(n_toks) AS BIGINT) AS toks_v1
+        |  FROM base GROUP BY source),
+        |r2 AS (
+        |  SELECT source, count(*) AS docs_v2,
+        |    CAST(sum(n_toks) AS BIGINT) AS toks_v2
+        |  FROM v2 GROUP BY source),
+        |j AS (
+        |  SELECT coalesce(r1.source, r2.source) AS source,
+        |    coalesce(docs_v1, 0) AS docs_v1, coalesce(docs_v2, 0) AS docs_v2,
+        |    coalesce(toks_v1, 0) AS toks_v1, coalesce(toks_v2, 0) AS toks_v2
+        |  FROM r1 FULL OUTER JOIN r2 ON r1.source = r2.source)
+        |SELECT source, docs_v1, docs_v2, docs_v2 - docs_v1 AS docs_delta,
+        |  round(CAST(docs_v2 - docs_v1 AS DOUBLE) / docs_v1, 4) + 0.0
+        |    AS docs_pct,
+        |  toks_v1, toks_v2, toks_v2 - toks_v1 AS toks_delta,
+        |  round(CAST(toks_v2 - toks_v1 AS DOUBLE) / toks_v1, 4) + 0.0
+        |    AS toks_pct
+        |FROM j ORDER BY source""".stripMargin,
     "q131_delete_cascade" ->
       """WITH before AS (
         |  SELECT event_type, count(*) AS n_before

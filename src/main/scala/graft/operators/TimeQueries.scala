@@ -639,7 +639,43 @@ object TimeQueries extends QueryModule {
       .orderBy($"cohort")
   }
 
+  /** Top session paths (q152): the most common event-type JOURNEYS —
+    * q26's 30-minute sessionization, each session's ordered event-type
+    * sequence folded to a path string, global top-20 paths by session
+    * count (the product-analytics Sankey/flow source; q99's funnel is
+    * one hand-picked path, this surfaces the paths users actually
+    * take). Ordering inside a session is (ts, event_id) — fully
+    * deterministic under timestamp ties. Scale shape: one user-keyed
+    * shuffle builds sessions, paths reduce sessions→distinct-path
+    * counts with partial agg, and the final top-20 rank window rewrites
+    * to the bounded-heap aggregate (TopKWindowRule), so no global sort
+    * of the path dictionary ever runs. Path length is bounded by
+    * session length; a bot session that never gaps is the one unbounded
+    * input, and it's exactly what q103's throttle removes upstream. */
+  def qSessionPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = $"ts".cast("double") - lag($"ts", 1).over(byUser).cast("double")
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("new_sess",
+        when(gap.isNull || gap > 1800.0, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess.groupBy($"user_id", $"session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy($"path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"n_sessions".desc, $"path".asc)))
+      .filter($"rk" <= 20)
+      .select($"rk", $"path", $"n_sessions")
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
     "q150_funnel_latency" -> (qFunnelLatency _),
     "q146_sample_estimate" -> (qSampleEstimate _),
@@ -665,6 +701,34 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q152: q26's session rule with deterministic (ts, event_id)
+    // in-session ordering; DuckDB's ordered string_agg replays the
+    // path fold exactly
+    "q152_session_paths" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(CAST(ts AS TIMESTAMP))
+        |              - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800.0
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY user_id, session_id),
+        |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path),
+        |r AS (
+        |  SELECT path, n_sessions,
+        |    CAST(row_number() OVER (ORDER BY n_sessions DESC, path)
+        |      AS INTEGER) AS rk
+        |  FROM c)
+        |SELECT rk, path, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // q149: same gap-filled spine as q116, same closed-form regr_*
     // estimators as q140; declining judged on the rounded grid
     "q149_trend_detector" ->

@@ -358,7 +358,53 @@ object Relational extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** Referential-integrity audit (q153): the nightly data-quality gate
+    * a warehouse runs over every foreign-key edge of the star schema —
+    * child rows, distinct FK values, orphan rows (left-anti against the
+    * parent key set) and coverage, one row per edge. This is the check
+    * that catches a partial parent-table load or a late-arriving-fact
+    * window BEFORE a join silently drops rows downstream. Scale shape:
+    * each edge is one anti-join count — dimension parents broadcast;
+    * the two fact-fact edges shuffle on the join key exactly like the
+    * joins they guard — and edges are independent, so the audit
+    * parallelizes across the schema. NULL FKs are excluded from the
+    * orphan count (a null FK is a modeling choice, not a broken
+    * reference) — mirrored as NOT EXISTS in the oracle. */
+  def qRiAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk).as("k")).filter(col("k").isNotNull)
+      val orphans = c.join(parent.select(col(pk).as("k")), Seq("k"),
+        "left_anti")
+      c.agg(count(lit(1)).as("n_child"),
+          countDistinct($"k").as("n_fk_values"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(name).as("edge"), $"n_child", $"n_fk_values",
+          $"n_orphans",
+          round(lit(1.0) - $"n_orphans".cast("double") / $"n_child", 4)
+            .as("coverage"))
+    }
+    Seq(
+      edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem->part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("lineitem->supplier", Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      edge("nation->region", Tables.nation(s, dir), "n_regionkey",
+        Tables.region(s, dir), "r_regionkey"),
+      edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+    ).reduce(_.unionByName(_)).orderBy($"edge")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_ri_audit"     -> (qRiAudit _),
     "q95_nested_rollup" -> (qNestedRollup _),
     "q1_agg"            -> (q1Agg _),
     "q9_salted_agg"     -> (q9SaltedAgg _),
@@ -378,6 +424,38 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q153: NOT EXISTS mirrors left-anti's null-safe semantics; each
+    // edge block is the same count triple the Spark side folds
+    "q153_ri_audit" -> {
+      def edgeSql(name: String, child: String, fk: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS edge,
+          |  count(*) AS n_child,
+          |  count(DISTINCT $fk) AS n_fk_values,
+          |  CAST(sum(CASE WHEN NOT EXISTS
+          |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+          |  round(1.0 - CAST(sum(CASE WHEN NOT EXISTS
+          |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
+          |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage
+          |FROM $child c WHERE c.$fk IS NOT NULL""".stripMargin
+      Seq(
+        edgeSql("customer->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        edgeSql("lineitem->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        edgeSql("lineitem->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        edgeSql("lineitem->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        edgeSql("nation->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        edgeSql("orders->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        edgeSql("supplier->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
     // q95's oracle needs no nested types at all: the ordered string_agg
     // IS the canonical serialization the Spark side fingerprints
     "q95_nested_rollup" ->

@@ -674,7 +674,46 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** CUPED variance reduction (q154): the standard experimentation-
+    * platform trick (Deng et al., WSDM 2013) — regress each user's
+    * post-period metric on their PRE-period baseline and analyze the
+    * residual; the experiment in q145 then needs var_adj/var_raw as
+    * much traffic for the same power. The split point is the midpoint
+    * of the observed time range (deterministic, engine-replayable);
+    * users contribute only with activity on BOTH sides. Everything
+    * reduces in ONE pass over the per-user frame: θ = cov/var_pre and
+    * var_adj = var_post − cov²/var_pre are algebra on four mergeable
+    * moments — no second adjusted-value pass, no residual
+    * materialization, nothing after the user-grain aggregate scales
+    * with event volume. reduction = cov²/(var_pre·var_post) is the
+    * squared pre/post correlation — the ceiling CUPED theory promises. */
+  def qCuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"user_id", $"ts", $"value")
+    val bounds = ev.agg(min($"ts").as("lo"), max($"ts").as("hi"))
+      .select(expr("(unix_micros(lo) + unix_micros(hi)) div 2").as("cut"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy($"event_type", $"user_id")
+      .agg(avg(when(unix_micros($"ts") < $"cut", $"value")).as("pre"),
+        avg(when(unix_micros($"ts") >= $"cut", $"value")).as("post"))
+      .filter($"pre".isNotNull && $"post".isNotNull)
+    per.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_users"),
+        covar_samp($"post", $"pre").as("cov"),
+        var_samp($"pre").as("vpre"),
+        var_samp($"post").as("vpost"))
+      .select($"event_type", $"n_users",
+        (round($"cov" / $"vpre", 4) + lit(0.0)).as("theta"),
+        round($"vpost", 4).as("var_raw"),
+        (round($"vpost" - $"cov" * $"cov" / $"vpre", 4) + lit(0.0))
+          .as("var_adj"),
+        round($"cov" * $"cov" / ($"vpre" * $"vpost"), 4).as("reduction"))
+      .orderBy($"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
     "q150_funnel_latency" -> (qFunnelLatency _),
@@ -701,6 +740,33 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q154: same midpoint cut, same four mergeable moments, identical
+    // association order in the θ / var_adj / reduction algebra
+    "q154_cuped" ->
+      """WITH b AS (
+        |  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS cut
+        |  FROM events),
+        |per AS (
+        |  SELECT event_type, user_id,
+        |    avg(CASE WHEN epoch_us(ts) < cut THEN value END) AS pre,
+        |    avg(CASE WHEN epoch_us(ts) >= cut THEN value END) AS post
+        |  FROM events CROSS JOIN b
+        |  GROUP BY event_type, user_id),
+        |f AS (
+        |  SELECT event_type, user_id, pre, post FROM per
+        |  WHERE pre IS NOT NULL AND post IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_users,
+        |    covar_samp(post, pre) AS cov,
+        |    var_samp(pre) AS vpre,
+        |    var_samp(post) AS vpost
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, n_users,
+        |  round(cov / vpre, 4) + 0.0 AS theta,
+        |  round(vpost, 4) AS var_raw,
+        |  round(vpost - cov * cov / vpre, 4) + 0.0 AS var_adj,
+        |  round(cov * cov / (vpre * vpost), 4) AS reduction
+        |FROM m ORDER BY event_type""".stripMargin,
     // q152: q26's session rule with deterministic (ts, event_id)
     // in-session ordering; DuckDB's ordered string_agg replays the
     // path fold exactly

@@ -712,7 +712,42 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Empirical-Bayes rate shrinkage (q155): per-item purchase rate
+    * shrunk toward the global prior (Efron & Morris 1975; the
+    * beta-binomial method-of-moments fit) — the ranking fix for
+    * small-sample cells: a 1-for-1 item must not outrank a 95-for-100
+    * one, and a raw-rate sort does exactly that. Prior strength
+    * M = m(1−m)/var(p) − 1 comes from the observed between-item rate
+    * spread (floored at 1 to stay proper); shrunk = (x + M·m)/(n + M),
+    * so high-n items keep their data and low-n items ride the prior.
+    * Scale shape: corpus → |items| rows in one partial agg; the prior
+    * is a 1-row broadcast; nothing downstream scales with events. The
+    * same estimator prices any per-cell rate table — CTR, defect rate,
+    * per-source dedup rate — before someone ranks by it. */
+  def qEbRates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("item"),
+        ($"event_type" === "purchase").cast("long").as("hit"))
+      .filter($"item".isNotNull)
+    val per = ev.groupBy($"item")
+      .agg(count(lit(1)).as("n"), sum($"hit").as("x"))
+      .withColumn("p", $"x".cast("double") / $"n")
+    val g = per.agg(
+      (sum($"x").cast("double") / sum($"n")).as("m"),
+      var_samp($"p").as("vp"))
+    per.crossJoin(broadcast(g))
+      .withColumn("bigM",
+        greatest($"m" * (lit(1.0) - $"m") / $"vp" - 1.0, lit(1.0)))
+      .select($"item", $"n", $"x", round($"p", 4).as("raw_rate"),
+        round(($"x" + $"bigM" * $"m") / ($"n" + $"bigM"), 4)
+          .as("shrunk_rate"),
+        round($"bigM", 4).as("prior_strength"))
+      .orderBy($"item")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_eb_rates" -> (qEbRates _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -740,6 +775,29 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q155: same beta-binomial MoM fit, identical association order in
+    // the prior-strength and shrinkage algebra
+    "q155_eb_rates" ->
+      """WITH ev AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |per AS (
+        |  SELECT item, count(*) AS n, CAST(sum(hit) AS BIGINT) AS x
+        |  FROM ev GROUP BY item),
+        |p2 AS (SELECT item, n, x, CAST(x AS DOUBLE) / n AS p FROM per),
+        |g AS (
+        |  SELECT CAST(sum(x) AS DOUBLE) / sum(n) AS m, var_samp(p) AS vp
+        |  FROM p2),
+        |j AS (
+        |  SELECT p2.*, g.m,
+        |    greatest(g.m * (1.0 - g.m) / g.vp - 1.0, 1.0) AS bigM
+        |  FROM p2 CROSS JOIN g)
+        |SELECT item, n, x, round(p, 4) AS raw_rate,
+        |  round((x + bigM * m) / (n + bigM), 4) AS shrunk_rate,
+        |  round(bigM, 4) AS prior_strength
+        |FROM j ORDER BY item""".stripMargin,
     // q154: same midpoint cut, same four mergeable moments, identical
     // association order in the θ / var_adj / reduction algebra
     "q154_cuped" ->

@@ -89,6 +89,42 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Shingle containment (q159): the DIRECTIONAL dedup measure,
+    * C(A,B) = |S(A)∩S(B)| / |S(A)| (Broder 1997, "On the resemblance
+    * and containment of documents"). Jaccard (q31) misses subset
+    * duplicates — a doc quoted whole inside a longer one scores J =
+    * |A|/|B| (low) but C(A→B) = 1.0; a training corpus wants those
+    * dropped as aggressively as symmetric near-dups. Same content-
+    * derived min-shingle blocking + MaxBlock guard as q31 (one shuffle
+    * on the block key, never all-pairs); pairs are emitted in BOTH
+    * directions because containment is asymmetric — each direction is
+    * its own verdict. Threshold compares the ROUNDED value on both
+    * engines so the boundary is engine-agnostic. */
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(s, dir))
+
+  /** Split from qContainment so DedupSpec can pin asymmetric fixtures. */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val d = docs
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("x_id"), $"blk", $"sh".as("x_sh"))
+    val y = d.select($"doc_id".as("y_id"), $"blk", $"sh".as("y_sh"))
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    x.join(y, Seq("blk"))
+      .filter($"x_id" =!= $"y_id")
+      .select($"x_id", $"y_id",
+        size($"x_sh").cast("long").as("n_x"), inter.as("n_common"),
+        round(inter.cast("double") / size($"x_sh"), 4).as("containment"))
+      .filter($"containment" >= 0.9)
+      .orderBy($"x_id", $"y_id")
+  }
+
   private val MinhashK = 32   // signature length
   private val BandRows = 4    // rows per LSH band → 8 bands
 
@@ -765,6 +801,7 @@ object DedupQueries extends QueryModule {
     "q148_edit_dedup"   -> (qEditDedup _),
     "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
+    "q159_containment"  -> (qContainment _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
@@ -861,6 +898,30 @@ object DedupQueries extends QueryModule {
           |WHERE x.blk_n <= $MaxBlock AND y.blk_n <= $MaxBlock
           |  AND 1.0 - levenshtein(x.p, y.p)
           |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE) >= 0.7
+          |ORDER BY x_id, y_id""".stripMargin,
+      "q159_containment" ->
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |sh AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id),
+          |b AS (
+          |  SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk,
+          |         count(*) OVER (PARTITION BY list_aggregate(sh, 'min')) AS blk_n
+          |  FROM sh WHERE len(sh) > 0),
+          |p AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |    CAST(len(x.sh) AS BIGINT) AS n_x,
+          |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_common,
+          |    round(len(list_intersect(x.sh, y.sh))
+          |      / CAST(len(x.sh) AS DOUBLE), 4) AS containment
+          |  FROM b x JOIN b y
+          |    ON x.blk = y.blk AND x.doc_id <> y.doc_id
+          |  WHERE x.blk_n <= 1000)
+          |SELECT * FROM p WHERE containment >= 0.9
           |ORDER BY x_id, y_id""".stripMargin,
       "q31_ngram_jaccard" ->
         s"""WITH t AS (

@@ -145,9 +145,92 @@ object GraphQueries extends QueryModule {
         round(lit(3.0) * $"n_triangles" / $"n_wedges", 4).as("clustering"))
   }
 
+  /** Minimum repeat count for a transition to be a graph edge in q158:
+    * single-occurrence transitions are click noise; repeated ones are
+    * structure. Also what keeps the CC demo non-trivial — the raw
+    * transition graph is near-complete at every SF. */
+  private val MinEdgeWeight = 2
+
+  /** Connected components via alternating large-star/small-star edge
+    * contraction (q158) — Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond". The fourth graph shape in the suite, and the
+    * SCALE upgrade over q64's label propagation: min-label propagation
+    * needs O(diameter) rounds (a 100 TB web/link graph has long chains —
+    * hundreds of rounds), star contraction provably converges in
+    * O(log² n) rounds regardless of diameter, each round two shuffles of
+    * the CURRENT edge frame (which only shrinks — large-star points
+    * every edge at a local minimum, small-star contracts the chains it
+    * leaves). Used for exactly q64's job — resolving transitive dup
+    * clusters — when the pair graph stops fitting label propagation.
+    *
+    * Driver traffic per round is two metadata-scale counts (the
+    * fixpoint check); lineage is truncated per round via localCheckpoint
+    * exactly like q64. The oracle recomputes true components as
+    * min-reachable-id with a recursive CTE — the algorithms must agree
+    * on the SET, which is what makes an algorithm-vs-spec oracle (same
+    * discipline as q144's naive-join triangle oracle). */
+  def qConnectedStars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= MinEdgeWeight)
+      .select($"a", $"b")
+    starComponents(und)
+  }
+
+  /** Star-contraction CC over canonical undirected edges (a < b,
+    * distinct). Split out so GraphSpec can pin multi-component fixtures. */
+  private[graft] def starComponents(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val nodes = und.select($"a".as("node"))
+      .union(und.select($"b".as("node"))).distinct()
+      .localCheckpoint()
+    // invariant: e holds canonical (u < v) distinct edges
+    var e = und.select($"a".as("u"), $"b".as("v")).distinct()
+      .localCheckpoint()
+    var eCount = e.count()
+    var converged = false
+    var guard = 0
+    while (!converged && guard < 25) {
+      // LARGE-STAR: every undirected edge, viewed from its smaller
+      // endpoint u, re-points its larger endpoint v at m(u) =
+      // min(N(u) ∪ {u}) — one groupBy(u) + one join, both on the
+      // shrinking edge frame
+      val sym = e.union(e.select($"v".as("u"), $"u".as("v")))
+      val m1 = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"u", $"mn").as("m"))
+      val ls = sym.join(m1, "u").filter($"v" > $"u")
+        .filter($"m" =!= $"v")
+        .select($"m".as("u"), $"v").distinct()
+      // SMALL-STAR: every edge, viewed from its LARGER endpoint,
+      // re-points all its smaller neighbors (and itself) at their min
+      val dir2 = ls.select($"v".as("u"), $"u".as("v")) // now v < u
+      val m2 = dir2.groupBy($"u").agg(min($"v").as("m"))
+      val ss = dir2.join(m2, "u").filter($"v" =!= $"m")
+        .select($"m".as("u"), $"v")
+        .union(m2.select($"m".as("u"), $"u".as("v")))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint: both frames are distinct canonical sets, so equal
+      // counts + empty one-way difference ⇒ equal sets
+      val ssCount = ss.count()
+      converged = ssCount == eCount &&
+        ss.except(e).limit(1).count() == 0
+      e = ss
+      eCount = ssCount
+      guard += 1
+    }
+    // converged edge set is a union of min-rooted stars (u = comp min)
+    nodes.join(e.select($"v".as("node"), $"u".as("comp")), Seq("node"), "left")
+      .select($"node", coalesce($"comp", $"node").as("comp"))
+      .orderBy($"node")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
-        "q144_triangles" -> (qTriangles _))
+        "q144_triangles" -> (qTriangles _),
+        "q158_cc_stars" -> (qConnectedStars _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
   override def oracleSql: Map[String, String] = {
@@ -203,8 +286,41 @@ object GraphQueries extends QueryModule {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 4) AS clustering
         |FROM agg CROSS JOIN ecnt CROSS JOIN tri""".stripMargin
+    // q158's oracle computes TRUE components (min reachable id) by
+    // recursive min-label propagation: a node records a label smaller
+    // than itself and re-propagates; since the component min is below
+    // every other member, it reaches all of them. The engine reaches
+    // the same set via star contraction — algorithm vs spec.
+    val ccStarsSql =
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS c
+        |  FROM edges GROUP BY 1, 2),
+        |fe AS (SELECT a, b FROM und WHERE c >= $MinEdgeWeight),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM fe
+        |  UNION ALL SELECT b, a FROM fe),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |lbl(node, comp) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.v, l.comp FROM lbl l JOIN sym s ON s.u = l.node
+        |  WHERE l.comp < s.v)
+        |SELECT node, min(comp) AS comp FROM lbl
+        |GROUP BY node ORDER BY node""".stripMargin
     Map(
       "q144_triangles" -> trianglesSql,
+      "q158_cc_stars" -> ccStarsSql,
       "q92_pagerank" ->
       s"""WITH ev AS (
         |  SELECT user_id, ts, event_id,

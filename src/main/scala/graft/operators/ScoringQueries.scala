@@ -123,6 +123,59 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Absolute discount for the Kneser-Ney model — the standard 0.75
+    * (Chen & Goodman 1999's fixed-D variant). A named constant so the
+    * oracle replays it as a literal. */
+  private val KnD = 0.75
+
+  /** Interpolated Kneser-Ney bigram scoring (q160): per-document mean
+    * NLL under P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁) +
+    * (D·N₁₊(w₁·)/c(w₁)) · N₁₊(·w₂)/N₁₊(··) — Kneser & Ney 1995 with
+    * Chen & Goodman 1999's interpolated formulation. The fidelity
+    * upgrade over q93's Laplace smoothing: the backoff weight is the
+    * CONTINUATION count (how many distinct contexts a word follows),
+    * not raw frequency — "Francisco" is frequent but follows only
+    * "San", so KN correctly scores it unlikely in fresh contexts.
+    * This is the smoothing family real KenLM corpus filters ship
+    * (Heafield 2011 defaults to modified KN).
+    *
+    * Same plan skeleton as q93 — ONE token-stream shuffle (the lag
+    * window on doc_id, reused by the final per-doc aggregate); the four
+    * model tables (bigram counts, context totals + fan-out, continuation
+    * counts, one scalar of bigram types) are corpus aggregates that
+    * broadcast back onto the stream, min-df/UNK-foldable at 100 TB
+    * exactly like q72/q93's vocabularies. Every scored bigram was
+    * counted in the same corpus, so c ≥ 1 and no division guard is
+    * needed; the probability arithmetic is codegen'd column math. */
+  def qKneserNeyNll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val bi = toks
+      .withColumn("prev", lag($"term", 1).over(w))
+      .filter($"prev".isNotNull)
+    val biCnt = bi.groupBy($"prev", $"term")
+      .agg(count(lit(1)).as("c_bi"))
+    val ctx = biCnt.groupBy($"prev")
+      .agg(sum($"c_bi").as("c_ctx"), count(lit(1)).as("n_follow"))
+    val cont = biCnt.groupBy($"term")
+      .agg(count(lit(1)).as("n_prec"))
+    val nTypes = biCnt.agg(count(lit(1)).cast("double").as("n_types"))
+    bi
+      .join(broadcast(biCnt), Seq("prev", "term"))
+      .join(broadcast(ctx), Seq("prev"))
+      .join(broadcast(cont), Seq("term"))
+      .crossJoin(broadcast(nTypes))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(
+          greatest($"c_bi" - lit(KnD), lit(0.0)) / $"c_ctx" +
+            (lit(KnD) * $"n_follow" / $"c_ctx") * ($"n_prec" / $"n_types"))),
+          4).as("kn_nll"))
+      .orderBy($"doc_id")
+  }
+
   /** CCNet perplexity routing (q101): split each language's documents
     * into head/middle/tail TERCILES by unigram-LM NLL — exactly the
     * published CCNet step (Wenzek et al. 2020 §4.3: per-language
@@ -435,6 +488,7 @@ object ScoringQueries extends QueryModule {
       "q72_unigram_nll" -> (qUnigramNll _),
       "q87_quality_classifier" -> (qQualityClassifier _),
       "q93_bigram_nll"  -> (qBigramNll _),
+      "q160_kn_bigram"  -> (qKneserNeyNll _),
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
     )
@@ -637,6 +691,31 @@ object ScoringQueries extends QueryModule {
         |  round(max(nll), 4) AS max_nll
         |FROM t GROUP BY lang, bucket
         |ORDER BY lang, bucket""".stripMargin,
+    "q160_kn_bigram" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |bi AS (
+        |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS term
+        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)),
+        |bc AS (
+        |  SELECT prev, term, CAST(count(*) AS BIGINT) AS c_bi
+        |  FROM bi GROUP BY prev, term),
+        |cx AS (
+        |  SELECT prev, sum(c_bi) AS c_ctx,
+        |    CAST(count(*) AS BIGINT) AS n_follow
+        |  FROM bc GROUP BY prev),
+        |ct AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_prec
+        |  FROM bc GROUP BY term),
+        |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM bc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-ln(
+        |    greatest(c_bi - $KnD, 0.0) / c_ctx
+        |      + ($KnD * n_follow / c_ctx) * (n_prec / n_types))), 4)
+        |    AS kn_nll
+        |FROM bi JOIN bc USING (prev, term) JOIN cx USING (prev)
+        |  JOIN ct USING (term) CROSS JOIN nt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q93_bigram_nll" ->
       """WITH d AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

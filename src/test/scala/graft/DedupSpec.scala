@@ -7,6 +7,23 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("containment is asymmetric: a quoted-whole doc scores 1.0 one way") {
+    import spark.implicits._
+    // doc 1 is a strict prefix of doc 2: every shingle of 1 appears in
+    // 2 (containment 1→2 = 1.0) but 2 has extra shingles (2→1 < 1.0,
+    // below threshold here). Jaccard would score this pair ~0.53 and
+    // q31's 0.9-style gate would MISS it — the case q159 exists for.
+    val words = (1 to 12).map(i => s"w$i").mkString(" ")
+    val extra = words + " " + (13 to 21).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, extra), (3L, "zz yy xx ww vv uu"))
+      .toDF("doc_id", "text")
+    val got = DedupQueries.containmentPairs(docs)
+      .select($"x_id", $"y_id", $"containment").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === Set((1L, 2L, 1.0)),
+      s"expected only the 1→2 full-containment edge, got $got")
+  }
+
   test("minhash-LSH candidates verified by exact jaccard (>= 0.9 contract)") {
     import spark.implicits._
     // q32's output is LSH candidates re-checked with EXACT shingle

@@ -33,6 +33,39 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_wedges") === 15L)
   }
 
+  test("star contraction: multi-component fixture labels by component min") {
+    import spark.implicits._
+    // three components: a 5-chain (worst case for contraction — long
+    // diameter), a triangle, and an isolated edge
+    val und = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain, min 10
+      (20L, 21L), (20L, 22L), (21L, 22L),             // triangle, min 20
+      (30L, 31L)).toDF("a", "b")                      // edge, min 30
+    val got = GraphQueries.starComponents(und)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(got === want)
+  }
+
+  test("star contraction agrees with q64-style reachability on q158's graph") {
+    import spark.implicits._
+    val comps = GraphQueries.qConnectedStars(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(comps.nonEmpty)
+    // every label is a member of its own component (root property) and
+    // is the minimum of the nodes that carry it
+    val byComp = comps.groupBy(_._2)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min === comp,
+        s"component $comp root is not its min member")
+    }
+    // sf0.001 with MinEdgeWeight=2 is a sparse graph — the fixture data
+    // splits into >1 component (guards against a trivially-dense demo)
+    assert(byComp.size > 1, "expected a multi-component graph at sf0.001")
+  }
+
   test("pagerank: mass conserved, floor respected, not uniform") {
     import spark.implicits._
     val ranks = GraphQueries.qPagerank(spark, sf)

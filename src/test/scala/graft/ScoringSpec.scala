@@ -8,6 +8,23 @@ class ScoringSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("Kneser-Ney: continuation counts discount one-context words") {
+    import spark.implicits._
+    val kn = ScoringQueries.qKneserNeyNll(spark, sf)
+      .select($"doc_id", $"kn_nll").as[(Long, Double)].collect()
+    assert(kn.nonEmpty)
+    assert(kn.forall { case (_, v) => v > 0 && !v.isNaN && !v.isInfinite },
+      "KN NLL must be finite and positive (all scored bigrams were counted)")
+    // KN and Laplace must actually DISAGREE on ranking somewhere —
+    // continuation-count backoff is a different model, not a rescale
+    val lap = ScoringQueries.qBigramNll(spark, sf)
+      .select($"doc_id", $"nll").as[(Long, Double)].collect().toMap
+    val knRank = kn.sortBy(_._2).map(_._1).toSeq
+    val lapRank = kn.map(_._1).sortBy(lap).toSeq
+    assert(knRank != lapRank,
+      "KN produced the identical document ranking as Laplace — suspicious")
+  }
+
   test("DSIR weights separate the target slice: en mean log-weight > non-en") {
     import spark.implicits._
     val w = ScoringQueries.qDsirWeights(spark, sf)

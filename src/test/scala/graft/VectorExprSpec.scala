@@ -97,6 +97,45 @@ class VectorExprSpec extends AnyFunSuite {
     assert(rK > rF, "data-fitted cells must beat the fixed gaussian anchors")
   }
 
+  test("q156 PQ codes are non-degenerate and beat the zero-codebook bound") {
+    import spark.implicits._
+    val enc = graft.operators.SimilarityQueries
+      .qPqEncode(spark, "/root/testdata/sf0.001").cache()
+    // every subspace must actually use >1 centroid — a mis-scaled
+    // codebook collapses to the single smallest-norm centroid
+    Seq("c0", "c1", "c2", "c3").foreach { c =>
+      val n = enc.select(col(c)).distinct().count()
+      assert(n > 1, s"subspace $c degenerate: one code for all vectors")
+      val bad = enc.filter(col(c) < 0 || col(c) > 7).count()
+      assert(bad == 0, s"$c outside [0,8)")
+    }
+    // embeddings are unit-norm, so quantizing to an all-zeros codebook
+    // would cost sq_err = ||v||² = 1.0 — a fitted-scale codebook must do
+    // strictly better on average or the compression is useless
+    val meanErr = enc.agg(avg($"sq_err")).as[Double].head()
+    assert(meanErr > 0 && meanErr < 1.0,
+      s"mean PQ sq_err $meanErr not in (0, 1) — codebook scale is off")
+    enc.unpersist()
+  }
+
+  test("q157 ADC top-5 overlaps exhaustive truth and never returns self") {
+    import spark.implicits._
+    val adc = graft.operators.SimilarityQueries
+      .qPqAdc(spark, "/root/testdata/sf0.001").cache()
+    val perQ = adc.groupBy($"q_id").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 == 5))
+    assert(adc.filter($"q_id" === $"vec_id").count() == 0)
+    // PQ is a lossy 4×3-bit code; it still must rank SOME true
+    // neighbors into the top-5 (cosine truth = q40, same query set)
+    val truth = graft.operators.SimilarityQueries
+      .qCosineTopk(spark, "/root/testdata/sf0.001")
+      .select($"q_id", $"vec_id")
+    val hits = truth.join(adc.select($"q_id", $"vec_id"),
+      Seq("q_id", "vec_id"), "left_semi").count()
+    assert(hits > 0, "ADC found zero true top-5 neighbors")
+    adc.unpersist()
+  }
+
   test("SQL registration: dot_product / l2_norm callable from spark.sql") {
     VectorExpressions.register(spark)
     val r = spark.sql(

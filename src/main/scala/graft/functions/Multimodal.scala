@@ -199,6 +199,69 @@ object Multimodal {
     sum.toDouble / (img.getWidth.toLong * img.getHeight)
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of a decoded image:
+    * bit (y·width + x) is set when that pixel's luma STRICTLY exceeds
+    * the raster mean — the classic resize-free perceptual hash (the
+    * production form first box-downsamples to 8×8; these fixtures are
+    * already ≤ 64 px so the downsample is the identity and skipping it
+    * keeps the bit layout oracle-statable). Same luma conventions as
+    * lumaHistogram; images beyond 64 pixels hash only their first 64
+    * (row-major) so the result always fits one long. None when no JDK
+    * reader accepts the bytes. */
+  private[graft] def aHash(bytes: Array[Byte]): Option[Long] =
+    decodeImage(bytes).map { img =>
+      val raster = img.getRaster
+      val icm: java.awt.image.IndexColorModel = img.getColorModel match {
+        case m: java.awt.image.IndexColorModel => m
+        case _ => null
+      }
+      val bands = raster.getNumBands
+      val w = img.getWidth
+      val n = math.min(w.toLong * img.getHeight, 64L).toInt
+      val lumas = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val x = i % w
+        val y = i / w
+        lumas(i) =
+          if (icm != null) {
+            val s = raster.getSample(x, y, 0)
+            (299 * icm.getRed(s) + 587 * icm.getGreen(s) +
+              114 * icm.getBlue(s)) / 1000
+          } else if (bands == 1) raster.getSample(x, y, 0)
+          else (299 * raster.getSample(x, y, 0) +
+            587 * raster.getSample(x, y, 1) +
+            114 * raster.getSample(x, y, 2)) / 1000
+        i += 1
+      }
+      val mean = lumas.sum.toDouble / n
+      var h = 0L
+      i = 0
+      while (i < n) {
+        if (lumas(i) > mean) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+
+  /** Per-partition decode + aHash: adds a nullable `phash` long column,
+    * preserving all input columns. Same per-partition decoder setup and
+    * error-isolation posture as decodeFeatures — undecodable payloads
+    * get null, never a throw. */
+  def imageHash(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema.add("phash", LongType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val h = aHash(r.getAs[Array[Byte]](binIdx)).map(Long.box).orNull
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }
+  }
+
   /** Per-partition video demux + per-frame decode. For RIFF/AVI payloads:
     * header width/height, demuxed frame count, and the mean luma of
     * `nSample` evenly spaced frames decoded through the SAME ImageIO path

@@ -88,13 +88,95 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q163's pattern fixtures: a 4×3 gradient (A), a byte-level variant
+    * of it whose single changed pixel stays on the same side of the
+    * mean (B — different md5, SAME aHash: the pair exact dedup misses),
+    * the inverted gradient (C — complementary hash), and flat gray
+    * (all-zero hash). Matrices are [y][x], matching both grayPng's
+    * scanline order and aHash's row-major bit layout. */
+  private[graft] val PatA: Array[Array[Int]] =
+    Array.tabulate(3, 4)((y, x) => 20 * (4 * y + x))
+  private[graft] val PatB: Array[Array[Int]] = {
+    val p = PatA.map(_.clone); p(0)(0) = 8; p
+  }
+  private[graft] val PatC: Array[Array[Int]] = PatA.map(_.map(v => 220 - v))
+
+  private lazy val PngAHex = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.grayPng(PatA))
+  private lazy val PngBHex = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.grayPng(PatB))
+  private lazy val PngCHex = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.grayPng(PatC))
+  private lazy val PngFlatHex = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.flatGrayPng(4, 3, 128))
+
+  /** The oracle's expected hash, computed by independent plain-Scala
+    * arithmetic on the literal pattern matrix (NOT the decode path —
+    * if PNG round-trip or raster order ever disagreed with this, the
+    * hash compare would catch it, which is the point). */
+  private[graft] def patHash(px: Array[Array[Int]]): Long = {
+    val flat = px.flatten
+    val mean = flat.sum.toDouble / flat.length
+    flat.zipWithIndex.foldLeft(0L) { case (h, (v, i)) =>
+      if (v > mean) h | (1L << i) else h
+    }
+  }
+
+  /** Perceptual image dedup (q163): REAL ImageIO decode → average-hash
+    * (aHash) → keeper per hash bucket. The image-modality twin of q30:
+    * exact byte/md5 dedup splits re-encoded or slightly-retouched
+    * copies of the same picture (fixture pair A/B differs in bytes AND
+    * one pixel, hashes identically); grouping on the perceptual hash
+    * unifies them, exactly how LAION-scale image corpora dedup. Scale
+    * shape: decode is per-partition map work (the corpus' dominant
+    * cost, embarrassingly parallel), then ONE hash-keyed window for the
+    * keeper — identical to the q30 exact-dedup plan with phash standing
+    * in for md5. Undecodable payloads drop via the null filter (F4). */
+  def qImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pay = when($"doc_id" % 5 === 0, unhex(lit(PngAHex)))
+      .when($"doc_id" % 5 === 1, unhex(lit(PngBHex)))
+      .when($"doc_id" % 5 === 2, unhex(lit(PngCHex)))
+      .when($"doc_id" % 5 === 3, unhex(lit(PngFlatHex)))
+      .otherwise(concat(unhex(lit("FFD8FFE0")), $"text".cast("binary")))
+    val hashed = Multimodal.imageHash(
+      Tables.documents(s, dir).select($"doc_id", pay.as("media")), "media")
+      .filter($"phash".isNotNull)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy($"phash")
+    hashed
+      .withColumn("keeper", min($"doc_id").over(byHash))
+      .select($"doc_id", $"phash", $"keeper",
+        ($"doc_id" =!= $"keeper").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_meta"     -> (qMediaMeta _),
     "q61_media_features" -> (qMediaFeatures _),
     "q138_video_frames"  -> (qVideoFrames _),
+    "q163_image_phash"   -> (qImagePhash _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q163: the engine really decodes and hashes pixels; the oracle
+    // states the per-class hash constants from independent arithmetic
+    // on the pattern matrices (patHash) — A and B MUST collide, C and
+    // flat must not, corrupt rows drop.
+    "q163_image_phash" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN CAST(${patHash(PatA)} AS BIGINT)
+        |      WHEN 1 THEN CAST(${patHash(PatB)} AS BIGINT)
+        |      WHEN 2 THEN CAST(${patHash(PatC)} AS BIGINT)
+        |      WHEN 3 THEN CAST(0 AS BIGINT)
+        |      ELSE NULL END AS phash
+        |  FROM documents),
+        |d AS (SELECT doc_id, phash FROM h WHERE phash IS NOT NULL)
+        |SELECT doc_id, phash,
+        |  min(doc_id) OVER (PARTITION BY phash) AS keeper,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY phash) AS is_dup
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q60_media_meta" ->
       s"""WITH m AS (
         |  SELECT doc_id,

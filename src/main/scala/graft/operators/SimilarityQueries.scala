@@ -623,19 +623,25 @@ object SimilarityQueries extends QueryModule {
     dot(sv, sv) - lit(2.0) * dot(sv, array(pqCents(m)(k).map(lit): _*)) +
       lit(cn(m, k))
 
-  /** (vec_id, c0..c3, e0..e3): per-subspace argmin code + its squared
-    * distance. Ties (measure-zero with gaussian codebooks) break to the
-    * lower centroid index via the same (d, idx) struct sort the IVF
-    * family uses. Map-only: 32 codegen'd folds per row, zero shuffles. */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cols = (0 until PqM).flatMap { m =>
-      val sv = slice($"v", m * PqSub + 1, PqSub)
+  /** Per-subspace argmin (code, distance) column pairs for any 64-dim
+    * vector column. Ties (measure-zero with gaussian codebooks) break to
+    * the lower centroid index via the same (d, idx) struct sort the IVF
+    * family uses. 32 codegen'd folds per row — pure map work. */
+  private def pqBestCols(vcol: Column): Seq[(Column, Column)] =
+    (0 until PqM).map { m =>
+      val sv = slice(vcol, m * PqSub + 1, PqSub)
       val d = array((0 until PqK).map(k => pqDist(sv, m, k)): _*)
       val best = element_at(array_sort(zip_with(d,
         transform(d, (_, i) => i),
         (x, i) => struct(x.as("d"), i.as("idx")))), 1)
-      Seq(best.getField("idx").as(s"c$m"), best.getField("d").as(s"e$m"))
+      (best.getField("idx"), best.getField("d"))
+    }
+
+  /** (vec_id, c0..c3, e0..e3): PQ assignment of the raw vectors. */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = pqBestCols($"v").zipWithIndex.flatMap { case ((c, e), m) =>
+      Seq(c.as(s"c$m"), e.as(s"e$m"))
     }
     vecs(s, dir).select($"vec_id" +: cols: _*)
   }
@@ -685,6 +691,62 @@ object SimilarityQueries extends QueryModule {
             element_at($"lut2", $"c2" + 1) + element_at($"lut3", $"c3" + 1))
             .as("adist"))
     }.reduce(_.union(_))
+    val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id",
+        (round($"adist", 4) + lit(0.0)).as("adist"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** IVFPQ (q161): the composed production ANN index — IVF coarse
+    * quantizer prunes the search to 2 of 8 cells (q42), and inside a
+    * cell every vector is stored as the PQ code of its RESIDUAL
+    * (v − cell anchor), scored by ADC lookup tables built from the
+    * query's residual against the same anchor (Jégou et al. 2011 §IV;
+    * FAISS's IndexIVFPQ). This is the architecture that actually serves
+    * 100 TB: the inverted lists hold 4-byte codes (RAM-resident at any
+    * corpus size), a query reads 2/8 of the lists, and per-candidate
+    * cost is 4 lookups + 3 adds. Residual encoding matters: residuals
+    * concentrate near the anchor so a shared codebook quantizes them
+    * tighter than raw vectors — and it falls out as pure column algebra
+    * (zip_with against one literal anchor table, then q156's codebook
+    * machinery unchanged). Query-side LUT frame rides the chunk-bounded
+    * broadcast; everything replays in the oracle because anchors AND
+    * codebooks are literals. */
+  def qIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anchorLits = array(anchors.map(a => array(a.map(lit): _*)): _*)
+    def dots(v: Column) = array(anchors.map(a =>
+      dot(v, array(a.map(lit): _*))): _*)
+    val withCell = vecs(s, dir).withColumn("cells", {
+      val d = dots($"v")
+      val ranked = array_sort(zip_with(d, transform(d, (_, i) => i),
+        (x, i) => struct((-x).as("nd"), i.as("idx"))))
+      transform(ranked, r => r.getField("idx"))
+    })
+    val corpus = withCell
+      .select($"vec_id", $"v", element_at($"cells", 1).as("cell"))
+      .withColumn("res", zip_with($"v",
+        element_at(anchorLits, $"cell" + 1), (x, a) => x - a))
+    val codeCols = pqBestCols($"res").zipWithIndex
+      .map { case ((c, _), m) => c.as(s"c$m") }
+    val index = corpus.select($"vec_id" +: $"cell" +: codeCols: _*)
+    val queries = withCell.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"),
+        explode(slice($"cells", 1, 2)).as("cell"))
+      .withColumn("qres", zip_with($"qv",
+        element_at(anchorLits, $"cell" + 1), (x, a) => x - a))
+    val luts = (0 until PqM).map { m =>
+      val sv = slice($"qres", m * PqSub + 1, PqSub)
+      array((0 until PqK).map(k => pqDist(sv, m, k)): _*).as(s"lut$m")
+    }
+    val q = queries.select($"q_id" +: $"cell" +: luts: _*)
+    val scored = chunkedBroadcastJoin(index, q, Seq("cell"), QueryChunkRows)
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (element_at($"lut0", $"c0" + 1) + element_at($"lut1", $"c1" + 1) +
+          element_at($"lut2", $"c2" + 1) + element_at($"lut3", $"c3" + 1))
+          .as("adist"))
     val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id",
@@ -742,6 +804,7 @@ object SimilarityQueries extends QueryModule {
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
+    "q161_ivfpq_ann"  -> (qIvfPq _),
   )
 
   /** DuckDB literal for a plane/anchor vector (Scala Double.toString
@@ -1158,9 +1221,74 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q161's oracle: q42's literal-anchor cell CTEs + residuals via a
+    * per-cell anchor VALUES table + q156/q157's codebook arithmetic on
+    * the residual slices. */
+  private def ivfPqSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    val avRows = anchors.indices.map(i =>
+      s"($i, ${sqlVec(anchors(i))})").mkString(", ")
+    val subCols = (0 until PqM).map(m =>
+      s"res[${m * PqSub + 1}:${(m + 1) * PqSub}] AS s$m").mkString(", ")
+    val codePicks = (0 until PqM).map { m =>
+      val ss = (0 until PqK).map(k =>
+        s"{'d': ${pqDistSql(s"s$m", m, k)}, 'idx': $k}")
+        .mkString("[", ", ", "]")
+      s"list_sort($ss)[1].idx AS c$m"
+    }.mkString(",\n|    ")
+    val cases = (0 until PqM).map { m =>
+      val arms = (0 until PqK).map(k =>
+        s"WHEN $k THEN ${pqDistSql(s"q.s$m", m, k)}").mkString(" ")
+      s"(CASE c.c$m $arms END)"
+    }.mkString("\n|      + ")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    list_transform(list_sort($structs), r -> r.idx) AS cells
+      |  FROM dots),
+      |av AS (SELECT * FROM (VALUES $avRows) AS t(cell, a)),
+      |corpus AS (
+      |  SELECT vec_id, v, cells[1] AS cell FROM cells),
+      |cres AS (
+      |  SELECT c.vec_id, c.cell,
+      |    list_transform(range(1, 65), i -> c.v[i] - av.a[i]) AS res
+      |  FROM corpus c JOIN av USING (cell)),
+      |csub AS (SELECT vec_id, cell, $subCols FROM cres),
+      |cbest AS (
+      |  SELECT vec_id, cell,
+      |    $codePicks
+      |  FROM csub),
+      |queries AS (
+      |  SELECT vec_id AS q_id, v AS qv, unnest(cells[1:2]) AS cell
+      |  FROM cells WHERE vec_id % 100 = 0),
+      |qres AS (
+      |  SELECT q.q_id, q.cell,
+      |    list_transform(range(1, 65), i -> q.qv[i] - av.a[i]) AS res
+      |  FROM queries q JOIN av USING (cell)),
+      |qsub AS (SELECT q_id, cell, $subCols FROM qres),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    $cases AS adist
+      |  FROM cbest c JOIN qsub q USING (cell)
+      |  WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist ASC, vec_id ASC) AS rk FROM scored)
+      |SELECT q_id, rk, vec_id, round(adist, 4) + 0.0 AS adist
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "q156_pq_encode" -> pqEncodeSql,
     "q157_pq_adc"    -> pqAdcSql,
+    "q161_ivfpq_ann" -> ivfPqSql,
     "q126_hard_negatives" ->
       """WITH base AS (
         |  SELECT vec_id, label,

@@ -674,6 +674,31 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Markov next-event model (q162): the transition matrix
+    * P(next_type | type) over each user's timeline, with an absorbing
+    * END state where a stream stops — the one-step model behind
+    * session simulation, anomaly scoring (improbable transitions), and
+    * the journey Sankey q152's paths feed. Corpus cost is ONE lead
+    * window on the user-keyed shuffle every timeline op here shares,
+    * then a partial-agg count down to a |types|²-row matrix; the
+    * row-normalizing window runs on that matrix, not the corpus, so
+    * nothing after the count scales with event volume. */
+  def qMarkovNext(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type",
+        coalesce(lead($"event_type", 1).over(byUser), lit("END")))
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("p", round($"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"prev_type")), 4))
+      .select($"prev_type", $"next_type", $"n", $"p")
+      .orderBy($"prev_type", $"next_type")
+  }
+
   /** CUPED variance reduction (q154): the standard experimentation-
     * platform trick (Deng et al., WSDM 2013) — regress each user's
     * post-period metric on their PRE-period baseline and analyze the
@@ -748,6 +773,7 @@ object TimeQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_eb_rates" -> (qEbRates _),
+    "q162_markov_next" -> (qMarkovNext _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -775,6 +801,20 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q162_markov_next" ->
+      """WITH n AS (
+        |  SELECT event_type AS prev_type,
+        |    coalesce(lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), 'END')
+        |      AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM n GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4)
+        |    AS p
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     // q155: same beta-binomial MoM fit, identical association order in
     // the prior-strength and shrinkage algebra
     "q155_eb_rates" ->

@@ -327,6 +327,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq("a" -> "png", "b" -> "jpeg", "c" -> "mp4", "d" -> "unknown"))
   }
 
+  test("aHash: retouched copy collides, inverted image does not") {
+    import graft.operators.MultimodalQueries._
+    import graft.functions.MediaGen
+    val hA = Multimodal.aHash(MediaGen.grayPng(PatA))
+    val hB = Multimodal.aHash(MediaGen.grayPng(PatB))
+    val hC = Multimodal.aHash(MediaGen.grayPng(PatC))
+    val hFlat = Multimodal.aHash(MediaGen.flatGrayPng(4, 3, 128))
+    // decode-path hashes agree with the oracle's independent arithmetic
+    assert(hA.contains(patHash(PatA)))
+    assert(hC.contains(patHash(PatC)))
+    assert(hFlat.contains(0L))
+    // the dedup contract: byte-different retouch collides, invert splits
+    assert(MediaGen.grayPng(PatA).toSeq != MediaGen.grayPng(PatB).toSeq,
+      "fixture A/B must differ at the byte level")
+    assert(hA == hB, "one sub-threshold pixel retouch must not move aHash")
+    assert(hA != hC && hA != hFlat)
+    // corrupt payload: error isolation, not a throw
+    assert(Multimodal.aHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
   /** Encode a BufferedImage to bytes with the JDK's own writers, so the
     * decode fixtures are real container files with known dimensions. */
   private def imageBytes(img: java.awt.image.BufferedImage,

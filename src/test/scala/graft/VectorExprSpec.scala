@@ -136,6 +136,22 @@ class VectorExprSpec extends AnyFunSuite {
     adc.unpersist()
   }
 
+  test("q161 IVFPQ: 5 results per query, no self, overlaps exhaustive truth") {
+    import spark.implicits._
+    val ivfpq = graft.operators.SimilarityQueries
+      .qIvfPq(spark, "/root/testdata/sf0.001").cache()
+    val perQ = ivfpq.groupBy($"q_id").count().as[(Long, Long)].collect()
+    assert(perQ.nonEmpty && perQ.forall(_._2 == 5))
+    assert(ivfpq.filter($"q_id" === $"vec_id").count() == 0)
+    val truth = graft.operators.SimilarityQueries
+      .qCosineTopk(spark, "/root/testdata/sf0.001")
+      .select($"q_id", $"vec_id")
+    val hits = truth.join(ivfpq.select($"q_id", $"vec_id"),
+      Seq("q_id", "vec_id"), "left_semi").count()
+    assert(hits > 0, "IVFPQ found zero true top-5 neighbors")
+    ivfpq.unpersist()
+  }
+
   test("SQL registration: dot_product / l2_norm callable from spark.sql") {
     VectorExpressions.register(spark)
     val r = spark.sql(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
@@ -200,6 +200,54 @@ object ScoringQueries extends QueryModule {
         round(avg($"nll"), 4).as("mean_nll"),
         round(max($"nll"), 4).as("max_nll"))
       .orderBy($"lang", $"bucket")
+  }
+
+  /** Mutual-information feature audit (q165): MI between each candidate
+    * binary feature and the target label (lang = 'en') from the 2×2
+    * contingency table — the standard pre-training feature-selection
+    * screen for a quality classifier like q87's (a near-zero-MI feature
+    * is dead weight; a suspiciously high one is usually leakage). The
+    * entire corpus collapses to ONE row of joint counts in a single
+    * partial-agg pass (count + 2 sums per feature — mergeable at any
+    * scale); the MI algebra then runs on that row and unpivots to a
+    * |features|-row report. Counts are exact longs, so the floating MI
+    * is the same expression tree over identical integers on both
+    * engines. Zero cells contribute 0 (the 0·ln 0 limit), guarded
+    * per-cell. */
+  def qFeatureMi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feats = Seq(
+      "f_long"  -> ($"n_chars" > 300),
+      "f_short" -> ($"n_chars" < 150),
+      "f_spark" -> $"text".contains("spark"),
+      "f_the"   -> $"text".contains(" the "))
+    val base = Tables.documents(s, dir).select(
+      ($"lang" === "en").cast("long").as("y") +:
+        feats.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val aggCols = Seq(count(lit(1)).as("n"), sum($"y").as("ny")) ++
+      feats.flatMap { case (nm, _) =>
+        Seq(sum(col(nm)).as(s"nf_$nm"),
+          sum(col(nm) * $"y").as(s"n11_$nm"))
+      }
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    def term(c: Column, a: Column, b: Column, n: Column): Column =
+      when(c > 0,
+        (c / n.cast("double")) * log(c.cast("double") * n / (a * b)))
+        .otherwise(lit(0.0))
+    // unpivot via explode so the corpus is scanned ONCE for all features
+    val rows = feats.map { case (nm, _) =>
+      val nf = col(s"nf_$nm"); val n11 = col(s"n11_$nm")
+      val n = col("n"); val ny = col("ny")
+      val n10 = nf - n11; val n01 = ny - n11
+      val n00 = n - nf - ny + n11
+      struct(lit(nm).as("feature"), nf.as("n_f"), n11.as("n11"),
+        (round(term(n11, nf, ny, n) + term(n10, nf, n - ny, n) +
+          term(n01, n - nf, ny, n) + term(n00, n - nf, n - ny, n), 4)
+          + lit(0.0)).as("mi"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select($"r.feature", $"r.n_f", $"r.n11", $"r.mi")
+      .orderBy($"feature")
   }
 
   /** Stopword list for the classifier's coverage feature — token-level
@@ -489,6 +537,7 @@ object ScoringQueries extends QueryModule {
       "q87_quality_classifier" -> (qQualityClassifier _),
       "q93_bigram_nll"  -> (qBigramNll _),
       "q160_kn_bigram"  -> (qKneserNeyNll _),
+      "q165_feature_mi" -> (qFeatureMi _),
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
     )
@@ -691,6 +740,40 @@ object ScoringQueries extends QueryModule {
         |  round(max(nll), 4) AS max_nll
         |FROM t GROUP BY lang, bucket
         |ORDER BY lang, bucket""".stripMargin,
+    "q165_feature_mi" -> {
+      val feats = Seq(
+        ("f_long", "n_chars > 300"),
+        ("f_short", "n_chars < 150"),
+        ("f_spark", "text LIKE '%spark%'"),
+        ("f_the", "text LIKE '% the %'"))
+      val aggCols = feats.map { case (nm, cond) =>
+        s"CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS nf_$nm,\n" +
+          s"    CAST(sum(CASE WHEN ($cond) AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n11_$nm"
+      }.mkString(",\n|    ")
+      def term(c: String, a: String, b: String) =
+        s"CASE WHEN $c > 0 THEN ($c / CAST(n AS DOUBLE)) * " +
+          s"ln(CAST($c AS DOUBLE) * n / (($a) * ($b))) ELSE 0.0 END"
+      val rows = feats.map { case (nm, _) =>
+        val nf = s"nf_$nm"; val n11 = s"n11_$nm"
+        val n10 = s"($nf - $n11)"; val n01 = s"(ny - $n11)"
+        val n00 = s"(n - $nf - ny + $n11)"
+        s"""SELECT '$nm' AS feature, $nf AS n_f, $n11 AS n11,
+           |    round(${term(n11, nf, "ny")}
+           |      + ${term(n10, nf, "(n - ny)")}
+           |      + ${term(n01, s"(n - $nf)", "ny")}
+           |      + ${term(n00, s"(n - $nf)", "(n - ny)")}, 4) + 0.0 AS mi
+           |  FROM agg""".stripMargin
+      }.mkString("\n|  UNION ALL\n|  ")
+      s"""WITH agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ny,
+        |    $aggCols
+        |  FROM documents)
+        |SELECT * FROM (
+        |  $rows)
+        |ORDER BY feature""".stripMargin
+    },
     "q160_kn_bigram" ->
       s"""WITH d AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

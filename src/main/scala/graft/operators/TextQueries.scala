@@ -632,7 +632,42 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Frozen-vocabulary size for the q164 coverage audit. 20 of this
+    * corpus' 31 distinct terms, so OOV is non-degenerate at every SF;
+    * at 100 TB the knob is the tokenizer's real vocab (10⁵) and the
+    * plan is unchanged — the cap keeps the vocab frame broadcastable
+    * BY CONSTRUCTION, which is the entire scale contract here. */
+  private val OovVocabK = 20
+
+  /** OOV-rate audit (q164): per-document out-of-vocabulary token rate
+    * against the frozen top-K corpus vocabulary — the pre-tokenizer-
+    * freeze check every LLM pipeline runs (a domain slice with high OOV
+    * under the candidate vocab will fragment into char-level tokens and
+    * train badly; cf. the fertility numbers tokenizer papers report).
+    * One token-stream shuffle builds the vocab (global top-K rank
+    * rewrites to the bounded heap — no full-vocab sort), the K-row
+    * vocab frame broadcasts back onto the stream, and the per-doc
+    * aggregate reuses the same token explode. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"term".asc)))
+      .filter($"rk" <= OovVocabK)
+      .select($"term", lit(1L).as("iv"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"iv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round($"n_oov" / $"n_tokens".cast("double"), 4))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_oov_rate" -> (qOovRate _),
     "q129_pmi_collocations" -> (qPmiCollocations _),
     "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
@@ -694,6 +729,22 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q164_oov_rate" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |vc AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC)
+        |      AS rk FROM vc)
+        |  WHERE rk <= $OovVocabK)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov,
+        |  round(count(*) FILTER (v.term IS NULL)
+        |    / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q137_bpe_fit" ->
       s"""WITH ${bpeSeqCteSql(10)}
          |SELECT CAST(rk AS INTEGER) AS rk, a || b AS pair, n

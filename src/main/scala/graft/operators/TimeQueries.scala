@@ -674,6 +674,33 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Day-of-week seasonality profile (q166): per event type, the mean
+    * daily volume by weekday plus a seasonality-strength ratio
+    * (max − min)/mean over the 7 weekday means — the companion to
+    * q149's trend detector (trend says the feed is drifting, this says
+    * whether a Monday dip is signal or just Monday). Weekday index is
+    * pure integer arithmetic on days-since-epoch (0 = Thursday) — NOT
+    * the engines' dayofweek() builtins, whose 0/1-based Sunday
+    * conventions disagree. Corpus → |types|×|days| daily cells in one
+    * partial agg; the profile and strength windows run on the
+    * |types|×7 frame, never the corpus. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", pmod(datediff($"day", lit("1970-01-01")), lit(7)))
+    val prof = daily.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n_days"), round(avg($"n"), 4).as("avg_daily"))
+    val w = Window.partitionBy($"event_type")
+    prof
+      .withColumn("strength",
+        round((max($"avg_daily").over(w) - min($"avg_daily").over(w)) /
+          avg($"avg_daily").over(w), 4))
+      .select($"event_type", $"dow", $"n_days", $"avg_daily", $"strength")
+      .orderBy($"event_type", $"dow")
+  }
+
   /** Markov next-event model (q162): the transition matrix
     * P(next_type | type) over each user's timeline, with an absorbing
     * END state where a stream stops — the one-step model behind
@@ -774,6 +801,7 @@ object TimeQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_eb_rates" -> (qEbRates _),
     "q162_markov_next" -> (qMarkovNext _),
+    "q166_seasonality" -> (qSeasonality _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -801,6 +829,25 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q166_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |dowd AS (
+        |  SELECT event_type, n,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INTEGER)
+        |      AS dow
+        |  FROM daily),
+        |prof AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |    round(avg(n), 4) AS avg_daily
+        |  FROM dowd GROUP BY event_type, dow)
+        |SELECT event_type, dow, n_days, avg_daily,
+        |  round((max(avg_daily) OVER (PARTITION BY event_type)
+        |      - min(avg_daily) OVER (PARTITION BY event_type))
+        |    / avg(avg_daily) OVER (PARTITION BY event_type), 4) AS strength
+        |FROM prof ORDER BY event_type, dow""".stripMargin,
     "q162_markov_next" ->
       """WITH n AS (
         |  SELECT event_type AS prev_type,

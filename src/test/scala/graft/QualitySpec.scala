@@ -183,6 +183,37 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("markov transitions: rows of the matrix sum to ~1, END is absorbing") {
+    import spark.implicits._
+    val m = graft.operators.TimeQueries.qMarkovNext(spark, sf)
+      .select($"prev_type", $"next_type", $"p")
+      .as[(String, String, Double)].collect()
+    assert(m.nonEmpty)
+    m.groupBy(_._1).foreach { case (prev, rows) =>
+      val s = rows.map(_._3).sum
+      assert(math.abs(s - 1.0) < 0.01,
+        s"P(next|$prev) sums to $s — rounding drift beyond tolerance")
+    }
+    assert(!m.exists(_._1 == "END"), "END must be absorbing (never a source)")
+    assert(m.exists(_._2 == "END"), "streams end, so END must be reachable")
+  }
+
+  test("seasonality: weekday indices valid, strength nonnegative per type") {
+    import spark.implicits._
+    val rows = graft.operators.TimeQueries.qSeasonality(spark, sf)
+      .select($"event_type", $"dow", $"avg_daily", $"strength")
+      .as[(String, Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, dow, avg, str) =>
+      assert(dow >= 0 && dow <= 6, s"$t dow $dow out of range")
+      assert(avg > 0 && str >= 0)
+    }
+    // strength is a per-type constant across its dow rows
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._4).distinct.length == 1, s"$t strength not constant")
+    }
+  }
+
   test("retention: offset-0 row is each cohort's maximum") {
     import spark.implicits._
     val rows = graft.operators.TimeQueries.qRetention(spark, sf)

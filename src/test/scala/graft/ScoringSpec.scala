@@ -8,6 +8,30 @@ class ScoringSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("feature MI: nonnegative, and a constant feature carries zero bits") {
+    import spark.implicits._
+    val mi = ScoringQueries.qFeatureMi(spark, sf)
+      .select($"feature", $"n_f", $"mi").as[(String, Long, Double)].collect()
+    assert(mi.length == 4)
+    mi.foreach { case (f, _, v) =>
+      assert(v >= 0.0, s"MI($f) negative: $v — MI is nonnegative by definition")
+    }
+    // the audit must see real 2x2 tables, not all-true/all-false columns
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    mi.foreach { case (f, nf, _) =>
+      assert(nf > 0 && nf < n, s"feature $f is constant on this corpus")
+    }
+  }
+
+  test("OOV rate: bounded, and the frozen top-20 vocab leaves real OOV mass") {
+    import spark.implicits._
+    val r = graft.operators.TextQueries.qOovRate(spark, sf)
+      .select($"oov_rate").as[Double].collect()
+    assert(r.nonEmpty && r.forall(v => v >= 0.0 && v <= 1.0))
+    assert(r.exists(_ > 0.0),
+      "no document has any OOV token — vocab cap is not binding")
+  }
+
   test("Kneser-Ney: continuation counts discount one-context words") {
     import spark.implicits._
     val kn = ScoringQueries.qKneserNeyNll(spark, sf)

@@ -670,8 +670,31 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Group size below which a quasi-identifier combination is a
+    * re-identification risk (the k in k-anonymity; Sweeney 2002). */
+  private val KAnonK = 5
+
+  /** k-anonymity audit (q169): group the corpus by its quasi-identifier
+    * tuple — (lang, source, length band) here; in production whatever
+    * metadata survives into the release — and flag combinations with
+    * fewer than k members, whose documents a joiner with side knowledge
+    * can re-identify (Sweeney 2002's k-anonymity). Training-data
+    * releases run exactly this gate over user-derived metadata before
+    * publishing. One partial-agg groupBy to |combinations| rows; the
+    * flag is free arithmetic on the group count. */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source",
+        expr("n_chars div 100").as("len_band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", $"n" < KAnonK)
+      .orderBy($"lang", $"source", $"len_band")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q169_k_anonymity"     -> (qKAnonymity _),
       "q127_winsorize"       -> (qWinsorize _),
       "q105_epoch_shuffle"   -> (qEpochShuffle _),
       "q106_domain_split"    -> (qDomainSplit _),
@@ -696,6 +719,13 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q169_k_anonymity" ->
+      s"""SELECT lang, source, n_chars // 100 AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) < $KAnonK AS at_risk
+        |FROM documents
+        |GROUP BY lang, source, n_chars // 100
+        |ORDER BY lang, source, len_band""".stripMargin,
     // q147: the FULL estimator replays — md5 hashes, per-type k-minimum
     // sketches, union-sketch algebra — so the estimates themselves
     // hash-match; double arithmetic is written in the same association

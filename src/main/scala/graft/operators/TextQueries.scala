@@ -666,8 +666,31 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Tokenizer fertility by language (q167): tokens-per-word under the
+    * BPE-ish regex tokenizer (q19's), the number tokenizer papers
+    * report per language — a language whose fertility blows up under a
+    * candidate tokenizer pays that multiple in sequence length and
+    * training cost, which is why vocab decisions get a fertility table
+    * first. Map-only featurize + one partial-agg groupBy to |langs|
+    * rows; nothing scales past the scan. */
+  def qFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang",
+        size(TextOps.tokenize($"text")).cast("long").as("w"),
+        size(regexp_extract_all(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]+"), lit(0))).cast("long").as("t"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"w").as("n_words"),
+        sum($"t").as("n_tokens"))
+      .withColumn("fertility",
+        round($"n_tokens" / $"n_words".cast("double"), 4))
+      .orderBy($"lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_oov_rate" -> (qOovRate _),
+    "q167_fertility" -> (qFertility _),
     "q129_pmi_collocations" -> (qPmiCollocations _),
     "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
@@ -729,6 +752,18 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q167_fertility" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS BIGINT) AS t
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(t) AS BIGINT) AS n_tokens,
+        |  round(sum(t) / CAST(sum(w) AS DOUBLE), 4) AS fertility
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
     "q164_oov_rate" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term

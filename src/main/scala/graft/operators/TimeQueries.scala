@@ -674,6 +674,37 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Event-time lateness profile (q168): per event type, how far events
+    * arrive BEHIND the furthest event time already seen in their user's
+    * stream (arrival order = event_id) — p50/p95/max lateness and the
+    * fraction beyond 60 s. This is the table that SETS a streaming
+    * watermark: `withWatermark(delay)` drops everything later than
+    * `delay`, so the delay is read off this profile's tail, not
+    * guessed (the batch companion to streaming/StreamPipelines'
+    * watermarked twins). Lateness is computed in exact integer
+    * MICROSECONDS (running max over one user-keyed window — the same
+    * shuffle every timeline op shares) and only the reported
+    * percentiles convert to seconds, so the cross-engine contract
+    * rides on integers until the final division. */
+  def qLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byArrival = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("tus"))
+      .withColumn("late",
+        greatest(lit(0L), max($"tus").over(byArrival) - $"tus"))
+    ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(($"late" > 60000000L).cast("long")).as("n_late"),
+        round(percentile($"late", lit(0.5)) / 1000000.0, 4).as("p50_late_s"),
+        round(percentile($"late", lit(0.95)) / 1000000.0, 4).as("p95_late_s"),
+        round(max($"late") / 1000000.0, 4).as("max_late_s"))
+      .withColumn("late_rate", round($"n_late" / $"n".cast("double"), 4))
+      .orderBy($"event_type")
+  }
+
   /** Day-of-week seasonality profile (q166): per event type, the mean
     * daily volume by weekday plus a seasonality-strength ratio
     * (max − min)/mean over the 7 weekday means — the companion to
@@ -802,6 +833,7 @@ object TimeQueries extends QueryModule {
     "q155_eb_rates" -> (qEbRates _),
     "q162_markov_next" -> (qMarkovNext _),
     "q166_seasonality" -> (qSeasonality _),
+    "q168_lateness" -> (qLateness _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -829,6 +861,23 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q168_lateness" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) AS tus,
+        |    greatest(CAST(0 AS BIGINT),
+        |      max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |        ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - epoch_us(ts)) AS late
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (late > 60000000) AS BIGINT) AS n_late,
+        |  round(quantile_cont(late, 0.5) / 1000000.0, 4) AS p50_late_s,
+        |  round(quantile_cont(late, 0.95) / 1000000.0, 4) AS p95_late_s,
+        |  round(max(late) / 1000000.0, 4) AS max_late_s,
+        |  round(count(*) FILTER (late > 60000000)
+        |    / CAST(count(*) AS DOUBLE), 4) AS late_rate
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q166_seasonality" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

@@ -214,6 +214,32 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("k-anonymity: flags agree with counts and partition the corpus") {
+    import spark.implicits._
+    val rows = graft.operators.QualityQueries.qKAnonymity(spark, sf)
+      .select($"n", $"at_risk").as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, risk) =>
+      assert(n >= 1 && risk == (n < 5), s"flag/count mismatch at n=$n")
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._1).sum == total,
+      "quasi-identifier groups must partition the corpus exactly")
+  }
+
+  test("lateness: percentiles ordered, rate bounded") {
+    import spark.implicits._
+    val rows = graft.operators.TimeQueries.qLateness(spark, sf)
+      .select($"p50_late_s", $"p95_late_s", $"max_late_s", $"late_rate")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p50, p95, mx, rate) =>
+      assert(p50 >= 0 && p50 <= p95 && p95 <= mx,
+        s"percentiles out of order: $p50 / $p95 / $mx")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("retention: offset-0 row is each cohort's maximum") {
     import spark.implicits._
     val rows = graft.operators.TimeQueries.qRetention(spark, sf)

@@ -125,6 +125,92 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Duplication-by-quality interaction report (q171): exact-dup rate
+    * within each global quality decile (q15's score) — the cross-
+    * cutting audit behind the "duplicates are disproportionately
+    * low-quality boilerplate" assumption every dedup-then-filter
+    * pipeline makes; if dup_rate is flat across deciles, dedup and
+    * quality filtering remove INDEPENDENT mass and the drop-ledger
+    * math (q111) changes. Scale shape: no global sort — deciles come
+    * from 9 exact percentile cutpoints in one aggregate (→ q73's
+    * mergeable sketch at 100 TB), broadcast back and assigned map-side
+    * by counting cutpoints below the score (q142's discipline, global
+    * instead of per-source); dup flag is the q30 md5 window; final agg
+    * is 10 rows. */
+  def qDupByQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val nToks = size(toks)
+    val nStops = size(filter(toks, t => TextOps.isStopword(t)))
+    val quality = round((lit(1.0) - nStops.cast("double") / nToks) *
+      least(lit(1.0), nToks.cast("double") / 100.0), 4)
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", quality.as("q"), md5($"text").as("fp"))
+      .withColumn("dup", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")) > 1)
+    val cutCols = (1 to 9).map(i => percentile($"q", lit(i / 10.0)).as(s"c$i"))
+    val cuts = base.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(i => ($"q" > col(s"c$i")).cast("int"))
+      .reduce(_ + _) + lit(1)
+    base.crossJoin(broadcast(cuts))
+      .select($"doc_id", $"dup", decile.as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"dup".cast("long")).as("n_dup"))
+      .withColumn("dup_rate", round($"n_dup" / $"n_docs".cast("double"), 4))
+      .orderBy($"decile")
+  }
+
+  /** Weighted sparse cosine over the shingle space (q172): tf-idf
+    * cosine computed the SPARSE way — an inverted-index join on shared
+    * shingles — never materializing a dense vector (the lexical
+    * counterpart of q40's dense embedding cosine, and the similarity
+    * the idf weighting makes sharper than q31's unweighted Jaccard:
+    * agreeing on a RARE shingle is evidence, agreeing on boilerplate is
+    * not). Shingles are distinct per doc, so tf is binary and w = ln
+    * (N/df); norms and pair dots are grouped folds over the weight
+    * frame. Candidates come from q31's min-shingle block (MaxBlock-
+    * capped — never all-pairs), and the dot join touches only candidate
+    * pairs' shared shingles: cost ∝ Σ_pairs |x∩y|, the inverted-index
+    * economics a sparse search engine runs on. Threshold on the
+    * rounded value. */
+  def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docSh = Tables.documents(s, dir)
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("shs"))
+      .filter(size($"shs") > 0)
+    val w = docSh.select($"doc_id", explode($"shs").as("sh"))
+    val df = w.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val n = w.agg(countDistinct($"doc_id").as("n"))
+    val weights = w.join(broadcast(df), "sh").crossJoin(broadcast(n))
+      .select($"doc_id", $"sh",
+        log($"n".cast("double") / $"df").as("wt"))
+    val norms = weights.groupBy($"doc_id")
+      .agg(sqrt(sum($"wt" * $"wt")).as("nrm"))
+    val blocked = docSh
+      .withColumn("blk", array_min($"shs"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+      .select($"doc_id", $"blk")
+    val cand = blocked.select($"doc_id".as("x_id"), $"blk")
+      .join(blocked.select($"doc_id".as("y_id"), $"blk"), Seq("blk"))
+      .filter($"x_id" < $"y_id")
+      .select($"x_id", $"y_id")
+    val dots = cand
+      .join(weights.select($"doc_id".as("x_id"), $"sh", $"wt".as("wx")),
+        Seq("x_id"))
+      .join(weights.select($"doc_id".as("y_id"), $"sh", $"wt".as("wy")),
+        Seq("y_id", "sh"))
+      .groupBy($"x_id", $"y_id").agg(sum($"wx" * $"wy").as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("x_id"), $"nrm".as("nx")), "x_id")
+      .join(norms.select($"doc_id".as("y_id"), $"nrm".as("ny")), "y_id")
+      .select($"x_id", $"y_id",
+        round($"dot" / ($"nx" * $"ny"), 4).as("cos"))
+      .filter($"cos" >= 0.5)
+      .orderBy($"x_id", $"y_id")
+  }
+
   private val MinhashK = 32   // signature length
   private val BandRows = 4    // rows per LSH band → 8 bands
 
@@ -802,6 +888,8 @@ object DedupQueries extends QueryModule {
     "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q159_containment"  -> (qContainment _),
+    "q171_dup_by_quality" -> (qDupByQuality _),
+    "q172_sparse_cosine"  -> (qSparseCosine _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
@@ -881,6 +969,33 @@ object DedupQueries extends QueryModule {
       "q30_dedup_exact" ->
         """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+      "q171_dup_by_quality" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cutCols = (1 to 9).map(i =>
+          s"quantile_cont(q, ${i / 10.0}) AS c$i").mkString(", ")
+        val decile = (1 to 9).map(i =>
+          s"(CASE WHEN q > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH b AS (
+          |  SELECT doc_id,
+          |    round((1.0 - len(list_filter(str_split(text, ' '), t -> t IN $stops))
+          |      / CAST(len(str_split(text, ' ')) AS DOUBLE))
+          |     * least(1.0, len(str_split(text, ' ')) / 100.0), 4) AS q,
+          |    md5(text) AS fp
+          |  FROM documents),
+          |d AS (
+          |  SELECT doc_id, q, count(*) OVER (PARTITION BY fp) > 1 AS dup
+          |  FROM b),
+          |cuts AS (SELECT $cutCols FROM d),
+          |dec AS (
+          |  SELECT doc_id, dup,
+          |    CAST($decile + 1 AS INTEGER) AS decile
+          |  FROM d CROSS JOIN cuts)
+          |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+          |  round(sum(CASE WHEN dup THEN 1 ELSE 0 END)
+          |    / CAST(count(*) AS DOUBLE), 4) AS dup_rate
+          |FROM dec GROUP BY decile ORDER BY decile""".stripMargin
+      },
       // q148: both engines ship the same DP levenshtein; the similarity
       // expression is written in identical association order so the
       // filter threshold and the rounded output agree bit-for-bit
@@ -898,6 +1013,46 @@ object DedupQueries extends QueryModule {
           |WHERE x.blk_n <= $MaxBlock AND y.blk_n <= $MaxBlock
           |  AND 1.0 - levenshtein(x.p, y.p)
           |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE) >= 0.7
+          |ORDER BY x_id, y_id""".stripMargin,
+      "q172_sparse_cosine" ->
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |shs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+          |  FROM idx GROUP BY doc_id),
+          |shd AS (SELECT doc_id, shs FROM shs WHERE len(shs) > 0),
+          |w AS (SELECT doc_id, unnest(shs) AS sh FROM shd),
+          |df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM w GROUP BY sh),
+          |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM w),
+          |wt AS (
+          |  SELECT w.doc_id, w.sh, ln(CAST(n AS DOUBLE) / df) AS wt
+          |  FROM w JOIN df USING (sh) CROSS JOIN nn),
+          |nrm AS (
+          |  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
+          |b AS (
+          |  SELECT doc_id, list_aggregate(shs, 'min') AS blk,
+          |         count(*) OVER (PARTITION BY list_aggregate(shs, 'min')) AS blk_n
+          |  FROM shd),
+          |cand AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id
+          |  FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |  WHERE x.blk_n <= 1000),
+          |dots AS (
+          |  SELECT c.x_id, c.y_id, sum(wx.wt * wy.wt) AS dot
+          |  FROM cand c
+          |  JOIN wt wx ON wx.doc_id = c.x_id
+          |  JOIN wt wy ON wy.doc_id = c.y_id AND wy.sh = wx.sh
+          |  GROUP BY c.x_id, c.y_id),
+          |scored AS (
+          |  SELECT d.x_id, d.y_id,
+          |    round(d.dot / (nx.nrm * ny.nrm), 4) AS cos
+          |  FROM dots d
+          |  JOIN nrm nx ON nx.doc_id = d.x_id
+          |  JOIN nrm ny ON ny.doc_id = d.y_id)
+          |SELECT * FROM scored WHERE cos >= 0.5
           |ORDER BY x_id, y_id""".stripMargin,
       "q159_containment" ->
         s"""WITH t AS (

@@ -171,6 +171,42 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The q16 argmax-language expression, shared with q170. */
+  private def langPredicted: Column = {
+    val toks = TextOps.tokenize(col("text"))
+    val byName = langProfiles.map { case (l, words) =>
+      l -> size(filter(toks, t => t.isInCollection(words))).cast("long")
+    }.toMap
+    val langs = langProfiles.map(_._1)
+    langs.foldRight(lit("und")) { (l, els) =>
+      val wins = langs.filter(_ != l)
+        .map(o => byName(l) >= byName(o))
+        .reduce(_ && _)
+      when(byName(l) > 0 && wins, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Lang-ID confusion matrix (q170): q16's heuristic judged against
+    * the corpus' labeled lang — per (true, predicted) cell count,
+    * row-normalized share, and a correctness flag. The audit that
+    * turns a classifier into a number you can gate releases on (per-
+    * language recall is the diagonal share; zh, with no Latin stopword
+    * overlap, shows where the heuristic under-covers). Classifier is
+    * map-side expression work; the matrix is a |langs|²-bounded
+    * partial agg, and the row-normalizing window runs on the matrix. */
+  def qLangIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cm = Tables.documents(s, dir)
+      .select($"lang", langPredicted.as("predicted"))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+    cm.withColumn("row_share",
+        round($"n" / sum($"n").over(Window.partitionBy($"lang"))
+          .cast("double"), 4))
+      .withColumn("correct", $"lang" === $"predicted")
+      .select($"lang", $"predicted", $"n", $"row_share", $"correct")
+      .orderBy($"lang", $"predicted")
+  }
+
   /** North-star document fingerprinting: md5 over the normalized token
     * stream + per-fingerprint duplicate count (exact-dup detector). */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -691,6 +727,7 @@ object TextQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
+    "q170_langid_confusion" -> (qLangIdConfusion _),
     "q129_pmi_collocations" -> (qPmiCollocations _),
     "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
@@ -990,6 +1027,29 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
          | CASE $cases ELSE 'und' END AS predicted
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q170_langid_confusion" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(str_split(text, ' '), t -> t IN ${words.map(w => s"'$w'").mkString("(", ",", ")")}))"
+      val cols = langProfiles.map { case (l, ws) => s"${score(ws)} AS s_$l" }
+      val langs = langProfiles.map(_._1)
+      val cases = langs.map { l =>
+        val wins = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $wins THEN '$l'"
+      }.mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT lang, ${cols.mkString(", ")} FROM documents),
+         |pred AS (
+         |  SELECT lang, CASE $cases ELSE 'und' END AS predicted
+         |  FROM scored),
+         |cm AS (
+         |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+         |  FROM pred GROUP BY lang, predicted)
+         |SELECT lang, predicted, n,
+         |  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4)
+         |    AS row_share,
+         |  lang = predicted AS correct
+         |FROM cm ORDER BY lang, predicted""".stripMargin
     },
     "q19_token_bpe" ->
       """SELECT doc_id,

@@ -7,6 +7,37 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("sparse cosine: bounded, canonical pairs, finds the planted near-dups") {
+    import spark.implicits._
+    val got = DedupQueries.qSparseCosine(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "sparse cosine should surface near-dup pairs")
+    got.foreach { case (x, y, c) =>
+      assert(x < y, "pairs must be canonical x < y")
+      assert(c >= 0.5 && c <= 1.0001, s"cos $c out of range")
+    }
+    // idf-weighted cosine must agree with q31's exact jaccard on the
+    // high end: every >= 0.9-jaccard pair is also a >= 0.5-cosine pair
+    val jac = DedupQueries.qNgramJaccard(spark, sf)
+      .filter($"jaccard" >= 0.9).select($"x_id", $"y_id")
+      .as[(Long, Long)].collect().toSet
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(jac.subsetOf(pairs),
+      s"missing high-jaccard pairs: ${jac -- pairs}")
+  }
+
+  test("dup-by-quality: deciles partition the corpus, rates bounded") {
+    import spark.implicits._
+    val rows = DedupQueries.qDupByQuality(spark, sf)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSet.subsetOf((1 to 10).toSet))
+    assert(rows.map(_._2).sum ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.foreach { case (_, n, d, r) =>
+      assert(d <= n && r >= 0.0 && r <= 1.0)
+    }
+  }
+
   test("containment is asymmetric: a quoted-whole doc scores 1.0 one way") {
     import spark.implicits._
     // doc 1 is a strict prefix of doc 2: every shingle of 1 appears in

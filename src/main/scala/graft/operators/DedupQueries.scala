@@ -211,6 +211,109 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** 48-bit md5 minhash position i of a shingle column — the ENGINE-
+    * AGNOSTIC hash family (q147's idiom): both engines md5, so the
+    * whole signature replays in the oracle, unlike xxhash64 (which is
+    * why q32's oracle had to fall back to exact all-pairs). */
+  private def mdMin(i: Int): Column =
+    min(conv(substring(md5(concat(lit(s"mh$i:"), col("sh"))), 1, 12),
+      16, 10).cast("long"))
+
+  private val TuneSigK = 32
+  /** (bands, rows) layouts of the 32-position signature under study. */
+  private val TuneConfigs = Seq((32, 1), (16, 2), (8, 4), (4, 8))
+
+  private def rnd4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** md5-minhash signature frame (doc_id, s0..s31) over plain-token
+    * trigram shingles. One shuffle of (doc_id, 32×8 bytes). */
+  private def mdSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles(TextOps.tokenize($"text"))).as("sh"))
+      .groupBy($"doc_id")
+      .agg(mdMin(0).as("s0"),
+        (1 until TuneSigK).map(i => mdMin(i).as(s"s$i")): _*)
+  }
+
+  /** LSH band-tuning table (q173): for each (b, r) layout of the same
+    * 32-hash signature — the S-curve threshold (1/b)^(1/r), the
+    * closed-form detection probability 1−(1−J^r)^b at J = 0.8, and the
+    * MEASURED candidate-pair volume that layout generates on THIS
+    * corpus (Σ C(bucket,2) over band buckets). The artifact an LSH
+    * deployment pins before committing a layout: theory says what J it
+    * catches, the measured pair count says what the verify stage pays —
+    * at 100 TB the wrong row here is the difference between a linear
+    * verify and an accidental all-pairs. Signature build is one
+    * shuffle; each layout's bucket count is a partial agg over
+    * (band, key) with C(n,2) algebra on bucket sizes — candidate pairs
+    * are COUNTED, never materialized. */
+  def qLshTuning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = mdSignatures(s, dir)
+    TuneConfigs.map { case (b, r) =>
+      val bandCols = (0 until b).map { j =>
+        concat_ws(",",
+          (0 until r).map(k => col(s"s${j * r + k}").cast("string")): _*)
+      }
+      val thresh = rnd4(math.pow(1.0 / b, 1.0 / r))
+      val p08 = rnd4(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
+      sigs.select($"doc_id",
+          posexplode(array(bandCols: _*)).as(Seq("band_id", "key")))
+        .groupBy($"band_id", $"key").agg(count(lit(1)).as("nb"))
+        .filter($"nb" >= 2)
+        .agg(count(lit(1)).as("n_buckets"),
+          coalesce(sum(expr("nb * (nb - 1) div 2")), lit(0L))
+            .as("n_cand_pairs"))
+        .select(lit(b).as("b"), lit(r).as("r"),
+          lit(thresh).as("s_threshold"), lit(p08).as("p_at_08"),
+          $"n_buckets", $"n_cand_pairs")
+    }.reduce(_.unionAll(_)).orderBy($"b".desc)
+  }
+
+  /** MinHash Jaccard-estimator calibration (q174): for q31's blocked
+    * candidate pairs, the signature estimate Ĵ = |{i: sigᵢ agree}|/32
+    * next to the exact shingle Jaccard and the signed error — the
+    * sketch-calibration table (q146's discipline applied to MinHash):
+    * the estimator's ±1/√k error is a theorem, but the table is what
+    * lets an operator set the verify threshold so the sketch's false
+    * negatives stay below the dedup SLA. Signature agreement is exact
+    * integer equality folded across 32 columns; everything replays in
+    * the oracle because the hash family is md5 (mdMin). */
+  def qMinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = mdSignatures(s, dir)
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("x_id"), $"blk", $"sh".as("x_sh"))
+    val y = d.select($"doc_id".as("y_id"), $"blk", $"sh".as("y_sh"))
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    val union = size($"x_sh").cast("long") + size($"y_sh") - inter
+    val pairs = x.join(y, Seq("blk")).filter($"x_id" < $"y_id")
+      .select($"x_id", $"y_id",
+        round(inter.cast("double") / union, 4).as("j_exact"))
+    val sx = sigs.select($"doc_id".as("x_id") +:
+      (0 until TuneSigK).map(i => col(s"s$i").as(s"x$i")): _*)
+    val sy = sigs.select($"doc_id".as("y_id") +:
+      (0 until TuneSigK).map(i => col(s"s$i").as(s"y$i")): _*)
+    val agree = (0 until TuneSigK)
+      .map(i => (col(s"x$i") === col(s"y$i")).cast("long"))
+      .reduce(_ + _)
+    pairs.join(sx, "x_id").join(sy, "y_id")
+      .select($"x_id", $"y_id",
+        agree.as("n_agree"),
+        round(agree / lit(TuneSigK.toDouble), 4).as("j_est"),
+        $"j_exact")
+      .withColumn("err", round($"j_est" - $"j_exact", 4) + lit(0.0))
+      .orderBy($"x_id", $"y_id")
+  }
+
   private val MinhashK = 32   // signature length
   private val BandRows = 4    // rows per LSH band → 8 bands
 
@@ -890,6 +993,8 @@ object DedupQueries extends QueryModule {
     "q159_containment"  -> (qContainment _),
     "q171_dup_by_quality" -> (qDupByQuality _),
     "q172_sparse_cosine"  -> (qSparseCosine _),
+    "q173_lsh_tuning"     -> (qLshTuning _),
+    "q174_minhash_estimate" -> (qMinhashEstimate _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
@@ -1014,6 +1119,94 @@ object DedupQueries extends QueryModule {
           |  AND 1.0 - levenshtein(x.p, y.p)
           |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE) >= 0.7
           |ORDER BY x_id, y_id""".stripMargin,
+      "q173_lsh_tuning" -> {
+        val sigCols = (0 until TuneSigK).map(i =>
+          s"min(('0x' || substr(md5('mh$i:' || sh), 1, 12))::BIGINT) AS s$i")
+          .mkString(",\n|    ")
+        def keyExpr(j: Int, r: Int): String =
+          (0 until r).map(k => s"CAST(s${j * r + k} AS VARCHAR)")
+            .mkString(" || ',' || ")
+        val cfgCtes = TuneConfigs.map { case (b, r) =>
+          val arms = (0 until b).map(j =>
+            s"SELECT $j AS band_id, ${keyExpr(j, r)} AS key FROM sigs")
+            .mkString("\n|      UNION ALL ")
+          val thresh = rnd4(math.pow(1.0 / b, 1.0 / r))
+          val p08 = rnd4(1.0 - math.pow(1.0 - math.pow(0.8, r), b))
+          s"""c_${b}_$r AS (
+            |  SELECT CAST($b AS INTEGER) AS b, CAST($r AS INTEGER) AS r,
+            |    CAST($thresh AS DOUBLE) AS s_threshold,
+            |    CAST($p08 AS DOUBLE) AS p_at_08,
+            |    CAST(count(*) AS BIGINT) AS n_buckets,
+            |    CAST(coalesce(sum(nb * (nb - 1) // 2), 0) AS BIGINT)
+            |      AS n_cand_pairs
+            |  FROM (
+            |    SELECT band_id, key, count(*) AS nb FROM (
+            |      $arms
+            |    ) GROUP BY band_id, key)
+            |  WHERE nb >= 2)""".stripMargin
+        }.mkString(",\n")
+        val sel = TuneConfigs.map { case (b, r) => s"SELECT * FROM c_${b}_$r" }
+          .mkString("\n|UNION ALL ")
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |shs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+          |  FROM idx GROUP BY doc_id),
+          |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |sigs AS (
+          |  SELECT doc_id,
+          |    $sigCols
+          |  FROM w GROUP BY doc_id),
+          |$cfgCtes
+          |$sel
+          |ORDER BY b DESC""".stripMargin
+      },
+      "q174_minhash_estimate" -> {
+        val sigCols = (0 until TuneSigK).map(i =>
+          s"min(('0x' || substr(md5('mh$i:' || sh), 1, 12))::BIGINT) AS s$i")
+          .mkString(",\n|    ")
+        val agree = (0 until TuneSigK).map(i =>
+          s"(CASE WHEN a.s$i = c.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |shs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+          |  FROM idx GROUP BY doc_id),
+          |b AS (
+          |  SELECT doc_id, shs, list_aggregate(shs, 'min') AS blk,
+          |         count(*) OVER (PARTITION BY list_aggregate(shs, 'min')) AS blk_n
+          |  FROM shs WHERE len(shs) > 0),
+          |pairs AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |    round(len(list_intersect(x.shs, y.shs))
+          |      / CAST(len(x.shs) + len(y.shs)
+          |             - len(list_intersect(x.shs, y.shs)) AS DOUBLE),
+          |      4) AS j_exact
+          |  FROM b x JOIN b y
+          |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |  WHERE x.blk_n <= 1000),
+          |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |sigs AS (
+          |  SELECT doc_id,
+          |    $sigCols
+          |  FROM w GROUP BY doc_id)
+          |SELECT p.x_id, p.y_id,
+          |  CAST($agree AS BIGINT) AS n_agree,
+          |  round(($agree) / ${TuneSigK.toDouble}, 4) AS j_est,
+          |  p.j_exact,
+          |  round(round(($agree) / ${TuneSigK.toDouble}, 4) - p.j_exact, 4)
+          |    + 0.0 AS err
+          |FROM pairs p
+          |JOIN sigs a ON a.doc_id = p.x_id
+          |JOIN sigs c ON c.doc_id = p.y_id
+          |ORDER BY p.x_id, p.y_id""".stripMargin
+      },
       "q172_sparse_cosine" ->
         s"""WITH t AS (
           |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

@@ -7,6 +7,38 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("LSH tuning: S-curve monotone in r, candidate volume anti-monotone") {
+    import spark.implicits._
+    val rows = DedupQueries.qLshTuning(spark, sf)
+      .as[(Int, Int, Double, Double, Long, Long)].collect()
+      .sortBy(_._2) // by r ascending: (32,1), (16,2), (8,4), (4,8)
+    assert(rows.map(t => (t._1, t._2)).toSeq ==
+      Seq((32, 1), (16, 2), (8, 4), (4, 8)))
+    // more rows per band ⇒ higher threshold, lower detection at fixed J,
+    // fewer candidate pairs — the three monotonicities the table exists
+    // to show
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 < hi._3, "threshold must rise with r")
+      assert(lo._4 >= hi._4, "p@0.8 must not rise with r")
+      assert(lo._6 >= hi._6, "candidate volume must not rise with r")
+    }
+  }
+
+  test("minhash estimate: unbiased-ish and bounded on candidate pairs") {
+    import spark.implicits._
+    val rows = DedupQueries.qMinhashEstimate(spark, sf)
+      .select($"j_est", $"j_exact", $"err").as[(Double, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, ex, err) =>
+      assert(est >= 0.0 && est <= 1.0 && ex >= 0.0 && ex <= 1.0)
+      assert(math.abs(err) <= 0.35,
+        s"estimator error $err beyond 4x the 1/sqrt(32) std bound")
+    }
+    val meanAbs = rows.map(t => math.abs(t._3)).sum / rows.length
+    assert(meanAbs < 0.1, s"mean |err| $meanAbs too high for k=32")
+  }
+
   test("sparse cosine: bounded, canonical pairs, finds the planted near-dups") {
     import spark.implicits._
     val got = DedupQueries.qSparseCosine(spark, sf)

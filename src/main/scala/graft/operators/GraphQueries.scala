@@ -227,10 +227,65 @@ object GraphQueries extends QueryModule {
       .orderBy($"node")
   }
 
+  /** Component-size histogram (q175): how many components of each
+    * size, plus each size class' share of all nodes — the one-glance
+    * fragmentation read on q158's components (a dedup-cluster graph
+    * whose giant component holds 90% of nodes means the pair
+    * threshold is too loose; all-singletons means it's too tight).
+    * Two metadata-scale aggregates on the component labels. */
+  def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = qConnectedStars(s, dir)
+      .groupBy($"comp").agg(count(lit(1)).as("size"))
+    val tot = sizes.agg(sum($"size").as("n_nodes"))
+    sizes.groupBy($"size").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(tot))
+      .select($"size", $"n_components",
+        round($"size" * $"n_components" / $"n_nodes".cast("double"), 4)
+          .as("node_share"))
+      .orderBy($"size".desc)
+  }
+
+  /** Fan-out cap for q176: a user touching more than this many items
+    * contributes C(deg, 2) pairs — one bot account with 10⁴ items is
+    * 5·10⁷ pairs, the classic bipartite-projection skew bomb. Capped
+    * users are dropped whole (documented recall trade, same posture as
+    * q31's MaxBlock); production would sample their edges instead. */
+  private val MaxUserDeg = 50
+
+  /** Co-engagement projection (q176): project the user→item bipartite
+    * graph onto items — (item_a, item_b, shared-user count), top-30 —
+    * the construction behind co-occurrence recommenders and
+    * item-similarity features. One distinct pass, a degree filter, one
+    * self-join keyed on user (shuffle on user_id), pair counts by
+    * partial agg; the top-30 rank window heap-rewrites. */
+  def qCoengagement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ui = Tables.events(s, dir)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+      .distinct()
+    val ok = ui.groupBy($"user_id").agg(count(lit(1)).as("deg"))
+      .filter($"deg" <= MaxUserDeg).select($"user_id")
+    val capped = ui.join(ok, "user_id")
+    val pairs = capped.select($"user_id", $"item".as("a"))
+      .join(capped.select($"user_id", $"item".as("b")), Seq("user_id"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_users"))
+    pairs.withColumn("rk", row_number().over(
+        Window.orderBy($"n_users".desc, $"a".asc, $"b".asc)))
+      .filter($"rk" <= 30)
+      .select($"rk", $"a", $"b", $"n_users")
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
         "q144_triangles" -> (qTriangles _),
-        "q158_cc_stars" -> (qConnectedStars _))
+        "q158_cc_stars" -> (qConnectedStars _),
+        "q175_component_sizes" -> (qComponentSizes _),
+        "q176_coengagement" -> (qCoengagement _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
   override def oracleSql: Map[String, String] = {
@@ -318,9 +373,67 @@ object GraphQueries extends QueryModule {
         |  WHERE l.comp < s.v)
         |SELECT node, min(comp) AS comp FROM lbl
         |GROUP BY node ORDER BY node""".stripMargin
+    val componentSizesSql =
+      s"""WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS c
+        |  FROM edges GROUP BY 1, 2),
+        |fe AS (SELECT a, b FROM und WHERE c >= $MinEdgeWeight),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM fe
+        |  UNION ALL SELECT b, a FROM fe),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |lbl(node, comp) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.v, l.comp FROM lbl l JOIN sym s ON s.u = l.node
+        |  WHERE l.comp < s.v),
+        |comps AS (
+        |  SELECT node, min(comp) AS comp FROM lbl GROUP BY node),
+        |sizes AS (
+        |  SELECT comp, CAST(count(*) AS BIGINT) AS size
+        |  FROM comps GROUP BY comp),
+        |tot AS (SELECT CAST(sum(size) AS BIGINT) AS n_nodes FROM sizes)
+        |SELECT size, CAST(count(*) AS BIGINT) AS n_components,
+        |  round(size * count(*) / CAST(n_nodes AS DOUBLE), 4) AS node_share
+        |FROM sizes CROSS JOIN tot
+        |GROUP BY size, n_nodes ORDER BY size DESC""".stripMargin
+    val coengagementSql =
+      s"""WITH ui AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+        |ok AS (
+        |  SELECT user_id FROM ui GROUP BY user_id
+        |  HAVING count(*) <= $MaxUserDeg),
+        |capped AS (SELECT ui.* FROM ui JOIN ok USING (user_id)),
+        |pairs AS (
+        |  SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT)
+        |      AS n_users
+        |  FROM capped x JOIN capped y
+        |    ON x.user_id = y.user_id AND x.item < y.item
+        |  GROUP BY x.item, y.item),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY n_users DESC, a ASC, b ASC) AS rk FROM pairs)
+        |SELECT CAST(rk AS INTEGER) AS rk, a, b, n_users
+        |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin
     Map(
       "q144_triangles" -> trianglesSql,
       "q158_cc_stars" -> ccStarsSql,
+      "q175_component_sizes" -> componentSizesSql,
+      "q176_coengagement" -> coengagementSql,
       "q92_pagerank" ->
       s"""WITH ev AS (
         |  SELECT user_id, ts, event_id,

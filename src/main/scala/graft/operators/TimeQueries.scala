@@ -674,6 +674,38 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Half-life of the q177 exponential decay, in days; λ = ln2/HL.
+    * The constant is materialized once in Scala so both engines see the
+    * identical double literal. */
+  private val DecayHalfLifeDays = 7.0
+  private val DecayLambda = math.log(2.0) / DecayHalfLifeDays
+
+  /** Recency-decay engagement weights (q177): per item, events folded
+    * with weight e^(−λ·age) relative to the corpus' latest timestamp —
+    * the freshness prior a training-data mix applies when yesterday's
+    * engagement should count ~2× last week's (7-day half-life here).
+    * The as-of anchor is a 1-row max aggregate broadcast back; age is
+    * exact integer microseconds divided once into days; the weighted
+    * fold is one partial agg to |items| rows. Same plan as any
+    * count-by-item, just with a weighted sum — recency costs nothing
+    * extra at 100 TB. */
+  def qRecencyWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(get_json_object($"props", "$.k").cast("long").as("item"),
+        unix_micros($"ts").as("tus"))
+      .filter($"item".isNotNull)
+    val asof = ev.agg(max($"tus").as("asof_us"))
+    ev.crossJoin(broadcast(asof))
+      .select($"item",
+        exp(lit(-DecayLambda) *
+          (($"asof_us" - $"tus") / 86400000000.0)).as("w"))
+      .groupBy($"item")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"w"), 4).as("decayed_weight"))
+      .orderBy($"item")
+  }
+
   /** Event-time lateness profile (q168): per event type, how far events
     * arrive BEHIND the furthest event time already seen in their user's
     * stream (arrival order = event_id) — p50/p95/max lateness and the
@@ -834,6 +866,7 @@ object TimeQueries extends QueryModule {
     "q162_markov_next" -> (qMarkovNext _),
     "q166_seasonality" -> (qSeasonality _),
     "q168_lateness" -> (qLateness _),
+    "q177_recency_weights" -> (qRecencyWeights _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -861,6 +894,19 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q177_recency_weights" ->
+      s"""WITH ev AS (
+        |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT)
+        |      AS item,
+        |    epoch_us(ts) AS tus
+        |  FROM events
+        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+        |anchor AS (SELECT max(tus) AS asof_us FROM ev)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(exp(${-DecayLambda}
+        |    * ((asof_us - tus) / 86400000000.0))), 4) AS decayed_weight
+        |FROM ev CROSS JOIN anchor
+        |GROUP BY item ORDER BY item""".stripMargin,
     "q168_lateness" ->
       """WITH ev AS (
         |  SELECT event_type, epoch_us(ts) AS tus,

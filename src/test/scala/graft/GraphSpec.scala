@@ -66,6 +66,29 @@ class GraphSpec extends AnyFunSuite {
     assert(byComp.size > 1, "expected a multi-component graph at sf0.001")
   }
 
+  test("component sizes: shares sum to 1, sizes consistent with labels") {
+    import spark.implicits._
+    val hist = GraphQueries.qComponentSizes(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(hist.nonEmpty)
+    val share = hist.map(_._3).sum
+    assert(math.abs(share - 1.0) < 0.01, s"node shares sum to $share")
+    val nodesFromHist = hist.map(t => t._1 * t._2).sum
+    val nodes = GraphQueries.qConnectedStars(spark, sf).count()
+    assert(nodesFromHist == nodes)
+  }
+
+  test("coengagement: capped, canonical, ordered by support") {
+    import spark.implicits._
+    val rows = GraphQueries.qCoengagement(spark, sf)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { case (_, a, b, n) => assert(a < b && n >= 1) }
+    val counts = rows.map(_._4)
+    assert(counts.sameElements(counts.sorted.reverse),
+      "pairs must be ranked by descending shared-user count")
+  }
+
   test("pagerank: mass conserved, floor respected, not uniform") {
     import spark.implicits._
     val ranks = GraphQueries.qPagerank(spark, sf)

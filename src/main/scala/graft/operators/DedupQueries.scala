@@ -211,13 +211,45 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
-  /** 48-bit md5 minhash position i of a shingle column — the ENGINE-
-    * AGNOSTIC hash family (q147's idiom): both engines md5, so the
-    * whole signature replays in the oracle, unlike xxhash64 (which is
-    * why q32's oracle had to fall back to exact all-pairs). */
-  private def mdMin(i: Int): Column =
-    min(conv(substring(md5(concat(lit(s"mh$i:"), col("sh"))), 1, 12),
-      16, 10).cast("long"))
+  /** Shingle-novelty curve (q179): per document (in doc_id order — the
+    * ingest order), what fraction of its shingles appear here for the
+    * FIRST time in the corpus. The dataset-diversity read a curation
+    * loop watches while appending sources: a collapsing novelty curve
+    * means new data is re-treading old n-grams and marginal training
+    * value is falling (the measurement behind data-pruning/dedup
+    * interventions). First-seen is one min-aggregate over the shingle
+    * stream — the same (sh → min doc_id) shape as exact dedup's
+    * keeper — joined back and folded per doc; two shuffles total,
+    * both on keys the dedup family already uses. */
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles(TextOps.tokenize($"text"))).as("sh"))
+    val first = w.groupBy($"sh").agg(min($"doc_id").as("fdoc"))
+    w.join(first, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(($"fdoc" === $"doc_id").cast("long")).as("n_first"))
+      .withColumn("novelty",
+        round($"n_first" / $"n_shingles".cast("double"), 4))
+      .orderBy($"doc_id")
+  }
+
+  /** The q173/q174 hash family: ONE md5 per shingle split into two
+    * 48-bit halves, position i derived as (h1 + i·h2) mod 2⁴⁸ —
+    * Kirsch & Mitzenstein 2006 ("Less hashing, same performance"),
+    * which proves the double-hashing family preserves the minwise
+    * estimator's guarantees. Engine-agnostic (md5 on both sides, so
+    * the whole signature replays in the oracle, unlike xxhash64 —
+    * why q32's oracle falls back to exact all-pairs) AND 32× cheaper
+    * than 32 independent md5 calls: one string hash per shingle, the
+    * rest integer arithmetic (bench: the 32-md5 form was the suite's
+    * slowest pair at 7.3 s each; i·h2 ≤ 31·2⁴⁸ < 2⁵³ so the long
+    * arithmetic never overflows). */
+  private val Sig48 = 281474976710656L // 2^48
+
+  private def sigPos(i: Int): Column =
+    (col("h1") + lit(i.toLong) * col("h2")) % lit(Sig48)
 
   private val TuneSigK = 32
   /** (bands, rows) layouts of the 32-position signature under study. */
@@ -227,14 +259,20 @@ object DedupQueries extends QueryModule {
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** md5-minhash signature frame (doc_id, s0..s31) over plain-token
-    * trigram shingles. One shuffle of (doc_id, 32×8 bytes). */
+    * trigram shingles. One shuffle of (doc_id, 32×8 bytes); one md5
+    * per shingle (sigPos). */
   private def mdSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
+    val hashed = Tables.documents(s, dir)
       .select($"doc_id", explode(shingles(TextOps.tokenize($"text"))).as("sh"))
-      .groupBy($"doc_id")
-      .agg(mdMin(0).as("s0"),
-        (1 until TuneSigK).map(i => mdMin(i).as(s"s$i")): _*)
+      .select($"doc_id",
+        conv(substring(md5(concat(lit("mh:"), $"sh")), 1, 12), 16, 10)
+          .cast("long").as("h1"),
+        conv(substring(md5(concat(lit("mh:"), $"sh")), 13, 12), 16, 10)
+          .cast("long").as("h2"))
+    hashed.groupBy($"doc_id")
+      .agg(min(sigPos(0)).as("s0"),
+        (1 until TuneSigK).map(i => min(sigPos(i)).as(s"s$i")): _*)
   }
 
   /** LSH band-tuning table (q173): for each (b, r) layout of the same
@@ -995,6 +1033,7 @@ object DedupQueries extends QueryModule {
     "q172_sparse_cosine"  -> (qSparseCosine _),
     "q173_lsh_tuning"     -> (qLshTuning _),
     "q174_minhash_estimate" -> (qMinhashEstimate _),
+    "q179_novelty"        -> (qNovelty _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
@@ -1119,10 +1158,27 @@ object DedupQueries extends QueryModule {
           |  AND 1.0 - levenshtein(x.p, y.p)
           |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE) >= 0.7
           |ORDER BY x_id, y_id""".stripMargin,
+      "q179_novelty" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |shs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+          |  FROM idx GROUP BY doc_id),
+          |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |fst AS (SELECT sh, min(doc_id) AS fdoc FROM w GROUP BY sh)
+          |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          |  CAST(sum(CASE WHEN fst.fdoc = w.doc_id THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_first,
+          |  round(sum(CASE WHEN fst.fdoc = w.doc_id THEN 1 ELSE 0 END)
+          |    / CAST(count(*) AS DOUBLE), 4) AS novelty
+          |FROM w JOIN fst USING (sh)
+          |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
       "q173_lsh_tuning" -> {
         val sigCols = (0 until TuneSigK).map(i =>
-          s"min(('0x' || substr(md5('mh$i:' || sh), 1, 12))::BIGINT) AS s$i")
-          .mkString(",\n|    ")
+          s"min((h1 + $i * h2) % $Sig48) AS s$i").mkString(",\n|    ")
         def keyExpr(j: Int, r: Int): String =
           (0 until r).map(k => s"CAST(s${j * r + k} AS VARCHAR)")
             .mkString(" || ',' || ")
@@ -1156,18 +1212,22 @@ object DedupQueries extends QueryModule {
           |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
           |  FROM idx GROUP BY doc_id),
           |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |w2 AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5('mh:' || sh), 1, 12))::BIGINT AS h1,
+          |    ('0x' || substr(md5('mh:' || sh), 13, 12))::BIGINT AS h2
+          |  FROM w),
           |sigs AS (
           |  SELECT doc_id,
           |    $sigCols
-          |  FROM w GROUP BY doc_id),
+          |  FROM w2 GROUP BY doc_id),
           |$cfgCtes
           |$sel
           |ORDER BY b DESC""".stripMargin
       },
       "q174_minhash_estimate" -> {
         val sigCols = (0 until TuneSigK).map(i =>
-          s"min(('0x' || substr(md5('mh$i:' || sh), 1, 12))::BIGINT) AS s$i")
-          .mkString(",\n|    ")
+          s"min((h1 + $i * h2) % $Sig48) AS s$i").mkString(",\n|    ")
         val agree = (0 until TuneSigK).map(i =>
           s"(CASE WHEN a.s$i = c.s$i THEN 1 ELSE 0 END)").mkString(" + ")
         s"""WITH t AS (
@@ -1192,10 +1252,15 @@ object DedupQueries extends QueryModule {
           |    ON x.blk = y.blk AND x.doc_id < y.doc_id
           |  WHERE x.blk_n <= 1000),
           |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |w2 AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5('mh:' || sh), 1, 12))::BIGINT AS h1,
+          |    ('0x' || substr(md5('mh:' || sh), 13, 12))::BIGINT AS h2
+          |  FROM w),
           |sigs AS (
           |  SELECT doc_id,
           |    $sigCols
-          |  FROM w GROUP BY doc_id)
+          |  FROM w2 GROUP BY doc_id)
           |SELECT p.x_id, p.y_id,
           |  CAST($agree AS BIGINT) AS n_agree,
           |  round(($agree) / ${TuneSigK.toDouble}, 4) AS j_est,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryModule
+import graft.functions.TextOps
 import graft.sources.Tables
 
 /** Corpus-quality and sketch operators a training-data pipeline runs at
@@ -670,6 +671,39 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Filter ablation grid (q180): the corpus cross-tabulated by all 2³
+    * combinations of three independent gates — quality score ≥ 0.5
+    * (q15's), length ≥ 50 words (the Gopher floor), and exact-dup
+    * keeper (q30's md5 winner) — with each cell's share. The table
+    * that answers "which filter is actually doing the work, and how
+    * much do they overlap": if the quality gate's unique kills are
+    * near zero, drop it and save the pass; if dup losers concentrate
+    * in the low-quality cell, q171's assumption holds. One map pass
+    * computes all three flags (the dup flag reuses the md5 window),
+    * one partial agg lands the 8-row grid. */
+  def qFilterAblation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val nToks = size(toks)
+    val nStops = size(filter(toks, t => TextOps.isStopword(t)))
+    val quality = round((lit(1.0) - nStops.cast("double") / nToks) *
+      least(lit(1.0), nToks.cast("double") / 100.0), 4)
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", quality.as("q"), nToks.as("nt"),
+        md5($"text").as("fp"))
+      .withColumn("g_uniq", $"doc_id" === min($"doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp")))
+      .select(($"q" >= 0.5).as("g_quality"), ($"nt" >= 50).as("g_len"),
+        $"g_uniq")
+    val tot = base.agg(count(lit(1)).as("total"))
+    base.groupBy($"g_quality", $"g_len", $"g_uniq")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"g_quality", $"g_len", $"g_uniq", $"n",
+        round($"n" / $"total".cast("double"), 4).as("share"))
+      .orderBy($"g_quality", $"g_len", $"g_uniq")
+  }
+
   /** Group size below which a quasi-identifier combination is a
     * re-identification risk (the k in k-anonymity; Sweeney 2002). */
   private val KAnonK = 5
@@ -695,6 +729,7 @@ object QualityQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q169_k_anonymity"     -> (qKAnonymity _),
+      "q180_filter_ablation" -> (qFilterAblation _),
       "q127_winsorize"       -> (qWinsorize _),
       "q105_epoch_shuffle"   -> (qEpochShuffle _),
       "q106_domain_split"    -> (qDomainSplit _),
@@ -719,6 +754,27 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q180_filter_ablation" -> {
+      val stops = TextOps.stopwordsSqlList
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    round((1.0 - len(list_filter(str_split(text, ' '), t -> t IN $stops))
+        |      / CAST(len(str_split(text, ' ')) AS DOUBLE))
+        |     * least(1.0, len(str_split(text, ' ')) / 100.0), 4) AS q,
+        |    len(str_split(text, ' ')) AS nt,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT q >= 0.5 AS g_quality, nt >= 50 AS g_len,
+        |    doc_id = min(doc_id) OVER (PARTITION BY fp) AS g_uniq
+        |  FROM b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM g)
+        |SELECT g_quality, g_len, g_uniq, CAST(count(*) AS BIGINT) AS n,
+        |  round(count(*) / CAST(total AS DOUBLE), 4) AS share
+        |FROM g CROSS JOIN tot
+        |GROUP BY g_quality, g_len, g_uniq, total
+        |ORDER BY g_quality, g_len, g_uniq""".stripMargin
+    },
     "q169_k_anonymity" ->
       s"""SELECT lang, source, n_chars // 100 AS len_band,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -202,6 +202,47 @@ object ScoringQueries extends QueryModule {
       .orderBy($"lang", $"bucket")
   }
 
+  /** Normal-consistency factor: MAD·1.4826 estimates σ under
+    * gaussianity, making robust-z thresholds comparable to classic
+    * z-scores (Hampel / Leys et al. 2013). */
+  private val MadSigma = 1.4826
+
+  /** Per-source robust z-score normalization (q178): each document's
+    * quality score standardized by its SOURCE's median and MAD —
+    * median/MAD because a single boilerplate flood in one source would
+    * drag a mean/σ baseline toward itself and mask its own outliers
+    * (q130's argument, applied to quality instead of volume). This is
+    * the normalization that makes scores COMPARABLE across sources
+    * before a global threshold (q142 solved the same problem with
+    * per-source deciles; robust-z keeps a continuous score). Two
+    * percentile aggregates per source (→ mergeable sketches at
+    * 100 TB), both broadcast back; the z itself is map-side
+    * arithmetic. Zero-MAD sources (constant score) emit z = 0 by the
+    * same CASE on both engines. */
+  def qRobustZ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val nToks = size(toks)
+    val nStops = size(filter(toks, t => TextOps.isStopword(t)))
+    val quality = round((lit(1.0) - nStops.cast("double") / nToks) *
+      least(lit(1.0), nToks.cast("double") / 100.0), 4)
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"source", quality.as("q"))
+    val med = base.groupBy($"source")
+      .agg(percentile($"q", lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), "source")
+      .withColumn("dev", abs($"q" - $"med"))
+    val mad = dev.groupBy($"source")
+      .agg(percentile($"dev", lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "source")
+      .select($"doc_id", $"source", $"q",
+        when($"mad" > 0,
+          round(($"q" - $"med") / (lit(MadSigma) * $"mad"), 4) + lit(0.0))
+          .otherwise(lit(0.0)).as("z"))
+      .withColumn("outlier", abs($"z") > 3.0)
+      .orderBy($"doc_id")
+  }
+
   /** Mutual-information feature audit (q165): MI between each candidate
     * binary feature and the target label (lang = 'en') from the 2×2
     * contingency table — the standard pre-training feature-selection
@@ -538,6 +579,7 @@ object ScoringQueries extends QueryModule {
       "q93_bigram_nll"  -> (qBigramNll _),
       "q160_kn_bigram"  -> (qKneserNeyNll _),
       "q165_feature_mi" -> (qFeatureMi _),
+      "q178_robust_z"   -> (qRobustZ _),
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
     )
@@ -740,6 +782,33 @@ object ScoringQueries extends QueryModule {
         |  round(max(nll), 4) AS max_nll
         |FROM t GROUP BY lang, bucket
         |ORDER BY lang, bucket""".stripMargin,
+    "q178_robust_z" -> {
+      val stops = TextOps.stopwordsSqlList
+      s"""WITH b AS (
+        |  SELECT doc_id, source,
+        |    round((1.0 - len(list_filter(str_split(text, ' '), t -> t IN $stops))
+        |      / CAST(len(str_split(text, ' ')) AS DOUBLE))
+        |     * least(1.0, len(str_split(text, ' ')) / 100.0), 4) AS q
+        |  FROM documents),
+        |med AS (
+        |  SELECT source, quantile_cont(q, 0.5) AS med FROM b
+        |  GROUP BY source),
+        |dev AS (
+        |  SELECT b.doc_id, b.source, b.q, abs(b.q - med.med) AS dev,
+        |    med.med
+        |  FROM b JOIN med USING (source)),
+        |mad AS (
+        |  SELECT source, quantile_cont(dev, 0.5) AS mad FROM dev
+        |  GROUP BY source),
+        |z AS (
+        |  SELECT d.doc_id, d.source, d.q,
+        |    CASE WHEN m.mad > 0
+        |         THEN round((d.q - d.med) / ($MadSigma * m.mad), 4) + 0.0
+        |         ELSE 0.0 END AS z
+        |  FROM dev d JOIN mad m USING (source))
+        |SELECT doc_id, source, q, z, abs(z) > 3.0 AS outlier
+        |FROM z ORDER BY doc_id""".stripMargin
+    },
     "q165_feature_mi" -> {
       val feats = Seq(
         ("f_long", "n_chars > 300"),

@@ -704,6 +704,50 @@ object QualityQueries extends QueryModule {
       .orderBy($"g_quality", $"g_len", $"g_uniq")
   }
 
+  /** Lorenz curve + Gini of content concentration (q183): cumulative
+    * character share against cumulative document share over length
+    * deciles — "the top 10% of documents hold X% of the bytes", the
+    * inequality read behind storage budgeting, token-budget sampling
+    * (q84) and long-doc chunking policy, with the trapezoid-rule Gini
+    * as the headline scalar. Deciles from 9 broadcast percentile
+    * cutpoints (q171's no-global-sort discipline); every cumulative
+    * sum is exact integers over the 10-row decile frame; the only
+    * float work is ten divisions and the trapezoid fold. */
+  def qLorenzGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val cutCols = (1 to 9).map(i =>
+      percentile($"n_chars", lit(i / 10.0)).as(s"c$i"))
+    val cuts = d.agg(cutCols.head, cutCols.tail: _*)
+    val decile = (1 to 9).map(i => ($"n_chars" > col(s"c$i")).cast("int"))
+      .reduce(_ + _) + lit(1)
+    val per = d.crossJoin(broadcast(cuts))
+      .select(decile.as("decile"), $"n_chars")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+    val tot = per.agg(sum($"n_docs").as("td"), sum($"chars").as("tc"))
+    val wc = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.orderBy($"decile")
+    val wAll = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_doc_share",
+        round(sum($"n_docs").over(wc) / $"td".cast("double"), 4))
+      .withColumn("cum_char_share",
+        round(sum($"chars").over(wc) / $"tc".cast("double"), 4))
+      .withColumn("gterm",
+        ($"cum_doc_share" -
+          coalesce(lag($"cum_doc_share", 1).over(w2), lit(0.0))) *
+          ($"cum_char_share" +
+            coalesce(lag($"cum_char_share", 1).over(w2), lit(0.0))))
+      .withColumn("gini", round(lit(1.0) - sum($"gterm").over(wAll), 4))
+      .select($"decile", $"n_docs", $"cum_doc_share", $"cum_char_share",
+        $"gini")
+      .orderBy($"decile")
+  }
+
   /** Group size below which a quasi-identifier combination is a
     * re-identification risk (the k in k-anonymity; Sweeney 2002). */
   private val KAnonK = 5
@@ -730,6 +774,7 @@ object QualityQueries extends QueryModule {
     Map(
       "q169_k_anonymity"     -> (qKAnonymity _),
       "q180_filter_ablation" -> (qFilterAblation _),
+      "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
       "q105_epoch_shuffle"   -> (qEpochShuffle _),
       "q106_domain_split"    -> (qDomainSplit _),
@@ -754,6 +799,45 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q183_lorenz_gini" -> {
+      val cutCols = (1 to 9).map(i =>
+        s"quantile_cont(n_chars, ${i / 10.0}) AS c$i").mkString(", ")
+      val decile = (1 to 9).map(i =>
+        s"(CASE WHEN n_chars > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |cuts AS (SELECT $cutCols FROM d),
+        |dec AS (
+        |  SELECT CAST($decile + 1 AS INTEGER) AS decile, n_chars
+        |  FROM d CROSS JOIN cuts),
+        |per AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM dec GROUP BY decile),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |    CAST(sum(chars) AS BIGINT) AS tc FROM per),
+        |shares AS (
+        |  SELECT decile, n_docs,
+        |    round(sum(n_docs) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / CAST(td AS DOUBLE), 4) AS cum_doc_share,
+        |    round(sum(chars) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      / CAST(tc AS DOUBLE), 4) AS cum_char_share
+        |  FROM per CROSS JOIN tot),
+        |terms AS (
+        |  SELECT *,
+        |    (cum_doc_share - coalesce(lag(cum_doc_share)
+        |        OVER (ORDER BY decile), 0.0))
+        |      * (cum_char_share + coalesce(lag(cum_char_share)
+        |        OVER (ORDER BY decile), 0.0)) AS gterm
+        |  FROM shares)
+        |SELECT decile, n_docs, cum_doc_share, cum_char_share,
+        |  round(1.0 - sum(gterm) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING), 4) AS gini
+        |FROM terms ORDER BY decile""".stripMargin
+    },
     "q180_filter_ablation" -> {
       val stops = TextOps.stopwordsSqlList
       s"""WITH b AS (

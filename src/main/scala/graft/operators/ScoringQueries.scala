@@ -202,6 +202,47 @@ object ScoringQueries extends QueryModule {
       .orderBy($"lang", $"bucket")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test (q182): per source, the
+    * exact KS statistic D = max|ecdf_source − ecdf_rest| over the
+    * document-length distribution — the CONTINUOUS-distribution drift
+    * check beside q115's categorical KL (a source whose lengths drift
+    * keeps the same vocabulary KL while its chunking and packing
+    * economics change). Exact and fully deterministic by construction:
+    * both ecdfs are integer cumulative sums over the distinct-value
+    * grid (windowed per source over |sources|×|values| rows — the
+    * grid, never the corpus), divided once at the end; no float ever
+    * accumulates. At 100 TB the grid is the value domain (bounded for
+    * lengths), not the row count. */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"source", $"n_chars")
+    val grid = d.select($"n_chars").distinct()
+    val srcs = d.select($"source").distinct()
+    val cnts = d.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val full = srcs.crossJoin(grid)
+      .join(cnts, Seq("source", "n_chars"), "left")
+      .select($"source", $"n_chars", coalesce($"c", lit(0L)).as("c"))
+    val wSrc = Window.partitionBy($"source").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = full.withColumn("cs", sum($"c").over(wSrc))
+    val overall = d.groupBy($"n_chars").agg(count(lit(1)).as("call"))
+      .withColumn("ctot", sum($"call").over(
+        Window.orderBy($"n_chars")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"n_chars", $"ctot")
+    val ns = d.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val tot = d.agg(count(lit(1)).as("n_all"))
+    cum.join(overall, "n_chars")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"ns",
+        abs($"cs" / $"ns".cast("double") -
+          ($"ctot" - $"cs") / ($"n_all" - $"ns").cast("double")).as("diff"))
+      .groupBy($"source")
+      .agg(max($"ns").as("n_docs"), round(max($"diff"), 4).as("d_stat"))
+      .orderBy($"source")
+  }
+
   /** Normal-consistency factor: MAD·1.4826 estimates σ under
     * gaussianity, making robust-z thresholds comparable to classic
     * z-scores (Hampel / Leys et al. 2013). */
@@ -580,6 +621,7 @@ object ScoringQueries extends QueryModule {
       "q160_kn_bigram"  -> (qKneserNeyNll _),
       "q165_feature_mi" -> (qFeatureMi _),
       "q178_robust_z"   -> (qRobustZ _),
+      "q182_ks_drift"   -> (qKsDrift _),
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
     )
@@ -782,6 +824,43 @@ object ScoringQueries extends QueryModule {
         |  round(max(nll), 4) AS max_nll
         |FROM t GROUP BY lang, bucket
         |ORDER BY lang, bucket""".stripMargin,
+    "q182_ks_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |grid AS (SELECT DISTINCT n_chars FROM d),
+        |srcs AS (SELECT DISTINCT source FROM d),
+        |cnts AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY source, n_chars),
+        |filled AS (
+        |  SELECT s.source, g.n_chars, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN cnts c ON c.source = s.source
+        |    AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n_chars, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM filled),
+        |overall AS (
+        |  SELECT n_chars,
+        |    sum(call) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctot
+        |  FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS call
+        |        FROM d GROUP BY n_chars)),
+        |ns AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ns
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+        |diffs AS (
+        |  SELECT cum.source, ns.ns,
+        |    abs(cum.cs / CAST(ns.ns AS DOUBLE)
+        |      - (o.ctot - cum.cs) / CAST(t.n_all - ns.ns AS DOUBLE))
+        |      AS diff
+        |  FROM cum JOIN overall o USING (n_chars)
+        |  JOIN ns USING (source) CROSS JOIN tot t)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_docs,
+        |  round(max(diff), 4) AS d_stat
+        |FROM diffs GROUP BY source ORDER BY source""".stripMargin,
     "q178_robust_z" -> {
       val stops = TextOps.stopwordsSqlList
       s"""WITH b AS (

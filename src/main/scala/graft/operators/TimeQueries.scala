@@ -674,6 +674,34 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Volume burstiness (q181): per event type, the Fano factor
+    * (index of dispersion, var/mean) of daily counts over the
+    * gap-filled day spine — ≈1 is Poisson-like organic traffic, ≫1 is
+    * bursty (campaigns, batch backfills, bots), the third axis of the
+    * volume-monitoring triple next to q130's level spikes and q149's
+    * drift. Variance is written as the explicit moment algebra
+    * avg(n²)−avg(n)² so both engines evaluate the same expression
+    * tree. Same corpus→cells partial agg as q149. */
+  def qBurstiness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", coalesce($"n", lit(0L)).as("n"))
+    filled.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg($"n"), 4).as("mean_daily"),
+        round((avg($"n" * $"n") - avg($"n") * avg($"n")) / avg($"n"), 4)
+          .as("fano"))
+      .orderBy($"event_type")
+  }
+
   /** Half-life of the q177 exponential decay, in days; λ = ln2/HL.
     * The constant is materialized once in Scala so both engines see the
     * identical double literal. */
@@ -867,6 +895,7 @@ object TimeQueries extends QueryModule {
     "q166_seasonality" -> (qSeasonality _),
     "q168_lateness" -> (qLateness _),
     "q177_recency_weights" -> (qRecencyWeights _),
+    "q181_burstiness" -> (qBurstiness _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -894,6 +923,27 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q181_burstiness" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY event_type, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |et AS (SELECT DISTINCT event_type FROM ev),
+        |filled AS (
+        |  SELECT et.event_type, coalesce(daily.n, 0) AS n
+        |  FROM et CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = et.event_type
+        |    AND daily.day = d.day)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(avg(n), 4) AS mean_daily,
+        |  round((avg(n * n) - avg(n) * avg(n)) / avg(n), 4) AS fano
+        |FROM filled GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q177_recency_weights" ->
       s"""WITH ev AS (
         |  SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT)

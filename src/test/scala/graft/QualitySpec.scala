@@ -214,6 +214,50 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("burstiness: fano nonnegative, n_days consistent across types") {
+    import spark.implicits._
+    val rows = graft.operators.TimeQueries.qBurstiness(spark, sf)
+      .select($"n_days", $"mean_daily", $"fano")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nd, m, f) =>
+      assert(nd > 0 && m > 0 && f >= 0,
+        s"invalid burstiness row: days=$nd mean=$m fano=$f")
+    }
+    assert(rows.map(_._1).distinct.length == 1,
+      "all types share one gap-filled day spine")
+  }
+
+  test("KS drift: statistic in [0,1] and self-vs-rest is exactly computed") {
+    import spark.implicits._
+    val rows = graft.operators.ScoringQueries.qKsDrift(spark, sf)
+      .select($"source", $"n_docs", $"d_stat")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, d) =>
+      assert(n > 0)
+      assert(d >= 0.0 && d <= 1.0, s"$src KS stat $d out of [0,1]")
+    }
+  }
+
+  test("lorenz: shares monotone, end at 1.0, gini in [0,1) and constant") {
+    import spark.implicits._
+    val rows = graft.operators.QualityQueries.qLorenzGini(spark, sf)
+      .as[(Int, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val docShares = rows.map(_._3)
+    val charShares = rows.map(_._4)
+    assert(docShares.sameElements(docShares.sorted))
+    assert(charShares.sameElements(charShares.sorted))
+    assert(math.abs(docShares.last - 1.0) < 1e-9)
+    assert(math.abs(charShares.last - 1.0) < 1e-9)
+    val ginis = rows.map(_._5).distinct
+    assert(ginis.length == 1 && ginis.head >= 0.0 && ginis.head < 1.0)
+    // lengths are bounded (48..553 chars), so concentration is mild but
+    // nonzero — the curve must actually bend
+    assert(ginis.head > 0.0)
+  }
+
   test("k-anonymity: flags agree with counts and partition the corpus") {
     import spark.implicits._
     val rows = graft.operators.QualityQueries.qKAnonymity(spark, sf)

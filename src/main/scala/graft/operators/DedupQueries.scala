@@ -1034,6 +1034,7 @@ object DedupQueries extends QueryModule {
     "q173_lsh_tuning"     -> (qLshTuning _),
     "q174_minhash_estimate" -> (qMinhashEstimate _),
     "q179_novelty"        -> (qNovelty _),
+    "q185_crosslingual_dup" -> (qCrossLingualDup _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
@@ -1072,6 +1073,30 @@ object DedupQueries extends QueryModule {
       .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy($"source_a", $"source_b")
+  }
+
+  /** Cross-lingual duplication matrix (q185): q32's verified near-dup
+    * pairs annotated with each side's LANGUAGE and rolled to canonical
+    * (lang_a, lang_b) cells with a cross-lingual flag — q94's
+    * provenance matrix on the language axis. Off-diagonal mass is
+    * machine-translated or template boilerplate surviving per-language
+    * dedup; a multilingual corpus that dedups language-by-language
+    * never sees it, which is why the matrix is a release gate. Same
+    * scale shape as q94: the pair frame is the small side, annotation
+    * is two joins against the (doc_id, lang) projection. */
+  def qCrossLingualDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, dir).select($"x_id", $"y_id")
+    val langs = Tables.documents(s, dir).select($"doc_id", $"lang")
+    pairs
+      .join(langs.select($"doc_id".as("x_id"), $"lang".as("lx")), "x_id")
+      .join(langs.select($"doc_id".as("y_id"), $"lang".as("ly")), "y_id")
+      .select(least($"lx", $"ly").as("lang_a"),
+        greatest($"lx", $"ly").as("lang_b"))
+      .groupBy($"lang_a", $"lang_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_lingual", $"lang_a" =!= $"lang_b")
+      .orderBy($"lang_a", $"lang_b")
   }
 
   /** Shared oracle scaffolding for q64/q68: recompute q32's exact-
@@ -1643,6 +1668,18 @@ object DedupQueries extends QueryModule {
       // q94 reuses the exact all-pairs `p` CTE (the unreferenced
       // recursive CTEs cost nothing); equality with the engine rests on
       // q32's pairs == exact >= 0.9 pairs, which q32's own row proves.
+      "q185_crosslingual_dup" ->
+        s"""$ccOracleCtes,
+          |m AS (
+          |  SELECT least(dx.lang, dy.lang) AS lang_a,
+          |         greatest(dx.lang, dy.lang) AS lang_b
+          |  FROM p
+          |  JOIN documents dx ON p.x_id = dx.doc_id
+          |  JOIN documents dy ON p.y_id = dy.doc_id)
+          |SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+          |  lang_a <> lang_b AS cross_lingual
+          |FROM m GROUP BY lang_a, lang_b
+          |ORDER BY lang_a, lang_b""".stripMargin,
       "q94_source_matrix" ->
         s"""$ccOracleCtes,
           |m AS (

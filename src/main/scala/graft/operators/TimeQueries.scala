@@ -674,6 +674,37 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Cohort value triangle (q184): per signup-week cohort and age
+    * week, cumulative purchase value per cohort member — the LTV
+    * accumulation curve that prices acquisition against q100's
+    * retention counts (retention says WHO comes back, this says what
+    * their return is worth). Weeks are integer epoch-week arithmetic
+    * (same convention dance as q166's weekday). Corpus → per-user
+    * first-week frame → (cohort, age) cells in two partial aggs; the
+    * cumulative window runs on the triangle (|cohorts|×|ages| rows),
+    * never the events. */
+  def qCohortValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wk = floor(datediff(to_date($"ts"), lit("1970-01-01")) / 7)
+      .cast("long")
+    val ev = Tables.events(s, dir)
+      .select($"user_id", wk.as("wk"), $"value", $"event_type")
+    val first = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    val sizes = first.groupBy($"cohort").agg(count(lit(1)).as("n_users"))
+    val spend = ev.filter($"event_type" === "purchase")
+      .join(first, "user_id")
+      .groupBy($"cohort", ($"wk" - $"cohort").as("age_weeks"))
+      .agg(sum($"value").as("v"))
+    val w = Window.partitionBy($"cohort").orderBy($"age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend.join(broadcast(sizes), "cohort")
+      .withColumn("cum_v", sum($"v").over(w))
+      .select($"cohort".as("cohort_week"), $"age_weeks", $"n_users",
+        round($"cum_v" / $"n_users".cast("double"), 4)
+          .as("cum_value_per_user"))
+      .orderBy($"cohort_week", $"age_weeks")
+  }
+
   /** Volume burstiness (q181): per event type, the Fano factor
     * (index of dispersion, var/mean) of daily counts over the
     * gap-filled day spine — ≈1 is Poisson-like organic traffic, ≫1 is
@@ -896,6 +927,7 @@ object TimeQueries extends QueryModule {
     "q168_lateness" -> (qLateness _),
     "q177_recency_weights" -> (qRecencyWeights _),
     "q181_burstiness" -> (qBurstiness _),
+    "q184_cohort_value" -> (qCohortValue _),
     "q154_cuped" -> (qCuped _),
     "q152_session_paths" -> (qSessionPaths _),
     "q149_trend_detector" -> (qTrendDetector _),
@@ -923,6 +955,28 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q184_cohort_value" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS wk,
+        |    value, event_type
+        |  FROM events),
+        |fw AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM fw GROUP BY cohort),
+        |spend AS (
+        |  SELECT f.cohort, e.wk - f.cohort AS age_weeks, sum(e.value) AS v
+        |  FROM ev e JOIN fw f USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY f.cohort, e.wk - f.cohort)
+        |SELECT s.cohort AS cohort_week, s.age_weeks, z.n_users,
+        |  round(sum(s.v) OVER (PARTITION BY s.cohort ORDER BY s.age_weeks
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / CAST(z.n_users AS DOUBLE), 4) AS cum_value_per_user
+        |FROM spend s JOIN sizes z USING (cohort)
+        |ORDER BY cohort_week, age_weeks""".stripMargin,
     "q181_burstiness" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),

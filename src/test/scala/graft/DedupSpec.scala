@@ -7,6 +7,32 @@ class DedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("cross-lingual dup matrix: planted dups cross language boundaries") {
+    import spark.implicits._
+    val m = DedupQueries.qCrossLingualDup(spark, sf)
+      .as[(String, String, Long, Boolean)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (a, b, n, x) =>
+      assert(a <= b && n >= 1 && x == (a != b))
+    }
+    // the corpus plants near-dup text across languages (q31's blocking
+    // rationale) — per-language dedup would miss these rows
+    assert(m.exists(_._4), "expected cross-lingual duplicate mass")
+  }
+
+  test("cohort value: cumulative per-user value is nondecreasing in age") {
+    import spark.implicits._
+    val rows = graft.operators.TimeQueries.qCohortValue(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val curve = rs.sortBy(_._2).map(_._4)
+      assert(curve.sameElements(curve.sorted),
+        s"cohort $cohort LTV curve decreased: ${curve.mkString(",")}")
+      assert(rs.forall(_._3 > 0))
+    }
+  }
+
   test("LSH tuning: S-curve monotone in r, candidate volume anti-monotone") {
     import spark.implicits._
     val rows = DedupQueries.qLshTuning(spark, sf)

@@ -1035,6 +1035,7 @@ object DedupQueries extends QueryModule {
     "q174_minhash_estimate" -> (qMinhashEstimate _),
     "q179_novelty"        -> (qNovelty _),
     "q185_crosslingual_dup" -> (qCrossLingualDup _),
+    "q186_dup_transitivity" -> (qDupTransitivity _),
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
@@ -1097,6 +1098,23 @@ object DedupQueries extends QueryModule {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("cross_lingual", $"lang_a" =!= $"lang_b")
       .orderBy($"lang_a", $"lang_b")
+  }
+
+  /** Dup-graph transitivity audit (q186): triangle statistics of the
+    * verified near-dup PAIR graph (GraphQueries.triangleStats — the
+    * q144 machinery pointed at a different graph): closure rate
+    * 3T/W near 1 means "near-duplicate" is behaving like an
+    * equivalence relation and q64's transitive clusters are honest;
+    * low closure means chains (A≈B≈C but A≉C) — at a fixed threshold
+    * that is the signature of drifting template families, and cluster
+    * keepers start discarding non-duplicates. Pair graph is small by
+    * construction (verified pairs), so this is metadata-scale work on
+    * the staged frame. */
+  def qDupTransitivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    GraphQueries.triangleStats(
+      verifiedPairs(s, dir)
+        .select($"x_id".as("a"), $"y_id".as("b")).distinct())
   }
 
   /** Shared oracle scaffolding for q64/q68: recompute q32's exact-
@@ -1668,6 +1686,28 @@ object DedupQueries extends QueryModule {
       // q94 reuses the exact all-pairs `p` CTE (the unreferenced
       // recursive CTEs cost nothing); equality with the engine rests on
       // q32's pairs == exact >= 0.9 pairs, which q32's own row proves.
+      // q186: the q144 naive-join triangle oracle pointed at the
+      // verified-pair graph (p from the shared dedup scaffolding)
+      "q186_dup_transitivity" ->
+        s"""$ccOracleCtes,
+          |und AS (SELECT DISTINCT x_id AS a, y_id AS b FROM p),
+          |deg AS (
+          |  SELECT node, count(*) AS d
+          |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          |  GROUP BY node),
+          |tri AS (
+          |  SELECT count(*) AS n_triangles
+          |  FROM und e1
+          |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+          |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+          |agg AS (
+          |  SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges,
+          |         count(*) AS n_nodes
+          |  FROM deg),
+          |ecnt AS (SELECT count(*) AS n_edges FROM und)
+          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          |  round(3.0 * n_triangles / n_wedges, 4) AS clustering
+          |FROM agg CROSS JOIN ecnt CROSS JOIN tri""".stripMargin,
       "q185_crosslingual_dup" ->
         s"""$ccOracleCtes,
           |m AS (

@@ -207,6 +207,41 @@ object TextQueries extends QueryModule {
       .orderBy($"lang", $"predicted")
   }
 
+  /** Code-switching detector (q187): per document, the two strongest
+    * language signals from the q16 stopword profiles and a MIXED flag
+    * when the runner-up holds ≥ half the winner's hits — the
+    * multilingual-cleaning step that catches documents a single-label
+    * lang-ID (q16) silently mislabels: code-switched text, bilingual
+    * boilerplate, concatenated translations (the rows a per-language
+    * pipeline then processes with the wrong stopword/tokenizer
+    * config). Map-only expression work; the mixed verdict compares
+    * exact integer counts (2·second ≥ top), so no float rides the
+    * cross-engine contract. Ranking via the same (negated count,
+    * label) struct sort the IVF family uses — ties break to the
+    * alphabetically first language on both engines. */
+  def qCodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextOps.tokenize($"text")
+    val arr = array(langProfiles.map { case (l, words) =>
+      struct(
+        (-size(filter(toks, t => t.isInCollection(words))).cast("long"))
+          .as("n"),
+        lit(l).as("lang"))
+    }: _*)
+    val sorted = array_sort(arr)
+    val top = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        top.getField("lang").as("top_lang"),
+        (-top.getField("n")).as("top_hits"),
+        second.getField("lang").as("second_lang"),
+        (-second.getField("n")).as("second_hits"))
+      .withColumn("mixed",
+        $"top_hits" > 0 && $"second_hits" * 2 >= $"top_hits")
+      .orderBy($"doc_id")
+  }
+
   /** North-star document fingerprinting: md5 over the normalized token
     * stream + per-fingerprint duplicate count (exact-dup detector). */
   def qFingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -728,6 +763,7 @@ object TextQueries extends QueryModule {
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
     "q170_langid_confusion" -> (qLangIdConfusion _),
+    "q187_code_switch" -> (qCodeSwitch _),
     "q129_pmi_collocations" -> (qPmiCollocations _),
     "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
@@ -1027,6 +1063,23 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
          | CASE $cases ELSE 'und' END AS predicted
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    "q187_code_switch" -> {
+      def score(words: Seq[String]) =
+        s"len(list_filter(str_split(text, ' '), t -> t IN ${words.map(w => s"'$w'").mkString("(", ",", ")")}))"
+      val structs = langProfiles.map { case (l, ws) =>
+        s"{'n': -${score(ws)}, 'lang': '$l'}"
+      }.mkString("[", ", ", "]")
+      s"""WITH ranked AS (
+         |  SELECT doc_id, lang, list_sort($structs) AS srt
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  srt[1].lang AS top_lang,
+         |  CAST(-srt[1].n AS BIGINT) AS top_hits,
+         |  srt[2].lang AS second_lang,
+         |  CAST(-srt[2].n AS BIGINT) AS second_hits,
+         |  -srt[1].n > 0 AND -srt[2].n * 2 >= -srt[1].n AS mixed
+         |FROM ranked ORDER BY doc_id""".stripMargin
     },
     "q170_langid_confusion" -> {
       def score(words: Seq[String]) =

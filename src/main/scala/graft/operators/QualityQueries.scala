@@ -770,8 +770,83 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"source", $"len_band")
   }
 
+  /** Misra–Gries counter budget for q195 (ε = 1/(k+1) = 1/33). */
+  private val MgK = 32
+
+  /** Deterministic heavy hitters via Misra–Gries (q195): the counter-
+    * based alternative to q90's Count-Min — CMS answers point queries
+    * with an ε·n OVER-estimate and needs a candidate list; MG carries
+    * its own candidates in k counters with an ε·n UNDER-estimate and a
+    * membership theorem: every term with c_true > n/(k+1) is in the
+    * sketch (Misra & Gries 1982; mergeable with the same ε per
+    * Agarwal et al. 2012, so map-side partials combine and the
+    * exchange ships ≤ k counters per partition at any corpus size —
+    * the top-terms monitor a 100 TB stream can actually afford).
+    * Output contract: counter VALUES are partitioning-dependent, so
+    * the query publishes only theorem-guaranteed facts — for each term
+    * above the threshold (exact integer test c·(k+1) > n): presence in
+    * the sketch and the under-estimate bound (c_true − ĉ)·(k+1) ≤ n,
+    * both provably true however Spark partitioned the corpus. The
+    * exact-count side rides the same one-shuffle token aggregate the
+    * suite already pays; MgSpec pins the guarantees across forced
+    * repartitionings and on an adversarial skew fixture. */
+  def qMgHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+    val sk = toks.agg(
+      graft.plans.MisraGries.mgSketch($"term", MgK).as("sk"))
+    val exact = toks.groupBy($"term").agg(count(lit(1)).as("c_true"))
+    val tot = exact.agg(sum($"c_true").as("n_tokens"))
+    val est = element_at(filter($"sk",
+      e => e.getField("term") === $"term"), 1).getField("cnt")
+    exact.crossJoin(broadcast(tot)).crossJoin(broadcast(sk))
+      .filter($"c_true" * (MgK + 1) > $"n_tokens")
+      .select($"term", $"c_true", $"n_tokens",
+        est.isNotNull.as("in_sketch"),
+        (($"c_true" - coalesce(est, lit(0L))) * (MgK + 1) <=
+          $"n_tokens").as("within_bound"))
+      .orderBy($"term")
+  }
+
+  /** Privacy budget for the q191 release (sensitivity 1: one document
+    * added/removed moves any cell count by at most 1). */
+  private val DpEpsilon = 1.0
+
+  /** Differentially-private count release (q191): the (lang, source)
+    * histogram published with Laplace(1/ε) noise (Dwork et al. 2006) —
+    * the other half of the privacy story next to q169's k-anonymity
+    * audit (k-anonymity suppresses small cells; DP perturbs every cell
+    * with a provable budget, immune to side-knowledge joins). Noise is
+    * the inverse-CDF transform −(1/ε)·sign(u−½)·ln(1−2|u−½|) of a
+    * DETERMINISTIC per-cell md5 uniform — reproducible audit replay,
+    * same convention as every sampling coin in this engine (a real
+    * release would draw fresh randomness; the transform and budget
+    * accounting are exactly this). Scale: one partial-agg groupBy to
+    * |cells| rows; the noise is map-side arithmetic on that frame.
+    * Cells are keyed pre-aggregation values only, so the noisy release
+    * plus (ε, sensitivity) metadata is safe to publish as-is. */
+  def qDpRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat(lit("dp:"), $"lang", lit("|"),
+      $"source")), 1, 6), 16, 10).cast("double") / lit(16777216.0)
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        round(lit(-1.0 / DpEpsilon) * signum($"u" - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs($"u" - 0.5)), 4))
+      .select($"lang", $"source", $"n_true",
+        round($"n_true" + $"noise", 4).as("n_released"),
+        $"noise", lit(DpEpsilon).as("epsilon"))
+      .orderBy($"lang", $"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q191_dp_release"      -> (qDpRelease _),
+      "q195_mg_heavy_hitters" -> (qMgHeavyHitters _),
       "q169_k_anonymity"     -> (qKAnonymity _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
@@ -799,6 +874,39 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q195: the oracle replays only the THEOREM side — exact counts,
+    // threshold test, and literal TRUE flags (the sketch guarantees
+    // them for any partitioning; MgSpec proves the flags really come
+    // from a sketch and hold under forced repartitionings).
+    "q195_mg_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+        |exact AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c_true
+        |  FROM t GROUP BY term),
+        |tot AS (
+        |  SELECT CAST(sum(c_true) AS BIGINT) AS n_tokens FROM exact)
+        |SELECT term, c_true, n_tokens,
+        |  TRUE AS in_sketch, TRUE AS within_bound
+        |FROM exact CROSS JOIN tot
+        |WHERE c_true * 33 > n_tokens
+        |ORDER BY term""".stripMargin,
+    "q191_dp_release" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY lang, source),
+        |noisy AS (
+        |  SELECT lang, source, n_true,
+        |    ('0x' || substr(md5('dp:' || lang || '|' || source),
+        |      1, 6))::BIGINT / 16777216.0 AS u
+        |  FROM cells)
+        |SELECT lang, source, n_true,
+        |  round(n_true + round(-1.0 * sign(u - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 4), 4) AS n_released,
+        |  round(-1.0 * sign(u - 0.5)
+        |    * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noise,
+        |  1.0 AS epsilon
+        |FROM noisy ORDER BY lang, source""".stripMargin,
     "q183_lorenz_gini" -> {
       val cutCols = (1 to 9).map(i =>
         s"quantile_cont(n_chars, ${i / 10.0}) AS c$i").mkString(", ")

@@ -403,7 +403,58 @@ object Relational extends QueryModule {
     ).reduce(_.unionByName(_)).orderBy($"edge")
   }
 
+  /** Join-cardinality estimator audit (q193): for each star-schema join
+    * edge, the textbook CBO estimate |A|·|B| / max(ndv_A, ndv_B) (the
+    * uniform-frequency + containment assumption every Selinger-lineage
+    * optimizer ships, Spark's CBO included) next to the TRUE output
+    * size Σ_k cA(k)·cB(k) — the audit that tells you WHICH joins the
+    * optimizer will mis-plan (skewed keys make the uniform estimate
+    * collapse, and a 100× under-estimate is how a broadcast-side OOM or
+    * a catastrophic join order gets picked at 100 TB). Scale shape: per
+    * edge, two map-side-combined groupBy counts collapse each side to
+    * its key histogram (|keys| rows), the histograms join on the key
+    * (dimension side broadcasts), and one sum folds the products — the
+    * corpus is never joined against itself, so the audit costs two
+    * aggregates per edge regardless of data volume. */
+  def qJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(name: String, a: DataFrame, ak: String,
+        b: DataFrame, bk: String): DataFrame = {
+      val ha = a.select(col(ak).as("k")).filter($"k".isNotNull)
+        .groupBy($"k").agg(count(lit(1)).as("ca"))
+      val hb = b.select(col(bk).as("k")).filter($"k".isNotNull)
+        .groupBy($"k").agg(count(lit(1)).as("cb"))
+      val sides = ha.agg(sum($"ca").as("rows_a"),
+          count(lit(1)).as("ndv_a"))
+        .crossJoin(broadcast(hb.agg(sum($"cb").as("rows_b"),
+          count(lit(1)).as("ndv_b"))))
+      val actual = ha.join(hb, "k")
+        .agg(coalesce(sum($"ca" * $"cb"), lit(0L)).as("actual"))
+      sides.crossJoin(broadcast(actual))
+        .select(lit(name).as("edge"), $"rows_a", $"rows_b",
+          $"ndv_a", $"ndv_b",
+          round($"rows_a" * $"rows_b" /
+            greatest($"ndv_a", $"ndv_b").cast("double"), 4)
+            .as("est_uniform"),
+          $"actual",
+          round($"actual" / ($"rows_a" * $"rows_b" /
+            greatest($"ndv_a", $"ndv_b").cast("double")), 4)
+            .as("actual_over_est"))
+    }
+    Seq(
+      edge("lineitem-orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      edge("lineitem-part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      edge("orders-customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      edge("events-user-self", Tables.events(s, dir), "user_id",
+        Tables.events(s, dir), "user_id"),
+    ).reduce(_.unionByName(_)).orderBy($"edge")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_join_estimate" -> (qJoinEstimate _),
     "q153_ri_audit"     -> (qRiAudit _),
     "q95_nested_rollup" -> (qNestedRollup _),
     "q1_agg"            -> (q1Agg _),
@@ -424,6 +475,39 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q193: per edge the same two key histograms + product-sum fold
+    "q193_join_estimate" -> {
+      def eSql(name: String, a: String, ak: String,
+          b: String, bk: String): String =
+        s"""SELECT '$name' AS edge, rows_a, rows_b, ndv_a, ndv_b,
+          |  round(rows_a * rows_b
+          |    / CAST(greatest(ndv_a, ndv_b) AS DOUBLE), 4) AS est_uniform,
+          |  actual,
+          |  round(actual / (rows_a * rows_b
+          |    / CAST(greatest(ndv_a, ndv_b) AS DOUBLE)), 4)
+          |    AS actual_over_est
+          |FROM
+          |  (SELECT CAST(count(*) AS BIGINT) AS rows_a,
+          |     CAST(count(DISTINCT $ak) AS BIGINT) AS ndv_a
+          |   FROM $a WHERE $ak IS NOT NULL),
+          |  (SELECT CAST(count(*) AS BIGINT) AS rows_b,
+          |     CAST(count(DISTINCT $bk) AS BIGINT) AS ndv_b
+          |   FROM $b WHERE $bk IS NOT NULL),
+          |  (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS actual
+          |   FROM (SELECT $ak AS k, count(*) AS ca FROM $a
+          |         WHERE $ak IS NOT NULL GROUP BY 1) ha
+          |   JOIN (SELECT $bk AS k, count(*) AS cb FROM $b
+          |         WHERE $bk IS NOT NULL GROUP BY 1) hb USING (k))"""
+          .stripMargin
+      Seq(
+        eSql("lineitem-orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        eSql("lineitem-part", "lineitem", "l_partkey", "part", "p_partkey"),
+        eSql("orders-customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        eSql("events-user-self", "events", "user_id", "events", "user_id"),
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
     // q153: NOT EXISTS mirrors left-anti's null-safe semantics; each
     // edge block is the same count triple the Spark side folds
     "q153_ri_audit" -> {

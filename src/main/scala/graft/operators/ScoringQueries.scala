@@ -608,8 +608,56 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Population Stability Index (q194): per-source PSI of the document-
+    * length distribution against the REST of the corpus over 10 global
+    * decile bins — the binned drift score the model-monitoring world
+    * standardizes on (credit-scoring lineage; Karakoulas 2004), with
+    * the industry read-off bands: <0.10 stable, 0.10–0.25 moderate,
+    * ≥0.25 major shift. Completes the drift triptych: q115 is
+    * categorical KL on tokens, q182 exact continuous KS, this the
+    * binned symmetric form practitioners alert on (PSI is the
+    * symmetrized KL over bins, so it prices BOTH directions of
+    * mass movement). Numerics: +0.5/cell smoothing (q115's convention)
+    * keeps empty bins finite; bin edges are global decile cutpoints
+    * compared raw (q183's convention — int-vs-interpolated-double).
+    * Scale shape: one percentile aggregate (→ q73's mergeable sketch
+    * at 100 TB), bins assigned map-side from the broadcast cutpoints,
+    * corpus collapses to |sources|×10 cells in one partial agg; the
+    * rest-of-corpus side is pure subtraction on that grid — the
+    * corpus is never scanned twice. */
+  def qPsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"source", $"n_chars")
+    val cuts = d.agg(percentile($"n_chars",
+      array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+    val binned = d.crossJoin(broadcast(cuts))
+      .select($"source",
+        (size(filter($"cs", c => $"n_chars" > c)) + 1).as("bin"))
+    val per = binned.groupBy($"source", $"bin").agg(count(lit(1)).as("n_sb"))
+    val glob = per.groupBy($"bin").agg(sum($"n_sb").as("n_b"))
+    val totS = per.groupBy($"source").agg(sum($"n_sb").as("n_s"))
+    val tot = glob.agg(sum($"n_b").as("n_tot"))
+    val grid = totS
+      .select($"source", $"n_s",
+        explode(sequence(lit(1), lit(10))).as("bin"))
+      .join(per, Seq("source", "bin"), "left")
+      .join(broadcast(glob), Seq("bin"))
+      .crossJoin(broadcast(tot))
+    val obs = coalesce($"n_sb", lit(0L))
+    val p = (obs + lit(0.5)) / ($"n_s" + lit(5.0))
+    val q = (($"n_b" - obs) + lit(0.5)) / (($"n_tot" - $"n_s") + lit(5.0))
+    grid.groupBy($"source")
+      .agg(max($"n_s").as("n_docs"),
+        (round(sum((p - q) * log(p / q)), 4) + lit(0.0)).as("psi"))
+      .withColumn("band",
+        when($"psi" < 0.10, "stable").when($"psi" < 0.25, "moderate")
+          .otherwise("major_shift"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q194_psi_drift" -> (qPsiDrift _),
       "q142_quality_calibrate" -> (qQualityCalibrate _),
       "q125_bm25" -> (qBm25 _),
       "q115_source_drift" -> (qSourceDrift _),
@@ -664,6 +712,42 @@ object ScoringQueries extends QueryModule {
     // quantile_cont cutpoints strictly below the score, BOTH rounded to
     // the suite's 4-decimal grid first — raw-double comparison flips a
     // whole decile when the engines' interpolations differ at the ulp.
+    "q194_psi_drift" ->
+      """WITH d AS (SELECT source, n_chars FROM documents),
+        |cuts AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+        |  FROM d),
+        |binned AS (
+        |  SELECT source, len(list_filter(cs, c -> n_chars > c)) + 1 AS bin
+        |  FROM d CROSS JOIN cuts),
+        |per AS (
+        |  SELECT source, bin, CAST(count(*) AS BIGINT) AS n_sb
+        |  FROM binned GROUP BY 1, 2),
+        |gtot AS (SELECT bin, sum(n_sb) AS n_b FROM per GROUP BY bin),
+        |tots AS (SELECT source, sum(n_sb) AS n_s FROM per GROUP BY source),
+        |tot AS (SELECT sum(n_b) AS n_tot FROM gtot),
+        |grid AS (
+        |  SELECT t.source, t.n_s, g.n_b, coalesce(p.n_sb, 0) AS obs, n_tot
+        |  FROM tots t
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS bin) gs
+        |  LEFT JOIN per p ON p.source = t.source AND p.bin = gs.bin
+        |  JOIN gtot g ON g.bin = gs.bin
+        |  CROSS JOIN tot),
+        |scored AS (
+        |  SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |    round(sum(
+        |      (((obs + 0.5) / (n_s + 5.0))
+        |        - ((n_b - obs + 0.5) / (n_tot - n_s + 5.0)))
+        |      * ln(((obs + 0.5) / (n_s + 5.0))
+        |        / ((n_b - obs + 0.5) / (n_tot - n_s + 5.0)))), 4) + 0.0
+        |      AS psi
+        |  FROM grid GROUP BY source)
+        |SELECT source, n_docs, psi,
+        |  CASE WHEN psi < 0.10 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'major_shift' END AS band
+        |FROM scored ORDER BY source""".stripMargin,
     "q142_quality_calibrate" ->
       s"""WITH t AS (
         |  SELECT doc_id, source,

@@ -788,7 +788,48 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** Embedding-health card (q192): the one-row audit an embedding
+    * pipeline gates its index builds on — norm statistics (a collapsed
+    * or exploding encoder shows up here first), the centroid norm and
+    * mean cosine-to-centroid (anisotropy: contextual embedding spaces
+    * concentrate in a narrow cone, Ethayarajh 2019 — cosine thresholds
+    * tuned on an isotropic space silently break on a drifted one), and
+    * the min/max per-dimension variance (a dead dimension = wasted
+    * index bytes; a dominant one = distance collapse). Scale shape:
+    * the centroid is ONE partial-agg pass over posexploded (dim,
+    * component) pairs — map-side combine collapses to 64×partitions
+    * rows before the exchange; the 64-row centroid folds to an array
+    * in a 1-row frame, broadcasts back, and the cosine pass is
+    * map-only. Centroid components round to 6 decimals BEFORE the
+    * cosine so downstream arithmetic is bit-identical across engines;
+    * corpus-level means ride the usual 4-decimal grid. */
+  def qEmbedHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vecs(s, dir)
+    val byDim = v.select(posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"dim")
+      .agg(round(avg($"x"), 6).as("mu"), round(var_samp($"x"), 4).as("vr"))
+    val centroid = byDim
+      .agg(array_sort(collect_list(struct($"dim", $"mu"))).as("cs"),
+        min($"vr").as("dim_var_min"), max($"vr").as("dim_var_max"))
+      .select(transform($"cs", c => c.getField("mu")).as("c"),
+        $"dim_var_min", $"dim_var_max")
+    v.crossJoin(broadcast(centroid))
+      .select($"nrm", $"dim_var_min", $"dim_var_max",
+        (dot($"v", $"c") / ($"nrm" * norm($"c"))).as("cos_c"),
+        norm($"c").as("cnorm"))
+      .groupBy($"dim_var_min", $"dim_var_max")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"nrm"), 4).as("mean_norm"),
+        round(stddev_samp($"nrm"), 4).as("sd_norm"),
+        round(first($"cnorm"), 4).as("centroid_norm"),
+        round(avg($"cos_c"), 4).as("anisotropy"))
+      .select($"n_vecs", $"mean_norm", $"sd_norm", $"centroid_norm",
+        $"anisotropy", $"dim_var_min", $"dim_var_max")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_embed_health" -> (qEmbedHealth _),
     "q91_random_projection" -> (qRandomProjection _),
     "q126_hard_negatives" -> (qHardNegatives _),
     "q128_recall_eval" -> (qRecallEval _),
@@ -1286,6 +1327,32 @@ object SimilarityQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q192_embed_health" ->
+      s"""WITH $baseCte,
+        |dims AS (
+        |  SELECT i, round(avg(v[i]), 6) AS mu,
+        |    round(var_samp(v[i]), 4) AS vr
+        |  FROM base, generate_series(1, 64) t(i)
+        |  GROUP BY i),
+        |cent AS (
+        |  SELECT list(mu ORDER BY i) AS c,
+        |    min(vr) AS dim_var_min, max(vr) AS dim_var_max
+        |  FROM dims),
+        |scored AS (
+        |  SELECT sqrt(list_dot_product(b.v, b.v)) AS nrm,
+        |    list_dot_product(b.v, cent.c)
+        |      / (sqrt(list_dot_product(b.v, b.v))
+        |         * sqrt(list_dot_product(cent.c, cent.c))) AS cos_c,
+        |    sqrt(list_dot_product(cent.c, cent.c)) AS cnorm,
+        |    dim_var_min, dim_var_max
+        |  FROM base b CROSS JOIN cent)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(nrm), 4) AS mean_norm,
+        |  round(stddev_samp(nrm), 4) AS sd_norm,
+        |  round(any_value(cnorm), 4) AS centroid_norm,
+        |  round(avg(cos_c), 4) AS anisotropy,
+        |  dim_var_min, dim_var_max
+        |FROM scored GROUP BY dim_var_min, dim_var_max""".stripMargin,
     "q156_pq_encode" -> pqEncodeSql,
     "q157_pq_adc"    -> pqAdcSql,
     "q161_ivfpq_ann" -> ivfPqSql,

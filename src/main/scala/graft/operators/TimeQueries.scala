@@ -920,7 +920,136 @@ object TimeQueries extends QueryModule {
       .orderBy($"item")
   }
 
+  /** Change-point detection (q188): per event_type, the single best
+    * mean-shift split of the gap-filled daily count series by the
+    * standardized CUSUM scan statistic (binary segmentation's first
+    * step, Scott & Knott 1974 / Page 1954 lineage):
+    * stat(t) = |n·S_t − t·S_n| / sqrt(n·t·(n−t)), the two-sample
+    * z-like contrast between the first t days and the rest. Completes
+    * the volume-monitoring family — q130 flags LEVEL outliers, q149
+    * DRIFT, q181 BURSTS; this finds the DAY a feed's regime changed
+    * (scraper deploy, source cutover). Numerics: S_t, t, n are exact
+    * integers, so the statistic is one float division per candidate —
+    * the same expression tree both engines evaluate, argmax taken on
+    * the 4-decimal grid (ties → earliest day). Scale shape: identical
+    * to q149 — corpus collapses to |types|×|days| cells in one
+    * partial agg; prefix sums and the argmax window run on that grid,
+    * never the events. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(broadcast(days))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("cnt"))
+    val byDay = Window.partitionBy($"event_type").orderBy($"day")
+    val whole = Window.partitionBy($"event_type")
+    val scanned = filled
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("st", sum($"cnt").over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nn", count(lit(1)).over(whole))
+      .withColumn("sn", sum($"cnt").over(whole))
+      .filter($"t" < $"nn")
+      .withColumn("stat", round(
+        abs($"nn" * $"st" - $"t" * $"sn").cast("double") /
+          sqrt(($"nn" * $"t" * ($"nn" - $"t")).cast("double")), 4))
+    scanned
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"stat".desc, $"day".asc)))
+      .filter($"rk" === 1)
+      .select($"event_type",
+        date_format($"day", "yyyy-MM-dd").as("split_day"),
+        $"stat",
+        round($"st".cast("double") / $"t", 4).as("mean_before"),
+        round(($"sn" - $"st").cast("double") / ($"nn" - $"t"), 4)
+          .as("mean_after"),
+        $"nn".as("n_days"))
+      .orderBy($"event_type")
+  }
+
+  /** Exclusion funnel (q189): users whose FIRST view converts to a
+    * purchase within 7 days with NO click strictly between — the
+    * MATCH_RECOGNIZE-style "A then B with no C between" pattern (the
+    * organic-conversion slice an attribution model must not credit to
+    * ads; q99 counts any-order completion, this enforces an exclusion
+    * constraint q99 cannot express). Semantics pinned: t_view = the
+    * user's first view; t_purchase = first purchase in (t_view,
+    * t_view+7d]; clean ⇔ zero clicks in the OPEN interval (t_view,
+    * t_purchase). Scale shape: three conditional aggregates all keyed
+    * on user_id — one exchange family, no self-join of the event
+    * stream against itself; the per-day rollup runs on the converter
+    * frame (≤ |users| rows). */
+  def qExclusionFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(v, "user_id")
+      .filter($"ts" > $"t_view" &&
+        unix_micros($"ts") - unix_micros($"t_view") <= 7L * 86400000000L)
+      .groupBy($"user_id", $"t_view").agg(min($"ts").as("t_purchase"))
+    val clicks = ev.filter($"event_type" === "click")
+      .join(p, "user_id")
+      .filter($"ts" > $"t_view" && $"ts" < $"t_purchase")
+      .groupBy($"user_id").agg(count(lit(1)).as("n_between"))
+    p.join(clicks, Seq("user_id"), "left")
+      .withColumn("n_between", coalesce($"n_between", lit(0L)))
+      .groupBy(date_format(to_date($"t_view"), "yyyy-MM-dd").as("cohort"))
+      .agg(count(lit(1)).as("n_converted"),
+        sum(($"n_between" === 0L).cast("long")).as("n_clean"),
+        round(avg(($"n_between" === 0L).cast("double")), 4)
+          .as("clean_share"))
+      .orderBy($"cohort")
+  }
+
+  /** Last-touch attribution (q190): every purchase credited to the
+    * user's most recent click within the preceding 7 days (the
+    * marketing-analytics revenue ledger; purchases with no qualifying
+    * click land in the organic bucket) — the as-of join (q27) with a
+    * lookback horizon, folded to the per-click-day revenue report a
+    * spend dashboard reads. Single-shuffle shape: clicks and purchases
+    * union into ONE user-keyed frame, a running last-click window
+    * (last(..., ignoreNulls), O(1) state per row) carries each click's
+    * (ts, day) forward, and the horizon test decides credit — never a
+    * per-purchase time-range self-join. Value sums ride the 4-decimal
+    * grid (doubles; summation order differs across engines). */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"value", $"event_id")
+      .filter($"event_type".isin("click", "purchase"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val clickTs = when($"event_type" === "click", $"ts")
+    val tagged = ev
+      .withColumn("last_click", last(clickTs, ignoreNulls = true).over(byUser))
+      .filter($"event_type" === "purchase")
+      .withColumn("credited",
+        $"last_click".isNotNull &&
+          unix_micros($"ts") - unix_micros($"last_click") <=
+            7L * 86400000000L)
+    tagged
+      .groupBy(when($"credited",
+          date_format(to_date($"last_click"), "yyyy-MM-dd"))
+        .otherwise(lit("organic")).as("credit_day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"value"), 4).as("revenue"))
+      .orderBy($"credit_day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_changepoint" -> (qChangepoint _),
+    "q189_exclusion_funnel" -> (qExclusionFunnel _),
+    "q190_attribution" -> (qAttribution _),
     "q155_eb_rates" -> (qEbRates _),
     "q162_markov_next" -> (qMarkovNext _),
     "q166_seasonality" -> (qSeasonality _),
@@ -955,6 +1084,95 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q188_changepoint" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY event_type, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b),
+        |et AS (SELECT DISTINCT event_type FROM ev),
+        |filled AS (
+        |  SELECT et.event_type, d.day, coalesce(daily.n, 0) AS cnt
+        |  FROM et CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = et.event_type
+        |    AND daily.day = d.day),
+        |scanned AS (
+        |  SELECT event_type, day,
+        |    CAST(row_number() OVER w AS BIGINT) AS t,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nn,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS sn
+        |  FROM filled
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |stats AS (
+        |  SELECT event_type, day, t, st, nn, sn,
+        |    round(abs(nn * st - t * sn)
+        |      / sqrt(CAST(nn * t * (nn - t) AS DOUBLE)), 4) AS stat
+        |  FROM scanned WHERE t < nn),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY stat DESC, day ASC) AS rk
+        |  FROM stats)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS split_day, stat,
+        |  round(CAST(st AS DOUBLE) / t, 4) AS mean_before,
+        |  round(CAST(sn - st AS DOUBLE) / (nn - t), 4) AS mean_after,
+        |  nn AS n_days
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    "q189_exclusion_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, v.t_view,
+        |    min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > v.t_view
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(v.t_view)
+        |      <= 7 * 86400000000
+        |  GROUP BY e.user_id, v.t_view),
+        |c AS (
+        |  SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_between
+        |  FROM events e JOIN p USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) > p.t_view
+        |    AND CAST(e.ts AS TIMESTAMP) < p.t_purchase
+        |  GROUP BY e.user_id)
+        |SELECT strftime(CAST(p.t_view AS DATE), '%Y-%m-%d') AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(sum(CASE WHEN coalesce(c.n_between, 0) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  round(avg(CASE WHEN coalesce(c.n_between, 0) = 0
+        |    THEN 1.0 ELSE 0.0 END), 4) AS clean_share
+        |FROM p LEFT JOIN c USING (user_id)
+        |GROUP BY 1 ORDER BY cohort""".stripMargin,
+    "q190_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |    value, event_id
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |tagged AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_click
+        |  FROM ev)
+        |SELECT CASE WHEN last_click IS NOT NULL
+        |    AND epoch_us(ts) - epoch_us(last_click) <= 7 * 86400000000
+        |    THEN strftime(CAST(last_click AS DATE), '%Y-%m-%d')
+        |    ELSE 'organic' END AS credit_day,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value), 4) AS revenue
+        |FROM tagged WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY credit_day""".stripMargin,
     "q184_cohort_value" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -453,7 +453,30 @@ object Relational extends QueryModule {
     ).reduce(_.unionByName(_)).orderBy($"edge")
   }
 
+  /** Explicit GROUPING SETS (q197): the general form completing the
+    * rollup (q8) / cube (q77) trio — exactly the four aggregation
+    * levels a release report needs ((lang, source), lang-only,
+    * source-only, grand total) WITHOUT cube's 2ⁿ explosion when only
+    * some levels matter. One input scan with a 4-way Expand (the same
+    * physical shape as rollup/cube, sized by the requested sets, not
+    * 2ⁿ); grouping flags disambiguate aggregated-NULL from data-NULL
+    * and lead the sort so null ordering conventions never diverge
+    * across engines (q8's discipline). */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupingSets(
+        Seq(Seq($"lang", $"source"), Seq($"lang"), Seq($"source"), Seq()),
+        $"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        grouping($"lang").cast("int").as("g_lang"),
+        grouping($"source").cast("int").as("g_source"))
+      .orderBy($"g_lang", $"g_source", $"lang", $"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_grouping_sets" -> (qGroupingSets _),
     "q193_join_estimate" -> (qJoinEstimate _),
     "q153_ri_audit"     -> (qRiAudit _),
     "q95_nested_rollup" -> (qNestedRollup _),
@@ -475,6 +498,14 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q197_grouping_sets" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+        |  CAST(GROUPING(source) AS INTEGER) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin,
     // q193: per edge the same two key histograms + product-sum fold
     "q193_join_estimate" -> {
       def eSql(name: String, a: String, ak: String,

@@ -759,7 +759,49 @@ object TextQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Heaps'-law vocabulary growth (q196): distinct-type count as a
+    * function of tokens ingested, sampled at 20 evenly spaced doc_id
+    * checkpoints, with the log-log OLS fit V = K·nᵝ (Heaps 1978;
+    * Herdan 1960) attached — natural text sits near β ≈ 0.5; a
+    * saturating curve (β → 0) means the corpus is re-treading old
+    * vocabulary (the cumulative read of q179's per-doc novelty), and
+    * β ≈ 1 means tokenizer-shattering noise. Scale shape: NO running
+    * window over the corpus — per-doc token counts and per-term
+    * first-seen docs are the suite's standard one-shuffle frames; each
+    * joins the 20-row broadcast checkpoint grid and aggregates, so the
+    * cumulative curve costs 20 conditional sums over |docs| + |vocab|
+    * rows, never an ordered scan. The fit is a closed-form regr_*
+    * fold over 20 points. */
+  def qHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val perDoc = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_toks"))
+    val firstSeen = toks.groupBy($"term").agg(min($"doc_id").as("first_doc"))
+    val cuts = perDoc.agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .select(explode(sequence(lit(1), lit(20))).as("cp"), $"lo", $"hi")
+      .select($"cp", expr("lo + ((hi - lo) * cp) div 20").as("cut"))
+    val cumToks = perDoc.crossJoin(broadcast(cuts))
+      .filter($"doc_id" <= $"cut")
+      .groupBy($"cp", $"cut").agg(sum($"n_toks").as("cum_tokens"))
+    val cumTypes = firstSeen.crossJoin(broadcast(cuts))
+      .filter($"first_doc" <= $"cut")
+      .groupBy($"cp").agg(count(lit(1)).as("cum_types"))
+    val pts = cumToks.join(cumTypes, "cp")
+    val fit = pts.agg(
+      round(regr_slope(log($"cum_types"), log($"cum_tokens")), 4)
+        .as("beta"),
+      round(exp(regr_intercept(log($"cum_types"), log($"cum_tokens"))), 4)
+        .as("k_coef"),
+      round(regr_r2(log($"cum_types"), log($"cum_tokens")), 4).as("r2"))
+    pts.crossJoin(broadcast(fit))
+      .select($"cp", $"cut", $"cum_tokens", $"cum_types",
+        $"beta", $"k_coef", $"r2")
+      .orderBy($"cp")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_heaps_law" -> (qHeapsLaw _),
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
     "q170_langid_confusion" -> (qLangIdConfusion _),
@@ -825,6 +867,39 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q196_heaps_law" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks
+        |  FROM toks GROUP BY doc_id),
+        |first_seen AS (
+        |  SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY term),
+        |b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM per_doc),
+        |cuts AS (
+        |  SELECT CAST(i AS INTEGER) AS cp, lo + ((hi - lo) * i) // 20 AS cut
+        |  FROM b, generate_series(1, 20) t(i)),
+        |cum_toks AS (
+        |  SELECT cp, cut, CAST(sum(n_toks) AS BIGINT) AS cum_tokens
+        |  FROM per_doc CROSS JOIN cuts WHERE doc_id <= cut
+        |  GROUP BY cp, cut),
+        |cum_types AS (
+        |  SELECT cp, CAST(count(*) AS BIGINT) AS cum_types
+        |  FROM first_seen CROSS JOIN cuts WHERE first_doc <= cut
+        |  GROUP BY cp),
+        |pts AS (
+        |  SELECT cp, cut, cum_tokens, cum_types
+        |  FROM cum_toks JOIN cum_types USING (cp)),
+        |fit AS (
+        |  SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 4)
+        |      AS beta,
+        |    round(exp(regr_intercept(ln(cum_types), ln(cum_tokens))), 4)
+        |      AS k_coef,
+        |    round(regr_r2(ln(cum_types), ln(cum_tokens)), 4) AS r2
+        |  FROM pts)
+        |SELECT cp, cut, cum_tokens, cum_types, beta, k_coef, r2
+        |FROM pts CROSS JOIN fit ORDER BY cp""".stripMargin,
     "q167_fertility" ->
       """WITH f AS (
         |  SELECT lang,

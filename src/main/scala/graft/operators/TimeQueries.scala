@@ -1046,7 +1046,46 @@ object TimeQueries extends QueryModule {
       .orderBy($"credit_day")
   }
 
+  /** Behavioral bot-likeness audit (q198): the three signals abuse/
+    * crawler filtering actually gates on, per user — sustained RATE
+    * (events per distinct active hour: humans burst, bots sustain),
+    * round-the-clock COVERAGE (distinct hour-of-day slots / 24: humans
+    * sleep), and action-mix ENTROPY (H = ln n − Σc·ln c / n over event
+    * types: scripted loops repeat one action) — with a transparent
+    * conjunctive flag on literal thresholds (rate ≥ 3/h ∧ coverage ≥
+    * 0.5 ∧ H ≤ 1.0), compared on the 4-decimal grid. The upstream gate
+    * q103's throttle and q176's hot-user drop assume someone ran.
+    * Scale shape: three partial-agg frames all keyed on user_id (one
+    * exchange family, reused by the joins); entropy uses the
+    * Σc·ln c algebraic form so no per-user share vector materializes;
+    * output is |users| rows. */
+  def qBotScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type",
+        expr("unix_micros(ts) div 3600000000").as("eh"), hour($"ts").as("hod"))
+    val perType = ev.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("c"))
+    val mix = perType.groupBy($"user_id")
+      .agg(sum($"c").as("n_events"),
+        (log(sum($"c")) -
+          sum($"c" * log($"c")) / sum($"c")).as("h_raw"))
+    val hours = ev.select($"user_id", $"eh").distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_hours"))
+    val hod = ev.select($"user_id", $"hod").distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_hod"))
+    mix.join(hours, "user_id").join(hod, "user_id")
+      .select($"user_id", $"n_events",
+        round($"n_events" / $"n_hours".cast("double"), 4).as("rate"),
+        round($"n_hod" / lit(24.0), 4).as("hod_coverage"),
+        (round($"h_raw", 4) + lit(0.0)).as("type_entropy"))
+      .withColumn("bot_like",
+        $"rate" >= 3.0 && $"hod_coverage" >= 0.5 && $"type_entropy" <= 1.0)
+      .orderBy($"user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_bot_score" -> (qBotScore _),
     "q188_changepoint" -> (qChangepoint _),
     "q189_exclusion_funnel" -> (qExclusionFunnel _),
     "q190_attribution" -> (qAttribution _),
@@ -1084,6 +1123,34 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q198_bot_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS eh,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod
+        |  FROM events),
+        |per_type AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY user_id, event_type),
+        |mix AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |    ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h_raw
+        |  FROM per_type GROUP BY user_id),
+        |hours AS (
+        |  SELECT user_id, CAST(count(DISTINCT eh) AS BIGINT) AS n_hours
+        |  FROM ev GROUP BY user_id),
+        |hod AS (
+        |  SELECT user_id, CAST(count(DISTINCT hod) AS BIGINT) AS n_hod
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(n_events / CAST(n_hours AS DOUBLE), 4) AS rate,
+        |  round(n_hod / 24.0, 4) AS hod_coverage,
+        |  round(h_raw, 4) + 0.0 AS type_entropy,
+        |  (round(n_events / CAST(n_hours AS DOUBLE), 4) >= 3.0
+        |    AND round(n_hod / 24.0, 4) >= 0.5
+        |    AND round(h_raw, 4) + 0.0 <= 1.0) AS bot_like
+        |FROM mix JOIN hours USING (user_id) JOIN hod USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q188_changepoint" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),

@@ -74,6 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intArg(exprs(1), "depth"), intArg(exprs(2), "width"))
           .toAggregateExpression()
       }))
+    // mg_sketch(term, k): Misra–Gries heavy-hitters aggregate; k must
+    // be a foldable int (it bounds the counter state)
+    ext.injectFunction((
+      FunctionIdentifier("mg_sketch"),
+      new ExpressionInfo(classOf[MgSketchAgg].getName, "mg_sketch"),
+      (exprs: Seq[Expression]) =>
+        MgSketchAgg(exprs(0), exprs(1)).toAggregateExpression()))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
   }

@@ -75,4 +75,16 @@ class ExtensionsSpec extends AnyFunSuite {
         |FROM cms_t""".stripMargin).head().getLong(0)
     assert(est >= 3L && est <= 4L, s"estimate for 'a' was $est")
   }
+
+  test("mg_sketch callable from spark.sql with SQL-side membership test") {
+    val rows = spark.sql(
+      """SELECT e.term, e.cnt FROM (
+        |  SELECT explode(mg_sketch(v, 2)) AS e
+        |  FROM VALUES ('a'),('a'),('a'),('b'),('c') t(v))""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // n=5, k=2: 'a' (3 > 5/3) is a guaranteed hitter; count within n/(k+1)
+    assert(rows.contains("a"))
+    assert(rows("a") >= 3L - 5L / 3 && rows("a") <= 3L)
+    assert(rows.size <= 2)
+  }
 }

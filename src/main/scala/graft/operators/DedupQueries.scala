@@ -1022,7 +1022,61 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (q199): every
+    * doc pair with shingle-Jaccard ≥ 0.8 — COMPLETE, unlike the
+    * probabilistic paths (q31 blocks on one min-shingle and caps
+    * blocks; q32's banding detects with p<1): the prefix-filter theorem
+    * (Chaudhuri et al. SSJoin 2006; Bayardo et al. WWW'07; Xiao et al.
+    * PPJoin WWW'08) guarantees any qualifying pair shares a token in
+    * the two prefixes of length |x| − ⌈τ·|x|⌉ + 1 taken under ONE
+    * global token order (rarest-first, ties by value). The brute-force
+    * oracle IS the completeness test. All thresholds in exact integer
+    * arithmetic (τ = 4/5: ceil(4n/5) = (4n+4) div 5; J ≥ τ ⇔
+    * 5·i ≥ 4·(na+nb−i)), so no float ever decides a pair. Scale
+    * shape: candidates are bounded by prefix-token collisions — rare
+    * tokens first makes prefixes maximally selective; the df order
+    * table is |distinct shingles| (broadcast here; at 100 TB a shuffle
+    * join on the shingle key, one extra pass of the token stream, and
+    * the df ordering itself caps to a hashed approximation as the
+    * PPJoin lineage does in production). Candidate pairs carry their
+    * sorted shingle arrays into the verify, as q31 does. */
+  def qPrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.documents(s, dir)
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+    val df = sets.select($"doc_id", explode($"sh").as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val ordered = sets.select($"doc_id", explode($"sh").as("term"))
+      .join(broadcast(df), "term")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"term"))).as("st"))
+      .select($"doc_id",
+        transform($"st", x => x.getField("term")).as("toks"),
+        size($"st").as("n"))
+    val prefLen = $"n" - expr("(4 * n + 4) div 5") + 1
+    val pre = ordered.select($"doc_id", $"toks", $"n",
+      explode(slice($"toks", lit(1), prefLen)).as("term"))
+    val cand = pre.select($"term", $"doc_id".as("doc_a"),
+        $"toks".as("ta"), $"n".as("na"))
+      .join(pre.select($"term", $"doc_id".as("doc_b"),
+        $"toks".as("tb"), $"n".as("nb")), Seq("term"))
+      .filter($"doc_a" < $"doc_b")
+      .filter(least($"na", $"nb") * 5 >= greatest($"na", $"nb") * 4)
+      .select($"doc_a", $"doc_b", $"ta", $"tb", $"na", $"nb")
+      .dropDuplicates("doc_a", "doc_b")
+    val inter = size(array_intersect($"ta", $"tb")).cast("long")
+    cand
+      .select($"doc_a", $"doc_b", inter.as("i"), $"na", $"nb")
+      .filter($"i" * 5 >= ($"na" + $"nb" - $"i") * 4)
+      .select($"doc_a", $"doc_b",
+        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 4)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_prefix_join"  -> (qPrefixJoin _),
     "q30_dedup_exact"   -> (qDedupExact _),
     "q28_span_dedup"    -> (qSpanDedup _),
     "q148_edit_dedup"   -> (qEditDedup _),
@@ -1153,6 +1207,30 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      // q199: brute-force ALL pairs — the completeness yardstick the
+      // prefix filter must reproduce exactly (integer threshold test,
+      // so no float decides membership on either engine)
+      "q199_prefix_join" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+          |      AS sh
+          |  FROM idx GROUP BY doc_id),
+          |b AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+          |p AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS i,
+          |    CAST(len(x.sh) AS BIGINT) AS na,
+          |    CAST(len(y.sh) AS BIGINT) AS nb
+          |  FROM b x JOIN b y ON x.doc_id < y.doc_id)
+          |SELECT doc_a, doc_b,
+          |  round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+          |FROM p WHERE i * 5 >= (na + nb - i) * 4
+          |ORDER BY doc_a, doc_b""".stripMargin,
       "q30_dedup_exact" ->
         """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
           |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,

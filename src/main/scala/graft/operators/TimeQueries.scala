@@ -1084,7 +1084,62 @@ object TimeQueries extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** Peak concurrent sessions per day (q200): the interval-analytics
+    * sweep line — sessions (q26's 30-minute-gap definition) become
+    * ±1 boundary events, concurrency is the running sum, the report is
+    * each day's peak (the capacity-planning number: license seats,
+    * connection pools, serving replicas are all sized off it). A naive
+    * global sweep is ONE unpartitioned window over every boundary;
+    * this one is day-partitioned and scale-safe: per-day start/end
+    * counts cumulate over the |days| spine into a carry-in (sessions
+    * straddling midnight), and the within-day sweep orders boundaries
+    * by (ts, +1-before-−1, session) so a session ending the instant
+    * another starts still overlaps it — closed-interval semantics,
+    * deterministic under ties. Sweep input is 2 rows per SESSION (not
+    * per event); everything before it is the user-keyed sessionize
+    * shuffle the suite already pays. */
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gap = $"ts".cast("double") - lag($"ts", 1).over(byUser).cast("double")
+    val sess = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("new_sess",
+        when(gap.isNull || gap > 1800.0, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("t0"), max($"ts").as("t1"))
+    val bounds = sess.select($"user_id", $"session_id",
+        $"t0".as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select($"user_id", $"session_id",
+        $"t1".as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date($"t"))
+    val daily = bounds.groupBy($"day")
+      .agg(sum(when($"delta" === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when($"delta" === -1L, 1L).otherwise(0L)).as("n_ends"))
+    val spine = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = daily.withColumn("carry_in",
+      coalesce(sum($"n_starts" - $"n_ends").over(spine), lit(0L)))
+    val sweep = Window.partitionBy($"day")
+      .orderBy($"t", $"delta".desc, $"user_id", $"session_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // greatest(carry, carry + max_run): an all-ends day peaks at its
+    // very start, before the first boundary event drops the count.
+    bounds
+      .withColumn("run", sum($"delta").over(sweep))
+      .groupBy($"day").agg(max($"run").as("peak_in_day"))
+      .join(carry, "day")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"carry_in", $"n_starts",
+        greatest($"carry_in", $"carry_in" + $"peak_in_day")
+          .as("peak_concurrency"))
+      .orderBy($"day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_peak_concurrency" -> (qPeakConcurrency _),
     "q198_bot_score" -> (qBotScore _),
     "q188_changepoint" -> (qChangepoint _),
     "q189_exclusion_funnel" -> (qExclusionFunnel _),
@@ -1123,6 +1178,56 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q200_peak_concurrency" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s0 AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+        |  FROM s0 GROUP BY user_id, session_id),
+        |bounds AS (
+        |  SELECT user_id, session_id, t0 AS t, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT user_id, session_id, t1 AS t, -1 AS delta FROM sess),
+        |b2 AS (SELECT *, CAST(t AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts,
+        |    CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ends
+        |  FROM b2 GROUP BY day),
+        |carry AS (
+        |  SELECT day, n_starts,
+        |    coalesce(CAST(sum(n_starts - n_ends) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS carry_in
+        |  FROM daily),
+        |runs AS (
+        |  SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+        |    ORDER BY t, delta DESC, user_id, session_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run
+        |  FROM b2),
+        |peaks AS (SELECT day, max(run) AS peak_in_day
+        |  FROM runs GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, carry_in, n_starts,
+        |  greatest(carry_in, carry_in + peak_in_day) AS peak_concurrency
+        |FROM peaks JOIN carry USING (day) ORDER BY day""".stripMargin,
     "q198_bot_score" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,

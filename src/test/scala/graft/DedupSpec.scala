@@ -464,4 +464,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("prefix join: COMPLETE — equals the naive all-pairs join at tau=0.8") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pruned = DedupQueries.qPrefixJoin(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // naive truth: every pair, exact integer threshold, no filtering
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .select($"doc_id", array_distinct(expr(
+        "zip_with(slice(tk, 1, greatest(size(tk)-2, 0)), " +
+        "zip_with(slice(tk, 2, greatest(size(tk)-2, 0)), " +
+        "slice(tk, 3, greatest(size(tk)-2, 0)), (y, z) -> concat_ws(' ', y, z)), " +
+        "(x, yz) -> concat_ws(' ', x, yz))")).as("sh"))
+      .filter(size($"sh") > 0)
+    val a = sets.select($"doc_id".as("doc_a"), $"sh".as("sa"))
+    val b = sets.select($"doc_id".as("doc_b"), $"sh".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb")).cast("long")
+    val naive = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", inter.as("i"),
+        size($"sa").cast("long").as("na"), size($"sb").cast("long").as("nb"))
+      .filter($"i" * 5 >= ($"na" + $"nb" - $"i") * 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pruned == naive,
+      s"prefix filter missed ${(naive -- pruned).size} pairs / " +
+        s"invented ${(pruned -- naive).size}")
+    info(s"${naive.size} qualifying pairs, prefix filter exact")
+  }
+
 }

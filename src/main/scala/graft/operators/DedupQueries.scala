@@ -1042,6 +1042,18 @@ object DedupQueries extends QueryModule {
     * sorted shingle arrays into the verify, as q31 does. */
   def qPrefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    prefixPairs(s, dir)
+      .select($"doc_a", $"doc_b",
+        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 4)
+          .as("jaccard"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** The verified ≥ 0.8 pair frame behind q199 (and q201's near-dup
+    * label): (doc_a, doc_b, i, na, nb) with 5·i ≥ 4·(na+nb−i). */
+  private[operators] def prefixPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
     val sets = Tables.documents(s, dir)
       .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
       .filter(size($"sh") > 0)
@@ -1069,10 +1081,6 @@ object DedupQueries extends QueryModule {
     cand
       .select($"doc_a", $"doc_b", inter.as("i"), $"na", $"nb")
       .filter($"i" * 5 >= ($"na" + $"nb" - $"i") * 4)
-      .select($"doc_a", $"doc_b",
-        round($"i".cast("double") / ($"na" + $"nb" - $"i"), 4)
-          .as("jaccard"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1205,28 +1213,33 @@ object DedupQueries extends QueryModule {
       |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src)""".stripMargin
   }
 
+  /** Brute-force shingle pair CTE chain ending in p(doc_a, doc_b, i,
+    * na, nb) — the q199 oracle and q201's near-dup label share it. */
+  private[operators] val bruteforcePairsCte: String =
+    """t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+      |idx AS (
+      |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |      AS sh
+      |  FROM idx GROUP BY doc_id),
+      |b AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+      |p AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS i,
+      |    CAST(len(x.sh) AS BIGINT) AS na,
+      |    CAST(len(y.sh) AS BIGINT) AS nb
+      |  FROM b x JOIN b y ON x.doc_id < y.doc_id)""".stripMargin
+
   override def oracleSql: Map[String, String] = {
     Map(
       // q199: brute-force ALL pairs — the completeness yardstick the
       // prefix filter must reproduce exactly (integer threshold test,
       // so no float decides membership on either engine)
       "q199_prefix_join" ->
-        """WITH t AS (
-          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
-          |idx AS (
-          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
-          |sh AS (
-          |  SELECT doc_id,
-          |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-          |      AS sh
-          |  FROM idx GROUP BY doc_id),
-          |b AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
-          |p AS (
-          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS i,
-          |    CAST(len(x.sh) AS BIGINT) AS na,
-          |    CAST(len(y.sh) AS BIGINT) AS nb
-          |  FROM b x JOIN b y ON x.doc_id < y.doc_id)
+        s"""WITH $bruteforcePairsCte
           |SELECT doc_a, doc_b,
           |  round(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
           |FROM p WHERE i * 5 >= (na + nb - i) * 4

@@ -359,9 +359,10 @@ object ScoringQueries extends QueryModule {
     * The division guards (`nullif`-style coalesce) keep empty documents
     * from poisoning the batch — per-record error isolation as algebra,
     * not try/catch. */
-  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val tk = split($"text", " ")
+  /** The q87 logit over a `text` column — shared with q201's AUC
+    * evaluation so both score with the identical expression tree. */
+  private def qualityZ: Column = {
+    val tk = split(col("text"), " ")
     val nWords = size(tk).cast("double")
     val fLen = log(lit(1.0) + nWords)
     val fWlen = aggregate(transform(tk, x => length(x).cast("double")),
@@ -369,15 +370,21 @@ object ScoringQueries extends QueryModule {
     val fStop = size(filter(tk, x => x.isInCollection(Stop16)))
       .cast("double") / nWords
     val fUpper = coalesce(
-      (length($"text") - length(regexp_replace($"text", "[A-Z]", "")))
+      (length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
         .cast("double") /
-        when(length($"text") === 0, lit(null)).otherwise(length($"text")),
+        when(length(col("text")) === 0, lit(null))
+          .otherwise(length(col("text"))),
       lit(0.0))
-    val z = lit(Wb) + lit(Wl) * fLen + lit(Ww) * fWlen +
+    lit(Wb) + lit(Wl) * fLen + lit(Ww) * fWlen +
       lit(Ws) * fStop + lit(Wu) * fUpper
+  }
+
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = qualityZ
     Tables.documents(s, dir)
       .select($"doc_id",
-        nWords.cast("long").as("n_words"),
+        size(split($"text", " ")).cast("long").as("n_words"),
         round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
         (lit(1.0) / (lit(1.0) + exp(-z)) >= 0.5).as("keep"))
       .orderBy($"doc_id")
@@ -655,8 +662,62 @@ object ScoringQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Exact ROC-AUC evaluation (q201): how well does the q87 quality
+    * score separate NEAR-DUP cluster members (q199's verified ≥ 0.8
+    * pairs — exact-md5 losers would be the natural label but this
+    * testdata generation plants none at the correctness SF) from
+    * singletons — the scalar verdict on q171's "duplicates are
+    * low-quality" hypothesis, and the evaluation harness any
+    * model-based filter (q87, perplexity routing, FineWeb-style
+    * classifiers) ships with. AUC is the Mann–Whitney statistic
+    * computed EXACTLY from the score distribution, ties handled by the
+    * trapezoid (average-rank) rule: group docs by their 4-decimal
+    * score (identical tie structure on both engines), cumulate
+    * negatives below each score, and fold
+    * AUC = Σ np(s)·(2·cum_nn(s) + nn(s)) / (2·Np·Nn) — every term an
+    * exact integer until the single final division. Scale shape: the
+    * member frame is pair-scale and broadcasts; after the one
+    * doc-level scoring pass everything runs on the |distinct scores|
+    * frame — bounded by the 10⁴-cell rounded grid, so the one
+    * unpartitioned cumulative window can never exceed 10⁴ rows
+    * whatever the corpus. AUC ≈ 0.5 says quality is independent of
+    * duplication; < 0.5 says duplicates score LOWER, confirming the
+    * gate ordering in q111. */
+  def qAucEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupQueries.prefixPairs(s, dir)
+    val members = pairs.select($"doc_a".as("doc_id"))
+      .unionByName(pairs.select($"doc_b".as("doc_id")))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    val base = Tables.documents(s, dir)
+      .select($"doc_id",
+        round(lit(1.0) / (lit(1.0) + exp(-qualityZ)), 4).as("score"))
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce($"hit", lit(0L)))
+    val per = base.groupBy($"score")
+      .agg(sum($"is_dup").as("np"), sum(lit(1L) - $"is_dup").as("nn"))
+    val below = Window.orderBy($"score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("cum_nn", coalesce(sum($"nn").over(below), lit(0L)))
+      .agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"),
+        sum($"np" * (lit(2L) * $"cum_nn" + $"nn")).as("num2"))
+      .select($"n_pos", $"n_neg",
+        // one-class degenerate corpora (no dups at all) emit NULL, not
+        // a divide-by-zero — AUC is undefined without both classes
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          round($"num2".cast("double") /
+            (lit(2.0) * $"n_pos" * $"n_neg"), 4)).as("auc"),
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          round($"num2".cast("double") /
+            ($"n_pos" * $"n_neg").cast("double") - lit(1.0), 4) + lit(0.0))
+          .as("gini_coef"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q201_auc_eval" -> (qAucEval _),
       "q194_psi_drift" -> (qPsiDrift _),
       "q142_quality_calibrate" -> (qQualityCalibrate _),
       "q125_bm25" -> (qBm25 _),
@@ -1048,6 +1109,57 @@ object ScoringQueries extends QueryModule {
         |  round(avg(-ln((c_bi + 1.0) / (c_ctx + v))), 4) AS nll
         |FROM bi JOIN bc USING (prev, term) JOIN cc USING (prev) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q201_auc_eval" -> {
+      val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH ${DedupQueries.bruteforcePairsCte},
+        |mem AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM p WHERE i * 5 >= (na + nb - i) * 4
+        |    UNION ALL
+        |    SELECT doc_b AS doc_id FROM p
+        |    WHERE i * 5 >= (na + nb - i) * 4)),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+        |    str_split(text, ' ') AS tk, text
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id,
+        |    $Wb + $Wl * ln(1.0 + n_words)
+        |      + $Ww * (list_sum(list_transform(tk,
+        |          x -> CAST(length(x) AS DOUBLE))) / n_words)
+        |      + $Ws * (CAST(len(list_filter(tk, x -> x IN $stop16))
+        |          AS DOUBLE) / n_words)
+        |      + $Wu * coalesce(
+        |          CAST(length(text) - length(regexp_replace(text,
+        |            '[A-Z]', '', 'g')) AS DOUBLE)
+        |            / nullif(length(text), 0), 0.0) AS z
+        |  FROM f),
+        |lab AS (
+        |  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+        |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        |  FROM z LEFT JOIN mem ON z.doc_id = mem.doc_id),
+        |per AS (
+        |  SELECT score, CAST(sum(is_dup) AS BIGINT) AS np,
+        |    CAST(sum(1 - is_dup) AS BIGINT) AS nn
+        |  FROM lab GROUP BY score),
+        |cum AS (
+        |  SELECT score, np, nn,
+        |    coalesce(CAST(sum(nn) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cum_nn
+        |  FROM per)
+        |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+        |    round(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE)
+        |      / (2.0 * sum(np) * sum(nn)), 4) END AS auc,
+        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+        |    round(CAST(sum(np * (2 * cum_nn + nn)) AS DOUBLE)
+        |      / (CAST(sum(np) AS DOUBLE) * sum(nn)) - 1.0, 4) + 0.0
+        |    END AS gini_coef
+        |FROM cum""".stripMargin
+    },
     "q87_quality_classifier" -> {
       val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
       s"""WITH f AS (

@@ -683,18 +683,26 @@ object ScoringQueries extends QueryModule {
     * whatever the corpus. AUC ≈ 0.5 says quality is independent of
     * duplication; < 0.5 says duplicates score LOWER, confirming the
     * gate ordering in q111. */
-  def qAucEval(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, score, is_dup): the q87 score on the 4-decimal grid with
+    * q199's near-dup membership label — q201's AUC and q203's
+    * calibration read the same frame. */
+  private def scoredLabeled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = DedupQueries.prefixPairs(s, dir)
     val members = pairs.select($"doc_a".as("doc_id"))
       .unionByName(pairs.select($"doc_b".as("doc_id")))
       .distinct()
       .withColumn("hit", lit(1L))
-    val base = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id",
         round(lit(1.0) / (lit(1.0) + exp(-qualityZ)), 4).as("score"))
       .join(broadcast(members), Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce($"hit", lit(0L)))
+  }
+
+  def qAucEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scoredLabeled(s, dir)
     val per = base.groupBy($"score")
       .agg(sum($"is_dup").as("np"), sum(lit(1L) - $"is_dup").as("nn"))
     val below = Window.orderBy($"score")
@@ -715,8 +723,104 @@ object ScoringQueries extends QueryModule {
           .as("gini_coef"))
   }
 
+  /** Effective sample size of the DSIR importance weights (q202):
+    * ESS = (Σw)²/Σw² per language (Kish 1965) — the reweighting-health
+    * number next to q104's weights themselves: ESS/n near 1 means the
+    * weights barely reweight; near 0 means a handful of documents
+    * carry the whole selected distribution (high-variance resampling —
+    * the failure mode importance sampling is famous for). Weights are
+    * exp(dsir_logw) off the STAGED weight frame (a derived read, no
+    * gram-chain recompute); the audit itself is one partial agg to
+    * |langs| rows. */
+  def qEssAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = dsirWeightFrame(s, dir)
+      .select($"doc_id", exp($"dsir_logw").as("w"))
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+    w.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"w").as("sw"), sum($"w" * $"w").as("sw2"))
+      .select($"lang", $"n_docs",
+        round($"sw" * $"sw" / $"sw2", 4).as("ess"),
+        round($"sw" * $"sw" / $"sw2" / $"n_docs", 4).as("ess_ratio"))
+      .orderBy($"lang")
+  }
+
+  /** Score-bin count for the calibration curve (10 equal-width bins
+    * over [0,1], top edge folded into bin 9). */
+  private def scoreBin(score: Column): Column =
+    least(floor(score * 10).cast("int"), lit(9))
+
+  /** Calibration curve + Brier score (q203): reliability diagram of
+    * the q87 quality score against the near-dup label — q201 measures
+    * DISCRIMINATION (ranking), this measures CALIBRATION (are the
+    * probabilities honest): per decile-of-score bin the mean score vs
+    * the observed positive rate, plus the global Brier score
+    * (Brier 1950; the proper scoring rule decomposable into
+    * calibration + refinement). A filter whose scores are used as
+    * sampling probabilities (q102's epoch sampler) NEEDS calibration,
+    * not just ranking. Scale: everything after the shared scoring pass
+    * runs on 10 bin rows; Brier is one avg, attached as a constant
+    * column from a 1-row broadcast. */
+  def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = scoredLabeled(s, dir)
+    val brier = base.agg(
+      round(avg(($"score" - $"is_dup") * ($"score" - $"is_dup")), 4)
+        .as("brier"))
+    base
+      .groupBy(scoreBin($"score").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"score"), 4).as("mean_score"),
+        round(avg($"is_dup".cast("double")), 4).as("frac_pos"))
+      .crossJoin(broadcast(brier))
+      .orderBy($"bin")
+  }
+
+  /** Quality-threshold sweep (q204): kept docs/tokens at each cutoff
+    * in {0.00, 0.05, …, 1.00} — the knob-tuning curve a filter
+    * threshold is actually chosen from (q180 shows three fixed gates;
+    * this prices EVERY setting of one gate). Scale shape: the corpus
+    * collapses ONCE to the ≤10⁴-row rounded-score histogram (score,
+    * n_docs, n_tokens); the 21-threshold grid joins THAT, so the
+    * sweep costs one corpus pass + a 21×|grid| broadcast join — the
+    * anti-pattern it avoids is one corpus scan per threshold. */
+  def qThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, dir)
+      .select(round(lit(1.0) / (lit(1.0) + exp(-qualityZ)), 4).as("score"),
+        size(split($"text", " ")).cast("long").as("n_toks"))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+    val tot = hist.agg(sum($"n_docs").as("td"), sum($"n_tokens").as("tt"))
+    val thr = thresholdGrid(s)
+    thr.join(broadcast(hist), $"score" >= $"thr")
+      .groupBy($"thr")
+      .agg(coalesce(sum($"n_docs"), lit(0L)).as("kept_docs"),
+        coalesce(sum($"n_tokens"), lit(0L)).as("kept_tokens"))
+      .unionByName( // thresholds keeping nothing would vanish from the
+        // inner join — restore them as explicit zero rows
+        thr.join(hist, $"score" >= $"thr", "left_anti")
+          .select($"thr", lit(0L).as("kept_docs"), lit(0L).as("kept_tokens")))
+      .crossJoin(broadcast(tot))
+      .select($"thr", $"kept_docs", $"kept_tokens",
+        round($"kept_docs" / $"td".cast("double"), 4).as("doc_share"),
+        round($"kept_tokens" / $"tt".cast("double"), 4).as("token_share"))
+      .orderBy($"thr")
+  }
+
+  /** The 21-row threshold grid 0.00 … 1.00 step 0.05, exact two-decimal
+    * values (i/20 rounded so both engines hold identical doubles). */
+  private def thresholdGrid(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.range(0, 21).select(round($"id" / 20.0, 2).as("thr"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q202_ess_audit" -> (qEssAudit _),
+      "q203_calibration" -> (qCalibration _),
+      "q204_threshold_sweep" -> (qThresholdSweep _),
       "q201_auc_eval" -> (qAucEval _),
       "q194_psi_drift" -> (qPsiDrift _),
       "q142_quality_calibrate" -> (qQualityCalibrate _),
@@ -734,6 +838,41 @@ object ScoringQueries extends QueryModule {
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
     )
+
+  /** Shared oracle CTE chain ending in `lab(doc_id, score, is_dup)` —
+    * the q87 sigmoid score with q199's near-dup membership label;
+    * q201 (AUC) and q203 (calibration) both build on it. */
+  private def labCtesSql: String = {
+    val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""${DedupQueries.bruteforcePairsCte},
+      |mem AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_a AS doc_id FROM p WHERE i * 5 >= (na + nb - i) * 4
+      |    UNION ALL
+      |    SELECT doc_b AS doc_id FROM p
+      |    WHERE i * 5 >= (na + nb - i) * 4)),
+      |f AS (
+      |  SELECT doc_id,
+      |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+      |    str_split(text, ' ') AS tk, text
+      |  FROM documents),
+      |z AS (
+      |  SELECT doc_id,
+      |    $Wb + $Wl * ln(1.0 + n_words)
+      |      + $Ww * (list_sum(list_transform(tk,
+      |          x -> CAST(length(x) AS DOUBLE))) / n_words)
+      |      + $Ws * (CAST(len(list_filter(tk, x -> x IN $stop16))
+      |          AS DOUBLE) / n_words)
+      |      + $Wu * coalesce(
+      |          CAST(length(text) - length(regexp_replace(text,
+      |            '[A-Z]', '', 'g')) AS DOUBLE)
+      |            / nullif(length(text), 0), 0.0) AS z
+      |  FROM f),
+      |lab AS (
+      |  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+      |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      |  FROM z LEFT JOIN mem ON z.doc_id = mem.doc_id)""".stripMargin
+  }
 
   /** Shared oracle CTE chain ending in `weights(doc_id, n_grams,
     * dsir_logw)` — q104 selects it directly, q114 builds the
@@ -1109,22 +1248,38 @@ object ScoringQueries extends QueryModule {
         |  round(avg(-ln((c_bi + 1.0) / (c_ctx + v))), 4) AS nll
         |FROM bi JOIN bc USING (prev, term) JOIN cc USING (prev) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q201_auc_eval" -> {
+    "q202_ess_audit" ->
+      s"""$dsirOracleCtes,
+        |ww AS (
+        |  SELECT w.doc_id, exp(dsir_logw) AS w, d.lang
+        |  FROM weights w JOIN documents d USING (doc_id))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+        |  round(sum(w) * sum(w) / sum(w * w) / count(*), 4) AS ess_ratio
+        |FROM ww GROUP BY lang ORDER BY lang""".stripMargin,
+    "q203_calibration" -> {
+      s"""WITH $labCtesSql,
+        |brier AS (
+        |  SELECT round(avg((score - is_dup) * (score - is_dup)), 4)
+        |    AS brier
+        |  FROM lab)
+        |SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(score), 4) AS mean_score,
+        |  round(avg(CAST(is_dup AS DOUBLE)), 4) AS frac_pos,
+        |  any_value(brier) AS brier
+        |FROM lab CROSS JOIN brier
+        |GROUP BY 1 ORDER BY bin""".stripMargin
+    },
+    "q204_threshold_sweep" -> {
       val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
-      s"""WITH ${DedupQueries.bruteforcePairsCte},
-        |mem AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT doc_a AS doc_id FROM p WHERE i * 5 >= (na + nb - i) * 4
-        |    UNION ALL
-        |    SELECT doc_b AS doc_id FROM p
-        |    WHERE i * 5 >= (na + nb - i) * 4)),
-        |f AS (
+      s"""WITH f AS (
         |  SELECT doc_id,
         |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
         |    str_split(text, ' ') AS tk, text
         |  FROM documents),
         |z AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_toks,
         |    $Wb + $Wl * ln(1.0 + n_words)
         |      + $Ww * (list_sum(list_transform(tk,
         |          x -> CAST(length(x) AS DOUBLE))) / n_words)
@@ -1135,10 +1290,31 @@ object ScoringQueries extends QueryModule {
         |            '[A-Z]', '', 'g')) AS DOUBLE)
         |            / nullif(length(text), 0), 0.0) AS z
         |  FROM f),
-        |lab AS (
-        |  SELECT z.doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
-        |    CASE WHEN mem.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
-        |  FROM z LEFT JOIN mem ON z.doc_id = mem.doc_id),
+        |hist AS (
+        |  SELECT round(1.0 / (1.0 + exp(-z)), 4) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM z GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tt
+        |  FROM hist),
+        |grid AS (
+        |  SELECT round(i / 20.0, 2) AS thr
+        |  FROM generate_series(0, 20) t(i)),
+        |kept AS (
+        |  SELECT thr,
+        |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS kept_docs,
+        |    CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS kept_tokens
+        |  FROM grid LEFT JOIN hist ON score >= thr
+        |  GROUP BY thr)
+        |SELECT thr, kept_docs, kept_tokens,
+        |  round(kept_docs / CAST(td AS DOUBLE), 4) AS doc_share,
+        |  round(kept_tokens / CAST(tt AS DOUBLE), 4) AS token_share
+        |FROM kept CROSS JOIN tot ORDER BY thr""".stripMargin
+    },
+    "q201_auc_eval" -> {
+      s"""WITH $labCtesSql,
         |per AS (
         |  SELECT score, CAST(sum(is_dup) AS BIGINT) AS np,
         |    CAST(sum(1 - is_dup) AS BIGINT) AS nn

@@ -1049,10 +1049,15 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** The verified ≥ 0.8 pair frame behind q199 (and q201's near-dup
-    * label): (doc_a, doc_b, i, na, nb) with 5·i ≥ 4·(na+nb−i). */
+  /** The verified ≥ 0.8 pair frame behind q199 (and q201/q203's
+    * near-dup label): (doc_a, doc_b, i, na, nb) with 5·i ≥ 4·(na+nb−i).
+    * Staged per session: q199 emits it, the eval family reads it. */
+  private val prefixPairCache = new SessionCache
   private[operators] def prefixPairs(s: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame =
+    prefixPairCache.get(s, dir)(buildPrefixPairs(s, dir))
+
+  private def buildPrefixPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = Tables.documents(s, dir)
       .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))

@@ -843,8 +843,73 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"source")
   }
 
+  /** Token-weighted length quantiles (q205): the median/p90 document
+    * length BY TOKEN MASS per language — "half the tokens live in docs
+    * shorter than X", the number sequence-packing (q58) and length
+    * curricula budget from; the UNWEIGHTED median (q58's family)
+    * answers a different question and the two diverge exactly when
+    * long docs dominate the mass. Exact integer selection: cumulative
+    * token weight over the per-language (n_chars → weight) GRID
+    * (bounded by distinct lengths, never |docs| rows in a window),
+    * median = least value with 2·cumw ≥ W, p90 = least with
+    * 10·cumw ≥ 9·W — no interpolation, no floats anywhere. */
+  def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, dir)
+      .select($"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("w"))
+      .groupBy($"lang", $"n_chars").agg(sum($"w").as("w"))
+    val wl = Window.partitionBy($"lang").orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = per
+      .withColumn("cw", sum($"w").over(wl))
+      .withColumn("tw", sum($"w").over(Window.partitionBy($"lang")))
+    val med = g.filter($"cw" * 2 >= $"tw")
+      .groupBy($"lang").agg(min($"n_chars").as("w_median_len"))
+    val p90 = g.filter($"cw" * 10 >= $"tw" * 9)
+      .groupBy($"lang").agg(min($"n_chars").as("w_p90_len"))
+    val tot = per.groupBy($"lang").agg(sum($"w").as("total_tokens"))
+    tot.join(med, "lang").join(p90, "lang")
+      .select($"lang", $"total_tokens", $"w_median_len", $"w_p90_len")
+      .orderBy($"lang")
+  }
+
+  /** Chi-square independence test lang × source (q207): Pearson χ²
+    * over the contingency cells with df = (R−1)(C−1) and Cramér's V —
+    * the categorical association audit behind every stratified design
+    * here (if lang and source are strongly associated, per-source
+    * stats confound with language and q106's grouped split inherits
+    * language skew). One partial agg collapses the corpus to \|cells\|
+    * rows; expected counts come from the row/column marginals of that
+    * grid; everything after is closed-form arithmetic on it. */
+  def qChiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val g = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"lang")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"source")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+    val dims = cells.agg(
+      countDistinct($"lang").as("r"), countDistinct($"source").as("c"))
+    val e = $"rt" * $"ct" / $"n".cast("double")
+    g.agg(max($"n").as("n_docs"),
+        sum(($"o" - e) * ($"o" - e) / e).as("chi2raw"))
+      .crossJoin(broadcast(dims))
+      .select($"n_docs",
+        round($"chi2raw", 4).as("chi2"),
+        (($"r" - 1) * ($"c" - 1)).as("df"),
+        round(sqrt($"chi2raw" /
+          ($"n_docs" * least($"r" - 1, $"c" - 1)).cast("double")), 4)
+          .as("cramers_v"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q205_weighted_quantiles" -> (qWeightedQuantiles _),
+      "q207_chi_square"      -> (qChiSquare _),
       "q191_dp_release"      -> (qDpRelease _),
       "q195_mg_heavy_hitters" -> (qMgHeavyHitters _),
       "q169_k_anonymity"     -> (qKAnonymity _),
@@ -874,6 +939,54 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q205_weighted_quantiles" ->
+      """WITH per AS (
+        |  SELECT lang, n_chars,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang, n_chars),
+        |g AS (
+        |  SELECT lang, n_chars, w,
+        |    sum(w) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY lang) AS tw
+        |  FROM per),
+        |med AS (
+        |  SELECT lang, min(n_chars) AS w_median_len
+        |  FROM g WHERE cw * 2 >= tw GROUP BY lang),
+        |p90 AS (
+        |  SELECT lang, min(n_chars) AS w_p90_len
+        |  FROM g WHERE cw * 10 >= tw * 9 GROUP BY lang),
+        |tot AS (
+        |  SELECT lang, CAST(sum(w) AS BIGINT) AS total_tokens
+        |  FROM per GROUP BY lang)
+        |SELECT lang, total_tokens, w_median_len, w_p90_len
+        |FROM tot JOIN med USING (lang) JOIN p90 USING (lang)
+        |ORDER BY lang""".stripMargin,
+    "q207_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (
+        |  SELECT o,
+        |    sum(o) OVER (PARTITION BY lang) AS rt,
+        |    sum(o) OVER (PARTITION BY source) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS c
+        |  FROM cells),
+        |agg AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |    sum((o - rt * ct / CAST(n AS DOUBLE))
+        |      * (o - rt * ct / CAST(n AS DOUBLE))
+        |      / (rt * ct / CAST(n AS DOUBLE))) AS chi2raw
+        |  FROM g)
+        |SELECT n_docs, round(chi2raw, 4) AS chi2,
+        |  (r - 1) * (c - 1) AS df,
+        |  round(sqrt(chi2raw / (n_docs * least(r - 1, c - 1))), 4)
+        |    AS cramers_v
+        |FROM agg CROSS JOIN dims""".stripMargin,
     // q195: the oracle replays only the THEOREM side — exact counts,
     // threshold test, and literal TRUE flags (the sketch guarantees
     // them for any partitioning; MgSpec proves the flags really come

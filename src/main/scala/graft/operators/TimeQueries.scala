@@ -1138,7 +1138,43 @@ object TimeQueries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** Benford first-digit audit (q206): observed leading-digit shares
+    * of the positive `value` column against Benford's log₁₀(1+1/d) law
+    * (Benford 1938; Nigrini's fraud-audit standard) with the Pearson
+    * χ² statistic and the df=8, α=0.05 verdict — the data-forensics
+    * gate that flags fabricated or unit-mixed numeric columns before
+    * they reach a model. Leading digit is pure float arithmetic
+    * ⌊v/10^⌊log₁₀v⌋⌋ — the same IEEE expression tree on both engines;
+    * zero-count digits are restored by a 9-row literal grid so χ²
+    * terms never silently drop. Corpus collapses to 9 digit counts in
+    * one partial agg; everything after is arithmetic on that grid. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.events(s, dir)
+      .select($"value").filter($"value" > 0)
+      .select(floor($"value" / pow(lit(10.0), floor(log10($"value"))))
+        .cast("int").as("d"))
+      .groupBy($"d").agg(count(lit(1)).as("o"))
+    val grid = s.range(1, 10).select($"id".cast("int").as("d"))
+      .join(digits, Seq("d"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+    val n = digits.agg(sum($"o").as("n"))
+    val pB = log10(lit(1.0) + lit(1.0) / $"d")
+    val scored = grid.crossJoin(broadcast(n))
+      .withColumn("p_obs", round($"o" / $"n".cast("double"), 4))
+      .withColumn("p_benford", round(pB, 4))
+      .withColumn("term",
+        ($"o" - $"n" * pB) * ($"o" - $"n" * pB) / ($"n" * pB))
+    val chi2 = scored.agg((round(sum($"term"), 4) + lit(0.0)).as("chi2"))
+      .withColumn("reject_benford", $"chi2" > 15.507)
+    scored.crossJoin(broadcast(chi2))
+      .select($"d", $"o", $"p_obs", $"p_benford", $"chi2",
+        $"reject_benford")
+      .orderBy($"d")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_benford" -> (qBenford _),
     "q200_peak_concurrency" -> (qPeakConcurrency _),
     "q198_bot_score" -> (qBotScore _),
     "q188_changepoint" -> (qChangepoint _),
@@ -1178,6 +1214,31 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q206_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(floor(value / pow(10.0, floor(log10(value))))
+        |    AS INTEGER) AS d
+        |  FROM events WHERE value > 0),
+        |per AS (
+        |  SELECT d, CAST(count(*) AS BIGINT) AS o
+        |  FROM digits GROUP BY d),
+        |grid AS (
+        |  SELECT CAST(i AS INTEGER) AS d, coalesce(per.o, 0) AS o
+        |  FROM generate_series(1, 9) t(i)
+        |  LEFT JOIN per ON per.d = i),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM per),
+        |scored AS (
+        |  SELECT d, o,
+        |    round(o / CAST(n AS DOUBLE), 4) AS p_obs,
+        |    round(log10(1.0 + 1.0 / d), 4) AS p_benford,
+        |    (o - n * log10(1.0 + 1.0 / d))
+        |      * (o - n * log10(1.0 + 1.0 / d))
+        |      / (n * log10(1.0 + 1.0 / d)) AS term
+        |  FROM grid CROSS JOIN n),
+        |c AS (SELECT round(sum(term), 4) + 0.0 AS chi2 FROM scored)
+        |SELECT d, o, p_obs, p_benford, chi2, chi2 > 15.507
+        |  AS reject_benford
+        |FROM scored CROSS JOIN c ORDER BY d""".stripMargin,
     "q200_peak_concurrency" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -101,6 +101,26 @@ object MediaGen {
     fourcc("RIFF") ++ le32(body.length) ++ body
   }
 
+  /** A minimal canonical WAV: RIFF/WAVE with a 16-byte PCM `fmt ` chunk
+    * (16-bit, mono, little-endian) and the samples as one `data` chunk —
+    * exactly the container `javax.sound.sampled.AudioSystem` reads with
+    * no codec beyond the JDK. */
+  def wav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = le16(1) ++ le16(1) ++ le32(sampleRate) ++
+      le32(sampleRate * 2) ++ le16(2) ++ le16(16)
+    val body = fourcc("WAVE") ++
+      fourcc("fmt ") ++ le32(fmt.length) ++ fmt ++
+      fourcc("data") ++ le32(data.length) ++ data
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
   def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 }

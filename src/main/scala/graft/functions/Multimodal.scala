@@ -339,4 +339,69 @@ object Multimodal {
       }
     }
   }
+
+  private[graft] final case class AudioInfo(sampleRate: Int, nSamples: Long,
+    rms: Double, zeroCrossings: Long)
+
+  /** REAL audio decode through the JDK's own reader
+    * (`javax.sound.sampled.AudioSystem` — WAV/AIFF/AU need no codec
+    * beyond the JRE): PCM 16-bit mono little-endian payloads yield
+    * sample rate, sample count, RMS amplitude and zero-crossing count;
+    * anything else (other encodings, corrupt bytes, non-audio) returns
+    * None — the F4 error-isolation posture shared with decodeImage. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[AudioInfo] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+            f.isBigEndian ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = in.readAllBytes()
+          val n = raw.length / 2
+          var i = 0; var sumSq = 0.0; var zc = 0L; var prev = 0
+          while (i < n) {
+            val v = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
+            sumSq += v.toDouble * v
+            if (i > 0 && ((v < 0) != (prev < 0))) zc += 1
+            prev = v; i += 1
+          }
+          Some(AudioInfo(f.getSampleRate.toInt, n,
+            if (n == 0) 0.0 else math.sqrt(sumSq / n), zc))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Per-partition audio decode: adds nullable `sample_rate`,
+    * `n_samples`, `rms`, `zero_crossings` columns, preserving inputs.
+    * Decode is per-partition map work — at corpus scale the dominant
+    * cost is the byte scan itself, embarrassingly parallel like the
+    * image and video paths. */
+  def audioFeatures(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema
+      .add("sample_rate", IntegerType)
+      .add("n_samples", LongType)
+      .add("rms", DoubleType)
+      .add("zero_crossings", LongType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        // Seq[Any] on the elements, not just the val: Seq(Int, Long,
+        // Double, Long) otherwise unifies by NUMERIC WIDENING to
+        // Seq[Double], silently turning sample_rate into 8000.0 and
+        // breaking the row encoder.
+        val extra: Seq[Any] = decodeWav(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(a) =>
+            Seq[Any](a.sampleRate, a.nSamples, a.rms, a.zeroCrossings)
+          case None => Seq(null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+  }
 }

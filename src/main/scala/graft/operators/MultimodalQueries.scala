@@ -150,14 +150,83 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q208's planted signal: a 480-sample square wave at ±8192, period 8
+    * (4 high, 4 low), 8000 Hz — every feature is exactly computable:
+    * RMS = 8192 (constant magnitude), zero crossings = 480/4 − 1 = 119
+    * sign flips, duration = 480/8000 = 0.06 s. */
+  private[graft] def squareWave: Array[Short] =
+    Array.tabulate(480)(i => if ((i / 4) % 2 == 0) 8192 else -8192)
+      .map(_.toShort)
+
+  /** Expected features from independent plain-Scala arithmetic on the
+    * literal sample vector (NOT the decode path — q163's patHash
+    * discipline applied to audio). */
+  private[graft] def waveStats(xs: Array[Short]): (Double, Long) = {
+    val rms = math.sqrt(xs.map(v => v.toDouble * v).sum / xs.length)
+    val zc = xs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+    (rms, zc.toLong)
+  }
+
+  private lazy val TinyWavHex = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.wav(squareWave, 8000))
+
+  /** REAL audio decode (q208): every 3rd doc carries a planted PCM WAV,
+    * decoded through the JDK's own `AudioSystem` reader (no codec
+    * beyond the JRE — the audio sibling of q61's ImageIO and q138's
+    * RIFF demux, completing the image/video/audio modality row); the
+    * rest carry text bytes the reader rejects into null metadata (F4).
+    * Features are the audio-pipeline basics — sample rate, duration,
+    * normalized RMS loudness, zero-crossing count (the crudest pitch/
+    * voicedness proxy) — each a deterministic constant of the planted
+    * wave, so the query is fully DuckDB-oracled with constants derived
+    * by independent Scala arithmetic on the literal sample vector.
+    * Decode is per-partition map work; nothing shuffles but the
+    * presentation sort. */
+  def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, unhex(lit(TinyWavHex)))
+          .otherwise($"text".cast("binary")).as("media"))
+    Multimodal.audioFeatures(media, "media")
+      .select($"doc_id", $"sample_rate", $"n_samples",
+        round($"n_samples" / $"sample_rate".cast("double"), 4)
+          .as("duration_s"),
+        round($"rms" / 32768.0, 4).as("rms_norm"),
+        $"zero_crossings")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_media_meta"     -> (qMediaMeta _),
     "q61_media_features" -> (qMediaFeatures _),
     "q138_video_frames"  -> (qVideoFrames _),
     "q163_image_phash"   -> (qImagePhash _),
+    "q208_audio_features" -> (qAudioFeatures _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q208: the engine really decodes PCM via AudioSystem; the oracle
+    // states the planted wave's constants from independent Scala
+    // arithmetic on the sample vector (waveStats) — null for the
+    // text-byte rows no audio reader accepts.
+    "q208_audio_features" -> {
+      val (rms, zc) = waveStats(squareWave)
+      val rmsNorm = BigDecimal(rms / 32768.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"""SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(8000 AS INTEGER) END
+        |    AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(480 AS BIGINT) END
+        |    AS n_samples,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(0.06 AS DOUBLE) END
+        |    AS duration_s,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST($rmsNorm AS DOUBLE) END
+        |    AS rms_norm,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST($zc AS BIGINT) END
+        |    AS zero_crossings
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // q163: the engine really decodes and hashes pixels; the oracle
     // states the per-class hash constants from independent arithmetic
     // on the pattern matrices (patHash) — A and B MUST collide, C and

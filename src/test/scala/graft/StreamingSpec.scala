@@ -485,4 +485,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b.getLong(b.fieldIndex("n_sampled")) == 0L)
     assert(b.isNullAt(b.fieldIndex("luma_first")))
   }
+
+  test("audio: real AudioSystem decode of a planted PCM wav; rejects garbage") {
+    import spark.implicits._
+    val wav = graft.functions.MediaGen.wav(
+      graft.operators.MultimodalQueries.squareWave, 8000)
+    // independent expectation from plain-Scala arithmetic on the samples
+    val (rms, zc) =
+      graft.operators.MultimodalQueries.waveStats(
+        graft.operators.MultimodalQueries.squareWave)
+    val txt = "not audio at all".getBytes("UTF-8")
+    val rows = Multimodal.audioFeatures(
+      Seq((1L, wav), (2L, txt)).toDF("id", "media"), "media")
+      .orderBy($"id").collect()
+    val a = rows(0)
+    assert(a.getInt(a.fieldIndex("sample_rate")) == 8000)
+    assert(a.getLong(a.fieldIndex("n_samples")) == 480L)
+    assert(a.getDouble(a.fieldIndex("rms")) == rms)
+    assert(a.getLong(a.fieldIndex("zero_crossings")) == zc)
+    val b = rows(1)
+    assert(b.isNullAt(b.fieldIndex("sample_rate")))
+    assert(b.isNullAt(b.fieldIndex("rms")))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.sources.{Compaction, Tables, UpsertSink}
@@ -558,8 +558,49 @@ object StorageQueries extends QueryModule {
       .orderBy($"event_type")
   }
 
+  /** Data-contract validation ledger (q210): the declarative
+    * expectation suite (great-expectations / dbt-test style) a table
+    * must pass before anything downstream reads it — each rule one row
+    * with checked/violation counts and a pass verdict: NOT NULL,
+    * value range, enum domain, key uniqueness, and a foreign-key edge
+    * (the nightly gate q153 audits all edges of). Every rule is a
+    * single conditional aggregate over its table (count both sides in
+    * one pass — no per-rule rescan of anything but its own table); the
+    * FK rule reuses the broadcast-anti-join shape. The ledger is
+    * metadata-scale and unions at the end. */
+  def qContract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def rule(name: String, df: DataFrame, viol: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(viol.cast("long")).as("n_violations"))
+        .select(lit(name).as("rule"), $"n_checked", $"n_violations",
+          ($"n_violations" === 0L).as("pass"))
+    val orders = Tables.orders(s, dir)
+    val lineitem = Tables.lineitem(s, dir)
+    val uniq = orders.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct($"o_orderkey")).as("n_violations"))
+      .select(lit("unique:o_orderkey").as("rule"), $"n_checked",
+        $"n_violations", ($"n_violations" === 0L).as("pass"))
+    val fk = lineitem.select($"l_orderkey")
+      .join(broadcast(orders.select($"o_orderkey")),
+        $"l_orderkey" === $"o_orderkey", "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum($"o_orderkey".isNull.cast("long")).as("n_violations"))
+      .select(lit("fk:l_orderkey->orders").as("rule"), $"n_checked",
+        $"n_violations", ($"n_violations" === 0L).as("pass"))
+    Seq(
+      rule("not_null:o_custkey", orders, $"o_custkey".isNull),
+      rule("range:l_quantity[1,50]", lineitem,
+        !($"l_quantity" >= 1 && $"l_quantity" <= 50)),
+      rule("enum:o_orderstatus", orders,
+        !$"o_orderstatus".isin("O", "F", "P")),
+      uniq, fk,
+    ).reduce(_.unionByName(_)).orderBy($"rule")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q210_contract" -> (qContract _),
       "q131_delete_cascade" -> (qDeleteCascade _),
       "q124_delta_agg"     -> (qDeltaAgg _),
       "q117_bucket_join"   -> (qBucketJoin _),
@@ -582,6 +623,43 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q210_contract" ->
+      """WITH r1 AS (
+        |  SELECT 'enum:o_orderstatus' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM orders),
+        |r2 AS (
+        |  SELECT 'fk:l_orderkey->orders' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey),
+        |r3 AS (
+        |  SELECT 'not_null:o_custkey' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_violations
+        |  FROM orders),
+        |r4 AS (
+        |  SELECT 'range:l_quantity[1,50]' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |  FROM lineitem),
+        |r5 AS (
+        |  SELECT 'unique:o_orderkey' AS rule,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |      AS n_violations
+        |  FROM orders),
+        |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |  UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+        |  UNION ALL SELECT * FROM r5)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM u ORDER BY rule""".stripMargin,
     // q151: replay the count-relevant half of q118's v2 derivation and
     // the per-source rollup; all counts land as BIGINT on both engines
     "q151_release_diff" ->

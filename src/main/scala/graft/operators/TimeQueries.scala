@@ -1173,7 +1173,34 @@ object TimeQueries extends QueryModule {
       .orderBy($"d")
   }
 
+  /** Daily OHLC bars (q209): per (event_type, day) the open/high/low/
+    * close of `value` plus volume and VWAP-style mean — the canonical
+    * time-series downsampling every metrics store ships (candlesticks,
+    * rate summaries), and the min_by/max_by surface demo: open/close
+    * select the value AT the extreme of a different column, which no
+    * min/max can express. Selection key is struct(ts, event_id) so a
+    * timestamp tie can never make the bar engine-dependent; ONE
+    * map-side-combined partial agg collapses the corpus to
+    * |types|×|days| bars. */
+  def qOhlcBars(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = struct($"ts", $"event_id")
+    Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(round(min_by($"value", key), 4).as("open"),
+        round(max($"value"), 4).as("high"),
+        round(min($"value"), 4).as("low"),
+        round(max_by($"value", key), 4).as("close"),
+        count(lit(1)).as("volume"),
+        round(avg($"value"), 4).as("mean_value"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"event_type", $"open", $"high", $"low", $"close", $"volume",
+        $"mean_value")
+      .orderBy($"day", $"event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_ohlc" -> (qOhlcBars _),
     "q206_benford" -> (qBenford _),
     "q200_peak_concurrency" -> (qPeakConcurrency _),
     "q198_bot_score" -> (qBotScore _),
@@ -1214,6 +1241,18 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q209_ohlc" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  event_type,
+        |  round(first(value ORDER BY ts, event_id), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(last(value ORDER BY ts, event_id), 4) AS close,
+        |  CAST(count(*) AS BIGINT) AS volume,
+        |  round(avg(value), 4) AS mean_value
+        |FROM events
+        |GROUP BY CAST(ts AS DATE), event_type
+        |ORDER BY day, event_type""".stripMargin,
     "q206_benford" ->
       """WITH digits AS (
         |  SELECT CAST(floor(value / pow(10.0, floor(log10(value))))

@@ -770,6 +770,41 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"source", $"len_band")
   }
 
+  /** Exact bitmap segment overlap (q211): per-event-type user bitmaps
+    * via the `bitmap_agg` custom aggregate (plans/BitmapAgg.scala —
+    * word-aligned bitset, OR-merge commutative ⇒ the bitmap is
+    * partitioning-invariant BY ALGEBRA, unlike q195's order-dependent
+    * MG counters), then EXACT pairwise intersection/union/Jaccard as
+    * native popcount arithmetic over the word arrays — the audience-
+    * overlap table q147's KMV sketch estimates, computed exactly where
+    * ids are dense (the bitmap costs maxId/8 bytes per group; sketches
+    * remain the open-domain path). Scale shape: one partial-agg
+    * shuffle ships ≤ one bitmap per (type, partition); the pair math
+    * runs on the |types|²-row frame with zip_with+bit_count entirely
+    * inside codegen'd expressions — no re-scan, no distinct join. */
+  def qBitmapOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bm = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(graft.plans.BitmapFunctions.bitmapAgg($"user_id").as("bm"))
+    def pop(arr: Column): Column = aggregate(
+      transform(arr, w => bit_count(w).cast("long")), lit(0L), _ + _)
+    // zip_with null-pads the shorter array; coalesce keeps AND exact
+    val inter = aggregate(
+      zip_with($"a_bm", $"b_bm", (x, y) =>
+        bit_count(coalesce(x, lit(0L)).bitwiseAND(coalesce(y, lit(0L))))
+          .cast("long")),
+      lit(0L), _ + _)
+    val a = bm.select($"event_type".as("type_a"), $"bm".as("a_bm"))
+    val b = bm.select($"event_type".as("type_b"), $"bm".as("b_bm"))
+    a.crossJoin(b).filter($"type_a" < $"type_b")
+      .select($"type_a", $"type_b",
+        pop($"a_bm").as("n_a"), pop($"b_bm").as("n_b"), inter.as("n_common"))
+      .withColumn("jaccard",
+        round($"n_common" / ($"n_a" + $"n_b" - $"n_common").cast("double"), 4))
+      .orderBy($"type_a", $"type_b")
+  }
+
   /** Misra–Gries counter budget for q195 (ε = 1/(k+1) = 1/33). */
   private val MgK = 32
 
@@ -910,6 +945,7 @@ object QualityQueries extends QueryModule {
     Map(
       "q205_weighted_quantiles" -> (qWeightedQuantiles _),
       "q207_chi_square"      -> (qChiSquare _),
+      "q211_bitmap_overlap"  -> (qBitmapOverlap _),
       "q191_dp_release"      -> (qDpRelease _),
       "q195_mg_heavy_hitters" -> (qMgHeavyHitters _),
       "q169_k_anonymity"     -> (qKAnonymity _),
@@ -939,6 +975,33 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q211: the engine computes overlaps from bitmap popcounts; the
+    // oracle recomputes them from exact distinct-user joins — equality
+    // proves the whole bitmap path (build, OR-merge, AND popcount)
+    "q211_bitmap_overlap" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY event_type),
+        |x AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM u a JOIN u b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT na.event_type AS type_a, nb.event_type AS type_b,
+        |    na.n AS n_a, nb.n AS n_b
+        |  FROM n na JOIN n nb ON na.event_type < nb.event_type)
+        |SELECT g.type_a, g.type_b, g.n_a, g.n_b,
+        |  coalesce(x.c, 0) AS n_common,
+        |  round(coalesce(x.c, 0)
+        |    / CAST(g.n_a + g.n_b - coalesce(x.c, 0) AS DOUBLE), 4)
+        |    AS jaccard
+        |FROM grid g LEFT JOIN x
+        |  ON x.type_a = g.type_a AND x.type_b = g.type_b
+        |ORDER BY g.type_a, g.type_b""".stripMargin,
     "q205_weighted_quantiles" ->
       """WITH per AS (
         |  SELECT lang, n_chars,

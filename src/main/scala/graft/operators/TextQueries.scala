@@ -788,12 +788,19 @@ object TextQueries extends QueryModule {
       .filter($"first_doc" <= $"cut")
       .groupBy($"cp").agg(count(lit(1)).as("cum_types"))
     val pts = cumToks.join(cumTypes, "cp")
+    // A saturated vocabulary (this synthetic corpus: 31 terms, all seen
+    // by doc 8) makes y CONSTANT — slope/r² become 0/0, where the two
+    // engines emit different float junk (Spark r²=1.0, DuckDB ≈ noise).
+    // The fit is undefined there, so both sides gate it to NULL.
     val fit = pts.agg(
-      round(regr_slope(log($"cum_types"), log($"cum_tokens")), 4)
+      when(max($"cum_types") > min($"cum_types"),
+        round(regr_slope(log($"cum_types"), log($"cum_tokens")), 4))
         .as("beta"),
-      round(exp(regr_intercept(log($"cum_types"), log($"cum_tokens"))), 4)
+      when(max($"cum_types") > min($"cum_types"),
+        round(exp(regr_intercept(log($"cum_types"), log($"cum_tokens"))), 4))
         .as("k_coef"),
-      round(regr_r2(log($"cum_types"), log($"cum_tokens")), 4).as("r2"))
+      when(max($"cum_types") > min($"cum_types"),
+        round(regr_r2(log($"cum_types"), log($"cum_tokens")), 4)).as("r2"))
     pts.crossJoin(broadcast(fit))
       .select($"cp", $"cut", $"cum_tokens", $"cum_types",
         $"beta", $"k_coef", $"r2")
@@ -892,11 +899,15 @@ object TextQueries extends QueryModule {
         |  SELECT cp, cut, cum_tokens, cum_types
         |  FROM cum_toks JOIN cum_types USING (cp)),
         |fit AS (
-        |  SELECT round(regr_slope(ln(cum_types), ln(cum_tokens)), 4)
+        |  SELECT
+        |    CASE WHEN max(cum_types) > min(cum_types) THEN
+        |      round(regr_slope(ln(cum_types), ln(cum_tokens)), 4) END
         |      AS beta,
-        |    round(exp(regr_intercept(ln(cum_types), ln(cum_tokens))), 4)
-        |      AS k_coef,
-        |    round(regr_r2(ln(cum_types), ln(cum_tokens)), 4) AS r2
+        |    CASE WHEN max(cum_types) > min(cum_types) THEN
+        |      round(exp(regr_intercept(ln(cum_types), ln(cum_tokens))), 4)
+        |      END AS k_coef,
+        |    CASE WHEN max(cum_types) > min(cum_types) THEN
+        |      round(regr_r2(ln(cum_types), ln(cum_tokens)), 4) END AS r2
         |  FROM pts)
         |SELECT cp, cut, cum_tokens, cum_types, beta, k_coef, r2
         |FROM pts CROSS JOIN fit ORDER BY cp""".stripMargin,

@@ -81,6 +81,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MgSketchAgg].getName, "mg_sketch"),
       (exprs: Seq[Expression]) =>
         MgSketchAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    // bitmap_agg(id): exact dense-id bitset aggregate
+    ext.injectFunction((
+      FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (exprs: Seq[Expression]) =>
+        BitmapAgg(exprs.head).toAggregateExpression()))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
   }

@@ -76,6 +76,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(est >= 3L && est <= 4L, s"estimate for 'a' was $est")
   }
 
+  test("bitmap_agg callable from spark.sql") {
+    val words = spark.sql(
+      "SELECT bitmap_agg(v) FROM VALUES (0L),(1L),(64L),(1L) t(v)")
+      .head().getSeq[Long](0)
+    assert(words.length == 2)
+    assert(java.lang.Long.bitCount(words(0)) == 2)
+    assert(words(1) == 1L)
+  }
+
   test("mg_sketch callable from spark.sql with SQL-side membership test") {
     val rows = spark.sql(
       """SELECT e.term, e.cnt FROM (

@@ -1199,7 +1199,119 @@ object TimeQueries extends QueryModule {
       .orderBy($"day", $"event_type")
   }
 
+  /** Kaplan–Meier time-to-convert curve (q212): survival estimate of
+    * "days from first view to first purchase" with RIGHT-CENSORING at
+    * the corpus horizon (Kaplan & Meier 1958) — the statistically
+    * honest version of q150's latency percentiles: users who never
+    * converted are not droppable (that's survivorship bias), they are
+    * at-risk until the data ends. S(t) = Π_{d≤t} (1 − e_d / n_d) over
+    * the duration-day grid, with n_d = users still at risk entering
+    * day d. Exact integer event/at-risk counts; the cumulative product
+    * runs as exp(Σ ln(·)) over the ≤\|days\| grid — both engines fold
+    * the same ordered sequence, so the floats agree (the q183 cumsum
+    * precedent). Corpus collapses to one row per user, then to the
+    * duration grid; nothing downstream scales with events. */
+  def qKaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_type", $"ts")
+    val horizon = ev.agg(max($"ts").as("t_end"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_conv"))
+    val per = v.join(p, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select($"user_id",
+        when($"t_conv".isNotNull,
+          datediff(to_date($"t_conv"), to_date($"t_view")))
+          .otherwise(datediff(to_date($"t_end"), to_date($"t_view")))
+          .cast("long").as("d"),
+        $"t_conv".isNotNull.as("converted"))
+    val grid = per.groupBy($"d")
+      .agg(sum($"converted".cast("long")).as("n_events"),
+        count(lit(1)).as("n_ending"))
+    val byD = Window.orderBy($"d")
+    // at-risk entering day d = everyone whose follow-up ends on d or
+    // later — a suffix sum on the grid, no driver-side total needed
+    val cum = byD.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a day where everyone at risk converts has factor 0 — ln is
+    // undefined (DuckDB errors, Spark nulls); carry an explicit
+    // zero flag and pin survival to 0.0 from that day on
+    val f = lit(1.0) - $"n_events" / $"n_risk".cast("double")
+    val km = grid
+      .withColumn("n_risk", sum($"n_ending").over(
+        byD.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("lnp",
+        sum(when(f > 0.0, log(f)).otherwise(lit(0.0))).over(cum))
+      .withColumn("hit_zero", max((f === 0.0).cast("int")).over(cum))
+      .withColumn("km_survival",
+        when($"hit_zero" === 1, lit(0.0))
+          .otherwise(round(exp($"lnp"), 4)))
+    km.select($"d".as("duration_days"), $"n_risk", $"n_events",
+        ($"n_ending" - $"n_events").as("n_censored"), $"km_survival")
+      .orderBy($"duration_days")
+  }
+
+  /** Hot-basket cap for q213 — one bot basket of b items contributes
+    * C(b,2) pairs; capping basket size bounds the self-join exactly
+    * like q176's degree cap (a documented recall trade, not a bug). */
+  private val MaxBasket = 50
+
+  /** Association rules (q213): support / confidence / lift over item
+    * pairs co-purchased by the same user (Agrawal & Srikant 1994's
+    * Apriori level-2 — the market-basket classic; in a data-pipeline
+    * reading, "sources co-occurring in a user's diet"). Baskets are
+    * DISTINCT (user, item) purchases; the pair frame is the q176
+    * bipartite projection with the same hot-basket cap, so pair volume
+    * is Σ C(min(b,cap),2) — never a bot-user square. Counts are exact
+    * integers; confidence and lift are single divisions; the top-20
+    * ranking keys on the 4-decimal lift grid with (item_a, item_b)
+    * tie-break, and rewrites to the bounded heap (TopKWindowRule). */
+  def qAssocRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+      .distinct()
+    val small = baskets
+      .withColumn("deg", count(lit(1)).over(
+        Window.partitionBy($"user_id")))
+      .filter($"deg" <= MaxBasket)
+    val a = small.select($"user_id", $"item".as("item_a"))
+    val b = small.select($"user_id", $"item".as("item_b"))
+    val nab = a.join(b, Seq("user_id"))
+      .filter($"item_a" < $"item_b")
+      .groupBy($"item_a", $"item_b").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 2)
+    val nItem = baskets.groupBy($"item").agg(count(lit(1)).as("n_i"))
+    val nUsers = baskets.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val scored = nab
+      .join(broadcast(nItem.select($"item".as("item_a"),
+        $"n_i".as("n_a"))), "item_a")
+      .join(broadcast(nItem.select($"item".as("item_b"),
+        $"n_i".as("n_b"))), "item_b")
+      .crossJoin(broadcast(nUsers))
+      .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b",
+        round($"n_ab" / $"n_users".cast("double"), 4).as("support"),
+        round($"n_ab" / $"n_a".cast("double"), 4).as("confidence"),
+        round($"n_ab" * $"n_users" / ($"n_a" * $"n_b").cast("double"), 4)
+          .as("lift"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"lift".desc, $"item_a", $"item_b")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"item_a", $"item_b", $"n_ab", $"support",
+        $"confidence", $"lift")
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_assoc_rules" -> (qAssocRules _),
+    "q212_kaplan_meier" -> (qKaplanMeier _),
     "q209_ohlc" -> (qOhlcBars _),
     "q206_benford" -> (qBenford _),
     "q200_peak_concurrency" -> (qPeakConcurrency _),
@@ -1241,6 +1353,93 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q213_assoc_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |small AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY user_id) AS deg
+        |    FROM baskets)
+        |  WHERE deg <= 50),
+        |nab AS (
+        |  SELECT a.item AS item_a, b.item AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM small a JOIN small b
+        |    ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ni AS (
+        |  SELECT item, CAST(count(*) AS BIGINT) AS n_i
+        |  FROM baskets GROUP BY item),
+        |nu AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM baskets),
+        |scored AS (
+        |  SELECT item_a, item_b, n_ab,
+        |    round(n_ab / CAST(n_users AS DOUBLE), 4) AS support,
+        |    round(n_ab / CAST(na.n_i AS DOUBLE), 4) AS confidence,
+        |    round(n_ab * n_users / CAST(na.n_i * nb.n_i AS DOUBLE), 4)
+        |      AS lift
+        |  FROM nab
+        |  JOIN ni na ON na.item = nab.item_a
+        |  JOIN ni nb ON nb.item = nab.item_b
+        |  CROSS JOIN nu),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY lift DESC, item_a, item_b) AS rk
+        |  FROM scored)
+        |SELECT rk, item_a, item_b, n_ab, support, confidence, lift
+        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "q212_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |h AS (SELECT max(ts) AS t_end FROM ev),
+        |v AS (
+        |  SELECT user_id, min(ts) AS t_view
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_conv
+        |  FROM ev e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |per AS (
+        |  SELECT v.user_id,
+        |    CAST(CASE WHEN p.t_conv IS NOT NULL
+        |      THEN date_diff('day', CAST(v.t_view AS DATE),
+        |        CAST(p.t_conv AS DATE))
+        |      ELSE date_diff('day', CAST(v.t_view AS DATE),
+        |        CAST(h.t_end AS DATE)) END AS BIGINT) AS d,
+        |    p.t_conv IS NOT NULL AS converted
+        |  FROM v LEFT JOIN p USING (user_id) CROSS JOIN h),
+        |grid AS (
+        |  SELECT d,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_events,
+        |    CAST(count(*) AS BIGINT) AS n_ending
+        |  FROM per GROUP BY d),
+        |km AS (
+        |  SELECT d, n_events, n_ending,
+        |    CAST(sum(n_ending) OVER (ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |      AS BIGINT) AS n_risk
+        |  FROM grid)
+        |SELECT d AS duration_days, n_risk, n_events,
+        |  n_ending - n_events AS n_censored,
+        |  CASE WHEN max(CASE WHEN
+        |      1.0 - n_events / CAST(n_risk AS DOUBLE) = 0.0
+        |      THEN 1 ELSE 0 END) OVER cum = 1 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN
+        |      1.0 - n_events / CAST(n_risk AS DOUBLE) > 0.0
+        |      THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER cum), 4) END AS km_survival
+        |FROM km
+        |WINDOW cum AS (ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY duration_days""".stripMargin,
     "q209_ohlc" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
         |  event_type,

@@ -280,11 +280,40 @@ object GraphQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Degree distribution + power-law MLE (q214): item degrees in the
+    * user→item bipartite graph (distinct users per item) with the
+    * continuous-approximation maximum-likelihood exponent
+    * α̂ = 1 + n / Σ ln(d / (d_min − ½)) (Clauset, Shalizi & Newman
+    * 2009, eq. 3.7 with the ½ discreteness correction) — the
+    * scale-free-or-not verdict that decides whether hub guards (q176's
+    * degree cap, q31's MaxBlock) are load-bearing on this graph or
+    * paranoia. Corpus → \|items\| degree rows in one distinct+agg;
+    * the MLE is a closed-form fold over that frame (exact integer
+    * degrees, one ln per item, sum on the 4-decimal grid). */
+  def qDegreeMle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val deg = Tables.events(s, dir)
+      .select($"user_id",
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+      .distinct()
+      .groupBy($"item").agg(count(lit(1)).as("d"))
+    val dmin = deg.agg(min($"d").as("d_min"))
+    deg.crossJoin(broadcast(dmin))
+      .groupBy($"d_min")
+      .agg(count(lit(1)).as("n_items"), max($"d").as("d_max"),
+        round(avg($"d"), 4).as("mean_deg"),
+        sum(log($"d".cast("double") / ($"d_min" - 0.5))).as("lnsum"))
+      .select($"n_items", $"d_min", $"d_max", $"mean_deg",
+        round(lit(1.0) + $"n_items" / $"lnsum", 4).as("alpha_mle"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
         "q144_triangles" -> (qTriangles _),
         "q158_cc_stars" -> (qConnectedStars _),
         "q175_component_sizes" -> (qComponentSizes _),
+        "q214_degree_mle" -> (qDegreeMle _),
         "q176_coengagement" -> (qCoengagement _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
@@ -430,6 +459,22 @@ object GraphQueries extends QueryModule {
         |SELECT CAST(rk AS INTEGER) AS rk, a, b, n_users
         |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin
     Map(
+      "q214_degree_mle" ->
+        """WITH ui AS (
+          |  SELECT DISTINCT user_id,
+          |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          |  FROM events
+          |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+          |deg AS (
+          |  SELECT item, CAST(count(*) AS BIGINT) AS d
+          |  FROM ui GROUP BY item),
+          |dm AS (SELECT min(d) AS d_min FROM deg)
+          |SELECT CAST(count(*) AS BIGINT) AS n_items, d_min,
+          |  max(d) AS d_max, round(avg(d), 4) AS mean_deg,
+          |  round(1.0 + count(*)
+          |    / sum(ln(CAST(d AS DOUBLE) / (d_min - 0.5))), 4)
+          |    AS alpha_mle
+          |FROM deg CROSS JOIN dm GROUP BY d_min""".stripMargin,
       "q144_triangles" -> trianglesSql,
       "q158_cc_stars" -> ccStarsSql,
       "q175_component_sizes" -> componentSizesSql,

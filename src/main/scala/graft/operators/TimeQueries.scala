@@ -1309,7 +1309,38 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Rolling 7-day actives (q215): per day the exact DAU, trailing
+    * 7-day WAU, and DAU/WAU stickiness — THE product-engagement
+    * headline. Scale-safe sliding distinct: a windowed COUNT(DISTINCT)
+    * doesn't exist, and the join-every-day-to-its-week form is a
+    * nested-loop over the user-day frame; instead every (user, day)
+    * row EXPLODES into the ≤7 cover-days it contributes to (bounded
+    * fan-out, pruned to the observed range), and WAU is one exact
+    * distinct aggregate keyed on cover-day — partial-agg shuffles
+    * only, cost = 7× the (already distinct-collapsed) user-day frame.
+    * Early days carry a partial window by standard convention. */
+  def qRollingActives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val hi = ud.agg(max($"day").as("hi"))
+    val cover = ud.crossJoin(broadcast(hi))
+      .select($"user_id", explode(sequence($"day",
+        least(date_add($"day", 6), $"hi"),
+        expr("interval 1 day"))).as("day"))
+      .distinct()
+    val wau = cover.groupBy($"day")
+      .agg(countDistinct($"user_id").as("wau"))
+    val dau = ud.groupBy($"day")
+      .agg(countDistinct($"user_id").as("dau"))
+    dau.join(wau, "day")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau",
+        $"wau", round($"dau" / $"wau".cast("double"), 4).as("stickiness"))
+      .orderBy($"day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_rolling_actives" -> (qRollingActives _),
     "q213_assoc_rules" -> (qAssocRules _),
     "q212_kaplan_meier" -> (qKaplanMeier _),
     "q209_ohlc" -> (qOhlcBars _),
@@ -1353,6 +1384,25 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q215_rolling_actives" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |h AS (SELECT max(day) AS hi FROM ud),
+        |cover AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(least(day + 6, hi) AS TIMESTAMP),
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM ud CROSS JOIN h),
+        |wau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM cover GROUP BY day),
+        |dau AS (
+        |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, dau, wau,
+        |  round(dau / CAST(wau AS DOUBLE), 4) AS stickiness
+        |FROM dau d JOIN wau USING (day) ORDER BY day""".stripMargin,
     "q213_assoc_rules" ->
       """WITH baskets AS (
         |  SELECT DISTINCT user_id,

@@ -280,6 +280,66 @@ object GraphQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** q216's core order and peel budget. Peeling only shrinks the alive
+    * set, so equal consecutive COUNTS ⇒ equal sets (monotonicity) —
+    * the converged flag needs no set comparison. Six fixed iterations
+    * mirror the oracle's unrolled CTEs exactly (the q92 discipline:
+    * same iteration count on both engines, convergence reported, never
+    * assumed). */
+  private val CoreK = 22
+  private val CoreIters = 6
+  /** Same denoising support filter as q158's MinEdgeWeight family —
+    * the RAW transition graph is near-complete at every SF (min degree
+    * 74 of 100 at sf0.01), where any interesting k is either vacuous
+    * or total collapse; the support-filtered graph has real density
+    * structure for the peel to find. */
+  private val CoreSupport = 3
+
+  /** k-core decomposition (q216, k=3): iteratively peel nodes of
+    * degree < k until the k-core remains (Seidman 1983; Batagelj &
+    * Zaveršnik 2003) — the densest-region extractor behind community
+    * seeding and graph-robustness reads, and the fourth classic graph
+    * shape next to rank flow (q92), triangles (q144) and CC (q64/
+    * q158). Each peel is two semi-join-shaped memberships + one
+    * partial-agg degree count over a MONOTONICALLY SHRINKING edge
+    * frame — the q158 cost argument; six fixed rounds chain lazily
+    * like q92's iterations. Output: every original node with its
+    * core membership, its degree INSIDE the surviving core, and the
+    * converged verdict (alive-count fixpoint). */
+  def qKCore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= CoreSupport)
+      .select($"a", $"b")
+    val nodes0 = und.select($"a".as("node"))
+      .unionAll(und.select($"b".as("node"))).distinct()
+    def coreDeg(alive: DataFrame): DataFrame =
+      und.join(alive.select($"node".as("a")), "a")
+        .join(alive.select($"node".as("b")), "b")
+        .select(explode(array($"a", $"b")).as("node"))
+        .groupBy($"node").agg(count(lit(1)).as("d"))
+    var alive = nodes0
+    var prev = nodes0
+    for (_ <- 1 to CoreIters) {
+      prev = alive
+      alive = coreDeg(alive).filter($"d" >= CoreK).select($"node")
+    }
+    val converged = prev.agg(count(lit(1)).as("c_prev"))
+      .crossJoin(alive.agg(count(lit(1)).as("c_last")))
+      .select(($"c_prev" === $"c_last").as("converged"))
+    val finalDeg = coreDeg(alive)
+    nodes0
+      .join(alive.withColumn("in_core", lit(true)), Seq("node"), "left")
+      .join(finalDeg, Seq("node"), "left")
+      .crossJoin(broadcast(converged))
+      .select($"node", coalesce($"in_core", lit(false)).as("in_core"),
+        $"d".as("core_deg"), $"converged")
+      .orderBy($"node")
+  }
+
   /** Degree distribution + power-law MLE (q214): item degrees in the
     * user→item bipartite graph (distinct users per item) with the
     * continuous-approximation maximum-likelihood exponent
@@ -314,6 +374,7 @@ object GraphQueries extends QueryModule {
         "q158_cc_stars" -> (qConnectedStars _),
         "q175_component_sizes" -> (qComponentSizes _),
         "q214_degree_mle" -> (qDegreeMle _),
+        "q216_kcore" -> (qKCore _),
         "q176_coengagement" -> (qCoengagement _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
@@ -458,7 +519,64 @@ object GraphQueries extends QueryModule {
         |    ORDER BY n_users DESC, a ASC, b ASC) AS rk FROM pairs)
         |SELECT CAST(rk AS INTEGER) AS rk, a, b, n_users
         |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin
+    val kcoreSql = {
+      val peels = (1 to CoreIters).map { i =>
+        s"""d$i AS (
+          |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+          |    SELECT a AS node FROM und
+          |    WHERE a IN (SELECT node FROM a${i - 1})
+          |      AND b IN (SELECT node FROM a${i - 1})
+          |    UNION ALL
+          |    SELECT b FROM und
+          |    WHERE a IN (SELECT node FROM a${i - 1})
+          |      AND b IN (SELECT node FROM a${i - 1}))
+          |  GROUP BY node),
+          |a$i AS MATERIALIZED (
+          |  SELECT node FROM d$i WHERE d >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS MATERIALIZED (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges GROUP BY 1, 2 HAVING count(*) >= $CoreSupport),
+        |a0 AS MATERIALIZED (
+        |  SELECT DISTINCT node
+        |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)),
+        |$peels,
+        |fdeg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM und
+        |    WHERE a IN (SELECT node FROM a$CoreIters)
+        |      AND b IN (SELECT node FROM a$CoreIters)
+        |    UNION ALL
+        |    SELECT b FROM und
+        |    WHERE a IN (SELECT node FROM a$CoreIters)
+        |      AND b IN (SELECT node FROM a$CoreIters))
+        |  GROUP BY node),
+        |cv AS (
+        |  SELECT (SELECT count(*) FROM a${CoreIters - 1})
+        |    = (SELECT count(*) FROM a$CoreIters) AS converged)
+        |SELECT a0.node,
+        |  a$CoreIters.node IS NOT NULL AS in_core,
+        |  fdeg.d AS core_deg, cv.converged
+        |FROM a0
+        |LEFT JOIN a$CoreIters ON a0.node = a$CoreIters.node
+        |LEFT JOIN fdeg ON a0.node = fdeg.node
+        |CROSS JOIN cv
+        |ORDER BY a0.node""".stripMargin
+    }
     Map(
+      "q216_kcore" -> kcoreSql,
       "q214_degree_mle" ->
         """WITH ui AS (
           |  SELECT DISTINCT user_id,

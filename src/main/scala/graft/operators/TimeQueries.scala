@@ -1339,7 +1339,71 @@ object TimeQueries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** Dwell time per event type (q217): seconds from each event to the
+    * user's NEXT event within the same 30-minute session (the last
+    * event of a session has no dwell — it's censored, not zero) —
+    * the engagement-depth read behind "time on task" dashboards, and
+    * the input a session-quality model consumes. One lead window on
+    * the user-keyed shuffle the session family already pays; exact
+    * integer microsecond gaps until the final seconds division;
+    * percentiles run per |types| group on the dwell frame. */
+  def qDwellTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val gapUs = unix_micros(lead($"ts", 1).over(byUser)) -
+      unix_micros($"ts")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("dwell_us", gapUs)
+      .filter($"dwell_us".isNotNull && $"dwell_us" <= 1800L * 1000000L)
+      .select($"event_type", ($"dwell_us" / lit(1000000.0)).as("dwell_s"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_dwells"),
+        round(percentile($"dwell_s", lit(0.5)), 4).as("p50_s"),
+        round(percentile($"dwell_s", lit(0.9)), 4).as("p90_s"),
+        round(avg($"dwell_s"), 4).as("mean_s"))
+      .orderBy($"event_type")
+  }
+
+  /** Daily conversion rate with Wilson score interval (q218): per day,
+    * converting users / active users with the Wilson 95% CI (Wilson
+    * 1927) — the binomial interval that stays inside [0,1] and behaves
+    * at small n where the normal approximation (q146's mean CI) lies;
+    * the difference is exactly why rate dashboards ship Wilson. Center
+    * (p̂ + z²/2n)/(1 + z²/n), half-width z·√(p̂(1−p̂)/n + z²/4n²)/(1 +
+    * z²/n), z = 1.96 literal. Corpus → per-day user flags in one
+    * conditional aggregate; the interval is closed-form arithmetic on
+    * \|days\| rows. */
+  def qWilsonRates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = 1.96
+    val per = Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("day"), $"user_id")
+      .agg(max(($"event_type" === "purchase").cast("int")).as("conv"))
+    val daily = per.groupBy($"day")
+      .agg(count(lit(1)).as("n_users"),
+        sum($"conv").cast("long").as("n_conv"))
+    val n = $"n_users".cast("double")
+    val p = $"n_conv" / n
+    val denom = lit(1.0) + lit(z) * lit(z) / n
+    // numerators combined BEFORE the denominator division — the same
+    // association order as the oracle SQL, so no last-ulp divergence
+    val centerNum = p + lit(z) * lit(z) / (lit(2.0) * n)
+    val halfNum = lit(z) * sqrt(p * (lit(1.0) - p) / n +
+      lit(z) * lit(z) / (lit(4.0) * n * n))
+    daily
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_users", $"n_conv", round(p, 4).as("rate"),
+        (round(greatest((centerNum - halfNum) / denom, lit(0.0)), 4) +
+          lit(0.0)).as("wilson_lo"),
+        round(least((centerNum + halfNum) / denom, lit(1.0)), 4)
+          .as("wilson_hi"))
+      .orderBy($"day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_dwell_time" -> (qDwellTime _),
+    "q218_wilson_rates" -> (qWilsonRates _),
     "q215_rolling_actives" -> (qRollingActives _),
     "q213_assoc_rules" -> (qAssocRules _),
     "q212_kaplan_meier" -> (qKaplanMeier _),
@@ -1384,6 +1448,51 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q217_dwell_time" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dwell_us
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_dwells,
+        |  round(quantile_cont(dwell_us / 1000000.0, 0.5), 4) AS p50_s,
+        |  round(quantile_cont(dwell_us / 1000000.0, 0.9), 4) AS p90_s,
+        |  round(avg(dwell_us / 1000000.0), 4) AS mean_s
+        |FROM g
+        |WHERE dwell_us IS NOT NULL AND dwell_us <= 1800 * 1000000
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q218_wilson_rates" ->
+      """WITH per AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM per GROUP BY day),
+        |w AS (
+        |  SELECT day, n_users, n_conv,
+        |    n_conv / CAST(n_users AS DOUBLE) AS p,
+        |    CAST(n_users AS DOUBLE) AS n
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_users, n_conv,
+        |  round(p, 4) AS rate,
+        |  round(greatest(
+        |    ((p + 1.96 * 1.96 / (2.0 * n))
+        |      - 1.96 * sqrt(p * (1.0 - p) / n
+        |        + 1.96 * 1.96 / (4.0 * n * n)))
+        |      / (1.0 + 1.96 * 1.96 / n), 0.0), 4) + 0.0 AS wilson_lo,
+        |  round(least(
+        |    ((p + 1.96 * 1.96 / (2.0 * n))
+        |      + 1.96 * sqrt(p * (1.0 - p) / n
+        |        + 1.96 * 1.96 / (4.0 * n * n)))
+        |      / (1.0 + 1.96 * 1.96 / n), 1.0), 4) AS wilson_hi
+        |FROM w ORDER BY day""".stripMargin,
     "q215_rolling_actives" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),

@@ -1004,6 +1004,93 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Sorted-neighborhood dedup (q222) — Hernández & Stolfo 1995, the
+    * third blocking FAMILY next to key-equality blocks (q148/q31) and
+    * LSH banding (q32): sort by a cheap key (lowercased 20-char text
+    * prefix) and compare each record only to its w−1 = 2 successors in
+    * key order, so candidate volume is exactly (w−1)·n — LINEAR by
+    * construction, with no hot-block quadratic to cap. Catches
+    * near-sorted-adjacent variants whose first tokens differ (q148's
+    * block key splits them) at the price of missing pairs farther than
+    * w apart — the documented SNM recall trade (production runs
+    * multiple passes with different keys). Scale shape: the window
+    * partitions by lang, so no global total sort exists; at 100 TB the
+    * key would range-partition with w-row partition-boundary overlap —
+    * the same window, sharded. Verify = q148's fixed-prefix normalized
+    * Levenshtein, so per-pair cost is a constant. */
+  def qSnmDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"sk", $"doc_id")
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        lower(substring($"text", 1, 20)).as("sk"),
+        substring($"text", 1, 60).as("p"))
+      .withColumn("cand", array(
+        struct(lead($"doc_id", 1).over(w).as("id"),
+          lead($"p", 1).over(w).as("cp"), lit(1).as("w_dist")),
+        struct(lead($"doc_id", 2).over(w).as("id"),
+          lead($"p", 2).over(w).as("cp"), lit(2).as("w_dist"))))
+    val sim = lit(1.0) - levenshtein($"p", $"c.cp").cast("double") /
+      greatest(length($"p"), length($"c.cp"))
+    d.select($"doc_id", $"p", explode($"cand").as("c"))
+      .filter($"c.id".isNotNull)
+      .filter(sim >= 0.7)
+      .select(least($"doc_id", $"c.id").as("x_id"),
+        greatest($"doc_id", $"c.id").as("y_id"),
+        $"c.w_dist".as("w_dist"), round(sim, 4).as("sim"))
+      .orderBy($"x_id", $"y_id")
+  }
+
+  /** Fellegi–Sunter probabilistic linkage scores (q223) — the 1969
+    * decision model behind every production record linker (Splink,
+    * the census MDM stacks): per blocked candidate pair an agreement
+    * vector over cheap fields, each field contributing ln(m/u) on
+    * agreement and ln((1−m)/(1−u)) on disagreement (m = P(agree|match),
+    * u = P(agree|non-match) — literal here, EM-fitted in production),
+    * summed to a log-likelihood-ratio match weight thresholded into
+    * link / possible / non-link. Upgrades q148's single-signal verify
+    * to multi-evidence fusion: a pair agreeing on lang+source+length
+    * band scores links even where the text prefix disagrees. Blocking
+    * and cost posture identical to q148 (first-two-token key, MaxBlock
+    * cap, constant per-pair work); the weight table is 4 literal
+    * doubles — rides in the plan, broadcast-free. */
+  def qFsLinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        ($"n_chars" divide 100).cast("long").as("band"),
+        substring($"text", 1, 40).as("pfx"),
+        concat_ws(" ", slice(split($"text", " "), 1, 2)).as("blk"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("x_id"), $"lang".as("xl"),
+      $"source".as("xs"), $"band".as("xb"), $"pfx".as("xp"), $"blk")
+    val y = d.select($"doc_id".as("y_id"), $"lang".as("yl"),
+      $"source".as("ys"), $"band".as("yb"), $"pfx".as("yp"), $"blk")
+    def fsw(agree: Column, m: Double, u: Double): Column =
+      when(agree, log(lit(m) / lit(u)))
+        .otherwise(log(lit(1.0 - m) / lit(1.0 - u)))
+    val score =
+      fsw($"xl" === $"yl", 0.95, 0.30) +
+      fsw($"xs" === $"ys", 0.90, 0.25) +
+      fsw($"xb" === $"yb", 0.85, 0.10) +
+      fsw($"xp" === $"yp", 0.70, 0.01)
+    x.join(y, Seq("blk"))
+      .filter($"x_id" < $"y_id")
+      .select($"x_id", $"y_id",
+        ($"xl" === $"yl").as("agr_lang"),
+        ($"xs" === $"ys").as("agr_source"),
+        ($"xb" === $"yb").as("agr_band"),
+        ($"xp" === $"yp").as("agr_prefix"),
+        round(score, 4).as("fs_weight"),
+        when(score >= 4.0, lit("link"))
+          .when(score < 0.0, lit("non_link"))
+          .otherwise(lit("possible")).as("verdict"))
+      .orderBy($"x_id", $"y_id")
+  }
+
   /** Intra-document repetition score — the standard generated-/boiler-
     * plate-text quality gate: 1 − distinct/total word-trigrams. High
     * values mean the document repeats itself. Map-only expressions, no
@@ -1093,6 +1180,8 @@ object DedupQueries extends QueryModule {
     "q30_dedup_exact"   -> (qDedupExact _),
     "q28_span_dedup"    -> (qSpanDedup _),
     "q148_edit_dedup"   -> (qEditDedup _),
+    "q222_snm_dedup"    -> (qSnmDedup _),
+    "q223_fs_linkage"   -> (qFsLinkage _),
     "q39_repetition"    -> (qRepetition _),
     "q31_ngram_jaccard" -> (qNgramJaccard _),
     "q159_containment"  -> (qContainment _),
@@ -1297,6 +1386,64 @@ object DedupQueries extends QueryModule {
           |  AND 1.0 - levenshtein(x.p, y.p)
           |    / CAST(greatest(len(x.p), len(y.p)) AS DOUBLE) >= 0.7
           |ORDER BY x_id, y_id""".stripMargin,
+      "q222_snm_dedup" ->
+        """WITH d AS (
+          |  SELECT doc_id, lang, lower(substr(text, 1, 20)) AS sk,
+          |    substr(text, 1, 60) AS p
+          |  FROM documents),
+          |led AS (
+          |  SELECT doc_id, p,
+          |    lead(doc_id, 1) OVER w AS n1_id, lead(p, 1) OVER w AS n1_p,
+          |    lead(doc_id, 2) OVER w AS n2_id, lead(p, 2) OVER w AS n2_p
+          |  FROM d WINDOW w AS (PARTITION BY lang ORDER BY sk, doc_id)),
+          |cand AS (
+          |  SELECT doc_id, p, n1_id AS id, n1_p AS cp, 1 AS w_dist
+          |  FROM led WHERE n1_id IS NOT NULL
+          |  UNION ALL
+          |  SELECT doc_id, p, n2_id, n2_p, 2 FROM led
+          |  WHERE n2_id IS NOT NULL),
+          |scored AS (
+          |  SELECT least(doc_id, id) AS x_id, greatest(doc_id, id) AS y_id,
+          |    w_dist,
+          |    1.0 - levenshtein(p, cp)
+          |      / CAST(greatest(len(p), len(cp)) AS DOUBLE) AS sim
+          |  FROM cand)
+          |SELECT x_id, y_id, w_dist, round(sim, 4) AS sim
+          |FROM scored WHERE sim >= 0.7
+          |ORDER BY x_id, y_id""".stripMargin,
+      "q223_fs_linkage" ->
+        s"""WITH d AS (
+          |  SELECT doc_id, lang, source, n_chars // 100 AS band,
+          |    substr(text, 1, 40) AS pfx,
+          |    array_to_string((str_split(text, ' '))[1:2], ' ') AS blk
+          |  FROM documents),
+          |c AS (
+          |  SELECT *, count(*) OVER (PARTITION BY blk) AS blk_n FROM d),
+          |pairs AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |    x.lang = y.lang AS agr_lang,
+          |    x.source = y.source AS agr_source,
+          |    x.band = y.band AS agr_band,
+          |    x.pfx = y.pfx AS agr_prefix
+          |  FROM c x JOIN c y ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |  WHERE x.blk_n <= $MaxBlock AND y.blk_n <= $MaxBlock),
+          |scored AS (
+          |  SELECT *,
+          |    (CASE WHEN agr_lang THEN ln(0.95 / 0.30)
+          |          ELSE ln((1.0 - 0.95) / (1.0 - 0.30)) END)
+          |    + (CASE WHEN agr_source THEN ln(0.90 / 0.25)
+          |            ELSE ln((1.0 - 0.90) / (1.0 - 0.25)) END)
+          |    + (CASE WHEN agr_band THEN ln(0.85 / 0.10)
+          |            ELSE ln((1.0 - 0.85) / (1.0 - 0.10)) END)
+          |    + (CASE WHEN agr_prefix THEN ln(0.70 / 0.01)
+          |            ELSE ln((1.0 - 0.70) / (1.0 - 0.01)) END) AS score
+          |  FROM pairs)
+          |SELECT x_id, y_id, agr_lang, agr_source, agr_band, agr_prefix,
+          |  round(score, 4) AS fs_weight,
+          |  CASE WHEN score >= 4.0 THEN 'link'
+          |       WHEN score < 0.0 THEN 'non_link'
+          |       ELSE 'possible' END AS verdict
+          |FROM scored ORDER BY x_id, y_id""".stripMargin,
       "q179_novelty" ->
         """WITH t AS (
           |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

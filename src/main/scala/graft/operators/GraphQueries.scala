@@ -368,6 +368,100 @@ object GraphQueries extends QueryModule {
         round(lit(1.0) + $"n_items" / $"lnsum", 4).as("alpha_mle"))
   }
 
+  /** LPA support filter: the raw transition graph is near-complete at
+    * every SF (see q216's note), so propagation on it collapses to one
+    * blob in a single round; ≥4 repeated transitions keeps only the
+    * strong co-navigation edges, where community structure is real. */
+  private val LpaSupport = 4
+  private val LpaIters = 4
+
+  /** Synchronous label-propagation communities (q219) — Raghavan,
+    * Albert & Kumara 2007: every node simultaneously adopts the label
+    * most frequent among its neighbors (ties broken by the SMALLEST
+    * label, so the sweep is deterministic), seeded with its own id;
+    * four fixed synchronous rounds, the bounded-iteration discipline
+    * of q92/q216. This is the cheap community detector a corpus
+    * pipeline runs where modularity methods (Louvain) don't
+    * distribute: per round ONE join of the symmetric edge frame
+    * against the |nodes|-row label frame + one (node, label) count
+    * aggregate + one per-node argmax that the TopKWindowRule rewrites
+    * to a bounded heap — no per-node neighbor array ever materializes,
+    * so a hub's cost is its edge count, not its neighborhood square.
+    * At 100 TB the edge frame buckets on u once and every round's join
+    * co-locates. Differs from CC (q64/q158): LPA splits DENSE regions
+    * apart where connectivity alone merges everything reachable.
+    * Oracle: four unrolled CTE rounds replaying the same argmax. */
+  def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= LpaSupport)
+      .select($"a", $"b")
+    val sym = und.select($"a".as("u"), $"b".as("v"))
+      .union(und.select($"b".as("u"), $"a".as("v")))
+      .localCheckpoint()
+    val nodes = sym.select($"u".as("node")).distinct()
+    var lbl = nodes.select($"node", $"node".as("lab"))
+    for (_ <- 1 to LpaIters) {
+      val nl = lbl.select($"node".as("v"), $"lab")
+      val cnt = sym.join(nl, "v")
+        .groupBy($"u", $"lab").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"u").orderBy($"cnt".desc, $"lab".asc)
+      lbl = cnt.withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"u".as("node"), $"lab")
+        .localCheckpoint()
+    }
+    lbl.select($"node", $"lab".as("comm"),
+        count(lit(1)).over(Window.partitionBy($"lab")).as("comm_size"))
+      .orderBy($"node")
+  }
+
+  private val BfsIters = 4
+
+  /** Multi-source BFS hop distance (q220) — the distance semiring over
+    * the q158-filtered graph, the fourth propagation pattern next to
+    * min-label (CC), rank flow (PageRank) and mode-label (LPA): hops
+    * from the nearest of two seed nodes (the min and max node id —
+    * data-derived, so the oracle replays them without literals), four
+    * synchronous relaxation rounds; unreached nodes stay NULL with an
+    * explicit reached flag. This is the trust/spam-seed propagation
+    * shape (distance-to-seed features, blast-radius audits). Per round
+    * ONE frontier⋈edges join + one min aggregate — both keyed on the
+    * same node id, and the dist frame never exceeds |nodes| rows;
+    * BFS via joins is exactly how a 1000-executor cluster runs it
+    * (Pregel's message pattern), with lineage truncated per round.
+    * Oracle: four unrolled min-fold CTE rounds. */
+  def qBfsHops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= MinEdgeWeight)
+      .select($"a", $"b")
+    val sym = und.select($"a".as("u"), $"b".as("v"))
+      .union(und.select($"b".as("u"), $"a".as("v")))
+      .localCheckpoint()
+    val nodes = sym.select($"u".as("node")).distinct()
+    val seeds = nodes.agg(min($"node").as("lo"), max($"node").as("hi"))
+    var dist = nodes.crossJoin(broadcast(seeds))
+      .filter($"node" === $"lo" || $"node" === $"hi")
+      .select($"node", lit(0L).as("d"))
+    for (_ <- 1 to BfsIters) {
+      val ext = dist.join(sym, dist("node") === sym("u"))
+        .select($"v".as("node"), ($"d" + 1).as("d"))
+      dist = dist.union(ext)
+        .groupBy($"node").agg(min($"d").as("d"))
+        .localCheckpoint()
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select($"node", $"d".as("hops"), $"d".isNotNull.as("reached"))
+      .orderBy($"node")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
         "q144_triangles" -> (qTriangles _),
@@ -375,6 +469,8 @@ object GraphQueries extends QueryModule {
         "q175_component_sizes" -> (qComponentSizes _),
         "q214_degree_mle" -> (qDegreeMle _),
         "q216_kcore" -> (qKCore _),
+        "q219_lpa_communities" -> (qLpaCommunities _),
+        "q220_bfs_hops" -> (qBfsHops _),
         "q176_coengagement" -> (qCoengagement _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
@@ -575,8 +671,84 @@ object GraphQueries extends QueryModule {
         |CROSS JOIN cv
         |ORDER BY a0.node""".stripMargin
     }
+    val lpaSql = {
+      val rounds = (1 to LpaIters).map { i =>
+        s"""c$i AS (
+          |  SELECT s.u AS node, l.lab, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM sym s JOIN l${i - 1} l ON l.node = s.v
+          |  GROUP BY 1, 2),
+          |l$i AS MATERIALIZED (
+          |  SELECT node, lab FROM (
+          |    SELECT node, lab, row_number() OVER (
+          |      PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk
+          |    FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges GROUP BY 1, 2 HAVING count(*) >= $LpaSupport),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
+        |$rounds
+        |SELECT node, lab AS comm,
+        |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS comm_size
+        |FROM l$LpaIters ORDER BY node""".stripMargin
+    }
+    val bfsSql = {
+      val rounds = (1 to BfsIters).map { i =>
+        s"""d$i AS MATERIALIZED (
+          |  SELECT node, min(d) AS d FROM (
+          |    SELECT node, d FROM d${i - 1}
+          |    UNION ALL
+          |    SELECT s.v AS node, p.d + 1 AS d
+          |    FROM d${i - 1} p JOIN sym s ON s.u = p.node)
+          |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges GROUP BY 1, 2 HAVING count(*) >= $MinEdgeWeight),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS u, b AS v FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |nodes AS (SELECT DISTINCT u AS node FROM sym),
+        |d0 AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS d FROM nodes
+        |  WHERE node = (SELECT min(node) FROM nodes)
+        |     OR node = (SELECT max(node) FROM nodes)),
+        |$rounds
+        |SELECT n.node, f.d AS hops, f.d IS NOT NULL AS reached
+        |FROM nodes n LEFT JOIN d$BfsIters f ON n.node = f.node
+        |ORDER BY n.node""".stripMargin
+    }
     Map(
       "q216_kcore" -> kcoreSql,
+      "q219_lpa_communities" -> lpaSql,
+      "q220_bfs_hops" -> bfsSql,
       "q214_degree_mle" ->
         """WITH ui AS (
           |  SELECT DISTINCT user_id,

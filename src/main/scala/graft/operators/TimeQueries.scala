@@ -215,6 +215,56 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** Simple exponential smoothing (q221): per-type smoothed daily
+    * volume, s_t = α·y_t + (1−α)·s_{t−1} with α = 0.3 and s_1 = y_1
+    * (Brown 1956; the ETS(A,N,N) baseline every monitoring stack runs
+    * before anything fancier) — the denoised trend line next to the
+    * alarm family (q130 level, q149 drift, q188 changepoint), on the
+    * gap-filled day spine (a missing day must pull the level toward
+    * zero, not silently skip). The recurrence is inherently sequential
+    * PER TYPE but the corpus collapses to |types|×|days| cells first,
+    * so the fold runs as one higher-order `aggregate` over each type's
+    * day-sorted cell array — array length = calendar days, never event
+    * volume (the q103 posture: the sequential part is metadata-scale).
+    * Both engines evaluate the identical IEEE sequence (0.3·y + 0.7·s
+    * per step — the oracle's recursive CTE replays it), so levels
+    * hash-match without a tolerance. */
+  def qSesSmooth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    filled
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("cells"))
+      .select($"event_type", expr(
+        """aggregate(
+          |  cells,
+          |  struct(cast(array() as array<struct<day: date, n: bigint,
+          |    level: double>>) as out, cast(null as double) as s),
+          |  (acc, c) -> struct(
+          |    acc.out || array(named_struct(
+          |      'day', c.day, 'n', c.n,
+          |      'level', if(acc.s is null, cast(c.n as double),
+          |        0.3d * cast(c.n as double) + 0.7d * acc.s))),
+          |    if(acc.s is null, cast(c.n as double),
+          |       0.3d * cast(c.n as double) + 0.7d * acc.s)),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select($"event_type", explode($"out").as("c"))
+      .select($"event_type",
+        date_format($"c.day", "yyyy-MM-dd").as("day"),
+        $"c.n".as("n"), round($"c.level", 4).as("level"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Robust anomaly detection (q130): flag (event_type, day) cells
     * whose volume deviates from the type's median by more than 3×MAD —
     * the median/median-absolute-deviation detector monitoring uses
@@ -1443,11 +1493,43 @@ object TimeQueries extends QueryModule {
     "q89_windowed_dedup"     -> (qWindowedDedup _),
     "q103_throttle_lastkept" -> (qThrottleLastKept _),
     "q116_gap_fill"          -> (qGapFill _),
+    "q221_ses_smooth"        -> (qSesSmooth _),
     "q99_funnel"             -> (qFunnel _),
     "q100_retention"         -> (qRetention _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q221_ses_smooth" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |filled AS (
+        |  SELECT t.event_type, d.day,
+        |    coalesce(daily.n, CAST(0 AS BIGINT)) AS n,
+        |    CAST(row_number() OVER (PARTITION BY t.event_type
+        |      ORDER BY d.day) AS BIGINT) AS i
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = t.event_type
+        |    AND daily.day = d.day),
+        |rec AS (
+        |  SELECT event_type, day, n, i, CAST(n AS DOUBLE) AS level
+        |  FROM filled WHERE i = 1
+        |  UNION ALL
+        |  SELECT c.event_type, c.day, c.n, c.i,
+        |    0.3 * CAST(c.n AS DOUBLE) + 0.7 * r.level
+        |  FROM rec r JOIN filled c
+        |    ON c.event_type = r.event_type AND c.i = r.i + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(level, 4) AS level
+        |FROM rec ORDER BY event_type, day""".stripMargin,
     "q217_dwell_time" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -770,6 +770,28 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"source", $"len_band")
   }
 
+  private val LDiversityL = 3
+
+  /** l-diversity audit (q225) — Machanavajjhala et al. 2007, the
+    * follow-up k-anonymity (q169) NEEDS: a group can be k-large yet
+    * reveal its sensitive attribute if every member shares one value
+    * (the "homogeneity attack"), so each quasi-identifier group
+    * (source, length band) must also contain ≥ l DISTINCT sensitive
+    * values (lang here). One groupBy with count + exact count-distinct
+    * per group — a single partial-agg shuffle on the QI key; at 100 TB
+    * the distinct-count swaps to q49's HLL sketch with the same plan
+    * shape. Reported next to the group size so the release decision
+    * reads both gates at once. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"source", expr("n_chars div 100").as("len_band"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct($"lang").as("n_langs"))
+      .withColumn("diverse", $"n_langs" >= LDiversityL)
+      .orderBy($"source", $"len_band")
+  }
+
   /** Exact bitmap segment overlap (q211): per-event-type user bitmaps
     * via the `bitmap_agg` custom aggregate (plans/BitmapAgg.scala —
     * word-aligned bitset, OR-merge commutative ⇒ the bitmap is
@@ -949,6 +971,7 @@ object QualityQueries extends QueryModule {
       "q191_dp_release"      -> (qDpRelease _),
       "q195_mg_heavy_hitters" -> (qMgHeavyHitters _),
       "q169_k_anonymity"     -> (qKAnonymity _),
+      "q225_l_diversity"     -> (qLDiversity _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
@@ -1150,6 +1173,14 @@ object QualityQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_band""".stripMargin,
+    "q225_l_diversity" ->
+      s"""SELECT source, n_chars // 100 AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  count(DISTINCT lang) >= $LDiversityL AS diverse
+        |FROM documents
+        |GROUP BY source, n_chars // 100
+        |ORDER BY source, len_band""".stripMargin,
     // q147: the FULL estimator replays — md5 hashes, per-type k-minimum
     // sketches, union-sketch algebra — so the estimates themselves
     // hash-match; double arithmetic is written in the same association

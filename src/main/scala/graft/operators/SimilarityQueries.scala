@@ -671,7 +671,8 @@ object SimilarityQueries extends QueryModule {
     * the query side grows with the corpus, so it is broadcast in
     * fixed-size hash chunks). Top-5 by approximate distance, ascending,
     * ties to the lower vec_id. */
-  def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+  /** The (q_id, vec_id, adist) ADC scores shared by q157 and q226. */
+  private def pqAdcScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val codes = pqCodes(s, dir).select($"vec_id", $"c0", $"c1", $"c2", $"c3")
     val luts = (0 until PqM).map { m =>
@@ -682,7 +683,7 @@ object SimilarityQueries extends QueryModule {
       .select($"vec_id".as("q_id") +: luts: _*)
     val nChunks = math.max(1L,
       (q.count() + QueryChunkRows - 1) / QueryChunkRows).toInt
-    val scored = (0 until nChunks).map { i =>
+    (0 until nChunks).map { i =>
       codes.join(
           broadcast(q.filter(pmod(hash($"q_id"), lit(nChunks)) === i)),
           $"vec_id" =!= $"q_id")
@@ -691,9 +692,50 @@ object SimilarityQueries extends QueryModule {
             element_at($"lut2", $"c2" + 1) + element_at($"lut3", $"c3" + 1))
             .as("adist"))
     }.reduce(_.union(_))
+  }
+
+  def qPqAdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
-    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+    pqAdcScored(s, dir)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id",
+        (round($"adist", 4) + lit(0.0)).as("adist"))
+      .orderBy($"q_id", $"rk")
+  }
+
+  /** Two-stage retrieval (q226) — the PRODUCTION serving shape every
+    * PQ paper assumes but rarely spells out (Jégou et al. 2011 §V.C:
+    * "re-ranking with source vectors"): stage 1 shortlists 10
+    * candidates per query by the cheap ADC approximation (4 LUT
+    * lookups/vector, codes 1/128 the bytes); stage 2 re-scores ONLY
+    * the shortlist with exact float cosine and keeps the top 3 — full
+    * precision paid on 10 vectors per query, not the corpus. Scale
+    * shape: the shortlist is |Q|×10 rows carrying only ids, and both
+    * re-rank joins are equi-joins on (vec_id / q_id) against the
+    * vector table — co-located shuffles, no vector ever broadcasts
+    * (the LUT stage reuses q157's hash-chunk-bounded query broadcast).
+    * The output carries both distances, so the frame is also the
+    * stage-1-vs-stage-2 disagreement audit (q128's recall discipline
+    * applied inside one query). */
+  def qPqRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w1 = Window.partitionBy($"q_id").orderBy($"adist".asc, $"vec_id".asc)
+    val short = pqAdcScored(s, dir)
+      .withColumn("rk0", row_number().over(w1)).filter($"rk0" <= 10)
+      .select($"q_id", $"vec_id", $"adist")
+    val cv = vecs(s, dir).select($"vec_id", $"v", $"nrm")
+    val qv = vecs(s, dir)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val rescored = short
+      .join(cv, "vec_id")
+      .join(qv, "q_id")
+      .select($"q_id", $"vec_id", $"adist",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val w2 = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    rescored.withColumn("rk", row_number().over(w2)).filter($"rk" <= 3)
+      .select($"q_id", $"rk", $"vec_id",
+        (round($"cos", 4) + lit(0.0)).as("cos"),
         (round($"adist", 4) + lit(0.0)).as("adist"))
       .orderBy($"q_id", $"rk")
   }
@@ -845,6 +887,7 @@ object SimilarityQueries extends QueryModule {
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
+    "q226_pq_rerank"  -> (qPqRerank _),
     "q161_ivfpq_ann"  -> (qIvfPq _),
   )
 
@@ -1262,6 +1305,47 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q226's oracle: q157's ADC chain with a 10-deep shortlist, then
+    * the exact-cosine re-rank replayed on the source vectors. */
+  private def pqRerankSql: String = {
+    val cases = (0 until PqM).map { m =>
+      val arms = (0 until PqK).map(k =>
+        s"WHEN $k THEN ${pqDistSql(s"q.s$m", m, k)}").mkString(" ")
+      s"(CASE c.c$m $arms END)"
+    }.mkString("\n|      + ")
+    s"""WITH $baseCte,
+      |$pqSubCte,
+      |$pqBestCte,
+      |codes AS (
+      |  SELECT vec_id, p0.idx AS c0, p1.idx AS c1, p2.idx AS c2,
+      |    p3.idx AS c3
+      |  FROM best),
+      |q AS (
+      |  SELECT vec_id AS q_id, s0, s1, s2, s3 FROM sub
+      |  WHERE vec_id % 100 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    $cases AS adist
+      |  FROM codes c, q WHERE c.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY adist ASC, vec_id ASC) AS rk0 FROM scored),
+      |short AS (
+      |  SELECT q_id, vec_id, adist FROM ranked WHERE rk0 <= 10),
+      |rescored AS (
+      |  SELECT s.q_id, s.vec_id, s.adist,
+      |    list_cosine_similarity(qb.v, cb.v) AS cos
+      |  FROM short s
+      |  JOIN base cb ON cb.vec_id = s.vec_id
+      |  JOIN base qb ON qb.vec_id = s.q_id),
+      |rr AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY cos DESC, vec_id ASC) AS rk FROM rescored)
+      |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos,
+      |  round(adist, 4) + 0.0 AS adist
+      |FROM rr WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+  }
+
   /** q161's oracle: q42's literal-anchor cell CTEs + residuals via a
     * per-cell anchor VALUES table + q156/q157's codebook arithmetic on
     * the residual slices. */
@@ -1355,6 +1439,7 @@ object SimilarityQueries extends QueryModule {
         |FROM scored GROUP BY dim_var_min, dim_var_max""".stripMargin,
     "q156_pq_encode" -> pqEncodeSql,
     "q157_pq_adc"    -> pqAdcSql,
+    "q226_pq_rerank" -> pqRerankSql,
     "q161_ivfpq_ann" -> ivfPqSql,
     "q126_hard_negatives" ->
       """WITH base AS (

@@ -807,8 +807,98 @@ object TextQueries extends QueryModule {
       .orderBy($"cp")
   }
 
+  /** Flesch reading-ease (q224) — the 1948 readability score every
+    * content-quality stack still reports (206.835 − 1.015·(W/S) −
+    * 84.6·(Syl/W)): syllables per word approximated as vowel-group
+    * count (min 1 — the standard heuristic; "strength" = 1 group,
+    * "data" = 2), computed per word with an in-row higher-order fold
+    * so the whole featurization is MAP-ONLY — zero shuffles at any
+    * corpus size, the q87 posture. This synthetic corpus has no
+    * sentence punctuation, so sentence count falls back to
+    * ⌈words/15⌉ fixed segments (documented surrogate; the `[.!?]`
+    * splitter is a one-line swap on punctuated text) — the
+    * syllable/word term, which carries the signal here, is the real
+    * formula. Score can be negative → the ±0.0 idiom on both
+    * engines. */
+  def qReadability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("words"),
+        expr("""aggregate(
+          |  split(text, ' '),
+          |  cast(0 as bigint),
+          |  (acc, w) -> acc + greatest(
+          |    cast(1 as bigint),
+          |    cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as bigint)))
+          |""".stripMargin).as("syllables"))
+      .select($"doc_id", $"words", $"syllables",
+        (($"words" + 14).cast("long") / 15).cast("long").as("sentences"))
+      .select($"doc_id", $"words", $"sentences", $"syllables",
+        (round(lit(206.835)
+          - lit(1.015) * ($"words".cast("double") / $"sentences")
+          - lit(84.6) * ($"syllables".cast("double") / $"words"), 4)
+          + lit(0.0)).as("flesch"))
+      .orderBy($"doc_id")
+  }
+
+  /** TextRank keyword extraction (q227) — Mihalcea & Tarau 2004: the
+    * graph-based keyword ranker (newspaper3k-class NLP summarizers'
+    * sibling to the reference's TF keywords, P10): nodes = corpus
+    * vocabulary, edges = adjacent-token co-occurrence weighted by
+    * count (support ≥ 3 denoises, as q219), ranks = 3 damped power
+    * iterations on the WORD graph — q92's rank-flow machinery
+    * retargeted from items to vocabulary, so every scale property
+    * carries over (per iteration two shuffles of the vocabulary-sized
+    * edge frame, never the token stream; the corpus is scanned ONCE
+    * to build pair counts). Top-20 by final rank via the bounded-heap
+    * rewrite. Oracle: three unrolled CTE iterations, q92's pattern. */
+  def qTextrank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .filter($"w" =!= "")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val und = toks
+      .withColumn("prev", lag($"w", 1).over(byDoc))
+      .filter($"prev".isNotNull && $"prev" =!= $"w")
+      .groupBy(least($"prev", $"w").as("a"), greatest($"prev", $"w").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= 3)
+    val we = und.select($"a".as("src"), $"b".as("dst"),
+        $"c".cast("double").as("w"))
+      .union(und.select($"b".as("src"), $"a".as("dst"),
+        $"c".cast("double").as("w")))
+    val odeg = we.groupBy($"src").agg(sum($"w").as("odeg"))
+    val nodes = we.select($"src".as("node")).distinct()
+    val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nTot))
+      .select($"node", (lit(1.0) / $"n").as("rank"))
+    for (_ <- 1 to 3) {
+      val contrib = ranks
+        .join(we, ranks("node") === we("src"))
+        .join(odeg, "src")
+        .select($"dst".as("node"), ($"rank" * $"w" / $"odeg").as("ct"))
+      val inSum = contrib.groupBy($"node").agg(sum($"ct").as("in_sum"))
+      // symmetric graph with support ≥ 3 ⇒ no dangling mass: every
+      // node has at least one out-edge, so ranks just redistribute
+      ranks = nodes.crossJoin(broadcast(nTot))
+        .join(inSum, Seq("node"), "left")
+        .select($"node",
+          ((lit(1.0) - lit(0.85)) / $"n" +
+            lit(0.85) * coalesce($"in_sum", lit(0.0))).as("rank"))
+    }
+    val wTop = Window.orderBy(round($"rank", 6).desc, $"node".asc)
+    ranks.withColumn("rk", row_number().over(wTop)).filter($"rk" <= 20)
+      .select($"rk", $"node".as("word"), round($"rank", 4).as("rank"))
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_heaps_law" -> (qHeapsLaw _),
+    "q224_readability" -> (qReadability _),
+    "q227_textrank" -> (qTextrank _),
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
     "q170_langid_confusion" -> (qLangIdConfusion _),
@@ -874,6 +964,71 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q224_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS words,
+        |    CAST(list_sum(list_transform(str_split(text, ' '),
+        |      w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+        |      AS BIGINT) AS syllables
+        |  FROM documents WHERE len(text) > 0),
+        |s AS (
+        |  SELECT doc_id, words, (words + 14) // 15 AS sentences,
+        |    syllables
+        |  FROM d)
+        |SELECT doc_id, words, sentences, syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        |    - 84.6 * (CAST(syllables AS DOUBLE) / words), 4) + 0.0
+        |    AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q227_textrank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (
+          |  SELECT we.dst AS node,
+          |    sum(r$prev.rank * we.w / odeg.odeg) AS in_sum
+          |  FROM r$prev JOIN we ON r$prev.node = we.src
+          |  JOIN odeg ON we.src = odeg.src
+          |  GROUP BY we.dst),
+          |r$cur AS (
+          |  SELECT nodes.node,
+          |    (1.0 - 0.85) / n.n + 0.85 * coalesce(c$cur.in_sum, 0.0)
+          |      AS rank
+          |  FROM nodes CROSS JOIN n
+          |  LEFT JOIN c$cur ON nodes.node = c$cur.node)""".stripMargin
+      s"""WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk,
+        |    unnest(range(1, len(tk) + 1)) AS i FROM t),
+        |tok AS (
+        |  SELECT doc_id, i, tk[i] AS w FROM idx WHERE tk[i] <> ''),
+        |adj AS (
+        |  SELECT w,
+        |    lag(w) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM tok),
+        |und AS (
+        |  SELECT least(prev, w) AS a, greatest(prev, w) AS b,
+        |    count(*) AS c
+        |  FROM adj WHERE prev IS NOT NULL AND prev <> w
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |we AS (
+        |  SELECT a AS src, b AS dst, CAST(c AS DOUBLE) AS w FROM und
+        |  UNION ALL SELECT b, a, CAST(c AS DOUBLE) FROM und),
+        |odeg AS (SELECT src, sum(w) AS odeg FROM we GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM we),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN n),
+        |${iter("0", "1")},
+        |${iter("1", "2")},
+        |${iter("2", "3")},
+        |ranked AS (
+        |  SELECT node, rank, CAST(row_number() OVER (
+        |    ORDER BY round(rank, 6) DESC, node ASC) AS INTEGER) AS rk
+        |  FROM r3)
+        |SELECT rk, node AS word, round(rank, 4) AS rank
+        |FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
     "q196_heaps_law" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term

@@ -399,6 +399,13 @@ object GraphQueries extends QueryModule {
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= LpaSupport)
       .select($"a", $"b")
+    lpaLabels(und)
+  }
+
+  /** LPA core over canonical (a < b) undirected edges; split out so
+    * GraphSpec can pin community splits on crafted fixtures. */
+  private[graft] def lpaLabels(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
     val sym = und.select($"a".as("u"), $"b".as("v"))
       .union(und.select($"b".as("u"), $"a".as("v")))
       .localCheckpoint()
@@ -442,6 +449,13 @@ object GraphQueries extends QueryModule {
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= MinEdgeWeight)
       .select($"a", $"b")
+    bfsDistances(und)
+  }
+
+  /** BFS core over canonical undirected edges, seeded at the min and
+    * max node id; split out so GraphSpec can pin hop counts. */
+  private[graft] def bfsDistances(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
     val sym = und.select($"a".as("u"), $"b".as("v"))
       .union(und.select($"b".as("u"), $"a".as("v")))
       .localCheckpoint()

@@ -770,6 +770,36 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"source", $"len_band")
   }
 
+  /** Neyman-allocated stratified sampling plan (q231) — the OPTIMAL
+    * per-stratum budget split (Neyman 1934): sampling n_h ∝ N_h·σ_h
+    * minimizes the variance of the stratified mean for a fixed total
+    * budget, vs proportional allocation's n_h ∝ N_h — high-variance
+    * strata earn more samples (the reason a mixed-quality source
+    * deserves deeper probing than a homogeneous one). Budget = 10% of
+    * the corpus, strata = languages, measured variable = n_chars; the
+    * plan reports both allocations and the design effect each stratum
+    * feels. One partial-agg pass collapses the corpus to |langs| rows
+    * of (count, stddev) moments — mergeable, so the plan shape holds
+    * at any scale; everything after is closed-form arithmetic on that
+    * frame with a one-row broadcast total. */
+  def qNeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val strata = Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        stddev_samp($"n_chars".cast("double")).as("sd"))
+    val tot = strata.agg(
+      sum($"n_docs").cast("double").as("n_total"),
+      sum($"n_docs" * $"sd").as("nsd_total"))
+    strata.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs", round($"sd", 4).as("sd"),
+        round($"n_docs" * $"sd" / $"nsd_total", 4).as("neyman_share"),
+        round(lit(0.10) * $"n_total" *
+          ($"n_docs" * $"sd" / $"nsd_total"), 4).as("n_neyman"),
+        round(lit(0.10) * $"n_docs", 4).as("n_proportional"))
+      .orderBy($"lang")
+  }
+
   private val LDiversityL = 3
 
   /** l-diversity audit (q225) — Machanavajjhala et al. 2007, the
@@ -972,6 +1002,7 @@ object QualityQueries extends QueryModule {
       "q195_mg_heavy_hitters" -> (qMgHeavyHitters _),
       "q169_k_anonymity"     -> (qKAnonymity _),
       "q225_l_diversity"     -> (qLDiversity _),
+      "q231_neyman_alloc"    -> (qNeymanAlloc _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
@@ -1173,6 +1204,22 @@ object QualityQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_band""".stripMargin,
+    "q231_neyman_alloc" ->
+      """WITH strata AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    stddev_samp(CAST(n_chars AS DOUBLE)) AS sd
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+        |    sum(n_docs * sd) AS nsd_total
+        |  FROM strata)
+        |SELECT lang, n_docs, round(sd, 4) AS sd,
+        |  round(n_docs * sd / nsd_total, 4) AS neyman_share,
+        |  round(0.10 * n_total * (n_docs * sd / nsd_total), 4)
+        |    AS n_neyman,
+        |  round(0.10 * n_docs, 4) AS n_proportional
+        |FROM strata CROSS JOIN tot
+        |ORDER BY lang""".stripMargin,
     "q225_l_diversity" ->
       s"""SELECT source, n_chars // 100 AS len_band,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -123,6 +123,58 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** PPMI word-similarity (q228) — count-based distributional word
+    * vectors (Church & Hanks 1990 PMI matrix, positive-clipped per
+    * Levy & Goldberg 2014, who show word2vec SGNS implicitly factors
+    * exactly this matrix): each word's vector is its PPMI row over
+    * ±1-window contexts; similarity = cosine computed the SPARSE way —
+    * an inverted join on the shared context (q172's discipline: cost ∝
+    * shared non-zeros, no dense vector ever exists). Top-15 pairs by
+    * similarity. Pipeline: ONE token-stream shuffle builds symmetric
+    * pair counts; support ≥ 3 prunes the matrix (marginals computed on
+    * the PRUNED matrix, replayed identically in the oracle); marginals
+    * and norms are vocabulary-sized broadcasts. At 100 TB the matrix
+    * caps to the top-V vocabulary — the standard practice that also
+    * bounds the context self-join. */
+  def qPpmiSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val bi = toks
+      .withColumn("prev", lag($"term", 1).over(w))
+      .filter($"prev".isNotNull && $"prev" =!= $"term")
+    val pc = bi.select($"prev".as("w"), $"term".as("c"))
+      .union(bi.select($"term".as("w"), $"prev".as("c")))
+      .groupBy($"w", $"c").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 3)
+    val wm = pc.groupBy($"w").agg(sum($"n").as("cw"))
+    val cm = pc.groupBy($"c").agg(sum($"n").as("cc"))
+    val tot = pc.agg(sum($"n").cast("double").as("t"))
+    val ppmi = pc
+      .join(broadcast(wm), "w")
+      .join(broadcast(cm), "c")
+      .crossJoin(broadcast(tot))
+      .select($"w", $"c",
+        greatest(lit(0.0),
+          log(($"n".cast("double") * $"t") /
+            ($"cw".cast("double") * $"cc"))).as("p"))
+      .filter($"p" > 0)
+    val norms = ppmi.groupBy($"w").agg(sum($"p" * $"p").as("n2"))
+    val x = ppmi.select($"w".as("wa"), $"c", $"p".as("pa"))
+    val y = ppmi.select($"w".as("wb"), $"c", $"p".as("pb"))
+    val sims = x.join(y, Seq("c")).filter($"wa" < $"wb")
+      .groupBy($"wa", $"wb").agg(sum($"pa" * $"pb").as("dotp"))
+      .join(broadcast(norms.select($"w".as("wa"), $"n2".as("na"))), "wa")
+      .join(broadcast(norms.select($"w".as("wb"), $"n2".as("nb"))), "wb")
+      .select($"wa", $"wb",
+        ($"dotp" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
+    val wTop = Window.orderBy(round($"sim", 6).desc, $"wa".asc, $"wb".asc)
+    sims.withColumn("rk", row_number().over(wTop)).filter($"rk" <= 15)
+      .select($"rk", $"wa", $"wb", round($"sim", 4).as("sim"))
+      .orderBy($"rk")
+  }
+
   /** Absolute discount for the Kneser-Ney model — the standard 0.75
     * (Chen & Goodman 1999's fixed-D variant). A named constant so the
     * oracle replays it as a literal. */
@@ -832,6 +884,7 @@ object ScoringQueries extends QueryModule {
       "q87_quality_classifier" -> (qQualityClassifier _),
       "q93_bigram_nll"  -> (qBigramNll _),
       "q160_kn_bigram"  -> (qKneserNeyNll _),
+      "q228_ppmi_sim"   -> (qPpmiSim _),
       "q165_feature_mi" -> (qFeatureMi _),
       "q178_robust_z"   -> (qRobustZ _),
       "q182_ks_drift"   -> (qKsDrift _),
@@ -908,6 +961,46 @@ object ScoringQueries extends QueryModule {
         |  GROUP BY doc_id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q228_ppmi_sim" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+        |idx AS (
+        |  SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i FROM t),
+        |bi AS (
+        |  SELECT tk[i - 1] AS prev, tk[i] AS term FROM idx
+        |  WHERE tk[i - 1] <> tk[i]),
+        |pc AS (
+        |  SELECT w, c, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT prev AS w, term AS c FROM bi
+        |    UNION ALL SELECT term, prev FROM bi)
+        |  GROUP BY w, c HAVING count(*) >= 3),
+        |wm AS (SELECT w, CAST(sum(n) AS BIGINT) AS cw FROM pc GROUP BY w),
+        |cm AS (SELECT c, CAST(sum(n) AS BIGINT) AS cc FROM pc GROUP BY c),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM pc),
+        |ppmi AS (
+        |  SELECT pc.w, pc.c,
+        |    greatest(0.0, ln((CAST(pc.n AS DOUBLE) * tot.t)
+        |      / (CAST(wm.cw AS DOUBLE) * cm.cc))) AS p
+        |  FROM pc JOIN wm USING (w) JOIN cm USING (c) CROSS JOIN tot),
+        |pp AS (SELECT * FROM ppmi WHERE p > 0),
+        |norms AS (SELECT w, sum(p * p) AS n2 FROM pp GROUP BY w),
+        |sims AS (
+        |  SELECT x.w AS wa, y.w AS wb, sum(x.p * y.p) AS dotp
+        |  FROM pp x JOIN pp y ON x.c = y.c AND x.w < y.w
+        |  GROUP BY x.w, y.w),
+        |cosed AS (
+        |  SELECT sims.wa, sims.wb,
+        |    sims.dotp / (sqrt(na.n2) * sqrt(nb.n2)) AS sim
+        |  FROM sims
+        |  JOIN norms na ON na.w = sims.wa
+        |  JOIN norms nb ON nb.w = sims.wb),
+        |ranked AS (
+        |  SELECT wa, wb, sim, CAST(row_number() OVER (
+        |    ORDER BY round(sim, 6) DESC, wa ASC, wb ASC) AS INTEGER)
+        |    AS rk
+        |  FROM cosed)
+        |SELECT rk, wa, wb, round(sim, 4) AS sim
+        |FROM ranked WHERE rk <= 15 ORDER BY rk""".stripMargin,
     // q142: decile assignment replayed by counting the source's
     // quantile_cont cutpoints strictly below the score, BOTH rounded to
     // the suite's 4-decimal grid first — raw-double comparison flips a

@@ -598,8 +598,49 @@ object StorageQueries extends QueryModule {
     ).reduce(_.unionByName(_)).orderBy($"rule")
   }
 
+  /** Zone-map / file-skipping effectiveness audit (q230) — the
+    * planning-time read behind q65's compaction and q83's Z-order:
+    * given a range-clustered layout (4 logical files split at the
+    * EXACT l_shipdate quartiles — assigned map-side from 3 broadcast
+    * cutpoints, q142's no-global-sort discipline; repartitionByRange
+    * produces this layout physically, its sampled boundaries replayed
+    * here as exact quantiles so the oracle can reproduce them), report
+    * each file's min/max footer stats, row count, and whether the
+    * reference predicate `l_shipdate >= DATE '2000-01-01'` can SKIP
+    * the file (max < cutoff ⇒ the scan never opens it). The summary a
+    * lakehouse optimizer reads as `files_scanned / files_total` —
+    * here visible per file, with the skipped-row share that prices
+    * the clustering. Corpus cost: one percentile aggregate (→ q73's
+    * mergeable sketch at 100 TB) + one map pass + a 4-row rollup. */
+  def qZoneMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_shipdate")
+    val sec = $"l_shipdate".cast("timestamp").cast("long")
+    val cuts = li.agg(
+      percentile(sec, lit(0.25)).as("c1"),
+      percentile(sec, lit(0.50)).as("c2"),
+      percentile(sec, lit(0.75)).as("c3"))
+    val t = sec.cast("double")
+    val binned = li.crossJoin(broadcast(cuts))
+      .select($"l_shipdate",
+        (when(t >= $"c1", 1).otherwise(0) +
+         when(t >= $"c2", 1).otherwise(0) +
+         when(t >= $"c3", 1).otherwise(0)).as("file_id"))
+    val cutoff = to_timestamp(lit("2000-01-01"))
+    binned.groupBy($"file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        date_format(min($"l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+        date_format(max($"l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+        (max($"l_shipdate") < cutoff).as("skippable"),
+        sum(when($"l_shipdate" >= cutoff, 1L).otherwise(0L))
+          .as("n_match"))
+      .orderBy($"file_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q230_zone_map" -> (qZoneMap _),
       "q210_contract" -> (qContract _),
       "q131_delete_cascade" -> (qDeleteCascade _),
       "q124_delta_agg"     -> (qDeltaAgg _),
@@ -623,6 +664,26 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q230_zone_map" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(epoch(l_shipdate), 0.25) AS c1,
+        |         quantile_cont(epoch(l_shipdate), 0.50) AS c2,
+        |         quantile_cont(epoch(l_shipdate), 0.75) AS c3
+        |  FROM lineitem),
+        |binned AS (
+        |  SELECT l_shipdate,
+        |    (CASE WHEN epoch(l_shipdate) >= c1 THEN 1 ELSE 0 END
+        |     + CASE WHEN epoch(l_shipdate) >= c2 THEN 1 ELSE 0 END
+        |     + CASE WHEN epoch(l_shipdate) >= c3 THEN 1 ELSE 0 END)
+        |      AS file_id
+        |  FROM lineitem CROSS JOIN cuts)
+        |SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+        |  max(l_shipdate) < TIMESTAMP '2000-01-01' AS skippable,
+        |  CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-01-01'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |FROM binned GROUP BY file_id ORDER BY file_id""".stripMargin,
     "q210_contract" ->
       """WITH r1 AS (
         |  SELECT 'enum:o_orderstatus' AS rule,

@@ -215,6 +215,43 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** Markov next-event evaluation (q229) — turns q162's transition
+    * model into a graded predictor: for every observed transition,
+    * predict the modal next type given the current one (argmax row of
+    * the q162 matrix, ties to the lexicographically first type) and
+    * score per-type hit counts and accuracy — the majority-class
+    * baseline any sequence model must beat, and the in-sample eval a
+    * session-simulation pipeline ships next to the matrix (documented:
+    * fit and eval share the corpus; a production eval would use q133's
+    * time split). Cost: ONE lead window on the session family's shared
+    * user-keyed shuffle collapses the corpus to the |types|²-row
+    * matrix; prediction and scoring are windows and joins on that
+    * matrix only. */
+  def qMarkovEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("prev_type"), $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy($"prev_type")
+      .orderBy($"n".desc, $"next_type".asc)
+    val pred = counts.withColumn("rk", row_number().over(wp))
+      .filter($"rk" === 1)
+      .select($"prev_type", $"next_type".as("predicted"))
+    counts.join(pred, "prev_type")
+      .groupBy($"prev_type")
+      .agg(max($"predicted").as("predicted"),
+        sum($"n").as("n_trans"),
+        sum(when($"next_type" === $"predicted", $"n")
+          .otherwise(lit(0L))).as("n_hits"))
+      .select($"prev_type", $"predicted", $"n_trans", $"n_hits",
+        round($"n_hits".cast("double") / $"n_trans", 4).as("accuracy"))
+      .orderBy($"prev_type")
+  }
+
   /** Simple exponential smoothing (q221): per-type smoothed daily
     * volume, s_t = α·y_t + (1−α)·s_{t−1} with α = 0.3 and s_1 = y_1
     * (Brown 1956; the ETS(A,N,N) baseline every monitoring stack runs
@@ -1494,11 +1531,40 @@ object TimeQueries extends QueryModule {
     "q103_throttle_lastkept" -> (qThrottleLastKept _),
     "q116_gap_fill"          -> (qGapFill _),
     "q221_ses_smooth"        -> (qSesSmooth _),
+    "q229_markov_eval"       -> (qMarkovEval _),
     "q99_funnel"             -> (qFunnel _),
     "q100_retention"         -> (qRetention _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q229_markov_eval" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM ev),
+        |counts AS (
+        |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE next_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT prev_type, next_type AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY prev_type
+        |      ORDER BY n DESC, next_type ASC) AS rk FROM counts)
+        |  WHERE rk = 1)
+        |SELECT c.prev_type, max(p.predicted) AS predicted,
+        |  CAST(sum(c.n) AS BIGINT) AS n_trans,
+        |  CAST(sum(CASE WHEN c.next_type = p.predicted THEN c.n
+        |      ELSE 0 END) AS BIGINT) AS n_hits,
+        |  round(sum(CASE WHEN c.next_type = p.predicted THEN c.n
+        |      ELSE 0 END) / CAST(sum(c.n) AS DOUBLE), 4) AS accuracy
+        |FROM counts c JOIN pred p USING (prev_type)
+        |GROUP BY c.prev_type
+        |ORDER BY c.prev_type""".stripMargin,
     "q221_ses_smooth" ->
       """WITH RECURSIVE ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

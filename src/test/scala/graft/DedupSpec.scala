@@ -492,4 +492,33 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"${naive.size} qualifying pairs, prefix filter exact")
   }
 
+  test("q222 SNM: canonical pairs within the window, all above threshold") {
+    val rows = DedupQueries.qSnmDedup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("x_id") < r.getAs[Long]("y_id"))
+      assert(Set(1, 2).contains(r.getAs[Int]("w_dist")))
+      assert(r.getAs[Double]("sim") >= 0.7)
+    }
+    // linear-by-construction: candidate volume ≤ (w−1)·n even before
+    // the similarity gate, so the emitted set is bounded by 2n
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length <= 2 * n)
+  }
+
+  test("q223 FS: weight is the exact sum of per-field contributions; verdict bands consistent") {
+    def fsw(agree: Boolean, m: Double, u: Double): Double =
+      if (agree) math.log(m / u) else math.log((1.0 - m) / (1.0 - u))
+    DedupQueries.qFsLinkage(spark, sf).collect().foreach { r =>
+      val w = fsw(r.getAs[Boolean]("agr_lang"), 0.95, 0.30) +
+        fsw(r.getAs[Boolean]("agr_source"), 0.90, 0.25) +
+        fsw(r.getAs[Boolean]("agr_band"), 0.85, 0.10) +
+        fsw(r.getAs[Boolean]("agr_prefix"), 0.70, 0.01)
+      assert(math.abs(r.getAs[Double]("fs_weight") - w) < 1e-3)
+      val verdict = r.getAs[String]("verdict")
+      if (w >= 4.0) assert(verdict === "link")
+      else if (w < 0.0) assert(verdict === "non_link")
+      else assert(verdict === "possible")
+    }
+  }
+
 }

@@ -89,6 +89,65 @@ class GraphSpec extends AnyFunSuite {
       "pairs must be ranked by descending shared-user count")
   }
 
+  /** Reference LPA: 4 synchronous rounds, mode label with min
+    * tie-break — the spec the DataFrame version must reproduce. */
+  private def lpaRef(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = adj.map { case (u, ns) =>
+        val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        u -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    lbl
+  }
+
+  test("LPA: matches a driver-side reference on a bridged two-clique fixture") {
+    import spark.implicits._
+    // two K4 cliques joined by one bridge edge — the canonical
+    // "communities connectivity alone can't split" fixture (CC puts
+    // all 8 nodes in one component)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L),
+      (12L, 13L),
+      (4L, 10L))
+    val got = GraphQueries.lpaLabels(edges.toDF("a", "b"))
+      .select("node", "comm").as[(Long, Long)].collect().toMap
+    assert(got === lpaRef(edges, 4))
+    // and the sweep is deterministic across runs
+    val again = GraphQueries.lpaLabels(edges.toDF("a", "b"))
+      .select("node", "comm").as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
+  test("BFS: hop counts match a driver-side BFS; 4-hop horizon leaves the tail unreached") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6-7-8-9 plus isolated edge 100-101: seeds are
+    // min=1 and max=101; node 5 is 4 hops from seed 1 on the path,
+    // nodes 6-9 sit beyond the 4-round horizon → unreached
+    val edges = (1L to 8L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val got = GraphQueries.bfsDistances(edges.toDF("a", "b"))
+      .select("node", "hops").as[(Long, Option[Long])].collect().toMap
+    // reference BFS from {1, 101} truncated at 4 rounds
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    var dist = Map[Long, Long](1L -> 0L, 101L -> 0L)
+    for (_ <- 1 to 4) {
+      val ext = dist.toSeq.flatMap { case (u, d) =>
+        adj(u).map(v => (v, d + 1)) }
+      dist = (dist.toSeq ++ ext).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val want = adj.keys.map(n => n -> dist.get(n)).toMap
+    assert(got === want)
+    assert(got(6L).isEmpty && got(9L).isEmpty, "tail past 4 hops must be unreached")
+    assert(got(5L) === Some(4L) && got(100L) === Some(1L))
+  }
+
   test("pagerank: mass conserved, floor respected, not uniform") {
     import spark.implicits._
     val ranks = GraphQueries.qPagerank(spark, sf)

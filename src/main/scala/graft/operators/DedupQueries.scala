@@ -1206,6 +1206,7 @@ object DedupQueries extends QueryModule {
     "q113_keeper_policy" -> (qKeeperPolicy _),
     "q85_incremental_dedup" -> (qIncrementalDedup _),
     "q94_source_matrix"     -> (qSourceMatrix _),
+    "q236_source_dedup_impact" -> (qSourceDedupImpact _),
   )
 
   /** Cross-source contamination matrix (q94): which sources duplicate
@@ -1218,6 +1219,30 @@ object DedupQueries extends QueryModule {
     * projection — at 100 TB the pair side broadcasts, never the corpus;
     * least/greatest canonicalizes so a pair lands in one matrix cell
     * regardless of doc-id order. */
+  /** Per-source dedup impact (q236) — the third face of the provenance
+    * audit: q94 counts PAIRS per source combination, q136 prices the
+    * corpus-wide τ choice, this says WHICH SOURCES shrink when the
+    * ≥0.9 near-dup policy applies (greedy higher-id-drops, q136's
+    * documented semantics): per source its doc count, distinct losers,
+    * and loss rate — the table that catches one mirror-heavy source
+    * about to lose half its volume before the release note writes
+    * itself. Reads the STAGED verified-pair frame (a derived read, no
+    * LSH re-run); the loser set broadcasts onto the documents scan. */
+  def qSourceDedupImpact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val losers = verifiedPairs(s, dir)
+      .select($"y_id".as("doc_id")).distinct()
+      .withColumn("lost", lit(true))
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"lost", 1L).otherwise(0L)).as("n_losers"))
+      .select($"source", $"n_docs", $"n_losers",
+        round($"n_losers".cast("double") / $"n_docs", 4).as("loss_rate"))
+      .orderBy($"source")
+  }
+
   def qSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = verifiedPairs(s, dir).select($"x_id", $"y_id")
@@ -1963,6 +1988,16 @@ object DedupQueries extends QueryModule {
           |  lang_a <> lang_b AS cross_lingual
           |FROM m GROUP BY lang_a, lang_b
           |ORDER BY lang_a, lang_b""".stripMargin,
+      "q236_source_dedup_impact" ->
+        s"""$ccOracleCtes,
+          |losers AS (SELECT DISTINCT y_id AS doc_id FROM p)
+          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_losers,
+          |  round(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    / CAST(count(*) AS DOUBLE), 4) AS loss_rate
+          |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+          |GROUP BY d.source ORDER BY d.source""".stripMargin,
       "q94_source_matrix" ->
         s"""$ccOracleCtes,
           |m AS (

@@ -438,6 +438,35 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cell")
   }
 
+  /** IVF shard capacity plan (q235) — the serving-infrastructure read
+    * on q44's cell statistics: per IVF cell the shard count needed at
+    * a 50-vector target shard size (⌈n/50⌉), the mean fill of those
+    * shards, and the cell's share of the corpus — the imbalance table
+    * that decides whether the ANN index (q42/q161) can map cells to
+    * servers directly or needs cell splitting first (a cell holding
+    * 40% of vectors = one hot replica at query time; the q9/q74 skew
+    * story at the serving layer). All arithmetic on the 8-row cell
+    * frame after the one assignment pass; exact integers except the
+    * two presentation ratios. */
+  def qShardPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d,
+      transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val cells = vecs(s, dir)
+      .select($"vec_id", element_at(sorted, 1).getField("idx").as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum($"n").cast("double").as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select($"cell", $"n",
+        (($"n" + 49L) / 50L).cast("long").as("n_shards"),
+        round($"n".cast("double") /
+          (($"n" + 49L) / 50L).cast("long"), 4).as("mean_fill"),
+        round($"n" / $"n_total", 4).as("corpus_share"))
+      .orderBy($"cell")
+  }
+
   /** SemDeDup (q86): embedding-space semantic dedup — cluster the
     * corpus, then prune pairwise ONLY within each cluster: a vector is
     * dropped when an earlier (lower vec_id) vector in its cell sits
@@ -884,6 +913,7 @@ object SimilarityQueries extends QueryModule {
     "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
     "q44_cluster_stats" -> (qClusterStats _),
+    "q235_shard_plan" -> (qShardPlan _),
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
@@ -1216,6 +1246,30 @@ object SimilarityQueries extends QueryModule {
       |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** q235's oracle: q44's literal-anchor argmax assignment, rolled to
+    * the shard-capacity arithmetic. */
+  private def shardPlanSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |assigned AS (
+      |  SELECT vec_id, list_sort($structs)[1].idx AS cell FROM dots),
+      |cells AS (
+      |  SELECT cell, CAST(count(*) AS BIGINT) AS n
+      |  FROM assigned GROUP BY cell),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM cells)
+      |SELECT cell, n, (n + 49) // 50 AS n_shards,
+      |  round(CAST(n AS DOUBLE) / ((n + 49) // 50), 4) AS mean_fill,
+      |  round(n / n_total, 4) AS corpus_share
+      |FROM cells CROSS JOIN tot ORDER BY cell""".stripMargin
+  }
+
   /** q44's oracle: same literal-anchor argmax as q42's, aggregated. */
   private def clusterStatsSql: String = {
     val dotCols = anchors.indices.map(i =>
@@ -1471,6 +1525,7 @@ object SimilarityQueries extends QueryModule {
     "q42_ivf_ann"     -> ivfAnnSql,
     "q42b_ivf_kmeans" -> ivfKmeansSql,
     "q44_cluster_stats" -> clusterStatsSql,
+    "q235_shard_plan" -> shardPlanSql,
     "q86_semdedup"    -> semDedupSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization

@@ -215,6 +215,112 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** Feed-freshness SLA board (q232) — per event_type the lag between
+    * its newest event and the corpus watermark (global max ts), with a
+    * 24h SLA verdict: the first page of every ingestion dashboard, and
+    * the batch companion of a streaming watermark monitor (q168
+    * profiles intra-feed disorder; this catches a feed that STOPPED).
+    * One partial-agg pass to |types| rows + a one-row broadcast
+    * watermark; lag kept in exact integer microseconds until the final
+    * division. */
+  def qFreshnessSla(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perType = Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(max(unix_micros($"ts")).as("latest_us"),
+        count(lit(1)).as("n"))
+    val wm = perType.agg(max($"latest_us").as("wm_us"))
+    perType.crossJoin(broadcast(wm))
+      .select($"event_type", $"n",
+        round(($"wm_us" - $"latest_us") / lit(3600000000.0), 4)
+          .as("lag_hours"),
+        (($"wm_us" - $"latest_us") <= lit(24L * 3600000000L))
+          .as("sla_ok"))
+      .orderBy($"event_type")
+  }
+
+  /** Inter-arrival exponential fit + exact KS goodness-of-fit (q233):
+    * per event_type the MLE rate of the exponential model (λ̂ =
+    * 1/mean gap) over consecutive same-type gaps, with the exact
+    * Kolmogorov–Smirnov D against Exp(λ̂) — the "is this feed Poisson
+    * or bursty/scripted?" verdict that q181's Fano index screens at
+    * day granularity and this settles at event granularity (a bot
+    * firing on a timer shows near-constant gaps: catastrophic KS fit).
+    * q182's exact-ecdf discipline: gaps collapse to their distinct-
+    * value grid per type (integer µs), ecdf is an integer cumsum
+    * window on that grid, the model cdf 1−e^(−λg) is one exp per grid
+    * row, and the statistic is the plug-in D = max |ecdf − cdf|
+    * evaluated at the jump points (ecdf right-limits — the grid form
+    * of the one-sample KS) — the windows run on distinct gap values
+    * per type, never the event stream. */
+  def qExpGapFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byType = Window.partitionBy($"event_type")
+      .orderBy($"ts", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .select($"event_type", $"ts", $"event_id")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byType))
+      .filter($"prev_us".isNotNull)
+      .select($"event_type",
+        (unix_micros($"ts") - $"prev_us").as("g"))
+    val stats = gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        avg($"g".cast("double")).as("mean_g"))
+    val grid = gaps.groupBy($"event_type", $"g")
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy($"event_type")
+      .orderBy($"g").rowsBetween(Window.unboundedPreceding, 0)
+    val d = grid
+      .withColumn("cum", sum($"c").over(wg))
+      .join(broadcast(stats), "event_type")
+      .select($"event_type", $"n_gaps", $"mean_g",
+        abs($"cum".cast("double") / $"n_gaps" -
+          (lit(1.0) - exp(-$"g".cast("double") / $"mean_g"))).as("dev"))
+      .groupBy($"event_type", $"n_gaps", $"mean_g")
+      .agg(max(round($"dev", 6)).as("ks_d6"))
+    d.select($"event_type", $"n_gaps",
+        round(lit(3600000000.0) / $"mean_g", 4).as("rate_per_hour"),
+        round($"ks_d6", 4).as("ks_d"))
+      .orderBy($"event_type")
+  }
+
+  /** Trending-items report (q234) — week-over-week heavy-hitter rank
+    * shift: item engagement counts in the first vs second half of the
+    * corpus window (split at the integer midpoint timestamp, q133's
+    * cut), each half ranked independently, top-15 of the CURRENT half
+    * with the rank delta vs the prior half (nulls = new entrant). The
+    * "what changed" read a curation/trending pipeline publishes next
+    * to q195's heavy-hitter list (which says only what's big NOW).
+    * One conditional aggregate per item (both halves in a single
+    * pass), two rank windows on the |items| frame, both heap-
+    * rewritable; all-integer until presentation. */
+  def qTrendingItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(unix_micros($"ts").as("tus"),
+        get_json_object($"props", "$.k").cast("long").as("item"))
+      .filter($"item".isNotNull)
+    val cut = ev.agg(((min($"tus") + max($"tus")) / 2).cast("long")
+      .as("cut"))
+    val counts = ev.crossJoin(broadcast(cut))
+      .groupBy($"item")
+      .agg(sum(when($"tus" < $"cut", 1L).otherwise(0L)).as("n_prev"),
+        sum(when($"tus" >= $"cut", 1L).otherwise(0L)).as("n_cur"))
+    val wPrev = Window.orderBy($"n_prev".desc, $"item".asc)
+    val wCur = Window.orderBy($"n_cur".desc, $"item".asc)
+    counts
+      .withColumn("rp0", row_number().over(wPrev))
+      .withColumn("rc0", row_number().over(wCur))
+      // zero-count items sort after every positive one, so nulling
+      // their ranks after the fact equals ranking the positive set
+      .withColumn("rk_prev", when($"n_prev" > 0, $"rp0"))
+      .withColumn("rk_cur", when($"n_cur" > 0, $"rc0"))
+      .filter($"rk_cur" <= 15)
+      .select($"rk_cur", $"item", $"n_cur", $"n_prev", $"rk_prev",
+        ($"rk_prev" - $"rk_cur").as("rank_gain"))
+      .orderBy($"rk_cur")
+  }
+
   /** Markov next-event evaluation (q229) — turns q162's transition
     * model into a graded predictor: for every observed transition,
     * predict the modal next type given the current one (argmax row of
@@ -1532,11 +1638,85 @@ object TimeQueries extends QueryModule {
     "q116_gap_fill"          -> (qGapFill _),
     "q221_ses_smooth"        -> (qSesSmooth _),
     "q229_markov_eval"       -> (qMarkovEval _),
+    "q232_freshness_sla"     -> (qFreshnessSla _),
+    "q233_exp_gap_fit"       -> (qExpGapFit _),
+    "q234_trending_items"    -> (qTrendingItems _),
     "q99_funnel"             -> (qFunnel _),
     "q100_retention"         -> (qRetention _),
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q232_freshness_sla" ->
+      """WITH pt AS (
+        |  SELECT event_type,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS latest_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY event_type),
+        |wm AS (SELECT max(latest_us) AS wm_us FROM pt)
+        |SELECT event_type, n,
+        |  round((wm_us - latest_us) / 3600000000.0, 4) AS lag_hours,
+        |  (wm_us - latest_us) <= 24 * 3600000000 AS sla_ok
+        |FROM pt CROSS JOIN wm ORDER BY event_type""".stripMargin,
+    "q233_exp_gap_fit" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS g
+        |  FROM ev),
+        |gaps AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    avg(CAST(g AS DOUBLE)) AS mean_g
+        |  FROM gaps GROUP BY event_type),
+        |grid AS (
+        |  SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM gaps GROUP BY event_type, g),
+        |cum AS (
+        |  SELECT event_type, g, sum(c) OVER (
+        |    PARTITION BY event_type ORDER BY g) AS cum
+        |  FROM grid),
+        |dev AS (
+        |  SELECT c.event_type, s.n_gaps, s.mean_g,
+        |    round(abs(CAST(c.cum AS DOUBLE) / s.n_gaps
+        |      - (1.0 - exp(-(CAST(c.g AS DOUBLE) / s.mean_g)))), 6)
+        |      AS dev
+        |  FROM cum c JOIN stats s USING (event_type))
+        |SELECT event_type, n_gaps,
+        |  round(3600000000.0 / mean_g, 4) AS rate_per_hour,
+        |  round(max(dev), 4) AS ks_d
+        |FROM dev GROUP BY event_type, n_gaps, mean_g
+        |ORDER BY event_type""".stripMargin,
+    "q234_trending_items" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |cut AS (SELECT (min(tus) + max(tus)) // 2 AS cut FROM ev),
+        |counts AS (
+        |  SELECT item,
+        |    CAST(sum(CASE WHEN tus < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_prev,
+        |    CAST(sum(CASE WHEN tus >= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM ev CROSS JOIN cut GROUP BY item),
+        |ranked AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY n_prev DESC, item ASC)
+        |      AS INTEGER) AS rp0,
+        |    CAST(row_number() OVER (ORDER BY n_cur DESC, item ASC)
+        |      AS INTEGER) AS rc0
+        |  FROM counts),
+        |flagged AS (
+        |  SELECT rc0 AS rk_cur, item, n_cur, n_prev,
+        |    CASE WHEN n_prev > 0 THEN rp0 END AS rk_prev
+        |  FROM ranked WHERE n_cur > 0)
+        |SELECT rk_cur, item, n_cur, n_prev, rk_prev,
+        |  rk_prev - rk_cur AS rank_gain
+        |FROM flagged WHERE rk_cur <= 15 ORDER BY rk_cur""".stripMargin,
     "q229_markov_eval" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -57,7 +57,19 @@ object DumpPlans {
     "q189_exclusion_funnel", "q190_attribution", "q191_dp_release",
     "q192_embed_health", "q193_join_estimate", "q194_psi_drift",
     "q195_mg_heavy_hitters", "q196_heaps_law", "q197_grouping_sets",
-    "q198_bot_score", "q199_prefix_join", "q200_peak_concurrency")
+    "q198_bot_score", "q199_prefix_join", "q200_peak_concurrency",
+    "q201_auc_eval", "q202_ess_audit", "q203_calibration",
+    "q204_threshold_sweep", "q205_weighted_quantiles", "q206_benford",
+    "q207_chi_square", "q208_audio_features", "q209_ohlc",
+    "q210_contract", "q211_bitmap_overlap", "q212_kaplan_meier",
+    "q213_assoc_rules", "q214_degree_mle", "q215_rolling_actives",
+    "q216_kcore", "q217_dwell_time", "q218_wilson_rates",
+    "q219_lpa_communities", "q220_bfs_hops", "q221_ses_smooth",
+    "q222_snm_dedup", "q223_fs_linkage", "q224_readability",
+    "q225_l_diversity", "q226_pq_rerank", "q227_textrank",
+    "q228_ppmi_sim", "q229_markov_eval", "q230_zone_map",
+    "q231_neyman_alloc", "q232_freshness_sla", "q233_exp_gap_fit",
+    "q234_trending_items", "q235_shard_plan", "q236_source_dedup_impact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

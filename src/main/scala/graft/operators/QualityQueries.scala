@@ -16,7 +16,7 @@ import graft.sources.Tables
   */
 object QualityQueries extends QueryModule {
 
-  private val Stop8 = Seq("the", "be", "to", "of", "and", "that", "have",
+  private[operators] val Stop8 = Seq("the", "be", "to", "of", "and", "that", "have",
     "with")
 
   /** Gopher quality flags over any (doc_id, lang, text) frame — split

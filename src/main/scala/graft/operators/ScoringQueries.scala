@@ -431,6 +431,40 @@ object ScoringQueries extends QueryModule {
       lit(Ws) * fStop + lit(Wu) * fUpper
   }
 
+  /** Inter-gate agreement (q238) — Cohen's κ between the two quality
+    * gates the suite ships (the Gopher rule set q46 and the logistic
+    * classifier q87): observed agreement corrected for the agreement
+    * two independent gates would reach by chance (κ = (p_o − p_e) /
+    * (1 − p_e), Cohen 1960) — the number that says whether adding the
+    * second gate buys signal or re-litigates the first (κ → 1: the
+    * model learned the rules; κ ≈ 0: genuinely different filters, the
+    * q180 ablation grid tells you which to trust). Both gates are
+    * map-only featurizations; the corpus collapses to 4 cells in ONE
+    * conditional aggregate — everything after is closed-form on one
+    * row. */
+  def qGateKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gates = QualityQueries.gopherFlags(Tables.documents(s, dir))
+      .select($"doc_id", $"passes")
+      .join(Tables.documents(s, dir)
+        .select($"doc_id",
+          (lit(1.0) / (lit(1.0) + exp(-qualityZ)) >= 0.5).as("keep")),
+        "doc_id")
+    val cells = gates.agg(
+      count(lit(1)).as("n"),
+      sum(when($"passes" && $"keep", 1L).otherwise(0L)).as("n11"),
+      sum(when($"passes" && !$"keep", 1L).otherwise(0L)).as("n10"),
+      sum(when(!$"passes" && $"keep", 1L).otherwise(0L)).as("n01"),
+      sum(when(!$"passes" && !$"keep", 1L).otherwise(0L)).as("n00"))
+    val nD = $"n".cast("double")
+    val po = ($"n11" + $"n00") / nD
+    val pe = (($"n11" + $"n10") * ($"n11" + $"n01") +
+      ($"n01" + $"n00") * ($"n10" + $"n00")) / (nD * nD)
+    cells.select($"n", $"n11", $"n10", $"n01", $"n00",
+      round(po, 4).as("p_obs"), round(pe, 4).as("p_exp"),
+      (round((po - pe) / (lit(1.0) - pe), 4) + lit(0.0)).as("kappa"))
+  }
+
   def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val z = qualityZ
@@ -882,6 +916,7 @@ object ScoringQueries extends QueryModule {
       "q71_tfidf_topk"  -> (qTfidfTopk _),
       "q72_unigram_nll" -> (qUnigramNll _),
       "q87_quality_classifier" -> (qQualityClassifier _),
+      "q238_gate_kappa" -> (qGateKappa _),
       "q93_bigram_nll"  -> (qBigramNll _),
       "q160_kn_bigram"  -> (qKneserNeyNll _),
       "q228_ppmi_sim"   -> (qPpmiSim _),
@@ -1428,6 +1463,59 @@ object ScoringQueries extends QueryModule {
         |      / (CAST(sum(np) AS DOUBLE) * sum(nn)) - 1.0, 4) + 0.0
         |    END AS gini_coef
         |FROM cum""".stripMargin
+    },
+    "q238_gate_kappa" -> {
+      val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+      val stop8 = QualityQueries.Stop8.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+        |    str_split(text, ' ') AS tk,
+        |    text
+        |  FROM documents),
+        |gate AS (
+        |  SELECT doc_id,
+        |    (len(tk) BETWEEN 50 AND 100000
+        |      AND round(list_sum(list_transform(tk,
+        |        x -> CAST(length(x) AS DOUBLE))) / len(tk), 4)
+        |        BETWEEN 3.0 AND 10.0
+        |      AND round(CAST(len(regexp_extract_all(text, '#')) +
+        |        len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+        |        / len(tk), 4) <= 0.1
+        |      AND len(list_intersect(list_distinct(tk), $stop8)) >= 2)
+        |      AS passes,
+        |    (1.0 / (1.0 + exp(-($Wb + $Wl * ln(1.0 + n_words)
+        |      + $Ww * (list_sum(list_transform(tk,
+        |          x -> CAST(length(x) AS DOUBLE))) / n_words)
+        |      + $Ws * (CAST(len(list_filter(tk, x -> x IN $stop16))
+        |          AS DOUBLE) / n_words)
+        |      + $Wu * coalesce(
+        |          CAST(length(text) - length(regexp_replace(text,
+        |            '[A-Z]', '', 'g')) AS DOUBLE)
+        |            / nullif(length(text), 0), 0.0)))) >= 0.5) AS keep
+        |  FROM f),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN passes AND keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN passes AND NOT keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT passes AND keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT passes AND NOT keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n00
+        |  FROM gate)
+        |SELECT n, n11, n10, n01, n00,
+        |  round((n11 + n00) / CAST(n AS DOUBLE), 4) AS p_obs,
+        |  round(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |    / (CAST(n AS DOUBLE) * n), 4) AS p_exp,
+        |  round(((n11 + n00) / CAST(n AS DOUBLE)
+        |      - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |        / (CAST(n AS DOUBLE) * n))
+        |    / (1.0 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |        / (CAST(n AS DOUBLE) * n)), 4) + 0.0 AS kappa
+        |FROM cells""".stripMargin
     },
     "q87_quality_classifier" -> {
       val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")

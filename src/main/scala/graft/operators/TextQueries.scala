@@ -843,6 +843,34 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Vocabulary-coverage card (q241) — the unseen-mass numbers behind
+    * every smoothing and corpus-growth decision, from the frequency-of-
+    * frequencies profile: hapax/dis legomena counts, Good–Turing
+    * unseen-probability mass P₀ = N₁/N (Good 1953; Gale & Sampson
+    * 1995 — the mass KN/GT smoothing reserves for novel words, and the
+    * "how much of the language are we still missing" read), and the
+    * bias-corrected Chao1 richness estimate V̂ = V + N₁(N₁−1)/(2(N₂+1))
+    * (Chao 1984 — total vocabulary including unseen types; defined even
+    * at N₂ = 0). Complements q196 (growth CURVE) and q179 (per-doc
+    * novelty) with the closed-form asymptote. Two aggregates: token
+    * stream → vocabulary counts → 5-number card; one row out. */
+  def qVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    tc.agg(
+        count(lit(1)).as("v_types"),
+        sum($"c").as("n_tokens"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n1_hapax"),
+        sum(when($"c" === 2, 1L).otherwise(0L)).as("n2_dis"))
+      .select($"v_types", $"n_tokens", $"n1_hapax", $"n2_dis",
+        round($"n1_hapax".cast("double") / $"n_tokens", 4).as("p0_gt"),
+        round($"v_types" + $"n1_hapax" * ($"n1_hapax" - 1) /
+          (lit(2.0) * ($"n2_dis" + 1)), 4).as("chao1"))
+  }
+
   /** TextRank keyword extraction (q227) — Mihalcea & Tarau 2004: the
     * graph-based keyword ranker (newspaper3k-class NLP summarizers'
     * sibling to the reference's TF keywords, P10): nodes = corpus
@@ -899,6 +927,7 @@ object TextQueries extends QueryModule {
     "q196_heaps_law" -> (qHeapsLaw _),
     "q224_readability" -> (qReadability _),
     "q227_textrank" -> (qTextrank _),
+    "q241_vocab_coverage" -> (qVocabCoverage _),
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
     "q170_langid_confusion" -> (qLangIdConfusion _),
@@ -964,6 +993,25 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q241_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+        |tc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE term <> '' GROUP BY term)
+        |SELECT CAST(count(*) AS BIGINT) AS v_types,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n1_hapax,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n2_dis,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    / CAST(sum(c) AS DOUBLE), 4) AS p0_gt,
+        |  round(count(*) + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+        |    / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4)
+        |    AS chao1
+        |FROM tc""".stripMargin,
     "q224_readability" ->
       """WITH d AS (
         |  SELECT doc_id,

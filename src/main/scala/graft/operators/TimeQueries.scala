@@ -215,6 +215,100 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** Freedman–Diaconis histogram plan (q237) — the robust bin-width
+    * rule (h = 2·IQR/n^⅓, Freedman & Diaconis 1981) every auto-binning
+    * dashboard and KDE bandwidth heuristic starts from, per event_type
+    * over `value`: Sturges under-bins heavy tails and Scott's rule
+    * rides on the outlier-dragged stddev — IQR doesn't. Emits n, IQR,
+    * h and the implied (fractional) bin count over the type's range —
+    * the plan a charting layer materializes, kept fractional so no
+    * ceil() sits on a float boundary. One exact-percentile aggregate
+    * to |types| rows (→ q73's sketch at 100 TB), closed-form after. */
+  def qFdBinning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        (percentile($"value", lit(0.75)) -
+          percentile($"value", lit(0.25))).as("iqr"),
+        min($"value").as("lo"), max($"value").as("hi"))
+      .select($"event_type", $"n", round($"iqr", 4).as("iqr"),
+        round(lit(2.0) * $"iqr" / cbrt($"n".cast("double")), 4)
+          .as("bin_width"),
+        round(($"hi" - $"lo") /
+          (lit(2.0) * $"iqr" / cbrt($"n".cast("double"))), 4)
+          .as("n_bins"))
+      .orderBy($"event_type")
+  }
+
+  /** RFM feature snapshot (q239) — the classic recency / frequency /
+    * monetary customer-value featurization (Hughes 1994; the segment
+    * grid CRM and churn models start from), on purchase events:
+    * recency = hours from the user's last purchase to the corpus
+    * watermark, frequency = purchase count, monetary = summed value;
+    * each dimension cut into terciles (ntile over a deterministic
+    * (metric, user_id) order — recency ranked ASCENDING so tercile 1
+    * is always the "best" band) and concatenated into the familiar
+    * "111"…"333" segment string. One partial-agg pass to |purchasers|
+    * rows; the tercile windows run on that frame (→ broadcast
+    * cutpoints via q142's discipline when |users| is corpus-scale);
+    * monetary rounded BEFORE ranking so the band can't ride on float
+    * dust. */
+  def qRfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"value")
+    val wm = p.agg(max($"tus").as("wm_us"))
+    val rfm = p.groupBy($"user_id")
+      .agg(max($"tus").as("last_us"),
+        count(lit(1)).as("frequency"),
+        round(sum($"value"), 4).as("monetary"))
+      .crossJoin(broadcast(wm))
+      .select($"user_id",
+        round(($"wm_us" - $"last_us") / lit(3600000000.0), 4)
+          .as("recency_h"),
+        $"frequency", $"monetary")
+    val r = ntile(3).over(Window.orderBy($"recency_h".asc, $"user_id"))
+    val f = ntile(3).over(Window.orderBy($"frequency".desc, $"user_id"))
+    val m = ntile(3).over(Window.orderBy($"monetary".desc, $"user_id"))
+    rfm.select($"user_id", $"recency_h", $"frequency", $"monetary",
+        concat(r.cast("string"), f.cast("string"), m.cast("string"))
+          .as("segment"))
+      .orderBy($"user_id")
+  }
+
+  /** Capture–recapture corpus estimate (q240) — Lincoln–Petersen with
+    * Chapman's correction (N̂ = (n₁+1)(n₂+1)/(m+1) − 1): estimate the
+    * TOTAL distinct-user population from two overlapping "captures"
+    * (the first and second halves of the corpus window) without ever
+    * running the full distinct — the ecology estimator data teams
+    * reuse to price a dedup/identity-resolution job before running it
+    * (m small vs n₁·n₂ ⇒ most of the population is still unseen). The
+    * exact distinct rides along as the audit column with signed error.
+    * One (user)-keyed conditional aggregate collapses the corpus;
+    * everything after is one-row arithmetic. */
+  def qCaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"))
+    val cut = ev.agg(((min($"tus") + max($"tus")) / 2).cast("long")
+      .as("cut"))
+    val flags = ev.crossJoin(broadcast(cut))
+      .groupBy($"user_id")
+      .agg(max(when($"tus" < $"cut", 1L).otherwise(0L)).as("s1"),
+        max(when($"tus" >= $"cut", 1L).otherwise(0L)).as("s2"))
+    flags.agg(
+        sum($"s1").as("n1"), sum($"s2").as("n2"),
+        sum($"s1" * $"s2").as("m"),
+        count(lit(1)).as("n_true"))
+      .select($"n1", $"n2", $"m", $"n_true",
+        round(($"n1" + 1) * ($"n2" + 1) / ($"m" + lit(1.0)) - 1.0, 4)
+          .as("n_hat"),
+        (round((($"n1" + 1) * ($"n2" + 1) / ($"m" + lit(1.0)) - 1.0 -
+          $"n_true") / $"n_true", 4) + lit(0.0)).as("rel_err"))
+  }
+
   /** Feed-freshness SLA board (q232) — per event_type the lag between
     * its newest event and the corpus watermark (global max ts), with a
     * 24h SLA verdict: the first page of every ingestion dashboard, and
@@ -1639,6 +1733,9 @@ object TimeQueries extends QueryModule {
     "q221_ses_smooth"        -> (qSesSmooth _),
     "q229_markov_eval"       -> (qMarkovEval _),
     "q232_freshness_sla"     -> (qFreshnessSla _),
+    "q237_fd_binning"        -> (qFdBinning _),
+    "q239_rfm_features"      -> (qRfmFeatures _),
+    "q240_capture_recapture" -> (qCaptureRecapture _),
     "q233_exp_gap_fit"       -> (qExpGapFit _),
     "q234_trending_items"    -> (qTrendingItems _),
     "q99_funnel"             -> (qFunnel _),
@@ -1646,6 +1743,61 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q237_fd_binning" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+        |      AS iqr_raw,
+        |    min(value) AS lo, max(value) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n, round(iqr_raw, 4) AS iqr,
+        |  round(2.0 * iqr_raw / cbrt(CAST(n AS DOUBLE)), 4)
+        |    AS bin_width,
+        |  round((hi - lo) / (2.0 * iqr_raw / cbrt(CAST(n AS DOUBLE))), 4)
+        |    AS n_bins
+        |FROM s ORDER BY event_type""".stripMargin,
+    "q239_rfm_features" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT max(tus) AS wm_us FROM p),
+        |rfm AS (
+        |  SELECT user_id,
+        |    round((wm_us - max(tus)) / 3600000000.0, 4) AS recency_h,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    round(sum(value), 4) AS monetary
+        |  FROM p CROSS JOIN wm GROUP BY user_id, wm_us),
+        |seg AS (
+        |  SELECT *,
+        |    ntile(3) OVER (ORDER BY recency_h ASC, user_id) AS r,
+        |    ntile(3) OVER (ORDER BY frequency DESC, user_id) AS f,
+        |    ntile(3) OVER (ORDER BY monetary DESC, user_id) AS m
+        |  FROM rfm)
+        |SELECT user_id, recency_h, frequency, monetary,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |    AS segment
+        |FROM seg ORDER BY user_id""".stripMargin,
+    "q240_capture_recapture" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events),
+        |cut AS (SELECT (min(tus) + max(tus)) // 2 AS cut FROM ev),
+        |flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN tus < cut THEN 1 ELSE 0 END) AS s1,
+        |    max(CASE WHEN tus >= cut THEN 1 ELSE 0 END) AS s2
+        |  FROM ev CROSS JOIN cut GROUP BY user_id),
+        |agg AS (
+        |  SELECT CAST(sum(s1) AS BIGINT) AS n1,
+        |    CAST(sum(s2) AS BIGINT) AS n2,
+        |    CAST(sum(s1 * s2) AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_true
+        |  FROM flags)
+        |SELECT n1, n2, m, n_true,
+        |  round((n1 + 1) * (n2 + 1) / (m + 1.0) - 1.0, 4) AS n_hat,
+        |  round(((n1 + 1) * (n2 + 1) / (m + 1.0) - 1.0 - n_true)
+        |    / n_true, 4) + 0.0 AS rel_err
+        |FROM agg""".stripMargin,
     "q232_freshness_sla" ->
       """WITH pt AS (
         |  SELECT event_type,

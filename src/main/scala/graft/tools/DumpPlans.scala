@@ -69,7 +69,10 @@ object DumpPlans {
     "q225_l_diversity", "q226_pq_rerank", "q227_textrank",
     "q228_ppmi_sim", "q229_markov_eval", "q230_zone_map",
     "q231_neyman_alloc", "q232_freshness_sla", "q233_exp_gap_fit",
-    "q234_trending_items", "q235_shard_plan", "q236_source_dedup_impact")
+    "q234_trending_items", "q235_shard_plan", "q236_source_dedup_impact",
+    "q237_fd_binning", "q238_gate_kappa", "q239_rfm_features",
+    "q240_capture_recapture", "q241_vocab_coverage",
+    "q242_lexical_burst", "q243_keyness", "q244_feature_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

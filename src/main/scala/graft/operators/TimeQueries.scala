@@ -215,6 +215,30 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** VARIANT semi-structured extraction (q245) — the Spark 4 native
+    * path for JSON columns (parse once into the binary VARIANT
+    * encoding, then typed path extraction), vs q23's per-access string
+    * parsing with get_json_object: on a 100 TB event lake the VARIANT
+    * parse is paid ONCE per row and every downstream `variant_get` is
+    * a binary field probe, not a re-parse — the open-lakehouse
+    * semi-structured story (Parquet variant shredding). Semantics are
+    * pinned to q23's: `try_variant_get(..., 'bigint')` returns NULL on
+    * missing paths/cast failures exactly like the legacy function, so
+    * the same DuckDB oracle applies; the item id folds to a 10-band
+    * histogram to keep the output dimension-sized. */
+  def qVariantJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = parse_json($"props")
+    Tables.events(s, dir)
+      .select(try_variant_get(v, "$.k", "bigint").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy(pmod($"k", lit(10L)).as("k_band"))
+      .agg(count(lit(1)).as("n"), min($"k").as("k_min"),
+        max($"k").as("k_max"),
+        countDistinct($"k").as("n_items"))
+      .orderBy($"k_band")
+  }
+
   /** Freedman–Diaconis histogram plan (q237) — the robust bin-width
     * rule (h = 2·IQR/n^⅓, Freedman & Diaconis 1981) every auto-binning
     * dashboard and KDE bandwidth heuristic starts from, per event_type
@@ -1734,6 +1758,7 @@ object TimeQueries extends QueryModule {
     "q229_markov_eval"       -> (qMarkovEval _),
     "q232_freshness_sla"     -> (qFreshnessSla _),
     "q237_fd_binning"        -> (qFdBinning _),
+    "q245_variant_json"      -> (qVariantJson _),
     "q239_rfm_features"      -> (qRfmFeatures _),
     "q240_capture_recapture" -> (qCaptureRecapture _),
     "q233_exp_gap_fit"       -> (qExpGapFit _),
@@ -1743,6 +1768,15 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q245_variant_json" ->
+      """WITH k AS (
+        |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT k % 10 AS k_band, CAST(count(*) AS BIGINT) AS n,
+        |  min(k) AS k_min, max(k) AS k_max,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_items
+        |FROM k GROUP BY k % 10 ORDER BY k_band""".stripMargin,
     "q237_fd_binning" ->
       """WITH s AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -308,6 +308,46 @@ class SessionizeSpec extends AnyFunSuite {
           s"only-batch=${(batch -- streamed).take(5)}")
     } finally q.stop()
   }
+
+  test("transformWithState throttle agrees with batch q103 across a batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Throttle
+    // the new API runs only on the RocksDB state-store provider —
+    // scope the provider switch to this query's lifetime
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .as[Throttle.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val src = MemoryStream[Throttle.Event]
+    val q = Throttle.viaTransformWithState(src.toDS())
+      .writeStream.format("memory").queryName("throttle_tws")
+      .outputMode("append").start()
+    try {
+      src.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      src.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("throttle_tws")
+        .select($"event_id").as[Long].collect().toSet
+      val batch = graft.operators.TimeQueries
+        .qThrottleLastKept(spark, "/root/testdata/sf0.001")
+        .select($"event_id").as[Long].collect().toSet
+      assert(streamed == batch,
+        s"tws/batch diverge: only-stream=${(streamed -- batch).take(5)} " +
+          s"only-batch=${(batch -- streamed).take(5)}")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

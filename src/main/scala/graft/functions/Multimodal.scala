@@ -375,6 +375,71 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Decoded 16-bit mono PCM samples + rate, for spectral analysis. */
+  private[graft] def wavSamples(bytes: Array[Byte])
+      : Option[(Int, Array[Int])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+            f.isBigEndian ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val raw = in.readAllBytes()
+          val n = raw.length / 2
+          val xs = Array.tabulate(n)(i =>
+            (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
+          Some((f.getSampleRate.toInt, xs))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Normalized single-bin DFT magnitude at `freq` Hz: |Σ x_j·e^(−2πi·
+    * k·j/n)| / n with k = round(freq·n/rate) — the probe a quality
+    * pipeline runs per band (Goertzel computes the same bin in O(n)
+    * with 1 multiply/sample; the direct sum is kept because the oracle
+    * replays the identical summation order on the literal fixture). */
+  private[graft] def dftMagnitude(xs: Array[Int], rate: Int,
+      freq: Int): Double = {
+    val n = xs.length
+    if (n == 0) return 0.0
+    val k = math.round(freq.toDouble * n / rate).toInt
+    var re = 0.0; var im = 0.0; var j = 0
+    while (j < n) {
+      val ang = -2.0 * math.Pi * k * j / n
+      re += xs(j) * math.cos(ang)
+      im += xs(j) * math.sin(ang)
+      j += 1
+    }
+    math.sqrt(re * re + im * im) / n
+  }
+
+  /** Per-partition spectral probe: adds one nullable double column
+    * `m<freq>` per requested frequency (normalized DFT magnitude) —
+    * per-row map work like the decode itself. */
+  def spectralFeatures(df: DataFrame, binCol: String,
+      freqs: Seq[Int]): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = freqs.foldLeft(inSchema)((s, f) =>
+      s.add(s"m$f", DoubleType))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] =
+          wavSamples(r.getAs[Array[Byte]](binIdx)) match {
+            case Some((rate, xs)) =>
+              freqs.map(f => dftMagnitude(xs, rate, f): Any)
+            case None => freqs.map(_ => null: Any)
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+  }
+
   /** Per-partition audio decode: adds nullable `sample_rate`,
     * `n_samples`, `rms`, `zero_crossings` columns, preserving inputs.
     * Decode is per-partition map work — at corpus scale the dominant

@@ -197,7 +197,42 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Spectral probe frequencies for q246: the planted square wave
+    * (period 8 @ 8000 Hz) has its fundamental at 1000 Hz, so the
+    * 1000 Hz bin must dominate 500 (absent) and 3000 (the first odd
+    * harmonic sits there with 1/3 the amplitude — square-wave
+    * physics, visible in the emitted magnitudes). */
+  private val ProbeHz = Seq(500, 1000, 3000)
+
+  /** Audio spectral probe (q246) — REAL frequency-domain features
+    * through the same AudioSystem decode as q208: normalized
+    * single-bin DFT magnitude at three probe bands plus the dominant
+    * band — the band-energy fingerprint an audio-quality gate keys on
+    * (silence/tone/voiced separation) and the seam a full MFCC stack
+    * plugs into. Per-row map work (O(n) per probe via Goertzel in
+    * production; direct sum here so the oracle replays the identical
+    * float summation order on the literal fixture — q208's constant
+    * discipline); rejected bytes → null row, F4. */
+  def qAudioSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, unhex(lit(TinyWavHex)))
+          .otherwise($"text".cast("binary")).as("media"))
+    val sp = Multimodal.spectralFeatures(media, "media", ProbeHz)
+    val dominant = ProbeHz.map(f => struct(col(s"m$f").as("m"),
+      lit(f).as("hz")))
+    sp.select($"doc_id",
+        round($"m500", 4).as("m500"),
+        round($"m1000", 4).as("m1000"),
+        round($"m3000", 4).as("m3000"),
+        when($"m500".isNotNull,
+          greatest(dominant: _*).getField("hz")).as("dominant_hz"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_audio_spectrum" -> (qAudioSpectrum _),
     "q60_media_meta"     -> (qMediaMeta _),
     "q61_media_features" -> (qMediaFeatures _),
     "q138_video_frames"  -> (qVideoFrames _),
@@ -206,6 +241,27 @@ object MultimodalQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q246: constants from the same direct-DFT arithmetic on the
+    // literal sample vector (identical summation order ⇒ identical
+    // doubles), independent of the decode path.
+    "q246_audio_spectrum" -> {
+      val xs = squareWave.map(_.toInt)
+      def m(f: Int): Double = BigDecimal(
+          graft.functions.Multimodal.dftMagnitude(xs, 8000, f))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dom = ProbeHz.maxBy(f =>
+        (graft.functions.Multimodal.dftMagnitude(xs, 8000, f), f))
+      s"""SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(${m(500)} AS DOUBLE) END
+        |    AS m500,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(${m(1000)} AS DOUBLE) END
+        |    AS m1000,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(${m(3000)} AS DOUBLE) END
+        |    AS m3000,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST($dom AS INTEGER) END
+        |    AS dominant_hz
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // q208: the engine really decodes PCM via AudioSystem; the oracle
     // states the planted wave's constants from independent Scala
     // arithmetic on the sample vector (waveStats) — null for the

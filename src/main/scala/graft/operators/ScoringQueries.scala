@@ -637,7 +637,9 @@ object ScoringQueries extends QueryModule {
     * an empty partition spec, which TopKWindowRule rewrites to the
     * bounded-heap aggregate: no single-partition sort of all scored
     * docs. */
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
+  /** The ranked BM25 frame (rk, doc_id, raw score) shared by q125 and
+    * q247's pseudo-relevant set. */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("term"))
@@ -660,7 +662,49 @@ object ScoringQueries extends QueryModule {
     val w = Window.orderBy($"score".desc, $"doc_id".asc)
     contrib.groupBy($"doc_id").agg(score.as("score"))
       .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+  }
+
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bm25Ranked(s, dir)
       .select($"rk", $"doc_id", round($"score", 4).as("score"))
+      .orderBy($"rk")
+  }
+
+  /** Pseudo-relevance-feedback query expansion (q247) — Rocchio 1971 /
+    * RM3-lite, the classic second stage of a retrieval pipeline: treat
+    * q125's BM25 top-10 as pseudo-relevant, rank the terms of THOSE
+    * documents (query terms and stopwords excluded) by tf-in-relevant
+    * × smoothed idf (q71's ln((N+1)/(df+1))+1 against the FULL corpus
+    * — a term common everywhere is no expansion signal), emit the
+    * top-8 expansion candidates with their relevant-set df. Cost: the
+    * relevant token stream is 10 documents (semi-join on the broadcast
+    * top-10 ids); the corpus-wide df table is the q71/q72 vocabulary
+    * aggregate that broadcasts back — nothing new scales with the
+    * corpus beyond the one df pass retrieval already pays. */
+  def qPrfExpansion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val topDocs = bm25Ranked(s, dir).select($"doc_id")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val dfAll = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val rel = toks.join(broadcast(topDocs), "doc_id")
+      .filter(!$"term".isin(Bm25Terms: _*) &&
+        !TextOps.isStopword($"term"))
+    val scored = rel.groupBy($"term")
+      .agg(count(lit(1)).as("tf_rel"),
+        countDistinct($"doc_id").as("df_rel"))
+      .join(broadcast(dfAll), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", $"tf_rel" *
+        (log(($"n" + 1.0) / ($"df" + 1.0)) + lit(1.0)))
+    val w = Window.orderBy(round($"score", 6).desc, $"term".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 8)
+      .select($"rk", $"term", $"tf_rel", $"df_rel", $"df",
+        round($"score", 4).as("score"))
       .orderBy($"rk")
   }
 
@@ -910,6 +954,7 @@ object ScoringQueries extends QueryModule {
       "q194_psi_drift" -> (qPsiDrift _),
       "q142_quality_calibrate" -> (qQualityCalibrate _),
       "q125_bm25" -> (qBm25 _),
+      "q247_prf_expansion" -> (qPrfExpansion _),
       "q115_source_drift" -> (qSourceDrift _),
       "q114_dsir_select" -> (qDsirSelect _),
       "q71_tfidf_topk"  -> (qTfidfTopk _),
@@ -1093,6 +1138,62 @@ object ScoringQueries extends QueryModule {
         |  (len(list_filter(cs, c -> round(q, 4) > round(c, 4))) >= 5)
         |    AS kept
         |FROM t JOIN cuts USING (source) ORDER BY doc_id""".stripMargin,
+    "q247_prf_expansion" -> {
+      val qTerms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
+      s"""WITH toks0 AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks0 GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tfq AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks0
+        |  WHERE term IN $qTerms
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+        |cq AS (
+        |  SELECT tfq.doc_id, tfq.term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * 2.2::DOUBLE) /
+        |      (tf + 1.2::DOUBLE * (0.25 + 0.75 * dl / avgdl)) AS c
+        |  FROM tfq JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats),
+        |sc AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'spark'  THEN c END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'window' THEN c END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'merge'  THEN c END), 0.0)
+        |      AS score
+        |  FROM cq GROUP BY doc_id),
+        |topd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+        |      doc_id) AS rk FROM sc)
+        |  WHERE rk <= 10),
+        |toks AS (SELECT doc_id, term FROM toks0 WHERE term <> ''),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dfall AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM toks)
+        |  GROUP BY term),
+        |rel AS (
+        |  SELECT t.term, CAST(count(*) AS BIGINT) AS tf_rel,
+        |    CAST(count(DISTINCT t.doc_id) AS BIGINT) AS df_rel
+        |  FROM toks t JOIN topd USING (doc_id)
+        |  WHERE t.term NOT IN $qTerms
+        |    AND t.term NOT IN ${TextOps.stopwordsSqlList}
+        |  GROUP BY t.term),
+        |scored AS (
+        |  SELECT rel.term, tf_rel, df_rel, dfall.df,
+        |    tf_rel * (ln((nd.n + 1.0) / (dfall.df + 1.0)) + 1.0)
+        |      AS score
+        |  FROM rel JOIN dfall USING (term) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    ORDER BY round(score, 6) DESC, term ASC) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT rk, term, tf_rel, df_rel, df, round(score, 4) AS score
+        |FROM ranked WHERE rk <= 8 ORDER BY rk""".stripMargin
+    },
     "q125_bm25" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(str_split(text, ' ')) AS term

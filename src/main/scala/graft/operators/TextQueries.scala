@@ -592,6 +592,32 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** BPE compression card (q248) — the number a tokenizer fit is
+    * JUDGED by (Sennrich et al. report it as the compression/fertility
+    * trade): apply q137's sequential merge table to the vocabulary and
+    * emit symbols-before (characters), tokens-after, the compression
+    * ratio, and mean tokens/word — all frequency-weighted so the card
+    * reflects the token stream, while computed entirely on the
+    * DISTINCT (word, freq) frame (never the stream itself — the q110
+    * discipline). The fitted-merge artifact is the same memoized
+    * driver-side table q132 applies; the oracle replays the full
+    * fit+apply recursive-CTE chain and aggregates identically. */
+  def qBpeCompression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = fittedMerges(s, dir).map { case (_, a, b, _) => (a, b) }
+    bpeVocab(s, dir).withColumn("st", bpeApply($"w", merges))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum($"freq").as("n_words"),
+        sum($"freq" * length($"w")).as("symbols_before"),
+        sum($"freq" * size($"st")).as("tokens_after"))
+      .select($"vocab_size", $"n_words", $"symbols_before",
+        $"tokens_after",
+        round($"tokens_after" / $"symbols_before".cast("double"), 4)
+          .as("compression"),
+        round($"tokens_after" / $"n_words".cast("double"), 4)
+          .as("tokens_per_word"))
+  }
+
   /** Inverted index with BOUNDED posting lists (q119): term → document
     * frequency + the 10 lowest doc_ids holding it, top-200 terms by df.
     * The unbounded form (collect_set of every doc per term) is the
@@ -997,6 +1023,7 @@ object TextQueries extends QueryModule {
     "q241_vocab_coverage" -> (qVocabCoverage _),
     "q242_lexical_burst" -> (qLexicalBurst _),
     "q243_keyness" -> (qKeyness _),
+    "q248_bpe_compression" -> (qBpeCompression _),
     "q164_oov_rate" -> (qOovRate _),
     "q167_fertility" -> (qFertility _),
     "q170_langid_confusion" -> (qLangIdConfusion _),
@@ -1334,6 +1361,32 @@ object TextQueries extends QueryModule {
          |        list_filter(str_split($cleanSql, ' '), t -> t <> '') AS w
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+    "q248_bpe_compression" ->
+      s"""WITH RECURSIVE ${bpeSeqCteSql(10)},
+         |enc AS (
+         |  SELECT w, freq, sym AS st, 0 AS r FROM s0
+         |  UNION ALL
+         |  SELECT e.w, e.freq,
+         |    replace(e.st,
+         |      ' ' || m.a || '  ' || m.b || ' ',
+         |      ' ' || m.a || m.b || ' ') AS st,
+         |    e.r + 1
+         |  FROM enc e JOIN m ON m.rk = e.r + 1
+         |  WHERE e.r < 10),
+         |fin AS (
+         |  SELECT w, freq,
+         |    len(str_split(trim(st), '  ')) AS ntok
+         |  FROM enc
+         |  WHERE r = coalesce((SELECT max(rk) FROM m), 0))
+         |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+         |  CAST(sum(freq) AS BIGINT) AS n_words,
+         |  CAST(sum(freq * len(w)) AS BIGINT) AS symbols_before,
+         |  CAST(sum(freq * ntok) AS BIGINT) AS tokens_after,
+         |  round(sum(freq * ntok)
+         |    / CAST(sum(freq * len(w)) AS DOUBLE), 4) AS compression,
+         |  round(sum(freq * ntok) / CAST(sum(freq) AS DOUBLE), 4)
+         |    AS tokens_per_word
+         |FROM fin""".stripMargin,
     "q132_bpe_encode" ->
       s"""WITH RECURSIVE ${bpeSeqCteSql(10)},
          |enc AS (

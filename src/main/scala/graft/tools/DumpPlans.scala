@@ -72,7 +72,9 @@ object DumpPlans {
     "q234_trending_items", "q235_shard_plan", "q236_source_dedup_impact",
     "q237_fd_binning", "q238_gate_kappa", "q239_rfm_features",
     "q240_capture_recapture", "q241_vocab_coverage",
-    "q242_lexical_burst", "q243_keyness", "q244_feature_corr")
+    "q242_lexical_burst", "q243_keyness", "q244_feature_corr",
+    "q245_variant_json", "q246_audio_spectrum", "q247_prf_expansion",
+    "q248_bpe_compression")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

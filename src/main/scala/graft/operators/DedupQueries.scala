@@ -776,6 +776,33 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** SimHash bit-balance audit (q251) — the hash-family health check
+    * every sketch consumer should run once: a fair sign-random-
+    * projection family puts each of the 60 sketch bits at ~50% ones
+    * across documents; a biased bit carries less than one bit of
+    * information, inflating collision rates and silently loosening
+    * q33/q85's hamming thresholds (Manku's detection guarantee assumes
+    * independent fair bits). Per bit position: the ones-share, signed
+    * bias vs 0.5, and a |bias| > 0.1 flag. The sketch table collapses
+    * to 60 cells via one posexploded partial aggregate — map-side
+    * combined, metadata-scale output at any corpus size. */
+  def qSimhashBitBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashSketch(s, dir)
+      .select($"doc_id", posexplode(array((0 until 60).map(b =>
+        shiftrightunsigned($"simhash", b).bitwiseAND(lit(1L))): _*))
+        .as(Seq("bit", "v")))
+      .groupBy($"bit")
+      .agg(count(lit(1)).as("n_docs"), sum($"v").as("n_ones"))
+      .select($"bit", $"n_ones",
+        round($"n_ones".cast("double") / $"n_docs", 4).as("ones_share"),
+        (round($"n_ones".cast("double") / $"n_docs" - 0.5, 4) + lit(0.0))
+          .as("bias"),
+        (abs($"n_ones".cast("double") / $"n_docs" - 0.5) > 0.1)
+          .as("skewed"))
+      .orderBy($"bit")
+  }
+
   /** Block-combination candidate keys for hamming ≤ 3 over the 60-bit
     * sketch: split into 6 blocks of 10 bits; key on every 3-subset of
     * blocks (C(6,3) = 20 keys/doc). With ≤ 3 flipped bits at most 3
@@ -1195,6 +1222,7 @@ object DedupQueries extends QueryModule {
     "q32_minhash_lsh"   -> (qMinhashLsh _),
     "q136_dedup_yield"  -> (qDedupYield _),
     "q33_simhash"       -> (qSimhash _),
+    "q251_simhash_bits" -> (qSimhashBitBalance _),
     "q34_embed_cos_dup" -> (qEmbedCosineDup _),
     "q35_contamination" -> (qContamination _),
     "q107_contam_frac"  -> (qContamFraction _),
@@ -2024,6 +2052,21 @@ object DedupQueries extends QueryModule {
           |FROM lab""".stripMargin,
       // q33: the md5-based sketch is bit-reproducible in SQL — 60 signed
       // bit-sums per doc, sign bits reassembled, 15-bit bands.
+      "q251_simhash_bits" -> {
+        val bitRows = (0 until 60).map(b =>
+          s"SELECT doc_id, $b AS bit, (simhash >> $b) & 1 AS v FROM sk")
+          .mkString("\n|  UNION ALL ")
+        s"""$simhashOracleCtes,
+          |bitrows AS (
+          |  $bitRows)
+          |SELECT bit, CAST(sum(v) AS BIGINT) AS n_ones,
+          |  round(sum(v) / CAST(count(*) AS DOUBLE), 4) AS ones_share,
+          |  round(sum(v) / CAST(count(*) AS DOUBLE) - 0.5, 4) + 0.0
+          |    AS bias,
+          |  abs(sum(v) / CAST(count(*) AS DOUBLE) - 0.5) > 0.1
+          |    AS skewed
+          |FROM bitrows GROUP BY bit ORDER BY bit""".stripMargin
+      },
       "q33_simhash" ->
         s"""$simhashOracleCtes
           |SELECT doc_id, simhash,

@@ -815,6 +815,42 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Box–Cox transform selection (q250) — pick the variance-
+    * stabilizing power transform for the document-length feature by
+    * profile log-likelihood over the standard λ grid {−1, −0.5, 0,
+    * 0.5, 1} (Box & Cox 1964): LL(λ) = −n/2·ln σ̂²_λ + (λ−1)·Σ ln x,
+    * where y_λ = (x^λ−1)/λ (ln x at λ = 0) — the preprocessing
+    * decision behind any Gaussian-ish model on a right-skewed length
+    * distribution (q178's z-scores assume one). ALL five transforms'
+    * moments come from ONE corpus pass (5 conditional aggregates of
+    * mergeable moments); the LL algebra and argmax run on the 5-row
+    * grid. The winner is flagged; population variance (σ̂² MLE) used
+    * as published. */
+  def qBoxCox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lambdas = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+    val x = $"n_chars".cast("double")
+    def yl(l: Double): Column =
+      if (l == 0.0) log(x) else (pow(x, lit(l)) - 1.0) / lit(l)
+    val aggs = lambdas.zipWithIndex.flatMap { case (l, i) =>
+      Seq(avg(yl(l)).as(s"m$i"), var_pop(yl(l)).as(s"v$i")) }
+    val allAggs = Seq(count(lit(1)).as("n"),
+      sum(log(x)).as("slnx")) ++ aggs
+    val base = Tables.documents(s, dir)
+      .filter($"n_chars" > 0)
+      .agg(allAggs.head, allAggs.tail: _*)
+    val rows = lambdas.zipWithIndex.map { case (l, i) =>
+      base.select(lit(l).as("lambda"), $"n",
+        (lit(-0.5) * $"n" * log(col(s"v$i")) +
+          (lit(l) - 1.0) * $"slnx").as("ll"))
+    }.reduce(_.union(_))
+    val best = rows.agg(max(round($"ll", 4)).as("best_ll"))
+    rows.crossJoin(broadcast(best))
+      .select($"lambda", (round($"ll", 4) + lit(0.0)).as("log_lik"),
+        (round($"ll", 4) === $"best_ll").as("selected"))
+      .orderBy($"lambda")
+  }
+
   /** Feature correlation card (q244) — pairwise Pearson r between the
     * three document features every gate in the suite consumes
     * (n_chars, token count, mean token length): the collinearity
@@ -1042,6 +1078,7 @@ object QualityQueries extends QueryModule {
       "q225_l_diversity"     -> (qLDiversity _),
       "q231_neyman_alloc"    -> (qNeymanAlloc _),
       "q244_feature_corr"    -> (qFeatureCorr _),
+      "q250_box_cox"         -> (qBoxCox _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
@@ -1243,6 +1280,29 @@ object QualityQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_band""".stripMargin,
+    "q250_box_cox" -> {
+      val lambdas = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
+      def ySql(l: Double): String =
+        if (l == 0.0) "ln(x)" else s"(pow(x, $l) - 1) / $l"
+      val vCols = lambdas.zipWithIndex.map { case (l, i) =>
+        s"var_pop(${ySql(l)}) AS v$i" }.mkString(",\n|    ")
+      val rowSel = lambdas.zipWithIndex.map { case (l, i) =>
+        s"SELECT $l AS lambda, n, -0.5 * n * ln(v$i) + ($l - 1.0) * slnx AS ll FROM agg"
+      }.mkString("\n|  UNION ALL ")
+      s"""WITH base AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+        |  WHERE n_chars > 0),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, sum(ln(x)) AS slnx,
+        |    $vCols
+        |  FROM base),
+        |rows AS (
+        |  $rowSel),
+        |best AS (SELECT max(round(ll, 4)) AS best_ll FROM rows)
+        |SELECT lambda, round(ll, 4) + 0.0 AS log_lik,
+        |  round(ll, 4) = best_ll AS selected
+        |FROM rows CROSS JOIN best ORDER BY lambda""".stripMargin
+    },
     "q244_feature_corr" ->
       """WITH f AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS fc,

@@ -439,6 +439,46 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk_cur")
   }
 
+  /** Markov absorption probability (q249) — the dynamic-programming
+    * read on q162's chain: from each state, the probability of
+    * reaching `purchase` within 5 transitions (purchase absorbs at 1,
+    * the END state at 0 — the "will this session still convert?"
+    * number a real-time nudge system keys on, and the bounded-horizon
+    * power-series form of the absorbing-chain solve (I−Q)⁻¹R that
+    * avoids a matrix inverse). Corpus → |types|²-row matrix in one
+    * lead-window pass (q162's plan); each of the 5 iterations is a
+    * join+agg on that matrix — metadata-scale however big the corpus.
+    * Oracle: 5 unrolled CTE rounds. */
+  def qAbsorption(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type",
+        coalesce(lead($"event_type", 1).over(byUser), lit("END")))
+      .groupBy($"event_type".as("src"), $"next_type".as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val m = trans
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"src")))
+      .select($"src", $"dst", $"p")
+      .localCheckpoint()
+    val states = m.select($"src".as("state")).distinct()
+    var pv = states.select($"state",
+      when($"state" === "purchase", 1.0).otherwise(0.0).as("pc"))
+    for (_ <- 1 to 5) {
+      val nxt = m.join(pv.select($"state".as("dst"), $"pc"), "dst")
+        .groupBy($"src").agg(sum($"p" * $"pc").as("flow"))
+      pv = states.join(nxt.select($"src".as("state"), $"flow"),
+          Seq("state"), "left")
+        .select($"state",
+          when($"state" === "purchase", 1.0)
+            .otherwise(coalesce($"flow", lit(0.0))).as("pc"))
+    }
+    pv.select($"state", round($"pc", 4).as("p_convert_5"))
+      .orderBy($"state")
+  }
+
   /** Markov next-event evaluation (q229) — turns q162's transition
     * model into a graded predictor: for every observed transition,
     * predict the modal next type given the current one (argmax row of
@@ -1756,6 +1796,7 @@ object TimeQueries extends QueryModule {
     "q116_gap_fill"          -> (qGapFill _),
     "q221_ses_smooth"        -> (qSesSmooth _),
     "q229_markov_eval"       -> (qMarkovEval _),
+    "q249_absorption"        -> (qAbsorption _),
     "q232_freshness_sla"     -> (qFreshnessSla _),
     "q237_fd_binning"        -> (qFdBinning _),
     "q245_variant_json"      -> (qVariantJson _),
@@ -1768,6 +1809,47 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q249_absorption" -> {
+      def roundCte(prev: String, cur: String): String =
+        s"""f$cur AS (
+          |  SELECT m.src, sum(m.p * p$prev.pc) AS flow
+          |  FROM m JOIN p$prev ON p$prev.state = m.dst
+          |  GROUP BY m.src),
+          |p$cur AS (
+          |  SELECT s.state,
+          |    CASE WHEN s.state = 'purchase' THEN 1.0
+          |         ELSE coalesce(f$cur.flow, 0.0) END AS pc
+          |  FROM states s LEFT JOIN f$cur ON f$cur.src = s.state)"""
+          .stripMargin
+      s"""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    event_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT event_type AS src,
+        |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id), 'END') AS dst
+        |  FROM ev),
+        |cnt AS (
+        |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr GROUP BY src, dst),
+        |m AS (
+        |  SELECT src, dst,
+        |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        |  FROM cnt),
+        |states AS (SELECT DISTINCT src AS state FROM m),
+        |p0 AS (
+        |  SELECT state,
+        |    CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS pc
+        |  FROM states),
+        |${roundCte("0", "1")},
+        |${roundCte("1", "2")},
+        |${roundCte("2", "3")},
+        |${roundCte("3", "4")},
+        |${roundCte("4", "5")}
+        |SELECT state, round(pc, 4) AS p_convert_5
+        |FROM p5 ORDER BY state""".stripMargin
+    },
     "q245_variant_json" ->
       """WITH k AS (
         |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

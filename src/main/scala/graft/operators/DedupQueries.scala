@@ -352,6 +352,56 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** b-bit minhash calibration (q254) — Li & König 2010: store only
+    * the LOWEST bit of each of the 32 minhash positions (32 bits of
+    * sketch per doc, 48× smaller than the 48-bit-position signature)
+    * and estimate Jaccard from the bit-match rate via E[match] =
+    * J + (1−J)/2 ⇒ Ĵ₁ = 2·m̂ − 1 (the b = 1 estimator under the
+    * paper's small-collision regime). Emitted against q174's full-
+    * signature estimate AND the exact Jaccard per blocked pair, so the
+    * table shows precisely what the 48× compression costs in estimator
+    * variance (Var grows ~3× at J≈0.5) — the number that decides
+    * whether the at-rest index (q143) stores bits or positions. Same
+    * staged signatures and block-capped pair frame as q174 — only the
+    * final per-pair arithmetic differs. */
+  def qBbitMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = mdSignatures(s, dir)
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("x_id"), $"blk", $"sh".as("x_sh"))
+    val y = d.select($"doc_id".as("y_id"), $"blk", $"sh".as("y_sh"))
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    val union = size($"x_sh").cast("long") + size($"y_sh") - inter
+    val pairs = x.join(y, Seq("blk")).filter($"x_id" < $"y_id")
+      .select($"x_id", $"y_id",
+        round(inter.cast("double") / union, 4).as("j_exact"))
+    val sx = sigs.select($"doc_id".as("x_id") +:
+      (0 until TuneSigK).map(i => col(s"s$i").as(s"x$i")): _*)
+    val sy = sigs.select($"doc_id".as("y_id") +:
+      (0 until TuneSigK).map(i => col(s"s$i").as(s"y$i")): _*)
+    val agreeFull = (0 until TuneSigK)
+      .map(i => (col(s"x$i") === col(s"y$i")).cast("long"))
+      .reduce(_ + _)
+    val agreeB1 = (0 until TuneSigK)
+      .map(i => (col(s"x$i") % 2 === col(s"y$i") % 2).cast("long"))
+      .reduce(_ + _)
+    val jB1 = round(lit(2.0) * (agreeB1 / lit(TuneSigK.toDouble)) -
+      lit(1.0), 4) + lit(0.0)
+    pairs.join(sx, "x_id").join(sy, "y_id")
+      .select($"x_id", $"y_id", $"j_exact",
+        round(agreeFull / lit(TuneSigK.toDouble), 4).as("j_full"),
+        agreeB1.as("n_bit_match"),
+        jB1.as("j_b1"),
+        (round(jB1 - $"j_exact", 4) + lit(0.0)).as("err_b1"))
+      .orderBy($"x_id", $"y_id")
+  }
+
   private val MinhashK = 32   // signature length
   private val BandRows = 4    // rows per LSH band → 8 bands
 
@@ -1216,6 +1266,7 @@ object DedupQueries extends QueryModule {
     "q172_sparse_cosine"  -> (qSparseCosine _),
     "q173_lsh_tuning"     -> (qLshTuning _),
     "q174_minhash_estimate" -> (qMinhashEstimate _),
+    "q254_bbit_minhash" -> (qBbitMinhash _),
     "q179_novelty"        -> (qNovelty _),
     "q185_crosslingual_dup" -> (qCrossLingualDup _),
     "q186_dup_transitivity" -> (qDupTransitivity _),
@@ -1563,6 +1614,57 @@ object DedupQueries extends QueryModule {
           |$cfgCtes
           |$sel
           |ORDER BY b DESC""".stripMargin
+      },
+      "q254_bbit_minhash" -> {
+        val sigCols = (0 until TuneSigK).map(i =>
+          s"min((h1 + $i * h2) % $Sig48) AS s$i").mkString(",\n|    ")
+        val agree = (0 until TuneSigK).map(i =>
+          s"(CASE WHEN a.s$i = c.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        val agreeB1 = (0 until TuneSigK).map(i =>
+          s"(CASE WHEN a.s$i % 2 = c.s$i % 2 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |shs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+          |  FROM idx GROUP BY doc_id),
+          |b AS (
+          |  SELECT doc_id, shs, list_aggregate(shs, 'min') AS blk,
+          |         count(*) OVER (PARTITION BY list_aggregate(shs, 'min')) AS blk_n
+          |  FROM shs WHERE len(shs) > 0),
+          |pairs AS (
+          |  SELECT x.doc_id AS x_id, y.doc_id AS y_id,
+          |    round(len(list_intersect(x.shs, y.shs))
+          |      / CAST(len(x.shs) + len(y.shs)
+          |             - len(list_intersect(x.shs, y.shs)) AS DOUBLE),
+          |      4) AS j_exact
+          |  FROM b x JOIN b y
+          |    ON x.blk = y.blk AND x.doc_id < y.doc_id
+          |  WHERE x.blk_n <= 1000),
+          |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |w2 AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5('mh:' || sh), 1, 12))::BIGINT AS h1,
+          |    ('0x' || substr(md5('mh:' || sh), 13, 12))::BIGINT AS h2
+          |  FROM w),
+          |sigs AS (
+          |  SELECT doc_id,
+          |    $sigCols
+          |  FROM w2 GROUP BY doc_id)
+          |SELECT p.x_id, p.y_id, p.j_exact,
+          |  round(($agree) / ${TuneSigK.toDouble}, 4) AS j_full,
+          |  CAST($agreeB1 AS BIGINT) AS n_bit_match,
+          |  round(2.0 * (($agreeB1) / ${TuneSigK.toDouble}) - 1.0, 4)
+          |    + 0.0 AS j_b1,
+          |  round((round(2.0 * (($agreeB1) / ${TuneSigK.toDouble}) - 1.0,
+          |    4) + 0.0) - p.j_exact, 4) + 0.0 AS err_b1
+          |FROM pairs p
+          |JOIN sigs a ON a.doc_id = p.x_id
+          |JOIN sigs c ON c.doc_id = p.y_id
+          |ORDER BY p.x_id, p.y_id""".stripMargin
       },
       "q174_minhash_estimate" -> {
         val sigCols = (0 until TuneSigK).map(i =>

@@ -829,6 +829,71 @@ object ScoringQueries extends QueryModule {
       .withColumn("is_dup", coalesce($"hit", lit(0L)))
   }
 
+  /** word2vec negative-sampling table (q252) — the unigram^0.75 noise
+    * distribution (Mikolov et al. 2013 §2.2: the ¾ power lifts rare
+    * words, the single most-copied constant in embedding training):
+    * per vocabulary term its smoothed probability, cumulative share in
+    * deterministic (count desc, term) order, and the slot count in the
+    * standard 10⁶-entry sampling table (floor of cumulative boundary
+    * differences, so slots sum EXACTLY to the table size — the
+    * alias-free construction). Top-30 emitted. One vocab aggregate;
+    * the cumulative window runs on the vocabulary frame (→ q84's
+    * two-phase cumsum at 100 TB). */
+  def qNegSampling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tc = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    val tot = tc.agg(sum(pow($"c", 0.75)).as("z"))
+    val w = Window.orderBy($"c".desc, $"term".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = tc.crossJoin(broadcast(tot))
+      .withColumn("p", pow($"c", 0.75) / $"z")
+      .withColumn("cum_p", sum(pow($"c", 0.75)).over(w) / $"z")
+      .withColumn("slots",
+        floor($"cum_p" * 1000000L).cast("long") -
+          floor(($"cum_p" - $"p") * 1000000L).cast("long"))
+    val wr = Window.orderBy($"c".desc, $"term".asc)
+    cum.withColumn("rk", row_number().over(wr)).filter($"rk" <= 30)
+      .select($"rk", $"term", $"c", round($"p", 6).as("p"),
+        $"slots")
+      .orderBy($"rk")
+  }
+
+  /** Youden-J threshold selection (q253) — the "pick the cutoff" step
+    * AFTER q201 grades ranking and q203 grades calibration: over the
+    * 21-point threshold grid, TPR/FPR of the "near-dup if score ≤ t"
+    * rule (q201 measured AUC < 0.5: dups score LOWER, so the detector
+    * fires on low scores) and J = TPR − FPR, maximized where the gate
+    * separates best chance-corrected (Youden 1950 — ROC's operating-
+    * point criterion). q204's discipline: the corpus collapses to the
+    * rounded-score histogram once; the grid joins THAT (21×|hist|
+    * bounded work), empty thresholds restored as explicit zero rows. */
+  def qYoudenThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = scoredLabeled(s, dir).groupBy($"score")
+      .agg(sum($"is_dup").as("np"), sum(lit(1L) - $"is_dup").as("nn"))
+    val tot = hist.agg(sum($"np").as("n_pos"), sum($"nn").as("n_neg"))
+    val grid = Tables.documents(s, dir).sparkSession
+      .range(0, 21).select(($"id" * 0.05).as("t"))
+    val agg = grid.join(hist, $"score" <= $"t", "left")
+      .groupBy($"t")
+      .agg(coalesce(sum($"np"), lit(0L)).as("tp"),
+        coalesce(sum($"nn"), lit(0L)).as("fp"))
+      .crossJoin(broadcast(tot))
+    val tpr = $"tp".cast("double") / $"n_pos"
+    val fpr = $"fp".cast("double") / $"n_neg"
+    val j = tpr - fpr
+    val best = agg.agg(max(round(j, 4) + lit(0.0)).as("best_j"))
+    agg.crossJoin(broadcast(best))
+      .select(round($"t", 2).as("t"), $"tp", $"fp",
+        round(tpr, 4).as("tpr"), round(fpr, 4).as("fpr"),
+        (round(j, 4) + lit(0.0)).as("youden_j"),
+        ((round(j, 4) + lit(0.0)) === $"best_j").as("selected"))
+      .orderBy($"t")
+  }
+
   def qAucEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = scoredLabeled(s, dir)
@@ -955,6 +1020,8 @@ object ScoringQueries extends QueryModule {
       "q142_quality_calibrate" -> (qQualityCalibrate _),
       "q125_bm25" -> (qBm25 _),
       "q247_prf_expansion" -> (qPrfExpansion _),
+      "q252_neg_sampling" -> (qNegSampling _),
+      "q253_youden" -> (qYoudenThreshold _),
       "q115_source_drift" -> (qSourceDrift _),
       "q114_dsir_select" -> (qDsirSelect _),
       "q71_tfidf_topk"  -> (qTfidfTopk _),
@@ -1138,6 +1205,55 @@ object ScoringQueries extends QueryModule {
         |  (len(list_filter(cs, c -> round(q, 4) > round(c, 4))) >= 5)
         |    AS kept
         |FROM t JOIN cuts USING (source) ORDER BY doc_id""".stripMargin,
+    "q252_neg_sampling" ->
+      """WITH tc AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+        |  WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT sum(pow(c, 0.75)) AS z FROM tc),
+        |cum AS (
+        |  SELECT term, c, pow(c, 0.75) / z AS p,
+        |    sum(pow(c, 0.75)) OVER (ORDER BY c DESC, term
+        |      ROWS UNBOUNDED PRECEDING) / z AS cum_p
+        |  FROM tc CROSS JOIN tot),
+        |sl AS (
+        |  SELECT *,
+        |    CAST(floor(cum_p * 1000000) AS BIGINT)
+        |      - CAST(floor((cum_p - p) * 1000000) AS BIGINT) AS slots
+        |  FROM cum),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY c DESC, term)
+        |    AS INTEGER) AS rk
+        |  FROM sl)
+        |SELECT rk, term, c, round(p, 6) AS p, slots
+        |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin,
+    "q253_youden" ->
+      s"""WITH $labCtesSql,
+        |hist AS (
+        |  SELECT score, CAST(sum(is_dup) AS BIGINT) AS np,
+        |    CAST(sum(1 - is_dup) AS BIGINT) AS nn
+        |  FROM lab GROUP BY score),
+        |tot AS (
+        |  SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg
+        |  FROM hist),
+        |grid AS (SELECT unnest(range(0, 21)) * 0.05 AS t),
+        |agg AS (
+        |  SELECT t, CAST(coalesce(sum(np), 0) AS BIGINT) AS tp,
+        |    CAST(coalesce(sum(nn), 0) AS BIGINT) AS fp
+        |  FROM grid LEFT JOIN hist ON hist.score <= grid.t
+        |  GROUP BY t),
+        |sc AS (
+        |  SELECT t, tp, fp, CAST(tp AS DOUBLE) / n_pos AS tpr,
+        |    CAST(fp AS DOUBLE) / n_neg AS fpr
+        |  FROM agg CROSS JOIN tot),
+        |best AS (
+        |  SELECT max(round(tpr - fpr, 4) + 0.0) AS best_j FROM sc)
+        |SELECT round(t, 2) AS t, tp, fp, round(tpr, 4) AS tpr,
+        |  round(fpr, 4) AS fpr,
+        |  round(tpr - fpr, 4) + 0.0 AS youden_j,
+        |  (round(tpr - fpr, 4) + 0.0) = best_j AS selected
+        |FROM sc CROSS JOIN best ORDER BY t""".stripMargin,
     "q247_prf_expansion" -> {
       val qTerms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")
       s"""WITH toks0 AS (

@@ -74,7 +74,9 @@ object DumpPlans {
     "q240_capture_recapture", "q241_vocab_coverage",
     "q242_lexical_burst", "q243_keyness", "q244_feature_corr",
     "q245_variant_json", "q246_audio_spectrum", "q247_prf_expansion",
-    "q248_bpe_compression")
+    "q248_bpe_compression", "q249_absorption", "q250_box_cox",
+    "q251_simhash_bits", "q252_neg_sampling", "q253_youden",
+    "q254_bbit_minhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -537,6 +537,68 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** IVF nprobe sweep (q256) — the index-tuning table q128/q135 built
+    * for LSH, applied to the IVF index: recall@5 and candidate volume
+    * at nprobe ∈ 1..4 probed cells, all four sweeps from ONE corpus
+    * assignment pass (the sweep frame unions per-p query expansions;
+    * candidates dedup by construction since cell lists are disjoint
+    * prefixes). Aggregates use exact integer sums (Σhits / (5·|Q|)),
+    * so no float accumulation order exists anywhere — the whole table
+    * hash-matches. The production read: where the recall curve knees
+    * is the nprobe a serving config pins (here 0.36 → ~0.9 across the
+    * sweep on this corpus). Truth = q40's exhaustive top-5, staged
+    * once. */
+  def qNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dots(v: Column) = array(anchors.map(a =>
+      dot(v, array(a.map(lit): _*))): _*)
+    val withCell = vecs(s, dir).withColumn("cells", {
+      val d = dots($"v")
+      val ranked = array_sort(zip_with(d,
+        transform(d, (_, i) => i),
+        (x, i) => struct((-x).as("nd"), i.as("idx"))))
+      transform(ranked, r => r.getField("idx"))
+    })
+    val corpus = withCell
+      .select($"vec_id", $"v", $"nrm", element_at($"cells", 1).as("cell"))
+      .localCheckpoint()
+    val sweeps = (1 to 4).map { p =>
+      withCell.filter($"vec_id" % 100 === 0)
+        .select(lit(p).as("nprobe"), $"vec_id".as("q_id"),
+          $"v".as("qv"), $"nrm".as("qn"),
+          explode(slice($"cells", 1, p)).as("cell"))
+    }.reduce(_.unionAll(_))
+    val scored = chunkedBroadcastJoin(corpus, sweeps, Seq("cell"),
+        QueryChunkRows)
+      .filter($"vec_id" =!= $"q_id")
+      .select($"nprobe", $"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val nCand = scored.groupBy($"nprobe", $"q_id")
+      .agg(count(lit(1)).as("n_cand"))
+    val wA = Window.partitionBy($"nprobe", $"q_id")
+      .orderBy($"cos".desc, $"vec_id".asc)
+    val approxTop = scored.withColumn("rk", row_number().over(wA))
+      .filter($"rk" <= 5).select($"nprobe", $"q_id", $"vec_id")
+    val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val truth = scoredPairs(s, dir, QueryChunkRows)
+      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
+      .select($"q_id", $"vec_id")
+    val hits = approxTop.join(truth, Seq("q_id", "vec_id"))
+      .groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("n_hits"))
+    nCand.join(hits, Seq("nprobe", "q_id"), "left")
+      .select($"nprobe", $"q_id", $"n_cand",
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .groupBy($"nprobe")
+      .agg(count(lit(1)).as("n_queries"),
+        sum($"n_cand").as("tot_cand"), sum($"n_hits").as("tot_hits"))
+      .select($"nprobe", $"n_queries",
+        round($"tot_cand".cast("double") / $"n_queries", 4)
+          .as("mean_cand"),
+        round($"tot_hits".cast("double") / ($"n_queries" * 5), 4)
+          .as("recall_at_5"))
+      .orderBy($"nprobe")
+  }
+
   /** q40 re-expressed through the custom bounded-heap aggregate
     * (graft.plans.TopKAggregate): identical results, but the per-query
     * top-5 comes from O(k) heaps with map-side combine instead of a
@@ -914,6 +976,7 @@ object SimilarityQueries extends QueryModule {
     "q43_topk_agg"    -> (qTopkAggregate _),
     "q44_cluster_stats" -> (qClusterStats _),
     "q235_shard_plan" -> (qShardPlan _),
+    "q256_nprobe_sweep" -> (qNprobeSweep _),
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
@@ -1270,6 +1333,71 @@ object SimilarityQueries extends QueryModule {
       |FROM cells CROSS JOIN tot ORDER BY cell""".stripMargin
   }
 
+  /** q256's oracle: the full nprobe sweep replayed with literal
+    * anchors — assignment, per-p candidate sets, exhaustive truth,
+    * and the exact-integer recall fold. */
+  private def nprobeSweepSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    val sweepSel = (1 to 4).map(p =>
+      s"""SELECT $p AS nprobe, vec_id AS q_id, v AS qv,
+         |    unnest(cells[1:$p]) AS cell
+         |  FROM cells WHERE vec_id % 100 = 0""".stripMargin)
+      .mkString("\n|  UNION ALL ")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    list_transform(list_sort($structs), r -> r.idx) AS cells
+      |  FROM dots),
+      |corpus AS (SELECT vec_id, v, cells[1] AS cell FROM cells),
+      |sweeps AS (
+      |  $sweepSel),
+      |scored AS (
+      |  SELECT s.nprobe, s.q_id, c.vec_id,
+      |    list_cosine_similarity(s.qv, c.v) AS cos
+      |  FROM corpus c JOIN sweeps s USING (cell)
+      |  WHERE c.vec_id <> s.q_id),
+      |ncand AS (
+      |  SELECT nprobe, q_id, CAST(count(*) AS BIGINT) AS n_cand
+      |  FROM scored GROUP BY 1, 2),
+      |atop AS (
+      |  SELECT nprobe, q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+      |      ORDER BY cos DESC, vec_id) AS rk FROM scored)
+      |  WHERE rk <= 5),
+      |tscored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    list_cosine_similarity(q.v, e.v) AS cos
+      |  FROM cells q, cells e
+      |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+      |truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk FROM tscored)
+      |  WHERE rk <= 5),
+      |hits AS (
+      |  SELECT a.nprobe, a.q_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM atop a JOIN truth t
+      |    ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+      |  GROUP BY 1, 2),
+      |per AS (
+      |  SELECT n.nprobe, n.q_id, n.n_cand,
+      |    coalesce(h.n_hits, 0) AS n_hits
+      |  FROM ncand n LEFT JOIN hits h
+      |    ON h.nprobe = n.nprobe AND h.q_id = n.q_id)
+      |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(sum(n_cand) / CAST(count(*) AS DOUBLE), 4) AS mean_cand,
+      |  round(sum(n_hits) / (CAST(count(*) AS DOUBLE) * 5), 4)
+      |    AS recall_at_5
+      |FROM per GROUP BY nprobe ORDER BY nprobe""".stripMargin
+  }
+
   /** q44's oracle: same literal-anchor argmax as q42's, aggregated. */
   private def clusterStatsSql: String = {
     val dotCols = anchors.indices.map(i =>
@@ -1526,6 +1654,7 @@ object SimilarityQueries extends QueryModule {
     "q42b_ivf_kmeans" -> ivfKmeansSql,
     "q44_cluster_stats" -> clusterStatsSql,
     "q235_shard_plan" -> shardPlanSql,
+    "q256_nprobe_sweep" -> nprobeSweepSql,
     "q86_semdedup"    -> semDedupSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization

@@ -439,6 +439,47 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk_cur")
   }
 
+  /** STL-lite decomposition (q255) — one pass of the classic
+    * trend/seasonal/residual split (Cleveland et al. 1990's STL inner
+    * loop, the moving-average special case): per (type, day) on the
+    * gap-filled spine, trend = centered 7-day moving average (ROWS
+    * ±3 — shrinks honestly at the edges), seasonal = the weekday mean
+    * of the detrended series (weekday from epoch-day arithmetic,
+    * q166's engine-agnostic form), residual = the rest — the frame
+    * the monitoring family (q130/q149/q188) upgrades to once traffic
+    * has real weekly shape: an alarm on the RESIDUAL doesn't fire
+    * every Saturday. All windows on the |types|×|days| cell frame. */
+  def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day",
+        coalesce($"n", lit(0L)).as("n"),
+        pmod(datediff($"day", lit("1970-01-01").cast("date")), lit(7))
+          .as("wd"))
+    val wT = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    val detr = filled
+      .withColumn("trend", avg($"n".cast("double")).over(wT))
+      .withColumn("detr", $"n" - $"trend")
+    val wS = Window.partitionBy($"event_type", $"wd")
+    detr
+      .withColumn("seasonal", avg($"detr").over(wS))
+      .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n", (round($"trend", 4) + lit(0.0)).as("trend"),
+        (round($"seasonal", 4) + lit(0.0)).as("seasonal"),
+        (round($"detr" - $"seasonal", 4) + lit(0.0)).as("residual"))
+      .orderBy($"event_type", $"day")
+  }
+
   /** Markov absorption probability (q249) — the dynamic-programming
     * read on q162's chain: from each state, the probability of
     * reaching `purchase` within 5 transitions (purchase absorbs at 1,
@@ -1797,6 +1838,7 @@ object TimeQueries extends QueryModule {
     "q221_ses_smooth"        -> (qSesSmooth _),
     "q229_markov_eval"       -> (qMarkovEval _),
     "q249_absorption"        -> (qAbsorption _),
+    "q255_stl_decompose"     -> (qStlDecompose _),
     "q232_freshness_sla"     -> (qFreshnessSla _),
     "q237_fd_binning"        -> (qFdBinning _),
     "q245_variant_json"      -> (qVariantJson _),
@@ -1809,6 +1851,41 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q255_stl_decompose" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |filled AS (
+        |  SELECT t.event_type, d.day,
+        |    coalesce(daily.n, CAST(0 AS BIGINT)) AS n,
+        |    (CAST(d.day - DATE '1970-01-01' AS BIGINT) % 7 + 7) % 7
+        |      AS wd
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = t.event_type
+        |    AND daily.day = d.day),
+        |tr AS (
+        |  SELECT *, avg(CAST(n AS DOUBLE)) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        |  FROM filled),
+        |de AS (SELECT *, n - trend AS detr FROM tr),
+        |se AS (
+        |  SELECT *, avg(detr) OVER (PARTITION BY event_type, wd)
+        |    AS seasonal
+        |  FROM de)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  round(trend, 4) + 0.0 AS trend,
+        |  round(seasonal, 4) + 0.0 AS seasonal,
+        |  round(detr - seasonal, 4) + 0.0 AS residual
+        |FROM se ORDER BY event_type, day""".stripMargin,
     "q249_absorption" -> {
       def roundCte(prev: String, cur: String): String =
         s"""f$cur AS (

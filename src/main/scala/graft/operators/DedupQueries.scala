@@ -352,6 +352,50 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Measured LSH layout recall sweep (q257) — the EMPIRICAL half of
+    * q173's closed-form S-curve table: for each (b, r) layout of the
+    * same 32-position signature, the fraction of TRUE ≥0.8-Jaccard
+    * pairs (q199's exact prefix-join set — complete by theorem, so
+    * "recall" is against ground truth, not another heuristic) whose
+    * banding actually collides, next to the candidate volume that
+    * layout generates. Theory says 1−(1−J^r)^b; this measures it on
+    * this corpus — the pair of columns (measured recall, measured
+    * cost) a banding config is signed off on. Detection is evaluated
+    * PER TRUE PAIR by intersecting the two docs' band-value arrays
+    * (index-tagged, so only same-band collisions count) — no banding
+    * self-join needed for the recall half; candidate volume counts
+    * Σ C(bucket, 2) by bucket-size algebra, pairs never materialize
+    * (q173's discipline). */
+  def qLshRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = mdSignatures(s, dir).localCheckpoint()
+    val truth = prefixPairs(s, dir).select($"doc_a", $"doc_b")
+    val layouts = Seq((16, 2), (8, 4), (4, 8))
+    layouts.map { case (b, r) =>
+      val bandArr = array((0 until b).map { bi =>
+        concat_ws("_", (lit(bi) +:
+          (0 until r).map(j => col(s"s${bi * r + j}"))): _*)
+      }: _*)
+      val wb = sigs.select($"doc_id", bandArr.as("bands"))
+      val det = truth
+        .join(wb.select($"doc_id".as("doc_a"), $"bands".as("ba")),
+          "doc_a")
+        .join(wb.select($"doc_id".as("doc_b"), $"bands".as("bb")),
+          "doc_b")
+        .agg(count(lit(1)).as("n_true"),
+          sum((size(array_intersect($"ba", $"bb")) > 0).cast("long"))
+            .as("n_detected"))
+      val cand = wb.select(explode($"bands").as("bv"))
+        .groupBy($"bv").agg(count(lit(1)).as("n"))
+        .agg(sum(($"n" * ($"n" - 1) / 2).cast("long")).as("cand_pairs"))
+      det.crossJoin(cand)
+        .select(lit(b).as("b"), lit(r).as("r"), $"n_true", $"n_detected",
+          round($"n_detected".cast("double") / $"n_true", 4)
+            .as("recall"),
+          $"cand_pairs")
+    }.reduce(_.unionAll(_)).orderBy($"b".desc)
+  }
+
   /** b-bit minhash calibration (q254) — Li & König 2010: store only
     * the LOWEST bit of each of the 32 minhash positions (32 bits of
     * sketch per doc, 48× smaller than the 48-bit-position signature)
@@ -1267,6 +1311,7 @@ object DedupQueries extends QueryModule {
     "q173_lsh_tuning"     -> (qLshTuning _),
     "q174_minhash_estimate" -> (qMinhashEstimate _),
     "q254_bbit_minhash" -> (qBbitMinhash _),
+    "q257_lsh_recall_sweep" -> (qLshRecallSweep _),
     "q179_novelty"        -> (qNovelty _),
     "q185_crosslingual_dup" -> (qCrossLingualDup _),
     "q186_dup_transitivity" -> (qDupTransitivity _),
@@ -1613,6 +1658,66 @@ object DedupQueries extends QueryModule {
           |  FROM w2 GROUP BY doc_id),
           |$cfgCtes
           |$sel
+          |ORDER BY b DESC""".stripMargin
+      },
+      "q257_lsh_recall_sweep" -> {
+        val sigCols = (0 until TuneSigK).map(i =>
+          s"min((h1 + $i * h2) % $Sig48) AS s$i").mkString(",\n|    ")
+        val layouts = Seq((16, 2), (8, 4), (4, 8))
+        val blCtes = layouts.map { case (b, r) =>
+          val bands = (0 until b).map { bi =>
+            val parts = (0 until r).map(j =>
+              s"CAST(s${bi * r + j} AS VARCHAR)").mkString(" || '_' || ")
+            s"'${bi}_' || $parts"
+          }.mkString("[", ", ", "]")
+          s"""bl_${b}_$r AS (
+            |  SELECT doc_id, $bands AS bands FROM sigs),
+            |det_${b}_$r AS (
+            |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+            |    CAST(sum(CASE WHEN len(list_intersect(a.bands, c.bands))
+            |      > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_detected
+            |  FROM truth t
+            |  JOIN bl_${b}_$r a ON a.doc_id = t.doc_a
+            |  JOIN bl_${b}_$r c ON c.doc_id = t.doc_b),
+            |cand_${b}_$r AS (
+            |  SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+            |  FROM (SELECT bv, CAST(count(*) AS BIGINT) AS n
+            |        FROM (SELECT unnest(bands) AS bv FROM bl_${b}_$r)
+            |        GROUP BY bv))""".stripMargin
+        }.mkString(",\n")
+        val unions = layouts.map { case (b, r) =>
+          s"""SELECT $b AS b, $r AS r, n_true, n_detected,
+            |  round(CAST(n_detected AS DOUBLE) / n_true, 4) AS recall,
+            |  cand_pairs
+            |FROM det_${b}_$r CROSS JOIN cand_${b}_$r""".stripMargin
+        }.mkString("\n|UNION ALL ")
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |shs AS (
+          |  SELECT doc_id,
+          |         list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shs
+          |  FROM idx GROUP BY doc_id),
+          |truth AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |  FROM shs x JOIN shs y ON x.doc_id < y.doc_id
+          |  WHERE len(list_intersect(x.shs, y.shs)) >= 1
+          |    AND 5 * len(list_intersect(x.shs, y.shs))
+          |      >= 4 * (len(x.shs) + len(y.shs)
+          |              - len(list_intersect(x.shs, y.shs)))),
+          |w AS (SELECT doc_id, unnest(shs) AS sh FROM shs),
+          |w2 AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5('mh:' || sh), 1, 12))::BIGINT AS h1,
+          |    ('0x' || substr(md5('mh:' || sh), 13, 12))::BIGINT AS h2
+          |  FROM w),
+          |sigs AS (
+          |  SELECT doc_id,
+          |    $sigCols
+          |  FROM w2 GROUP BY doc_id),
+          |$blCtes
+          |$unions
           |ORDER BY b DESC""".stripMargin
       },
       "q254_bbit_minhash" -> {

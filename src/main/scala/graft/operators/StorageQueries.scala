@@ -638,8 +638,42 @@ object StorageQueries extends QueryModule {
       .orderBy($"file_id")
   }
 
+  /** Parquet encoding advisor (q258) — the per-column layout decision
+    * a write path makes from exactly these numbers: NDV ratio, the
+    * dictionary-index width ⌈log₂ NDV⌉ a dictionary page would spend
+    * per value, and the recommendation (dictionary-encode when the
+    * column repeats: ndv/rows below 10% — the regime where RLE_DICT
+    * beats plain by ~8×; a near-unique key column would pay the
+    * dictionary overhead for nothing). The planning companion to
+    * q120's profiler and q230's zone maps: stats in, layout decision
+    * out. One Expand-sharing aggregate pass over the 5 audited
+    * lineitem columns — exact NDV here, q49's HLL at 100 TB. */
+  def qEncodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+      "l_partkey", "l_orderkey")
+    val li = Tables.lineitem(s, dir)
+    val aggCols = Seq(count(lit(1)).as("rows")) ++
+      cols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
+    val agg = li.agg(aggCols.head, aggCols.tail: _*)
+    cols.map { c =>
+      agg.select(lit(c).as("column"), $"rows",
+        col(s"ndv_$c").as("ndv"),
+        round(col(s"ndv_$c").cast("double") / $"rows", 4)
+          .as("ndv_ratio"),
+        // ⌈log₂ ndv⌉ as the BIT LENGTH of ndv−1 (integer-exact on both
+        // engines — a float log2 can flip ceil at exact powers of two)
+        when(col(s"ndv_$c") === 1, lit(0L))
+          .otherwise(length(conv((col(s"ndv_$c") - 1).cast("string"),
+            10, 2)).cast("long")).as("dict_bits"),
+        (col(s"ndv_$c").cast("double") / $"rows" < 0.1)
+          .as("dict_recommended"))
+    }.reduce(_.unionAll(_)).orderBy($"column")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q258_encoding_advisor" -> (qEncodingAdvisor _),
       "q230_zone_map" -> (qZoneMap _),
       "q210_contract" -> (qContract _),
       "q131_delete_cascade" -> (qDeleteCascade _),
@@ -664,6 +698,24 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q258_encoding_advisor" -> {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_partkey", "l_orderkey")
+      val rows = cols.map { c =>
+        s"""SELECT '$c' AS \"column\", CAST(count(*) AS BIGINT) AS rows,
+          |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+          |  round(count(DISTINCT $c) / CAST(count(*) AS DOUBLE), 4)
+          |    AS ndv_ratio,
+          |  CAST(CASE WHEN count(DISTINCT $c) = 1 THEN 0
+          |    ELSE len(bin(count(DISTINCT $c) - 1)) END
+          |    AS BIGINT) AS dict_bits,
+          |  (count(DISTINCT $c) / CAST(count(*) AS DOUBLE) < 0.1)
+          |    AS dict_recommended
+          |FROM lineitem""".stripMargin
+      }.mkString("\n|UNION ALL ")
+      s"""$rows
+        |ORDER BY \"column\"""".stripMargin
+    },
     "q230_zone_map" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(epoch(l_shipdate), 0.25) AS c1,

@@ -439,6 +439,38 @@ object TimeQueries extends QueryModule {
       .orderBy($"rk_cur")
   }
 
+  /** A/B sample-size calculator (q259) — the pre-registration table
+    * every experimentation platform serves next to q145's readout:
+    * per event type, the measured baseline participation rate p (share
+    * of users with ≥1 such event) and the per-arm n required to detect
+    * a 5% RELATIVE lift at α = 0.05 two-sided, 80% power — the
+    * two-proportion formula n = (z_{α/2} + z_β)²·2·p̄(1−p̄)/δ²
+    * (Fleiss et al.; z constants literal 1.959964/0.841621 so both
+    * engines compute the identical expression), plus how many
+    * experiment-days that n costs at the observed daily user traffic.
+    * One user-grain conditional aggregate collapses the corpus;
+    * everything after is |types|-row arithmetic. */
+  def qPowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val glob = ev.agg(
+      countDistinct($"user_id").cast("double").as("n_total"),
+      ((max(unix_micros($"ts")) - min(unix_micros($"ts"))) /
+        lit(86400000000.0)).as("days"))
+    val perType = ev.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("n_users"))
+    val zSum2 = lit((1.959964 + 0.841621) * (1.959964 + 0.841621))
+    val p = $"n_users".cast("double") / $"n_total"
+    val delta = lit(0.05) * p
+    val nArm = zSum2 * 2.0 * p * (lit(1.0) - p) / (delta * delta)
+    perType.crossJoin(broadcast(glob))
+      .select($"event_type", $"n_users", round(p, 4).as("base_rate"),
+        round(nArm, 1).as("n_per_arm"),
+        round(nArm * 2.0 / ($"n_total" / $"days"), 1)
+          .as("days_needed"))
+      .orderBy($"event_type")
+  }
+
   /** STL-lite decomposition (q255) — one pass of the classic
     * trend/seasonal/residual split (Cleveland et al. 1990's STL inner
     * loop, the moving-average special case): per (type, day) on the
@@ -1839,6 +1871,7 @@ object TimeQueries extends QueryModule {
     "q229_markov_eval"       -> (qMarkovEval _),
     "q249_absorption"        -> (qAbsorption _),
     "q255_stl_decompose"     -> (qStlDecompose _),
+    "q259_power_analysis"    -> (qPowerAnalysis _),
     "q232_freshness_sla"     -> (qFreshnessSla _),
     "q237_fd_binning"        -> (qFdBinning _),
     "q245_variant_json"      -> (qVariantJson _),
@@ -1851,6 +1884,29 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q259_power_analysis" ->
+      s"""WITH g AS (
+        |  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_total,
+        |    (max(epoch_us(CAST(ts AS TIMESTAMP)))
+        |     - min(epoch_us(CAST(ts AS TIMESTAMP)))) / 86400000000.0
+        |      AS days
+        |  FROM events),
+        |pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+        |  GROUP BY event_type),
+        |c AS (
+        |  SELECT pt.event_type, pt.n_users, g.n_total, g.days,
+        |    CAST(pt.n_users AS DOUBLE) / g.n_total AS p
+        |  FROM pt CROSS JOIN g)
+        |SELECT event_type, n_users, round(p, 4) AS base_rate,
+        |  round(${(1.959964 + 0.841621) * (1.959964 + 0.841621)}
+        |    * 2.0 * p * (1.0 - p) / ((0.05 * p) * (0.05 * p)), 1)
+        |    AS n_per_arm,
+        |  round(${(1.959964 + 0.841621) * (1.959964 + 0.841621)}
+        |    * 2.0 * p * (1.0 - p) / ((0.05 * p) * (0.05 * p))
+        |    * 2.0 / (n_total / days), 1) AS days_needed
+        |FROM c ORDER BY event_type""".stripMargin,
     "q255_stl_decompose" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day

@@ -76,7 +76,9 @@ object DumpPlans {
     "q245_variant_json", "q246_audio_spectrum", "q247_prf_expansion",
     "q248_bpe_compression", "q249_absorption", "q250_box_cox",
     "q251_simhash_bits", "q252_neg_sampling", "q253_youden",
-    "q254_bbit_minhash")
+    "q254_bbit_minhash", "q255_stl_decompose", "q256_nprobe_sweep",
+    "q257_lsh_recall_sweep", "q258_encoding_advisor",
+    "q259_power_analysis")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

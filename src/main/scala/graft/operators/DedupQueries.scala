@@ -352,6 +352,40 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Boilerplate-template detection (q260) — the cluster-by-prefix
+    * pass a web-corpus pipeline runs BEFORE similarity dedup: pages
+    * stamped from one template share their opening tokens verbatim
+    * (cookie banners, forum headers, SEO boilerplate), so grouping on
+    * the normalized first-6-token prefix surfaces template families at
+    * one groupBy's cost — no pairwise anything (the cheap complement
+    * of q28's span-level machinery). Emits templates with ≥ 3 members:
+    * size, distinct sources touched (cross-source templates =
+    * syndication boilerplate), and the 3 lowest member ids as the
+    * audit sample — bounded via the heap-rewritten rank window, never
+    * an unbounded collect per template. */
+  def qTemplateDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        lower(concat_ws(" ",
+          slice(split($"text", " "), 1, 6))).as("tpl"))
+    val grp = d.groupBy($"tpl")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"))
+      .filter($"n_docs" >= 3)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy($"tpl").orderBy($"doc_id".asc)
+    val sample = d
+      .withColumn("rn", row_number().over(wt)).filter($"rn" <= 3)
+      .groupBy($"tpl")
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list($"doc_id")), _.cast("string")))
+        .as("sample_ids"))
+    grp.join(sample, "tpl")
+      .select($"tpl", $"n_docs", $"n_sources", $"sample_ids")
+      .orderBy($"n_docs".desc, $"tpl")
+  }
+
   /** Measured LSH layout recall sweep (q257) — the EMPIRICAL half of
     * q173's closed-form S-curve table: for each (b, r) layout of the
     * same 32-position signature, the fraction of TRUE ≥0.8-Jaccard
@@ -1312,6 +1346,7 @@ object DedupQueries extends QueryModule {
     "q174_minhash_estimate" -> (qMinhashEstimate _),
     "q254_bbit_minhash" -> (qBbitMinhash _),
     "q257_lsh_recall_sweep" -> (qLshRecallSweep _),
+    "q260_template_detect" -> (qTemplateDetect _),
     "q179_novelty"        -> (qNovelty _),
     "q185_crosslingual_dup" -> (qCrossLingualDup _),
     "q186_dup_transitivity" -> (qDupTransitivity _),
@@ -1660,6 +1695,28 @@ object DedupQueries extends QueryModule {
           |$sel
           |ORDER BY b DESC""".stripMargin
       },
+      "q260_template_detect" ->
+        """WITH d AS (
+          |  SELECT doc_id, source,
+          |    lower(array_to_string((str_split(text, ' '))[1:6], ' '))
+          |      AS tpl
+          |  FROM documents),
+          |grp AS (
+          |  SELECT tpl, CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          |  FROM d GROUP BY tpl HAVING count(*) >= 3),
+          |sm AS (
+          |  SELECT tpl,
+          |    array_to_string(list(CAST(doc_id AS VARCHAR)
+          |      ORDER BY doc_id), ',') AS sample_ids
+          |  FROM (
+          |    SELECT tpl, doc_id, row_number() OVER (
+          |      PARTITION BY tpl ORDER BY doc_id) AS rn
+          |    FROM d) WHERE rn <= 3
+          |  GROUP BY tpl)
+          |SELECT grp.tpl, n_docs, n_sources, sm.sample_ids
+          |FROM grp JOIN sm USING (tpl)
+          |ORDER BY n_docs DESC, tpl""".stripMargin,
       "q257_lsh_recall_sweep" -> {
         val sigCols = (0 until TuneSigK).map(i =>
           s"min((h1 + $i * h2) % $Sig48) AS s$i").mkString(",\n|    ")

@@ -675,6 +675,62 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
+  /** Per-label centroid geometry (q261) — the domain-shift read on the
+    * labeled embedding space: each label's mean vector (the q192
+    * per-dim discipline — one posexploded map-side-combined pass, dims
+    * rounded to 6 decimals BEFORE any downstream arithmetic so both
+    * engines fold identical doubles), then the pairwise centroid
+    * cosine matrix — near-1 off-diagonals mean two classes are not
+    * separable in this space (the check run before anyone trains a
+    * classifier head or trusts q86's semantic dedup across labels).
+    * Everything after the first aggregate is |labels|²-sized. */
+  def qLabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cent = Tables.embeddings(s, dir)
+      .select($"label", posexplode(transform($"embedding",
+        _.cast("double"))).as(Seq("dim", "x")))
+      .groupBy($"label", $"dim").agg(avg($"x").as("mu"))
+      .select($"label", $"dim", round($"mu", 6).as("mu"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"dim", $"mu"))).as("cs"))
+      .select($"label", transform($"cs", _.getField("mu")).as("c"))
+    val x = cent.select($"label".as("label_a"), $"c".as("ca"))
+    val y = cent.select($"label".as("label_b"), $"c".as("cb"))
+    x.join(y, $"label_a" < $"label_b")
+      .select($"label_a", $"label_b",
+        (round(dot($"ca", $"cb") / (norm($"ca") * norm($"cb")), 4)
+          + lit(0.0)).as("centroid_cos"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** Leave-one-out 1-NN label accuracy (q262) — the standard "is this
+    * embedding space label-informative?" probe (a kNN eval needs no
+    * training): for each query vector (the 1% harness sample), its
+    * exact nearest neighbor's label vs its own, rolled to per-label
+    * accuracy. Reuses q40's chunk-bounded scored pairs — the ONLY new
+    * work after scoring is a top-1 window and a |labels|-row rollup;
+    * self-matches are excluded by construction (q40 already drops
+    * vec_id = q_id), which is what makes it leave-one-out. */
+  def qKnnLabelAccuracy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val nn = scoredPairs(s, dir, QueryChunkRows)
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"q_id", $"vec_id".as("nn_id"))
+    nn.join(labels.select($"vec_id".as("q_id"), $"label".as("q_label")),
+        "q_id")
+      .join(labels.select($"vec_id".as("nn_id"),
+        $"label".as("nn_label")), "nn_id")
+      .groupBy($"q_label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(($"nn_label" === $"q_label").cast("long")).as("n_correct"))
+      .select($"q_label", $"n_queries", $"n_correct",
+        round($"n_correct".cast("double") / $"n_queries", 4)
+          .as("accuracy"))
+      .orderBy($"q_label")
+  }
+
   // ---------------------------------------------------------------- PQ
 
   private val PqM = 4     // subspaces
@@ -977,6 +1033,8 @@ object SimilarityQueries extends QueryModule {
     "q44_cluster_stats" -> (qClusterStats _),
     "q235_shard_plan" -> (qShardPlan _),
     "q256_nprobe_sweep" -> (qNprobeSweep _),
+    "q261_label_centroids" -> (qLabelCentroids _),
+    "q262_knn_label_acc" -> (qKnnLabelAccuracy _),
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
@@ -1655,6 +1713,48 @@ object SimilarityQueries extends QueryModule {
     "q44_cluster_stats" -> clusterStatsSql,
     "q235_shard_plan" -> shardPlanSql,
     "q256_nprobe_sweep" -> nprobeSweepSql,
+    "q261_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, i AS dim, round(avg(v[i]), 6) AS mu
+        |  FROM e, generate_series(1, 64) t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(mu ORDER BY dim) AS c
+        |  FROM dims GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_dot_product(a.c, b.c)
+        |    / (sqrt(list_dot_product(a.c, a.c))
+        |       * sqrt(list_dot_product(b.c, b.c))), 4) + 0.0
+        |    AS centroid_cos
+        |FROM cent a JOIN cent b ON a.label < b.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q262_knn_label_acc" ->
+      s"""WITH $baseCte,
+        |tscored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id,
+        |    list_cosine_similarity(q.v, e.v) AS cos
+        |  FROM base q, base e
+        |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+        |nn AS (
+        |  SELECT q_id, vec_id AS nn_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS rk FROM tscored)
+        |  WHERE rk = 1),
+        |lab AS (SELECT vec_id, label FROM embeddings)
+        |SELECT ql.label AS q_label,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 4) AS accuracy
+        |FROM nn
+        |JOIN lab ql ON ql.vec_id = nn.q_id
+        |JOIN lab nl ON nl.vec_id = nn.nn_id
+        |GROUP BY ql.label ORDER BY q_label""".stripMargin,
     "q86_semdedup"    -> semDedupSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization

@@ -270,14 +270,15 @@ object TimeQueries extends QueryModule {
     * grid CRM and churn models start from), on purchase events:
     * recency = hours from the user's last purchase to the corpus
     * watermark, frequency = purchase count, monetary = summed value;
-    * each dimension cut into terciles (ntile over a deterministic
-    * (metric, user_id) order — recency ranked ASCENDING so tercile 1
-    * is always the "best" band) and concatenated into the familiar
-    * "111"…"333" segment string. One partial-agg pass to |purchasers|
-    * rows; the tercile windows run on that frame (→ broadcast
-    * cutpoints via q142's discipline when |users| is corpus-scale);
-    * monetary rounded BEFORE ranking so the band can't ride on float
-    * dust. */
+    * each dimension cut into VALUE-BASED terciles: the two exact
+    * tercile cutpoints per metric come from one percentile aggregate
+    * (a 1-row broadcast; q142's no-global-sort discipline — a global
+    * ntile window would total-sort every purchaser on one reducer)
+    * and the band is assigned map-side by comparing against them —
+    * which also keeps tied values in ONE band, where ntile would split
+    * them arbitrarily. Band 1 is always the "best" (recent / frequent
+    * / high-spend) end; metrics rounded BEFORE banding so a band can't
+    * ride on float dust; segment = the familiar "111"…"333" string. */
   def qRfmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = Tables.events(s, dir)
@@ -293,10 +294,22 @@ object TimeQueries extends QueryModule {
         round(($"wm_us" - $"last_us") / lit(3600000000.0), 4)
           .as("recency_h"),
         $"frequency", $"monetary")
-    val r = ntile(3).over(Window.orderBy($"recency_h".asc, $"user_id"))
-    val f = ntile(3).over(Window.orderBy($"frequency".desc, $"user_id"))
-    val m = ntile(3).over(Window.orderBy($"monetary".desc, $"user_id"))
-    rfm.select($"user_id", $"recency_h", $"frequency", $"monetary",
+    val cuts = rfm.agg(
+      percentile($"recency_h", lit(1.0 / 3)).as("r1"),
+      percentile($"recency_h", lit(2.0 / 3)).as("r2"),
+      percentile($"frequency", lit(1.0 / 3)).as("f1"),
+      percentile($"frequency", lit(2.0 / 3)).as("f2"),
+      percentile($"monetary", lit(1.0 / 3)).as("m1"),
+      percentile($"monetary", lit(2.0 / 3)).as("m2"))
+    // low recency is best; high frequency/monetary are best
+    val r = lit(1) + ($"recency_h" > $"r1").cast("int") +
+      ($"recency_h" > $"r2").cast("int")
+    val f = lit(1) + ($"frequency" < $"f2").cast("int") +
+      ($"frequency" < $"f1").cast("int")
+    val m = lit(1) + ($"monetary" < $"m2").cast("int") +
+      ($"monetary" < $"m1").cast("int")
+    rfm.crossJoin(broadcast(cuts))
+      .select($"user_id", $"recency_h", $"frequency", $"monetary",
         concat(r.cast("string"), f.cast("string"), m.cast("string"))
           .as("segment"))
       .orderBy($"user_id")
@@ -370,14 +383,19 @@ object TimeQueries extends QueryModule {
     * row, and the statistic is the plug-in D = max |ecdf − cdf|
     * evaluated at the jump points (ecdf right-limits — the grid form
     * of the one-sample KS) — the windows run on distinct gap values
-    * per type, never the event stream. */
+    * per type, never the event stream. Gap extraction partitions by
+    * (type, DAY), not type alone: a per-type-only lag window sorts
+    * each type's entire history on one reducer (with ~5 types that is
+    * 5 hot partitions at 100 TB); day-scoping bounds every sort at a
+    * day's volume and costs exactly one boundary gap per type-day —
+    * immaterial to the fit and replayed identically by the oracle. */
   def qExpGapFit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val byType = Window.partitionBy($"event_type")
+    val byTypeDay = Window.partitionBy($"event_type", $"day")
       .orderBy($"ts", $"event_id")
     val gaps = Tables.events(s, dir)
-      .select($"event_type", $"ts", $"event_id")
-      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byType))
+      .select($"event_type", to_date($"ts").as("day"), $"ts", $"event_id")
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byTypeDay))
       .filter($"prev_us".isNotNull)
       .select($"event_type",
         (unix_micros($"ts") - $"prev_us").as("g"))
@@ -2016,12 +2034,23 @@ object TimeQueries extends QueryModule {
         |    CAST(count(*) AS BIGINT) AS frequency,
         |    round(sum(value), 4) AS monetary
         |  FROM p CROSS JOIN wm GROUP BY user_id, wm_us),
+        |cuts AS (
+        |  SELECT quantile_cont(recency_h, 1.0/3) AS r1,
+        |    quantile_cont(recency_h, 2.0/3) AS r2,
+        |    quantile_cont(frequency, 1.0/3) AS f1,
+        |    quantile_cont(frequency, 2.0/3) AS f2,
+        |    quantile_cont(monetary, 1.0/3) AS m1,
+        |    quantile_cont(monetary, 2.0/3) AS m2
+        |  FROM rfm),
         |seg AS (
-        |  SELECT *,
-        |    ntile(3) OVER (ORDER BY recency_h ASC, user_id) AS r,
-        |    ntile(3) OVER (ORDER BY frequency DESC, user_id) AS f,
-        |    ntile(3) OVER (ORDER BY monetary DESC, user_id) AS m
-        |  FROM rfm)
+        |  SELECT rfm.*,
+        |    1 + CAST(recency_h > r1 AS INTEGER)
+        |      + CAST(recency_h > r2 AS INTEGER) AS r,
+        |    1 + CAST(frequency < f2 AS INTEGER)
+        |      + CAST(frequency < f1 AS INTEGER) AS f,
+        |    1 + CAST(monetary < m2 AS INTEGER)
+        |      + CAST(monetary < m1 AS INTEGER) AS m
+        |  FROM rfm CROSS JOIN cuts)
         |SELECT user_id, recency_h, frequency, monetary,
         |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
         |    AS segment
@@ -2065,7 +2094,8 @@ object TimeQueries extends QueryModule {
         |g AS (
         |  SELECT event_type,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |      PARTITION BY event_type ORDER BY ts, event_id) AS g
+        |      PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS g
         |  FROM ev),
         |gaps AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
         |stats AS (

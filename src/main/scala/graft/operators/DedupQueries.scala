@@ -1169,14 +1169,19 @@ object DedupQueries extends QueryModule {
     * block key splits them) at the price of missing pairs farther than
     * w apart — the documented SNM recall trade (production runs
     * multiple passes with different keys). Scale shape: the window
-    * partitions by lang, so no global total sort exists; at 100 TB the
-    * key would range-partition with w-row partition-boundary overlap —
-    * the same window, sharded. Verify = q148's fixed-prefix normalized
+    * partitions by (lang, FIRST KEY CHARACTER) — lang alone is ~5 hot
+    * partitions, each sorting its whole slice on one reducer at
+    * 100 TB; the prefix shard bounds every sort at a character class's
+    * volume and costs at most w−1 cross-boundary candidate pairs per
+    * shard edge (the q233 day-boundary trade, replayed identically by
+    * the oracle; production would range-partition with w-row overlap
+    * to recover even those). Verify = q148's fixed-prefix normalized
     * Levenshtein, so per-pair cost is a constant. */
   def qSnmDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"lang").orderBy($"sk", $"doc_id")
+      .partitionBy($"lang", substring($"sk", 1, 1))
+      .orderBy($"sk", $"doc_id")
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"lang",
         lower(substring($"text", 1, 20)).as("sk"),
@@ -1579,7 +1584,8 @@ object DedupQueries extends QueryModule {
           |  SELECT doc_id, p,
           |    lead(doc_id, 1) OVER w AS n1_id, lead(p, 1) OVER w AS n1_p,
           |    lead(doc_id, 2) OVER w AS n2_id, lead(p, 2) OVER w AS n2_p
-          |  FROM d WINDOW w AS (PARTITION BY lang ORDER BY sk, doc_id)),
+          |  FROM d WINDOW w AS (
+          |    PARTITION BY lang, substr(sk, 1, 1) ORDER BY sk, doc_id)),
           |cand AS (
           |  SELECT doc_id, p, n1_id AS id, n1_p AS cp, 1 AS w_dist
           |  FROM led WHERE n1_id IS NOT NULL

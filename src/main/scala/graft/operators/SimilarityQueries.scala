@@ -731,6 +731,68 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_label")
   }
 
+  /** MMR diversity rerank (q263) — Carbonell & Goldstein 1998, the
+    * standard redundancy-aware final stage of a retrieval pipeline
+    * (and of RAG context assembly): greedily pick 5 of the exact
+    * top-10 candidates maximizing λ·rel − (1−λ)·max-sim-to-already-
+    * selected (λ = 0.7) — near-duplicate candidates are demoted the
+    * moment one of them is taken. The greedy fold is inherently
+    * sequential but over TEN rows per query: it runs as a typed
+    * mapGroups on the (q_id)-grouped candidate frame (the q103
+    * posture — the sequential part is bounded by the shortlist size,
+    * never corpus-scale; all heavy lifting stays in q40's chunked
+    * scoring). All selection comparisons happen on the 1e-6 grid with
+    * vec_id tie-breaks, so the greedy path — and therefore the whole
+    * output — replays exactly in the oracle's 4 unrolled argmax CTEs. */
+  def qMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val top10 = scoredPairs(s, dir, QueryChunkRows)
+      .withColumn("rk0", row_number().over(wT)).filter($"rk0" <= 10)
+      .select($"q_id", $"vec_id", $"cos")
+    val withV = top10
+      .join(vecs(s, dir).select($"vec_id", $"v"), "vec_id")
+      .select($"q_id", $"vec_id", $"cos", $"v")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    withV
+      .groupByKey(r => r.getAs[Long]("q_id"))
+      .flatMapGroups { (q, it) =>
+        val cand = it.map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[Double]("cos"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray)).toArray
+        var remaining = cand.sortBy(c => (-c._2, c._1)).toBuffer
+        val selected = scala.collection.mutable.Buffer
+          .empty[(Long, Double, Array[Double], Double)]
+        val k = math.min(5, remaining.length)
+        while (selected.length < k) {
+          val scored = remaining.map { c =>
+            val maxSim = if (selected.isEmpty) 0.0
+              else selected.map(s => cosine(c._3, s._3)).max
+            (c, r6(0.7 * c._2 - 0.3 * maxSim))
+          }
+          val best = scored.minBy { case (c, sc) => (-sc, c._1) }
+          selected += ((best._1._1, best._1._2, best._1._3, best._2))
+          remaining -= best._1
+        }
+        selected.iterator.zipWithIndex.map { case ((id, cos, _, sc), i) =>
+          // + 0.0 = the suite's −0.0 normalization, engine-side
+          (q, i + 1, id, r4(cos) + 0.0, r4(sc) + 0.0)
+        }
+      }
+      .toDF("q_id", "rk", "vec_id", "cos", "mmr")
+      .orderBy($"q_id", $"rk")
+  }
+
   // ---------------------------------------------------------------- PQ
 
   private val PqM = 4     // subspaces
@@ -1035,6 +1097,7 @@ object SimilarityQueries extends QueryModule {
     "q256_nprobe_sweep" -> (qNprobeSweep _),
     "q261_label_centroids" -> (qLabelCentroids _),
     "q262_knn_label_acc" -> (qKnnLabelAccuracy _),
+    "q263_mmr_rerank" -> (qMmrRerank _),
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
@@ -1456,6 +1519,66 @@ object SimilarityQueries extends QueryModule {
       |FROM per GROUP BY nprobe ORDER BY nprobe""".stripMargin
   }
 
+  /** q263's oracle: q40's exact top-10 + the greedy MMR selection
+    * unrolled as 4 argmax CTE steps on the same 1e-6 score grid. */
+  private def mmrRerankSql: String = {
+    val steps = (2 to 5).map { k =>
+      s"""cand$k AS (
+        |  SELECT t.q_id, t.vec_id, t.cos,
+        |    round(0.7 * t.cos - 0.3 * max(cc.sim), 6) AS sc
+        |  FROM top10 t
+        |  JOIN cc ON cc.q_id = t.q_id AND cc.va = t.vec_id
+        |  JOIN selall${k - 1} s
+        |    ON s.q_id = cc.q_id AND s.vec_id = cc.vb
+        |  WHERE NOT EXISTS (SELECT 1 FROM selall${k - 1} z
+        |    WHERE z.q_id = t.q_id AND z.vec_id = t.vec_id)
+        |  GROUP BY t.q_id, t.vec_id, t.cos),
+        |sel$k AS (
+        |  SELECT q_id, vec_id, cos, sc, $k AS rk FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sc DESC, vec_id) AS rn FROM cand$k)
+        |  WHERE rn = 1),
+        |selall$k AS (
+        |  SELECT q_id, vec_id FROM selall${k - 1}
+        |  UNION ALL SELECT q_id, vec_id FROM sel$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 5).map(k =>
+      s"SELECT q_id, vec_id, cos, sc, rk FROM sel$k")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH $baseCte,
+      |tscored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    list_cosine_similarity(q.v, e.v) AS cos
+      |  FROM base q, base e
+      |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+      |top10 AS (
+      |  SELECT q_id, vec_id, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk0 FROM tscored)
+      |  WHERE rk0 <= 10),
+      |cc AS (
+      |  SELECT x.q_id, x.vec_id AS va, y.vec_id AS vb,
+      |    list_cosine_similarity(bx.v, by.v) AS sim
+      |  FROM top10 x
+      |  JOIN top10 y ON x.q_id = y.q_id AND x.vec_id <> y.vec_id
+      |  JOIN base bx ON bx.vec_id = x.vec_id
+      |  JOIN base by ON by.vec_id = y.vec_id),
+      |sel1 AS (
+      |  SELECT q_id, vec_id, cos, round(0.7 * cos, 6) AS sc, 1 AS rk
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY round(0.7 * cos, 6) DESC, vec_id) AS rn
+      |    FROM top10)
+      |  WHERE rn = 1),
+      |selall1 AS (SELECT q_id, vec_id FROM sel1),
+      |$steps,
+      |allsel AS (
+      |  $unions)
+      |SELECT q_id, CAST(rk AS INTEGER) AS rk, vec_id,
+      |  round(cos, 4) + 0.0 AS cos, round(sc, 4) + 0.0 AS mmr
+      |FROM allsel ORDER BY q_id, rk""".stripMargin
+  }
+
   /** q44's oracle: same literal-anchor argmax as q42's, aggregated. */
   private def clusterStatsSql: String = {
     val dotCols = anchors.indices.map(i =>
@@ -1732,6 +1855,7 @@ object SimilarityQueries extends QueryModule {
         |    AS centroid_cos
         |FROM cent a JOIN cent b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
+    "q263_mmr_rerank" -> mmrRerankSql,
     "q262_knn_label_acc" ->
       s"""WITH $baseCte,
         |tscored AS (

@@ -352,6 +352,49 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Split-straddle leakage measurement (q264) — the EMPIRICAL case
+    * for grouped splits (the number behind q106's design): of the true
+    * ≥0.8 near-dup pairs (q199's complete set), how many land with one
+    * member in train and the other in eval under (a) q59's doc-level
+    * hash split vs (b) q106's source-grouped split — each straddling
+    * pair is an eval answer sitting in the training set (Lee et al.
+    * 2022's dedup-before-split argument, measured on THIS corpus).
+    * Grouped splits kill within-source straddle by construction; what
+    * remains is exactly the cross-source duplication q94's off-
+    * diagonal counts. Cost: the staged pair frame joins the (doc_id,
+    * source) projection twice — pairs broadcast, corpus never
+    * self-joins. */
+  def qSplitStraddle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = prefixPairs(s, dir).select($"doc_a", $"doc_b")
+    val u = conv(substring(md5(concat(lit("ds:"), $"source")), 1, 6),
+      16, 10).cast("double") / lit(16777216.0)
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id",
+        when(pmod($"doc_id", lit(10)) < 8, "train").otherwise("eval")
+          .as("doc_split"),
+        when(u < 0.8, "train").otherwise("eval").as("grp_split"))
+    val ann = pairs
+      .join(docs.select($"doc_id".as("doc_a"),
+        $"doc_split".as("da"), $"grp_split".as("ga")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"),
+        $"doc_split".as("db"), $"grp_split".as("gb")), "doc_b")
+    val agg = ann.agg(count(lit(1)).as("n_pairs"),
+      sum(($"da" =!= $"db").cast("long")).as("doc_straddle"),
+      sum(($"ga" =!= $"gb").cast("long")).as("grp_straddle"))
+    agg.select(
+        lit("doc_hash").as("strategy"), $"n_pairs",
+        $"doc_straddle".as("n_straddle"),
+        round($"doc_straddle".cast("double") / $"n_pairs", 4)
+          .as("straddle_rate"))
+      .unionAll(agg.select(
+        lit("source_grouped").as("strategy"), $"n_pairs",
+        $"grp_straddle".as("n_straddle"),
+        round($"grp_straddle".cast("double") / $"n_pairs", 4)
+          .as("straddle_rate")))
+      .orderBy($"strategy")
+  }
+
   /** Boilerplate-template detection (q260) — the cluster-by-prefix
     * pass a web-corpus pipeline runs BEFORE similarity dedup: pages
     * stamped from one template share their opening tokens verbatim
@@ -1352,6 +1395,7 @@ object DedupQueries extends QueryModule {
     "q254_bbit_minhash" -> (qBbitMinhash _),
     "q257_lsh_recall_sweep" -> (qLshRecallSweep _),
     "q260_template_detect" -> (qTemplateDetect _),
+    "q264_split_straddle" -> (qSplitStraddle _),
     "q179_novelty"        -> (qNovelty _),
     "q185_crosslingual_dup" -> (qCrossLingualDup _),
     "q186_dup_transitivity" -> (qDupTransitivity _),
@@ -1701,6 +1745,42 @@ object DedupQueries extends QueryModule {
           |$sel
           |ORDER BY b DESC""".stripMargin
       },
+      "q264_split_straddle" ->
+        s"""WITH ${bruteforcePairsCte},
+          |truth AS (
+          |  SELECT doc_a, doc_b FROM p
+          |  WHERE i * 5 >= (na + nb - i) * 4),
+          |docs AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END
+          |      AS doc_split,
+          |    CASE WHEN ('0x' || substr(md5('ds:' || source), 1, 6))
+          |      ::BIGINT / 16777216.0 < 0.8
+          |      THEN 'train' ELSE 'eval' END AS grp_split
+          |  FROM documents),
+          |ann AS (
+          |  SELECT a.doc_split AS da, a.grp_split AS ga,
+          |    b.doc_split AS db, b.grp_split AS gb
+          |  FROM truth t
+          |  JOIN docs a ON a.doc_id = t.doc_a
+          |  JOIN docs b ON b.doc_id = t.doc_b),
+          |agg AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          |    CAST(sum(CASE WHEN da <> db THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS doc_straddle,
+          |    CAST(sum(CASE WHEN ga <> gb THEN 1 ELSE 0 END)
+          |      AS BIGINT) AS grp_straddle
+          |  FROM ann)
+          |SELECT 'doc_hash' AS strategy, n_pairs,
+          |  doc_straddle AS n_straddle,
+          |  round(doc_straddle / CAST(n_pairs AS DOUBLE), 4)
+          |    AS straddle_rate
+          |FROM agg
+          |UNION ALL
+          |SELECT 'source_grouped', n_pairs, grp_straddle,
+          |  round(grp_straddle / CAST(n_pairs AS DOUBLE), 4)
+          |FROM agg
+          |ORDER BY strategy""".stripMargin,
       "q260_template_detect" ->
         """WITH d AS (
           |  SELECT doc_id, source,

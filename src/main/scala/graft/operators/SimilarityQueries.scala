@@ -731,6 +731,44 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_label")
   }
 
+  /** Graded retrieval metrics (q265) — MRR and NDCG@5 of the LSH
+    * index (q41) against exhaustive truth, completing q128's
+    * recall-only eval with the POSITION-aware metrics an IR system is
+    * actually graded on (recall treats rank 1 and rank 5 alike; MRR
+    * prices the first hit, NDCG the whole ordering). Relevance = the
+    * exact top-5 set; IDCG is the |rel| = 5 constant embedded as a
+    * literal, and ln 2 rides as the same literal double in BOTH
+    * engines so the discount arithmetic matches. Queries the index
+    * returns nothing for count as zero (left join from the full query
+    * spine — dropping them would flatter the index). Everything after
+    * the two staged retrievals is a per-query rollup + one mean. */
+  def qRankMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ln2 = 0.6931471805599453
+    val idcg = (1 to 5).map(i => ln2 / math.log(i + 1.0)).sum
+    val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val truth = scoredPairs(s, dir, QueryChunkRows)
+      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
+      .select($"q_id", $"vec_id", lit(1L).as("rel"))
+    val approx = qLshAnn(s, dir).select($"q_id", $"rk", $"vec_id")
+    val per = approx
+      .join(truth, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(min(when($"rel" === 1, $"rk")).as("first_rel"),
+        sum(when($"rel" === 1,
+          lit(ln2) / log($"rk" + lit(1.0))).otherwise(lit(0.0)))
+          .as("dcg"))
+    val spine = vecs(s, dir).filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"))
+    spine.join(per, Seq("q_id"), "left")
+      .select($"q_id",
+        coalesce(lit(1.0) / $"first_rel", lit(0.0)).as("rr"),
+        coalesce($"dcg" / lit(idcg), lit(0.0)).as("ndcg"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg($"rr"), 4).as("mrr"),
+        round(avg($"ndcg"), 4).as("ndcg_at_5"))
+  }
+
   /** MMR diversity rerank (q263) — Carbonell & Goldstein 1998, the
     * standard redundancy-aware final stage of a retrieval pipeline
     * (and of RAG context assembly): greedily pick 5 of the exact
@@ -1098,6 +1136,7 @@ object SimilarityQueries extends QueryModule {
     "q261_label_centroids" -> (qLabelCentroids _),
     "q262_knn_label_acc" -> (qKnnLabelAccuracy _),
     "q263_mmr_rerank" -> (qMmrRerank _),
+    "q265_rank_metrics" -> (qRankMetrics _),
     "q86_semdedup"    -> (qSemDedup _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
@@ -1163,6 +1202,63 @@ object SimilarityQueries extends QueryModule {
       |            ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
       |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** q265's oracle: q41's LSH replay + exhaustive truth + the literal
+    * ln2/IDCG discount fold. */
+  private def rankMetricsSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val ln2 = 0.6931471805599453
+    val idcg = (1 to 5).map(i => ln2 / math.log(i + 1.0)).sum
+    s"""WITH $baseCte,
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      |  FROM banded c JOIN banded q
+      |    ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.vec_id,
+      |    list_cosine_similarity(qv.v, cv.v) AS cos
+      |  FROM cand JOIN base qv ON qv.vec_id = cand.q_id
+      |            JOIN base cv ON cv.vec_id = cand.vec_id),
+      |approx AS (
+      |  SELECT q_id, rk, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id ASC) AS rk FROM scored)
+      |  WHERE rk <= 5),
+      |tscored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    list_cosine_similarity(q.v, e.v) AS cos
+      |  FROM base q, base e
+      |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+      |truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk FROM tscored)
+      |  WHERE rk <= 5),
+      |per AS (
+      |  SELECT a.q_id,
+      |    min(CASE WHEN t.vec_id IS NOT NULL THEN a.rk END)
+      |      AS first_rel,
+      |    sum(CASE WHEN t.vec_id IS NOT NULL
+      |      THEN $ln2 / ln(a.rk + 1.0) ELSE 0.0 END) AS dcg
+      |  FROM approx a
+      |  LEFT JOIN truth t
+      |    ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+      |  GROUP BY a.q_id),
+      |spine AS (SELECT vec_id AS q_id FROM base WHERE vec_id % 100 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+      |  round(avg(coalesce(1.0 / per.first_rel, 0.0)), 4) AS mrr,
+      |  round(avg(coalesce(per.dcg / $idcg, 0.0)), 4) AS ndcg_at_5
+      |FROM spine LEFT JOIN per ON per.q_id = spine.q_id""".stripMargin
   }
 
   /** q134's oracle: q41's replay with the query side fanned out to the
@@ -1856,6 +1952,7 @@ object SimilarityQueries extends QueryModule {
         |FROM cent a JOIN cent b ON a.label < b.label
         |ORDER BY label_a, label_b""".stripMargin,
     "q263_mmr_rerank" -> mmrRerankSql,
+    "q265_rank_metrics" -> rankMetricsSql,
     "q262_knn_label_acc" ->
       s"""WITH $baseCte,
         |tscored AS (

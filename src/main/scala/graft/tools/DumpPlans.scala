@@ -79,7 +79,8 @@ object DumpPlans {
     "q254_bbit_minhash", "q255_stl_decompose", "q256_nprobe_sweep",
     "q257_lsh_recall_sweep", "q258_encoding_advisor",
     "q259_power_analysis", "q260_template_detect",
-    "q261_label_centroids", "q262_knn_label_acc")
+    "q261_label_centroids", "q262_knn_label_acc", "q263_mmr_rerank",
+    "q264_split_straddle", "q265_rank_metrics")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

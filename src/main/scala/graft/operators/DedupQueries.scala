@@ -352,6 +352,64 @@ object DedupQueries extends QueryModule {
       .orderBy($"x_id", $"y_id")
   }
 
+  /** Source-overlap MinHash matrix (q267) — q94 counts DOCUMENT pairs
+    * that duplicate across sources; this measures how much of two
+    * sources' whole CONTENT overlaps, as the Jaccard of their distinct
+    * shingle sets — the mirror/syndication radar at corpus grain. The
+    * sketch does the work: per source a 16-position MinHash over the
+    * union of its shingles (a min-aggregate — each source's signature
+    * is 16 longs however many shingles it holds), pairwise estimates
+    * from signature agreement; the EXACT set Jaccard rides along as
+    * the audit column (one shingle-keyed self-join here; at 100 TB
+    * only the sketch half ships — that's its entire point, the
+    * signature is the source's content fingerprint at rest). Same
+    * Kirsch-Mitzenmacher md5 family as q174, so the estimates
+    * hash-match the oracle. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"source", explode(shingles(TextOps.tokenize($"text")))
+        .as("sh"))
+      .distinct()
+    val hashed = sh.select($"source",
+      conv(substring(md5(concat(lit("mh:"), $"sh")), 1, 12), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(concat(lit("mh:"), $"sh")), 13, 12), 16, 10)
+        .cast("long").as("h2"))
+    val sigs = hashed.groupBy($"source")
+      .agg(min(sigPos(0)).as("s0"),
+        (1 until 16).map(i => min(sigPos(i)).as(s"s$i")): _*)
+    val sx = sigs.select($"source".as("source_a") +:
+      (0 until 16).map(i => col(s"s$i").as(s"x$i")): _*)
+    val sy = sigs.select($"source".as("source_b") +:
+      (0 until 16).map(i => col(s"s$i").as(s"y$i")): _*)
+    val agree = (0 until 16)
+      .map(i => (col(s"x$i") === col(s"y$i")).cast("long"))
+      .reduce(_ + _)
+    val est = sx.join(sy, $"source_a" < $"source_b")
+      .select($"source_a", $"source_b",
+        round(agree / lit(16.0), 4).as("j_est"))
+    val counts = sh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        $"x.sh" === $"y.sh" && $"x.source" < $"y.source")
+      .groupBy($"x.source".as("source_a"), $"y.source".as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est
+      .join(counts.select($"source".as("source_a"), $"n_sh".as("na")),
+        "source_a")
+      .join(counts.select($"source".as("source_b"), $"n_sh".as("nb")),
+        "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("ni", coalesce($"n_inter", lit(0L)))
+      .select($"source_a", $"source_b", $"j_est",
+        round($"ni".cast("double") / ($"na" + $"nb" - $"ni"), 4)
+          .as("j_exact"),
+        (round($"j_est" -
+          $"ni".cast("double") / ($"na" + $"nb" - $"ni"), 4) + lit(0.0))
+          .as("err"))
+      .orderBy($"source_a", $"source_b")
+  }
+
   /** Split-straddle leakage measurement (q264) — the EMPIRICAL case
     * for grouped splits (the number behind q106's design): of the true
     * ≥0.8 near-dup pairs (q199's complete set), how many land with one
@@ -1396,6 +1454,7 @@ object DedupQueries extends QueryModule {
     "q257_lsh_recall_sweep" -> (qLshRecallSweep _),
     "q260_template_detect" -> (qTemplateDetect _),
     "q264_split_straddle" -> (qSplitStraddle _),
+    "q267_source_overlap" -> (qSourceOverlap _),
     "q179_novelty"        -> (qNovelty _),
     "q185_crosslingual_dup" -> (qCrossLingualDup _),
     "q186_dup_transitivity" -> (qDupTransitivity _),
@@ -1744,6 +1803,56 @@ object DedupQueries extends QueryModule {
           |$cfgCtes
           |$sel
           |ORDER BY b DESC""".stripMargin
+      },
+      "q267_source_overlap" -> {
+        val sigCols = (0 until 16).map(i =>
+          s"min((h1 + $i * h2) % $Sig48) AS s$i").mkString(",\n|    ")
+        val agree = (0 until 16).map(i =>
+          s"(CASE WHEN a.s$i = c.s$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (
+          |  SELECT doc_id, source, str_split(text, ' ') AS tk
+          |  FROM documents),
+          |idx AS (
+          |  SELECT source, tk, unnest(range(1, len(tk) - 1)) AS i
+          |  FROM t),
+          |sh AS (
+          |  SELECT DISTINCT source,
+          |    tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS sh
+          |  FROM idx),
+          |w2 AS (
+          |  SELECT source,
+          |    ('0x' || substr(md5('mh:' || sh), 1, 12))::BIGINT AS h1,
+          |    ('0x' || substr(md5('mh:' || sh), 13, 12))::BIGINT AS h2
+          |  FROM sh),
+          |sigs AS (
+          |  SELECT source,
+          |    $sigCols
+          |  FROM w2 GROUP BY source),
+          |est AS (
+          |  SELECT a.source AS source_a, c.source AS source_b,
+          |    round(($agree) / 16.0, 4) AS j_est
+          |  FROM sigs a JOIN sigs c ON a.source < c.source),
+          |counts AS (
+          |  SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+          |  FROM sh GROUP BY source),
+          |inter AS (
+          |  SELECT x.source AS source_a, y.source AS source_b,
+          |    CAST(count(*) AS BIGINT) AS ni
+          |  FROM sh x JOIN sh y
+          |    ON x.sh = y.sh AND x.source < y.source
+          |  GROUP BY 1, 2)
+          |SELECT e.source_a, e.source_b, e.j_est,
+          |  round(coalesce(i.ni, 0) / CAST(ca.n_sh + cb.n_sh
+          |    - coalesce(i.ni, 0) AS DOUBLE), 4) AS j_exact,
+          |  round(e.j_est - coalesce(i.ni, 0)
+          |    / CAST(ca.n_sh + cb.n_sh - coalesce(i.ni, 0) AS DOUBLE),
+          |    4) + 0.0 AS err
+          |FROM est e
+          |JOIN counts ca ON ca.source = e.source_a
+          |JOIN counts cb ON cb.source = e.source_b
+          |LEFT JOIN inter i
+          |  ON i.source_a = e.source_a AND i.source_b = e.source_b
+          |ORDER BY e.source_a, e.source_b""".stripMargin
       },
       "q264_split_straddle" ->
         s"""WITH ${bruteforcePairsCte},

@@ -815,6 +815,39 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Hill tail-index estimator (q266) — the heavy-tail verdict for
+    * the document-length distribution (Hill 1975): α̂ = k / Σ ln(x_i /
+    * x_{k+1}) over the k = 50 largest lengths — the third power-law
+    * probe beside q140's rank-frequency Zipf fit and q214's degree
+    * MLE, and the one that decides whether mean-based capacity
+    * numbers (q183's byte concentration) are even finite-variance
+    * (α ≤ 2 ⇒ they aren't). Scale shape: the top k+1 order statistics
+    * come from the Filter(row_number ≤ k+1) idiom → the bounded-heap
+    * rewrite, so no global sort of the corpus exists; the estimator is
+    * a closed-form fold on 51 rows. */
+  def qHillTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 50
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    val top = Tables.documents(s, dir)
+      .select($"doc_id", $"n_chars")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k + 1)
+    val xk1 = top.filter($"rk" === k + 1)
+      .select($"n_chars".cast("double").as("x_k1"))
+    top.filter($"rk" <= k)
+      .crossJoin(broadcast(xk1))
+      .agg(count(lit(1)).as("k"),
+        max(when($"rk" === 1, $"n_chars")).as("x_max"),
+        max($"x_k1".cast("long")).as("x_k1"),
+        sum(log($"n_chars".cast("double") / $"x_k1")).as("lnsum"))
+      .select($"k", $"x_max", $"x_k1",
+        round($"k" / $"lnsum", 4).as("alpha_hill"),
+        // finite-variance verdict: a Pareto tail has Var < ∞ iff α > 2
+        ($"k" / $"lnsum" > 2.0).as("finite_variance"))
+  }
+
   /** Box–Cox transform selection (q250) — pick the variance-
     * stabilizing power transform for the document-length feature by
     * profile log-likelihood over the standard λ grid {−1, −0.5, 0,
@@ -1079,6 +1112,7 @@ object QualityQueries extends QueryModule {
       "q231_neyman_alloc"    -> (qNeymanAlloc _),
       "q244_feature_corr"    -> (qFeatureCorr _),
       "q250_box_cox"         -> (qBoxCox _),
+      "q266_hill_tail"       -> (qHillTail _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
@@ -1280,6 +1314,22 @@ object QualityQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_band""".stripMargin,
+    "q266_hill_tail" ->
+      """WITH top AS (
+        |  SELECT doc_id, n_chars, row_number() OVER (
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents),
+        |xk1 AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x_k1 FROM top
+        |  WHERE rk = 51)
+        |SELECT CAST(count(*) AS BIGINT) AS k,
+        |  max(CASE WHEN rk = 1 THEN n_chars END) AS x_max,
+        |  CAST(max(x_k1) AS BIGINT) AS x_k1,
+        |  round(count(*) / sum(ln(CAST(n_chars AS DOUBLE) / x_k1)), 4)
+        |    AS alpha_hill,
+        |  (count(*) / sum(ln(CAST(n_chars AS DOUBLE) / x_k1)) > 2.0)
+        |    AS finite_variance
+        |FROM top CROSS JOIN xk1 WHERE rk <= 50""".stripMargin,
     "q250_box_cox" -> {
       val lambdas = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
       def ySql(l: Double): String =

@@ -815,6 +815,49 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** Per-source datasheet (q268) — the "Datasheets for Datasets"
+    * (Gebru et al. 2021) per-slice row, composing the suite's signals
+    * into the one table a release review reads FIRST: per source its
+    * docs, token mass, mean q87 quality score, exact-duplicate rate
+    * (md5 groups WITHIN the source — q30's window scoped by source),
+    * and language-mix entropy (the algebraic ln n − Σc·ln c/n form,
+    * q198's discipline — no share vector materializes). One corpus
+    * scan feeds everything; the entropy and dup signals aggregate on
+    * (source, lang) and (source, fingerprint) keys that co-partition
+    * with the final (source) rollup. */
+  def qSourceDatasheet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = graft.operators.ScoringQueries.qualityZ
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        (lit(1.0) / (lit(1.0) + exp(-z))).as("score"),
+        md5($"text").as("fp"))
+    val perFp = base.groupBy($"source", $"fp")
+      .agg(count(lit(1)).as("c"))
+    val dup = perFp.groupBy($"source")
+      .agg(sum($"c" - 1).as("n_dups"))
+    val perLang = base.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("cl"))
+    val langEnt = perLang.groupBy($"source")
+      .agg(sum($"cl").as("n"), sum($"cl" * log($"cl".cast("double")))
+        .as("clnc"), count(lit(1)).as("n_langs"))
+      .select($"source", $"n_langs",
+        (log($"n".cast("double")) - $"clnc" / $"n").as("lang_entropy"))
+    base.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        round(avg($"score"), 4).as("mean_quality"))
+      .join(dup, "source")
+      .join(langEnt, "source")
+      .select($"source", $"n_docs", $"n_tokens", $"mean_quality",
+        $"n_dups",
+        round($"n_dups".cast("double") / $"n_docs", 4).as("dup_rate"),
+        $"n_langs", (round($"lang_entropy", 4) + lit(0.0))
+          .as("lang_entropy"))
+      .orderBy($"source")
+  }
+
   /** Hill tail-index estimator (q266) — the heavy-tail verdict for
     * the document-length distribution (Hill 1975): α̂ = k / Σ ln(x_i /
     * x_{k+1}) over the k = 50 largest lengths — the third power-law
@@ -1113,6 +1156,7 @@ object QualityQueries extends QueryModule {
       "q244_feature_corr"    -> (qFeatureCorr _),
       "q250_box_cox"         -> (qBoxCox _),
       "q266_hill_tail"       -> (qHillTail _),
+      "q268_source_datasheet" -> (qSourceDatasheet _),
       "q180_filter_ablation" -> (qFilterAblation _),
       "q183_lorenz_gini"     -> (qLorenzGini _),
       "q127_winsorize"       -> (qWinsorize _),
@@ -1314,6 +1358,46 @@ object QualityQueries extends QueryModule {
         |FROM documents
         |GROUP BY lang, source, n_chars // 100
         |ORDER BY lang, source, len_band""".stripMargin,
+    "q268_source_datasheet" -> {
+      val stop16 = graft.operators.ScoringQueries.stop16Sql
+      s"""WITH f AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+        |    str_split(text, ' ') AS tk, text, md5(text) AS fp
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source, lang, CAST(n_words AS BIGINT)
+        |      AS n_tokens, fp,
+        |    1.0 / (1.0 + exp(-(${ScoringQueries.zExprSql("n_words",
+            "tk", "text", stop16)}))) AS score
+        |  FROM f),
+        |dup AS (
+        |  SELECT source, CAST(sum(c - 1) AS BIGINT) AS n_dups FROM (
+        |    SELECT source, fp, count(*) AS c FROM sc
+        |    GROUP BY source, fp)
+        |  GROUP BY source),
+        |le AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+        |    ln(CAST(sum(cl) AS DOUBLE))
+        |      - sum(cl * ln(CAST(cl AS DOUBLE))) / sum(cl)
+        |      AS lang_entropy
+        |  FROM (
+        |    SELECT source, lang, count(*) AS cl FROM sc
+        |    GROUP BY source, lang)
+        |  GROUP BY source)
+        |SELECT sc.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(sc.n_tokens) AS BIGINT) AS n_tokens,
+        |  round(avg(sc.score), 4) AS mean_quality,
+        |  max(dup.n_dups) AS n_dups,
+        |  round(max(dup.n_dups) / CAST(count(*) AS DOUBLE), 4)
+        |    AS dup_rate,
+        |  max(le.n_langs) AS n_langs,
+        |  round(max(le.lang_entropy), 4) + 0.0 AS lang_entropy
+        |FROM sc
+        |JOIN dup ON dup.source = sc.source
+        |JOIN le ON le.source = sc.source
+        |GROUP BY sc.source ORDER BY sc.source""".stripMargin
+    },
     "q266_hill_tail" ->
       """WITH top AS (
         |  SELECT doc_id, n_chars, row_number() OVER (

@@ -413,7 +413,23 @@ object ScoringQueries extends QueryModule {
     * not try/catch. */
   /** The q87 logit over a `text` column — shared with q201's AUC
     * evaluation so both score with the identical expression tree. */
-  private def qualityZ: Column = {
+  /** The q87 stopword list / z expression as SQL text, shared with
+    * composing oracles (q268's per-source datasheet). */
+  private[operators] def stop16Sql: String =
+    Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private[operators] def zExprSql(nWords: String, tk: String,
+      text: String, stop16: String): String =
+    s"$Wb + $Wl * ln(1.0 + $nWords) " +
+      s"+ $Ww * (list_sum(list_transform($tk, " +
+      s"x -> CAST(length(x) AS DOUBLE))) / $nWords) " +
+      s"+ $Ws * (CAST(len(list_filter($tk, x -> x IN $stop16)) " +
+      s"AS DOUBLE) / $nWords) " +
+      s"+ $Wu * coalesce(CAST(length($text) - " +
+      s"length(regexp_replace($text, '[A-Z]', '', 'g')) AS DOUBLE) " +
+      s"/ nullif(length($text), 0), 0.0)"
+
+  private[operators] def qualityZ: Column = {
     val tk = split(col("text"), " ")
     val nWords = size(tk).cast("double")
     val fLen = log(lit(1.0) + nWords)

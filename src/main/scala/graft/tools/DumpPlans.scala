@@ -80,7 +80,8 @@ object DumpPlans {
     "q257_lsh_recall_sweep", "q258_encoding_advisor",
     "q259_power_analysis", "q260_template_detect",
     "q261_label_centroids", "q262_knn_label_acc", "q263_mmr_rerank",
-    "q264_split_straddle", "q265_rank_metrics")
+    "q264_split_straddle", "q265_rank_metrics", "q266_hill_tail",
+    "q267_source_overlap", "q268_source_datasheet")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -276,6 +276,62 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang", $"seq_id")
   }
 
+  /** Row shape for q269's shard-local packing fold (concrete product
+    * Encoder — the q103 discipline). */
+  final case class PadDoc(shard: Long, doc_id: Long, eff: Long)
+
+  /** Padding-based sequence packing (q269) — the OTHER packing every
+    * trainer runs, beside q47's boundary-split concat-and-chunk: for
+    * SFT/eval batches documents may not straddle a sequence boundary,
+    * so docs are binned whole and the bin's tail is PADDING. This is
+    * next-fit-decreasing: within a shard, docs sorted by (tokens desc,
+    * doc_id) fill the current 512-token bin until the next doc doesn't
+    * fit, which closes it (one open bin of state — the classic
+    * streaming bin-packing bound: NFD ≤ 2·OPT, and on sorted input in
+    * practice within a few % of first-fit while needing O(1) state
+    * instead of O(bins)). Docs longer than the budget are truncated to
+    * it and occupy a bin alone.
+    *
+    * Scale shape: packing is inherently a sequential fold, so it runs
+    * per SHARD (md5 of doc_id, 8 shards — in production one shard per
+    * output file, ~GB each): repartition on the shard, secondary-sort
+    * within partitions, one keyed-run fold over the partition iterator
+    * carrying (bin, fill) only — no group ever materializes, the exact
+    * q103 posture. Emits per-bin (n_docs, used/pad tokens); the oracle
+    * replays the same fold as a one-row-per-step recursive CTE. */
+  def qPadPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val C = 512L
+    val docs = Tables.documents(s, dir)
+      .select(
+        (conv(substring(md5(concat(lit("pp:"), $"doc_id".cast("string"))),
+          1, 2), 16, 10).cast("long") % 8).as("shard"),
+        $"doc_id",
+        least(size(split($"text", " ")).cast("long"), lit(C)).as("eff"))
+      .repartition($"shard")
+      .sortWithinPartitions($"shard", $"eff".desc, $"doc_id")
+      .as[PadDoc]
+    val packed = docs.mapPartitions { it =>
+      var curShard = -1L
+      var first    = true
+      var bin      = 0L
+      var fill     = 0L
+      it.map { d =>
+        if (first || d.shard != curShard) {
+          first = false; curShard = d.shard; bin = 0L; fill = d.eff
+        } else if (fill + d.eff <= 512L) {
+          fill += d.eff
+        } else { bin += 1L; fill = d.eff }
+        (d.shard, bin, d.doc_id, d.eff)
+      }
+    }.toDF("shard", "bin_id", "doc_id", "eff")
+    packed.groupBy($"shard", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"eff").as("used_tokens"),
+        (lit(C) - sum($"eff")).as("pad_tokens"))
+      .orderBy($"shard", $"bin_id")
+  }
+
   /** Deterministic stratified train/val/test split — assignment is a
     * pure function of the key (pmod(doc_id, 10): 0-7 train, 8 val,
     * 9 test), so re-runs, backfills, and late-arriving shards land in
@@ -1166,6 +1222,7 @@ object QualityQueries extends QueryModule {
       "q46_gopher_rules"     -> (qGopherRules _),
       "q63_source_mixing"    -> (qSourceMixing _),
       "q47_sequence_pack"    -> (qSequencePack _),
+      "q269_pad_packing"     -> (qPadPacking _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
       "q141_sketch_rollup"   -> (qSketchRollup _),
@@ -1801,6 +1858,38 @@ object QualityQueries extends QueryModule {
         |    AS sketch_ok_p99
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // q269: the oracle replays the shard-local next-fit-decreasing fold
+    // one row per recursion step — state (bin_id, fill) advances along
+    // the same (eff DESC, doc_id) order the engine secondary-sorts by
+    "q269_pad_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT
+        |    CAST(('0x' || substr(md5('pp:' || CAST(doc_id AS VARCHAR)),
+        |      1, 2)) AS BIGINT) % 8 AS shard,
+        |    doc_id,
+        |    least(CAST(len(str_split(text, ' ')) AS BIGINT), 512) AS eff
+        |  FROM documents),
+        |o AS (
+        |  SELECT shard, doc_id, eff,
+        |    row_number() OVER (PARTITION BY shard
+        |      ORDER BY eff DESC, doc_id) AS rn
+        |  FROM d),
+        |f AS (
+        |  SELECT shard, rn, doc_id, eff,
+        |    CAST(0 AS BIGINT) AS bin_id, eff AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.shard, n.rn, n.doc_id, n.eff,
+        |    CASE WHEN f.fill + n.eff <= 512 THEN f.bin_id
+        |         ELSE f.bin_id + 1 END,
+        |    CASE WHEN f.fill + n.eff <= 512 THEN f.fill + n.eff
+        |         ELSE n.eff END
+        |  FROM f JOIN o n ON n.shard = f.shard AND n.rn = f.rn + 1)
+        |SELECT shard, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(eff) AS BIGINT) AS used_tokens,
+        |  CAST(512 - sum(eff) AS BIGINT) AS pad_tokens
+        |FROM f GROUP BY shard, bin_id
+        |ORDER BY shard, bin_id""".stripMargin,
     "q58_length_quantiles" ->
       """SELECT lang,
         |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -671,8 +671,50 @@ object StorageQueries extends QueryModule {
     }.reduce(_.unionAll(_)).orderBy($"column")
   }
 
+  /** Rendezvous-hash resharding audit (q270) — what moves when a store
+    * grows 8 → 9 shards, priced for the two assignment schemes a 100 TB
+    * lake actually chooses between. Mod-hashing (shard = h % n) remaps
+    * ~8/9 of ALL keys on the bump — a full-corpus rewrite. Rendezvous /
+    * HRW hashing (Thaler & Ravishankar 1998: shard = argmax over shards
+    * of hash(shard, key)) moves exactly the keys the NEW shard wins —
+    * adding a candidate never reorders the existing ones — so expected
+    * movement is 1/9, the provable minimum. Both schemes are pure
+    * per-row expressions (the HRW argmax is an in-row array_max over a
+    * 9-struct array — no shuffle, no UDF; md5 keeps the coin
+    * engine-replayable); the single shuffle is the per-shard load
+    * count. Emits per scheme: docs moved, moved fraction, and the
+    * post-reshard max/min shard loads (balance rides along). */
+  def qRendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hrwOf = (n: Int) => expr(
+      s"""array_max(transform(sequence(0, ${n - 1},1),
+         |  s -> struct(
+         |    md5(concat('hrw:', cast(s as string), ':',
+         |        cast(doc_id as string))) as w,
+         |    s as shard))).shard""".stripMargin).cast("long")
+    val h = conv(substring(md5(concat(lit("mh:"),
+      $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
+    val base = Tables.documents(s, dir).select($"doc_id",
+      (h % 8).as("mod_old"), (h % 9).as("mod_new"),
+      hrwOf(8).as("hrw_old"), hrwOf(9).as("hrw_new"))
+    def stats(oldC: String, newC: String, label: String): DataFrame = {
+      val mv = base.agg(count(lit(1)).as("n_docs"),
+        sum((col(oldC) =!= col(newC)).cast("long")).as("n_moved"))
+      val loads = base.groupBy(col(newC)).agg(count(lit(1)).as("l"))
+        .agg(max($"l").as("max_load"), min($"l").as("min_load"))
+      mv.crossJoin(loads).select(lit(label).as("scheme"),
+        $"n_docs", $"n_moved",
+        round($"n_moved".cast("double") / $"n_docs", 4).as("moved_frac"),
+        $"max_load", $"min_load")
+    }
+    stats("mod_old", "mod_new", "mod")
+      .unionByName(stats("hrw_old", "hrw_new", "rendezvous"))
+      .orderBy($"scheme")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q270_rendezvous_shards" -> (qRendezvousShards _),
       "q258_encoding_advisor" -> (qEncodingAdvisor _),
       "q230_zone_map" -> (qZoneMap _),
       "q210_contract" -> (qContract _),
@@ -698,6 +740,49 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q270: the oracle computes the HRW argmax relationally (doc×shard
+    // grid + arg_max on the md5 weight string) — same lexicographic max
+    // the engine's in-row struct array_max takes
+    "q270_rendezvous_shards" ->
+      """WITH grid AS (
+        |  SELECT doc_id, s,
+        |    md5('hrw:' || CAST(s AS VARCHAR) || ':'
+        |        || CAST(doc_id AS VARCHAR)) AS w
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s)),
+        |hrw AS (
+        |  SELECT doc_id,
+        |    arg_max(CASE WHEN s < 8 THEN s END,
+        |            CASE WHEN s < 8 THEN w END) AS hrw_old,
+        |    arg_max(s, w) AS hrw_new
+        |  FROM grid GROUP BY doc_id),
+        |base AS (
+        |  SELECT d.doc_id,
+        |    ('0x' || substr(md5('mh:' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 8 AS mod_old,
+        |    ('0x' || substr(md5('mh:' || CAST(d.doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 9 AS mod_new,
+        |    h.hrw_old, h.hrw_new
+        |  FROM documents d JOIN hrw h USING (doc_id)),
+        |sch AS (
+        |  SELECT 'mod' AS scheme, mod_old AS o, mod_new AS n, doc_id
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'rendezvous', hrw_old, hrw_new, doc_id FROM base),
+        |mv AS (
+        |  SELECT scheme, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN o <> n THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_moved
+        |  FROM sch GROUP BY scheme),
+        |ld AS (
+        |  SELECT scheme, CAST(max(l) AS BIGINT) AS max_load,
+        |    CAST(min(l) AS BIGINT) AS min_load
+        |  FROM (SELECT scheme, n, count(*) AS l FROM sch GROUP BY 1, 2)
+        |  GROUP BY scheme)
+        |SELECT scheme, n_docs, n_moved,
+        |  round(CAST(n_moved AS DOUBLE) / n_docs, 4) AS moved_frac,
+        |  max_load, min_load
+        |FROM mv JOIN ld USING (scheme)
+        |ORDER BY scheme""".stripMargin,
     "q258_encoding_advisor" -> {
       val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
         "l_partkey", "l_orderkey")

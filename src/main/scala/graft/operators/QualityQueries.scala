@@ -332,6 +332,62 @@ object QualityQueries extends QueryModule {
       .orderBy($"shard", $"bin_id")
   }
 
+  /** Poisson(λ=1) inverse-CDF thresholds: weight w = #{thresholds
+    * below u} for a uniform u — capped at 8 (P(X>8) ≈ 1.1e-6). Literal
+    * constants so both engines compare against bit-identical doubles. */
+  private val PoisCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Poisson bootstrap (q271) — confidence intervals on per-source mean
+    * document length WITHOUT resampling passes: multinomial bootstrap
+    * resampling needs R passes over the data (or a global n to sample
+    * against); the Poisson approximation gives each row an independent
+    * Poisson(1) weight per replicate, so all R=32 replicates stream in
+    * ONE pass (Chamandy et al. 2012, "Estimating uncertainty for
+    * massive data streams" — the standard bootstrap at terabyte scale,
+    * where per-replicate row counts can't be coordinated). The weight
+    * is an md5-uniform pushed through the literal Poisson inverse CDF —
+    * engine-replayable, so the oracle hash-matches the CI itself, not
+    * just its shape. Replicate sums are integer (weight × n_chars), so
+    * every replicate mean is an exact BIGINT/BIGINT division — no
+    * float accumulation order anywhere before the final 32-value
+    * variance. Fan-out is the explode to R×rows, immediately collapsed
+    * by a partial agg (map-side combine); at 100 TB the R=32 multiplier
+    * is the price of the method and amortizes to one shuffle of
+    * |sources|×32 rows. */
+  def qPoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val R = 32
+    val u = conv(substring(md5(concat(lit("bs:"), $"r".cast("string"),
+      lit(":"), $"doc_id".cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val w = PoisCdf.zipWithIndex.tail
+      .foldLeft(when(u < PoisCdf.head, 0)) { case (e, (t, k)) =>
+        e.when(u < t, k)
+      }.otherwise(8).cast("long")
+    val reps = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("r", explode(sequence(lit(0), lit(R - 1))))
+      .withColumn("w", w)
+      .groupBy($"source", $"r")
+      .agg(sum($"w" * $"n_chars").as("sx"), sum($"w").as("sw"))
+      .select($"source", ($"sx".cast("double") / $"sw").as("m"))
+    val boot = reps.groupBy($"source").agg(
+      (sqrt((sum($"m" * $"m") - sum($"m") * sum($"m") / R) / (R - 1)))
+        .as("se"))
+    val point = Tables.documents(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("mu"))
+    point.join(boot, "source")
+      .select($"source", $"n_docs", round($"mu", 4).as("mean_chars"),
+        round($"se", 4).as("boot_se"),
+        round($"mu" - lit(1.96) * $"se", 4).as("ci_lo"),
+        round($"mu" + lit(1.96) * $"se", 4).as("ci_hi"))
+      .orderBy($"source")
+  }
+
   /** Deterministic stratified train/val/test split — assignment is a
     * pure function of the key (pmod(doc_id, 10): 0-7 train, 8 val,
     * 9 test), so re-runs, backfills, and late-arriving shards land in
@@ -1223,6 +1279,7 @@ object QualityQueries extends QueryModule {
       "q63_source_mixing"    -> (qSourceMixing _),
       "q47_sequence_pack"    -> (qSequencePack _),
       "q269_pad_packing"     -> (qPadPacking _),
+      "q271_poisson_bootstrap" -> (qPoissonBootstrap _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
       "q141_sketch_rollup"   -> (qSketchRollup _),
@@ -1858,6 +1915,48 @@ object QualityQueries extends QueryModule {
         |    AS sketch_ok_p99
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // q271: one-pass Poisson bootstrap — the oracle replays the same
+    // md5-uniform → literal inverse-CDF weights, exact integer replicate
+    // sums, and the 32-replicate variance formula
+    "q271_poisson_bootstrap" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars, r,
+        |    ('0x' || substr(md5('bs:' || CAST(r AS VARCHAR) || ':'
+        |        || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      / 4294967296.0 AS u
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 32)) AS r)),
+        |wts AS (
+        |  SELECT source, r, n_chars,
+        |    CASE
+        |      WHEN u < 0.36787944117144233 THEN 0
+        |      WHEN u < 0.7357588823428847 THEN 1
+        |      WHEN u < 0.9196986029286058 THEN 2
+        |      WHEN u < 0.9810118431238463 THEN 3
+        |      WHEN u < 0.9963401531726563 THEN 4
+        |      WHEN u < 0.9994058151824183 THEN 5
+        |      WHEN u < 0.999916758850712 THEN 6
+        |      WHEN u < 0.9999897508033253 THEN 7
+        |      ELSE 8 END AS w
+        |  FROM u),
+        |reps AS (
+        |  SELECT source, r, CAST(sum(w * n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(w) AS BIGINT) AS sw
+        |  FROM wts GROUP BY source, r),
+        |m AS (SELECT source, CAST(sx AS DOUBLE) / sw AS m FROM reps),
+        |boot AS (
+        |  SELECT source,
+        |    sqrt((sum(m * m) - sum(m) * sum(m) / 32) / 31) AS se
+        |  FROM m GROUP BY source),
+        |pt AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS mu
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, round(mu, 4) AS mean_chars,
+        |  round(se, 4) AS boot_se,
+        |  round(mu - 1.96 * se, 4) AS ci_lo,
+        |  round(mu + 1.96 * se, 4) AS ci_hi
+        |FROM pt JOIN boot USING (source)
+        |ORDER BY source""".stripMargin,
     // q269: the oracle replays the shard-local next-fit-decreasing fold
     // one row per recursion step — state (bin_id, fill) advances along
     // the same (eff DESC, doc_id) order the engine secondary-sorts by

@@ -123,4 +123,51 @@ class Round8Spec extends AnyFunSuite {
       rows.length
     assert(mae < 0.35, s"1-bit estimator MAE $mae out of family")
   }
+
+  test("q269: bins respect the budget, pad = 512 - used, multi-doc bins can't absorb their successor") {
+    val rows = QualityQueries.qPadPacking(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val used = r.getAs[Long]("used_tokens")
+      val pad  = r.getAs[Long]("pad_tokens")
+      assert(used >= 1L && used <= 512L)
+      assert(pad == 512L - used)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+    // bin ids are dense per shard (NFD opens bins sequentially)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val bins = rs.map(_.getAs[Long]("bin_id")).sorted
+      assert(bins.toSeq == (0L until bins.length).toSeq,
+        s"shard $sh: bin ids not dense")
+    }
+  }
+
+  test("q270: rendezvous moves ~1/9 of keys, mod-hash ~8/9; everything conserved") {
+    val rows = StorageQueries.qRendezvousShards(spark, sf).collect()
+    val bySch = rows.map(r => r.getAs[String]("scheme") -> r).toMap
+    val hrw = bySch("rendezvous"); val md = bySch("mod")
+    val n = hrw.getAs[Long]("n_docs")
+    assert(n == md.getAs[Long]("n_docs"))
+    val fHrw = hrw.getAs[Double]("moved_frac")
+    val fMod = md.getAs[Double]("moved_frac")
+    // HRW's movement is exactly the mass the new shard wins (E=1/9);
+    // mod-hash remaps everything whose residue changes (E=8/9)
+    assert(fHrw < 0.25, s"rendezvous moved $fHrw — minimal-movement violated")
+    assert(fMod > 0.7, s"mod moved only $fMod — expected near-total remap")
+    assert(hrw.getAs[Long]("max_load") >= hrw.getAs[Long]("min_load"))
+  }
+
+  test("q271: bootstrap CI brackets the point mean; se positive and sane") {
+    val rows = QualityQueries.qPoissonBootstrap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mu = r.getAs[Double]("mean_chars")
+      val se = r.getAs[Double]("boot_se")
+      assert(se > 0.0)
+      assert(r.getAs[Double]("ci_lo") <= mu && mu <= r.getAs[Double]("ci_hi"))
+      // Poisson-bootstrap SE of a mean ~ sd/sqrt(n): sanity-bound it by
+      // the mean itself (lengths have cv well under 1 per source)
+      assert(se < mu, s"${r.getAs[String]("source")}: se $se vs mu $mu")
+    }
+  }
 }

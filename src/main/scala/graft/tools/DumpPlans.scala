@@ -81,7 +81,9 @@ object DumpPlans {
     "q259_power_analysis", "q260_template_detect",
     "q261_label_centroids", "q262_knn_label_acc", "q263_mmr_rerank",
     "q264_split_straddle", "q265_rank_metrics", "q266_hill_tail",
-    "q267_source_overlap", "q268_source_datasheet")
+    "q267_source_overlap", "q268_source_datasheet",
+    "q269_pad_packing", "q270_rendezvous_shards",
+    "q271_poisson_bootstrap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -201,6 +201,27 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"pivot scanned input $scans times")
   }
 
+  test("q269 pad packing: shard-partitioned fold, no Window anywhere") {
+    val p = plan("q269_pad_packing")
+    // the sequential fill must stream per shard (one exchange on the
+    // shard key, secondary sort inside partitions) — a Window operator
+    // here would mean the fold regressed to a per-shard single-reducer
+    // running aggregate
+    assert(p.contains("hashpartitioning(shard"),
+      "packing fold must repartition on the md5 shard")
+    assert(!p.contains("Window"),
+      "pad packing must fold over sorted partitions, not a window")
+  }
+
+  test("q270 rendezvous: the HRW argmax stays in-row (no Generate fan-out)") {
+    val p = plan("q270_rendezvous_shards")
+    // the doc×shard candidate grid must never materialize — argmax over
+    // the 9-struct array is a scalar expression; an explode here would
+    // be a 9× corpus fan-out the in-row form exists to avoid
+    assert(!p.contains("Generate"),
+      "HRW shard choice must be an in-row array_max, not an explode")
+  }
+
   test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q10_clean_text")(spark, sf)

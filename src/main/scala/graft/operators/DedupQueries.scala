@@ -1436,7 +1436,40 @@ object DedupQueries extends QueryModule {
       .filter($"i" * 5 >= ($"na" + $"nb" - $"i") * 4)
   }
 
+  /** Pagination stitching (q272) — web extraction splits one logical
+    * article into page-1/page-2 fragments; the repair signal is a
+    * doc whose LAST tokens equal another doc's FIRST tokens within the
+    * same source. Candidates come from one co-keyed equi-join on
+    * (source, boundary 2-gram) — suffix projection ⋈ prefix projection,
+    * never an all-pairs comparison — with the suite's hot-block guard:
+    * boundary grams opening more than MaxStitch docs in a source are
+    * boilerplate openings ("in this article …"), not page breaks, and
+    * are dropped whole from BOTH sides (the q31 MaxBlock discipline;
+    * false stitches are worse than missed ones because stitching
+    * mutates documents). Everything is map-side until the single
+    * equi-join shuffle. */
+  def qPageStitch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MaxStitch = 50
+    val t = Tables.documents(s, dir)
+      .select($"doc_id", $"source", split($"text", " ").as("w"))
+      .filter(size($"w") >= 2)
+    val suf = t.select($"doc_id".as("a_id"), $"source",
+      concat_ws(" ", element_at($"w", -2), element_at($"w", -1)).as("g"))
+    val pre = t.select($"doc_id".as("b_id"), $"source",
+      concat_ws(" ", element_at($"w", 1), element_at($"w", 2)).as("g"))
+    val hot = pre.groupBy($"source", $"g").agg(count(lit(1)).as("n"))
+      .filter($"n" > MaxStitch).select($"source", $"g")
+    val safeSuf = suf.join(hot, Seq("source", "g"), "left_anti")
+    val safePre = pre.join(hot, Seq("source", "g"), "left_anti")
+    safeSuf.join(safePre, Seq("source", "g"))
+      .filter($"a_id" =!= $"b_id")
+      .select($"source", $"a_id", $"b_id", $"g".as("stitch_gram"))
+      .orderBy($"source", $"a_id", $"b_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_page_stitch"  -> (qPageStitch _),
     "q199_prefix_join"  -> (qPrefixJoin _),
     "q30_dedup_exact"   -> (qDedupExact _),
     "q28_span_dedup"    -> (qSpanDedup _),
@@ -1621,6 +1654,29 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      // q272: same suffix⋈prefix equi-join with the hot-opening guard
+      "q272_page_stitch" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, str_split(text, ' ') AS w
+          |  FROM documents),
+          |suf AS (
+          |  SELECT doc_id AS a_id, source,
+          |    array_to_string(w[-2:], ' ') AS g
+          |  FROM t WHERE len(w) >= 2),
+          |pre AS (
+          |  SELECT doc_id AS b_id, source,
+          |    array_to_string(w[1:2], ' ') AS g
+          |  FROM t WHERE len(w) >= 2),
+          |hot AS (
+          |  SELECT source, g FROM pre GROUP BY source, g
+          |  HAVING count(*) > 50)
+          |SELECT s.source, s.a_id, p.b_id, s.g AS stitch_gram
+          |FROM suf s
+          |JOIN pre p ON s.source = p.source AND s.g = p.g
+          |  AND s.a_id <> p.b_id
+          |WHERE NOT EXISTS (SELECT 1 FROM hot h
+          |  WHERE h.source = s.source AND h.g = s.g)
+          |ORDER BY s.source, s.a_id, p.b_id""".stripMargin,
       // q199: brute-force ALL pairs — the completeness yardstick the
       // prefix filter must reproduce exactly (integer threshold test,
       // so no float decides membership on either engine)

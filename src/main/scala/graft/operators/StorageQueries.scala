@@ -712,9 +712,57 @@ object StorageQueries extends QueryModule {
       .orderBy($"scheme")
   }
 
+  /** Content-locality layout audit (q273) — the text sibling of q83's
+    * numeric Z-order: writing near-duplicate documents ADJACENTLY makes
+    * downstream compression (zstd window hits) and delta encoding
+    * dramatically cheaper, so the layout decision is "sort the corpus
+    * by a content key before writing". This prices it: mean adjacent-
+    * pair 3-gram-shingle Jaccard under the arrival order (doc_id) vs
+    * under MinHash-1 order (sort by the minimum md5 shingle hash — docs
+    * sharing most shingles usually share their min shingle, so near-
+    * dups collide and land adjacent; the 1-permutation special case of
+    * q32's machinery). Both layouts compare adjacent pairs INSIDE
+    * order-aligned buckets (doc_id div 64; first hex char of the min-
+    * hash) — the q222 sharding trade: cross-bucket boundary pairs are
+    * forfeit, and no window ever sees more than a bucket. Shingle sets
+    * stay in-row; the exact Jaccard per pair is one array_intersect on
+    * adjacent rows — never an all-pairs join. */
+  def qLayoutLocality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = expr(
+      """array_distinct(transform(sequence(1, size(w) - 2),
+        |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+        |              ' ', element_at(w, i + 2))))""".stripMargin)
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", sh.as("sh"))
+      .withColumn("minh",
+        array_min(expr("transform(sh, x -> md5(x))")))
+    def meanAdj(bucket: Column, key: Seq[Column], label: String)
+        : DataFrame = {
+      val wnd = Window.partitionBy(bucket.as("b")).orderBy(key: _*)
+      val i = size(array_intersect($"sh", $"sh_next")).cast("double")
+      val u = (size($"sh") + size($"sh_next")).cast("double") - i
+      base
+        .withColumn("sh_next", lead($"sh", 1).over(wnd))
+        .filter($"sh_next".isNotNull)
+        .select((i / u).as("j"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg($"j"), 4).as("mean_adj_jaccard"))
+        .select(lit(label).as("layout"), $"n_pairs", $"mean_adj_jaccard")
+    }
+    meanAdj(expr("doc_id div 64"), Seq($"doc_id"), "arrival")
+      .unionByName(meanAdj(substring($"minh", 1, 1),
+        Seq($"minh", $"doc_id"), "minhash_sorted"))
+      .orderBy($"layout")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q270_rendezvous_shards" -> (qRendezvousShards _),
+      "q273_layout_locality" -> (qLayoutLocality _),
       "q258_encoding_advisor" -> (qEncodingAdvisor _),
       "q230_zone_map" -> (qZoneMap _),
       "q210_contract" -> (qContract _),
@@ -740,6 +788,37 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q273: same bucket-scoped adjacent-pair Jaccard under both layouts
+    "q273_layout_locality" ->
+      """WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+        |  FROM t WHERE len(w) >= 3),
+        |b AS (
+        |  SELECT doc_id, sh,
+        |    list_min(list_transform(sh, x -> md5(x))) AS minh
+        |  FROM s),
+        |a1 AS (
+        |  SELECT sh, lead(sh) OVER (PARTITION BY doc_id // 64
+        |    ORDER BY doc_id) AS sh2 FROM b),
+        |a2 AS (
+        |  SELECT sh, lead(sh) OVER (PARTITION BY substr(minh, 1, 1)
+        |    ORDER BY minh, doc_id) AS sh2 FROM b),
+        |p AS (
+        |  SELECT 'arrival' AS layout,
+        |    len(list_intersect(sh, sh2)) AS i, len(sh) + len(sh2) AS su
+        |  FROM a1 WHERE sh2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'minhash_sorted',
+        |    len(list_intersect(sh, sh2)), len(sh) + len(sh2)
+        |  FROM a2 WHERE sh2 IS NOT NULL)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(CAST(i AS DOUBLE) / (su - i)), 4) AS mean_adj_jaccard
+        |FROM p GROUP BY layout
+        |ORDER BY layout""".stripMargin,
     // q270: the oracle computes the HRW argmax relationally (doc×shard
     // grid + arg_max on the md5 weight string) — same lexicographic max
     // the engine's in-row struct array_max takes

@@ -83,7 +83,8 @@ object DumpPlans {
     "q264_split_straddle", "q265_rank_metrics", "q266_hill_tail",
     "q267_source_overlap", "q268_source_datasheet",
     "q269_pad_packing", "q270_rendezvous_shards",
-    "q271_poisson_bootstrap", "q272_page_stitch")
+    "q271_poisson_bootstrap", "q272_page_stitch",
+    "q273_layout_locality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

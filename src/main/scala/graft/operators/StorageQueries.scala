@@ -759,10 +759,71 @@ object StorageQueries extends QueryModule {
       .orderBy($"layout")
   }
 
+  /** Space-filling-curve pruning card (q274) — WHY lakehouses Z-order,
+    * measured: the same 16 zone-mapped row groups (q230's min/max
+    * footers) are laid out three ways — sorted by language, sorted by
+    * length, and range-bucketed on q83's Morton code — and three
+    * predicates (language-only, length-only, both) are priced against
+    * each layout's zone maps. Each single-column sort is optimal for
+    * its own dimension and near-useless for the other (every bucket's
+    * zone map spans the full untracked dimension); the Z-order layout
+    * keeps BOTH dimensions partially tight, so it is never the
+    * catastrophic layout — the robustness argument behind OPTIMIZE
+    * ZORDER. All bucketing is VALUE-range on the layout key (what a
+    * range-partitioned write produces) — no global sort, no ntile; the
+    * zone-map frame is 3×16 rows and every verdict after the one
+    * partial agg is metadata arithmetic. rows_match rides along as the
+    * layout-independent audit column (perfect pruning scans exactly
+    * that). */
+  def qCurvePruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val langCode =
+      ((ascii(substring($"lang", 1, 1)) - 97) * 26 +
+        (ascii(substring($"lang", 2, 1)) - 97)).cast("long")
+    val base = Tables.documents(s, dir)
+      .select(langCode.as("lc"),
+        least($"n_chars", lit(1023L)).as("x"))
+      .withColumn("zv", graft.sources.ZOrder.zval($"lc", $"x", 10))
+      .select($"lc", $"x",
+        expr("""stack(3, 'by_lang',   lc div 43,
+               |         'by_chars',  x  div 64,
+               |         'by_zorder', zv div 65536)
+               |  AS (layout, bucket)""".stripMargin))
+    val zones = base.groupBy($"layout", $"bucket").agg(
+      min($"lc").as("min_lc"), max($"lc").as("max_lc"),
+      min($"x").as("min_x"), max($"x").as("max_x"),
+      count(lit(1)).as("rows"))
+    // predicate table: NULL bound = unconstrained dimension
+    val predRows: Seq[(String, Option[Long], Option[Long],
+        Option[Long], Option[Long])] = Seq(
+      ("lang_only", Some(640L), Some(660L), None, None),
+      ("chars_only", None, None, Some(200L), Some(300L)),
+      ("both", Some(640L), Some(660L), Some(200L), Some(300L)))
+    val preds = predRows.toDF("pred", "lo_lc", "hi_lc", "lo_x", "hi_x")
+    val scanned =
+      ($"lo_lc".isNull || ($"max_lc" >= $"lo_lc" && $"min_lc" <= $"hi_lc")) &&
+      ($"lo_x".isNull || ($"max_x" >= $"lo_x" && $"min_x" <= $"hi_x"))
+    val card = zones.crossJoin(broadcast(preds))
+      .groupBy($"layout", $"pred")
+      .agg(sum(when(scanned, 1L).otherwise(0L)).as("buckets_scanned"),
+        sum(when(scanned, $"rows").otherwise(0L)).as("rows_scanned"))
+    val matches = Tables.documents(s, dir)
+      .select(langCode.as("lc"), least($"n_chars", lit(1023L)).as("x"))
+      .crossJoin(broadcast(preds))
+      .filter(($"lo_lc".isNull || ($"lc" >= $"lo_lc" && $"lc" <= $"hi_lc")) &&
+        ($"lo_x".isNull || ($"x" >= $"lo_x" && $"x" <= $"hi_x")))
+      .groupBy($"pred").agg(count(lit(1)).as("rows_match"))
+    card.join(broadcast(matches), "pred")
+      .select($"layout", $"pred", $"buckets_scanned", $"rows_scanned",
+        $"rows_match")
+      .orderBy($"layout", $"pred")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q270_rendezvous_shards" -> (qRendezvousShards _),
       "q273_layout_locality" -> (qLayoutLocality _),
+      "q274_curve_pruning" -> (qCurvePruning _),
       "q258_encoding_advisor" -> (qEncodingAdvisor _),
       "q230_zone_map" -> (qZoneMap _),
       "q210_contract" -> (qContract _),
@@ -788,6 +849,49 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q274: same zone maps, layouts and predicates; the Morton code is
+    // the shared ZOrder.zvalSql formula (bit-identical both engines)
+    "q274_curve_pruning" -> {
+      val zv = graft.sources.ZOrder.zvalSql("lc", "x", 10)
+      s"""WITH base AS (
+        |  SELECT ((ascii(substr(lang, 1, 1)) - 97) * 26
+        |      + (ascii(substr(lang, 2, 1)) - 97)) AS lc,
+        |    least(n_chars, 1023) AS x
+        |  FROM documents),
+        |z AS (SELECT lc, x, $zv AS zv FROM base),
+        |lay AS (
+        |  SELECT 'by_lang' AS layout, lc // 43 AS bucket, lc, x FROM z
+        |  UNION ALL SELECT 'by_chars', x // 64, lc, x FROM z
+        |  UNION ALL SELECT 'by_zorder', zv // 65536, lc, x FROM z),
+        |zones AS (
+        |  SELECT layout, bucket, min(lc) AS min_lc, max(lc) AS max_lc,
+        |    min(x) AS min_x, max(x) AS max_x, count(*) AS rws
+        |  FROM lay GROUP BY 1, 2),
+        |preds(pred, lo_lc, hi_lc, lo_x, hi_x) AS (
+        |  VALUES ('lang_only', 640, 660, NULL, NULL),
+        |         ('chars_only', NULL, NULL, 200, 300),
+        |         ('both', 640, 660, 200, 300)),
+        |card AS (
+        |  SELECT layout, pred,
+        |    CAST(sum(CASE WHEN
+        |        (lo_lc IS NULL OR (max_lc >= lo_lc AND min_lc <= hi_lc))
+        |        AND (lo_x IS NULL OR (max_x >= lo_x AND min_x <= hi_x))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+        |    CAST(sum(CASE WHEN
+        |        (lo_lc IS NULL OR (max_lc >= lo_lc AND min_lc <= hi_lc))
+        |        AND (lo_x IS NULL OR (max_x >= lo_x AND min_x <= hi_x))
+        |      THEN rws ELSE 0 END) AS BIGINT) AS rows_scanned
+        |  FROM zones CROSS JOIN preds GROUP BY 1, 2),
+        |m AS (
+        |  SELECT pred, CAST(count(*) AS BIGINT) AS rows_match
+        |  FROM base CROSS JOIN preds
+        |  WHERE (lo_lc IS NULL OR (lc BETWEEN lo_lc AND hi_lc))
+        |    AND (lo_x IS NULL OR (x BETWEEN lo_x AND hi_x))
+        |  GROUP BY pred)
+        |SELECT layout, pred, buckets_scanned, rows_scanned, rows_match
+        |FROM card JOIN m USING (pred)
+        |ORDER BY layout, pred""".stripMargin
+    },
     // q273: same bucket-scoped adjacent-pair Jaccard under both layouts
     "q273_layout_locality" ->
       """WITH t AS (

@@ -157,6 +157,22 @@ class Round8Spec extends AnyFunSuite {
     assert(hrw.getAs[Long]("max_load") >= hrw.getAs[Long]("min_load"))
   }
 
+  test("q274: zone-map scan never under-reads; Z-order at worst matches the best single sort on the 2D predicate") {
+    val rows = StorageQueries.qCurvePruning(spark, sf).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_match"),
+        s"${r.getAs[String]("layout")}/${r.getAs[String]("pred")}: " +
+          "pruning dropped matching rows")
+    }
+    def scanned(layout: String, pred: String): Long =
+      rows.find(r => r.getAs[String]("layout") == layout &&
+        r.getAs[String]("pred") == pred).get.getAs[Long]("rows_scanned")
+    assert(scanned("by_zorder", "both") <=
+      math.min(scanned("by_lang", "both"), scanned("by_chars", "both")),
+      "Z-order must win (or tie) the two-dimensional predicate")
+  }
+
   test("q271: bootstrap CI brackets the point mean; se positive and sane") {
     val rows = QualityQueries.qPoissonBootstrap(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -819,11 +819,60 @@ object StorageQueries extends QueryModule {
       .orderBy($"layout", $"pred")
   }
 
+  /** Bloom-filter sizing card (q275) — the calibration behind q45's
+    * bloom-join pruning: for k=2 hash functions and four filter sizes m,
+    * build the filter over the DISTINCT order-customer keys (the filter
+    * IS a relational frame of distinct (m, bit-position) rows — ≤ k·n
+    * rows, never a driver-side bitset), then probe with guaranteed
+    * non-members (customer keys shifted out of the key domain) and
+    * report the MEASURED false-positive rate beside the textbook
+    * (1 − e^(−kn/m))^k. The md5 positions make both the filter and
+    * every probe verdict engine-replayable, so the measured FPP itself
+    * hash-matches. The card is what a 100 TB join planner reads to pick
+    * m: the smallest size whose measured FPP stays under the shuffle
+    * savings it buys. All joins are co-keyed on (m, pos); per-probe
+    * verdicts are a min over that key's k matched flags. */
+  def qBloomCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ms = Seq(4096L, 8192L, 16384L, 32768L).toDF("m")
+    def positions(key: Column): Column = array((0 until 2).map { i =>
+      conv(substring(md5(concat(lit(s"bf:$i:"), key.cast("string"))),
+        1, 8), 16, 10).cast("long")
+    }: _*)
+    val members = Tables.orders(s, dir)
+      .select($"o_custkey".as("key")).distinct()
+    val bits = members.crossJoin(broadcast(ms))
+      .select($"m", explode(positions($"key")).as("h"))
+      .select($"m", ($"h" % $"m").as("pos")).distinct()
+    val probes = Tables.customer(s, dir)
+      .select(($"c_custkey" + 1000000000L).as("key")).distinct()
+      .crossJoin(broadcast(ms))
+      .select($"m", $"key", explode(positions($"key")).as("h"))
+      .select($"m", $"key", ($"h" % $"m").as("pos")).distinct()
+    val verdicts = probes
+      .join(bits.withColumn("found", lit(1L)), Seq("m", "pos"), "left")
+      .groupBy($"m", $"key")
+      .agg(min(coalesce($"found", lit(0L))).as("fp"))
+    val card = verdicts.groupBy($"m").agg(
+      count(lit(1)).as("n_probes"),
+      sum($"fp").as("false_positives"))
+    val sizes = bits.groupBy($"m").agg(count(lit(1)).as("bits_set"))
+    val n = members.agg(count(lit(1)).as("n_members"))
+    card.join(sizes, "m").crossJoin(broadcast(n))
+      .select($"m", $"n_members", $"bits_set",
+        round(pow(lit(1.0) - exp(lit(-2.0) * $"n_members" / $"m"), 2), 4)
+          .as("theory_fpp"),
+        round($"false_positives".cast("double") / $"n_probes", 4)
+          .as("measured_fpp"))
+      .orderBy($"m")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q270_rendezvous_shards" -> (qRendezvousShards _),
       "q273_layout_locality" -> (qLayoutLocality _),
       "q274_curve_pruning" -> (qCurvePruning _),
+      "q275_bloom_calibration" -> (qBloomCalibration _),
       "q258_encoding_advisor" -> (qEncodingAdvisor _),
       "q230_zone_map" -> (qZoneMap _),
       "q210_contract" -> (qContract _),
@@ -849,6 +898,43 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q275: same relational bloom filter — distinct (m, pos) bit frame,
+    // k=2 md5 positions, shifted-key non-member probes
+    "q275_bloom_calibration" ->
+      """WITH ms(m) AS (VALUES (4096), (8192), (16384), (32768)),
+        |mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |bits AS (
+        |  SELECT DISTINCT m,
+        |    ('0x' || substr(md5('bf:' || i || ':'
+        |      || CAST(key AS VARCHAR)), 1, 8))::BIGINT % m AS pos
+        |  FROM mem CROSS JOIN ms
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS i)),
+        |pr AS (
+        |  SELECT DISTINCT m, key,
+        |    ('0x' || substr(md5('bf:' || i || ':'
+        |      || CAST(key AS VARCHAR)), 1, 8))::BIGINT % m AS pos
+        |  FROM (SELECT DISTINCT c_custkey + 1000000000 AS key
+        |        FROM customer)
+        |  CROSS JOIN ms CROSS JOIN (SELECT unnest(range(0, 2)) AS i)),
+        |v AS (
+        |  SELECT pr.m, pr.key,
+        |    min(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS fp
+        |  FROM pr LEFT JOIN bits b ON pr.m = b.m AND pr.pos = b.pos
+        |  GROUP BY pr.m, pr.key),
+        |card AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS n_probes,
+        |    CAST(sum(fp) AS BIGINT) AS fps
+        |  FROM v GROUP BY m),
+        |sz AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS bits_set
+        |  FROM bits GROUP BY m),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem)
+        |SELECT CAST(card.m AS BIGINT) AS m, n_members, bits_set,
+        |  round(pow(1.0 - exp(-2.0 * n_members / card.m), 2), 4)
+        |    AS theory_fpp,
+        |  round(CAST(fps AS DOUBLE) / n_probes, 4) AS measured_fpp
+        |FROM card JOIN sz USING (m) CROSS JOIN n
+        |ORDER BY m""".stripMargin,
     // q274: same zone maps, layouts and predicates; the Morton code is
     // the shared ZOrder.zvalSql formula (bit-identical both engines)
     "q274_curve_pruning" -> {

@@ -84,7 +84,8 @@ object DumpPlans {
     "q267_source_overlap", "q268_source_datasheet",
     "q269_pad_packing", "q270_rendezvous_shards",
     "q271_poisson_bootstrap", "q272_page_stitch",
-    "q273_layout_locality", "q274_curve_pruning")
+    "q273_layout_locality", "q274_curve_pruning",
+    "q275_bloom_calibration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

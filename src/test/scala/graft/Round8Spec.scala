@@ -173,6 +173,23 @@ class Round8Spec extends AnyFunSuite {
       "Z-order must win (or tie) the two-dimensional predicate")
   }
 
+  test("q275: measured FPP tracks theory and decreases in filter size") {
+    val rows = StorageQueries.qBloomCalibration(spark, sf).collect()
+      .sortBy(_.getAs[Long]("m"))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val th = r.getAs[Double]("theory_fpp")
+      val ms = r.getAs[Double]("measured_fpp")
+      // binomial noise at ~150 probes: allow a generous absolute band
+      assert(math.abs(ms - th) < 0.12,
+        s"m=${r.getAs[Long]("m")}: measured $ms vs theory $th")
+      assert(r.getAs[Long]("bits_set") <= 2L * r.getAs[Long]("n_members"))
+    }
+    val th = rows.map(_.getAs[Double]("theory_fpp"))
+    assert(th.zip(th.tail).forall { case (a, b) => a >= b },
+      "theory FPP must fall as m grows")
+  }
+
   test("q271: bootstrap CI brackets the point mean; se positive and sane") {
     val rows = QualityQueries.qPoissonBootstrap(spark, sf).collect()
     assert(rows.nonEmpty)

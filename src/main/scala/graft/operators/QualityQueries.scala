@@ -388,6 +388,68 @@ object QualityQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Length-matched corpus pairs (q276) — the controlled-comparison
+    * design an ablation study needs: comparing English vs German
+    * quality/perplexity raw confounds on length, so build MATCHED
+    * corpora by quantile matching — the i-th shortest en doc pairs with
+    * the i-th shortest de doc (rank join), truncated to the smaller
+    * side. The within-language rank is the q84 DISTRIBUTED PREFIX RANK,
+    * with the bucket VALUE-aligned to the sort key (n_chars div 64, so
+    * bucket order extends length order): per-(lang, bucket) counts →
+    * tiny offset frame → local row_number within (lang, bucket) — no
+    * per-language single-reducer window at any corpus size. Emits the
+    * matching-quality card per pair decile: matched-mean lengths and
+    * the mean absolute residual length gap (near zero = confound
+    * removed); the oracle replays the rank as one naive per-lang
+    * window, so the hash match IS the distributed≡naive rank proof. */
+  def qMatchedCorpora(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .filter($"lang".isin("en", "de"))
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("bucket", expr("n_chars div 64"))
+    val offsets = docs.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum($"c").over(
+        Window.partitionBy($"lang").orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"lang", $"bucket", $"off")
+    val ranked = docs
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("r", $"off" + row_number().over(
+        Window.partitionBy($"lang", $"bucket")
+          .orderBy($"n_chars", $"doc_id")))
+    // quantile SLOTS, not raw ranks: with unequal sides (en ≈ 3× de)
+    // rank-i-to-rank-i pairing would compare en's shortest docs to de's
+    // whole range. slot = ⌊(r−1)·S / n_side⌋ with S = min(n_en, n_de)
+    // aligns the two EMPIRICAL CDFs; each slot's representative is its
+    // first (shortest) row, so pairs compare equal quantile positions.
+    val counts = ranked.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val sizes = counts.agg(
+      max(when($"lang" === "en", $"n")).as("n_en"),
+      max(when($"lang" === "de", $"n")).as("n_de"))
+      .withColumn("slots", least($"n_en", $"n_de"))
+    val slotted = ranked.crossJoin(broadcast(sizes))
+      .withColumn("n_side", when($"lang" === "en", $"n_en")
+        .otherwise($"n_de"))
+      .withColumn("slot", expr("((r - 1) * slots) div n_side"))
+      .groupBy($"lang", $"slot", $"slots")
+      .agg(min($"n_chars").as("rep_len"))
+    val pairs = slotted.filter($"lang" === "en")
+      .select($"slot", $"slots", $"rep_len".as("len_en"))
+      .join(slotted.filter($"lang" === "de")
+        .select($"slot", $"rep_len".as("len_de")), "slot")
+    pairs
+      .withColumn("decile", expr("(slot * 10) div slots"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"len_en"), 4).as("mean_len_en"),
+        round(avg($"len_de"), 4).as("mean_len_de"),
+        round(avg(abs($"len_en" - $"len_de")), 4).as("mean_abs_gap"))
+      .orderBy($"decile")
+  }
+
   /** Deterministic stratified train/val/test split — assignment is a
     * pure function of the key (pmod(doc_id, 10): 0-7 train, 8 val,
     * 9 test), so re-runs, backfills, and late-arriving shards land in
@@ -1280,6 +1342,7 @@ object QualityQueries extends QueryModule {
       "q47_sequence_pack"    -> (qSequencePack _),
       "q269_pad_packing"     -> (qPadPacking _),
       "q271_poisson_bootstrap" -> (qPoissonBootstrap _),
+      "q276_matched_corpora" -> (qMatchedCorpora _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
       "q141_sketch_rollup"   -> (qSketchRollup _),
@@ -1915,6 +1978,43 @@ object QualityQueries extends QueryModule {
         |    AS sketch_ok_p99
         |FROM documents GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // q276: the oracle ranks with one naive per-lang window — equality
+    // with the engine's bucket-offset distributed rank is the proof
+    "q276_matched_corpora" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE lang IN ('en', 'de')),
+        |r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS r
+        |  FROM d),
+        |sz AS (
+        |  SELECT
+        |    max(CASE WHEN lang = 'en' THEN n END) AS n_en,
+        |    max(CASE WHEN lang = 'de' THEN n END) AS n_de,
+        |    least(max(CASE WHEN lang = 'en' THEN n END),
+        |          max(CASE WHEN lang = 'de' THEN n END)) AS slots
+        |  FROM (SELECT lang, count(*) AS n FROM d GROUP BY lang)),
+        |sl AS (
+        |  SELECT lang, slots,
+        |    ((r - 1) * slots) // (CASE WHEN lang = 'en' THEN n_en
+        |                               ELSE n_de END) AS slot,
+        |    min(n_chars) AS rep_len
+        |  FROM r CROSS JOIN sz
+        |  GROUP BY 1, 2, 3),
+        |p AS (
+        |  SELECT a.slot, a.slots, a.rep_len AS len_en,
+        |    b.rep_len AS len_de
+        |  FROM (SELECT slot, slots, rep_len FROM sl WHERE lang = 'en') a
+        |  JOIN (SELECT slot, rep_len FROM sl WHERE lang = 'de') b
+        |    USING (slot))
+        |SELECT (slot * 10) // slots AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(avg(len_en), 4) AS mean_len_en,
+        |  round(avg(len_de), 4) AS mean_len_de,
+        |  round(avg(abs(len_en - len_de)), 4) AS mean_abs_gap
+        |FROM p GROUP BY 1 ORDER BY decile""".stripMargin,
     // q271: one-pass Poisson bootstrap — the oracle replays the same
     // md5-uniform → literal inverse-CDF weights, exact integer replicate
     // sums, and the 32-replicate variance formula

@@ -85,7 +85,7 @@ object DumpPlans {
     "q269_pad_packing", "q270_rendezvous_shards",
     "q271_poisson_bootstrap", "q272_page_stitch",
     "q273_layout_locality", "q274_curve_pruning",
-    "q275_bloom_calibration")
+    "q275_bloom_calibration", "q276_matched_corpora")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

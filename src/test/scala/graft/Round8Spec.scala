@@ -190,6 +190,24 @@ class Round8Spec extends AnyFunSuite {
       "theory FPP must fall as m grows")
   }
 
+  test("q276: quantile matching removes the length confound; deciles complete") {
+    val rows = QualityQueries.qMatchedCorpora(spark, sf).collect()
+      .sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (0L to 9L))
+    rows.foreach { r =>
+      val gap = r.getAs[Double]("mean_abs_gap")
+      val m = math.max(r.getAs[Double]("mean_len_en"),
+        r.getAs[Double]("mean_len_de"))
+      // matched quantiles must track: residual gap well under the level
+      assert(gap < 0.5 * m,
+        s"decile ${r.getAs[Long]("decile")}: gap $gap vs level $m")
+      assert(r.getAs[Long]("n_pairs") >= 1L)
+    }
+    // matched means must be monotone in the decile (CDF alignment)
+    val en = rows.map(_.getAs[Double]("mean_len_en"))
+    assert(en.zip(en.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q271: bootstrap CI brackets the point mean; se positive and sane") {
     val rows = QualityQueries.qPoissonBootstrap(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -22,14 +22,67 @@ import graft.sources.Tables
   * Both follow the same scale shape: one (doc_id, term) partial-agg
   * shuffle for term counts, a vocabulary-sized aggregate, and a
   * broadcast of the vocabulary statistics back onto the token stream —
-  * the per-token join never shuffles the corpus a second time. At
-  * 100 TB the vocabulary table is kept broadcastable by a min-df
-  * threshold folding the long tail into an UNK bucket (the standard LM
-  * move); the fallback is a shuffle join keyed on term, which
-  * co-partitions with nothing else here and so costs one extra pass of
-  * the (smaller) tf frame, not of the corpus.
+  * the per-token join never shuffles the corpus a second time. The
+  * vocabulary table is kept broadcastable BY CONSTRUCTION: [[unkFold]]
+  * caps the token stream to the top-V terms by corpus count and folds
+  * the long tail into an UNK bucket (the standard LM move), so every
+  * vocabulary-keyed statistic downstream is a ≤ V+1-row frame whatever
+  * the corpus size. Bigram-keyed model tables (q93/q160) are V²-bounded
+  * rather than V+1-bounded, so those joins carry no broadcast hint and
+  * the planner picks shuffle vs broadcast from runtime stats.
   */
 object ScoringQueries extends QueryModule {
+
+  /** Vocabulary cap for the corpus-LM scoring family (q71/q72/q93/
+    * q115/q160): 24 of this corpus' 31 distinct terms, so the UNK fold
+    * is NON-VACUOUS at every SF (q164's frozen-vocab posture); at
+    * 100 TB the knob is the tokenizer-scale 10⁵ and the plan is
+    * unchanged — the point is that the vocab frame is ≤ TopV+1 rows by
+    * construction, which is what licenses its explicit broadcast. */
+  private[graft] val ScoreTopV = 24
+
+  /** The fold target for out-of-vocabulary terms. */
+  private[graft] val UnkToken = "<unk>"
+
+  /** min-df/UNK vocabulary fold: rank terms by corpus count (ties by
+    * term asc — a total order, replayed verbatim by the oracle), keep
+    * the top `topV`, rewrite every other token to [[UnkToken]]. The
+    * global rank is Filter(row_number ≤ V) with an empty partition
+    * spec, which TopKWindowRule rewrites to the bounded-heap aggregate
+    * — no single-partition sort of the full vocabulary; the ≤ V-row
+    * vocab frame then broadcasts back onto the token stream. Columns
+    * other than `term` (doc_id / pos / source) pass through. */
+  private[graft] def unkFold(toks: DataFrame,
+      topV: Int = ScoreTopV): DataFrame = {
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("vcnt"))
+      .withColumn("vrk", row_number().over(
+        Window.orderBy(col("vcnt").desc, col("term").asc)))
+      .filter(col("vrk") <= topV)
+      .select(col("term"), lit(1).as("iv"))
+    val cols = toks.columns
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("term",
+        when(col("iv").isNull, lit(UnkToken)).otherwise(col("term")))
+      .select(cols.map(col).toSeq: _*)
+  }
+
+  /** Shared oracle CTE chain replaying [[unkFold]]: ends in
+    * `toks(doc_id, source, pos, term)` with the tail folded. */
+  private def foldedToksCtes: String =
+    s"""WITH raw AS (
+      |  SELECT doc_id, source, i AS pos, tk[i] AS t0
+      |  FROM (SELECT doc_id, source, str_split(text, ' ') AS tk,
+      |          unnest(range(1, len(tk) + 1)) AS i FROM documents)),
+      |vcap AS (
+      |  SELECT t0 FROM (
+      |    SELECT t0, row_number() OVER (
+      |      ORDER BY count(*) DESC, t0 ASC) AS vrk
+      |    FROM raw GROUP BY t0)
+      |  WHERE vrk <= $ScoreTopV),
+      |toks AS (
+      |  SELECT r.doc_id, r.source, r.pos,
+      |    CASE WHEN v.t0 IS NULL THEN '$UnkToken' ELSE r.t0 END AS term
+      |  FROM raw r LEFT JOIN vcap v USING (t0))""".stripMargin
 
   /** Per-document top-3 terms by smoothed TF-IDF. The per-doc ranking is
     * the Filter(row_number <= k) idiom, which TopKWindowRule rewrites to
@@ -40,11 +93,12 @@ object ScoringQueries extends QueryModule {
   def qTfidfTopk(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val tf = docs
-      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val tf = unkFold(docs
+      .select($"doc_id", explode(split($"text", " ")).as("term")))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-    // df over the distinct (doc, term) frame = document frequency
+    // df over the distinct (doc, term) frame = document frequency;
+    // ≤ V+1 rows after the fold, so the broadcast is size-bounded
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -70,8 +124,9 @@ object ScoringQueries extends QueryModule {
     * reuses the (doc_id) grouping every other per-doc stat pays. */
   def qUnigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("term")))
+    // ≤ V+1 rows after the fold — broadcast bounded by construction
     val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum($"cnt").as("total"))
     toks
@@ -92,18 +147,22 @@ object ScoringQueries extends QueryModule {
     * (Wenzek et al. 2020). Smoothing matters operationally: unseen
     * transitions must score finite or one typo nukes the document.
     *
-    * Shape: tokens get positions map-side (posexplode), the
-    * previous-token column comes from a lag over (doc_id) — ONE shuffle
-    * of the token stream, reusing the same (doc_id) partitioning the
-    * final per-doc aggregate needs. The bigram/context count tables are
-    * corpus aggregates broadcast back onto the stream (min-df/UNK
-    * folding keeps them broadcastable at 100 TB, as with q72); the
-    * probability math itself is codegen'd arithmetic. */
+    * Shape: tokens get positions map-side (posexplode) and fold
+    * through [[unkFold]] BEFORE bigram formation, the previous-token
+    * column comes from a lag over (doc_id) — ONE shuffle of the token
+    * stream, reusing the same (doc_id) partitioning the final per-doc
+    * aggregate needs. The context table is ≤ V+1 rows after the fold
+    * (broadcast, bounded by construction); the bigram table is
+    * V²-bounded, not V-bounded, so its join carries NO hint and the
+    * planner degrades to a shuffle join from stats instead of OOMing
+    * on a forced broadcast; the probability math itself is codegen'd
+    * arithmetic. */
   def qBigramNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "term"))))
     val bi = toks
       .withColumn("prev", lag($"term", 1).over(w))
       .filter($"prev".isNotNull)
@@ -113,7 +172,7 @@ object ScoringQueries extends QueryModule {
       .agg(sum($"c_bi").as("c_ctx"))
     val vocab = toks.agg(countDistinct($"term").cast("double").as("v"))
     bi
-      .join(broadcast(biCnt), Seq("prev", "term"))
+      .join(biCnt, Seq("prev", "term"))
       .join(broadcast(ctxCnt), Seq("prev"))
       .crossJoin(broadcast(vocab))
       .groupBy($"doc_id")
@@ -191,19 +250,21 @@ object ScoringQueries extends QueryModule {
     * This is the smoothing family real KenLM corpus filters ship
     * (Heafield 2011 defaults to modified KN).
     *
-    * Same plan skeleton as q93 — ONE token-stream shuffle (the lag
-    * window on doc_id, reused by the final per-doc aggregate); the four
-    * model tables (bigram counts, context totals + fan-out, continuation
-    * counts, one scalar of bigram types) are corpus aggregates that
-    * broadcast back onto the stream, min-df/UNK-foldable at 100 TB
-    * exactly like q72/q93's vocabularies. Every scored bigram was
-    * counted in the same corpus, so c ≥ 1 and no division guard is
-    * needed; the probability arithmetic is codegen'd column math. */
+    * Same plan skeleton as q93 — the token stream folds through
+    * [[unkFold]] before bigram formation, then ONE token-stream shuffle
+    * (the lag window on doc_id, reused by the final per-doc aggregate).
+    * The context/continuation tables are ≤ V+1 rows after the fold and
+    * the type count is a scalar — bounded broadcasts by construction;
+    * the bigram-count table is V²-bounded, so its join carries no hint
+    * (q93's discipline). Every scored bigram was counted in the same
+    * corpus, so c ≥ 1 and no division guard is needed; the probability
+    * arithmetic is codegen'd column math. */
   def qKneserNeyNll(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "term"))))
     val bi = toks
       .withColumn("prev", lag($"term", 1).over(w))
       .filter($"prev".isNotNull)
@@ -215,7 +276,7 @@ object ScoringQueries extends QueryModule {
       .agg(count(lit(1)).as("n_prec"))
     val nTypes = biCnt.agg(count(lit(1)).cast("double").as("n_types"))
     bi
-      .join(broadcast(biCnt), Seq("prev", "term"))
+      .join(biCnt, Seq("prev", "term"))
       .join(broadcast(ctx), Seq("prev"))
       .join(broadcast(cont), Seq("term"))
       .crossJoin(broadcast(nTypes))
@@ -607,21 +668,22 @@ object ScoringQueries extends QueryModule {
     * its KL against the corpus it used to resemble). The smoothed KL
     * needs every (source, vocab-term) cell including unobserved ones,
     * so the grid is built as a cross join of two AGGREGATED frames —
-    * |sources| × |vocab|, dimension-sized, never the corpus; at 100 TB
-    * the vocab side is capped to top-V with an UNK fold (the q71/q72
-    * move) to stay broadcastable. One (source, term) partial-agg
-    * shuffle over the token stream; everything after is grid-sized. */
+    * |sources| × |vocab|; the vocab side folds through [[unkFold]]
+    * first, so it is ≤ V+1 rows BY CONSTRUCTION and the grid stays
+    * dimension-sized whatever the corpus holds. One (source, term)
+    * partial-agg shuffle over the token stream; everything after is
+    * grid-sized. */
   def qSourceDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"source", explode(split($"text", " ")).as("term"))
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("term")))
     val sc = toks.groupBy($"source", $"term")
       .agg(count(lit(1)).as("c_sw"))
     val cc = toks.groupBy($"term").agg(count(lit(1)).as("c_w"))
     val tot = cc.agg(sum($"c_w").as("n_c"),
       count(lit(1)).cast("double").as("v"))
     val ns = sc.groupBy($"source").agg(sum($"c_sw").as("n_s"))
-    val grid = ns.crossJoin(cc)
+    val grid = ns.crossJoin(broadcast(cc))
       .join(sc, Seq("source", "term"), "left")
       .crossJoin(broadcast(tot))
     val pS = (coalesce($"c_sw", lit(0L)) + lit(0.5)) /
@@ -1361,9 +1423,7 @@ object ScoringQueries extends QueryModule {
         |SELECT doc_id, n_grams, dsir_logw
         |FROM weights ORDER BY doc_id""".stripMargin,
     "q115_source_drift" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(str_split(text, ' ')) AS term
-        |  FROM documents),
+      s"""$foldedToksCtes,
         |sc AS (
         |  SELECT source, term, CAST(count(*) AS BIGINT) AS c_sw
         |  FROM toks GROUP BY source, term),
@@ -1404,9 +1464,7 @@ object ScoringQueries extends QueryModule {
         |FROM c WHERE cum_tokens <= 10000
         |ORDER BY cum_tokens""".stripMargin,
     "q71_tfidf_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
-        |  FROM documents),
+      s"""$foldedToksCtes,
         |tf AS (
         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         |  FROM toks GROUP BY doc_id, term),
@@ -1426,9 +1484,7 @@ object ScoringQueries extends QueryModule {
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
     "q72_unigram_nll" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
-        |  FROM documents),
+      s"""$foldedToksCtes,
         |freq AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
         |  FROM toks GROUP BY term),
@@ -1440,9 +1496,7 @@ object ScoringQueries extends QueryModule {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q101_ppl_routing" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term
-        |  FROM documents),
+      s"""$foldedToksCtes,
         |freq AS (
         |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
         |  FROM toks GROUP BY term),
@@ -1567,11 +1621,13 @@ object ScoringQueries extends QueryModule {
         |ORDER BY feature""".stripMargin
     },
     "q160_kn_bigram" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+      s"""$foldedToksCtes,
         |bi AS (
-        |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS term
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)),
+        |  SELECT doc_id, prev, term FROM (
+        |    SELECT doc_id, lag(term) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS prev, term
+        |    FROM toks)
+        |  WHERE prev IS NOT NULL),
         |bc AS (
         |  SELECT prev, term, CAST(count(*) AS BIGINT) AS c_bi
         |  FROM bi GROUP BY prev, term),
@@ -1592,18 +1648,19 @@ object ScoringQueries extends QueryModule {
         |  JOIN ct USING (term) CROSS JOIN nt
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q93_bigram_nll" ->
-      """WITH d AS (
-        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+      s"""$foldedToksCtes,
         |bi AS (
-        |  SELECT doc_id, tk[i] AS prev, tk[i + 1] AS term
-        |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM d)),
+        |  SELECT doc_id, prev, term FROM (
+        |    SELECT doc_id, lag(term) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS prev, term
+        |    FROM toks)
+        |  WHERE prev IS NOT NULL),
         |bc AS (
         |  SELECT prev, term, CAST(count(*) AS BIGINT) AS c_bi
         |  FROM bi GROUP BY prev, term),
         |cc AS (SELECT prev, sum(c_bi) AS c_ctx FROM bc GROUP BY prev),
         |v AS (
-        |  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS term FROM documents))
+        |  SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM toks)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(-ln((c_bi + 1.0) / (c_ctx + v))), 4) AS nll
         |FROM bi JOIN bc USING (prev, term) JOIN cc USING (prev) CROSS JOIN v

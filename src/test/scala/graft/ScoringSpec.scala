@@ -102,6 +102,44 @@ class ScoringSpec extends AnyFunSuite {
         s"missing=${(expected.keySet -- got.keySet).take(5)}")
   }
 
+  test("unk fold: non-vacuous cap keeps exactly top-V terms, folds the rest") {
+    import spark.implicits._
+    // 5 distinct terms, cap at 3: keep c(3) b(2) a(2)... counts:
+    // a=4, b=3, c=2, d=1, e=1 → top-3 = {a, b, c}; d/e fold to <unk>
+    val toks = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "e"),
+      (3L, "a"), (3L, "b"), (3L, "c"),
+    ).toDF("doc_id", "term")
+    val folded = operators.ScoringQueries.unkFold(toks, topV = 3)
+      .select($"doc_id", $"term").as[(Long, String)].collect()
+    assert(folded.length == toks.count(), "fold must preserve token count")
+    val vocab = folded.map(_._2).toSet
+    assert(vocab == Set("a", "b", "c", operators.ScoringQueries.UnkToken),
+      s"expected top-3 + <unk>, got $vocab")
+    assert(folded.count(_._2 == operators.ScoringQueries.UnkToken) == 2,
+      "exactly the two tail tokens (d, e) must fold")
+    // tie at the cap boundary breaks by term asc: with cap 4, 'd' (count
+    // 1) wins the tie against 'e' (count 1) deterministically
+    val f4 = operators.ScoringQueries.unkFold(toks, topV = 4)
+      .select($"term").as[String].collect().toSet
+    assert(f4 == Set("a", "b", "c", "d", operators.ScoringQueries.UnkToken),
+      s"cap-boundary tie must break by term asc, got $f4")
+  }
+
+  test("unk fold binds on the shipped corpus: <unk> carries real mass") {
+    import spark.implicits._
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+    val folded = operators.ScoringQueries.unkFold(toks)
+    val kinds = folded.select($"term").distinct().count()
+    assert(kinds <= operators.ScoringQueries.ScoreTopV + 1,
+      s"folded vocab must be ≤ V+1, got $kinds")
+    val unkN = folded.filter($"term" === operators.ScoringQueries.UnkToken)
+      .count()
+    assert(unkN > 0, "fold is vacuous on the shipped corpus — cap not binding")
+  }
+
   test("tfidf: at most 3 terms per doc, rk dense from 1, scores non-increasing") {
     import spark.implicits._
     val rows = ScoringQueries.qTfidfTopk(spark, sf)

@@ -181,7 +181,12 @@ object DedupQueries extends QueryModule {
     val w = docSh.select($"doc_id", explode($"shs").as("sh"))
     val df = w.groupBy($"sh").agg(count(lit(1)).as("df"))
     val n = w.agg(countDistinct($"doc_id").as("n"))
-    val weights = w.join(broadcast(df), "sh").crossJoin(broadcast(n))
+    // NO broadcast hint on the shingle-df join: shingle vocabulary
+    // grows with the corpus, so a forced broadcast would OOM at scale.
+    // Unhinted, the shuffle join co-partitions on the same `sh` key the
+    // df aggregate just used, and the planner may still elect a
+    // broadcast from runtime stats when the frame is genuinely small.
+    val weights = w.join(df, "sh").crossJoin(broadcast(n))
       .select($"doc_id", $"sh",
         log($"n".cast("double") / $"df").as("wt"))
     val norms = weights.groupBy($"doc_id")
@@ -360,9 +365,12 @@ object DedupQueries extends QueryModule {
     * union of its shingles (a min-aggregate — each source's signature
     * is 16 longs however many shingles it holds), pairwise estimates
     * from signature agreement; the EXACT set Jaccard rides along as
-    * the audit column (one shingle-keyed self-join here; at 100 TB
-    * only the sketch half ships — that's its entire point, the
-    * signature is the source's content fingerprint at rest). Same
+    * the audit column, computed by per-shingle source-set algebra —
+    * each shingle groups to its ≤ |sources| source set and expands its
+    * ordered pairs map-side, so intersection counting is bounded per
+    * key and never a shingle-keyed join explosion (at 100 TB only the
+    * sketch half ships — that's its entire point, the signature is the
+    * source's content fingerprint at rest). Same
     * Kirsch-Mitzenmacher md5 family as q174, so the estimates
     * hash-match the oracle. */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
@@ -390,9 +398,21 @@ object DedupQueries extends QueryModule {
       .select($"source_a", $"source_b",
         round(agree / lit(16.0), 4).as("j_est"))
     val counts = sh.groupBy($"source").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"),
-        $"x.sh" === $"y.sh" && $"x.source" < $"y.source")
-      .groupBy($"x.source".as("source_a"), $"y.source".as("source_b"))
+    // exact intersections WITHOUT a shingle-keyed self-join: group each
+    // shingle to its (sorted, distinct) source set — bounded at
+    // |sources| per row BY CONSTRUCTION, the hot-key discipline the
+    // rest of the suite applies — then expand the ≤ |sources|² ordered
+    // pairs map-side and count per pair. One shuffle on `sh`, one on
+    // the |sources|²-bounded pair frame; no hot shingle ever drives a
+    // join explosion.
+    val bySrcSet = sh.groupBy($"sh")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .filter(size($"ss") >= 2)
+    val inter = bySrcSet
+      .select(explode($"ss").as("source_a"), $"ss")
+      .select($"source_a", explode($"ss").as("source_b"))
+      .filter($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("n_inter"))
     est
       .join(counts.select($"source".as("source_a"), $"n_sh".as("na")),
@@ -1383,10 +1403,11 @@ object DedupQueries extends QueryModule {
     * 5·i ≥ 4·(na+nb−i)), so no float ever decides a pair. Scale
     * shape: candidates are bounded by prefix-token collisions — rare
     * tokens first makes prefixes maximally selective; the df order
-    * table is |distinct shingles| (broadcast here; at 100 TB a shuffle
-    * join on the shingle key, one extra pass of the token stream, and
-    * the df ordering itself caps to a hashed approximation as the
-    * PPJoin lineage does in production). Candidate pairs carry their
+    * table is |distinct shingles|, so its join is an unhinted shuffle
+    * join on the shingle key — one extra pass of the token stream,
+    * never a forced vocab-sized broadcast (and at 100 TB the df
+    * ordering itself caps to a hashed approximation as the PPJoin
+    * lineage does in production). Candidate pairs carry their
     * sorted shingle arrays into the verify, as q31 does. */
   def qPrefixJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1412,8 +1433,12 @@ object DedupQueries extends QueryModule {
       .filter(size($"sh") > 0)
     val df = sets.select($"doc_id", explode($"sh").as("term"))
       .groupBy($"term").agg(count(lit(1)).as("df"))
+    // shingle-df join left UNHINTED (q172's discipline): the df frame
+    // is |distinct shingles| and grows with the corpus, so the shuffle
+    // join on the already-aggregated `term` key is the scale path — one
+    // extra pass of the token stream, never a forced vocab broadcast.
     val ordered = sets.select($"doc_id", explode($"sh").as("term"))
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .groupBy($"doc_id")
       .agg(array_sort(collect_list(struct($"df", $"term"))).as("st"))
       .select($"doc_id",

@@ -24,14 +24,25 @@ import graft.sources.Tables
   *
   * Per iteration that is two shuffles of the EDGE frame and zero driver
   * round-trips; at 100 TB the edge frame would be pre-partitioned on src
-  * once (bucketing) so the per-iteration ranks⋈edges co-locates, and
-  * iterations would checkpoint lineage like q64 does. A fixed iteration
-  * count (3) keeps the query a finite, oracle-replayable plan — the
+  * once (bucketing) so the per-iteration ranks⋈edges co-locates. Past
+  * CheckpointAbove iterations, pagerankWith truncates lineage per round
+  * via localCheckpoint (edge/degree/node frames once up front, ranks
+  * each round — the q158/q216 posture). A fixed iteration count (3)
+  * keeps the shipped query a finite, oracle-replayable plan — the
   * convergence loop of a production run just repeats the same stage. */
 object GraphQueries extends QueryModule {
 
   private val Damping = 0.85
   private val Iters = 3
+
+  /** Iteration count above which PageRank truncates rank lineage per
+    * round via localCheckpoint (q158/q216/q219/q220's posture). At the
+    * shipped Iters=3 the plan stays one finite lazy tree — exactly
+    * oracle-replayable in a single expression; a convergence-length
+    * run (tens of rounds) would otherwise chain every iteration into a
+    * plan Catalyst re-optimizes and recomputes from the scan each
+    * round. GraphSpec pins lazy ≡ checkpointed on the shipped graph. */
+  private val CheckpointAbove = 3
 
   /** (src, dst, w) weighted transition edges + every node seen. */
   private def edgesOf(s: SparkSession, dir: String): DataFrame = {
@@ -45,19 +56,34 @@ object GraphQueries extends QueryModule {
       .select($"src", $"item".as("dst"))
   }
 
-  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+  def qPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankWith(s, dir, Iters)
+
+  /** The parameterized body: `truncateLineage` defaults from the
+    * iteration count ([[CheckpointAbove]]); GraphSpec forces it on to
+    * pin result equality with the lazy path. When truncating, the
+    * loop-invariant edge/degree/node frames checkpoint ONCE up front
+    * (they are otherwise re-derived from the events scan every
+    * iteration) and the rank frame checkpoints per round. */
+  private[graft] def pagerankWith(s: SparkSession, dir: String,
+      iters: Int, truncateLineage: Option[Boolean] = None): DataFrame = {
     import s.implicits._
+    val truncate = truncateLineage.getOrElse(iters > CheckpointAbove)
     val edges = edgesOf(s, dir)
     // multigraph weights: repeated transitions carry more rank
-    val we = edges.groupBy($"src", $"dst")
+    var we = edges.groupBy($"src", $"dst")
       .agg(count(lit(1)).cast("double").as("w"))
-    val odeg = we.groupBy($"src").agg(sum($"w").as("odeg"))
-    val nodes = edges.select($"src".as("node"))
+    var odeg = we.groupBy($"src").agg(sum($"w").as("odeg"))
+    var nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
+    if (truncate) {
+      we = we.localCheckpoint(); odeg = odeg.localCheckpoint()
+      nodes = nodes.localCheckpoint()
+    }
     val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nTot))
       .select($"node", (lit(1.0) / $"n").as("rank"))
-    for (_ <- 1 to Iters) {
+    for (_ <- 1 to iters) {
       val contrib = ranks
         .join(we, ranks("node") === we("src"))
         .join(odeg, "src")
@@ -75,6 +101,7 @@ object GraphQueries extends QueryModule {
           ((lit(1.0) - Damping) / $"n" +
             lit(Damping) * (coalesce($"in_sum", lit(0.0)) + $"dm" / $"n"))
             .as("rank"))
+      if (truncate) ranks = ranks.localCheckpoint()
     }
     ranks.select($"node", round($"rank", 4).as("rank")).orderBy($"node")
   }

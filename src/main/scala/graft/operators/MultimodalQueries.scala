@@ -241,16 +241,26 @@ object MultimodalQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
-    // q246: constants from the same direct-DFT arithmetic on the
-    // literal sample vector (identical summation order ⇒ identical
-    // doubles), independent of the decode path.
+    // q246: INDEPENDENT closed-form constants — NOT the engine's own
+    // dftMagnitude (an oracle that calls the code under test verifies
+    // plumbing, not math). The planted signal is a 480-sample, period-8
+    // (4 up / 4 down) ±8192 square at 8000 Hz; for probe bin
+    // k = f·480/8000 (exact integers on this grid) the DFT factors
+    // over the 60 periods: k not a multiple of 60 sums a full complex
+    // rotation → 0; k = 60h with h even cancels; h odd gives
+    // |X|/n = A / (4·sin(πh/8)). Round9Spec pins the engine's DFT sum
+    // against these same constants.
     "q246_audio_spectrum" -> {
-      val xs = squareWave.map(_.toInt)
-      def m(f: Int): Double = BigDecimal(
-          graft.functions.Multimodal.dftMagnitude(xs, 8000, f))
+      val n = 480; val period = 8; val amp = 8192.0
+      def closed(f: Int): Double = {
+        val k = f * n / 8000
+        val perBin = n / period
+        if (k % perBin != 0 || (k / perBin) % 2 == 0) 0.0
+        else amp / (4.0 * math.sin(math.Pi * (k / perBin) / period))
+      }
+      def m(f: Int): Double = BigDecimal(closed(f))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val dom = ProbeHz.maxBy(f =>
-        (graft.functions.Multimodal.dftMagnitude(xs, 8000, f), f))
+      val dom = ProbeHz.maxBy(f => (closed(f), f))
       s"""SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(${m(500)} AS DOUBLE) END
         |    AS m500,

@@ -352,8 +352,10 @@ object QualityQueries extends QueryModule {
     * engine-replayable, so the oracle hash-matches the CI itself, not
     * just its shape. Replicate sums are integer (weight × n_chars), so
     * every replicate mean is an exact BIGINT/BIGINT division — no
-    * float accumulation order anywhere before the final 32-value
-    * variance. Fan-out is the explode to R×rows, immediately collapsed
+    * float accumulation order anywhere before the final ≤32-value
+    * variance (a replicate with zero total weight nulls out and the
+    * variance denominator counts only survivors). Fan-out is the
+    * explode to R×rows, immediately collapsed
     * by a partial agg (map-side combine); at 100 TB the R=32 multiplier
     * is the price of the method and amortizes to one shuffle of
     * |sources|×32 rows. */
@@ -373,10 +375,18 @@ object QualityQueries extends QueryModule {
       .withColumn("w", w)
       .groupBy($"source", $"r")
       .agg(sum($"w" * $"n_chars").as("sx"), sum($"w").as("sw"))
-      .select($"source", ($"sx".cast("double") / $"sw").as("m"))
+      // a replicate whose Poisson weights all drew 0 (probability
+      // e^(−n) per source — real for tiny sources) has sw = 0: under
+      // ANSI mode a bare division THROWS, so the guard nulls the
+      // replicate out explicitly
+      .select($"source",
+        when($"sw" > 0, $"sx".cast("double") / $"sw").as("m"))
+    // sum() skips the nulled replicates; the variance denominator must
+    // therefore be the per-source count of SURVIVORS, not the literal
+    // R (count($"m") skips nulls; its SQL twin count(m) does the same)
     val boot = reps.groupBy($"source").agg(
-      (sqrt((sum($"m" * $"m") - sum($"m") * sum($"m") / R) / (R - 1)))
-        .as("se"))
+      (sqrt((sum($"m" * $"m") - sum($"m") * sum($"m") / count($"m")) /
+        (count($"m") - lit(1)))).as("se"))
     val point = Tables.documents(s, dir).groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         (sum($"n_chars").cast("double") / count(lit(1))).as("mu"))
@@ -2042,10 +2052,12 @@ object QualityQueries extends QueryModule {
         |  SELECT source, r, CAST(sum(w * n_chars) AS BIGINT) AS sx,
         |    CAST(sum(w) AS BIGINT) AS sw
         |  FROM wts GROUP BY source, r),
-        |m AS (SELECT source, CAST(sx AS DOUBLE) / sw AS m FROM reps),
+        |m AS (SELECT source, CAST(sx AS DOUBLE) / nullif(sw, 0) AS m
+        |      FROM reps),
         |boot AS (
         |  SELECT source,
-        |    sqrt((sum(m * m) - sum(m) * sum(m) / 32) / 31) AS se
+        |    sqrt((sum(m * m) - sum(m) * sum(m) / count(m))
+        |      / (count(m) - 1)) AS se
         |  FROM m GROUP BY source),
         |pt AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -191,10 +191,13 @@ object ScoringQueries extends QueryModule {
     * shared non-zeros, no dense vector ever exists). Top-15 pairs by
     * similarity. Pipeline: ONE token-stream shuffle builds symmetric
     * pair counts; support ≥ 3 prunes the matrix (marginals computed on
-    * the PRUNED matrix, replayed identically in the oracle); marginals
-    * and norms are vocabulary-sized broadcasts. At 100 TB the matrix
-    * caps to the top-V vocabulary — the standard practice that also
-    * bounds the context self-join. */
+    * the PRUNED matrix, replayed identically in the oracle). Marginal
+    * and norm tables are vocabulary-proportional, so their joins carry
+    * NO broadcast hint (q172's discipline) — they co-partition on the
+    * same w/c keys their aggregates already used, and the planner may
+    * still broadcast from stats when they are genuinely small. At
+    * 100 TB the matrix additionally caps to the top-V vocabulary — the
+    * standard practice that also bounds the context self-join. */
   def qPpmiSim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
@@ -211,8 +214,8 @@ object ScoringQueries extends QueryModule {
     val cm = pc.groupBy($"c").agg(sum($"n").as("cc"))
     val tot = pc.agg(sum($"n").cast("double").as("t"))
     val ppmi = pc
-      .join(broadcast(wm), "w")
-      .join(broadcast(cm), "c")
+      .join(wm, "w")
+      .join(cm, "c")
       .crossJoin(broadcast(tot))
       .select($"w", $"c",
         greatest(lit(0.0),
@@ -224,8 +227,8 @@ object ScoringQueries extends QueryModule {
     val y = ppmi.select($"w".as("wb"), $"c", $"p".as("pb"))
     val sims = x.join(y, Seq("c")).filter($"wa" < $"wb")
       .groupBy($"wa", $"wb").agg(sum($"pa" * $"pb").as("dotp"))
-      .join(broadcast(norms.select($"w".as("wa"), $"n2".as("na"))), "wa")
-      .join(broadcast(norms.select($"w".as("wb"), $"n2".as("nb"))), "wb")
+      .join(norms.select($"w".as("wa"), $"n2".as("na")), "wa")
+      .join(norms.select($"w".as("wb"), $"n2".as("nb")), "wb")
       .select($"wa", $"wb",
         ($"dotp" / (sqrt($"na") * sqrt($"nb"))).as("sim"))
     val wTop = Window.orderBy(round($"sim", 6).desc, $"wa".asc, $"wb".asc)

@@ -139,11 +139,16 @@ object SimilarityQueries extends QueryModule {
     * side has the same corpus-proportional growth. */
   private def chunkedBroadcastJoin(big: DataFrame, q: DataFrame,
       keys: Seq[String], chunkRows: Int): DataFrame = {
+    // localCheckpoint (eager) materializes the small query frame ONCE
+    // and truncates its lineage: without it, the sizing count() and
+    // every per-chunk broadcast branch each re-derive q from the full
+    // corpus scan — nChunks+1 extra corpus passes per ANN run.
+    val qc = q.localCheckpoint(true)
     val nChunks = math.max(1L,
-      (q.count() + chunkRows - 1) / chunkRows).toInt
+      (qc.count() + chunkRows - 1) / chunkRows).toInt
     (0 until nChunks).map { i =>
       big.join(
-        broadcast(q.filter(
+        broadcast(qc.filter(
           pmod(hash(col("q_id")), lit(nChunks)) === i)),
         keys)
     }.reduce(_.union(_))

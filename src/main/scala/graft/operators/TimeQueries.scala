@@ -380,10 +380,12 @@ object TimeQueries extends QueryModule {
     * q182's exact-ecdf discipline: gaps collapse to their distinct-
     * value grid per type (integer µs), ecdf is an integer cumsum
     * window on that grid, the model cdf 1−e^(−λg) is one exp per grid
-    * row, and the statistic is the plug-in D = max |ecdf − cdf|
-    * evaluated at the jump points (ecdf right-limits — the grid form
-    * of the one-sample KS) — the windows run on distinct gap values
-    * per type, never the event stream. Gap extraction partitions by
+    * row, and the statistic is the exact plug-in
+    * D = max(|F_n(g)−F(g)|, |F_n(g⁻)−F(g)|) over the jump points —
+    * BOTH one-sided ecdf limits, so a heavy tie hugging the model
+    * curve from below cannot hide the gap under its own jump — the
+    * windows run on distinct gap values per type, never the event
+    * stream. Gap extraction partitions by
     * (type, DAY), not type alone: a per-type-only lag window sorts
     * each type's entire history on one reducer (with ~5 types that is
     * 5 hot partitions at 100 TB); day-scoping bounds every sort at a
@@ -406,12 +408,20 @@ object TimeQueries extends QueryModule {
       .agg(count(lit(1)).as("c"))
     val wg = Window.partitionBy($"event_type")
       .orderBy($"g").rowsBetween(Window.unboundedPreceding, 0)
+    // exact one-sample D on a discrete grid takes BOTH one-sided limits
+    // at every jump: sup|F_n − F| is attained either at the ecdf's
+    // right-limit cum/n or its left-limit (cum−c)/n — dropping the
+    // left term understates D whenever a heavy tie sits near the model
+    // curve (the statistic would then miss the gap UNDER the jump).
+    val modelCdf = lit(1.0) - exp(-$"g".cast("double") / $"mean_g")
     val d = grid
       .withColumn("cum", sum($"c").over(wg))
       .join(broadcast(stats), "event_type")
       .select($"event_type", $"n_gaps", $"mean_g",
-        abs($"cum".cast("double") / $"n_gaps" -
-          (lit(1.0) - exp(-$"g".cast("double") / $"mean_g"))).as("dev"))
+        greatest(
+          abs($"cum".cast("double") / $"n_gaps" - modelCdf),
+          abs(($"cum" - $"c").cast("double") / $"n_gaps" - modelCdf))
+          .as("dev"))
       .groupBy($"event_type", $"n_gaps", $"mean_g")
       .agg(max(round($"dev", 6)).as("ks_d6"))
     d.select($"event_type", $"n_gaps",
@@ -2106,13 +2116,16 @@ object TimeQueries extends QueryModule {
         |  SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
         |  FROM gaps GROUP BY event_type, g),
         |cum AS (
-        |  SELECT event_type, g, sum(c) OVER (
+        |  SELECT event_type, g, c, sum(c) OVER (
         |    PARTITION BY event_type ORDER BY g) AS cum
         |  FROM grid),
         |dev AS (
         |  SELECT c.event_type, s.n_gaps, s.mean_g,
-        |    round(abs(CAST(c.cum AS DOUBLE) / s.n_gaps
-        |      - (1.0 - exp(-(CAST(c.g AS DOUBLE) / s.mean_g)))), 6)
+        |    round(greatest(
+        |      abs(CAST(c.cum AS DOUBLE) / s.n_gaps
+        |        - (1.0 - exp(-(CAST(c.g AS DOUBLE) / s.mean_g)))),
+        |      abs(CAST(c.cum - c.c AS DOUBLE) / s.n_gaps
+        |        - (1.0 - exp(-(CAST(c.g AS DOUBLE) / s.mean_g))))), 6)
         |      AS dev
         |  FROM cum c JOIN stats s USING (event_type))
         |SELECT event_type, n_gaps,

@@ -165,4 +165,20 @@ class GraphSpec extends AnyFunSuite {
     // the transition graph is not regular, so ranks must spread
     assert(ranks.map(_._2).distinct.length > 1, "ranks collapsed to uniform")
   }
+
+  test("pagerank: lineage-truncated path equals the lazy plan exactly") {
+    import spark.implicits._
+    val lazyRanks = GraphQueries.qPagerank(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val ckRanks = GraphQueries.pagerankWith(spark, sf, 3, Some(true))
+      .as[(Long, Double)].collect().toSeq
+    assert(lazyRanks == ckRanks,
+      "localCheckpoint must be a pure plan change, not a result change")
+    // past the threshold the default flips on: more iterations still
+    // converge (mass conserved) through the checkpointed path
+    val deep = GraphQueries.pagerankWith(spark, sf, 5)
+      .as[(Long, Double)].collect()
+    assert(math.abs(deep.map(_._2).sum - 1.0) < 1e-2,
+      "checkpointed deep run must still conserve rank mass")
+  }
 }

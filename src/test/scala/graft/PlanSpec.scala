@@ -222,6 +222,45 @@ class PlanSpec extends AnyFunSuite {
       "HRW shard choice must be an in-row array_max, not an explode")
   }
 
+  test("vocab-keyed frames carry no forced broadcast hint (q172/q199/q228/q93/q160)") {
+    // The scale contract: explicit broadcast() is reserved for frames
+    // bounded BY CONSTRUCTION (≤ V+1-row folded vocabs, grids,
+    // scalars). Frames keyed on an unbounded vocabulary — shingle-df
+    // tables, bigram models, PPMI marginals — must stay unhinted so
+    // the planner can degrade to a shuffle join instead of OOMing on a
+    // forced broadcast at corpus scale. A hint on a frame whose
+    // SINGLE-ROW output is an aggregate over the vocab (the `n`/`tot`
+    // scalars) is fine; one keyed BY the vocab term/shingle is not.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // minGroup: the smallest grouping-key arity that marks a frame as
+    // vocab-scaling in that query. The shingle/PPMI queries bound
+    // NOTHING by fold, so any grouped hint (arity ≥ 1) is a violation;
+    // q93/q160's 1-key context/continuation tables ARE fold-bounded
+    // (≤ V+1 rows) and legitimately hinted — only their 2-key
+    // (prev, term) bigram tables scale as V².
+    def vocabKeyedHints(name: String, minGroup: Int): Seq[LogicalPlan] = {
+      val analyzed = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.analyzed
+      analyzed.collect {
+        // the OUTERMOST aggregate under the hint determines the hinted
+        // frame's row count (a scalar agg OVER a grouped agg is still
+        // one row — only the top one counts)
+        case h: ResolvedHint if h.child
+          .collectFirst { case a: Aggregate => a }
+          .exists(_.groupingExpressions.length >= minGroup) => h
+      }
+    }
+    Seq("q172_sparse_cosine" -> 1, "q199_prefix_join" -> 1,
+        "q228_ppmi_sim" -> 1, "q93_bigram_nll" -> 2,
+        "q160_kn_bigram" -> 2).foreach { case (q, minGroup) =>
+      val bad = vocabKeyedHints(q, minGroup)
+      assert(bad.isEmpty,
+        s"$q: forced broadcast of a grouped (vocab-scaling) frame:\n" +
+          bad.map(_.simpleString(2)).mkString("\n"))
+    }
+  }
+
   test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q10_clean_text")(spark, sf)

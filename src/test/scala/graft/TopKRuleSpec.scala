@@ -82,6 +82,20 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(rewritten == plain && plain.nonEmpty)
   }
 
+  test("q234: no window survives — top-15 heap + predecessor-count ranks") {
+    // the trending report needs TWO ranks (current and prior half);
+    // the prior rank comes from a broadcast predecessor count, so
+    // after the rewrite the whole query is window-free
+    val p = optimized("q234_trending_items")
+    assert(p.contains("top_k_rows"), s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window "), s"window survived the rewrite:\n$p")
+    val plain =
+      SparkEntry.queries("q234_trending_items")(base, sf).collect().toSeq
+    val rewritten =
+      SparkEntry.queries("q234_trending_items")(opt, sf).collect().toSeq
+    assert(rewritten == plain && plain.nonEmpty)
+  }
+
   test("q71's per-doc tfidf ranking rewrites to the heap") {
     // descending double sort key + term tie-break over a join output:
     // the rule must fire and results must be unchanged

@@ -652,6 +652,62 @@ object QualityQueries extends QueryModule {
       .orderBy($"exact_cnt".desc, $"term")
   }
 
+  /** q279 mixture-plan constants — literal so the oracle unrolls the
+    * identical arithmetic: √-share flattening (temperature 0.5), a
+    * 1.05-epoch repetition ceiling per source (repeating web data much
+    * past one epoch measurably hurts — Muennighoff et al. 2023 place
+    * the knee near 4 epochs, and dedup-averse curation budgets sit far
+    * below it), and 3 redistribution rounds. */
+  private val MixEpochCap = 1.05
+  private val MixRounds = 3
+
+  /** Capped mixture water-filling (q279) — the step that turns a
+    * TARGET mixture into an ACHIEVABLE sampling plan: a flattened
+    * (temperature) target asks small sources for more tokens than
+    * their epoch ceiling allows, so their demand clamps at the cap and
+    * the surplus re-spreads over the uncapped sources in proportion to
+    * their target weights — classic water-filling, run for a FIXED 3
+    * rounds so both engines replay the identical finite plan (residual
+    * surplus after round 3 is reported slack, not silently dropped:
+    * alloc ≤ cap always holds). Capped rows end with need EXACTLY at
+    * cap (the clamp is the last writer), so the `capped` flag is an
+    * exact comparison, not a float tolerance.
+    *
+    * Scale shape: one (source) partial-agg token count; every
+    * subsequent frame — weights, round statistics, reallocations — is
+    * |sources|-row arithmetic with 1-row broadcast stats, replayed 3×.
+    * Nothing past the scan grows with the corpus. */
+  def qMixturePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("n_tokens"))
+    val w0 = n.withColumn("wr", sqrt($"n_tokens".cast("double")))
+    val tw = w0.agg(sum($"wr").as("zw"),
+      sum($"n_tokens").cast("double").as("tt"))
+    var cur = w0.crossJoin(broadcast(tw))
+      .select($"source", $"n_tokens", ($"wr" / $"zw").as("w"),
+        ($"n_tokens" * lit(MixEpochCap)).as("cap"),
+        ($"wr" / $"zw" * $"tt").as("need"))
+    for (_ <- 1 to MixRounds) {
+      val stats = cur.agg(
+        sum(greatest($"need" - $"cap", lit(0.0))).as("surplus"),
+        sum(when($"need" < $"cap", $"w").otherwise(lit(0.0))).as("u"))
+      cur = cur.crossJoin(broadcast(stats))
+        .select($"source", $"n_tokens", $"w", $"cap",
+          (least($"need", $"cap") +
+            when($"need" < $"cap" && $"u" > 0,
+              $"surplus" * $"w" / $"u").otherwise(lit(0.0))).as("need"))
+    }
+    cur.select($"source", $"n_tokens",
+        round($"w", 4).as("w_target"),
+        round($"cap", 2).as("cap_tokens"),
+        round(least($"need", $"cap"), 2).as("alloc_tokens"),
+        round(least($"need", $"cap") / $"n_tokens", 4).as("epochs"),
+        ($"need" >= $"cap").as("capped"))
+      .orderBy($"source")
+  }
+
   /** Temperature-based language mixing (q88): the mC4/XLM-R sampling law
     * p_i ∝ share_i^alpha with alpha = 0.3 (Conneau et al. 2020 §3.1;
     * Raffel et al. 2020 §3.4.3 use the same exponentiated-share form) —
@@ -1352,6 +1408,7 @@ object QualityQueries extends QueryModule {
       "q47_sequence_pack"    -> (qSequencePack _),
       "q269_pad_packing"     -> (qPadPacking _),
       "q271_poisson_bootstrap" -> (qPoissonBootstrap _),
+      "q279_mixture_plan"    -> (qMixturePlan _),
       "q276_matched_corpora" -> (qMatchedCorpora _),
       "q48_embed_quantize"   -> (qEmbedQuantize _),
       "q49_approx_distinct"  -> (qApproxDistinct _),
@@ -2028,6 +2085,39 @@ object QualityQueries extends QueryModule {
     // q271: one-pass Poisson bootstrap — the oracle replays the same
     // md5-uniform → literal inverse-CDF weights, exact integer replicate
     // sums, and the 32-replicate variance formula
+    "q279_mixture_plan" -> {
+      def rnd(prev: String, i: Int): String =
+        s"""s$i AS (
+          |  SELECT sum(greatest(need - cap, 0.0)) AS surplus,
+          |    sum(CASE WHEN need < cap THEN w ELSE 0.0 END) AS u
+          |  FROM $prev),
+          |r$i AS (
+          |  SELECT source, n_tokens, w, cap,
+          |    least(need, cap) + CASE WHEN need < cap AND u > 0
+          |      THEN surplus * w / u ELSE 0.0 END AS need
+          |  FROM $prev CROSS JOIN s$i)""".stripMargin
+      s"""WITH n AS (
+        |  SELECT source,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w0 AS (
+        |  SELECT source, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) AS wr FROM n),
+        |tw AS (
+        |  SELECT sum(wr) AS zw, CAST(sum(n_tokens) AS DOUBLE) AS tt
+        |  FROM w0),
+        |r0 AS (
+        |  SELECT source, n_tokens, wr / zw AS w,
+        |    n_tokens * $MixEpochCap AS cap, wr / zw * tt AS need
+        |  FROM w0 CROSS JOIN tw),
+        |${(1 to MixRounds).map(i => rnd(s"r${i - 1}", i)).mkString(",\n|")}
+        |SELECT source, n_tokens, round(w, 4) AS w_target,
+        |  round(cap, 2) AS cap_tokens,
+        |  round(least(need, cap), 2) AS alloc_tokens,
+        |  round(least(need, cap) / n_tokens, 4) AS epochs,
+        |  need >= cap AS capped
+        |FROM r$MixRounds ORDER BY source""".stripMargin
+    },
     "q271_poisson_bootstrap" ->
       """WITH u AS (
         |  SELECT doc_id, source, n_chars, r,

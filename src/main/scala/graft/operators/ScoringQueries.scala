@@ -292,6 +292,92 @@ object ScoringQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** DoReMi step size and uniform-smoothing mass — the published
+    * defaults' shape (Xie et al. 2023 use a per-step η with uniform
+    * mixing); literal so the oracle replays the same constants. */
+  private val DoremiEta = 1.0
+  private val DoremiSmooth = 0.1
+
+  /** DoReMi-style one-step domain reweighting (q277) — the mixture
+    * OPTIMIZATION step beside q49's temperature heuristic: domains
+    * whose text the corpus-internal LM finds HARDER than the
+    * token-weighted average (positive excess loss) get exponentially
+    * upweighted, then the whole vector mixes with uniform mass so no
+    * domain starves (Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining" — the group-DRO
+    * multiplicative update, one round). The proxy excess loss is the
+    * per-source mean unigram NLL minus the global token-weighted mean
+    * (q72's published CCNet-style proxy in place of the paper's
+    * trained reference model), clipped at 0 exactly as the paper
+    * clips.
+    *
+    * Scale shape: ONE (source, term-folded) token pass — the unkFold
+    * vocab broadcast plus a per-source partial agg to |sources| rows;
+    * every subsequent frame (reference scalar, normalizer, weights) is
+    * dimension-sized. */
+  def qDoremiReweight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("term")))
+    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("total"))
+    val perSrc = toks
+      .join(broadcast(freq), "term")
+      .crossJoin(broadcast(tot))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(-log($"cnt".cast("double") / $"total")).as("m_nll"))
+    val ref = perSrc.agg(
+      (sum($"m_nll" * $"n_tokens") / sum($"n_tokens")).as("ref_nll"),
+      sum($"n_tokens").cast("double").as("tok_all"),
+      count(lit(1)).cast("double").as("k"))
+    val scored = perSrc.crossJoin(broadcast(ref))
+      .withColumn("w_old", $"n_tokens" / $"tok_all")
+      .withColumn("excess", greatest(lit(0.0), $"m_nll" - $"ref_nll"))
+      .withColumn("raw", $"w_old" * exp(lit(DoremiEta) * $"excess"))
+    val z = scored.agg(sum($"raw").as("z"))
+    scored.crossJoin(broadcast(z))
+      .select($"source", $"n_tokens",
+        round($"m_nll", 4).as("mean_nll"),
+        (round($"excess", 4) + lit(0.0)).as("excess_nll"),
+        round($"w_old", 4).as("w_old"),
+        round(lit(1.0 - DoremiSmooth) * $"raw" / $"z" +
+          lit(DoremiSmooth) / $"k", 4).as("w_new"))
+      .orderBy($"source")
+  }
+
+  /** Dedup survivorship-bias audit (q280) — does near-dup removal skew
+    * the surviving corpus' quality? Boilerplate duplicates cluster at
+    * particular quality bands, so a dedup pass is also an implicit
+    * quality intervention; this measures it: per membership class
+    * (q199's verified near-dup set vs the rest), the q87 quality-score
+    * mean and sd, plus the standardized mean difference (Cohen's d,
+    * pooled sd) as the single effect-size number a curation review
+    * reads. Two staged frames join once; the audit itself is a 2-row
+    * aggregate — nothing here scales past the score scan. A one-class
+    * corpus (no dups) yields a NULL d rather than a division error. */
+  def qDedupQualitySkew(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cls = scoredLabeled(s, dir).groupBy($"is_dup")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"score").as("s1"), sum($"score" * $"score").as("s2"))
+      .select($"is_dup", $"n_docs",
+        ($"s1" / $"n_docs").as("m"),
+        (($"s2" - $"s1" * $"s1" / $"n_docs") / ($"n_docs" - 1)).as("v"))
+    val d = cls.agg(
+      ((sum(when($"is_dup" === 1, $"m")) -
+        sum(when($"is_dup" === 0, $"m"))) /
+        sqrt((sum(when($"is_dup" === 1, ($"n_docs" - 1) * $"v")) +
+          sum(when($"is_dup" === 0, ($"n_docs" - 1) * $"v"))) /
+          (sum($"n_docs") - 2))).as("d"))
+    cls.crossJoin(broadcast(d))
+      .select($"is_dup", $"n_docs",
+        round($"m", 4).as("mean_score"),
+        round(sqrt($"v"), 4).as("sd_score"),
+        (round($"d", 4) + lit(0.0)).as("cohens_d"))
+      .orderBy($"is_dup")
+  }
+
   /** CCNet perplexity routing (q101): split each language's documents
     * into head/middle/tail TERCILES by unigram-LM NLL — exactly the
     * published CCNet step (Wenzek et al. 2020 §4.3: per-language
@@ -1117,6 +1203,8 @@ object ScoringQueries extends QueryModule {
       "q182_ks_drift"   -> (qKsDrift _),
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
+      "q277_doremi_reweight" -> (qDoremiReweight _),
+      "q280_dedup_quality_skew" -> (qDedupQualitySkew _),
     )
 
   /** Shared oracle CTE chain ending in `lab(doc_id, score, is_dup)` —
@@ -1425,6 +1513,59 @@ object ScoringQueries extends QueryModule {
       s"""$dsirOracleCtes
         |SELECT doc_id, n_grams, dsir_logw
         |FROM weights ORDER BY doc_id""".stripMargin,
+    "q277_doremi_reweight" ->
+      s"""$foldedToksCtes,
+        |freq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS total FROM freq),
+        |per_src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    avg(-ln(CAST(cnt AS DOUBLE) / total)) AS m_nll
+        |  FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |  GROUP BY source),
+        |ref AS (
+        |  SELECT sum(m_nll * n_tokens) / sum(n_tokens) AS ref_nll,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS tok_all,
+        |    CAST(count(*) AS DOUBLE) AS k
+        |  FROM per_src),
+        |scored AS (
+        |  SELECT source, n_tokens, m_nll,
+        |    n_tokens / tok_all AS w_old,
+        |    greatest(0.0, m_nll - ref_nll) AS excess, k
+        |  FROM per_src CROSS JOIN ref),
+        |sc2 AS (
+        |  SELECT *, w_old * exp($DoremiEta * excess) AS raw FROM scored),
+        |z AS (SELECT sum(raw) AS z FROM sc2)
+        |SELECT source, n_tokens, round(m_nll, 4) AS mean_nll,
+        |  round(excess, 4) + 0.0 AS excess_nll,
+        |  round(w_old, 4) AS w_old,
+        |  round(${1.0 - DoremiSmooth} * raw / z + $DoremiSmooth / k, 4)
+        |    AS w_new
+        |FROM sc2 CROSS JOIN z ORDER BY source""".stripMargin,
+    "q280_dedup_quality_skew" -> {
+      s"""WITH $labCtesSql,
+        |cls AS (
+        |  SELECT is_dup, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(score) AS s1, sum(score * score) AS s2
+        |  FROM lab GROUP BY is_dup),
+        |st AS (
+        |  SELECT is_dup, n_docs, s1 / n_docs AS m,
+        |    (s2 - s1 * s1 / n_docs) / (n_docs - 1) AS v
+        |  FROM cls),
+        |d AS (
+        |  SELECT (sum(CASE WHEN is_dup = 1 THEN m END)
+        |      - sum(CASE WHEN is_dup = 0 THEN m END))
+        |    / sqrt((sum(CASE WHEN is_dup = 1 THEN (n_docs - 1) * v END)
+        |        + sum(CASE WHEN is_dup = 0 THEN (n_docs - 1) * v END))
+        |      / (sum(n_docs) - 2)) AS d
+        |  FROM st)
+        |SELECT CAST(is_dup AS BIGINT) AS is_dup, n_docs,
+        |  round(m, 4) AS mean_score,
+        |  round(sqrt(v), 4) AS sd_score,
+        |  round(d, 4) + 0.0 AS cohens_d
+        |FROM st CROSS JOIN d ORDER BY is_dup""".stripMargin
+    },
     "q115_source_drift" ->
       s"""$foldedToksCtes,
         |sc AS (

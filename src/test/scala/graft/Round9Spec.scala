@@ -82,6 +82,56 @@ class Round9Spec extends AnyFunSuite {
       "fundamental must dominate the 3rd harmonic")
   }
 
+  test("q277: DoReMi weights normalize and upweight the hardest domain") {
+    val rows = ScoringQueries.qDoremiReweight(spark, sf).collect()
+    assert(rows.length > 1)
+    val sumNew = rows.map(_.getAs[Double]("w_new")).sum
+    assert(math.abs(sumNew - 1.0) < 1e-2, s"w_new must normalize: $sumNew")
+    val excess = rows.map(_.getAs[Double]("excess_nll"))
+    assert(excess.forall(_ >= 0.0), "excess loss is clipped at zero")
+    assert(excess.exists(_ > 0.0) && excess.exists(_ == 0.0),
+      "the clip must be non-vacuous on the shipped corpus")
+    val hardest = rows.maxBy(_.getAs[Double]("excess_nll"))
+    assert(hardest.getAs[Double]("w_new") > hardest.getAs[Double]("w_old"),
+      "the highest-excess domain must gain weight")
+  }
+
+  test("q279: water-filling respects caps, conserves budget, and binds") {
+    // sf0.01: near-uniform sources under √-flattening push the small
+    // ones over the 1.05-epoch ceiling — the cap must actually bind
+    val dir = "/root/testdata/sf0.01"
+    val rows = QualityQueries.qMixturePlan(spark, dir).collect()
+    val t = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alloc_tokens") <=
+        r.getAs[Double]("cap_tokens") + 1e-6,
+        s"${r.getAs[String]("source")}: alloc exceeds the epoch cap")
+      assert(r.getAs[Double]("epochs") <= 1.05 + 1e-6)
+    }
+    val alloc = rows.map(_.getAs[Double]("alloc_tokens")).sum
+    assert(alloc <= t + 1.0, s"plan allocates more than one epoch total")
+    assert(alloc > 0.95 * t, "3 rounds must place nearly the whole budget")
+    val capped = rows.filter(_.getAs[Boolean]("capped"))
+    assert(capped.nonEmpty, "cap is vacuous on the shipped corpus")
+    capped.foreach(r => assert(r.getAs[Double]("alloc_tokens") ==
+      r.getAs[Double]("cap_tokens"),
+      "a capped source must sit exactly at its ceiling"))
+  }
+
+  test("q280: classes partition the corpus; d agrees with the mean gap") {
+    val rows = ScoringQueries.qDedupQualitySkew(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("is_dup")).toSet == Set(0L, 1L))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    val m = rows.map(r => r.getAs[Long]("is_dup") ->
+      r.getAs[Double]("mean_score")).toMap
+    val d = rows.head.getAs[Double]("cohens_d")
+    assert(rows.forall(_.getAs[Double]("cohens_d") == d),
+      "d is a corpus-level number, identical on both rows")
+    assert(math.signum(d) == math.signum(m(1L) - m(0L)),
+      "effect size must point the same way as the mean gap")
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

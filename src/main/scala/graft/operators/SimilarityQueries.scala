@@ -1122,7 +1122,108 @@ object SimilarityQueries extends QueryModule {
         $"anisotropy", $"dim_var_min", $"dim_var_max")
   }
 
+  /** k-means‖ constants (Bahmani et al. 2012, "Scalable k-means++"):
+    * oversample ℓ = k per round (the paper's Θ(k) guidance), 2 rounds,
+    * reduce to k = 8 — all literal so the oracle unrolls the identical
+    * chain. */
+  private val KmpL = 8
+  private val KmpRounds = 2
+  private val KmpK = 8
+
+  /** k-means‖ initialization (q281) — the DISTRIBUTED seeding that
+    * replaces k-means++'s k inherently-sequential corpus passes with
+    * O(rounds) passes (Bahmani et al. 2012): each round samples every
+    * point INDEPENDENTLY with probability min(1, ℓ·d²(x,C)/φ) — an
+    * md5-uniform against a closed-form threshold, so the "random"
+    * choices replay exactly in the oracle — then the oversampled
+    * candidate set (≈ 1+ℓ·R ≪ n, metadata-scale) is weighted by
+    * closest-point counts and reduced to k seeds by deterministic
+    * weighted farthest-first (tie-break by id everywhere). Output: the
+    * k chosen seeds with their weights and the separation (min d² to
+    * the prior picks) at selection time.
+    *
+    * Scale shape: per round ONE map-only corpus pass against the
+    * broadcast candidate literals plus a 1-row φ aggregate; the weight
+    * pass is one argmin + groupBy to |candidates| rows; the reduction
+    * runs on the ≤ ~20-row candidate table (driver-side here, the
+    * q42b metadata-collect posture). φ snaps to the 1e-9 grid on both
+    * engines (rnd9's contract) so the sampling thresholds — the only
+    * sum whose value depends on accumulation order — are bit-identical
+    * cross-engine. */
+  def qKmeansParInit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = vecs(s, dir)
+      .select($"vec_id", transform($"v", x => x / $"nrm").as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val first = base.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"nv").as[(Long, Seq[Double])].head()
+      var cand = Vector((first._1, first._2.toArray))
+      for (r <- 1 to KmpRounds) {
+        val dCols = cand.map { case (_, c) =>
+          greatest(lit(0.0),
+            lit(2.0) - lit(2.0) * dot($"nv", array(c.map(lit): _*)))
+        }
+        val d2 = dCols.reduce(least(_, _))
+        val withD = base.withColumn("d2", d2)
+        val phi = withD.agg(round(sum($"d2"), 9)).head().getDouble(0)
+        val u = conv(substring(md5(concat(lit(s"kmp:$r:"),
+          $"vec_id".cast("string"))), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0
+        val sampled = withD
+          .filter(u < least(lit(1.0), lit(KmpL.toDouble) * $"d2" / phi))
+          .orderBy($"vec_id")
+          .select($"vec_id", $"nv").as[(Long, Seq[Double])].collect()
+        cand = cand ++ sampled.map { case (id, v) => (id, v.toArray) }
+      }
+      // closest-point weights over the final candidate set (ties →
+      // lowest candidate id; candidates are in ascending-id order)
+      val assignStructs = cand.map { case (id, c) =>
+        struct(
+          greatest(lit(0.0),
+            lit(2.0) - lit(2.0) * dot($"nv", array(c.map(lit): _*)))
+            .as("d2"),
+          lit(id).as("cid"))
+      }
+      val best = element_at(array_sort(array(assignStructs: _*)), 1)
+        .getField("cid")
+      val w = base.select(best.as("cid")).groupBy($"cid").count()
+        .as[(Long, Long)].collect().toMap
+      // deterministic weighted farthest-first reduction on the
+      // candidate table (metadata-scale)
+      def dd(a: Array[Double], b: Array[Double]): Double = {
+        var s0 = 0.0; var j = 0
+        while (j < a.length) { s0 += a(j) * b(j); j += 1 }
+        math.max(0.0, 2.0 - 2.0 * s0)
+      }
+      val cw = cand.map { case (id, v) => (id, v, w.getOrElse(id, 0L)) }
+      val firstPick = cw.minBy { case (id, _, wt) => (-wt, id) }
+      var chosen = Vector((firstPick._1, firstPick._2, firstPick._3,
+        Option.empty[Double]))
+      while (chosen.length < KmpK &&
+          chosen.length < cw.length) {
+        val chosenIds = chosen.map(_._1).toSet
+        val scoredRem = cw.filterNot(c => chosenIds(c._1)).map {
+          case (id, v, wt) =>
+            val mind = chosen.map(ch => dd(v, ch._2)).min
+            (id, v, wt, mind)
+        }
+        val pick = scoredRem.minBy { case (id, _, wt, mind) =>
+          (-wt * mind, id)
+        }
+        chosen = chosen :+ ((pick._1, pick._2, pick._3, Some(
+          BigDecimal(pick._4).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }
+      chosen.zipWithIndex.map { case ((id, _, wt, sep), i) =>
+        (i + 1, id, wt, sep)
+      }.toDF("rk", "vec_id", "weight", "sep")
+        .orderBy($"rk")
+    } finally { base.unpersist(); () }
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_kmeanspar_init" -> (qKmeansParInit _),
     "q192_embed_health" -> (qEmbedHealth _),
     "q91_random_projection" -> (qRandomProjection _),
     "q126_hard_negatives" -> (qHardNegatives _),
@@ -1874,7 +1975,87 @@ object SimilarityQueries extends QueryModule {
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
+  /** q281 oracle: the identical k-means‖ chain as unrolled CTEs — the
+    * md5 sampling thresholds, the 1e-9-snapped φ, and the weighted
+    * farthest-first stages replay the engine's arithmetic exactly. */
+  private def kmpOracleSql: String = {
+    def d2(a: String, b: String): String =
+      s"greatest(0.0, 2.0 - 2.0 * list_dot_product($a, $b))"
+    // every multiply-referenced CTE is MATERIALIZED: the chain is deep
+    // (cand_r → d_r → cand_{r-1}, ch_t → ch_{t-1} twice) and DuckDB's
+    // default inlining re-expands it exponentially — each expansion
+    // re-opens the parquet until the fd limit blows
+    def samplingRound(r: Int): String =
+      s"""d$r AS MATERIALIZED (
+        |  SELECT b.vec_id, min(${d2("b.nv", "c.nv")}) AS d2
+        |  FROM base b CROSS JOIN cand${r - 1} c GROUP BY b.vec_id),
+        |p$r AS (SELECT round(sum(d2), 9) AS phi FROM d$r),
+        |s$r AS (
+        |  SELECT b.vec_id, b.nv
+        |  FROM base b JOIN d$r USING (vec_id) CROSS JOIN p$r
+        |  WHERE ('0x' || substr(md5('kmp:$r:' ||
+        |      CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT
+        |    / 4294967296.0 < least(1.0, $KmpL.0 * d$r.d2 / p$r.phi)),
+        |cand$r AS MATERIALIZED (
+        |  SELECT * FROM cand${r - 1} UNION ALL SELECT * FROM s$r)"""
+        .stripMargin
+    def reduceStage(t: Int): String =
+      s"""m$t AS MATERIALIZED (
+        |  SELECT c.id, c.w, min(cd.d2) AS mind
+        |  FROM candw c JOIN cd ON cd.a = c.id
+        |    AND cd.b IN (SELECT id FROM ch${t - 1})
+        |  WHERE c.id NOT IN (SELECT id FROM ch${t - 1})
+        |  GROUP BY c.id, c.w),
+        |pk$t AS MATERIALIZED (
+        |  SELECT id, round(mind, 6) AS sep FROM m$t
+        |  ORDER BY w * mind DESC, id LIMIT 1),
+        |ch$t AS MATERIALIZED (SELECT id FROM ch${t - 1}
+        |  UNION ALL SELECT id FROM pk$t)""".stripMargin
+    val selTail = (2 to KmpK)
+      .map(t => s"UNION ALL SELECT $t, id, sep FROM pk$t")
+      .mkString("\n|  ")
+    s"""WITH base0 AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding, embedding) > 0),
+      |base AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+      |  FROM base0),
+      |cand0 AS MATERIALIZED (
+      |  SELECT vec_id, nv FROM base ORDER BY vec_id LIMIT 1),
+      |${(1 to KmpRounds).map(samplingRound).mkString(",\n|")},
+      |ad AS (
+      |  SELECT b.vec_id AS x, c.vec_id AS cid,
+      |    ${d2("b.nv", "c.nv")} AS d2
+      |  FROM base b CROSS JOIN cand$KmpRounds c),
+      |assign AS (
+      |  SELECT x, cid FROM (
+      |    SELECT x, cid, row_number() OVER (
+      |      PARTITION BY x ORDER BY d2, cid) AS rn FROM ad)
+      |  WHERE rn = 1),
+      |w AS (SELECT cid, CAST(count(*) AS BIGINT) AS w
+      |      FROM assign GROUP BY cid),
+      |candw AS MATERIALIZED (
+      |  SELECT c.vec_id AS id, c.nv, coalesce(w.w, 0) AS w
+      |  FROM cand$KmpRounds c LEFT JOIN w ON w.cid = c.vec_id),
+      |cd AS MATERIALIZED (
+      |  SELECT a.id AS a, b.id AS b, ${d2("a.nv", "b.nv")} AS d2
+      |  FROM candw a CROSS JOIN candw b),
+      |ch1 AS (SELECT id FROM candw ORDER BY w DESC, id LIMIT 1),
+      |${(2 to KmpK).map(reduceStage).mkString(",\n|")},
+      |sel AS (
+      |  SELECT 1 AS rk, id, CAST(NULL AS DOUBLE) AS sep FROM ch1
+      |  $selTail)
+      |SELECT CAST(sel.rk AS INTEGER) AS rk, sel.id AS vec_id,
+      |  candw.w AS weight, sel.sep
+      |FROM sel JOIN candw ON candw.id = sel.id
+      |ORDER BY rk""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q281_kmeanspar_init" -> kmpOracleSql,
     "q192_embed_health" ->
       s"""WITH $baseCte,
         |dims AS (

@@ -132,6 +132,29 @@ class Round9Spec extends AnyFunSuite {
       "effect size must point the same way as the mean gap")
   }
 
+  test("q281: k-means‖ emits k well-separated weighted seeds") {
+    val rows = SimilarityQueries.qKmeansParInit(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.length == 8, s"want k=8 seeds, got ${rows.length}")
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to 8))
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 8)
+    // oversampling weights: every point is assigned somewhere, so
+    // weights over the FULL candidate set sum to n — the chosen-8
+    // subset carries a dominant share (they were picked weight-first)
+    val n = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    val wSum = rows.map(_.getAs[Long]("weight")).sum
+    assert(wSum > 0 && wSum <= n)
+    // farthest-first separation: every later seed keeps real distance
+    // to the already-chosen set (unit vectors: d² ∈ [0, 4])
+    val seps = rows.filter(_.getAs[Int]("rk") > 1)
+      .map(_.getAs[Double]("sep"))
+    assert(seps.forall(s0 => s0 > 0.0 && s0 <= 4.0),
+      s"degenerate separation: ${seps.mkString(",")}")
+    assert(rows.head.isNullAt(rows.head.fieldIndex("sep")),
+      "the first seed has no prior set to be separated from")
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

@@ -53,8 +53,16 @@ object ScoringQueries extends QueryModule {
     * vocab frame then broadcasts back onto the token stream. Columns
     * other than `term` (doc_id / pos / source) pass through. */
   private[graft] def unkFold(toks: DataFrame,
-      topV: Int = ScoreTopV): DataFrame = {
-    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("vcnt"))
+      topV: Int = ScoreTopV): DataFrame =
+    unkFoldWith(toks, toks, topV)
+
+  /** The general form: the top-V vocabulary is ranked on `vocabSrc`
+    * (e.g. the TRAIN slice) and applied to `toks` — a held-out stream
+    * folded with the train vocab can only contain terms the train
+    * model has mass for, which is what makes q282's EM well-defined. */
+  private[graft] def unkFoldWith(toks: DataFrame, vocabSrc: DataFrame,
+      topV: Int): DataFrame = {
+    val vocab = vocabSrc.groupBy(col("term")).agg(count(lit(1)).as("vcnt"))
       .withColumn("vrk", row_number().over(
         Window.orderBy(col("vcnt").desc, col("term").asc)))
       .filter(col("vrk") <= topV)
@@ -344,6 +352,80 @@ object ScoringQueries extends QueryModule {
         round(lit(1.0 - DoremiSmooth) * $"raw" / $"z" +
           lit(DoremiSmooth) / $"k", 4).as("w_new"))
       .orderBy($"source")
+  }
+
+  /** EM iterations for the q282 Jelinek-Mercer fit — fixed and
+    * literal so the oracle unrolls the identical chain. */
+  private val JmIters = 3
+
+  /** Jelinek-Mercer interpolation fit (q282) — deleted-interpolation
+    * weight estimation (Jelinek & Mercer 1980; Chen & Goodman 1999
+    * §2.4), the MODEL-FITTING step the q93/q160 scorers presuppose:
+    * the mixture P(w|prev) = λ·p_bi + (1−λ)·p_uni with λ fit by EM on
+    * a held-out slice (doc_id % 10 = 0) against train-slice counts.
+    * Both slices fold through the TRAIN vocabulary (unkFoldWith), so
+    * every held-out token has train unigram mass and the EM posterior
+    * never divides 0/0. Each EM round is
+    * λ ← Σ m·λp_bi/(λp_bi+(1−λ)p_uni) / Σ m over held-out bigram
+    * TYPES (≤ (V+1)², bounded by the fold), λ snapped to the 1e-9 grid
+    * on both engines (the one order-dependent sum). Output: λ and the
+    * held-out NLL per iteration — EM is exact coordinate ascent on
+    * held-out likelihood here, so the NLL column is non-increasing,
+    * which Round9Spec pins.
+    *
+    * Scale shape: two token-stream passes build the train model (the
+    * q93 skeleton); the held-out side collapses to its bigram-type
+    * table once, and each EM round is ONE aggregate over that bounded
+    * table with a scalar driver round-trip (the q42b metadata-collect
+    * posture). The bigram join is unhinted (V²); context/unigram
+    * tables broadcast (≤ V+1). */
+  def qJmInterpolation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "term")))
+    val folded = unkFoldWith(all, all.filter($"doc_id" % 10 =!= 0),
+      ScoreTopV)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    def bigrams(df: DataFrame): DataFrame = df
+      .withColumn("prev", lag($"term", 1).over(w))
+      .filter($"prev".isNotNull)
+    val train = folded.filter($"doc_id" % 10 =!= 0)
+    val uniC = train.groupBy($"term").agg(count(lit(1)).as("c_w"))
+    val nTr = uniC.agg(sum($"c_w").cast("double").as("n"))
+    val biC = bigrams(train).groupBy($"prev", $"term")
+      .agg(count(lit(1)).as("c_bi"))
+    val ctxC = biC.groupBy($"prev").agg(sum($"c_bi").as("c_ctx"))
+    val hob = bigrams(folded.filter($"doc_id" % 10 === 0))
+      .groupBy($"prev", $"term").agg(count(lit(1)).as("m"))
+      .join(biC, Seq("prev", "term"), "left")
+      .join(broadcast(ctxC), Seq("prev"), "left")
+      .join(broadcast(uniC), Seq("term"), "left")
+      .crossJoin(broadcast(nTr))
+      .select($"m".cast("double").as("m"),
+        coalesce($"c_bi".cast("double") / $"c_ctx", lit(0.0)).as("pb"),
+        (coalesce($"c_w", lit(0L)).cast("double") / $"n").as("pu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def r9(x: Double): Double = BigDecimal(x)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r(x: Double, sc: Int): Double = BigDecimal(x)
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def nllOf(l: Double): Double = r(hob.agg(
+        (sum(-log(lit(l) * $"pb" + lit(1.0 - l) * $"pu") * $"m") /
+          sum($"m")).as("x")).head().getDouble(0), 4)
+      var lam = 0.5
+      val out = scala.collection.mutable.ArrayBuffer(
+        (0, r(lam, 6), nllOf(lam)))
+      for (t <- 1 to JmIters) {
+        lam = r9(hob.agg(
+          (sum($"m" * (lit(lam) * $"pb") /
+            (lit(lam) * $"pb" + lit(1.0 - lam) * $"pu")) /
+            sum($"m")).as("x")).head().getDouble(0))
+        out += ((t, r(lam, 6), nllOf(lam)))
+      }
+      out.toSeq.toDF("iter", "lambda", "heldout_nll").orderBy($"iter")
+    } finally { hob.unpersist(); () }
   }
 
   /** Dedup survivorship-bias audit (q280) — does near-dup removal skew
@@ -1205,6 +1287,7 @@ object ScoringQueries extends QueryModule {
       "q104_dsir_weights" -> (qDsirWeights _),
       "q277_doremi_reweight" -> (qDoremiReweight _),
       "q280_dedup_quality_skew" -> (qDedupQualitySkew _),
+      "q282_jm_interpolation" -> (qJmInterpolation _),
     )
 
   /** Shared oracle CTE chain ending in `lab(doc_id, score, is_dup)` —
@@ -1513,6 +1596,73 @@ object ScoringQueries extends QueryModule {
       s"""$dsirOracleCtes
         |SELECT doc_id, n_grams, dsir_logw
         |FROM weights ORDER BY doc_id""".stripMargin,
+    "q282_jm_interpolation" -> {
+      def em(t: Int): String =
+        s"""l$t AS (
+          |  SELECT round(sum(m * (l * pb) / (l * pb + (1 - l) * pu))
+          |    / sum(m), 9) AS l
+          |  FROM hob CROSS JOIN l${t - 1}),
+          |n$t AS (
+          |  SELECT round(sum(-ln(l * pb + (1 - l) * pu) * m) / sum(m), 4)
+          |    AS nll
+          |  FROM hob CROSS JOIN l$t)""".stripMargin
+      val tail = (1 to JmIters).map(t =>
+        s"UNION ALL SELECT $t, (SELECT round(l, 6) FROM l$t), " +
+          s"(SELECT nll FROM n$t)").mkString("\n|")
+      s"""WITH raw AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos, tk[i] AS t0
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS tk,
+        |          unnest(range(1, len(tk) + 1)) AS i FROM documents)),
+        |trvoc AS (
+        |  SELECT t0 FROM (
+        |    SELECT t0, row_number() OVER (
+        |      ORDER BY count(*) DESC, t0 ASC) AS vrk
+        |    FROM raw WHERE doc_id % 10 <> 0 GROUP BY t0)
+        |  WHERE vrk <= $ScoreTopV),
+        |toks AS MATERIALIZED (
+        |  SELECT r.doc_id, r.pos,
+        |    CASE WHEN v.t0 IS NULL THEN '$UnkToken' ELSE r.t0 END AS term
+        |  FROM raw r LEFT JOIN trvoc v USING (t0)),
+        |trbi AS MATERIALIZED (
+        |  SELECT prev, term FROM (
+        |    SELECT doc_id, lag(term) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS prev, term
+        |    FROM toks WHERE doc_id % 10 <> 0)
+        |  WHERE prev IS NOT NULL),
+        |uni AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS c_w
+        |  FROM toks WHERE doc_id % 10 <> 0 GROUP BY term),
+        |n AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n FROM uni),
+        |bc AS MATERIALIZED (
+        |  SELECT prev, term, CAST(count(*) AS BIGINT) AS c_bi
+        |  FROM trbi GROUP BY prev, term),
+        |cx AS (SELECT prev, sum(c_bi) AS c_ctx FROM bc GROUP BY prev),
+        |hob0 AS (
+        |  SELECT prev, term, CAST(count(*) AS BIGINT) AS m FROM (
+        |    SELECT doc_id, lag(term) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS prev, term
+        |    FROM toks WHERE doc_id % 10 = 0)
+        |  WHERE prev IS NOT NULL GROUP BY prev, term),
+        |hob AS MATERIALIZED (
+        |  SELECT CAST(h.m AS DOUBLE) AS m,
+        |    coalesce(CAST(c_bi AS DOUBLE) / c_ctx, 0.0) AS pb,
+        |    coalesce(c_w, 0) / n.n AS pu
+        |  FROM hob0 h LEFT JOIN bc USING (prev, term)
+        |  LEFT JOIN cx USING (prev) LEFT JOIN uni USING (term)
+        |  CROSS JOIN n),
+        |l0 AS (SELECT 0.5 AS l),
+        |n0 AS (
+        |  SELECT round(sum(-ln(l * pb + (1 - l) * pu) * m) / sum(m), 4)
+        |    AS nll
+        |  FROM hob CROSS JOIN l0),
+        |${(1 to JmIters).map(em).mkString(",\n|")}
+        |SELECT CAST(iter AS INTEGER) AS iter, lambda, heldout_nll
+        |FROM (
+        |  SELECT 0 AS iter, (SELECT round(l, 6) FROM l0) AS lambda,
+        |    (SELECT nll FROM n0) AS heldout_nll
+        |  $tail)
+        |ORDER BY iter""".stripMargin
+    },
     "q277_doremi_reweight" ->
       s"""$foldedToksCtes,
         |freq AS (

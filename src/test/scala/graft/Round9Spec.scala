@@ -155,6 +155,36 @@ class Round9Spec extends AnyFunSuite {
       "the first seed has no prior set to be separated from")
   }
 
+  test("q282: EM is monotone on held-out NLL; strong bigram structure pushes λ up") {
+    import spark.implicits._
+    // shipped corpus: monotone non-increasing NLL (EM = coordinate
+    // ascent on held-out likelihood), λ stays a probability
+    val rows = ScoringQueries.qJmInterpolation(spark, sf).collect()
+    assert(rows.length == 4)
+    val nlls = rows.sortBy(_.getAs[Int]("iter"))
+      .map(_.getAs[Double]("heldout_nll"))
+    assert(nlls.zip(nlls.tail).forall { case (a, b) => b <= a },
+      s"EM must not increase held-out NLL: ${nlls.mkString(",")}")
+    assert(rows.forall { r =>
+      val l = r.getAs[Double]("lambda"); l > 0.0 && l < 1.0
+    })
+    // deterministic-bigram fixture: p(b|a)=1 ≫ p(b)=0.5, so EM must
+    // drive λ toward the bigram model
+    val dir = fixtureDir()
+    (1L to 20L).map(i => (i, "a b a b a b a b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val fit = ScoringQueries.qJmInterpolation(spark, dir).collect()
+      .sortBy(_.getAs[Int]("iter"))
+    // closed form on this fixture (pb = 1, pu = 1/2 for every held-out
+    // bigram): λ ← λ/(λ + (1−λ)/2), i.e. 1/2 → 2/3 → 4/5 → 8/9
+    assert(fit.map(_.getAs[Double]("lambda")).toSeq ==
+      Seq(0.5, 2.0 / 3, 0.8, 8.0 / 9).map(l =>
+        BigDecimal(l).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble),
+      s"EM trajectory must match the closed form, got " +
+        s"${fit.map(_.getAs[Double]("lambda")).mkString(",")}")
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

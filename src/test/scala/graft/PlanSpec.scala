@@ -261,6 +261,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q41: query frame is checkpointed — one parquet scan in the join plan") {
+    // chunkedBroadcastJoin materializes the small query frame via eager
+    // localCheckpoint before sizing it: without that, the count() AND
+    // every chunk's broadcast branch each re-derived the query side
+    // from the full corpus scan. Post-fix the executed plan reads the
+    // corpus parquet ONCE and the broadcast side from the checkpoint
+    // (Scan ExistingRDD), never parquet a second time.
+    val df = SparkEntry.queries("q41_lsh_ann")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val parquetScans = "Scan parquet|FileScan parquet".r.findAllIn(p).length
+    assert(parquetScans == 1,
+      s"expected exactly one parquet scan in the q41 join plan, got " +
+        s"$parquetScans")
+    assert(p.contains("ExistingRDD"),
+      "query side must read the localCheckpoint, not re-derive")
+  }
+
   test("whole-stage codegen covers the text chain (no UDFs in q10-q17)") {
     // AQE reveals codegen spans only in the final (executed) plan
     val df = SparkEntry.queries("q10_clean_text")(spark, sf)

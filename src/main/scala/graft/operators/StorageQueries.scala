@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.sources.{Compaction, Tables, UpsertSink}
@@ -684,6 +685,55 @@ object StorageQueries extends QueryModule {
     * engine-replayable); the single shuffle is the per-shard load
     * count. Emits per scheme: docs moved, moved fraction, and the
     * post-reshard max/min shard loads (balance rides along). */
+  /** q283 constants: K-sample size and shard count — literal for the
+    * oracle. K is FIXED (not a sampling rate): the sample is the
+    * bottom-K rows by md5 rank, so its size is bounded by construction
+    * at any corpus size — the same contract Spark's own RangePartitioner
+    * gets from per-partition reservoirs, made deterministic. */
+  private val RangeK = 128
+  private val RangeShards = 8
+
+  /** Range-shard planning (q283) — the WRITE-path step behind every
+    * sorted layout this suite prices (q273's content sort, q274's
+    * zone-mapped row groups): choose S−1 range cuts over the sort key
+    * from a bounded sample, assign, and audit the realized balance
+    * (max shard skew is the straggler multiplier of the whole write).
+    * The sample is the K smallest md5("rs:"+doc_id) ranks — uniform,
+    * deterministic, and a global Filter(row_number ≤ K) that the heap
+    * rewrite turns into bounded state; cuts are the i·K/S-th sample
+    * order statistics of the sort key (n_chars), collected driver-side
+    * as S−1 literals (metadata-scale, the q42b posture); assignment is
+    * the map-only expression Σ[cut < n_chars]. Duplicate cut values
+    * (heavy ties) legitimately leave shards empty — reported as
+    * missing rows, identically on both engines. */
+  def qRangeShardPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat(lit("rs:"),
+      $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val sample = docs.withColumn("u", u)
+      .withColumn("hrk", row_number().over(
+        Window.orderBy($"u".asc, $"doc_id".asc)))
+      .filter($"hrk" <= RangeK)
+    val cutRanks = (1 until RangeShards).map(i => i * RangeK / RangeShards)
+    val cuts = sample
+      .withColumn("srk", row_number().over(
+        Window.orderBy($"n_chars".asc, $"doc_id".asc)))
+      .filter($"srk".isin(cutRanks: _*))
+      .select($"n_chars").as[Long].collect().sorted
+    val shard = cuts.map(c => when($"n_chars" > c, 1).otherwise(0))
+      .reduce(_ + _)
+    val tot = docs.agg(count(lit(1)).cast("double").as("n"))
+    docs.select(shard.as("shard"), $"n_chars")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .crossJoin(broadcast(tot))
+      .select($"shard", $"n_docs", $"min_chars", $"max_chars",
+        round($"n_docs" * RangeShards / $"n", 4).as("skew"))
+      .orderBy($"shard")
+  }
+
   def qRendezvousShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hrwOf = (n: Int) => expr(
@@ -870,6 +920,7 @@ object StorageQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q270_rendezvous_shards" -> (qRendezvousShards _),
+      "q283_range_shard_plan" -> (qRangeShardPlan _),
       "q273_layout_locality" -> (qLayoutLocality _),
       "q274_curve_pruning" -> (qCurvePruning _),
       "q275_bloom_calibration" -> (qBloomCalibration _),
@@ -898,6 +949,34 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q283_range_shard_plan" -> {
+      val ranks = (1 until RangeShards).map(_ * RangeK / RangeShards)
+        .mkString("(", ", ", ")")
+      s"""WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        |samp AS (
+        |  SELECT doc_id, n_chars FROM (
+        |    SELECT doc_id, n_chars, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5('rs:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+        |      doc_id ASC) AS hrk
+        |    FROM docs) WHERE hrk <= $RangeK),
+        |cuts AS (
+        |  SELECT n_chars AS cut FROM (
+        |    SELECT n_chars, row_number() OVER (
+        |      ORDER BY n_chars ASC, doc_id ASC) AS srk
+        |    FROM samp) WHERE srk IN $ranks),
+        |asg AS (
+        |  SELECT d.n_chars,
+        |    (SELECT CAST(count(*) AS INTEGER) FROM cuts c
+        |     WHERE d.n_chars > c.cut) AS shard
+        |  FROM docs d),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(count(*) * $RangeShards / n, 4) AS skew
+        |FROM asg CROSS JOIN tot GROUP BY shard, n
+        |ORDER BY shard""".stripMargin
+    },
     // q275: same relational bloom filter — distinct (m, pos) bit frame,
     // k=2 md5 positions, shifted-key non-member probes
     "q275_bloom_calibration" ->

@@ -185,6 +185,28 @@ class Round9Spec extends AnyFunSuite {
         s"${fit.map(_.getAs[Double]("lambda")).mkString(",")}")
   }
 
+  test("q283: range cuts partition the corpus into ordered, disjoint shards") {
+    val rows = StorageQueries.qRangeShardPlan(spark,
+      "/root/testdata/sf0.01").collect()
+      .sortBy(_.getAs[Int]("shard"))
+    assert(rows.nonEmpty && rows.length <= 8)
+    val n = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n,
+      "every document must land in exactly one shard")
+    // value ranges are ordered and non-overlapping shard to shard
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_chars") <= b.getAs[Long]("min_chars"),
+          s"shards ${a.getAs[Int]("shard")}/${b.getAs[Int]("shard")} overlap")
+      case _ =>
+    }
+    // a 128-point sample must do far better than the worst case: no
+    // shard more than 2x ideal (observed max ~1.3 on this corpus)
+    assert(rows.forall(_.getAs[Double]("skew") < 2.0),
+      "sampled cuts produced a catastrophic shard")
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

@@ -928,9 +928,11 @@ object ScoringQueries extends QueryModule {
     * — a term common everywhere is no expansion signal), emit the
     * top-8 expansion candidates with their relevant-set df. Cost: the
     * relevant token stream is 10 documents (semi-join on the broadcast
-    * top-10 ids); the corpus-wide df table is the q71/q72 vocabulary
-    * aggregate that broadcasts back — nothing new scales with the
-    * corpus beyond the one df pass retrieval already pays. */
+    * top-10 ids); the corpus-wide df table is vocabulary-sized, so its
+    * join is UNHINTED — the 10-doc relevant-term side is the bounded
+    * frame and the planner builds on it from stats — and nothing new
+    * scales with the corpus beyond the one df pass retrieval already
+    * pays. */
   def qPrfExpansion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val topDocs = bm25Ranked(s, dir).select($"doc_id")
@@ -946,7 +948,7 @@ object ScoringQueries extends QueryModule {
     val scored = rel.groupBy($"term")
       .agg(count(lit(1)).as("tf_rel"),
         countDistinct($"doc_id").as("df_rel"))
-      .join(broadcast(dfAll), "term")
+      .join(dfAll, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", $"tf_rel" *
         (log(($"n" + 1.0) / ($"df" + 1.0)) + lit(1.0)))

@@ -567,8 +567,11 @@ object StorageQueries extends QueryModule {
     * (the nightly gate q153 audits all edges of). Every rule is a
     * single conditional aggregate over its table (count both sides in
     * one pass — no per-rule rescan of anything but its own table); the
-    * FK rule reuses the broadcast-anti-join shape. The ledger is
-    * metadata-scale and unions at the end. */
+    * FK probe joins the parent key set UNHINTED — the parent is a fact
+    * table whose key set grows with the data, so a forced broadcast
+    * would OOM at scale where a shuffle (or stats-elected broadcast)
+    * join degrades gracefully. The ledger is metadata-scale and unions
+    * at the end. */
   def qContract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def rule(name: String, df: DataFrame, viol: Column): DataFrame =
@@ -583,7 +586,7 @@ object StorageQueries extends QueryModule {
       .select(lit("unique:o_orderkey").as("rule"), $"n_checked",
         $"n_violations", ($"n_violations" === 0L).as("pass"))
     val fk = lineitem.select($"l_orderkey")
-      .join(broadcast(orders.select($"o_orderkey")),
+      .join(orders.select($"o_orderkey"),
         $"l_orderkey" === $"o_orderkey", "left")
       .agg(count(lit(1)).as("n_checked"),
         sum($"o_orderkey".isNull.cast("long")).as("n_violations"))

@@ -714,10 +714,13 @@ object TextQueries extends QueryModule {
       .filter($"prev".isNotNull)
       .groupBy($"prev", $"term").agg(count(lit(1)).as("c_ab"))
     val nB = biCnt.agg(sum($"c_ab").cast("double").as("n_bi"))
+    // the unigram table is vocab-sized, so its joins carry NO hint
+    // (the q172/q228 discipline) — the support-filtered bigram side is
+    // tiny and the planner broadcasts THAT from stats; only the 1-row
+    // totals keep explicit hints
     val scored = biCnt.filter($"c_ab" >= MinPair)
-      .join(broadcast(uni.select($"term".as("prev"), $"c_t".as("c_a"))),
-        "prev")
-      .join(broadcast(uni.select($"term", $"c_t".as("c_b"))), "term")
+      .join(uni.select($"term".as("prev"), $"c_t".as("c_a")), "prev")
+      .join(uni.select($"term", $"c_t".as("c_b")), "term")
       .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
       .withColumn("pmi",
         log(($"c_ab" / $"n_bi") /
@@ -927,7 +930,11 @@ object TextQueries extends QueryModule {
       (($"cg" - $"c" + 1) / ($"ng" - $"nl" + $"v")))
     val w = Window.partitionBy($"lang")
       .orderBy(round(score, 6).desc, $"term".asc)
-    lt.join(broadcast(tg), "term")
+    // tg is vocab-sized → unhinted (shuffle join co-partitions on the
+    // term key its aggregate used); langTot is bounded by the closed
+    // language-code set and the grand totals are one row — those two
+    // keep their hints legitimately
+    lt.join(tg, "term")
       .join(broadcast(langTot), "lang")
       .crossJoin(broadcast(grand))
       .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)

@@ -1752,11 +1752,14 @@ object TimeQueries extends QueryModule {
     val nItem = baskets.groupBy($"item").agg(count(lit(1)).as("n_i"))
     val nUsers = baskets.select($"user_id").distinct()
       .agg(count(lit(1)).as("n_users"))
+    // nItem is item-keyed and grows with the catalog — its joins stay
+    // unhinted (the vocab-join discipline); only the 1-row user total
+    // keeps an explicit broadcast
     val scored = nab
-      .join(broadcast(nItem.select($"item".as("item_a"),
-        $"n_i".as("n_a"))), "item_a")
-      .join(broadcast(nItem.select($"item".as("item_b"),
-        $"n_i".as("n_b"))), "item_b")
+      .join(nItem.select($"item".as("item_a"), $"n_i".as("n_a")),
+        "item_a")
+      .join(nItem.select($"item".as("item_b"), $"n_i".as("n_b")),
+        "item_b")
       .crossJoin(broadcast(nUsers))
       .select($"item_a", $"item_b", $"n_ab", $"n_a", $"n_b",
         round($"n_ab" / $"n_users".cast("double"), 4).as("support"),

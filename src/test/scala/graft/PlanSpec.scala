@@ -253,7 +253,8 @@ class PlanSpec extends AnyFunSuite {
     }
     Seq("q172_sparse_cosine" -> 1, "q199_prefix_join" -> 1,
         "q228_ppmi_sim" -> 1, "q93_bigram_nll" -> 2,
-        "q160_kn_bigram" -> 2).foreach { case (q, minGroup) =>
+        "q160_kn_bigram" -> 2, "q129_pmi_collocations" -> 1,
+        "q213_assoc_rules" -> 1).foreach { case (q, minGroup) =>
       val bad = vocabKeyedHints(q, minGroup)
       assert(bad.isEmpty,
         s"$q: forced broadcast of a grouped (vocab-scaling) frame:\n" +

@@ -271,6 +271,35 @@ object Multimodal {
     * per-partition, and the frame walk touches only chunk headers plus the
     * sampled frames — at 100 TB the cost is per-payload linear in chunk
     * COUNT, not in decoded pixels of unsampled frames. */
+  /** Per-frame luma track: adds `n_frames long` and
+    * `f_lumas array<double>` (every demuxed frame decoded through
+    * ImageIO, in stream order; null on rows no AVI parser accepts) —
+    * the raw signal scene-cut detection differentiates. Same
+    * partition-local decode posture as videoFeatures: cost is one
+    * decode per frame per row, no shuffle implied. */
+  def videoFrameLumas(df: DataFrame, binCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema
+      .add("n_frames", LongType)
+      .add("f_lumas", ArrayType(DoubleType))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val extra: Seq[Any] = parseAvi(bytes) match {
+          case Some(info) if info.frames.nonEmpty =>
+            val lumas = info.frames
+              .map(f => decodeImage(f).map(lumaMean).map(Double.box).orNull)
+            Seq(info.frames.length.toLong, lumas)
+          case _ => Seq(null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+  }
+
   def videoFeatures(df: DataFrame, binCol: String,
       nSample: Int = 3): DataFrame = {
     val inSchema = df.schema

@@ -231,7 +231,54 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Scene-AVI fixture for q284: two flat-luma scenes with in-scene
+    * jitter (10,12,14 | 200,198,196) — exactly one cut, at frame 4.
+    * Flat frames make lumaMean EXACT (the q138 oracle convention), so
+    * the cut index is a planted constant, not a float comparison. */
+  private[graft] lazy val SceneAviHex: String = graft.functions.MediaGen.hex(
+    graft.functions.MediaGen.avi(
+      Seq(10, 12, 14, 200, 198, 196)
+        .map(v => graft.functions.MediaGen.flatGrayPng(4, 3, v)),
+      width = 4, height = 3))
+
+  /** Luma-jump threshold for a scene cut — the classic pixel-domain
+    * shot-boundary heuristic's knob, literal for the oracle. */
+  private val SceneCutJump = 64.0
+
+  /** Scene-cut detection (q284) — shot-boundary segmentation, the
+    * frame-sampling upgrade every video curation pipeline runs before
+    * captioning (sample per SCENE, not per stride, or long static
+    * shots dominate the frame budget): decode every demuxed frame's
+    * mean luma (videoFrameLumas, partition-local) and cut where the
+    * adjacent-frame jump exceeds the threshold. The differentiation is
+    * IN-ROW higher-order-function arithmetic over the per-video luma
+    * array — no explode, no shuffle; a real pipeline swaps the luma
+    * probe for a histogram/embedding delta, same plan. Cut list is
+    * emitted comma-joined (q119's convention — the driver compare does
+    * not hash array cells). */
+  def qSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select($"doc_id",
+        when($"doc_id" % 4 === 0, unhex(lit(SceneAviHex)))
+          .otherwise($"text".cast("binary")).as("media"))
+    val lum = Multimodal.videoFrameLumas(media, "media")
+    val cuts = filter(
+      sequence(lit(2), size($"f_lumas")),
+      i => abs(element_at($"f_lumas", i) -
+        element_at($"f_lumas", i - 1)) > SceneCutJump)
+    lum
+      .withColumn("cut_at", when($"f_lumas".isNotNull, cuts))
+      .select($"doc_id", $"n_frames",
+        when($"cut_at".isNotNull,
+          array_join(transform($"cut_at", _.cast("string")), ","))
+          .as("cut_idx"),
+        when($"cut_at".isNotNull, size($"cut_at") + 1).as("n_scenes"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_scene_cuts" -> (qSceneCuts _),
     "q246_audio_spectrum" -> (qAudioSpectrum _),
     "q60_media_meta"     -> (qMediaMeta _),
     "q61_media_features" -> (qMediaFeatures _),
@@ -241,6 +288,18 @@ object MultimodalQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    // q284: planted constants — the scene AVI carries lumas
+    // (10,12,14,200,198,196), flat frames decode to those exact means,
+    // so the single >64 jump sits at frame 4 and every output cell is
+    // a deterministic function of the doc_id class.
+    "q284_scene_cuts" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(6 AS BIGINT) END
+        |    AS n_frames,
+        |  CASE WHEN doc_id % 4 = 0 THEN '4' END AS cut_idx,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(2 AS INTEGER) END
+        |    AS n_scenes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q246: INDEPENDENT closed-form constants — NOT the engine's own
     // dftMagnitude (an oracle that calls the code under test verifies
     // plumbing, not math). The planted signal is a 480-sample, period-8

@@ -207,6 +207,44 @@ class Round9Spec extends AnyFunSuite {
       "sampled cuts produced a catastrophic shard")
   }
 
+  test("q284: frame lumas decode exactly; cuts fire on jumps, not ramps") {
+    import spark.implicits._
+    // the engine REALLY demuxes and decodes: the scene AVI's per-frame
+    // lumas come back as the exact planted constants
+    val scene = Seq(Tuple1(
+      graft.functions.MediaGen.avi(
+        Seq(10, 12, 14, 200, 198, 196)
+          .map(v => graft.functions.MediaGen.flatGrayPng(4, 3, v)),
+        4, 3))).toDF("media")
+    val lum = graft.functions.Multimodal.videoFrameLumas(scene, "media")
+      .select($"f_lumas").as[Seq[Double]].head()
+    assert(lum == Seq(10.0, 12.0, 14.0, 200.0, 198.0, 196.0))
+    // a smooth ramp (q138's fixture: steps of 40 < the 64 threshold)
+    // must segment into ONE scene — cut detection is not a motion
+    // detector
+    val ramp = Seq(Tuple1(
+      graft.functions.MediaGen.avi(
+        (0 until 6).map(i =>
+          graft.functions.MediaGen.flatGrayPng(4, 3, 40 * i)), 4, 3)))
+      .toDF("media")
+    val rampLum = graft.functions.Multimodal
+      .videoFrameLumas(ramp, "media")
+      .select($"f_lumas").as[Seq[Double]].head()
+    val rampCuts = rampLum.sliding(2)
+      .count { case Seq(a, b) => math.abs(b - a) > 64.0 }
+    assert(rampCuts == 0, "a 40-per-frame ramp must not cut")
+    // and the full query: every media row cuts exactly once at frame 4
+    val rows = MultimodalQueries.qSceneCuts(spark, sf).collect()
+    val media = rows.filter(_.getAs[Long]("doc_id") % 4 == 0)
+    assert(media.nonEmpty)
+    media.foreach { r =>
+      assert(r.getAs[String]("cut_idx") == "4" &&
+        r.getAs[Int]("n_scenes") == 2)
+    }
+    assert(rows.filter(_.getAs[Long]("doc_id") % 4 != 0)
+      .forall(_.isNullAt(rows.head.fieldIndex("cut_idx"))))
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

@@ -85,7 +85,11 @@ object DumpPlans {
     "q269_pad_packing", "q270_rendezvous_shards",
     "q271_poisson_bootstrap", "q272_page_stitch",
     "q273_layout_locality", "q274_curve_pruning",
-    "q275_bloom_calibration", "q276_matched_corpora")
+    "q275_bloom_calibration", "q276_matched_corpora",
+    "q277_doremi_reweight", "q279_mixture_plan",
+    "q280_dedup_quality_skew", "q281_kmeanspar_init",
+    "q282_jm_interpolation", "q283_range_shard_plan",
+    "q284_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

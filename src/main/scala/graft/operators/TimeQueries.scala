@@ -640,8 +640,14 @@ object TimeQueries extends QueryModule {
     * day-sorted cell array — array length = calendar days, never event
     * volume (the q103 posture: the sequential part is metadata-scale).
     * Both engines evaluate the identical IEEE sequence (0.3·y + 0.7·s
-    * per step — the oracle's recursive CTE replays it), so levels
-    * hash-match without a tolerance. */
+    * per step — the oracle's recursive CTE replays it), so the raw
+    * levels are bit-identical; presentation rounding is the explicit
+    * floor(x·10⁴ + 0.5)/10⁴ double computation on BOTH engines rather
+    * than the engines' round() builtins, which disagree exactly at
+    * half-boundary doubles (Spark rounds the shortest decimal repr,
+    * DuckDB the binary value — a real sf0.1 level, 657.04325, flipped
+    * between them; identical IEEE ops cannot). Levels are
+    * non-negative, so the floor form equals half-up. */
   def qSesSmooth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
@@ -674,7 +680,8 @@ object TimeQueries extends QueryModule {
       .select($"event_type", explode($"out").as("c"))
       .select($"event_type",
         date_format($"c.day", "yyyy-MM-dd").as("day"),
-        $"c.n".as("n"), round($"c.level", 4).as("level"))
+        $"c.n".as("n"),
+        (floor($"c.level" * 1e4 + 0.5) / 1e4).as("level"))
       .orderBy($"event_type", $"day")
   }
 
@@ -2232,7 +2239,7 @@ object TimeQueries extends QueryModule {
         |  FROM rec r JOIN filled c
         |    ON c.event_type = r.event_type AND c.i = r.i + 1)
         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
-        |  round(level, 4) AS level
+        |  floor(level * 10000 + 0.5) / 10000 AS level
         |FROM rec ORDER BY event_type, day""".stripMargin,
     "q217_dwell_time" ->
       """WITH ev AS (

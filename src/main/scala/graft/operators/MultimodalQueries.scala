@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.functions.Multimodal
@@ -245,6 +245,17 @@ object MultimodalQueries extends QueryModule {
     * shot-boundary heuristic's knob, literal for the oracle. */
   private val SceneCutJump = 64.0
 
+  /** 1-based frame indices opening a new scene. Guarded on length ≥ 2:
+    * Spark's sequence(2, 1) runs DESCENDING ([2, 1]), so an unguarded
+    * filter over a 1-frame video would evaluate element_at(_, 0) and
+    * throw — a single frame is simply one scene with no cuts. */
+  private[graft] def sceneCutIdx(lumas: Column): Column =
+    when(size(lumas) >= 2,
+      filter(sequence(lit(2), size(lumas)),
+        i => abs(element_at(lumas, i) -
+          element_at(lumas, i - 1)) > SceneCutJump))
+      .otherwise(array().cast("array<int>"))
+
   /** Scene-cut detection (q284) — shot-boundary segmentation, the
     * frame-sampling upgrade every video curation pipeline runs before
     * captioning (sample per SCENE, not per stride, or long static
@@ -263,12 +274,9 @@ object MultimodalQueries extends QueryModule {
         when($"doc_id" % 4 === 0, unhex(lit(SceneAviHex)))
           .otherwise($"text".cast("binary")).as("media"))
     val lum = Multimodal.videoFrameLumas(media, "media")
-    val cuts = filter(
-      sequence(lit(2), size($"f_lumas")),
-      i => abs(element_at($"f_lumas", i) -
-        element_at($"f_lumas", i - 1)) > SceneCutJump)
     lum
-      .withColumn("cut_at", when($"f_lumas".isNotNull, cuts))
+      .withColumn("cut_at", when($"f_lumas".isNotNull,
+        sceneCutIdx($"f_lumas")))
       .select($"doc_id", $"n_frames",
         when($"cut_at".isNotNull,
           array_join(transform($"cut_at", _.cast("string")), ","))

@@ -384,9 +384,13 @@ object QualityQueries extends QueryModule {
     // sum() skips the nulled replicates; the variance denominator must
     // therefore be the per-source count of SURVIVORS, not the literal
     // R (count($"m") skips nulls; its SQL twin count(m) does the same)
+    // the count(m)−1 denominator needs the same guard as sw: a source
+    // where only ONE replicate survives has no sample variance —
+    // explicit NULL on both engines (Spark /0 → NULL, DuckDB → NaN)
     val boot = reps.groupBy($"source").agg(
-      (sqrt((sum($"m" * $"m") - sum($"m") * sum($"m") / count($"m")) /
-        (count($"m") - lit(1)))).as("se"))
+      when(count($"m") > 1,
+        sqrt((sum($"m" * $"m") - sum($"m") * sum($"m") / count($"m")) /
+          (count($"m") - lit(1)))).as("se"))
     val point = Tables.documents(s, dir).groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         (sum($"n_chars").cast("double") / count(lit(1))).as("mu"))
@@ -2107,8 +2111,13 @@ object QualityQueries extends QueryModule {
         |  SELECT sum(wr) AS zw, CAST(sum(n_tokens) AS DOUBLE) AS tt
         |  FROM w0),
         |r0 AS (
+        |  -- CAST the cap factor: bare 1.05 is DECIMAL in DuckDB
+        |  -- (exact) while Spark computes long × double — the two cap
+        |  -- doubles would differ by ULPs and the exact `capped`
+        |  -- comparison could flip at the boundary
         |  SELECT source, n_tokens, wr / zw AS w,
-        |    n_tokens * $MixEpochCap AS cap, wr / zw * tt AS need
+        |    n_tokens * CAST($MixEpochCap AS DOUBLE) AS cap,
+        |    wr / zw * tt AS need
         |  FROM w0 CROSS JOIN tw),
         |${(1 to MixRounds).map(i => rnd(s"r${i - 1}", i)).mkString(",\n|")}
         |SELECT source, n_tokens, round(w, 4) AS w_target,
@@ -2146,8 +2155,9 @@ object QualityQueries extends QueryModule {
         |      FROM reps),
         |boot AS (
         |  SELECT source,
-        |    sqrt((sum(m * m) - sum(m) * sum(m) / count(m))
-        |      / (count(m) - 1)) AS se
+        |    CASE WHEN count(m) > 1 THEN
+        |      sqrt((sum(m * m) - sum(m) * sum(m) / count(m))
+        |        / (count(m) - 1)) END AS se
         |  FROM m GROUP BY source),
         |pt AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

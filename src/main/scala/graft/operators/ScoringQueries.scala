@@ -364,8 +364,11 @@ object ScoringQueries extends QueryModule {
     * the mixture P(w|prev) = λ·p_bi + (1−λ)·p_uni with λ fit by EM on
     * a held-out slice (doc_id % 10 = 0) against train-slice counts.
     * Both slices fold through the TRAIN vocabulary (unkFoldWith), so
-    * every held-out token has train unigram mass and the EM posterior
-    * never divides 0/0. Each EM round is
+    * a held-out token has train unigram mass whenever the train slice
+    * itself overflows the cap; the corner where it doesn't (≤ V
+    * distinct train terms, so no <unk> mass exists) drops those
+    * held-out bigrams explicitly on both engines — the standard OOV
+    * drop — and the EM posterior never divides 0/0. Each EM round is
     * λ ← Σ m·λp_bi/(λp_bi+(1−λ)p_uni) / Σ m over held-out bigram
     * TYPES (≤ (V+1)², bounded by the fold), λ snapped to the 1e-9 grid
     * on both engines (the one order-dependent sum). Output: λ and the
@@ -405,6 +408,13 @@ object ScoringQueries extends QueryModule {
       .select($"m".cast("double").as("m"),
         coalesce($"c_bi".cast("double") / $"c_ctx", lit(0.0)).as("pb"),
         (coalesce($"c_w", lit(0L)).cast("double") / $"n").as("pu"))
+      // pu = 0 is possible only when the TRAIN slice has ≤ V distinct
+      // terms (no <unk> ever enters the train stream) and a held-out
+      // token still folds — then pb = pu = 0 and the mixture is
+      // log(0): Spark nulls those rows out of the sums while DuckDB
+      // makes them -inf/NaN. Drop them explicitly (the standard OOV
+      // drop) so both engines score the same support.
+      .filter($"pu" > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       def r9(x: Double): Double = BigDecimal(x)
@@ -445,7 +455,11 @@ object ScoringQueries extends QueryModule {
         sum($"score").as("s1"), sum($"score" * $"score").as("s2"))
       .select($"is_dup", $"n_docs",
         ($"s1" / $"n_docs").as("m"),
-        (($"s2" - $"s1" * $"s1" / $"n_docs") / ($"n_docs" - 1)).as("v"))
+        // a one-member class has no sample variance: explicit NULL on
+        // BOTH engines (an unguarded /0 is NULL in Spark but NaN in
+        // DuckDB's float division — a silent cross-engine divergence)
+        when($"n_docs" > 1,
+          ($"s2" - $"s1" * $"s1" / $"n_docs") / ($"n_docs" - 1)).as("v"))
     val d = cls.agg(
       ((sum(when($"is_dup" === 1, $"m")) -
         sum(when($"is_dup" === 0, $"m"))) /
@@ -1646,12 +1660,14 @@ object ScoringQueries extends QueryModule {
         |    FROM toks WHERE doc_id % 10 = 0)
         |  WHERE prev IS NOT NULL GROUP BY prev, term),
         |hob AS MATERIALIZED (
-        |  SELECT CAST(h.m AS DOUBLE) AS m,
-        |    coalesce(CAST(c_bi AS DOUBLE) / c_ctx, 0.0) AS pb,
-        |    coalesce(c_w, 0) / n.n AS pu
-        |  FROM hob0 h LEFT JOIN bc USING (prev, term)
-        |  LEFT JOIN cx USING (prev) LEFT JOIN uni USING (term)
-        |  CROSS JOIN n),
+        |  SELECT * FROM (
+        |    SELECT CAST(h.m AS DOUBLE) AS m,
+        |      coalesce(CAST(c_bi AS DOUBLE) / c_ctx, 0.0) AS pb,
+        |      coalesce(c_w, 0) / n.n AS pu
+        |    FROM hob0 h LEFT JOIN bc USING (prev, term)
+        |    LEFT JOIN cx USING (prev) LEFT JOIN uni USING (term)
+        |    CROSS JOIN n)
+        |  WHERE pu > 0),
         |l0 AS (SELECT 0.5 AS l),
         |n0 AS (
         |  SELECT round(sum(-ln(l * pb + (1 - l) * pu) * m) / sum(m), 4)
@@ -1703,7 +1719,8 @@ object ScoringQueries extends QueryModule {
         |  FROM lab GROUP BY is_dup),
         |st AS (
         |  SELECT is_dup, n_docs, s1 / n_docs AS m,
-        |    (s2 - s1 * s1 / n_docs) / (n_docs - 1) AS v
+        |    CASE WHEN n_docs > 1
+        |      THEN (s2 - s1 * s1 / n_docs) / (n_docs - 1) END AS v
         |  FROM cls),
         |d AS (
         |  SELECT (sum(CASE WHEN is_dup = 1 THEN m END)

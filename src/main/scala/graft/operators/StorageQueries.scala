@@ -724,8 +724,11 @@ object StorageQueries extends QueryModule {
         Window.orderBy($"n_chars".asc, $"doc_id".asc)))
       .filter($"srk".isin(cutRanks: _*))
       .select($"n_chars").as[Long].collect().sorted
+    // foldLeft, not reduce: a corpus smaller than the first cut rank
+    // yields an EMPTY cut list (everything lands in shard 0) — reduce
+    // would throw on it
     val shard = cuts.map(c => when($"n_chars" > c, 1).otherwise(0))
-      .reduce(_ + _)
+      .foldLeft(lit(0): Column)(_ + _)
     val tot = docs.agg(count(lit(1)).cast("double").as("n"))
     docs.select(shard.as("shard"), $"n_chars")
       .groupBy($"shard")

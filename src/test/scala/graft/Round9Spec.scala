@@ -245,6 +245,30 @@ class Round9Spec extends AnyFunSuite {
       .forall(_.isNullAt(rows.head.fieldIndex("cut_idx"))))
   }
 
+  test("q283/q284 degenerate inputs: tiny corpus and 1-frame video don't crash") {
+    import spark.implicits._
+    // q283 on a corpus smaller than the first cut rank: the cut list
+    // is EMPTY (the pre-fix reduce threw on it) — everything lands in
+    // shard 0
+    val dir = fixtureDir()
+    (1L to 5L).map(i => (i, 100L * i))
+      .toDF("doc_id", "n_chars").write.parquet(s"$dir/documents.parquet")
+    val shards = StorageQueries.qRangeShardPlan(spark, dir).collect()
+    assert(shards.length == 1 && shards.head.getAs[Int]("shard") == 0)
+    assert(shards.head.getAs[Long]("n_docs") == 5L)
+    // q284 on a 1-frame AVI: Spark's sequence(2, 1) runs DESCENDING,
+    // so the unguarded filter evaluated element_at(_, 0) and threw —
+    // a single frame is simply one scene with no cuts
+    val one = Seq(Tuple1(graft.functions.MediaGen.avi(
+      Seq(graft.functions.MediaGen.flatGrayPng(4, 3, 50)), 4, 3)))
+      .toDF("media")
+    val lum = graft.functions.Multimodal.videoFrameLumas(one, "media")
+    val guarded = lum
+      .select(size(MultimodalQueries.sceneCutIdx($"f_lumas")))
+      .as[Int].head()
+    assert(guarded == 0, "a single-frame video has no cuts")
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

@@ -1493,7 +1493,159 @@ object DedupQueries extends QueryModule {
       .orderBy($"source", $"a_id", $"b_id")
   }
 
+  /** q285 constants: suffix order is defined by the first `SaContext`
+    * tokens (bounded context ⇒ exactly log₂(SaContext) doubling
+    * rounds), and every global dense rank runs through `SaBuckets`
+    * order-aligned buckets (q84's distributed prefix-rank shape — grow
+    * with the corpus to keep per-bucket windows bounded). */
+  private val SaContext = 16
+  private val SaBuckets = 16
+
+  /** Suffix-array construction by prefix doubling (q285) — the data
+    * structure under exact-substring dedup (Lee et al. 2022 build a
+    * corpus suffix array to find every repeated span; q28's fixed
+    * 8-token window digests are the hash approximation of what this
+    * computes exactly). The naive build materializes and sorts whole
+    * suffixes — O(corpus²) bytes of comparisons, impossible at scale.
+    * Prefix doubling (Manber & Myers 1990) never materializes a
+    * suffix: round d ranks each position by the PAIR of round-(d−1)
+    * ranks at (pos, pos+2^(d−1)), so context doubles per round and
+    * every round is relational — one self-join on (doc_id, pos+step)
+    * plus one global dense rank. Order is bounded at `SaContext`=16
+    * tokens (ties beyond 16 tokens legitimately share a rank — the
+    * dedup use-case only needs spans up to the verify window), which
+    * caps the build at 4 rounds on any corpus.
+    *
+    * Scale posture: the global dense rank is NEVER a one-reducer
+    * window — each round buckets by an order-aligned key (round 0:
+    * the token's first char; later rounds: a fixed-width slice of the
+    * previous — already dense — rank), computes dense_rank per bucket,
+    * and adds per-bucket offsets from a metadata-scale cumsum, exactly
+    * q84's distributed prefix rank. End-of-suffix ranks as 0 (< every
+    * real rank ≥ 1), which matches "shorter suffix sorts first" — so
+    * the DuckDB oracle can rank by the materialized 16-token prefix
+    * STRING (join-with-space is order-equivalent to token-sequence
+    * order because ' ' < every token byte) and the hash match proves
+    * distributed doubling ≡ naive suffix sort. */
+  def qSuffixArray(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    suffixRanks(s, dir).orderBy($"sfx_rank", $"doc_id", $"pos")
+  }
+
+  /** The rank frame behind q285, unsorted — shared with q287, which
+    * consumes rank EQUALITY (not order) and must not inherit a global
+    * sort it would immediately throw away. */
+  private def suffixRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val wOff = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    // Round 0: global dense rank of each position's own token.
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tok")))
+      .select($"doc_id", ($"p" + 1).as("pos"), $"tok",
+        substring($"tok", 1, 1).as("bkt"))
+    val off0 = base.groupBy($"bkt")
+      .agg(countDistinct($"tok").as("nd"))
+      .withColumn("off", coalesce(sum($"nd").over(wOff), lit(0L)))
+      .select($"bkt", $"off")
+    var sfx = base
+      .withColumn("lr", dense_rank().over(
+        Window.partitionBy($"bkt").orderBy($"tok")).cast("long"))
+      .join(broadcast(off0), "bkt")
+      .select($"doc_id", $"pos", ($"off" + $"lr").as("r"))
+
+    var step = 1
+    while (step < SaContext) {
+      // Rank `step` positions ahead (0 = suffix ends inside the gap).
+      val ahead = sfx.select($"doc_id", ($"pos" - step).as("pos"),
+        $"r".as("rb0"))
+      val paired = sfx.join(ahead, Seq("doc_id", "pos"), "left")
+        .select($"doc_id", $"pos", $"r".as("ra"),
+          coalesce($"rb0", lit(0L)).as("rb"))
+      // Order-aligned bucket: ranks are dense in [1, rmax], so a
+      // fixed-width slice of ra is monotone in (ra, rb) order.
+      val rmax = paired.agg(max($"ra").as("rmax"))
+      val withBkt = paired.crossJoin(broadcast(rmax))
+        .withColumn("bkt",
+          (($"ra" - 1) * SaBuckets / $"rmax").cast("int"))
+      val offs = withBkt.groupBy($"bkt")
+        .agg(countDistinct($"ra", $"rb").as("nd"))
+        .withColumn("off", coalesce(sum($"nd").over(wOff), lit(0L)))
+        .select($"bkt", $"off")
+      sfx = withBkt
+        .withColumn("lr", dense_rank().over(
+          Window.partitionBy($"bkt").orderBy($"ra", $"rb")).cast("long"))
+        .join(broadcast(offs), "bkt")
+        .select($"doc_id", $"pos", ($"off" + $"lr").as("r"))
+      step *= 2
+    }
+    sfx.select($"doc_id", $"pos".cast("long").as("pos"),
+        $"r".as("sfx_rank"))
+  }
+
+  /** Exact repeated-span removal plan (q287) — the APPLY step of Lee
+    * et al. 2022's exact-substring dedup, composed on q285's suffix
+    * ranks: a full 16-token window is duplicated iff its start
+    * position shares a suffix rank with another full-window start
+    * (rank equality ⟺ first-16-token equality, which is exactly the
+    * window). One global keeper survives per duplicated window —
+    * chosen by min composite key doc_id·10⁶+pos, an AGGREGATE (never
+    * a per-rank row_number window: a boilerplate span repeated across
+    * millions of docs would make that rank a one-reducer hot key,
+    * while min() partial-aggregates map-side) — every other
+    * occurrence is marked, and each doc's marked 16-token intervals
+    * merge into maximal removal spans by lag-based gaps-and-islands
+    * (per-doc window, bounded by doc length). Output: one row per
+    * merged span with its token extent — the plan a rewriter executes
+    * with substring surgery.
+    *
+    * The composite keeper key assumes pos < 10⁶ tokens per document —
+    * the same bound parquet row-group pages already impose on a
+    * single text cell; documented, not checked, so the expression
+    * stays codegen arithmetic.
+    *
+    * The DuckDB oracle never sees ranks: it groups full windows by
+    * their materialized 16-token STRING, keeps min(composite), and
+    * merges islands the same way — so the hash match proves the
+    * doubling ranks capture exact window equality. */
+  def qExactSpanPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val lens = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val full = suffixRanks(s, dir).join(lens, "doc_id")
+      .filter($"pos" + (SaContext - 1) <= $"n_tok")
+      .select($"doc_id", $"pos", $"r",
+        ($"doc_id" * 1000000L + $"pos").as("ck"))
+    val dup = full.groupBy($"r")
+      .agg(count(lit(1)).as("occ"), min($"ck").as("keeper"))
+      .filter($"occ" > 1)
+    val marked = full.join(dup, "r")
+      .filter($"ck" =!= $"keeper")
+      .select($"doc_id", $"pos")
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    marked
+      .withColumn("prev", lag($"pos", 1).over(wDoc))
+      .withColumn("brk",
+        when($"prev".isNull || $"pos" > $"prev" + SaContext, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum($"brk").over(
+        wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("rm_start"),
+        (max($"pos") + (SaContext - 1)).as("rm_end"))
+      .select($"doc_id", $"rm_start", $"rm_end",
+        ($"rm_end" - $"rm_start" + 1).as("rm_tokens"))
+      .orderBy($"doc_id", $"rm_start")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q287_exact_span_plan" -> (qExactSpanPlan _),
+    "q285_suffix_array" -> (qSuffixArray _),
     "q272_page_stitch"  -> (qPageStitch _),
     "q199_prefix_join"  -> (qPrefixJoin _),
     "q30_dedup_exact"   -> (qDedupExact _),
@@ -1679,6 +1831,63 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      // q287: rank-free replay — group full windows by the 16-token
+      // STRING, keep min(composite), merge islands identically; the
+      // match proves rank-equality ⟺ window-equality
+      "q287_exact_span_plan" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |f AS (
+          |  SELECT doc_id, unnest(range(1, len(tk) - 14)) AS pos, tk
+          |  FROM t WHERE len(tk) >= 16),
+          |w AS (
+          |  SELECT doc_id, pos, doc_id * 1000000 + pos AS ck,
+          |    array_to_string(tk[pos:pos + 15], ' ') AS w
+          |  FROM f),
+          |dup AS (
+          |  SELECT w, min(ck) AS keeper
+          |  FROM w GROUP BY 1 HAVING count(*) > 1),
+          |m AS (
+          |  SELECT a.doc_id, a.pos FROM w a JOIN dup d ON a.w = d.w
+          |  WHERE a.ck <> d.keeper),
+          |i AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+          |           IS NULL
+          |         OR pos > lag(pos) OVER (PARTITION BY doc_id
+          |           ORDER BY pos) + 16
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM m),
+          |g AS (
+          |  SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS island
+          |  FROM i)
+          |SELECT doc_id, min(pos) AS rm_start,
+          |  max(pos) + 15 AS rm_end,
+          |  max(pos) + 15 - min(pos) + 1 AS rm_tokens
+          |FROM g GROUP BY doc_id, island
+          |ORDER BY doc_id, rm_start""".stripMargin,
+      // q285: the NAIVE build — materialize every suffix's 16-token
+      // prefix and sort it as a string. Join-with-space preserves
+      // token-sequence order (' ' < every token byte), so dense_rank
+      // over the string equals the doubling ranks; the hash match is
+      // the distributed ≡ naive proof.
+      "q285_suffix_array" ->
+        s"""WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |sfx AS (
+          |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk
+          |  FROM t),
+          |p AS (
+          |  SELECT doc_id, pos,
+          |    array_to_string(tk[pos:pos + ${SaContext - 1}], ' ') AS pfx
+          |  FROM sfx)
+          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          |  CAST(dense_rank() OVER (ORDER BY pfx) AS BIGINT) AS sfx_rank
+          |FROM p
+          |ORDER BY sfx_rank, doc_id, pos""".stripMargin,
       // q272: same suffix⋈prefix equi-join with the hot-opening guard
       "q272_page_stitch" ->
         """WITH t AS (

@@ -1216,6 +1216,49 @@ object QualityQueries extends QueryModule {
       .orderBy($"source", $"len_band")
   }
 
+  /** t-closeness release threshold (q288). */
+  private val TClosenessT = 0.2
+
+  /** t-closeness audit (q288) — Li et al. 2007, the third privacy
+    * gate after k-anonymity (q169) and l-diversity (q225): a group
+    * can be k-large AND l-diverse yet still leak if its sensitive
+    * distribution differs sharply from the corpus-wide one (the
+    * "skewness attack" — 49 distinct values at 2% each plus one at
+    * 2% is diverse; 98% of one value in a group that is 2% globally
+    * is not private). Each quasi-identifier group (source, length
+    * band — q225's QI) must keep its in-group sensitive (lang)
+    * distribution within distance t of the global distribution; for
+    * a categorical attribute under the uniform ground metric, the
+    * earth-mover distance IS total variation: ½·Σ_v |p_v − q_v|,
+    * including q_v/2 mass for languages the group lacks entirely.
+    *
+    * Scale shape: one partial-agg pass collapses the corpus to
+    * (QI × lang) cells; groups and the global lang marginal are
+    * rollups of THAT frame (never a re-scan); the full support is a
+    * grid cross of the group frame with the |langs|-row marginal
+    * (bounded by the language-code domain ⇒ broadcast is legal under
+    * the discipline), left-joined back to the cells so absent
+    * languages surface as p=0 instead of silently dropping their
+    * q_v/2 term. Everything after is arithmetic on grid-sized rows. */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cell = Tables.documents(s, dir)
+      .groupBy($"source", expr("n_chars div 100").as("len_band"), $"lang")
+      .agg(count(lit(1)).as("c"))
+    val grp = cell.groupBy($"source", $"len_band").agg(sum($"c").as("n"))
+    val glob = cell.groupBy($"lang").agg(sum($"c").as("g"))
+    val tot = glob.agg(sum($"g").as("n_total"))
+    grp.crossJoin(broadcast(glob.crossJoin(tot)))
+      .join(cell, Seq("source", "len_band", "lang"), "left")
+      .withColumn("p", coalesce($"c", lit(0L)) / $"n".cast("double"))
+      .withColumn("q", $"g" / $"n_total".cast("double"))
+      .groupBy($"source", $"len_band", $"n")
+      .agg(round(sum(abs($"p" - $"q")) / 2, 4).as("t_emd"))
+      .withColumn("exceeds", $"t_emd" > TClosenessT)
+      .select($"source", $"len_band", $"n", $"t_emd", $"exceeds")
+      .orderBy($"source", $"len_band")
+  }
+
   /** Exact bitmap segment overlap (q211): per-event-type user bitmaps
     * via the `bitmap_agg` custom aggregate (plans/BitmapAgg.scala —
     * word-aligned bitset, OR-merge commutative ⇒ the bitmap is
@@ -1387,11 +1430,113 @@ object QualityQueries extends QueryModule {
           .as("cramers_v"))
   }
 
+  /** q286 constants: 16 linear slots per octave = 5-bit HDR precision
+    * (worst-case relative error 1/32 above the exact range), the
+    * exact-representation cutoff, and integer percentile targets. */
+  private val DigestSlots = 16
+  private val DigestExactBelow = 32 // values < 2^5 store exactly
+  private val DigestPcts = Seq(50, 95, 99)
+
+  /** Mergeable log-bucket quantile digest (q286) — the INTEGER-EXACT
+    * cousin of DDSketch (Masson et al. VLDB'19) / HdrHistogram: a
+    * value below 32 maps to itself; above, octave e = ⌊log₂ x⌋ (the
+    * length of the binary string, no float log) splits into 16 linear
+    * slots via one right-shift, so bucket id, bucket bounds, and the
+    * midpoint representative are ALL integer arithmetic — which is
+    * what lets the digest hash-match an independent engine
+    * bit-for-bit (q73's percentile_approx sketch can only be judged
+    * each-engine-against-its-own for exactly this reason). Bucket
+    * width 2^(e−4) ⇒ the midpoint is within 1/32 of any absorbed
+    * value — fixed RELATIVE error at every magnitude, where an
+    * equi-width histogram's error explodes on the tail.
+    *
+    * The sketch is a (bucket → count) frame, bounded at 16 buckets
+    * per octave at ANY corpus size, and mergeable by count addition:
+    * built per (source, lang), rolled to per-source by groupBy-sum —
+    * the q141 HLL-rollup shape (a slice union is a sum over
+    * precomputed digests, never a raw re-scan). Read-out walks the
+    * ≤ ~hundred-row per-source cumsum; ranks are ⌈p·n/100⌉ =
+    * (p·n+99) div 100, so no float ever decides a bucket. The exact
+    * per-source quantile (same integer selection over the raw VALUE
+    * grid — bounded by the value domain, never a per-doc window)
+    * rides along as the audit, and `in_bucket` asserts the sketch
+    * guarantee — 2·|est − exact| ≤ bucket width — exactly. */
+  def qQuantileDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"lang", $"n_chars")
+      .withColumn("e", (length(bin($"n_chars")) - 1).cast("int"))
+      .withColumn("bucket",
+        when($"n_chars" < DigestExactBelow, $"n_chars")
+          .otherwise(lit(DigestExactBelow.toLong) +
+            ($"e" - 5).cast("long") * DigestSlots +
+            expr("shiftright(n_chars, e - 4)") - DigestSlots))
+    // level 1: the per-(source, lang) digests that ship; level 2: the
+    // per-source merge — counts add, nothing else moves
+    val l1 = docs.groupBy($"source", $"lang", $"bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val digest = l1.groupBy($"source", $"bucket")
+      .agg(sum($"cnt").as("cnt"))
+    val cum = digest.withColumn("cum", sum($"cnt").over(
+      Window.partitionBy($"source").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = digest.groupBy($"source")
+      .agg(sum($"cnt").as("n"), count(lit(1)).as("n_buckets"))
+    val targets = tot
+      .select($"source", $"n", $"n_buckets",
+        explode(array(DigestPcts.map(lit): _*)).as("pct"))
+      .withColumn("rank", expr("(pct * n + 99) div 100"))
+    val widthSql =
+      s"""CASE WHEN bucket < $DigestExactBelow THEN 1
+         | ELSE shiftleft(1, cast(
+         |   (bucket - $DigestExactBelow) div $DigestSlots + 1 as int))
+         | END""".stripMargin
+    val decodeSql =
+      s"""CASE WHEN bucket < $DigestExactBelow THEN bucket
+         | ELSE ((bucket - $DigestExactBelow) % $DigestSlots
+         |        + $DigestSlots)
+         |      * shiftleft(1, cast(
+         |          (bucket - $DigestExactBelow) div $DigestSlots + 1
+         |          as int))
+         |      + shiftleft(1, cast(
+         |          (bucket - $DigestExactBelow) div $DigestSlots
+         |          as int))
+         | END""".stripMargin
+    val est = cum.join(targets, "source")
+      .filter($"cum" >= $"rank")
+      .groupBy($"source", $"pct", $"n_buckets")
+      .agg(min($"bucket").as("bucket"))
+      .withColumn("est_len", expr(decodeSql))
+      .withColumn("width", expr(widthSql))
+    // exact selection over the raw (source, n_chars) grid
+    val exCum = docs.groupBy($"source", $"n_chars")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(
+        Window.partitionBy($"source").orderBy($"n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val exact = exCum
+      .join(targets.select($"source", $"pct", $"rank"), "source")
+      .filter($"cum" >= $"rank")
+      .groupBy($"source", $"pct")
+      .agg(min($"n_chars").as("exact_len"))
+    est.join(exact, Seq("source", "pct"))
+      .select($"source", $"pct", $"bucket", $"est_len", $"exact_len",
+        round(abs($"est_len" - $"exact_len") /
+          $"exact_len".cast("double"), 4).as("rel_err"),
+        (abs($"est_len" - $"exact_len") * 2 <= $"width")
+          .as("in_bucket"),
+        $"n_buckets")
+      .orderBy($"source", $"pct")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q205_weighted_quantiles" -> (qWeightedQuantiles _),
       "q207_chi_square"      -> (qChiSquare _),
       "q211_bitmap_overlap"  -> (qBitmapOverlap _),
+      "q286_quantile_digest" -> (qQuantileDigest _),
+      "q288_t_closeness"     -> (qTCloseness _),
       "q191_dp_release"      -> (qDpRelease _),
       "q195_mg_heavy_hitters" -> (qMgHeavyHitters _),
       "q169_k_anonymity"     -> (qKAnonymity _),
@@ -1431,6 +1576,94 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q288: same cell rollup, grid cross, and TV arithmetic
+    "q288_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT source, n_chars // 100 AS len_band, lang,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |grp AS (
+        |  SELECT source, len_band, sum(c) AS n FROM cell GROUP BY 1, 2),
+        |glob AS (SELECT lang, sum(c) AS g FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(g) AS n_total FROM glob),
+        |grid AS (
+        |  SELECT grp.source, grp.len_band, grp.n, glob.lang, glob.g,
+        |    tot.n_total
+        |  FROM grp CROSS JOIN glob CROSS JOIN tot),
+        |j AS (
+        |  SELECT gr.source, gr.len_band, gr.n,
+        |    coalesce(cell.c, 0) / CAST(gr.n AS DOUBLE) AS p,
+        |    gr.g / CAST(gr.n_total AS DOUBLE) AS q
+        |  FROM grid gr LEFT JOIN cell
+        |    ON gr.source = cell.source AND gr.len_band = cell.len_band
+        |    AND gr.lang = cell.lang),
+        |agg AS (
+        |  SELECT source, len_band, n,
+        |    round(sum(abs(p - q)) / 2, 4) AS t_emd
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT source, len_band, n, t_emd, t_emd > 0.2 AS exceeds
+        |FROM agg ORDER BY source, len_band""".stripMargin,
+    // q286: the whole digest is integer bit arithmetic, so the oracle
+    // replays it exactly — bucket ids, merge, rank walk, decode
+    "q286_quantile_digest" ->
+      """WITH d AS (
+        |  SELECT source, lang, n_chars,
+        |    CASE WHEN n_chars < 32 THEN n_chars
+        |         ELSE 32 + (length(bin(n_chars)) - 6) * 16
+        |              + (n_chars >> (length(bin(n_chars)) - 5)) - 16
+        |    END AS bucket
+        |  FROM documents),
+        |l1 AS (
+        |  SELECT source, lang, bucket, count(*) AS cnt
+        |  FROM d GROUP BY 1, 2, 3),
+        |dg AS (
+        |  SELECT source, bucket, sum(cnt) AS cnt FROM l1 GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, bucket,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM dg),
+        |tot AS (
+        |  SELECT source, sum(cnt) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_buckets
+        |  FROM dg GROUP BY 1),
+        |tg AS (
+        |  SELECT source, n, n_buckets, pct, (pct * n + 99) // 100 AS rank
+        |  FROM tot CROSS JOIN (SELECT unnest([50, 95, 99]) AS pct)),
+        |est AS (
+        |  SELECT c.source, t.pct, t.n_buckets, min(c.bucket) AS bucket
+        |  FROM cum c JOIN tg t ON c.source = t.source AND c.cum >= t.rank
+        |  GROUP BY 1, 2, 3),
+        |dec AS (
+        |  SELECT source, pct, n_buckets, bucket,
+        |    CASE WHEN bucket < 32 THEN bucket
+        |         ELSE ((bucket - 32) % 16 + 16)
+        |              * (1 << ((bucket - 32) // 16 + 1))
+        |              + (1 << ((bucket - 32) // 16))
+        |    END AS est_len,
+        |    CASE WHEN bucket < 32 THEN 1
+        |         ELSE (1 << ((bucket - 32) // 16 + 1)) END AS width
+        |  FROM est),
+        |ex AS (
+        |  SELECT source, n_chars, count(*) AS c FROM d GROUP BY 1, 2),
+        |excum AS (
+        |  SELECT source, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ex),
+        |exact AS (
+        |  SELECT e.source, t.pct, min(e.n_chars) AS exact_len
+        |  FROM excum e JOIN tg t ON e.source = t.source
+        |    AND e.cum >= t.rank
+        |  GROUP BY 1, 2)
+        |SELECT d2.source, d2.pct, d2.bucket, d2.est_len, x.exact_len,
+        |  round(abs(d2.est_len - x.exact_len)
+        |    / CAST(x.exact_len AS DOUBLE), 4) AS rel_err,
+        |  (abs(d2.est_len - x.exact_len) * 2 <= d2.width) AS in_bucket,
+        |  d2.n_buckets
+        |FROM dec d2 JOIN exact x
+        |  ON d2.source = x.source AND d2.pct = x.pct
+        |ORDER BY d2.source, d2.pct""".stripMargin,
     // q211: the engine computes overlaps from bitmap popcounts; the
     // oracle recomputes them from exact distinct-user joins — equality
     // proves the whole bitmap path (build, OR-merge, AND popcount)

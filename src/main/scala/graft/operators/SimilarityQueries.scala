@@ -1222,7 +1222,77 @@ object SimilarityQueries extends QueryModule {
     } finally { base.unpersist(); () }
   }
 
+  /** Power-iteration rounds for q289. Convergence is NOT required for
+    * correctness — both engines replay the identical snapped iterates —
+    * but 8 rounds close a planted dominant direction (spec) and cost
+    * nothing: they run on the driver over a 64×64 literal matrix. */
+  private val PowerIters = 8
+
+  /** PCA top principal component (q289) — the embedding-geometry
+    * audit behind curation decisions (a corpus whose top component
+    * eats most of the variance is anisotropic: embeddings collapse
+    * toward a line and cosine similarity loses resolution — the
+    * degeneracy q192's health check screens for, located here as an
+    * actual direction). The FAISS-style split q42b established: ONE
+    * corpus pass produces a metadata-scale artifact — the dimension
+    * is appended with a constant-1 slot so a single upper-triangle
+    * pair aggregate (65·66/2 = 2145 partial-agg rows) carries second
+    * moments, sums, AND the count; covariance assembles from it on
+    * the driver, and 8 power-iteration rounds run over the 64×64
+    * matrix there (never another corpus scan — the naive alternative,
+    * v ← Σ x·(x·v), is one full pass PER round). Every
+    * order-dependent float (means, covariance cells, iterates) snaps
+    * to the 1e-9 grid under rnd9's cross-engine contract, so the
+    * DuckDB oracle — same moments, same unrolled 8 rounds as CTEs —
+    * hash-matches bit-for-bit. Output: the unit loading vector with
+    * per-dim corpus means, the Rayleigh eigenvalue, and its share of
+    * total variance. */
+  def qPcaTopComponent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ext = vecs(s, dir)
+      .select(concat($"v", array(lit(1.0))).as("v"))
+    val e1 = ext.select($"v", posexplode($"v").as(Seq("i0", "xi")))
+    val mom = e1
+      .select($"i0", $"xi", posexplode($"v").as(Seq("j0", "xj")))
+      .filter($"j0" >= $"i0")
+      .groupBy(($"i0" + 1).as("i"), ($"j0" + 1).as("j"))
+      .agg(sum($"xi" * $"xj").as("sxx"))
+      .collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        r.getAs[Double]("sxx")).toMap
+    val n = mom((Dim + 1, Dim + 1))
+    val mu = Array.tabulate(Dim)(i => rnd9(mom((i + 1, Dim + 1)) / n))
+    val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+      val (a, b) = (math.min(i, j) + 1, math.max(i, j) + 1)
+      rnd9(mom((a, b)) / n - mu(i) * mu(j))
+    }
+    var v = Array.fill(Dim)(0.125)
+    var it = 0
+    while (it < PowerIters) {
+      val w = Array.tabulate(Dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < Dim) { acc += cov(i)(j) * v(j); j += 1 }
+        rnd9(acc)
+      }
+      v = unitRound(w, v)
+      it += 1
+    }
+    var lam = 0.0
+    for (i <- 0 until Dim; j <- 0 until Dim) lam += v(i) * cov(i)(j) * v(j)
+    lam = rnd9(lam)
+    val trace = (0 until Dim).map(i => cov(i)(i)).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (0 until Dim).map(k => ((k + 1).toLong, r6(v(k)), r6(mu(k))))
+      .toDF("dim", "loading", "mean_val")
+      .withColumn("eigval", lit(r6(lam)))
+      .withColumn("var_share", lit(r6(rnd9(lam / trace))))
+      .orderBy($"dim")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_pca_top" -> (qPcaTopComponent _),
     "q281_kmeanspar_init" -> (qKmeansParInit _),
     "q192_embed_health" -> (qEmbedHealth _),
     "q91_random_projection" -> (qRandomProjection _),

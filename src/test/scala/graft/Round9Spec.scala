@@ -269,6 +269,91 @@ class Round9Spec extends AnyFunSuite {
     assert(guarded == 0, "a single-frame video has no cuts")
   }
 
+  test("q285: doubling ranks equal the hand-sorted suffix order") {
+    import spark.implicits._
+    // Two docs, four suffixes, hand-sortable:
+    //   (d1,p1)="b a"  (d1,p2)="a"  (d2,p1)="a b"  (d2,p2)="b"
+    // Token order with shorter-suffix-first ties:
+    //   "a" < "a b" < "b" < "b a"  →  ranks 1,2,3,4
+    val dir = fixtureDir()
+    Seq((1L, "b a"), (2L, "a b"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.qSuffixArray(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"))
+        -> r.getAs[Long]("sfx_rank")).toMap
+    assert(got == Map((1L, 2L) -> 1L, (2L, 1L) -> 2L,
+      (2L, 2L) -> 3L, (1L, 1L) -> 4L))
+  }
+
+  test("q285: order is bounded at 16 tokens — deep ties share a rank") {
+    import spark.implicits._
+    // 20 identical tokens: suffixes of length >= 16 are order-equal
+    // (the doubling stops at SaContext=16), lengths 1..15 sort
+    // shorter-first below them. So pos 20 -> rank 1 ... pos 6 ->
+    // rank 15, and pos 1..5 all SHARE rank 16. A full (unbounded)
+    // sort would give them distinct ranks — this pins the bound.
+    val dir = fixtureDir()
+    Seq((1L, Seq.fill(20)("t").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.qSuffixArray(spark, dir).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Long]("sfx_rank")).toMap
+    (6L to 20L).foreach(p => assert(got(p) == 21L - p,
+      s"pos $p: short suffixes sort shorter-first"))
+    (1L to 5L).foreach(p => assert(got(p) == 16L,
+      s"pos $p: 16-token-equal suffixes must tie"))
+  }
+
+  test("q285: adjacent equal ranks expose repeated 16-token spans") {
+    import spark.implicits._
+    // The dedup use-case: a 16-token span planted in two docs makes
+    // exactly its two start positions rank-equal; all other
+    // positions stay distinct.
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val dir = fixtureDir()
+    Seq((1L, s"x $span"), (2L, s"$span y"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = DedupQueries.qSuffixArray(spark, dir).collect()
+    val byRank = rows.groupBy(_.getAs[Long]("sfx_rank"))
+    val dups = byRank.filter(_._2.length > 1)
+    assert(dups.size == 1, s"exactly one repeated span, got ${dups.size}")
+    assert(dups.head._2.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("pos"))).toSet == Set((1L, 2L), (2L, 1L)),
+      "the tied positions are the two span starts")
+  }
+
+  test("q286: digest buckets guarantee 1/32 relative error and stay bounded") {
+    import spark.implicits._
+    // 1..100 per source: exact integer-selection percentiles are
+    // 50/95/99; the log-bucket estimates decode to 51/94/98 (bucket
+    // midpoints), each within half a bucket width of exact.
+    val dir = fixtureDir()
+    (1L to 100L).map(i => (i, "s", "xx", i))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = QualityQueries.qQuantileDigest(spark, dir).collect()
+      .map(r => r.getAs[Int]("pct") ->
+        (r.getAs[Long]("est_len"), r.getAs[Long]("exact_len"),
+         r.getAs[Boolean]("in_bucket"))).toMap
+    assert(got(50) == ((51L, 50L, true)))
+    assert(got(95) == ((94L, 95L, true)))
+    assert(got(99) == ((98L, 99L, true)))
+    // real corpus: the sketch guarantee holds on EVERY row, and the
+    // digest stays bounded — 16 slots/octave regardless of n
+    val rows = QualityQueries.qQuantileDigest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("in_bucket"),
+        s"${r.getAs[String]("source")}/p${r.getAs[Int]("pct")}: " +
+          "estimate escaped its bucket")
+      // rel_err ships rounded to 4 decimals, so the exact-boundary
+      // 1/32 case displays as 0.0313 — bound by the same rounding
+      assert(r.getAs[Double]("rel_err") <= 0.0313,
+        s"relative error above the 5-bit bound: ${r.getAs[Double]("rel_err")}")
+      assert(r.getAs[Long]("n_buckets") <= 32 + 16 * 40,
+        "digest must stay value-domain bounded")
+    }
+  }
+
   test("q267: pair-expansion intersections match hand-computed shingle sets") {
     import spark.implicits._
     // Hand-computable word-3-gram sets (tokenize = split on ' '):

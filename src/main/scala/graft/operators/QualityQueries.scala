@@ -1583,13 +1583,14 @@ object QualityQueries extends QueryModule {
         |    count(*) AS c
         |  FROM documents GROUP BY 1, 2, 3),
         |grp AS (
-        |  SELECT source, len_band, sum(c) AS n FROM cell GROUP BY 1, 2),
-        |glob AS (SELECT lang, sum(c) AS g FROM cell GROUP BY 1),
-        |tot AS (SELECT sum(g) AS n_total FROM glob),
+        |  SELECT source, len_band, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cell GROUP BY 1, 2),
+        |gmarg AS (SELECT lang, sum(c) AS g FROM cell GROUP BY 1),
+        |tot AS (SELECT sum(g) AS n_total FROM gmarg),
         |grid AS (
-        |  SELECT grp.source, grp.len_band, grp.n, glob.lang, glob.g,
+        |  SELECT grp.source, grp.len_band, grp.n, gmarg.lang, gmarg.g,
         |    tot.n_total
-        |  FROM grp CROSS JOIN glob CROSS JOIN tot),
+        |  FROM grp CROSS JOIN gmarg CROSS JOIN tot),
         |j AS (
         |  SELECT gr.source, gr.len_band, gr.n,
         |    coalesce(cell.c, 0) / CAST(gr.n AS DOUBLE) AS p,

@@ -1240,54 +1240,126 @@ object SimilarityQueries extends QueryModule {
     * moments, sums, AND the count; covariance assembles from it on
     * the driver, and 8 power-iteration rounds run over the 64×64
     * matrix there (never another corpus scan — the naive alternative,
-    * v ← Σ x·(x·v), is one full pass PER round). Every
-    * order-dependent float (means, covariance cells, iterates) snaps
-    * to the 1e-9 grid under rnd9's cross-engine contract, so the
-    * DuckDB oracle — same moments, same unrolled 8 rounds as CTEs —
-    * hash-matches bit-for-bit. Output: the unit loading vector with
+    * v ← Σ x·(x·v), is one full pass PER round).
+    *
+    * Cross-engine determinism: the corpus-scale sums are EXACT
+    * integer aggregates, not float sums. Each component quantizes to
+    * the 1e-6 grid as a long (floor(x·10⁶ + 0.5) — identical IEEE
+    * ops on the identical input double in both engines), pair
+    * products are exact longs (≤10¹² per row), and the sums
+    * accumulate as decimal(38,0) / HUGEINT — so the moment matrix is
+    * bit-identical no matter what order either engine sums partial
+    * aggregates in. A snapped FLOAT sum cannot give that guarantee:
+    * the snapped value can sit within summation noise of a snap
+    * boundary, and at sf0.01 two did — a per-dim mean and a round-8
+    * iterate each straddled their grid-cell edge and the two engines
+    * rounded apart. So the driver-side math is integer too: means
+    * snap to the 1e-9 grid via the explicit floor(x·10⁹ + 0.5)/10⁹
+    * IEEE form on BOTH engines (not rnd9 — see the in-body note),
+    * and the covariance cells, power iterates, and every 64-term
+    * contraction live on a 1e-6 long grid where matvec/norm/Rayleigh
+    * sums are exact — the DuckDB oracle replays the same integer
+    * moments and the same unrolled 8 rounds as CTEs and hash-matches
+    * bit-for-bit. Output: the unit loading vector with
     * per-dim corpus means, the Rayleigh eigenvalue, and its share of
     * total variance. */
   def qPcaTopComponent(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // 1e-6 quantization + exact integer sums: see the doc comment.
+    // The count slot's constant 1.0 quantizes to 10⁶, so the (65,65)
+    // moment is n·10¹² and every mean/second-moment ratio S_ij/S_nn
+    // cancels the scale without a separate division.
     val ext = vecs(s, dir)
       .select(concat($"v", array(lit(1.0))).as("v"))
-    val e1 = ext.select($"v", posexplode($"v").as(Seq("i0", "xi")))
+    val kq = ext.select(transform($"v",
+      x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("k"))
+    val e1 = kq.select($"k", posexplode($"k").as(Seq("i0", "ki")))
     val mom = e1
-      .select($"i0", $"xi", posexplode($"v").as(Seq("j0", "xj")))
+      .select($"i0", $"ki", posexplode($"k").as(Seq("j0", "kj")))
       .filter($"j0" >= $"i0")
       .groupBy(($"i0" + 1).as("i"), ($"j0" + 1).as("j"))
-      .agg(sum($"xi" * $"xj").as("sxx"))
+      .agg(sum(($"ki" * $"kj")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sxx"))
       .collect()
       .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
-        r.getAs[Double]("sxx")).toMap
-    val n = mom((Dim + 1, Dim + 1))
-    val mu = Array.tabulate(Dim)(i => rnd9(mom((i + 1, Dim + 1)) / n))
-    val cov = Array.tabulate(Dim, Dim) { (i, j) =>
+        r.getAs[java.math.BigDecimal]("sxx").doubleValue).toMap
+    // Degenerate corpus: no vectors survive the nonzero-norm filter →
+    // no moments → no components to report (empty frame, same schema).
+    if (mom.isEmpty)
+      return Seq.empty[(Long, Double, Double)]
+        .toDF("dim", "loading", "mean_val")
+        .withColumn("eigval", lit(0.0))
+        .withColumn("var_share", lit(0.0))
+    val nS = mom((Dim + 1, Dim + 1)) // n·10¹² — ratios cancel the scale
+    // Every snap in this query is the explicit floor(x·10⁹ + 0.5)/10⁹
+    // IEEE computation on BOTH engines, not rnd9/round() builtins —
+    // round() builtins disagree at half-boundary doubles (the q221
+    // lesson), and identical IEEE ops cannot diverge. The operands
+    // are themselves identical because every corpus-scale sum above
+    // is exact-integer (doc comment): a snap can only rescue floats
+    // that already agree to within half a grid cell, which
+    // order-dependent float sums do not guarantee.
+    def s9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val mu = Array.tabulate(Dim)(i => s9(mom((i + 1, Dim + 1)) / nS))
+    // The iteration runs on the 1e-6 integer grid: covariance cells,
+    // iterates, and every 64-term contraction (matvec, norm square,
+    // Rayleigh numerator, trace) are exact long arithmetic — the
+    // first sf0.01 run proved a snapped FLOAT matvec is not enough
+    // (dim 50's round-8 iterate landed within summation noise of the
+    // snap boundary and the engines' different GROUP BY orders
+    // rounded it apart). The cell double cd is identical cross-engine
+    // (exact moment ratios, snapped mu), so its floor is the same
+    // long everywhere; magnitudes stay ≤ ~1e15 ≪ 2⁵³, so even the
+    // final integer→double casts are exact.
+    def snap6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val cov6 = Array.tabulate(Dim, Dim) { (i, j) =>
       val (a, b) = (math.min(i, j) + 1, math.max(i, j) + 1)
-      rnd9(mom((a, b)) / n - mu(i) * mu(j))
+      snap6(mom((a, b)) / nS - mu(i) * mu(j))
     }
-    var v = Array.fill(Dim)(0.125)
+    def matvec6(x6: Array[Long]): Array[Long] = Array.tabulate(Dim) { i =>
+      var acc = 0L
+      var j = 0
+      while (j < Dim) { acc += cov6(i)(j) * x6(j); j += 1 }
+      snap6(acc.toDouble / 1e12)
+    }
+    var v6 = Array.fill(Dim)(125000L) // 0.125 on the grid
     var it = 0
     while (it < PowerIters) {
-      val w = Array.tabulate(Dim) { i =>
-        var acc = 0.0
-        var j = 0
-        while (j < Dim) { acc += cov(i)(j) * v(j); j += 1 }
-        rnd9(acc)
-      }
-      v = unitRound(w, v)
+      val w6 = matvec6(v6)
+      var ss = 0L
+      var j = 0
+      while (j < Dim) { ss += w6(j) * w6(j); j += 1 }
+      val nn = math.sqrt(ss.toDouble / 1e12)
+      if (nn > 0) v6 = w6.map(w => snap6(w.toDouble / 1e6 / nn))
       it += 1
     }
-    var lam = 0.0
-    for (i <- 0 until Dim; j <- 0 until Dim) lam += v(i) * cov(i)(j) * v(j)
-    lam = rnd9(lam)
-    val trace = (0 until Dim).map(i => cov(i)(i)).sum
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    (0 until Dim).map(k => ((k + 1).toLong, r6(v(k)), r6(mu(k))))
+    // Rayleigh value as v·(Cv) with the snapped matvec — one more
+    // exact contraction instead of the 4096-term float sum vᵀCv.
+    val u6 = matvec6(v6)
+    var sl = 0L
+    var si = 0
+    while (si < Dim) { sl += v6(si) * u6(si); si += 1 }
+    val lamd = sl.toDouble / 1e12
+    var st = 0L
+    si = 0
+    while (si < Dim) { st += cov6(si)(si); si += 1 }
+    val traced = st.toDouble / 1e6
+    // All-constant dims ⇒ zero covariance ⇒ trace 0: the share of "no
+    // variance" is 0, never 0/0 (and the zero-norm fallback above
+    // already kept the uniform start vector, so every output stays
+    // finite).
+    val share = if (traced > 0) lamd / traced else 0.0
+    // Presentation rounding is the explicit floor(x·10⁶ + 0.5)/10⁶
+    // double computation on BOTH engines (the q221 lesson): round()
+    // builtins disagree exactly at half-boundary doubles. Identical
+    // IEEE ops cannot diverge. Loadings are already exact grid
+    // multiples — emitted as v6/10⁶ directly.
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    (0 until Dim).map(k =>
+      ((k + 1).toLong, v6(k).toDouble / 1e6, r6(mu(k))))
       .toDF("dim", "loading", "mean_val")
-      .withColumn("eigval", lit(r6(lam)))
-      .withColumn("var_share", lit(r6(rnd9(lam / trace))))
+      .withColumn("eigval", lit(r6(lamd)))
+      .withColumn("var_share", lit(r6(share)))
       .orderBy($"dim")
   }
 
@@ -2124,7 +2196,88 @@ object SimilarityQueries extends QueryModule {
       |ORDER BY rk""".stripMargin
   }
 
+  /** q289 oracle: replays the exact moment/covariance/power-iteration
+    * arithmetic — one upper-triangle pair-moment rollup over the
+    * 1e-6-quantized, 10⁶-extended BIGINT vectors (products are exact
+    * longs, sums are exact HUGEINTs — bit-identical to Spark's
+    * decimal(38,0) sums in any summation order), snapped means and
+    * covariance cells, then `PowerIters` unrolled iterations as
+    * chained MATERIALIZED CTEs (multiply-referenced, so DuckDB must
+    * not re-inline them — the q281 lesson). The iterate norm folds
+    * through an i-ordered list + list_dot_product so both engines
+    * square-sum in the same sequential order before the snap;
+    * zero-norm keeps the previous iterate, zero trace reports share
+    * 0 — both matching the engine's degenerate guards. */
+  private def pcaOracleSql: String = {
+    def round(r: Int): String =
+      s"""w$r AS MATERIALIZED (
+        |  SELECT cov.i,
+        |    CAST(floor(CAST(sum(cov.c6 * v.x6) AS DOUBLE) / 1e12 * 1e6
+        |         + 0.5) AS BIGINT) AS w6
+        |  FROM cov JOIN v${r - 1} v ON v.i = cov.j GROUP BY cov.i),
+        |n$r AS (
+        |  SELECT sqrt(CAST(sum(w6 * w6) AS DOUBLE) / 1e12) AS nrm
+        |  FROM w$r),
+        |v$r AS MATERIALIZED (
+        |  SELECT w.i,
+        |    CASE WHEN n.nrm > 0
+        |         THEN CAST(floor(CAST(w.w6 AS DOUBLE) / 1e6 / n.nrm
+        |              * 1e6 + 0.5) AS BIGINT)
+        |         ELSE p.x6 END AS x6
+        |  FROM w$r w CROSS JOIN n$r n JOIN v${r - 1} p ON p.i = w.i)"""
+        .stripMargin
+    val last = s"v$PowerIters"
+    s"""WITH base AS MATERIALIZED (
+      |  SELECT list_append(
+      |      list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+      |             AS BIGINT)), 1000000) AS v
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding, embedding) > 0),
+      |ex AS (SELECT v, unnest(range(1, ${Dim + 2})) AS i FROM base),
+      |pj AS (
+      |  SELECT v, i, unnest(range(i, ${Dim + 2})) AS j FROM ex),
+      |mom AS MATERIALIZED (
+      |  SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      |    CAST(sum(v[i] * v[j]) AS DOUBLE) AS sxx
+      |  FROM pj GROUP BY 1, 2),
+      |nn AS (SELECT sxx AS n FROM mom
+      |       WHERE i = ${Dim + 1} AND j = ${Dim + 1}),
+      |mu AS MATERIALIZED (
+      |  SELECT i, floor(sxx / nn.n * 1e9 + 0.5) / 1e9 AS mu
+      |  FROM mom CROSS JOIN nn WHERE j = ${Dim + 1} AND i <= $Dim),
+      |cov AS MATERIALIZED (
+      |  SELECT a.i, b.i AS j,
+      |    CAST(floor((m.sxx / nn.n - a.mu * b.mu) * 1e6 + 0.5)
+      |         AS BIGINT) AS c6
+      |  FROM mu a CROSS JOIN mu b
+      |  JOIN mom m ON m.i = least(a.i, b.i) AND m.j = greatest(a.i, b.i)
+      |  CROSS JOIN nn),
+      |v0 AS (SELECT i, CAST(125000 AS BIGINT) AS x6 FROM mu),
+      |${(1 to PowerIters).map(round).mkString(",\n|")},
+      |u AS MATERIALIZED (
+      |  SELECT cov.i,
+      |    CAST(floor(CAST(sum(cov.c6 * v.x6) AS DOUBLE) / 1e12 * 1e6
+      |         + 0.5) AS BIGINT) AS u6
+      |  FROM cov JOIN $last v ON v.i = cov.j GROUP BY cov.i),
+      |lam AS (
+      |  SELECT CAST(sum(v.x6 * u.u6) AS DOUBLE) / 1e12 AS l
+      |  FROM $last v JOIN u ON u.i = v.i),
+      |tr AS (
+      |  SELECT CAST(sum(c6) AS DOUBLE) / 1e6 AS t FROM cov WHERE i = j)
+      |SELECT CAST(mu.i AS BIGINT) AS dim,
+      |  CAST(v.x6 AS DOUBLE) / 1e6 AS loading,
+      |  floor(mu.mu * 1e6 + 0.5) / 1e6 AS mean_val,
+      |  floor(lam.l * 1e6 + 0.5) / 1e6 AS eigval,
+      |  CASE WHEN tr.t > 0
+      |       THEN floor(lam.l / tr.t * 1e6 + 0.5) / 1e6
+      |       ELSE 0.0 END AS var_share
+      |FROM mu JOIN $last v ON v.i = mu.i CROSS JOIN lam CROSS JOIN tr
+      |ORDER BY dim""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q289_pca_top" -> pcaOracleSql,
     "q281_kmeanspar_init" -> kmpOracleSql,
     "q192_embed_health" ->
       s"""WITH $baseCte,

@@ -89,7 +89,8 @@ object DumpPlans {
     "q277_doremi_reweight", "q279_mixture_plan",
     "q280_dedup_quality_skew", "q281_kmeanspar_init",
     "q282_jm_interpolation", "q283_range_shard_plan",
-    "q284_scene_cuts", "q285_suffix_array", "q286_quantile_digest")
+    "q284_scene_cuts", "q285_suffix_array", "q286_quantile_digest",
+    "q287_exact_span_plan", "q288_t_closeness", "q289_pca_top")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1674,7 +1674,46 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id", $"rm_start")
   }
 
+  /** Exact-span dedup EXECUTED (q290) — the substring surgery q287
+    * plans: every token inside a removal island is cut and the
+    * survivors rejoin into the post-dedup text. This completes the
+    * Lee et al. 2022 §3 pipeline as an end-to-end chain (suffix
+    * ranks q285 → removal plan q287 → rewrite here), and it is the
+    * step that actually shrinks a training corpus.
+    *
+    * Scale shape: the span frame (only docs WITH removals, a handful
+    * of [start,end] structs each — the q95 bounded-nested rollup)
+    * joins the corpus once on doc_id; the cut itself is one nested
+    * higher-order filter/exists over the token array — per-row
+    * expression work, no explode, no shuffle beyond the join, so the
+    * rewrite costs one corpus pass over q287 at any scale. Untouched
+    * docs pass through with n_removed = 0: the output IS the full
+    * rewritten corpus, emitted as (n_tok, n_removed, md5 of the
+    * rewritten text) so rows stay metadata-sized. The DuckDB oracle
+    * replays the island chain rank-free and re-joins survivors
+    * positionally — matching md5s prove token-exact surgery. */
+  def qExactSpanRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spans = qExactSpanPlan(s, dir)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"rm_start", $"rm_end")).as("spans"),
+        sum($"rm_tokens").as("n_rm"))
+    val kept = when($"spans".isNull, $"tk")
+      .otherwise(filter($"tk", (_, i) =>
+        !exists($"spans", sp =>
+          (i + 1) >= sp("rm_start") && (i + 1) <= sp("rm_end"))))
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("tk"))
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id",
+        size($"tk").cast("long").as("n_tok"),
+        coalesce($"n_rm", lit(0L)).as("n_removed"),
+        md5(array_join(kept, " ")).as("new_md5"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_exact_span_rewrite" -> (qExactSpanRewrite _),
     "q287_exact_span_plan" -> (qExactSpanPlan _),
     "q285_suffix_array" -> (qSuffixArray _),
     "q272_page_stitch"  -> (qPageStitch _),
@@ -1862,6 +1901,66 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      // q290: replay q287's rank-free island chain, then re-join the
+      // surviving tokens positionally — matching md5s prove the
+      // engine's higher-order-function surgery is token-exact
+      "q290_exact_span_rewrite" ->
+        """WITH t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |f AS (
+          |  SELECT doc_id, unnest(range(1, len(tk) - 14)) AS pos, tk
+          |  FROM t WHERE len(tk) >= 16),
+          |w AS (
+          |  SELECT doc_id, pos,
+          |    array_to_string(tk[pos:pos + 15], ' ') AS w
+          |  FROM f),
+          |r AS (
+          |  SELECT doc_id, pos, count(*) OVER (PARTITION BY w) AS occ,
+          |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos)
+          |      AS rn
+          |  FROM w),
+          |m AS (
+          |  SELECT doc_id, pos FROM r WHERE occ > 1 AND rn > 1),
+          |i AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+          |           IS NULL
+          |         OR pos > lag(pos) OVER (PARTITION BY doc_id
+          |           ORDER BY pos) + 16
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM m),
+          |g AS (
+          |  SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS island
+          |  FROM i),
+          |isl AS (
+          |  SELECT doc_id, min(pos) AS rm_start, max(pos) + 15 AS rm_end
+          |  FROM g GROUP BY doc_id, island),
+          |rm AS (
+          |  SELECT doc_id, sum(rm_end - rm_start + 1) AS n_rm
+          |  FROM isl GROUP BY doc_id),
+          |px AS (
+          |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS p, tk
+          |  FROM t),
+          |keep AS (
+          |  SELECT px.doc_id, px.p, px.tk[px.p] AS tok
+          |  FROM px
+          |  WHERE NOT EXISTS (SELECT 1 FROM isl
+          |    WHERE isl.doc_id = px.doc_id
+          |      AND px.p >= isl.rm_start AND px.p <= isl.rm_end)),
+          |nt AS (
+          |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS new_text
+          |  FROM keep GROUP BY doc_id)
+          |SELECT t.doc_id,
+          |  CAST(len(t.tk) AS BIGINT) AS n_tok,
+          |  CAST(coalesce(rm.n_rm, 0) AS BIGINT) AS n_removed,
+          |  md5(coalesce(nt.new_text, '')) AS new_md5
+          |FROM t
+          |LEFT JOIN rm ON rm.doc_id = t.doc_id
+          |LEFT JOIN nt ON nt.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
       // q287: rank-free replay — group full windows by the 16-token
       // STRING, keep the (doc_id, pos)-lexicographic min occurrence,
       // merge islands identically; the match proves rank-equality ⟺

@@ -1115,24 +1115,36 @@ object QualityQueries extends QueryModule {
   def qHillTail(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 50
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"n_chars".desc, $"doc_id".asc)
+    // ONE map-side heap pass: the top-(k+1) order statistics arrive as
+    // a rank-ordered array on a single row (TopKRows Column API), so
+    // x_{k+1} is just the array's last element and the ln-ratio sum is
+    // an in-row fold. The round-8 form branched the heap frame twice —
+    // and the `rk = k+1` branch's merged filter dodged the
+    // TopKWindowRule pattern, keeping a full-corpus one-reducer
+    // row_number Window alive in the final plan (caught by the
+    // DumpPlans unpartitioned-window audit).
     val top = Tables.documents(s, dir)
       .select($"doc_id", $"n_chars")
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= k + 1)
-    val xk1 = top.filter($"rk" === k + 1)
-      .select($"n_chars".cast("double").as("x_k1"))
-    top.filter($"rk" <= k)
-      .crossJoin(broadcast(xk1))
-      .agg(count(lit(1)).as("k"),
-        max(when($"rk" === 1, $"n_chars")).as("x_max"),
-        max($"x_k1".cast("long")).as("x_k1"),
-        sum(log($"n_chars".cast("double") / $"x_k1")).as("lnsum"))
-      .select($"k", $"x_max", $"x_k1",
-        round($"k" / $"lnsum", 4).as("alpha_hill"),
+      .agg(graft.plans.TopKRows.topKRows(k + 1,
+        struct($"doc_id", $"n_chars"),
+        ($"n_chars", true), ($"doc_id", false)).as("arr"))
+      // fewer than k+1 docs ⇒ no (k+1)-th order statistic ⇒ empty
+      // result, matching the branched form's empty cross join
+      .filter(size($"arr") === k + 1)
+      .select($"arr",
+        element_at($"arr", k + 1).getField("n_chars").cast("double")
+          .as("x_k1d"))
+    top
+      .select($"arr", $"x_k1d",
+        aggregate(slice($"arr", 1, k), lit(0.0), (acc, x) =>
+          acc + log(x.getField("n_chars").cast("double") / $"x_k1d"))
+          .as("lnsum"))
+      .select(lit(k.toLong).as("k"),
+        element_at($"arr", 1).getField("n_chars").as("x_max"),
+        $"x_k1d".cast("long").as("x_k1"),
+        round(lit(k.toDouble) / $"lnsum", 4).as("alpha_hill"),
         // finite-variance verdict: a Pareto tail has Var < ∞ iff α > 2
-        ($"k" / $"lnsum" > 2.0).as("finite_variance"))
+        (lit(k.toDouble) / $"lnsum" > 2.0).as("finite_variance"))
   }
 
   /** Box–Cox transform selection (q250) — pick the variance-

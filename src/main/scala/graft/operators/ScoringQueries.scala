@@ -1111,16 +1111,25 @@ object ScoringQueries extends QueryModule {
       .filter($"term" =!= "")
       .groupBy($"term").agg(count(lit(1)).as("c"))
     val tot = tc.agg(sum(pow($"c", 0.75)).as("z"))
-    val w = Window.orderBy($"c".desc, $"term".asc)
+    // Heap-cut FIRST: the output keeps only the top-30 terms, and in
+    // (c desc, term) order their cumulative mass involves no term
+    // outside the top 30 — so the running sum can run AFTER the
+    // Filter(row_number ≤ 30) heap rewrite, on the 30-row frame. The
+    // round-5 form ran the cumsum over the ENTIRE vocabulary first: a
+    // vocab-sized single-reducer window in the final plan (caught by
+    // the DumpPlans unpartitioned-window audit) that only ever fed 30
+    // surviving rows.
+    val wr = Window.orderBy($"c".desc, $"term".asc)
+    val top = tc.withColumn("rk", row_number().over(wr))
+      .filter($"rk" <= 30)
+    val w30 = Window.orderBy($"rk")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = tc.crossJoin(broadcast(tot))
+    top.crossJoin(broadcast(tot))
       .withColumn("p", pow($"c", 0.75) / $"z")
-      .withColumn("cum_p", sum(pow($"c", 0.75)).over(w) / $"z")
+      .withColumn("cum_p", sum(pow($"c", 0.75)).over(w30) / $"z")
       .withColumn("slots",
         floor($"cum_p" * 1000000L).cast("long") -
           floor(($"cum_p" - $"p") * 1000000L).cast("long"))
-    val wr = Window.orderBy($"c".desc, $"term".asc)
-    cum.withColumn("rk", row_number().over(wr)).filter($"rk" <= 30)
       .select($"rk", $"term", $"c", round($"p", 6).as("p"),
         $"slots")
       .orderBy($"rk")

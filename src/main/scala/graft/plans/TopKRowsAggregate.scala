@@ -3,7 +3,9 @@ package graft.plans
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, NullsFirst, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, Expression, NullsFirst, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -188,4 +190,21 @@ case class TopKRows(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
     copy(inputAggBufferOffset = newOffset)
+}
+
+object TopKRows {
+  /** Column API: the k best `data` rows under the given (column, desc)
+    * sort keys, as a rank-ordered array on ONE row — for the places
+    * that need the whole top-k as a value (e.g. reading the k-th order
+    * statistic) rather than exploded rows. Null ordering follows the
+    * window defaults the TopKWindowRule rewrite assumes (asc ⇒ nulls
+    * first, desc ⇒ nulls last), so ranks match a row_number twin. */
+  def topKRows(k: Int, data: Column, orders: (Column, Boolean)*): Column =
+    GraftBridge.column(
+      TopKRows(
+        orders.map { case (c, desc) =>
+          val e = GraftBridge.expression(c)
+          if (desc) SortOrder(e, Descending) else SortOrder(e, Ascending)
+        }.toSeq,
+        GraftBridge.expression(data), k).toAggregateExpression())
 }

@@ -90,7 +90,29 @@ object DumpPlans {
     "q280_dedup_quality_skew", "q281_kmeanspar_init",
     "q282_jm_interpolation", "q283_range_shard_plan",
     "q284_scene_cuts", "q285_suffix_array", "q286_quantile_digest",
-    "q287_exact_span_plan", "q288_t_closeness", "q289_pca_top")
+    "q287_exact_span_plan", "q288_t_closeness", "q289_pca_top",
+    "q290_exact_span_rewrite")
+
+  /** Queries whose final plan may carry unpartitioned Windows, with
+    * the reason each frame is bounded by construction. Populated from
+    * the audited dump; extend ONLY with a justification. Two queries
+    * were FIXED rather than allowed when this audit first ran: q266
+    * kept a full-corpus row_number Window alive (its `rk = k+1`
+    * branch dodged the heap rewrite) and q252 ran its cumulative-mass
+    * window over the entire vocabulary before cutting to 30 rows. */
+  val GlobalWindowAllow: Map[String, String] = Map(
+    "q102_epoch_sample" ->
+      "langs-sized temperature-mix share windows (q88's frame)",
+    "q114_dsir_select" -> "16-row weight-bucket offset spine",
+    "q182_ks_drift" ->
+      "distinct-length value-grid cumsum (value-domain-bounded)",
+    "q183_lorenz_gini" -> "10-row decile frame",
+    "q200_peak_concurrency" -> "days-sized spine carry-in",
+    "q201_auc_eval" -> "rounded-score histogram frame",
+    "q207_chi_square" -> "grand total over the langs x sources cell grid",
+    "q212_kaplan_meier" ->
+      "days-sized duration grid (risk suffix-sum, survival cumsum, zero flag)",
+    "q252_neg_sampling" -> "30-row top-k frame cumsum (post-heap-cut)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -109,13 +131,43 @@ object DumpPlans {
     sb.append(s"Generated by `graft.tools.DumpPlans` on `$sfDir`. The plan\n")
     sb.append("properties asserted in PlanSpec (pushdown, broadcast, partial\n")
     sb.append("aggregation, exchange counts) are visible here.\n")
+    val globalWindows = Seq.newBuilder[(String, Int)]
     Headline.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val n = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.size
+      if (n > 0) globalWindows += name -> n
       val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$p```\n")
     }
+    // Unpartitioned-window budget: a Window with no PARTITION BY moves
+    // its whole input to ONE reducer, so it is legitimate only on
+    // frames that are grid-sized by construction (offset spines,
+    // day/type grids, scalar folds). The allowlist pins today's
+    // audited budget per FINAL optimized plan; a new global window in
+    // any other query fails this dump — the build-time tripwire the
+    // q285 post-mortem asked for. (Windows inside iterative builds
+    // never reach the final plan — each round is checkpointed — and
+    // are covered by the Round10Spec LogicalRDD-leaf guard instead.)
+    val audited = globalWindows.result()
+    sb.append("\n## Unpartitioned-window budget (final optimized plans)\n\n")
+    sb.append("| query | global windows | why bounded |\n|---|---|---|\n")
+    audited.foreach { case (q, n) =>
+      val why = GlobalWindowAllow.getOrElse(q, "NOT ALLOWED")
+      sb.append(s"| $q | $n | $why |\n")
+    }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")
+    val breach = audited.filter(a => !GlobalWindowAllow.contains(a._1))
+    if (breach.nonEmpty) {
+      System.err.println("unpartitioned Window outside the audited " +
+        "budget: " + breach.map { case (q, n) => s"$q($n)" }
+          .mkString(", "))
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

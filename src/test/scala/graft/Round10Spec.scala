@@ -44,7 +44,8 @@ class Round10Spec extends AnyFunSuite {
       "lpaLabels" -> GraphQueries.lpaLabels(und),
       "bfsDistances" -> GraphQueries.bfsDistances(und),
       "pagerankWith" -> GraphQueries.pagerankWith(spark, sf, 3, Some(true)),
-      "suffixRanks" -> DedupQueries.buildSuffixRanks(spark, sf))
+      "suffixRanks" -> DedupQueries.buildSuffixRanks(spark, sf),
+      "ccLabels" -> DedupQueries.qDupClusters(spark, sf))
     for ((name, df) <- cores) {
       val leaves = df.queryExecution.analyzed.collectLeaves()
       assert(leaves.nonEmpty, name)
@@ -78,6 +79,35 @@ class Round10Spec extends AnyFunSuite {
         s"separate islands, got $rows")
   }
 
+  test("q290: surgery cuts exactly the planned islands") {
+    import spark.implicits._
+    // Same plant as the q287 fixture: keeper doc1 unchanged; doc2
+    // loses its whole copy (only fillers survive); doc3 loses both
+    // copies but keeps the 4-token gap and trailing filler. The md5s
+    // are computed here from first principles, so the test pins the
+    // SURGERY (positional cut + single-space rejoin), not just the
+    // island plan the q287 test already covers.
+    val dir = fixtureDir()
+    val S = (1 to 16).map(i => s"s$i")
+    val d1 = (Seq("u1", "u2", "u3", "u4") ++ S ++ Seq("u5")).mkString(" ")
+    val d2 = (S ++ Seq("v1", "v2")).mkString(" ")
+    val d3 = (S ++ Seq("w1", "w2", "w3", "w4") ++ S ++ Seq("w5"))
+      .mkString(" ")
+    Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = DedupQueries.qExactSpanRewrite(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("new_md5"))).toSeq
+    assert(rows == Seq(
+      (1L, 21L, 0L, md5hex(d1)),
+      (2L, 18L, 16L, md5hex("v1 v2")),
+      (3L, 37L, 32L, md5hex("w1 w2 w3 w4 w5"))),
+      s"got $rows")
+  }
+
   test("q288: skewed group exceeds t, balanced group does not") {
     import spark.implicits._
     // Global lang marginal 50/50 (4 en + 4 de). Source "a" is all-en
@@ -98,6 +128,46 @@ class Round10Spec extends AnyFunSuite {
         r.getAs[Boolean]("exceeds"))).toSeq
     assert(rows == Seq(("a", 0.5, true), ("b", 0.1667, false)),
       s"got $rows")
+  }
+
+  test("TopKRows column API: rank order, ties, under-k corpus") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 5L), (4L, 7L)).toDF("id", "v")
+    def top(d: org.apache.spark.sql.DataFrame, k: Int) =
+      d.agg(graft.plans.TopKRows.topKRows(k,
+          org.apache.spark.sql.functions.struct($"id", $"v"),
+          ($"v", true), ($"id", false)).as("a"))
+        .select($"a").head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("v")))
+    // desc on v, tie (1,5)/(3,5) broken by id asc — ranks match a
+    // row_number() twin over (v desc, id asc)
+    assert(top(df, 3) == Seq((2L, 9L), (4L, 7L), (1L, 5L)))
+    // k larger than the corpus: every row, still rank-ordered
+    assert(top(df, 10) ==
+      Seq((2L, 9L), (4L, 7L), (1L, 5L), (3L, 5L)))
+  }
+
+  test("q252/q266: no corpus-sized global window survives") {
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.TopKWindowRule)
+    // q266: the whole top-51 read is ONE heap aggregate — no Window
+    // at all (the round-8 form's `rk = k+1` branch dodged the heap
+    // rewrite and kept a full-corpus row_number window alive).
+    val p266 = QualityQueries.qHillTail(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!p266.contains("Window "), s"window survived:\n$p266")
+    assert(p266.contains("top_k_rows"))
+    // q252: the heap cut runs FIRST; the only surviving global window
+    // is the 30-row cumulative-mass frame.
+    val qe252 = ScoringQueries.qNegSampling(spark, sf).queryExecution
+    val wins = qe252.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.size == 1,
+      s"expected exactly the 30-row frame window, got ${wins.size}")
+    assert(qe252.optimizedPlan.toString.contains("top_k_rows"),
+      "vocab top-30 cut must heap-rewrite")
   }
 
   test("q289: recovers a planted dominant direction") {

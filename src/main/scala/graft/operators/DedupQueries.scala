@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.functions.TextOps
@@ -1712,7 +1713,148 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Winnowing parameters (q297): k-gram length, window width, and the
+    * guards. Guarantee threshold t = WinW + WinK − 1 = 8 tokens: any
+    * shared run of ≥ 8 tokens shares ≥ 1 fingerprint (Schleimer,
+    * Wilkerson & Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting" — the MOSS detector). Fingerprints seen in more
+    * than WinMaxPost docs are boilerplate and dropped whole (q31's
+    * MaxBlock posture — the posting-list skew guard). */
+  private val WinK = 4
+  private val WinW = 5
+  private val WinMaxPost = 50
+  private val WinMinShared = 2
+
+  /** Winnowing fingerprint dedup (q297) — the position-robust cousin
+    * of q17's whole-doc hash and q31's shingle Jaccard: each doc keeps
+    * only the per-window minimum of its k-gram rolling hashes
+    * (rightmost on ties), giving a fingerprint density of ~2/(W+1)
+    * with a hard t-token guarantee — the detector that catches copied
+    * PASSAGES, not just copied documents. Scale shape: fingerprint
+    * selection is entirely IN-ROW (nested higher-order functions over
+    * the token array — zero shuffles until the posting explode), then
+    * one posting groupBy and one bounded self-join keyed on the
+    * fingerprint (posting lists capped at [[WinMaxPost]]). The k-gram
+    * hash is q25's polynomial fold, so the oracle replays it exactly
+    * in integer arithmetic. */
+  def qWinnowing(s: SparkSession, dir: String): DataFrame =
+    winnowingPairsOf(Tables.documents(s, dir))
+
+  /** Winnowing core over any (doc_id, text) frame; split out so the
+    * spec can pin the t-token guarantee and the tie rule. */
+  private[graft] def winnowingPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val d = docs
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= lit("")).as("toks"))
+      .filter(size($"toks") >= WinK + WinW - 1)
+      .select($"doc_id",
+        transform($"toks", t => (ascii(t) + length(t)).cast("long"))
+          .as("vals"),
+        size($"toks").as("n"))
+    // k-gram hashes computed ONCE per position in-row, then exploded;
+    // the per-window argmin is a doc-PARTITIONED sliding window (frame
+    // [pos, pos+W-1]) over codegen'd machinery — the nested-HOF form
+    // (hash array rebuilt inside every window lambda) was O(n²)
+    // interpreted evaluation per doc and 60× slower.
+    val hsrc = d.select($"doc_id", $"n", explode(expr(
+        s"""transform(sequence(1, n - ${WinK - 1}), i -> named_struct(
+           |  'h', aggregate(slice(vals, i, $WinK), cast(7 as bigint),
+           |         (acc, x) -> (acc * 31 + x) % 2147483647),
+           |  'pos', i))""".stripMargin)).as("x"))
+      .select($"doc_id", $"n", $"x.h".as("h"), $"x.pos".as("pos"))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(0, WinW - 1)
+    val fps = hsrc
+      .withColumn("sel", min(struct($"h", (-$"pos").as("negp"))).over(w))
+      .filter($"pos" <= $"n" - (WinK + WinW - 2))
+      .select($"doc_id", $"sel.h".as("h"))
+      .distinct()
+    val keep = fps.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" <= WinMaxPost).select($"h")
+    val s2 = fps.join(keep, "h")
+    s2.select($"h", $"doc_id".as("a"))
+      .join(s2.select($"h", $"doc_id".as("b")), Seq("h"))
+      .filter($"a" < $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= WinMinShared)
+      .orderBy($"a", $"b")
+  }
+
+  /** Blocking-scheme evaluation (q301) — the Christen 2012 triad every
+    * record-linkage pipeline reports before trusting its blocks:
+    * reduction ratio (how many of the N·(N−1)/2 comparisons the
+    * blocking avoids), pairs completeness (recall of true dup pairs),
+    * and pairs quality (precision). Truth = q31's VERIFIED near-dup
+    * pairs (trigram-shingle Jaccard ≥ [[TruthJaccard]] inside the
+    * min-shingle block — the corpus has no exact-fingerprint dups, so
+    * content truth is the honest label set); blocking under test =
+    * (first clean token, length centile band) — deliberately the cheap
+    * metadata-ish scheme, so the metrics have something honest to say.
+    * Scale shape: the candidate count comes from per-block SIZES
+    * (Σ C(sz,2) — no pair ever materializes), and only TRUTH pairs
+    * (bounded near-dup sets) expand, then probe block-key equality
+    * with one join per side.
+    * All counts are exact integers; the ratios are the same fixed
+    * expression tree on both engines, presentation-rounded with the
+    * floor form. */
+  /** Truth threshold for q301: q31's verified pairs at trigram-shingle
+    * Jaccard ≥ 0.8 are the labeled duplicates the blocking is graded
+    * against. */
+  private val TruthJaccard = 0.8
+
+  def qBlockingEval(s: SparkSession, dir: String): DataFrame =
+    blockingEvalOf(Tables.documents(s, dir))
+
+  /** Blocking-eval core over any (doc_id, text, n_chars) frame; split
+    * out so the spec can pin the triad on planted truth pairs. */
+  private[graft] def blockingEvalOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val docs = base.select($"doc_id",
+      concat_ws("|", get(normTokens($"text"), lit(0)),
+        floor($"n_chars" / 100).cast("long").cast("string")).as("blk"))
+    // truth = q31's chain: min-shingle block, MaxBlock guard, exact
+    // trigram Jaccard, thresholded
+    val d = base
+      .select($"doc_id", shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk0", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"blk0")))
+      .filter($"blk_n" <= MaxBlock)
+    val x = d.select($"doc_id".as("a"), $"blk0", $"sh".as("x_sh"))
+    val y = d.select($"doc_id".as("b"), $"blk0", $"sh".as("y_sh"))
+    val inter = size(array_intersect($"x_sh", $"y_sh")).cast("long")
+    val union = size($"x_sh").cast("long") + size($"y_sh") - inter
+    val truthPairs = x.join(y, Seq("blk0"))
+      .filter($"a" < $"b")
+      .filter(inter.cast("double") / union >= TruthJaccard)
+      .select($"a", $"b")
+    val nTot = docs.agg(count(lit(1)).as("n"))
+    val cand = docs.groupBy($"blk").agg(count(lit(1)).as("sz"))
+      .agg(coalesce(sum((($"sz" * ($"sz" - 1)) / 2).cast("long")), lit(0L))
+        .as("n_cand"))
+    val truth = truthPairs
+      .join(docs.select($"doc_id".as("a"), $"blk".as("blk_a")), Seq("a"))
+      .join(docs.select($"doc_id".as("b"), $"blk".as("blk_b")), Seq("b"))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(when($"blk_a" === $"blk_b", 1L).otherwise(0L)),
+          lit(0L)).as("n_matched"))
+    nTot.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
+      .select($"n", $"n_cand", $"n_truth", $"n_matched",
+        (floor(lit(1e4) * (lit(1.0) - $"n_cand" * lit(2.0)
+          / ($"n" * ($"n" - 1L))) + 0.5) / 1e4).as("reduction_ratio"),
+        (floor(lit(1e4) * $"n_matched" / $"n_truth" + 0.5) / 1e4)
+          .as("pairs_completeness"),
+        (floor(lit(1e4) * $"n_matched" / $"n_cand" + 0.5) / 1e4)
+          .as("pairs_quality"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_winnowing"    -> (qWinnowing _),
+    "q301_blocking_eval" -> (qBlockingEval _),
     "q290_exact_span_rewrite" -> (qExactSpanRewrite _),
     "q287_exact_span_plan" -> (qExactSpanPlan _),
     "q285_suffix_array" -> (qSuffixArray _),
@@ -1901,6 +2043,102 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      // q297: replay the winnowing selection relationally — per-window
+      // argmin over (hash asc, pos desc) via row_number, same q25
+      // polynomial fold in integer arithmetic.
+      "q297_winnowing" ->
+        s"""WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split(text, ' '), t -> t <> '') AS toks
+          |  FROM documents),
+          |v AS (
+          |  SELECT doc_id,
+          |    list_transform(toks, t ->
+          |      CAST(ascii(t) + len(t) AS BIGINT)) AS vals,
+          |    len(toks) AS n
+          |  FROM d WHERE len(toks) >= ${WinK + WinW - 1}),
+          |hsrc AS (
+          |  SELECT doc_id, i AS pos,
+          |    list_reduce(
+          |      list_prepend(CAST(7 AS BIGINT),
+          |        list_slice(vals, i, i + ${WinK - 1})),
+          |      (h, x) -> (h * 31 + x) % 2147483647) AS h
+          |  FROM v, unnest(range(1, n - ${WinK - 2})) t(i)),
+          |wins AS (
+          |  SELECT doc_id, j
+          |  FROM v, unnest(range(1, n - ${WinK + WinW - 3})) t(j)),
+          |cand AS (
+          |  SELECT w.doc_id, w.j, hs.h,
+          |    row_number() OVER (PARTITION BY w.doc_id, w.j
+          |      ORDER BY hs.h ASC, hs.pos DESC) AS rn
+          |  FROM wins w JOIN hsrc hs ON hs.doc_id = w.doc_id
+          |    AND hs.pos BETWEEN w.j AND w.j + ${WinW - 1}),
+          |sel AS (SELECT DISTINCT doc_id, h FROM cand WHERE rn = 1),
+          |keep AS (
+          |  SELECT h FROM sel GROUP BY h
+          |  HAVING count(*) <= $WinMaxPost),
+          |s2 AS (SELECT sel.doc_id, sel.h FROM sel
+          |  JOIN keep ON sel.h = keep.h),
+          |pairs AS (
+          |  SELECT s1.doc_id AS a, sb.doc_id AS b,
+          |    CAST(count(*) AS BIGINT) AS n_shared
+          |  FROM s2 s1 JOIN s2 sb
+          |    ON s1.h = sb.h AND s1.doc_id < sb.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT a, b, n_shared FROM pairs
+          |WHERE n_shared >= $WinMinShared
+          |ORDER BY a, b""".stripMargin,
+      "q301_blocking_eval" -> {
+        val stops = TextOps.stopwordsSqlList
+        val cleanSql = TextOps.cleanTextSql
+        s"""WITH docs AS (
+          |  SELECT doc_id,
+          |    concat_ws('|',
+          |      list_extract(list_filter(str_split($cleanSql, ' '),
+          |        t -> t NOT IN $stops), 1),
+          |      CAST(n_chars // 100 AS VARCHAR)) AS blk
+          |  FROM documents),
+          |t AS (
+          |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+          |idx AS (
+          |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM t),
+          |sh AS (
+          |  SELECT doc_id,
+          |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+          |  FROM idx GROUP BY doc_id),
+          |bb AS (
+          |  SELECT doc_id, sh, list_aggregate(sh, 'min') AS blk0,
+          |    count(*) OVER (PARTITION BY list_aggregate(sh, 'min')) AS blk_n
+          |  FROM sh WHERE len(sh) > 0),
+          |tp AS (
+          |  SELECT x.doc_id AS a, y.doc_id AS b
+          |  FROM bb x JOIN bb y
+          |    ON x.blk0 = y.blk0 AND x.doc_id < y.doc_id
+          |  WHERE x.blk_n <= $MaxBlock
+          |    AND len(list_intersect(x.sh, y.sh))
+          |      / CAST(len(x.sh) + len(y.sh)
+          |          - len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          |      >= $TruthJaccard),
+          |ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+          |cand AS (
+          |  SELECT CAST(coalesce(sum(sz * (sz - 1) // 2), 0) AS BIGINT)
+          |    AS n_cand
+          |  FROM (SELECT blk, count(*) AS sz FROM docs GROUP BY blk)),
+          |truth AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_truth,
+          |    CAST(coalesce(sum(CASE WHEN da.blk = db.blk
+          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_matched
+          |  FROM tp
+          |  JOIN docs da ON tp.a = da.doc_id
+          |  JOIN docs db ON tp.b = db.doc_id)
+          |SELECT n, n_cand, n_truth, n_matched,
+          |  floor(1e4 * (1.0 - n_cand * 2.0 / (n * (n - 1))) + 0.5) / 1e4
+          |    AS reduction_ratio,
+          |  floor(1e4 * n_matched / n_truth + 0.5) / 1e4
+          |    AS pairs_completeness,
+          |  floor(1e4 * n_matched / n_cand + 0.5) / 1e4 AS pairs_quality
+          |FROM ntot CROSS JOIN cand CROSS JOIN truth""".stripMargin
+      },
       // q290: replay q287's rank-free island chain, then re-join the
       // surviving tokens positionally — matching md5s prove the
       // engine's higher-order-function surgery is token-exact

@@ -509,6 +509,125 @@ object GraphQueries extends QueryModule {
       .orderBy($"node")
   }
 
+  private val HitsIters = 3
+
+  /** HITS hubs & authorities (q291) — Kleinberg 1999, the second
+    * eigenvector-style centrality next to q92's PageRank, and the one
+    * link-graph signal PageRank cannot give: a node can be a great
+    * POINTER (hub) without being a great TARGET (authority). Corpus
+    * pipelines use exactly this split on crawl graphs — directory/hub
+    * pages are navigation boilerplate to down-weight, authority pages
+    * are content to keep. Per half-step it is ONE ranks⋈edges join
+    * (shuffle on the edge key) + one agg + an L1 normalization whose
+    * sum frame is a broadcast scalar — the q92 shape exactly, so the
+    * 100 TB posture carries over (edges pre-partitioned once, no
+    * driver round-trips). Unlike q92 (2 consumptions of the rank frame
+    * per round → 2³ lazy rebuilds, tolerable), HITS consumes each
+    * state frame FOUR times per round (raw sum + L1 normalizer, twice
+    * per half-step) — 4³ = 64 lazy rebuilds measured 16 s at sf0.001 —
+    * so the shipped query ALWAYS truncates: edge/node frames
+    * checkpoint once up front, auth/hub every half-step, every leaf a
+    * LogicalRDD (Round10Spec's guard). The lazy path stays available
+    * to the spec, which pins lazy ≡ truncated. */
+  def qHits(s: SparkSession, dir: String): DataFrame =
+    hitsWith(s, dir, HitsIters, Some(true))
+
+  private[graft] def hitsWith(s: SparkSession, dir: String, iters: Int,
+      truncateLineage: Option[Boolean] = None): DataFrame =
+    hitsCore(edgesOf(s, dir).distinct(), iters, truncateLineage)
+
+  /** HITS core over distinct directed (src, dst) edges; split out so
+    * the spec can pin hub/authority separation on crafted graphs. */
+  private[graft] def hitsCore(edges: DataFrame, iters: Int,
+      truncateLineage: Option[Boolean] = None): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val truncate = truncateLineage.getOrElse(iters > CheckpointAbove)
+    var e = edges
+    var nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    if (truncate) { e = e.localCheckpoint(); nodes = nodes.localCheckpoint() }
+    var auth = nodes.select($"node", lit(1.0).as("a"))
+    var hub = nodes.select($"node", lit(1.0).as("h"))
+    for (_ <- 1 to iters) {
+      val araw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst".as("node")).agg(sum($"h").as("raw"))
+      val at = araw.agg(sum($"raw").as("t"))
+      auth = nodes.join(araw, Seq("node"), "left")
+        .crossJoin(broadcast(at))
+        .select($"node", (coalesce($"raw", lit(0.0)) / $"t").as("a"))
+      if (truncate) auth = auth.localCheckpoint()
+      val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy($"src".as("node")).agg(sum($"a").as("raw"))
+      val ht = hraw.agg(sum($"raw").as("t"))
+      hub = nodes.join(hraw, Seq("node"), "left")
+        .crossJoin(broadcast(ht))
+        .select($"node", (coalesce($"raw", lit(0.0)) / $"t").as("h"))
+      if (truncate) hub = hub.localCheckpoint()
+    }
+    auth.join(hub, "node")
+      .select($"node", round($"a", 4).as("auth"), round($"h", 4).as("hub"))
+      .orderBy($"node")
+  }
+
+  /** Center-degree cap for q292's wedge generation: Adamic–Adar wedges
+    * are C(deg,2) per center, so one hub node with 10⁵ support-filtered
+    * neighbors is 5·10⁹ pairs — the same skew bomb q176 caps. Capped
+    * centers are dropped whole (documented recall trade, q31's MaxBlock
+    * posture); a no-op at every test SF (the item domain is ~100), it
+    * exists to bite — visibly, not silently — at crawl-graph scale,
+    * where production would sample hub neighbor lists instead. */
+  private val MaxAaCenterDeg = 256
+
+  /** Adamic–Adar link prediction (q292) — Adamic & Adar 2003: score
+    * non-adjacent pairs by Σ_z 1/ln(deg z) over common neighbors z,
+    * weighting rare shared neighbors above ubiquitous ones. This is
+    * the standard "which items co-belong" score used to densify
+    * co-engagement graphs and to propose near-dup candidates the
+    * direct-edge evidence missed. Runs on the q158-support-filtered
+    * undirected graph (the raw transition graph is near-complete —
+    * every pair would be adjacent and the open-wedge set vacuous).
+    * Shape: wedges generated at each center (one self-join shuffled on
+    * the center id, volume Σ C(deg,2) bounded by the support filter +
+    * [[MaxAaCenterDeg]]), existing edges removed by left_anti, one
+    * pair agg, and the top-30 rank window heap-rewrites (q176's
+    * shape). Centers in a wedge have ≥ 2 neighbors, so ln(deg) > 0 by
+    * construction. Scores round before ranking so the rank order is a
+    * pure function of the published values. */
+  def qAdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fe = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= MinEdgeWeight)
+      .select($"a", $"b")
+    adamicAdarCore(fe)
+  }
+
+  /** Adamic–Adar core over canonical undirected edges (a < b,
+    * distinct); split out so the spec can pin scores on crafted
+    * graphs (path → 1/ln 2; square → two wedges per diagonal). */
+  private[graft] def adamicAdarCore(fe: DataFrame): DataFrame = {
+    val s = fe.sparkSession
+    import s.implicits._
+    val sym = fe.select($"a".as("node"), $"b".as("nbr"))
+      .union(fe.select($"b".as("node"), $"a".as("nbr")))
+    val deg = sym.groupBy($"node").agg(count(lit(1)).as("deg"))
+    val ctr = sym.join(deg, "node").filter($"deg" <= MaxAaCenterDeg)
+    val wedges = ctr.select($"node", $"nbr".as("x"), $"deg")
+      .join(ctr.select($"node", $"nbr".as("y")), Seq("node"))
+      .filter($"x" < $"y")
+    val open = wedges.join(fe,
+      wedges("x") === fe("a") && wedges("y") === fe("b"), "left_anti")
+    val scored = open.groupBy($"x".as("a"), $"y".as("b"))
+      .agg(round(sum(lit(1.0) / log($"deg")), 4).as("score"))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy($"score".desc, $"a".asc, $"b".asc)))
+      .filter($"rk" <= 30)
+      .select($"rk", $"a", $"b", $"score")
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
         "q144_triangles" -> (qTriangles _),
@@ -518,7 +637,9 @@ object GraphQueries extends QueryModule {
         "q216_kcore" -> (qKCore _),
         "q219_lpa_communities" -> (qLpaCommunities _),
         "q220_bfs_hops" -> (qBfsHops _),
-        "q176_coengagement" -> (qCoengagement _))
+        "q176_coengagement" -> (qCoengagement _),
+        "q291_hits" -> (qHits _),
+        "q292_adamic_adar" -> (qAdamicAdar _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
   override def oracleSql: Map[String, String] = {
@@ -841,6 +962,91 @@ object GraphQueries extends QueryModule {
         |${iter("1", "2")},
         |${iter("2", "3")}
         |SELECT node, round(rank, 4) AS rank FROM r3
-        |ORDER BY node""".stripMargin)
+        |ORDER BY node""".stripMargin,
+      // q291: same unrolled-CTE discipline as q92 — one auth half-step
+      // (in-edge sum + L1 normalize) and one hub half-step per round.
+      "q291_hits" -> {
+        def hit(prev: String, cur: String): String =
+          s"""ar$cur AS (
+            |  SELECT e.dst AS node, sum(h$prev.h) AS raw
+            |  FROM edges e JOIN h$prev ON e.src = h$prev.node
+            |  GROUP BY e.dst),
+            |at$cur AS (SELECT sum(raw) AS t FROM ar$cur),
+            |a$cur AS (
+            |  SELECT nodes.node, coalesce(ar$cur.raw, 0.0) / at$cur.t AS a
+            |  FROM nodes LEFT JOIN ar$cur ON nodes.node = ar$cur.node
+            |  CROSS JOIN at$cur),
+            |hr$cur AS (
+            |  SELECT e.src AS node, sum(a$cur.a) AS raw
+            |  FROM edges e JOIN a$cur ON e.dst = a$cur.node
+            |  GROUP BY e.src),
+            |ht$cur AS (SELECT sum(raw) AS t FROM hr$cur),
+            |h$cur AS (
+            |  SELECT nodes.node, coalesce(hr$cur.raw, 0.0) / ht$cur.t AS h
+            |  FROM nodes LEFT JOIN hr$cur ON nodes.node = hr$cur.node
+            |  CROSS JOIN ht$cur)""".stripMargin
+        s"""WITH ev AS (
+          |  SELECT user_id, ts, event_id,
+          |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+          |  FROM events),
+          |o AS (
+          |  SELECT user_id, item,
+          |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+          |  FROM ev),
+          |edges AS (
+          |  SELECT DISTINCT src, item AS dst FROM o
+          |  WHERE src IS NOT NULL AND src <> item),
+          |nodes AS (
+          |  SELECT src AS node FROM edges
+          |  UNION SELECT dst FROM edges),
+          |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+          |${hit("0", "1")},
+          |${hit("1", "2")},
+          |${hit("2", "3")}
+          |SELECT a3.node AS node, round(a3.a, 4) AS auth,
+          |  round(h3.h, 4) AS hub
+          |FROM a3 JOIN h3 ON a3.node = h3.node
+          |ORDER BY node""".stripMargin
+      },
+      "q292_adamic_adar" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS c
+        |  FROM edges GROUP BY 1, 2),
+        |fe AS (SELECT a, b FROM und WHERE c >= $MinEdgeWeight),
+        |sym AS (
+        |  SELECT a AS node, b AS nbr FROM fe
+        |  UNION ALL SELECT b, a FROM fe),
+        |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+        |ctr AS (
+        |  SELECT s.node, s.nbr, d.deg FROM sym s
+        |  JOIN deg d ON s.node = d.node WHERE d.deg <= $MaxAaCenterDeg),
+        |w AS (
+        |  SELECT c1.node, c1.nbr AS x, c2.nbr AS y, c1.deg
+        |  FROM ctr c1 JOIN ctr c2
+        |    ON c1.node = c2.node AND c1.nbr < c2.nbr),
+        |open AS (
+        |  SELECT * FROM w WHERE NOT EXISTS (
+        |    SELECT 1 FROM fe WHERE fe.a = w.x AND fe.b = w.y)),
+        |sc AS (
+        |  SELECT x AS a, y AS b,
+        |    round(sum(1.0 / ln(deg)), 4) AS score
+        |  FROM open GROUP BY x, y),
+        |rkd AS (
+        |  SELECT a, b, score,
+        |    row_number() OVER (ORDER BY score DESC, a, b) AS rk
+        |  FROM sc)
+        |SELECT rk, a, b, score FROM rkd WHERE rk <= 30
+        |ORDER BY rk""".stripMargin)
   }
 }

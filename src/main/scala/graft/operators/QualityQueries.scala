@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.functions.TextOps
@@ -1542,8 +1543,207 @@ object QualityQueries extends QueryModule {
       .orderBy($"source", $"pct")
   }
 
+  /** Mann–Whitney U rank-sum test (q294) — Mann & Whitney 1947, with
+    * the tie-corrected normal approximation: do two corpus sources
+    * draw document lengths from the same distribution? The
+    * distribution-free A/B answer the parametric family (q145 t-test,
+    * q182 KS) lacks when lengths are heavy-tailed — exactly the shape
+    * corpus length columns have. Groups are the lexicographic min/max
+    * source names (data-derived, the q220 seed discipline — the
+    * oracle replays them without literals). Scale shape: the corpus
+    * collapses to the DISTINCT-length value grid in the first
+    * aggregate (average ranks are a pure function of per-value
+    * counts: cum − c + (c+1)/2); the only window is a cumsum over
+    * that value-domain-bounded grid (q182's audited frame), then one
+    * scalar aggregate. Every sum is exact in doubles (counts and
+    * half-integer ranks), so U and z are bit-deterministic across
+    * engines. */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyOf(Tables.documents(s, dir))
+
+  /** Mann–Whitney core over any (source, n_chars) frame; split out so
+    * the spec can pin U and z on hand-computed fixtures. */
+  private[graft] def mannWhitneyOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pick = docs.agg(min($"source").as("src_a"), max($"source").as("src_b"))
+    val two = docs.crossJoin(broadcast(pick))
+      .filter($"source" === $"src_a" || $"source" === $"src_b")
+    val grid = two.groupBy($"src_a", $"src_b", $"n_chars")
+      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === $"src_b", 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", $"c1" + $"c2")
+    val w = Window.orderBy($"n_chars")
+    val ranked = grid.withColumn("cum", sum($"c").over(w))
+      .withColumn("avg_rk", $"cum" - $"c" + ($"c" + lit(1L)) / lit(2.0))
+    ranked.groupBy($"src_a", $"src_b")
+      .agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+        sum($"c1" * $"avg_rk").as("r1"),
+        sum($"c" * $"c" * $"c" - $"c").cast("double").as("ties"))
+      .select($"src_a", $"src_b", $"n1", $"n2",
+        round($"r1" - $"n1" * ($"n1" + 1L) / lit(2.0), 4).as("u1"),
+        (round(
+          ($"r1" - $"n1" * ($"n1" + 1L) / lit(2.0)
+            - $"n1" * $"n2" / lit(2.0)) /
+          sqrt($"n1" * $"n2" / lit(12.0) *
+            (($"n1" + $"n2" + 1L)
+              - $"ties" / (($"n1" + $"n2") * ($"n1" + $"n2" - 1L)))),
+          4) + lit(0.0)).as("z"))
+      .orderBy($"src_a")
+  }
+
+  /** Spearman rank correlation (q295) — Spearman 1904, the
+    * average-rank/tie-correct form (Pearson on midranks): per source,
+    * does document length co-move with token count? The monotone-
+    * association probe next to q244's linear corr — robust to the
+    * outliers and non-linearity corpus features always carry. Ranks
+    * come from per-source windows (rank() + same-value count →
+    * midrank), both PARTITIONED — nothing global — and the corr
+    * aggregate partial-combines map-side. */
+  def qSpearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spearmanOf(Tables.documents(s, dir)
+      .select($"source", $"n_chars".cast("double").as("x"),
+        size(TextOps.tokenize($"text")).cast("double").as("y")))
+  }
+
+  /** Spearman core over any (source, x, y) frame; split out so the
+    * spec can pin rho on hand-computed fixtures. */
+  private[graft] def spearmanOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val r = base
+      .withColumn("rx",
+        rank().over(Window.partitionBy($"source").orderBy($"x")) +
+          (count(lit(1)).over(Window.partitionBy($"source", $"x")) - 1L)
+            / lit(2.0))
+      .withColumn("ry",
+        rank().over(Window.partitionBy($"source").orderBy($"y")) +
+          (count(lit(1)).over(Window.partitionBy($"source", $"y")) - 1L)
+            / lit(2.0))
+    r.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        (round(corr($"rx", $"ry"), 4) + lit(0.0)).as("rho"))
+      .orderBy($"source")
+  }
+
+  /** q300's ridge penalty — fixed, replayed verbatim by the oracle. */
+  private val RidgeLambda = 100.0
+
+  /** Ridge regression by normal equations (q300) — Hoerl & Kennard
+    * 1970: fit n_chars from (token count, distinct-token count) by
+    * solving (XᵀX + λI)w = Xᵀy with the 3×3 system inverted in closed
+    * form (cofactors). This is the OTHER distributed-trainer shape
+    * next to q299's iterative GD: ONE map-side-combined aggregate
+    * collects the 10 Gram moments and everything after is scalar
+    * algebra on a 1-row frame — at 100 TB it is a single corpus scan,
+    * zero iterations, zero driver round-trips. Determinism: every
+    * moment is an EXACT integer sum (the features are integer counts),
+    * cast to double once, and both engines then evaluate the identical
+    * cofactor/solve expression tree — same doubles in, same out. */
+  def qRidgeGram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ridgeCore(Tables.documents(s, dir).select(
+      size(split($"text", " ")).cast("long").as("x1"),
+      size(array_distinct(split($"text", " "))).cast("long").as("x2"),
+      $"n_chars".as("y")))
+  }
+
+  /** Ridge core over any integer (x1, x2, y) frame; split out so the
+    * spec can pin recovery of a planted linear law. */
+  private[graft] def ridgeCore(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val lam = lit(RidgeLambda)
+    base.agg(
+        count(lit(1)).as("nl"),
+        count(lit(1)).cast("double").as("n"),
+        sum($"x1").cast("double").as("s1"),
+        sum($"x2").cast("double").as("s2"),
+        sum($"x1" * $"x1").cast("double").as("s11"),
+        sum($"x1" * $"x2").cast("double").as("s12"),
+        sum($"x2" * $"x2").cast("double").as("s22"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x1" * $"y").cast("double").as("s1y"),
+        sum($"x2" * $"y").cast("double").as("s2y"),
+        sum($"y" * $"y").cast("double").as("syy"))
+      .withColumn("a11", $"n" + lam)
+      .withColumn("a22", $"s11" + lam)
+      .withColumn("a33", $"s22" + lam)
+      .withColumn("det",
+        $"a11" * ($"a22" * $"a33" - $"s12" * $"s12")
+          - $"s1" * ($"s1" * $"a33" - $"s12" * $"s2")
+          + $"s2" * ($"s1" * $"s12" - $"a22" * $"s2"))
+      .withColumn("w0",
+        (($"a22" * $"a33" - $"s12" * $"s12") * $"sy"
+          + ($"s2" * $"s12" - $"s1" * $"a33") * $"s1y"
+          + ($"s1" * $"s12" - $"s2" * $"a22") * $"s2y") / $"det")
+      .withColumn("w1",
+        (($"s2" * $"s12" - $"s1" * $"a33") * $"sy"
+          + ($"a11" * $"a33" - $"s2" * $"s2") * $"s1y"
+          + ($"s2" * $"s1" - $"a11" * $"s12") * $"s2y") / $"det")
+      .withColumn("w2",
+        (($"s1" * $"s12" - $"s2" * $"a22") * $"sy"
+          + ($"s2" * $"s1" - $"a11" * $"s12") * $"s1y"
+          + ($"a11" * $"a22" - $"s1" * $"s1") * $"s2y") / $"det")
+      .withColumn("sse",
+        $"syy" - lit(2.0) * ($"w0" * $"sy" + $"w1" * $"s1y" + $"w2" * $"s2y")
+          + ($"w0" * $"w0" * $"n" + $"w1" * $"w1" * $"s11"
+            + $"w2" * $"w2" * $"s22"
+            + lit(2.0) * ($"w0" * $"w1" * $"s1" + $"w0" * $"w2" * $"s2"
+              + $"w1" * $"w2" * $"s12")))
+      .withColumn("sst", $"syy" - $"sy" * $"sy" / $"n")
+      .select($"nl".as("n"),
+        (floor($"w0" * 1e4 + 0.5) / 1e4).as("w0"),
+        (floor($"w1" * 1e4 + 0.5) / 1e4).as("w1"),
+        (floor($"w2" * 1e4 + 0.5) / 1e4).as("w2"),
+        (floor((lit(1.0) - $"sse" / $"sst") * 1e4 + 0.5) / 1e4).as("r2"))
+  }
+
+  /** 1-Wasserstein distance (q302) — the earth-mover form over the
+    * empirical CDFs: W₁ = Σ_grid |F₁(v) − F₂(v)|·Δv, between the
+    * document-length distributions of the lexicographic min/max
+    * sources (q294's pick discipline). The magnitude-aware complement
+    * of the sup-norm tests: q182's KS asks "do they differ anywhere",
+    * W₁ asks "by how many characters of mass must one be moved to
+    * become the other" — the number mixture rebalancing (q88/q279)
+    * actually budgets against. Scale shape: collapse to the
+    * distinct-length value grid, one grid cumsum (q182's audited
+    * unpartitioned frame), one scalar aggregate. */
+  def qWasserstein(s: SparkSession, dir: String): DataFrame =
+    wassersteinOf(Tables.documents(s, dir))
+
+  /** W₁ core over any (source, n_chars) frame; split out so the spec
+    * can pin the shift-by-Δ fixture (W₁ = Δ). */
+  private[graft] def wassersteinOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pick = docs.agg(min($"source").as("src_a"), max($"source").as("src_b"))
+    val two = docs.crossJoin(broadcast(pick))
+      .filter($"source" === $"src_a" || $"source" === $"src_b")
+    val grid = two.groupBy($"src_a", $"src_b", $"n_chars")
+      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" === $"src_b", 1L).otherwise(0L)).as("c2"))
+    val tot = grid.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+    val w = Window.orderBy($"n_chars")
+    val g = grid
+      .withColumn("f1c", sum($"c1").over(w))
+      .withColumn("f2c", sum($"c2").over(w))
+      .withColumn("gap",
+        (lead($"n_chars", 1).over(w) - $"n_chars").cast("double"))
+    g.crossJoin(broadcast(tot))
+      .groupBy($"src_a", $"src_b", $"n1", $"n2")
+      .agg(round(sum(abs($"f1c" / $"n1" - $"f2c" / $"n2")
+        * coalesce($"gap", lit(0.0))), 4).as("w1_dist"))
+      .select($"src_a", $"src_b", $"n1", $"n2", $"w1_dist")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q294_mann_whitney"    -> (qMannWhitney _),
+      "q295_spearman"        -> (qSpearman _),
+      "q300_ridge_gram"      -> (qRidgeGram _),
+      "q302_wasserstein"     -> (qWasserstein _),
       "q205_weighted_quantiles" -> (qWeightedQuantiles _),
       "q207_chi_square"      -> (qChiSquare _),
       "q211_bitmap_overlap"  -> (qBitmapOverlap _),
@@ -1588,6 +1788,132 @@ object QualityQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    // q300: identical moment casts, identical cofactor/solve tree.
+    "q300_ridge_gram" ->
+      s"""WITH b AS (
+        |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS x2,
+        |    n_chars AS y
+        |  FROM documents),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x1) AS DOUBLE) AS s1,
+        |    CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        |    CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        |    CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        |    CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM b),
+        |k AS (
+        |  SELECT *, n + $RidgeLambda AS a11, s11 + $RidgeLambda AS a22,
+        |    s22 + $RidgeLambda AS a33 FROM m),
+        |dt AS (
+        |  SELECT *,
+        |    a11 * (a22 * a33 - s12 * s12)
+        |      - s1 * (s1 * a33 - s12 * s2)
+        |      + s2 * (s1 * s12 - a22 * s2) AS det
+        |  FROM k),
+        |w AS (
+        |  SELECT *,
+        |    ((a22 * a33 - s12 * s12) * sy
+        |      + (s2 * s12 - s1 * a33) * s1y
+        |      + (s1 * s12 - s2 * a22) * s2y) / det AS w0,
+        |    ((s2 * s12 - s1 * a33) * sy
+        |      + (a11 * a33 - s2 * s2) * s1y
+        |      + (s2 * s1 - a11 * s12) * s2y) / det AS w1,
+        |    ((s1 * s12 - s2 * a22) * sy
+        |      + (s2 * s1 - a11 * s12) * s1y
+        |      + (a11 * a22 - s1 * s1) * s2y) / det AS w2
+        |  FROM dt),
+        |e AS (
+        |  SELECT *,
+        |    syy - 2.0 * (w0 * sy + w1 * s1y + w2 * s2y)
+        |      + (w0 * w0 * n + w1 * w1 * s11 + w2 * w2 * s22
+        |        + 2.0 * (w0 * w1 * s1 + w0 * w2 * s2
+        |          + w1 * w2 * s12)) AS sse,
+        |    syy - sy * sy / n AS sst
+        |  FROM w)
+        |SELECT nl AS n,
+        |  floor(w0 * 1e4 + 0.5) / 1e4 AS w0,
+        |  floor(w1 * 1e4 + 0.5) / 1e4 AS w1,
+        |  floor(w2 * 1e4 + 0.5) / 1e4 AS w2,
+        |  floor((1.0 - sse / sst) * 1e4 + 0.5) / 1e4 AS r2
+        |FROM e""".stripMargin,
+    "q302_wasserstein" ->
+      """WITH pick AS (
+        |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents),
+        |two AS (
+        |  SELECT d.source, d.n_chars, p.src_a, p.src_b
+        |  FROM documents d CROSS JOIN pick p
+        |  WHERE d.source = p.src_a OR d.source = p.src_b),
+        |grid AS (
+        |  SELECT src_a, src_b, n_chars,
+        |    CAST(sum(CASE WHEN source = src_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN source = src_b THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM two GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM grid),
+        |g AS (
+        |  SELECT *,
+        |    sum(c1) OVER (ORDER BY n_chars) AS f1c,
+        |    sum(c2) OVER (ORDER BY n_chars) AS f2c,
+        |    CAST(lead(n_chars, 1) OVER (ORDER BY n_chars) - n_chars
+        |      AS DOUBLE) AS gap
+        |  FROM grid)
+        |SELECT src_a, src_b, n1, n2,
+        |  round(sum(abs(f1c / n1 - f2c / n2) * coalesce(gap, 0.0)), 4)
+        |    AS w1_dist
+        |FROM g CROSS JOIN tot
+        |GROUP BY src_a, src_b, n1, n2""".stripMargin,
+    "q294_mann_whitney" ->
+      """WITH pick AS (
+        |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents),
+        |two AS (
+        |  SELECT d.source, d.n_chars, p.src_a, p.src_b
+        |  FROM documents d CROSS JOIN pick p
+        |  WHERE d.source = p.src_a OR d.source = p.src_b),
+        |grid AS (
+        |  SELECT src_a, src_b, n_chars,
+        |    CAST(sum(CASE WHEN source = src_a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN source = src_b THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM two GROUP BY 1, 2, 3),
+        |g2 AS (SELECT *, c1 + c2 AS c FROM grid),
+        |rk AS (SELECT *, sum(c) OVER (ORDER BY n_chars) AS cum FROM g2),
+        |r2 AS (SELECT *, cum - c + (c + 1) / 2.0 AS avg_rk FROM rk),
+        |agg AS (
+        |  SELECT src_a, src_b,
+        |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+        |    sum(c1 * avg_rk) AS r1,
+        |    CAST(sum(c * c * c - c) AS DOUBLE) AS ties
+        |  FROM r2 GROUP BY 1, 2)
+        |SELECT src_a, src_b, n1, n2,
+        |  round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
+        |  round(
+        |    (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
+        |    sqrt(n1 * n2 / 12.0 *
+        |      ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1)))),
+        |    4) + 0.0 AS z
+        |FROM agg ORDER BY src_a""".stripMargin,
+    "q295_spearman" ->
+      """WITH b AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS y
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |    rank() OVER (PARTITION BY source ORDER BY x)
+        |      + (count(*) OVER (PARTITION BY source, x) - 1) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY source ORDER BY y)
+        |      + (count(*) OVER (PARTITION BY source, y) - 1) / 2.0 AS ry
+        |  FROM b)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(corr(rx, ry), 4) + 0.0 AS rho
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // q288: same cell rollup, grid cross, and TV arithmetic
     "q288_t_closeness" ->
       """WITH cell AS (

@@ -1284,8 +1284,108 @@ object ScoringQueries extends QueryModule {
     s.range(0, 21).select(round($"id" / 20.0, 2).as("thr"))
   }
 
+  /** Good–Turing frequency smoothing (q296) — Good 1953: for each
+    * observed count r, the adjusted count r* = (r+1)·N_{r+1}/N_r from
+    * the count-of-counts profile, the estimate behind every "how much
+    * probability mass belongs to unseen tokens" answer (Katz backoff
+    * reserves exactly N₁/N; q160's Kneser–Ney discount is its fixed
+    * approximation). Shipping the r ≤ 10 head is the standard cut —
+    * above it N_r is sparse and the raw estimator is noise (Gale &
+    * Sampson 1995 smooth that tail; the head is where the mass is).
+    * Scale shape: token counts (one shuffle), count-of-counts over the
+    * count domain (second, grid-sized shuffle), then an 11-row spine
+    * left-joins the profile and its r+1 shift — both broadcast-sized.
+    * r* is NULL where N_r = 0 (no observed support, honestly absent). */
+  def qGoodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringOf(Tables.documents(s, dir))
+
+  /** Good–Turing core over any frame with a `text` column; split out
+    * so the spec can pin r* on a counted-by-hand corpus. */
+  private[graft] def goodTuringOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+    val counts = toks.groupBy($"t").agg(count(lit(1)).as("r"))
+    val nr = counts.groupBy($"r").agg(count(lit(1)).as("n_r"))
+    val grid = s.range(1, 11).select($"id".as("r"))
+    grid.join(nr, Seq("r"), "left")
+      .join(nr.select(($"r" - 1L).as("r"), $"n_r".as("n_r1")), Seq("r"), "left")
+      .select($"r", coalesce($"n_r", lit(0L)).as("n_r"),
+        round(($"r" + 1L) * coalesce($"n_r1", lit(0L)).cast("double")
+          / $"n_r", 4).as("r_star"))
+      .orderBy($"r")
+  }
+
+  /** q299's gradient-descent schedule: fixed rounds (oracle-unrolled,
+    * the q92/q282 discipline), snapped state so both engines replay
+    * the identical trajectory. */
+  private val LrIters = 8
+  private val LrRate = 0.5
+
+  /** Distributed logistic-regression trainer (q299) — full-batch
+    * gradient ascent on "is this document English?" from two length
+    * features, the in-engine classifier trainer a data pipeline uses
+    * for quality/language gates when shipping data to an external
+    * trainer is overkill (fastText-style gates are trained exactly
+    * this shape). Each round is ONE map-side-combined aggregate over
+    * the corpus (3 gradient sums) — the textbook data-parallel GD
+    * layout: at 100 TB that is a full scan per round and nothing
+    * else; no driver round-trips (the weight state is a 1-row frame,
+    * broadcast back). Cross-engine determinism is the q289 posture:
+    * the activation is the RATIONAL sigmoid surrogate
+    * σ̂(u) = 0.5 + u/(2(1+|u|)) (Elliott 1993 — division instead of
+    * exp, so both engines compute identical IEEE doubles), per-row
+    * gradient terms quantize to the 1e-6 grid via the floor form
+    * (integer-valued doubles sum EXACTLY — no order dependence), and
+    * weights snap to the 1e-9 grid each round. Lineage: the feature
+    * frame checkpoints once, the weight frame every round
+    * (Round10Spec's barrier guard). */
+  def qLogregGd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    logregCore(Tables.documents(s, dir).select(
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
+  }
+
+  private[graft] def logregCore(f0: DataFrame): DataFrame = {
+    val s = f0.sparkSession
+    import s.implicits._
+    val f = f0.localCheckpoint()
+    val nF = f.agg(count(lit(1)).as("n")).localCheckpoint()
+    var w = s.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
+      .localCheckpoint()
+    val u = $"a" + $"b" * $"x1" + $"c" * $"x2"
+    val d = $"y" - (lit(0.5) + u / (lit(2.0) * (lit(1.0) + abs(u))))
+    def snap9(col: Column): Column =
+      floor(col * lit(1e9) + lit(0.5)) / lit(1e9)
+    for (_ <- 1 to LrIters) {
+      val g = f.crossJoin(broadcast(w)).agg(
+        sum(floor(lit(1e6) * d + lit(0.5))).as("ga"),
+        sum(floor(lit(1e6) * d * $"x1" + lit(0.5))).as("gb"),
+        sum(floor(lit(1e6) * d * $"x2" + lit(0.5))).as("gc"))
+      w = w.crossJoin(broadcast(g)).crossJoin(broadcast(nF))
+        .select(
+          snap9($"a" + lit(LrRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
+          snap9($"b" + lit(LrRate) * $"gb" / (lit(1e6) * $"n")).as("b"),
+          snap9($"c" + lit(LrRate) * $"gc" / (lit(1e6) * $"n")).as("c"))
+        .localCheckpoint()
+    }
+    val acc = f.crossJoin(broadcast(w)).agg(
+      sum(when((u >= 0) === ($"y" === 1.0), 1L).otherwise(0L))
+        .as("n_correct"))
+    w.crossJoin(broadcast(acc)).crossJoin(broadcast(nF))
+      .select($"a".as("w0"), $"b".as("w1"), $"c".as("w2"), $"n",
+        (floor(lit(1e4) * $"n_correct" / $"n" + lit(0.5)) / lit(1e4))
+          .as("train_acc"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q296_good_turing" -> (qGoodTuring _),
+      "q299_logreg_gd" -> (qLogregGd _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -1384,6 +1484,67 @@ object ScoringQueries extends QueryModule {
         |  GROUP BY doc_id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // q299: the same 8 rounds unrolled as CTEs — rational sigmoid,
+    // 1e-6-grid gradient quantization (exact double sums), 1e-9-grid
+    // weight snap; every float op is the identical IEEE tree.
+    "q299_logreg_gd" -> {
+      def rd(p: String, c: String): String =
+        s"""g$c AS (
+          |  SELECT
+          |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+          |      + 0.5)) AS ga,
+          |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+          |      * x1 + 0.5)) AS gb,
+          |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+          |      * x2 + 0.5)) AS gc
+          |  FROM (SELECT f.y, f.x1, f.x2,
+          |      w$p.a + w$p.b * f.x1 + w$p.c * f.x2 AS u
+          |    FROM f CROSS JOIN w$p)),
+          |w$c AS (
+          |  SELECT
+          |    floor((w$p.a + $LrRate * g$c.ga / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS a,
+          |    floor((w$p.b + $LrRate * g$c.gb / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS b,
+          |    floor((w$p.c + $LrRate * g$c.gc / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS c
+          |  FROM w$p CROSS JOIN g$c CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to LrIters)
+        .map(i => rd((i - 1).toString, i.toString)).mkString(",\n")
+      s"""WITH f AS (
+        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+        |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,
+        |  CAST(0 AS DOUBLE) AS c),
+        |$rounds,
+        |acc AS (
+        |  SELECT CAST(sum(CASE WHEN (u >= 0) = (y = 1.0)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |  FROM (SELECT f.y,
+        |      w$LrIters.a + w$LrIters.b * f.x1 + w$LrIters.c * f.x2 AS u
+        |    FROM f CROSS JOIN w$LrIters))
+        |SELECT w$LrIters.a AS w0, w$LrIters.b AS w1, w$LrIters.c AS w2,
+        |  nn.n, floor(1e4 * acc.n_correct / nn.n + 0.5) / 1e4 AS train_acc
+        |FROM w$LrIters CROSS JOIN acc CROSS JOIN nn""".stripMargin
+    },
+    "q296_good_turing" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split(text, ' ')) AS t FROM documents),
+        |counts AS (
+        |  SELECT t, count(*) AS r FROM toks WHERE t <> '' GROUP BY t),
+        |nr AS (
+        |  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY r),
+        |grid AS (SELECT unnest(range(1, 11)) AS r)
+        |SELECT g.r, coalesce(nr.n_r, 0) AS n_r,
+        |  round((g.r + 1) * CAST(coalesce(nr1.n_r, 0) AS DOUBLE) / nr.n_r,
+        |    4) AS r_star
+        |FROM grid g
+        |LEFT JOIN nr ON g.r = nr.r
+        |LEFT JOIN nr nr1 ON g.r + 1 = nr1.r
+        |ORDER BY g.r""".stripMargin,
     "q228_ppmi_sim" ->
       """WITH t AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents),

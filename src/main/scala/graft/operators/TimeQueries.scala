@@ -1662,7 +1662,13 @@ object TimeQueries extends QueryModule {
         round(min($"value"), 4).as("low"),
         round(max_by($"value", key), 4).as("close"),
         count(lit(1)).as("volume"),
-        round(avg($"value"), 4).as("mean_value"))
+        // exact-cents mean: `value` is 2-decimal by construction, so
+        // the bar mean is an integer-cent sum over an exact long — the
+        // order-dependent double avg() rounded differently across
+        // engines at a real sf0.001 half-boundary bar (38.37875); the
+        // floor form is the q221 presentation-rounding discipline
+        (floor(sum(round($"value" * 100).cast("long")) * lit(100.0)
+          / count(lit(1)) + lit(0.5)) / 1e4).as("mean_value"))
       .select(date_format($"day", "yyyy-MM-dd").as("day"),
         $"event_type", $"open", $"high", $"low", $"close", $"volume",
         $"mean_value")
@@ -1874,7 +1880,126 @@ object TimeQueries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** Autocorrelation function (q293): Pearson autocorrelation of the
+    * gap-filled GLOBAL daily event volume at lags 1..7 — the
+    * periodicity detector that belongs next to the trend family
+    * (q149 drift, q166 seasonality, q221 SES, q255 STL): a strong
+    * lag-7 spike says weekly cadence, a slow decay says momentum, and
+    * a near-zero tail says the volume is already white — which decides
+    * whether q255's weekly decomposition is even meaningful. Box &
+    * Jenkins 1970 form: r_l = Σ(y_t−ȳ)(y_{t+l}−ȳ) / Σ(y_t−ȳ)², one
+    * shared mean and denominator across lags. Scale shape: the corpus
+    * collapses to |days| cells in the FIRST aggregate; everything
+    * after (mean, centering, the lag×day product join) is grid-sized
+    * — the q221 posture, no unpartitioned windows, the 7-row lag
+    * spine and scalar mean/denominator frames broadcast. ACF can be
+    * negative, so the rounded column takes the `+ 0.0` idiom. */
+  def qAcf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(to_date($"ts").as("day"))
+    val daily0 = ev.groupBy($"day").agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val daily = days.join(daily0, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).cast("double").as("y"))
+    acfOf(daily)
+  }
+
+  /** ACF core over a gap-filled (day, y) frame; split out so the spec
+    * can pin periodicity detection on planted series. */
+  private[graft] def acfOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val mu = daily.agg(avg($"y").as("mu"))
+    val cent = daily.crossJoin(broadcast(mu))
+      .select($"day", ($"y" - $"mu").as("e"))
+    val den = cent.agg(sum($"e" * $"e").as("den"))
+    val lags = s.range(1, 8).select($"id".as("lag"))
+    val num = broadcast(lags).crossJoin(cent)
+      .join(cent.select($"day".as("d2"), $"e".as("e2")),
+        expr("date_add(day, cast(lag as int)) = d2"))
+      .groupBy($"lag").agg(sum($"e" * $"e2").as("num"))
+    lags.join(num, Seq("lag"), "left").crossJoin(broadcast(den))
+      .select($"lag",
+        (round(coalesce($"num", lit(0.0)) / $"den", 4) + lit(0.0)).as("acf"))
+      .orderBy($"lag")
+  }
+
+  /** Holt linear-trend smoothing (q298) — Holt 1957, the two-state
+    * upgrade of q221's SES: level l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}),
+    * trend b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, α=0.3 β=0.1, init
+    * l₁=y₁ b₁=0 (the zero-trend start both engines replay trivially).
+    * Emits the one-step-ahead forecast l+b next to each observation —
+    * the drift-aware alarm baseline SES cannot give (SES lags any
+    * trending series by construction). Same scale posture as q221:
+    * collapse to |types|×|days| cells, fold each type's day-sorted
+    * cell array in-row; both engines run the identical IEEE sequence
+    * and the oracle's recursive CTE replays it; presentation rounding
+    * is the explicit floor form (trend/forecast go negative — floor
+    * also never yields −0.0). */
+  def qHoltLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val daily = ev.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"))
+    val filled = ev.select($"event_type").distinct()
+      .crossJoin(days)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day", coalesce($"n", lit(0L)).as("n"))
+    holtOf(filled)
+  }
+
+  /** Holt core over a gap-filled (event_type, day, n) frame; split out
+    * so the spec can pin the recurrence on a hand-folded series. */
+  private[graft] def holtOf(filled: DataFrame): DataFrame = {
+    val s = filled.sparkSession
+    import s.implicits._
+    filled
+      .groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"n"))).as("cells"))
+      .select($"event_type", expr(
+        """aggregate(
+          |  cells,
+          |  struct(cast(array() as array<struct<day: date, n: bigint,
+          |      fc: double, level: double, trend: double>>) as out,
+          |    cast(null as double) as l, cast(null as double) as b),
+          |  (acc, c) -> if(acc.l is null,
+          |    struct(
+          |      acc.out || array(named_struct('day', c.day, 'n', c.n,
+          |        'fc', cast(null as double),
+          |        'level', cast(c.n as double), 'trend', 0.0d)),
+          |      cast(c.n as double), 0.0d),
+          |    struct(
+          |      acc.out || array(named_struct('day', c.day, 'n', c.n,
+          |        'fc', acc.l + acc.b,
+          |        'level', 0.3d * cast(c.n as double)
+          |          + 0.7d * (acc.l + acc.b),
+          |        'trend', 0.1d * ((0.3d * cast(c.n as double)
+          |            + 0.7d * (acc.l + acc.b)) - acc.l)
+          |          + 0.9d * acc.b)),
+          |      0.3d * cast(c.n as double) + 0.7d * (acc.l + acc.b),
+          |      0.1d * ((0.3d * cast(c.n as double)
+          |          + 0.7d * (acc.l + acc.b)) - acc.l)
+          |        + 0.9d * acc.b)),
+          |  acc -> acc.out)""".stripMargin).as("out"))
+      .select($"event_type", explode($"out").as("c"))
+      .select($"event_type",
+        date_format($"c.day", "yyyy-MM-dd").as("day"),
+        $"c.n".as("n"),
+        (floor($"c.fc" * 1e4 + 0.5) / 1e4).as("forecast"),
+        (floor($"c.level" * 1e4 + 0.5) / 1e4).as("level"),
+        (floor($"c.trend" * 1e4 + 0.5) / 1e4).as("trend"))
+      .orderBy($"event_type", $"day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q293_acf"               -> (qAcf _),
+    "q298_holt_linear"       -> (qHoltLinear _),
     "q217_dwell_time" -> (qDwellTime _),
     "q218_wilson_rates" -> (qWilsonRates _),
     "q215_rolling_actives" -> (qRollingActives _),
@@ -1933,6 +2058,69 @@ object TimeQueries extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q293_acf" ->
+      """WITH ev AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |daily0 AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |daily AS (
+        |  SELECT d.day, CAST(coalesce(daily0.n, 0) AS DOUBLE) AS y
+        |  FROM days d LEFT JOIN daily0 ON d.day = daily0.day),
+        |st AS (SELECT avg(y) AS mu FROM daily),
+        |cent AS (SELECT day, y - st.mu AS e FROM daily CROSS JOIN st),
+        |den AS (SELECT sum(e * e) AS den FROM cent),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |num AS (
+        |  SELECT l.lag, sum(c1.e * c2.e) AS num
+        |  FROM lags l
+        |  JOIN cent c1 ON true
+        |  JOIN cent c2 ON c2.day = c1.day + CAST(l.lag AS INTEGER)
+        |  GROUP BY l.lag)
+        |SELECT l.lag, round(coalesce(num.num, 0.0) / den.den, 4) + 0.0 AS acf
+        |FROM lags l LEFT JOIN num ON l.lag = num.lag CROSS JOIN den
+        |ORDER BY l.lag""".stripMargin,
+    "q298_holt_linear" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |filled AS (
+        |  SELECT t.event_type, d.day,
+        |    coalesce(daily.n, CAST(0 AS BIGINT)) AS n,
+        |    CAST(row_number() OVER (PARTITION BY t.event_type
+        |      ORDER BY d.day) AS BIGINT) AS i
+        |  FROM (SELECT DISTINCT event_type FROM ev) t
+        |  CROSS JOIN days d
+        |  LEFT JOIN daily ON daily.event_type = t.event_type
+        |    AND daily.day = d.day),
+        |rec AS (
+        |  SELECT event_type, day, n, i,
+        |    CAST(NULL AS DOUBLE) AS fc,
+        |    CAST(n AS DOUBLE) AS level, CAST(0 AS DOUBLE) AS trend
+        |  FROM filled WHERE i = 1
+        |  UNION ALL
+        |  SELECT c.event_type, c.day, c.n, c.i,
+        |    r.level + r.trend,
+        |    0.3 * CAST(c.n AS DOUBLE) + 0.7 * (r.level + r.trend),
+        |    0.1 * ((0.3 * CAST(c.n AS DOUBLE)
+        |        + 0.7 * (r.level + r.trend)) - r.level)
+        |      + 0.9 * r.trend
+        |  FROM rec r JOIN filled c
+        |    ON c.event_type = r.event_type AND c.i = r.i + 1)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        |  floor(fc * 10000 + 0.5) / 10000 AS forecast,
+        |  floor(level * 10000 + 0.5) / 10000 AS level,
+        |  floor(trend * 10000 + 0.5) / 10000 AS trend
+        |FROM rec ORDER BY event_type, day""".stripMargin,
     "q259_power_analysis" ->
       s"""WITH g AS (
         |  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_total,
@@ -2400,7 +2588,8 @@ object TimeQueries extends QueryModule {
         |  round(min(value), 4) AS low,
         |  round(last(value ORDER BY ts, event_id), 4) AS close,
         |  CAST(count(*) AS BIGINT) AS volume,
-        |  round(avg(value), 4) AS mean_value
+        |  floor(sum(CAST(round(value * 100, 0) AS BIGINT)) * 100.0
+        |    / count(*) + 0.5) / 10000 AS mean_value
         |FROM events
         |GROUP BY CAST(ts AS DATE), event_type
         |ORDER BY day, event_type""".stripMargin,

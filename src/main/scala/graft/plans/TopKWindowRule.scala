@@ -77,17 +77,32 @@ object TopKWindowRule extends Rule[LogicalPlan] with PredicateHelper {
         val dataStruct = CreateStruct(child.output)
         val aggAlias = Alias(
           TopKRows(order, dataStruct, k).toAggregateExpression(), "_topk")()
-        val aggregate = Aggregate(part, Seq(aggAlias), child)
+        // Attribute partition keys stay in the aggregate output and pass
+        // through the explode UNTOUCHED (same exprId, no re-derivation
+        // from the struct): the physical agg's hashpartitioning on them
+        // then propagates to any downstream regroup on the same keys.
+        // Re-deriving them via GetStructField aliases (the original
+        // form) breaks AliasAwareOutputPartitioning — the partitioning
+        // attribute vanishes between the agg and the restore Project —
+        // and costs a redundant exchange (q12's regroup re-shuffled on
+        // doc_id it was already partitioned by).
+        val partAttrs: Seq[Attribute] = part.collect {
+          case a: AttributeReference => a
+        }.distinct
+        val aggregate = Aggregate(part, partAttrs :+ aggAlias, child)
         val structType = dataStruct.dataType.asInstanceOf[StructType]
         val posAttr =
           AttributeReference("_topk_pos", IntegerType, nullable = false)()
         val rowAttr =
           AttributeReference("_topk_row", structType, nullable = false)()
         val gen = Generate(PosExplode(aggAlias.toAttribute),
-          unrequiredChildIndex = Seq(0), outer = false, qualifier = None,
-          generatorOutput = Seq(posAttr, rowAttr), aggregate)
+          unrequiredChildIndex = Seq(partAttrs.length), outer = false,
+          qualifier = None, generatorOutput = Seq(posAttr, rowAttr),
+          aggregate)
+        val partIds = partAttrs.map(_.exprId).toSet
         val restored = child.output.zipWithIndex.map { case (a, i) =>
-          Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(
+          if (partIds.contains(a.exprId)) a
+          else Alias(GetStructField(rowAttr, i, Some(a.name)), a.name)(
             exprId = a.exprId, qualifier = a.qualifier)
         }
         val rnAlias = Alias(Add(posAttr, Literal(1)), rnName)(exprId = rnId)

@@ -91,7 +91,11 @@ object DumpPlans {
     "q282_jm_interpolation", "q283_range_shard_plan",
     "q284_scene_cuts", "q285_suffix_array", "q286_quantile_digest",
     "q287_exact_span_plan", "q288_t_closeness", "q289_pca_top",
-    "q290_exact_span_rewrite")
+    "q290_exact_span_rewrite", "q291_hits", "q292_adamic_adar",
+    "q293_acf", "q294_mann_whitney", "q295_spearman",
+    "q296_good_turing", "q297_winnowing", "q298_holt_linear",
+    "q299_logreg_gd", "q300_ridge_gram", "q301_blocking_eval",
+    "q302_wasserstein")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -112,7 +116,11 @@ object DumpPlans {
     "q207_chi_square" -> "grand total over the langs x sources cell grid",
     "q212_kaplan_meier" ->
       "days-sized duration grid (risk suffix-sum, survival cumsum, zero flag)",
-    "q252_neg_sampling" -> "30-row top-k frame cumsum (post-heap-cut)")
+    "q252_neg_sampling" -> "30-row top-k frame cumsum (post-heap-cut)",
+    "q294_mann_whitney" ->
+      "distinct-n_chars value-grid cumsum (value-domain-bounded, q182's frame)",
+    "q302_wasserstein" ->
+      "distinct-n_chars value-grid CDF cumsum + gap lead (q182's frame)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

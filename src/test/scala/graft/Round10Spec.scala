@@ -45,7 +45,11 @@ class Round10Spec extends AnyFunSuite {
       "bfsDistances" -> GraphQueries.bfsDistances(und),
       "pagerankWith" -> GraphQueries.pagerankWith(spark, sf, 3, Some(true)),
       "suffixRanks" -> DedupQueries.buildSuffixRanks(spark, sf),
-      "ccLabels" -> DedupQueries.qDupClusters(spark, sf))
+      "ccLabels" -> DedupQueries.qDupClusters(spark, sf),
+      "hitsCore" -> GraphQueries.hitsCore(
+        und.select($"a".as("src"), $"b".as("dst")), 3, Some(true)),
+      "logregCore" -> ScoringQueries.logregCore(
+        Seq((1.0, 0.1, 0.2), (0.0, 0.3, 0.4)).toDF("y", "x1", "x2")))
     for ((name, df) <- cores) {
       val leaves = df.queryExecution.analyzed.collectLeaves()
       assert(leaves.nonEmpty, name)

@@ -31,7 +31,7 @@ object DedupQueries extends QueryModule {
     TextOps.dropStopwords(TextOps.tokenize(TextOps.cleanText(c)))
 
   /** Word-trigram shingles (distinct) of a token array. */
-  private def shingles(toks: Column): Column =
+  private[operators] def shingles(toks: Column): Column =
     array_distinct(zip_with(
       slice(toks, lit(1), greatest(size(toks) - 2, lit(0))),
       zip_with(
@@ -1852,9 +1852,56 @@ object DedupQueries extends QueryModule {
           .as("pairs_quality"))
   }
 
+  /** Chunk width for q304's paragraph-level dedup. The synthetic corpus
+    * has no newline paragraph marks, so "paragraph" = fixed 10-token
+    * chunk — the same fixed-stride chunking q75 ships; production swaps
+    * in the newline splitter without touching the dedup shape. */
+  private val ParaTokens = 10
+
+  /** Paragraph-level exact dedup (q304) — the RefinedWeb/CCNet-style
+    * sub-document pass (Penedo et al. 2023 run exactly this before
+    * MinHash): WHOLE-doc dedup (q17/q30) misses boilerplate paragraphs
+    * stitched into otherwise-unique pages, so each doc is chunked,
+    * each chunk hashed, and a chunk counts as duplicated when it
+    * appears in MORE THAN ONE distinct document. Per doc: chunk count,
+    * duplicated-chunk count, duplicated fraction — the "how much of
+    * this page is boilerplate" score that feeds removal or
+    * down-weighting. Scale shape: chunking and hashing are IN-ROW
+    * (one transform + explode), then ONE groupBy on the chunk hash
+    * (count distinct docs) and one map-side-combined regroup per doc
+    * — two shuffles total, both keyed on high-cardinality hashes. */
+  def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    paragraphDedupOf(Tables.documents(s, dir))
+
+  private[graft] def paragraphDedupOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chunks = docs
+      .select($"doc_id",
+        filter(split($"text", " "), t => t =!= lit("")).as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(0, (size(toks) + ${ParaTokens - 1})
+           |    div $ParaTokens - 1),
+           |  i -> array_join(slice(toks, i * $ParaTokens + 1,
+           |    $ParaTokens), ' '))""".stripMargin)).as("chunk"))
+      .select($"doc_id", md5($"chunk").as("h"))
+    val docsPerH = chunks.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+    chunks.join(docsPerH, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        (floor(lit(1e4) * $"n_dup_chunks" / $"n_chunks" + 0.5) / 1e4)
+          .as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_winnowing"    -> (qWinnowing _),
     "q301_blocking_eval" -> (qBlockingEval _),
+    "q304_paragraph_dedup" -> (qParagraphDedup _),
     "q290_exact_span_rewrite" -> (qExactSpanRewrite _),
     "q287_exact_span_plan" -> (qExactSpanPlan _),
     "q285_suffix_array" -> (qSuffixArray _),
@@ -2043,6 +2090,28 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      "q304_paragraph_dedup" ->
+        s"""WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(str_split(text, ' '), t -> t <> '') AS toks
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |    md5(array_to_string(list_slice(toks,
+          |      i * $ParaTokens + 1, (i + 1) * $ParaTokens), ' ')) AS h
+          |  FROM d, unnest(range(0,
+          |    (len(toks) + ${ParaTokens - 1}) // $ParaTokens)) t(i)
+          |  WHERE len(toks) > 0),
+          |dph AS (
+          |  SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+          |SELECT ch.doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(CASE WHEN dph.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dup_chunks,
+          |  floor(1e4 * sum(CASE WHEN dph.nd >= 2 THEN 1 ELSE 0 END)
+          |    / count(*) + 0.5) / 1e4 AS dup_frac
+          |FROM ch JOIN dph ON ch.h = dph.h
+          |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
       // q297: replay the winnowing selection relationally — per-window
       // argmin over (hash asc, pos desc) via row_number, same q25
       // polynomial fold in integer arithmetic.

@@ -1382,10 +1382,435 @@ object ScoringQueries extends QueryModule {
           .as("train_acc"))
   }
 
+  /** Bin width (n_chars) for q303's isotonic calibration grid. */
+  private val IsoBinWidth = 25
+
+  /** Isotonic regression by PAV (q303) — Ayer et al. 1955 via the
+    * minimax identity iso(b) = max_{i≤b} min_{j≥b} mean(y over bins
+    * i..j): the distribution-free calibrator (Zadrozny & Elkan 2002)
+    * that q203's fixed-bin reliability curve feeds into when the raw
+    * rate wiggles non-monotonically. Here: P(lang = en | length bin)
+    * fitted to be monotone in length. Scale shape: ONE corpus
+    * aggregate collapses to the ≤|range/width| nonempty bins;
+    * the O(B³) minimax runs as two grid joins over that bin frame —
+    * bounded by the value domain, never the corpus (the q182/q294
+    * grid posture, but join-shaped: no window at all). Determinism:
+    * every A(i,j) is a ratio of exact integer sums, and min/max
+    * selection over identical doubles is exact. */
+  def qIsotonicPav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    isotonicOf(Tables.documents(s, dir).select(
+      ($"n_chars" / IsoBinWidth).cast("long").as("bin"),
+      when($"lang" === "en", 1L).otherwise(0L).as("y")))
+  }
+
+  /** PAV core over any (bin, y∈{0,1}) frame; split out so the spec
+    * can pin pooling on a planted violation. */
+  private[graft] def isotonicOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bins = base.groupBy($"bin")
+      .agg(count(lit(1)).as("n"), sum($"y").as("cy"))
+    val a = bins.select($"bin".as("i"))
+      .join(bins.select($"bin".as("j")), $"i" <= $"j")
+      .join(bins.select($"bin".as("m"), $"n", $"cy"),
+        $"m" >= $"i" && $"m" <= $"j")
+      .groupBy($"i", $"j")
+      .agg((sum($"cy").cast("double") / sum($"n")).as("aij"))
+    val t = a.join(bins.select($"bin".as("b")), $"i" <= $"b" && $"j" >= $"b")
+      .groupBy($"b", $"i").agg(min($"aij").as("mn"))
+    val iso = t.groupBy($"b").agg(max($"mn").as("iso"))
+    bins.join(iso, bins("bin") === iso("b"))
+      .select($"bin", $"n",
+        (floor(lit(1e4) * $"cy" / $"n" + 0.5) / 1e4).as("rate"),
+        (floor($"iso" * 1e4 + 0.5) / 1e4).as("iso"))
+      .orderBy($"bin")
+  }
+
+  /** q305's BLEU n-gram orders and candidate blocking (q31's
+    * min-shingle block + MaxBlock guard, via DedupQueries). */
+  private val BleuMaxBlock = 1000
+
+  /** Pairwise BLEU-2 (q305) — Papineni et al. 2002's modified n-gram
+    * precision, scored over the blocked near-dup candidate pairs: the
+    * ORDER-AWARE similarity the set measures (Jaccard q31, containment
+    * q159) cannot see — two docs with identical vocabulary but
+    * shuffled word order share sets but not bigrams. Candidate = the
+    * higher doc_id, reference = the lower; clipped counts are the
+    * multiset min via per-token count joins (never an all-pairs
+    * explode — pairs come from the bounded block). Reported as p1, p2
+    * and their geometric mean √(p1·p2) — the brevity penalty's exp()
+    * is deliberately omitted (cross-engine exp is the one
+    * non-deterministic op in the formula; the lengths are published
+    * instead, BP = min(1, e^{1−r/c}) is derivable downstream). */
+  def qBleuPairs(s: SparkSession, dir: String): DataFrame =
+    bleuPairsOf(Tables.documents(s, dir))
+
+  /** BLEU-2 core over any (doc_id, text) frame; split out so the spec
+    * can pin clipped precisions on a hand-scored edit. */
+  private[graft] def bleuPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = filter(split($"text", " "), t => t =!= lit(""))
+    val d = docs
+      .select($"doc_id", toks.as("tk"),
+        DedupQueries.shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(Window.partitionBy($"blk")))
+      .filter($"blk_n" <= BleuMaxBlock)
+    val pairs = d.select($"doc_id".as("a"), $"blk")
+      .join(d.select($"doc_id".as("b"), $"blk"), Seq("blk"))
+      .filter($"a" < $"b").select($"a", $"b")
+    val uni = d.select($"doc_id", explode($"tk").as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+    val big = d.select($"doc_id", explode(zip_with(
+        slice($"tk", lit(1), greatest(size($"tk") - 1, lit(0))),
+        slice($"tk", lit(2), greatest(size($"tk") - 1, lit(0))),
+        (x, y) => concat_ws(" ", x, y))).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+    val lens = d.select($"doc_id",
+      size($"tk").cast("long").as("len1"),
+      greatest(size($"tk") - 1, lit(0)).cast("long").as("len2"))
+    def clipped(grams: DataFrame): DataFrame =
+      pairs
+        .join(grams.select($"doc_id".as("a"), $"t", $"c".as("ca")), Seq("a"))
+        .join(grams.select($"doc_id".as("b"), $"t", $"c".as("cb")),
+          Seq("b", "t"))
+        .groupBy($"a", $"b").agg(sum(least($"ca", $"cb")).as("clip"))
+    val c1 = clipped(uni).withColumnRenamed("clip", "clip1")
+    val c2 = clipped(big).withColumnRenamed("clip", "clip2")
+    pairs
+      .join(c1, Seq("a", "b"), "left")
+      .join(c2, Seq("a", "b"), "left")
+      .join(lens.select($"doc_id".as("b"), $"len1", $"len2"), Seq("b"))
+      .select($"a", $"b",
+        (floor(lit(1e4) * coalesce($"clip1", lit(0L)) / $"len1" + 0.5)
+          / 1e4).as("p1"),
+        (floor(lit(1e4) * coalesce($"clip2", lit(0L)) / $"len2" + 0.5)
+          / 1e4).as("p2"),
+        (floor(lit(1e4) * sqrt(
+          (coalesce($"clip1", lit(0L)) / $"len1")
+            * (coalesce($"clip2", lit(0L)) / $"len2")) + 0.5) / 1e4)
+          .as("bleu2"))
+      .orderBy($"a", $"b")
+  }
+
+  /** Reciprocal-rank fusion (q306) — Cormack, Clarke & Buettcher 2009:
+    * fuse three quality signals (chars, tokens, distinct tokens) by
+    * Σ 1/(60+rank) — the rank-space ensemble that needs no score
+    * normalization and is the standard way corpus pipelines combine
+    * heterogeneous quality signals into one selection order. Ranks
+    * are min-ranks DERIVED FROM VALUE-GRID COUNTS (1 + count of
+    * strictly-better values, one grid self-join per signal) — never a
+    * corpus-wide window; the three rank maps broadcast back onto the
+    * corpus and the top-20 read heap-rewrites. The fused score is a
+    * 3-term expression (fixed association), not an aggregate — both
+    * engines evaluate the identical tree. */
+  def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rrfOf(Tables.documents(s, dir).select($"doc_id",
+      $"n_chars".as("v1"),
+      size(split($"text", " ")).cast("long").as("v2"),
+      size(array_distinct(split($"text", " "))).cast("long").as("v3")))
+  }
+
+  /** RRF core over any (doc_id, v1, v2, v3) frame; split out so the
+    * spec can pin the fused order on crafted rank structure. */
+  private[graft] def rrfOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    def rankMap(col: String): DataFrame = {
+      val g = base.groupBy(base(col).as("v")).agg(count(lit(1)).as("c"))
+      g.select($"v")
+        .join(g.select($"v".as("v2"), $"c"), $"v2" > $"v", "left")
+        .groupBy($"v")
+        .agg((lit(1L) + coalesce(sum($"c"), lit(0L))).as("rk"))
+    }
+    val fused = base
+      .join(rankMap("v1").select($"v".as("v1"), $"rk".as("r1")), Seq("v1"))
+      .join(rankMap("v2").select($"v".as("v2"), $"rk".as("r2")), Seq("v2"))
+      .join(rankMap("v3").select($"v".as("v3"), $"rk".as("r3")), Seq("v3"))
+      .select($"doc_id", $"r1", $"r2", $"r3",
+        (floor(lit(1e6) * (lit(1.0) / (lit(60L) + $"r1")
+          + lit(1.0) / (lit(60L) + $"r2")
+          + lit(1.0) / (lit(60L) + $"r3")) + 0.5) / 1e6).as("rrf"))
+    fused.withColumn("pos", row_number().over(
+        Window.orderBy($"rrf".desc, $"doc_id".asc)))
+      .filter($"pos" <= 20)
+      .select($"pos", $"doc_id", $"r1", $"r2", $"r3", $"rrf")
+      .orderBy($"pos")
+  }
+
+  /** Decision-stump split search (q307) — the one-level CART step
+    * (Breiman et al. 1984): the best `n_chars ≤ t` threshold for
+    * predicting lang = en by weighted Gini impurity, the third
+    * trainer shape after q299's iterative GD and q300's closed-form
+    * solve, and the building block of every boosted-stump quality
+    * gate. Scale shape: one aggregate to the distinct-value grid, a
+    * grid cumsum for the left/right class counts, and the argmin read
+    * heap-rewrites (rn = 1); Gini is pure rational arithmetic —
+    * deterministic across engines, no logs. */
+  def qStumpSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    stumpOf(Tables.documents(s, dir).select($"n_chars".as("v"),
+      when($"lang" === "en", 1L).otherwise(0L).as("y")))
+  }
+
+  /** Stump core over any (v, y∈{0,1}) frame; split out so the spec
+    * can pin the perfect-split fixture. */
+  private[graft] def stumpOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val grid = base.groupBy($"v")
+      .agg(count(lit(1)).as("c"), sum($"y").as("cy"))
+    val tot = grid.agg(sum($"c").as("nn"), sum($"cy").as("yy"))
+    val w = Window.orderBy($"v")
+    val cum = grid
+      .withColumn("ln", sum($"c").over(w))
+      .withColumn("ly", sum($"cy").over(w))
+      .crossJoin(broadcast(tot))
+      .filter($"ln" < $"nn")
+    val gini = cum.select($"v", $"ln", $"ly", $"nn", $"yy",
+      (($"ln" - (($"ly" * $"ly" + ($"ln" - $"ly") * ($"ln" - $"ly"))
+          .cast("double") / $"ln"))
+        + (($"nn" - $"ln") - ((($"yy" - $"ly") * ($"yy" - $"ly")
+            + (($"nn" - $"ln") - ($"yy" - $"ly"))
+              * (($"nn" - $"ln") - ($"yy" - $"ly"))).cast("double")
+          / ($"nn" - $"ln")))).as("gsum"))
+    val best = gini.withColumn("rn", row_number().over(
+        Window.orderBy($"gsum".asc, $"v".asc)))
+      .filter($"rn" <= 1)
+    best.select($"v".as("threshold"),
+      $"ln".as("n_left"), $"ly".as("y_left"),
+      ($"nn" - $"ln").as("n_right"), ($"yy" - $"ly").as("y_right"),
+      (floor(lit(1e4) * ((lit(1.0)
+        - ($"yy" * $"yy" + ($"nn" - $"yy") * ($"nn" - $"yy"))
+          .cast("double") / ($"nn" * $"nn"))
+        - $"gsum" / $"nn") + 0.5) / 1e4).as("gini_gain"),
+      (floor(lit(1e4) * (greatest($"ly", $"ln" - $"ly")
+        + greatest($"yy" - $"ly", ($"nn" - $"ln") - ($"yy" - $"ly")))
+        .cast("double") / $"nn" + 0.5) / 1e4).as("stump_acc"))
+  }
+
+  /** Multinomial Naive Bayes language classifier (q308) — the
+    * fastText-before-fastText gate: train P(lang) · Π P(token|lang)
+    * with add-one smoothing and report per-language training recall.
+    * The THIRD classifier trainer (after q299's GD and q307's stump),
+    * and the one whose training IS a groupBy: class priors and
+    * token-class counts are two aggregates, scoring is one join of
+    * the doc-token counts against the (token, lang) probability table
+    * (5 classes per token — a bounded multiplier, shuffled on the
+    * token key), and the per-doc argmax is a doc-PARTITIONED rank.
+    * ln() is evaluated on identical doubles both engines; an argmax
+    * flip would need two class scores within 1 ulp — priors differ by
+    * construction. */
+  def qNaiveBayes(s: SparkSession, dir: String): DataFrame =
+    naiveBayesOf(Tables.documents(s, dir))
+
+  /** NB core over any (doc_id, lang, text) frame; split out so the
+    * spec can pin perfect separation on a crafted vocabulary. */
+  private[graft] def naiveBayesOf(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val docs = docs0.select($"doc_id", $"lang",
+      filter(split($"text", " "), t => t =!= lit("")).as("tk"))
+    val dt = docs.select($"doc_id", $"lang", explode($"tk").as("t"))
+    val classTok = dt.groupBy($"lang".as("c"), $"t")
+      .agg(count(lit(1)).as("ctc"))
+    val classTot = classTok.groupBy($"c").agg(sum($"ctc").as("nc"))
+    val vocab = dt.agg(countDistinct($"t").as("v"))
+    val priors = docs.groupBy($"lang".as("c"))
+      .agg(count(lit(1)).as("ndc"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    // P(t|c) table over vocab x classes: left-join gives the +1-only
+    // smoothed mass to unseen (t, c) cells
+    val probs = dt.select($"t").distinct()
+      .crossJoin(classTot.join(priors, "c"))
+      .join(classTok, Seq("c", "t"), "left")
+      .crossJoin(broadcast(vocab))
+      .select($"c", $"t",
+        log((coalesce($"ctc", lit(0L)) + lit(1L)).cast("double")
+          / ($"nc" + $"v")).as("lp"))
+    val docTok = dt.groupBy($"doc_id", $"lang", $"t")
+      .agg(count(lit(1)).as("cdt"))
+    val scores = docTok.join(probs, Seq("t"))
+      .groupBy($"doc_id", $"lang", $"c")
+      .agg(sum($"cdt" * $"lp").as("ll"))
+      .join(priors.crossJoin(broadcast(nDocs)), Seq("c"))
+      .select($"doc_id", $"lang", $"c",
+        ($"ll" + log($"ndc".cast("double") / $"nd")).as("score"))
+    val pred = scores.withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"c".asc)))
+      .filter($"rn" === 1)
+    pred.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"c" === $"lang", 1L).otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(nDocs))
+      .select($"lang", $"n_docs",
+        (floor(lit(1e4) * $"n_docs" / $"nd" + 0.5) / 1e4).as("prior"),
+        (floor(lit(1e4) * $"n_correct" / $"n_docs" + 0.5) / 1e4)
+          .as("recall"))
+      .orderBy($"lang")
+  }
+
+  /** q309's pinball-loss GD schedule: same snapped-trajectory
+    * discipline as q299, different loss. */
+  private val QrTau = 0.7
+  private val QrIters = 8
+  private val QrRate = 0.5
+
+  /** Quantile regression by subgradient descent (q309) — Koenker &
+    * Bassett 1978: fit the τ=0.7 conditional quantile of document
+    * length against token count by minimizing pinball loss. The
+    * quantile line is what length-budget planning actually needs
+    * (q84's token budgets care about the P70 doc, not the mean, and
+    * OLS (q300) chases outliers). Same distributed shape and
+    * determinism posture as q299 — one aggregate per round; the
+    * pinball subgradient is τ − 1{y < ŷ} (pure comparisons, no
+    * transcendentals), per-row terms quantize to the 1e-6 grid,
+    * weights snap to 1e-9. */
+  def qQuantileReg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantileRegCore(Tables.documents(s, dir).select(
+      ($"n_chars" / lit(1000.0)).as("y"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x")))
+  }
+
+  private[graft] def quantileRegCore(f0: DataFrame): DataFrame = {
+    val s = f0.sparkSession
+    import s.implicits._
+    val f = f0.localCheckpoint()
+    val nF = f.agg(count(lit(1)).as("n")).localCheckpoint()
+    var w = s.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
+      .localCheckpoint()
+    def snap9(col: Column): Column =
+      floor(col * lit(1e9) + lit(0.5)) / lit(1e9)
+    val yhat = $"a" + $"b" * $"x"
+    val g = when($"y" < yhat, lit(QrTau) - lit(1.0)).otherwise(lit(QrTau))
+    for (_ <- 1 to QrIters) {
+      val gr = f.crossJoin(broadcast(w)).agg(
+        sum(floor(lit(1e6) * g + lit(0.5))).as("ga"),
+        sum(floor(lit(1e6) * g * $"x" + lit(0.5))).as("gb"))
+      w = w.crossJoin(broadcast(gr)).crossJoin(broadcast(nF))
+        .select(
+          snap9($"a" + lit(QrRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
+          snap9($"b" + lit(QrRate) * $"gb" / (lit(1e6) * $"n")).as("b"))
+        .localCheckpoint()
+    }
+    // pinball loss at the final weights, exact-quantized per row
+    val lossTerm = when($"y" >= yhat, lit(QrTau) * ($"y" - yhat))
+      .otherwise((lit(QrTau) - lit(1.0)) * ($"y" - yhat))
+    val loss = f.crossJoin(broadcast(w)).agg(
+      sum(floor(lit(1e6) * lossTerm + lit(0.5))).as("pl"))
+    w.crossJoin(broadcast(loss)).crossJoin(broadcast(nF))
+      .select($"a".as("w0"), $"b".as("w1"), $"n",
+        (floor(lit(1e4) * ($"pl" / (lit(1e6) * $"n")) + 0.5) / 1e4)
+          .as("pinball"))
+  }
+
+  /** q310's schedule — mirrors q299's discipline on the train split. */
+  private val TiIters = 8
+  private val TiRate = 0.5
+
+  /** TracIn data attribution (q310) — Pruthi et al. 2020, "Estimating
+    * Training Data Influence by Tracing Gradient Descent": the
+    * influence of train doc i on the held-out split is
+    * Σ_rounds lr · ∇ℓ_i(w_r) · ḡ_val(w_r) — docs whose gradients
+    * consistently AGREE with the validation gradient are proponents
+    * (keep, upweight), persistent opponents are mislabeled/noise
+    * (the data-cleaning signal attribution pipelines actually act
+    * on). Built on q299's deterministic trajectory, split 80/20 by
+    * doc_id % 5. Scale shape is the part worth copying: train the
+    * R-round trajectory first (one train aggregate + one 3-number
+    * val aggregate per round — all scalar state), then attribute in
+    * ONE corpus pass with the 2R scalar frames cross-joined in as
+    * broadcasts and the whole R-term dot-product sum evaluated
+    * in-row; the top-10 read heap-rewrites. No per-round corpus
+    * mutation, no driver collect. */
+  def qTracinInfluence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tracinCore(Tables.documents(s, dir).select($"doc_id",
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2"),
+      ($"doc_id" % 5 === 0).as("isval")))
+  }
+
+  /** TracIn core over any (doc_id, y, x1, x2, isval) frame; split out
+    * so the spec can pin that a mislabeled train doc scores below the
+    * aligned ones. */
+  private[graft] def tracinCore(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.localCheckpoint()
+    val tr = base.filter(!$"isval")
+    val va = base.filter($"isval")
+    val nTr = tr.agg(count(lit(1)).as("n")).localCheckpoint()
+    val nVa = va.agg(count(lit(1)).as("nv")).localCheckpoint()
+    var w = s.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
+      .localCheckpoint()
+    def snap9(col: Column): Column =
+      floor(col * lit(1e9) + lit(0.5)) / lit(1e9)
+    val u = $"a" + $"b" * $"x1" + $"c" * $"x2"
+    val d = $"y" - (lit(0.5) + u / (lit(2.0) * (lit(1.0) + abs(u))))
+    val ws = Seq.newBuilder[DataFrame]
+    val gvs = Seq.newBuilder[DataFrame]
+    for (r <- 1 to TiIters) {
+      ws += w.select($"a".as(s"a${r - 1}"), $"b".as(s"b${r - 1}"),
+        $"c".as(s"c${r - 1}"))
+      val gv = va.crossJoin(broadcast(w)).agg(
+          sum(floor(lit(1e6) * d + lit(0.5))).as("sa"),
+          sum(floor(lit(1e6) * d * $"x1" + lit(0.5))).as("sb"),
+          sum(floor(lit(1e6) * d * $"x2" + lit(0.5))).as("sc"))
+        .crossJoin(broadcast(nVa))
+        .select(($"sa" / (lit(1e6) * $"nv")).as(s"vga$r"),
+          ($"sb" / (lit(1e6) * $"nv")).as(s"vgb$r"),
+          ($"sc" / (lit(1e6) * $"nv")).as(s"vgc$r"))
+        .localCheckpoint()
+      gvs += gv
+      val g = tr.crossJoin(broadcast(w)).agg(
+        sum(floor(lit(1e6) * d + lit(0.5))).as("ga"),
+        sum(floor(lit(1e6) * d * $"x1" + lit(0.5))).as("gb"),
+        sum(floor(lit(1e6) * d * $"x2" + lit(0.5))).as("gc"))
+      w = w.crossJoin(broadcast(g)).crossJoin(broadcast(nTr))
+        .select(
+          snap9($"a" + lit(TiRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
+          snap9($"b" + lit(TiRate) * $"gb" / (lit(1e6) * $"n")).as("b"),
+          snap9($"c" + lit(TiRate) * $"gc" / (lit(1e6) * $"n")).as("c"))
+        .localCheckpoint()
+    }
+    var frame = tr
+    for (wr <- ws.result()) frame = frame.crossJoin(broadcast(wr))
+    for (gv <- gvs.result()) frame = frame.crossJoin(broadcast(gv))
+    val infl = (1 to TiIters).map { r =>
+      val ur = col(s"a${r - 1}") + col(s"b${r - 1}") * $"x1" +
+        col(s"c${r - 1}") * $"x2"
+      val dr = $"y" - (lit(0.5) + ur / (lit(2.0) * (lit(1.0) + abs(ur))))
+      lit(TiRate) * dr * (col(s"vga$r") + $"x1" * col(s"vgb$r")
+        + $"x2" * col(s"vgc$r"))
+    }.reduce(_ + _)
+    frame
+      .select($"doc_id", (floor(infl * lit(1e6) + 0.5) / 1e6).as("infl"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"infl".desc, $"doc_id".asc)))
+      .filter($"pos" <= 10)
+      .select($"pos", $"doc_id", $"infl")
+      .orderBy($"pos")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q296_good_turing" -> (qGoodTuring _),
       "q299_logreg_gd" -> (qLogregGd _),
+      "q308_naive_bayes" -> (qNaiveBayes _),
+      "q309_quantile_reg" -> (qQuantileReg _),
+      "q310_tracin_influence" -> (qTracinInfluence _),
+      "q303_isotonic_pav" -> (qIsotonicPav _),
+      "q305_bleu_pairs" -> (qBleuPairs _),
+      "q306_rrf_fusion" -> (qRrfFusion _),
+      "q307_stump_split" -> (qStumpSplit _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -1484,6 +1909,317 @@ object ScoringQueries extends QueryModule {
         |  GROUP BY doc_id)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    "q308_naive_bayes" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(str_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |dt AS (SELECT doc_id, lang, unnest(tk) AS t FROM docs),
+        |ct AS (
+        |  SELECT lang AS c, t, CAST(count(*) AS BIGINT) AS ctc
+        |  FROM dt GROUP BY 1, 2),
+        |ctot AS (SELECT c, CAST(sum(ctc) AS BIGINT) AS nc FROM ct GROUP BY c),
+        |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM dt),
+        |priors AS (
+        |  SELECT lang AS c, CAST(count(*) AS BIGINT) AS ndc
+        |  FROM docs GROUP BY lang),
+        |ndocs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs),
+        |vt AS (SELECT DISTINCT t FROM dt),
+        |probs AS (
+        |  SELECT ctot.c, vt.t,
+        |    ln(CAST(coalesce(ct.ctc, 0) + 1 AS DOUBLE)
+        |      / (ctot.nc + vocab.v)) AS lp
+        |  FROM vt CROSS JOIN ctot
+        |  LEFT JOIN ct ON ct.c = ctot.c AND ct.t = vt.t
+        |  CROSS JOIN vocab),
+        |dtc AS (
+        |  SELECT doc_id, lang, t, CAST(count(*) AS BIGINT) AS cdt
+        |  FROM dt GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT dtc.doc_id, dtc.lang, p.c, sum(dtc.cdt * p.lp) AS ll
+        |  FROM dtc JOIN probs p ON dtc.t = p.t
+        |  GROUP BY 1, 2, 3),
+        |sc2 AS (
+        |  SELECT sc.doc_id, sc.lang, sc.c,
+        |    sc.ll + ln(CAST(pr.ndc AS DOUBLE) / nd.nd) AS score
+        |  FROM sc JOIN priors pr ON sc.c = pr.c CROSS JOIN ndocs nd),
+        |pred AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, c ASC) AS rn
+        |  FROM sc2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(1e4 * count(*) / nd.nd + 0.5) / 1e4 AS prior,
+        |  floor(1e4 * sum(CASE WHEN c = lang THEN 1 ELSE 0 END)
+        |    / count(*) + 0.5) / 1e4 AS recall
+        |FROM pred CROSS JOIN ndocs nd
+        |WHERE rn = 1
+        |GROUP BY lang, nd.nd ORDER BY lang""".stripMargin,
+    // q309: unrolled pinball-GD rounds; every float literal is forced
+    // to DOUBLE so both engines run identical IEEE trees (0.7 as a
+    // DECIMAL would round differently than the double 0.7).
+    "q309_quantile_reg" -> {
+      val tau = s"CAST($QrTau AS DOUBLE)"
+      def rd(p: String, c: String): String =
+        s"""g$c AS (
+          |  SELECT
+          |    sum(floor(1e6 * (CASE WHEN f.y < w.a + w.b * f.x
+          |      THEN $tau - 1.0 ELSE $tau END) + 0.5)) AS ga,
+          |    sum(floor(1e6 * (CASE WHEN f.y < w.a + w.b * f.x
+          |      THEN $tau - 1.0 ELSE $tau END) * f.x + 0.5)) AS gb
+          |  FROM f CROSS JOIN w$p w),
+          |w$c AS (
+          |  SELECT
+          |    floor((w.a + $QrRate * g$c.ga / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS a,
+          |    floor((w.b + $QrRate * g$c.gb / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS b
+          |  FROM w$p w CROSS JOIN g$c CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to QrIters)
+        .map(i => rd((i - 1).toString, i.toString)).mkString(",\n")
+      s"""WITH f AS (
+        |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS y,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b),
+        |$rounds,
+        |loss AS (
+        |  SELECT sum(floor(1e6 * (CASE WHEN f.y >= w.a + w.b * f.x
+        |    THEN $tau * (f.y - (w.a + w.b * f.x))
+        |    ELSE ($tau - 1.0) * (f.y - (w.a + w.b * f.x)) END)
+        |    + 0.5)) AS pl
+        |  FROM f CROSS JOIN w$QrIters w)
+        |SELECT w$QrIters.a AS w0, w$QrIters.b AS w1, nn.n,
+        |  floor(1e4 * (loss.pl / (1e6 * nn.n)) + 0.5) / 1e4 AS pinball
+        |FROM w$QrIters CROSS JOIN loss CROSS JOIN nn""".stripMargin
+    },
+    // q310: the q299-style unrolled trajectory on the train split,
+    // per-round mean validation gradients, then the 8-term TracIn dot
+    // product per train doc — the same expression tree the engine
+    // evaluates in-row.
+    "q310_tracin_influence" -> {
+      def sig(u: String) = s"(0.5 + $u / (2.0 * (1.0 + abs($u))))"
+      def rd(p: String, c: String): String = {
+        val u = s"w.a + w.b * f.x1 + w.c * f.x2"
+        val d = s"(f.y - ${sig(s"($u)")})"
+        s"""gvs$c AS (
+          |  SELECT
+          |    sum(floor(1e6 * $d + 0.5)) AS sa,
+          |    sum(floor(1e6 * $d * f.x1 + 0.5)) AS sb,
+          |    sum(floor(1e6 * $d * f.x2 + 0.5)) AS sc
+          |  FROM va f CROSS JOIN w$p w),
+          |gv$c AS (
+          |  SELECT gvs$c.sa / (1e6 * nv.nv) AS vga,
+          |    gvs$c.sb / (1e6 * nv.nv) AS vgb,
+          |    gvs$c.sc / (1e6 * nv.nv) AS vgc
+          |  FROM gvs$c CROSS JOIN nv),
+          |g$c AS (
+          |  SELECT
+          |    sum(floor(1e6 * $d + 0.5)) AS ga,
+          |    sum(floor(1e6 * $d * f.x1 + 0.5)) AS gb,
+          |    sum(floor(1e6 * $d * f.x2 + 0.5)) AS gc
+          |  FROM tr f CROSS JOIN w$p w),
+          |w$c AS (
+          |  SELECT
+          |    floor((w.a + $TiRate * g$c.ga / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS a,
+          |    floor((w.b + $TiRate * g$c.gb / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS b,
+          |    floor((w.c + $TiRate * g$c.gc / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS c
+          |  FROM w$p w CROSS JOIN g$c CROSS JOIN nn)""".stripMargin
+      }
+      val rounds = (1 to TiIters)
+        .map(i => rd((i - 1).toString, i.toString)).mkString(",\n")
+      val terms = (1 to TiIters).map { r =>
+        val u = s"(w${r - 1}.a + w${r - 1}.b * tr.x1 + w${r - 1}.c * tr.x2)"
+        s"""($TiRate * (tr.y - ${sig(u)})
+           | * (gv$r.vga + tr.x1 * gv$r.vgb + tr.x2 * gv$r.vgc))"""
+          .stripMargin
+      }.mkString("\n + ")
+      val crosses = (0 until TiIters).map(r => s"CROSS JOIN w$r")
+        .mkString(" ") + " " +
+        (1 to TiIters).map(r => s"CROSS JOIN gv$r").mkString(" ")
+      s"""WITH f0 AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+        |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+        |    doc_id % 5 = 0 AS isval
+        |  FROM documents),
+        |tr AS (SELECT * FROM f0 WHERE NOT isval),
+        |va AS (SELECT * FROM f0 WHERE isval),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM va),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,
+        |  CAST(0 AS DOUBLE) AS c),
+        |$rounds,
+        |infl AS (
+        |  SELECT tr.doc_id,
+        |    floor(($terms) * 1e6 + 0.5) / 1e6 AS infl
+        |  FROM tr $crosses),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY infl DESC, doc_id ASC)
+        |    AS pos
+        |  FROM infl)
+        |SELECT pos, doc_id, infl FROM ranked
+        |WHERE pos <= 10 ORDER BY pos""".stripMargin
+    },
+    "q303_isotonic_pav" ->
+      s"""WITH base AS (
+        |  SELECT n_chars // $IsoBinWidth AS bin,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS cy
+        |  FROM base GROUP BY bin),
+        |a AS (
+        |  SELECT bi.bin AS i, bj.bin AS j,
+        |    CAST(sum(bm.cy) AS DOUBLE) / sum(bm.n) AS aij
+        |  FROM bins bi JOIN bins bj ON bi.bin <= bj.bin
+        |  JOIN bins bm ON bm.bin >= bi.bin AND bm.bin <= bj.bin
+        |  GROUP BY bi.bin, bj.bin),
+        |t AS (
+        |  SELECT bb.bin AS b, a.i, min(a.aij) AS mn
+        |  FROM a JOIN bins bb ON a.i <= bb.bin AND a.j >= bb.bin
+        |  GROUP BY bb.bin, a.i),
+        |iso AS (SELECT b, max(mn) AS iso FROM t GROUP BY b)
+        |SELECT bins.bin, bins.n,
+        |  floor(1e4 * bins.cy / bins.n + 0.5) / 1e4 AS rate,
+        |  floor(iso.iso * 1e4 + 0.5) / 1e4 AS iso
+        |FROM bins JOIN iso ON bins.bin = iso.b
+        |ORDER BY bins.bin""".stripMargin,
+    "q305_bleu_pairs" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS rawtk,
+        |    list_filter(str_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, rawtk AS tk0, unnest(range(1, len(rawtk) - 1)) AS i
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list(tk0[i] || ' ' || tk0[i+1] || ' ' || tk0[i+2]))
+        |      AS sh
+        |  FROM idx GROUP BY doc_id),
+        |bb AS (
+        |  SELECT doc_id, list_aggregate(sh, 'min') AS blk,
+        |    count(*) OVER (PARTITION BY list_aggregate(sh, 'min')) AS blk_n
+        |  FROM sh WHERE len(sh) > 0),
+        |fd AS (SELECT doc_id, blk FROM bb WHERE blk_n <= $BleuMaxBlock),
+        |pairs AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM fd x JOIN fd y ON x.blk = y.blk AND x.doc_id < y.doc_id),
+        |uni AS (
+        |  SELECT t.doc_id, u.t AS g, count(*) AS c
+        |  FROM t, unnest(tk) u(t)
+        |  WHERE t.doc_id IN (SELECT doc_id FROM fd)
+        |  GROUP BY t.doc_id, u.t),
+        |big AS (
+        |  SELECT t.doc_id, tk[i] || ' ' || tk[i+1] AS g, count(*) AS c
+        |  FROM t, unnest(range(1, len(tk))) v(i)
+        |  WHERE t.doc_id IN (SELECT doc_id FROM fd)
+        |  GROUP BY t.doc_id, tk[i] || ' ' || tk[i+1]),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS len1,
+        |    CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS len2
+        |  FROM t),
+        |c1 AS (
+        |  SELECT p.a, p.b, CAST(sum(least(ua.c, ub.c)) AS BIGINT) AS clip1
+        |  FROM pairs p
+        |  JOIN uni ua ON ua.doc_id = p.a
+        |  JOIN uni ub ON ub.doc_id = p.b AND ub.g = ua.g
+        |  GROUP BY p.a, p.b),
+        |c2 AS (
+        |  SELECT p.a, p.b, CAST(sum(least(ba.c, bb2.c)) AS BIGINT) AS clip2
+        |  FROM pairs p
+        |  JOIN big ba ON ba.doc_id = p.a
+        |  JOIN big bb2 ON bb2.doc_id = p.b AND bb2.g = ba.g
+        |  GROUP BY p.a, p.b)
+        |SELECT p.a, p.b,
+        |  floor(1e4 * coalesce(c1.clip1, 0) / l.len1 + 0.5) / 1e4 AS p1,
+        |  floor(1e4 * coalesce(c2.clip2, 0) / l.len2 + 0.5) / 1e4 AS p2,
+        |  floor(1e4 * sqrt((coalesce(c1.clip1, 0) / l.len1)
+        |    * (coalesce(c2.clip2, 0) / l.len2)) + 0.5) / 1e4 AS bleu2
+        |FROM pairs p
+        |LEFT JOIN c1 ON p.a = c1.a AND p.b = c1.b
+        |LEFT JOIN c2 ON p.a = c2.a AND p.b = c2.b
+        |JOIN lens l ON p.b = l.doc_id
+        |ORDER BY p.a, p.b""".stripMargin,
+    "q306_rrf_fusion" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars AS v1,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS v2,
+        |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS v3
+        |  FROM documents),
+        |g1 AS (SELECT v1 AS v, count(*) AS c FROM base GROUP BY v1),
+        |r1 AS (
+        |  SELECT x.v, 1 + CAST(coalesce(sum(y.c), 0) AS BIGINT) AS rk
+        |  FROM g1 x LEFT JOIN g1 y ON y.v > x.v GROUP BY x.v),
+        |g2 AS (SELECT v2 AS v, count(*) AS c FROM base GROUP BY v2),
+        |r2 AS (
+        |  SELECT x.v, 1 + CAST(coalesce(sum(y.c), 0) AS BIGINT) AS rk
+        |  FROM g2 x LEFT JOIN g2 y ON y.v > x.v GROUP BY x.v),
+        |g3 AS (SELECT v3 AS v, count(*) AS c FROM base GROUP BY v3),
+        |r3 AS (
+        |  SELECT x.v, 1 + CAST(coalesce(sum(y.c), 0) AS BIGINT) AS rk
+        |  FROM g3 x LEFT JOIN g3 y ON y.v > x.v GROUP BY x.v),
+        |fused AS (
+        |  SELECT b.doc_id, r1.rk AS r1, r2.rk AS r2, r3.rk AS r3,
+        |    floor(1e6 * (CAST(1 AS DOUBLE) / (60 + r1.rk)
+        |      + CAST(1 AS DOUBLE) / (60 + r2.rk)
+        |      + CAST(1 AS DOUBLE) / (60 + r3.rk)) + 0.5) / 1e6 AS rrf
+        |  FROM base b
+        |  JOIN r1 ON b.v1 = r1.v
+        |  JOIN r2 ON b.v2 = r2.v
+        |  JOIN r3 ON b.v3 = r3.v),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+        |    AS pos
+        |  FROM fused)
+        |SELECT pos, doc_id, r1, r2, r3, rrf FROM rk
+        |WHERE pos <= 20 ORDER BY pos""".stripMargin,
+    "q307_stump_split" ->
+      """WITH base AS (
+        |  SELECT n_chars AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |grid AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(y) AS BIGINT) AS cy
+        |  FROM base GROUP BY v),
+        |tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS nn,
+        |    CAST(sum(cy) AS BIGINT) AS yy FROM grid),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS ln,
+        |    CAST(sum(cy) OVER (ORDER BY v) AS BIGINT) AS ly
+        |  FROM grid),
+        |cand AS (
+        |  SELECT cum.v, cum.ln, cum.ly, tot.nn, tot.yy,
+        |    (cum.ln - CAST(cum.ly * cum.ly
+        |        + (cum.ln - cum.ly) * (cum.ln - cum.ly) AS DOUBLE)
+        |      / cum.ln)
+        |    + ((tot.nn - cum.ln)
+        |      - CAST((tot.yy - cum.ly) * (tot.yy - cum.ly)
+        |          + ((tot.nn - cum.ln) - (tot.yy - cum.ly))
+        |            * ((tot.nn - cum.ln) - (tot.yy - cum.ly)) AS DOUBLE)
+        |        / (tot.nn - cum.ln)) AS gsum
+        |  FROM cum CROSS JOIN tot WHERE cum.ln < tot.nn),
+        |best AS (
+        |  SELECT *, row_number() OVER (ORDER BY gsum ASC, v ASC) AS rn
+        |  FROM cand)
+        |SELECT v AS threshold, ln AS n_left, ly AS y_left,
+        |  nn - ln AS n_right, yy - ly AS y_right,
+        |  floor(1e4 * ((1.0 - CAST(yy * yy + (nn - yy) * (nn - yy)
+        |      AS DOUBLE) / (nn * nn)) - gsum / nn) + 0.5) / 1e4
+        |    AS gini_gain,
+        |  floor(1e4 * CAST(greatest(ly, ln - ly)
+        |    + greatest(yy - ly, (nn - ln) - (yy - ly)) AS DOUBLE)
+        |    / nn + 0.5) / 1e4 AS stump_acc
+        |FROM best WHERE rn <= 1""".stripMargin,
     // q299: the same 8 rounds unrolled as CTEs — rational sigmoid,
     // 1e-6-grid gradient quantization (exact double sums), 1e-9-grid
     // weight snap; every float op is the identical IEEE tree.

@@ -95,7 +95,9 @@ object DumpPlans {
     "q293_acf", "q294_mann_whitney", "q295_spearman",
     "q296_good_turing", "q297_winnowing", "q298_holt_linear",
     "q299_logreg_gd", "q300_ridge_gram", "q301_blocking_eval",
-    "q302_wasserstein")
+    "q302_wasserstein", "q303_isotonic_pav", "q304_paragraph_dedup",
+    "q305_bleu_pairs", "q306_rrf_fusion", "q307_stump_split",
+    "q308_naive_bayes", "q309_quantile_reg", "q310_tracin_influence")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -120,7 +122,9 @@ object DumpPlans {
     "q294_mann_whitney" ->
       "distinct-n_chars value-grid cumsum (value-domain-bounded, q182's frame)",
     "q302_wasserstein" ->
-      "distinct-n_chars value-grid CDF cumsum + gap lead (q182's frame)")
+      "distinct-n_chars value-grid CDF cumsum + gap lead (q182's frame)",
+    "q307_stump_split" ->
+      "distinct-n_chars value-grid class-count cumsum (q182's frame)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -229,6 +229,127 @@ class Round10bSpec extends AnyFunSuite {
     assert(r.getAs[Double]("w1_dist") == 2.0, r.toString)
   }
 
+  test("q303: PAV pools the planted violation and stays monotone") {
+    import spark.implicits._
+    // bin rates 0.2, 0.8, 0.4, 1.0 (5 obs each): PAV pools bins 2-3
+    // to 0.6 -> iso = 0.2, 0.6, 0.6, 1.0
+    def mk(bin: Long, ones: Int): Seq[(Long, Long)] =
+      (1 to ones).map(_ => (bin, 1L)) ++ (1 to 5 - ones).map(_ => (bin, 0L))
+    val base = (mk(1, 1) ++ mk(2, 4) ++ mk(3, 2) ++ mk(4, 5)).toDF("bin", "y")
+    val out = ScoringQueries.isotonicOf(base).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 0.2, 0.2), (2L, 0.8, 0.6),
+      (3L, 0.4, 0.6), (4L, 1.0, 1.0)))
+    assert(out.map(_._3).sliding(2).forall(p => p(0) <= p(1)), "monotone")
+  }
+
+  test("q304: position-independent chunk sharing is detected; unique docs score 0") {
+    import spark.implicits._
+    val c1 = (1 to 10).map("a" + _).mkString(" ")
+    val c2 = (1 to 10).map("b" + _).mkString(" ")
+    val c3 = (1 to 10).map("c" + _).mkString(" ")
+    val docs = Seq(
+      (1L, c1 + " " + c2),  // chunks c1, c2
+      (2L, c2 + " " + c3),  // chunk c2 shared (different position), c3
+      (3L, (1 to 10).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = DedupQueries.paragraphDedupOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
+  test("q305: hand-scored one-word edit gives p1=0.9, p2=7/9") {
+    import spark.implicits._
+    val ref = "aa bb cc dd ee ff gg hh ii jj"
+    val cand = "aa bb cc dd ee ff gg hh zz jj"
+    val docs = Seq((1L, ref), (2L, cand),
+      (3L, "qq rr ss tt uu vv ww xx yy")).toDF("doc_id", "text")
+    val out = ScoringQueries.bleuPairsOf(docs).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getAs[Double]("p1") == 0.9)
+    assert(r.getAs[Double]("p2") == 0.7778)
+    assert(r.getAs[Double]("bleu2") == 0.8367)
+  }
+
+  test("q306: the everywhere-best doc fuses to position 1 with rrf 3/61") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 100L, 50L, 40L),   // best on all three signals
+      (2L, 90L, 45L, 35L),
+      (3L, 80L, 40L, 30L),
+      (4L, 80L, 45L, 20L))    // tie on v1 with doc 3 (shared min-rank)
+      .toDF("doc_id", "v1", "v2", "v3")
+    val out = ScoringQueries.rrfOf(base).collect()
+    assert(out.head.getLong(1) == 1L, "doc 1 must fuse first")
+    assert(out.head.getAs[Double]("rrf") ==
+      math.floor(1e6 * 3.0 / 61 + 0.5) / 1e6)
+    // v1 tie: docs 3 and 4 share min-rank 3 on the first signal
+    val r3 = out.find(_.getLong(1) == 3L).get
+    val r4 = out.find(_.getLong(1) == 4L).get
+    assert(r3.getAs[Long]("r1") == 3L && r4.getAs[Long]("r1") == 3L)
+  }
+
+  test("q307: perfect split found with gain = root gini and acc 1") {
+    import spark.implicits._
+    val base = (Seq.fill(4)((1L, 1L)) ++ Seq.fill(4)((2L, 1L)) ++
+      Seq.fill(4)((3L, 0L)) ++ Seq.fill(4)((4L, 0L)) ++
+      Seq.fill(4)((5L, 0L))).toDF("v", "y")
+    val r = ScoringQueries.stumpOf(base).collect().head
+    assert(r.getAs[Long]("threshold") == 2L)
+    assert(r.getAs[Double]("stump_acc") == 1.0)
+    // root gini = 1 - (8^2+12^2)/20^2 = 0.48; split gini = 0
+    assert(r.getAs[Double]("gini_gain") == 0.48)
+  }
+
+  test("q308: disjoint vocabularies classify perfectly; priors are exact") {
+    import spark.implicits._
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "aa", "foo bar foo")) ++
+      (7 to 10).map(i => (i.toLong, "bb", "baz qux qux")))
+      .toDF("doc_id", "lang", "text")
+    val out = ScoringQueries.naiveBayesOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("aa") == ((6L, 0.6, 1.0)))
+    assert(out("bb") == ((4L, 0.4, 1.0)))
+  }
+
+  test("q309: pinball descent moves the intercept up and the loss down") {
+    import spark.implicits._
+    // x = 0 everywhere: the model can only move its intercept toward
+    // the tau=0.7 quantile of y in {0,1}; at w=0 pinball = 0.35
+    val f = ((1 to 50).map(_ => (0.0, 0.0)) ++ (1 to 50).map(_ => (1.0, 0.0)))
+      .toDF("y", "x")
+    val r = ScoringQueries.quantileRegCore(f).collect().head
+    assert(r.getAs[Double]("w1") == 0.0, "no feature signal, no slope")
+    assert(r.getAs[Double]("w0") > 0.5, s"tau=0.7 pulls above median: $r")
+    assert(r.getAs[Double]("pinball") < 0.35, s"loss must improve: $r")
+  }
+
+  test("q310: a mislabeled train doc never makes the proponent list") {
+    import spark.implicits._
+    // y = 1 iff x1 > 0 everywhere except doc 7, which is flipped;
+    // val split (doc_id % 5 == 0) keeps the clean labeling
+    val base = (1 to 40).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 else -1.0
+      val clean = if (x1 > 0) 1.0 else 0.0
+      val y = if (i == 7) 1.0 - clean else clean
+      (i.toLong, y, x1, 0.5, i % 5 == 0)
+    }.toDF("doc_id", "y", "x1", "x2", "isval")
+    val out = ScoringQueries.tracinCore(base).collect()
+    assert(out.length == 10)
+    assert(!out.map(_.getLong(1)).contains(7L),
+      "the flipped doc cannot be a top proponent")
+    val infl = out.map(_.getAs[Double]("infl"))
+    assert(infl.head > 0.0, "aligned gradients give positive influence")
+    assert(infl.sliding(2).forall(p => p(0) >= p(1)), "ranked desc")
+  }
+
   test("q296: Good-Turing on a counted-by-hand corpus") {
     import spark.implicits._
     // tokens: a x3, b x2, c x1 -> N1=N2=N3=1; r*=2,3; r=3 row has

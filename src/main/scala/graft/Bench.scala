@@ -90,22 +90,26 @@ object Bench {
     System.setOut(System.err) // everything but the final JSON → stderr
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
-      graft.plans.TopKWindowRule)
-    // Warm the JVM/codegen paths once so the first timed query doesn't
-    // absorb JIT + classloading cost (measured ~4s on the first query).
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => }
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
+        graft.plans.TopKWindowRule)
+      // Warm the JVM/codegen paths once so the first timed query doesn't
+      // absorb JIT + classloading cost (measured ~4s on the first query).
+      try {
+        s.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count()
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => }
+      s
+    }
+    var spark = newSession()
     // Measurement protocol (round-3 verdict #1): this host has bursty
     // multi-minute CPU-steal stalls, and back-to-back runs of one query
     // let a single stall window swallow EVERY sample of that query
@@ -129,21 +133,51 @@ object Bench {
         None
       }
     }
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-    val pass1 = suite.map { case (n, fn) => n -> once(n, fn) }.toMap
-    val pass2 = suite.map { case (n, fn) => n -> once(n, fn) }.toMap
+    // Each pass walks the suite FAMILY BY FAMILY and releases that
+    // family's staged SessionCache frames as soon as its last query
+    // finishes (round-10 verdict #2b): with 300+ queries in one JVM the
+    // accumulated staged frames otherwise pile up for the whole run —
+    // the late-suite cache pressure that let r10 record q186 at 13.6 s
+    // through min-of-3 while a fresh profile measured 2.5 s. Module
+    // caches are family-private, so nothing is dropped that a LATER
+    // family would reuse; the next pass re-stages, which is the same
+    // cost the family's first query pays in any fresh session.
+    val fams = SparkEntry.families
+    val byFamily = SparkEntry.queries.toSeq.sortBy(_._1)
+      .groupBy { case (n, _) => fams.getOrElse(n, "other") }
+      .toSeq.sortBy(_._1)
+    def fullPass(): Map[String, Option[Double]] =
+      byFamily.flatMap { case (_, qs) =>
+        val timed = qs.map { case (n, fn) => n -> once(n, fn) }
+        graft.operators.SessionCache.releaseAll(spark)
+        timed
+      }.toMap
+    val pass1 = fullPass()
+    val pass2 = fullPass()
+    // Stall-suspect retry runs in a FRESH session in a fresh context
+    // (round-10 verdict #2a): stall windows correlate within a JVM's
+    // cache/GC state, so re-measuring suspects under the state that
+    // produced the suspicion can confirm a phantom. The restart drops
+    // every cached block; suspects re-stage exactly like a profile run.
+    val suspects = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (n, _) =>
+        val s = pass1(n).toSeq ++ pass2(n).toSeq
+        s.nonEmpty && s.min > StallSuspectSec
+    }
+    val retried: Map[String, Option[Double]] = if (suspects.isEmpty) Map.empty
+    else {
+      spark.stop()
+      spark = newSession()
+      suspects.map { case (n, fn) => n -> once(n, fn) }.toMap
+    }
     // A failed query must not masquerade as a fast success (round-2
     // ADVICE): it reports value -1 and lands in the "failed" list.
-    val results: Map[String, Double] = suite.map { case (name, fn) =>
-      val samples = pass1(name).toSeq ++ pass2(name).toSeq
-      val best = samples match {
-        case Nil => -1.0
-        case ts if ts.min > StallSuspectSec =>
-          (once(name, fn).toSeq ++ ts).min
-        case ts => ts.min
-      }
-      name -> best
-    }.toMap
+    val results: Map[String, Double] =
+      SparkEntry.queries.keys.toSeq.map { name =>
+        val samples = pass1(name).toSeq ++ pass2(name).toSeq ++
+          retried.getOrElse(name, None).toSeq
+        name -> (if (samples.isEmpty) -1.0 else samples.min)
+      }.toMap
     val line = renderLine(results, sfDir)
     stdout.println(line)
     stdout.flush()

@@ -1749,9 +1749,13 @@ object DedupQueries extends QueryModule {
       .select($"doc_id",
         filter(split($"text", " "), t => t =!= lit("")).as("toks"))
       .filter(size($"toks") >= WinK + WinW - 1)
+      // per-token base hash is the 48-bit md5 prefix (q174's house
+      // pattern) — the earlier ascii(t)+length(t) collided for any two
+      // tokens sharing first char and length ('cat'/'car'), letting
+      // unrelated docs inflate n_shared past WinMinShared
       .select($"doc_id",
-        transform($"toks", t => (ascii(t) + length(t)).cast("long"))
-          .as("vals"),
+        transform($"toks", t =>
+          conv(substring(md5(t), 1, 12), 16, 10).cast("long")).as("vals"),
         size($"toks").as("n"))
     // k-gram hashes computed ONCE per position in-row, then exploded;
     // the per-window argmin is a doc-PARTITIONED sliding window (frame
@@ -1842,13 +1846,22 @@ object DedupQueries extends QueryModule {
       .agg(count(lit(1)).as("n_truth"),
         coalesce(sum(when($"blk_a" === $"blk_b", 1L).otherwise(0L)),
           lit(0L)).as("n_matched"))
+    // degenerate inputs get an EXPLICIT published value rather than
+    // leaning on both engines' NULL-propagating division happening to
+    // coincide: n<2 docs → reduction_ratio 1.0 (all zero comparisons
+    // avoided), n_truth=0 → completeness 1.0 (vacuously complete),
+    // n_cand=0 → quality NULL (precision of an empty candidate set is
+    // undefined — documented, stable schema)
     nTot.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
       .select($"n", $"n_cand", $"n_truth", $"n_matched",
-        (floor(lit(1e4) * (lit(1.0) - $"n_cand" * lit(2.0)
-          / ($"n" * ($"n" - 1L))) + 0.5) / 1e4).as("reduction_ratio"),
-        (floor(lit(1e4) * $"n_matched" / $"n_truth" + 0.5) / 1e4)
+        when($"n" < 2L, lit(1.0)).otherwise(
+          floor(lit(1e4) * (lit(1.0) - $"n_cand" * lit(2.0)
+            / ($"n" * ($"n" - 1L))) + 0.5) / 1e4).as("reduction_ratio"),
+        when($"n_truth" === 0L, lit(1.0)).otherwise(
+          floor(lit(1e4) * $"n_matched" / $"n_truth" + 0.5) / 1e4)
           .as("pairs_completeness"),
-        (floor(lit(1e4) * $"n_matched" / $"n_cand" + 0.5) / 1e4)
+        when($"n_cand" === 0L, lit(null).cast("double")).otherwise(
+          floor(lit(1e4) * $"n_matched" / $"n_cand" + 0.5) / 1e4)
           .as("pairs_quality"))
   }
 
@@ -2123,7 +2136,7 @@ object DedupQueries extends QueryModule {
           |v AS (
           |  SELECT doc_id,
           |    list_transform(toks, t ->
-          |      CAST(ascii(t) + len(t) AS BIGINT)) AS vals,
+          |      ('0x' || substr(md5(t), 1, 12))::BIGINT) AS vals,
           |    len(toks) AS n
           |  FROM d WHERE len(toks) >= ${WinK + WinW - 1}),
           |hsrc AS (
@@ -2201,11 +2214,15 @@ object DedupQueries extends QueryModule {
           |  JOIN docs da ON tp.a = da.doc_id
           |  JOIN docs db ON tp.b = db.doc_id)
           |SELECT n, n_cand, n_truth, n_matched,
-          |  floor(1e4 * (1.0 - n_cand * 2.0 / (n * (n - 1))) + 0.5) / 1e4
-          |    AS reduction_ratio,
-          |  floor(1e4 * n_matched / n_truth + 0.5) / 1e4
-          |    AS pairs_completeness,
-          |  floor(1e4 * n_matched / n_cand + 0.5) / 1e4 AS pairs_quality
+          |  CASE WHEN n < 2 THEN 1.0 ELSE
+          |    floor(1e4 * (1.0 - n_cand * 2.0 / (n * (n - 1))) + 0.5) / 1e4
+          |  END AS reduction_ratio,
+          |  CASE WHEN n_truth = 0 THEN 1.0 ELSE
+          |    floor(1e4 * n_matched / n_truth + 0.5) / 1e4
+          |  END AS pairs_completeness,
+          |  CASE WHEN n_cand = 0 THEN CAST(NULL AS DOUBLE) ELSE
+          |    floor(1e4 * n_matched / n_cand + 0.5) / 1e4
+          |  END AS pairs_quality
           |FROM ntot CROSS JOIN cand CROSS JOIN truth""".stripMargin
       },
       // q290: replay q287's rank-free island chain, then re-join the

@@ -620,7 +620,7 @@ object GraphQueries extends QueryModule {
     val open = wedges.join(fe,
       wedges("x") === fe("a") && wedges("y") === fe("b"), "left_anti")
     val scored = open.groupBy($"x".as("a"), $"y".as("b"))
-      .agg(round(sum(lit(1.0) / log($"deg")), 4).as("score"))
+      .agg((floor(sum(lit(1.0) / log($"deg")) * 1e4 + 0.5) / 1e4).as("score"))
     scored.withColumn("rk", row_number().over(
         Window.orderBy($"score".desc, $"a".asc, $"b".asc)))
       .filter($"rk" <= 30)
@@ -1040,7 +1040,7 @@ object GraphQueries extends QueryModule {
         |    SELECT 1 FROM fe WHERE fe.a = w.x AND fe.b = w.y)),
         |sc AS (
         |  SELECT x AS a, y AS b,
-        |    round(sum(1.0 / ln(deg)), 4) AS score
+        |    floor(sum(1.0 / ln(deg)) * 1e4 + 0.5) / 1e4 AS score
         |  FROM open GROUP BY x, y),
         |rkd AS (
         |  SELECT a, b, score,

@@ -1566,7 +1566,13 @@ object QualityQueries extends QueryModule {
   private[graft] def mannWhitneyOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // src_a < src_b, strictly: on a one-source frame min==max and the
+    // OR-filter below would silently double-count every row into both
+    // samples (n1=n2=N) — a meaningless but plausible-looking U. The
+    // guard makes the degenerate case an EMPTY result instead, in both
+    // engines (the oracle replays the same HAVING).
     val pick = docs.agg(min($"source").as("src_a"), max($"source").as("src_b"))
+      .filter($"src_a" < $"src_b")
     val two = docs.crossJoin(broadcast(pick))
       .filter($"source" === $"src_a" || $"source" === $"src_b")
     val grid = two.groupBy($"src_a", $"src_b", $"n_chars")
@@ -1581,14 +1587,15 @@ object QualityQueries extends QueryModule {
         sum($"c1" * $"avg_rk").as("r1"),
         sum($"c" * $"c" * $"c" - $"c").cast("double").as("ties"))
       .select($"src_a", $"src_b", $"n1", $"n2",
-        round($"r1" - $"n1" * ($"n1" + 1L) / lit(2.0), 4).as("u1"),
-        (round(
+        (floor(($"r1" - $"n1" * ($"n1" + 1L) / lit(2.0)) * 1e4 + 0.5) / 1e4)
+          .as("u1"),
+        (floor(
           ($"r1" - $"n1" * ($"n1" + 1L) / lit(2.0)
             - $"n1" * $"n2" / lit(2.0)) /
           sqrt($"n1" * $"n2" / lit(12.0) *
             (($"n1" + $"n2" + 1L)
-              - $"ties" / (($"n1" + $"n2") * ($"n1" + $"n2" - 1L)))),
-          4) + lit(0.0)).as("z"))
+              - $"ties" / (($"n1" + $"n2") * ($"n1" + $"n2" - 1L))))
+          * 1e4 + 0.5) / 1e4).as("z"))
       .orderBy($"src_a")
   }
 
@@ -1623,7 +1630,7 @@ object QualityQueries extends QueryModule {
             / lit(2.0))
     r.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
-        (round(corr($"rx", $"ry"), 4) + lit(0.0)).as("rho"))
+        (floor(corr($"rx", $"ry") * 1e4 + 0.5) / 1e4).as("rho"))
       .orderBy($"source")
   }
 
@@ -1718,7 +1725,10 @@ object QualityQueries extends QueryModule {
   private[graft] def wassersteinOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // same strict src_a < src_b guard as mannWhitneyOf: a one-source
+    // corpus yields an empty result, not a double-counted W₁=0
     val pick = docs.agg(min($"source").as("src_a"), max($"source").as("src_b"))
+      .filter($"src_a" < $"src_b")
     val two = docs.crossJoin(broadcast(pick))
       .filter($"source" === $"src_a" || $"source" === $"src_b")
     val grid = two.groupBy($"src_a", $"src_b", $"n_chars")
@@ -1733,8 +1743,8 @@ object QualityQueries extends QueryModule {
         (lead($"n_chars", 1).over(w) - $"n_chars").cast("double"))
     g.crossJoin(broadcast(tot))
       .groupBy($"src_a", $"src_b", $"n1", $"n2")
-      .agg(round(sum(abs($"f1c" / $"n1" - $"f2c" / $"n2")
-        * coalesce($"gap", lit(0.0))), 4).as("w1_dist"))
+      .agg((floor(sum(abs($"f1c" / $"n1" - $"f2c" / $"n2")
+        * coalesce($"gap", lit(0.0))) * 1e4 + 0.5) / 1e4).as("w1_dist"))
       .select($"src_a", $"src_b", $"n1", $"n2", $"w1_dist")
   }
 
@@ -1845,7 +1855,8 @@ object QualityQueries extends QueryModule {
         |FROM e""".stripMargin,
     "q302_wasserstein" ->
       """WITH pick AS (
-        |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents),
+        |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents
+        |  HAVING min(source) < max(source)),
         |two AS (
         |  SELECT d.source, d.n_chars, p.src_a, p.src_b
         |  FROM documents d CROSS JOIN pick p
@@ -1866,13 +1877,14 @@ object QualityQueries extends QueryModule {
         |      AS DOUBLE) AS gap
         |  FROM grid)
         |SELECT src_a, src_b, n1, n2,
-        |  round(sum(abs(f1c / n1 - f2c / n2) * coalesce(gap, 0.0)), 4)
-        |    AS w1_dist
+        |  floor(sum(abs(f1c / n1 - f2c / n2) * coalesce(gap, 0.0))
+        |    * 1e4 + 0.5) / 1e4 AS w1_dist
         |FROM g CROSS JOIN tot
         |GROUP BY src_a, src_b, n1, n2""".stripMargin,
     "q294_mann_whitney" ->
       """WITH pick AS (
-        |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents),
+        |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents
+        |  HAVING min(source) < max(source)),
         |two AS (
         |  SELECT d.source, d.n_chars, p.src_a, p.src_b
         |  FROM documents d CROSS JOIN pick p
@@ -1892,12 +1904,12 @@ object QualityQueries extends QueryModule {
         |    CAST(sum(c * c * c - c) AS DOUBLE) AS ties
         |  FROM r2 GROUP BY 1, 2)
         |SELECT src_a, src_b, n1, n2,
-        |  round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u1,
-        |  round(
+        |  floor((r1 - n1 * (n1 + 1) / 2.0) * 1e4 + 0.5) / 1e4 AS u1,
+        |  floor(
         |    (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) /
         |    sqrt(n1 * n2 / 12.0 *
-        |      ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1)))),
-        |    4) + 0.0 AS z
+        |      ((n1 + n2 + 1) - ties / ((n1 + n2) * (n1 + n2 - 1))))
+        |    * 1e4 + 0.5) / 1e4 AS z
         |FROM agg ORDER BY src_a""".stripMargin,
     "q295_spearman" ->
       """WITH b AS (
@@ -1912,7 +1924,7 @@ object QualityQueries extends QueryModule {
         |      + (count(*) OVER (PARTITION BY source, y) - 1) / 2.0 AS ry
         |  FROM b)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  round(corr(rx, ry), 4) + 0.0 AS rho
+        |  floor(corr(rx, ry) * 1e4 + 0.5) / 1e4 AS rho
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // q288: same cell rollup, grid cross, and TV arithmetic
     "q288_t_closeness" ->

@@ -1893,7 +1893,9 @@ object TimeQueries extends QueryModule {
     * after (mean, centering, the lag×day product join) is grid-sized
     * — the q221 posture, no unpartitioned windows, the 7-row lag
     * spine and scalar mean/denominator frames broadcast. ACF can be
-    * negative, so the rounded column takes the `+ 0.0` idiom. */
+    * negative, so presentation rounding is the house floor form;
+    * a zero-variance (constant) series yields NULL acf by the
+    * nullif'd denominator, identically in both engines. */
   def qAcf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select(to_date($"ts").as("day"))
@@ -1920,9 +1922,16 @@ object TimeQueries extends QueryModule {
       .join(cent.select($"day".as("d2"), $"e".as("e2")),
         expr("date_add(day, cast(lag as int)) = d2"))
       .groupBy($"lag").agg(sum($"e" * $"e2").as("num"))
+    // den = Σe² is zero iff the series is constant; both engines must
+    // agree on that degenerate input (Spark's Divide returns NULL at
+    // /0 but DuckDB raises inf/NaN under ieee_floating_point_ops), so
+    // the divisor is nullif'd on BOTH sides → acf is NULL on a
+    // zero-variance series. Presentation rounding is the house floor
+    // form (acf can be negative; floor never emits −0.0).
     lags.join(num, Seq("lag"), "left").crossJoin(broadcast(den))
       .select($"lag",
-        (round(coalesce($"num", lit(0.0)) / $"den", 4) + lit(0.0)).as("acf"))
+        (floor(coalesce($"num", lit(0.0)) /
+          when($"den" =!= 0.0, $"den") * 1e4 + 0.5) / 1e4).as("acf"))
       .orderBy($"lag")
   }
 
@@ -2079,7 +2088,8 @@ object TimeQueries extends QueryModule {
         |  JOIN cent c1 ON true
         |  JOIN cent c2 ON c2.day = c1.day + CAST(l.lag AS INTEGER)
         |  GROUP BY l.lag)
-        |SELECT l.lag, round(coalesce(num.num, 0.0) / den.den, 4) + 0.0 AS acf
+        |SELECT l.lag, floor(coalesce(num.num, 0.0)
+        |  / nullif(den.den, 0.0) * 1e4 + 0.5) / 1e4 AS acf
         |FROM lags l LEFT JOIN num ON l.lag = num.lag CROSS JOIN den
         |ORDER BY l.lag""".stripMargin,
     "q298_holt_linear" ->

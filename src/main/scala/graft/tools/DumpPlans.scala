@@ -97,7 +97,29 @@ object DumpPlans {
     "q299_logreg_gd", "q300_ridge_gram", "q301_blocking_eval",
     "q302_wasserstein", "q303_isotonic_pav", "q304_paragraph_dedup",
     "q305_bleu_pairs", "q306_rrf_fusion", "q307_stump_split",
-    "q308_naive_bayes", "q309_quantile_reg", "q310_tracin_influence")
+    "q308_naive_bayes", "q309_quantile_reg", "q310_tracin_influence",
+    // round 11: the remaining registered queries, so RegistrySpec can
+    // hold DumpPlans ≡ SparkEntry.queries and EVERY plan is audited
+    "q6_semi_join", "q7_setops", "q8_rollup", "q9b_distinct_agg",
+    "q10_clean_text", "q11_stopword_filter", "q13_hashtags",
+    "q14_token_stats", "q15_quality_score", "q16_lang_id",
+    "q17_fingerprint", "q18_keywords_tf", "q18b_keywords_inrow",
+    "q19_token_bpe", "q20_date_parse_fixed", "q21_date_parse_dynamic",
+    "q22_make_timestamp", "q23_json_extract", "q24_window_tumbling",
+    "q25_rolling_hash", "q26_sessionize", "q26b_session_window",
+    "q31_ngram_jaccard", "q33_simhash", "q34_embed_cos_dup",
+    "q36_pii_scrub", "q38_length_histogram", "q39_repetition",
+    "q41_lsh_ann", "q42_ivf_ann", "q42b_ivf_kmeans",
+    "q44_cluster_stats", "q47_sequence_pack", "q49_approx_distinct",
+    "q50_sentiment", "q51_demojize", "q52_twitter_pipeline",
+    "q52b_twitter_sentiment", "q53_reddit_pipeline",
+    "q53b_reddit_sentiment", "q54b_rss_summary", "q56_csv_roundtrip",
+    "q57_json_roundtrip", "q58_length_quantiles", "q59_train_split",
+    "q60_media_meta", "q62_partition_pruning", "q63_source_mixing",
+    "q64_dup_clusters", "q68_dedup_report", "q70_stratified_sample",
+    "q73_quantile_sketch", "q80_listagg", "q81_length_deciles",
+    "q82_orc_roundtrip", "q88_temperature_mix", "q96_merge_schema",
+    "q99_funnel")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -107,6 +129,12 @@ object DumpPlans {
     * branch dodged the heap rewrite) and q252 ran its cumulative-mass
     * window over the entire vocabulary before cutting to 30 rows. */
   val GlobalWindowAllow: Map[String, String] = Map(
+    "q38_length_histogram" ->
+      "100-char length-bucket grid cumsum/total (value-domain-bounded)",
+    "q63_source_mixing" ->
+      "sources-sized share/sample-rate window (post-agg, |sources| rows)",
+    "q88_temperature_mix" ->
+      "langs-sized share windows (the frame q102 inherits, post-agg)",
     "q102_epoch_sample" ->
       "langs-sized temperature-mix share windows (q88's frame)",
     "q114_dsir_select" -> "16-row weight-bucket offset spine",

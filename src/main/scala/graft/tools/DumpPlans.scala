@@ -119,7 +119,9 @@ object DumpPlans {
     "q64_dup_clusters", "q68_dedup_report", "q70_stratified_sample",
     "q73_quantile_sketch", "q80_listagg", "q81_length_deciles",
     "q82_orc_roundtrip", "q88_temperature_mix", "q96_merge_schema",
-    "q99_funnel")
+    "q99_funnel",
+    // round 11 additions
+    "q311_holt_winters", "q312_theil_sen", "q318_page_hinkley")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -152,7 +154,9 @@ object DumpPlans {
     "q302_wasserstein" ->
       "distinct-n_chars value-grid CDF cumsum + gap lead (q182's frame)",
     "q307_stump_split" ->
-      "distinct-n_chars value-grid class-count cumsum (q182's frame)")
+      "distinct-n_chars value-grid class-count cumsum (q182's frame)",
+    "q318_page_hinkley" ->
+      "days-sized spine cumavg/cumsum/running-min (q200's frame)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1748,8 +1748,114 @@ object QualityQueries extends QueryModule {
       .select($"src_a", $"src_b", $"n1", $"n2", $"w1_dist")
   }
 
+  /** Kruskal–Wallis H test (q313) — Kruskal & Wallis 1952, the
+    * k-sample generalization of q294's two-sample Mann–Whitney: do ALL
+    * corpus sources draw document lengths from one distribution? One
+    * rank-based H = 12/(N(N+1))·ΣR_j²/n_j − 3(N+1) with the standard
+    * tie correction 1 − Σ(t³−t)/(N³−N) — the omnibus gate a mixture
+    * audit runs BEFORE drilling into q294 pairs. Scale shape: q294's —
+    * the corpus collapses to the (source × distinct-length) grid, the
+    * only window is the global midrank cumsum over the value-domain-
+    * bounded length grid (q182's audited frame), and every sum is an
+    * exact integer or half-integer, so H is bit-deterministic. */
+  def qKruskalWallis(s: SparkSession, dir: String): DataFrame =
+    kruskalWallisOf(Tables.documents(s, dir))
+
+  /** KW core over any (source, n_chars) frame; split out so the spec
+    * can pin H on a hand-ranked fixture. */
+  private[graft] def kruskalWallisOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cells = docs.groupBy($"source", $"n_chars")
+      .agg(count(lit(1)).as("c"))
+    val vals = cells.groupBy($"n_chars").agg(sum($"c").as("ct"))
+    val w = Window.orderBy($"n_chars")
+    // midranks carried DOUBLED (2·avg_rk = 2·cum − ct + 1) so the
+    // per-source rank sums below stay exact integers
+    val ranked = vals.withColumn("cum", sum($"ct").over(w))
+      .select($"n_chars", $"cum", $"ct")
+    // rank sums ride as DOUBLED ranks so rj2 is an exact integer; the
+    // cross-group Σ R_j²/n_j is a double fold in SORTED source order
+    // (collect_list order is not deterministic; the in-row fold is —
+    // and the oracle replays the identical list_reduce order)
+    val perSrc = cells.join(ranked, "n_chars")
+      .groupBy($"source")
+      .agg(sum($"c").as("nj"),
+        sum($"c" * (lit(2L) * $"cum" - $"ct" + 1L)).as("rj2"))
+    val ties = ranked.agg(
+      sum($"ct" * $"ct" * $"ct" - $"ct").cast("double").as("tsum"))
+    perSrc
+      .agg(array_sort(collect_list(struct($"source", $"nj", $"rj2")))
+        .as("gs"))
+      .select(size($"gs").cast("long").as("n_groups"),
+        expr("aggregate(gs, cast(0 as bigint), (a, g) -> a + g.nj)")
+          .as("n"),
+        expr("""aggregate(gs, 0.0d, (a, g) ->
+          |  a + cast(g.rj2 as double) * g.rj2 / (4.0d * g.nj))"""
+          .stripMargin).as("rterm"))
+      .crossJoin(broadcast(ties))
+      .select($"n_groups", $"n",
+        (floor((lit(12.0) / ($"n" * ($"n" + 1L)) * $"rterm"
+          - lit(3.0) * ($"n" + 1L)) * 1e4 + 0.5) / 1e4).as("h"),
+        (floor((lit(12.0) / ($"n" * ($"n" + 1L)) * $"rterm"
+          - lit(3.0) * ($"n" + 1L))
+          / (lit(1.0) - $"tsum" / ($"n".cast("double") * $"n" * $"n" - $"n"))
+          * 1e4 + 0.5) / 1e4).as("h_tie_corrected"))
+  }
+
+  /** Kendall rank correlation tau-b (q314) — Kendall 1938 with the
+    * tie-aware b normalization: per language, do document length and
+    * token count co-order? The concordance complement of q295's
+    * Spearman (tau is more robust to a few wild midranks; reporting
+    * both is standard). Scale shape: the corpus collapses to the
+    * per-lang (x, y) CELL grid first, and concordant/discordant counts
+    * come from the unordered cell-pair join — grid², bounded by the
+    * two VALUE DOMAINS (never the corpus; the same bound q182/q294
+    * lean on), with every pair contributing c_a·c_b exactly in
+    * integers. Tie terms come from the per-axis marginals. One sqrt at
+    * the end; floor-form rounding (tau goes negative). */
+  def qKendallTau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kendallTauOf(Tables.documents(s, dir)
+      .select($"lang", $"n_chars".cast("long").as("x"),
+        size(TextOps.tokenize($"text")).cast("long").as("y")))
+  }
+
+  /** tau-b core over any (lang, x, y) frame; split out so the spec can
+    * pin concordance arithmetic on hand-counted fixtures. */
+  private[graft] def kendallTauOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val cells = base.groupBy($"lang", $"x", $"y")
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select($"lang", $"x".as("xa"), $"y".as("ya"), $"c".as("ca"))
+    val b = cells.select($"lang", $"x".as("xb"), $"y".as("yb"), $"c".as("cb"))
+    val pairs = a.join(b, Seq("lang"))
+      .filter(struct($"xa", $"ya") < struct($"xb", $"yb"))
+    val sgn = signum($"xa" - $"xb") * signum($"ya" - $"yb")
+    val cd = pairs.groupBy($"lang")
+      .agg(sum(when(sgn > 0, $"ca" * $"cb").otherwise(0L)).as("nc"),
+        sum(when(sgn < 0, $"ca" * $"cb").otherwise(0L)).as("nd"))
+    val n = cells.groupBy($"lang").agg(sum($"c").as("n"))
+    val tx = cells.groupBy($"lang", $"x").agg(sum($"c").as("t"))
+      .groupBy($"lang").agg(sum($"t" * ($"t" - 1L) / 2L).as("tiex"))
+    val ty = cells.groupBy($"lang", $"y").agg(sum($"c").as("t"))
+      .groupBy($"lang").agg(sum($"t" * ($"t" - 1L) / 2L).as("tiey"))
+    n.join(cd, Seq("lang"), "left").join(tx, "lang").join(ty, "lang")
+      .select($"lang", $"n".as("n_docs"),
+        coalesce($"nc", lit(0L)).as("n_conc"),
+        coalesce($"nd", lit(0L)).as("n_disc"),
+        (floor((coalesce($"nc", lit(0L)) - coalesce($"nd", lit(0L)))
+          / sqrt(($"n" * ($"n" - 1L) / 2L - $"tiex").cast("double")
+            * ($"n" * ($"n" - 1L) / 2L - $"tiey"))
+          * 1e4 + 0.5) / 1e4).as("tau_b"))
+      .orderBy($"lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q313_kruskal_wallis"  -> (qKruskalWallis _),
+      "q314_kendall_tau"     -> (qKendallTau _),
       "q294_mann_whitney"    -> (qMannWhitney _),
       "q295_spearman"        -> (qSpearman _),
       "q300_ridge_gram"      -> (qRidgeGram _),
@@ -1881,6 +1987,81 @@ object QualityQueries extends QueryModule {
         |    * 1e4 + 0.5) / 1e4 AS w1_dist
         |FROM g CROSS JOIN tot
         |GROUP BY src_a, src_b, n1, n2""".stripMargin,
+    "q313_kruskal_wallis" ->
+      """WITH cells AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |vals AS (
+        |  SELECT n_chars, CAST(sum(c) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |ranked AS (
+        |  SELECT n_chars, ct,
+        |    CAST(sum(ct) OVER (ORDER BY n_chars) AS BIGINT) AS cum
+        |  FROM vals),
+        |persrc AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS nj,
+        |    CAST(sum(c * (2 * r.cum - r.ct + 1)) AS BIGINT) AS rj2
+        |  FROM cells JOIN ranked r ON cells.n_chars = r.n_chars
+        |  GROUP BY source),
+        |gs AS (
+        |  SELECT list({'source': source, 'nj': nj, 'rj2': rj2}
+        |    ORDER BY source) AS gs FROM persrc),
+        |agg AS (
+        |  SELECT CAST(len(gs) AS BIGINT) AS n_groups,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(gs, g -> g.nj)), (a, x) -> a + x) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g ->
+        |        CAST(g.rj2 AS DOUBLE) * g.rj2 / (4.0 * g.nj))),
+        |      (a, x) -> a + x) AS rterm
+        |  FROM gs),
+        |ties AS (
+        |  SELECT CAST(sum(ct * ct * ct - ct) AS DOUBLE) AS tsum
+        |  FROM ranked)
+        |SELECT n_groups, n,
+        |  floor((12.0 / (n * (n + 1)) * rterm - 3.0 * (n + 1))
+        |    * 1e4 + 0.5) / 1e4 AS h,
+        |  floor((12.0 / (n * (n + 1)) * rterm - 3.0 * (n + 1))
+        |    / (1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n))
+        |    * 1e4 + 0.5) / 1e4 AS h_tie_corrected
+        |FROM agg CROSS JOIN ties""".stripMargin,
+    "q314_kendall_tau" ->
+      """WITH b AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS y
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, x, y, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |cd AS (
+        |  SELECT a.lang,
+        |    CAST(sum(CASE WHEN sign(a.x - p.x) * sign(a.y - p.y) > 0
+        |      THEN a.c * p.c ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN sign(a.x - p.x) * sign(a.y - p.y) < 0
+        |      THEN a.c * p.c ELSE 0 END) AS BIGINT) AS nd
+        |  FROM cells a JOIN cells p
+        |    ON a.lang = p.lang AND (a.x, a.y) < (p.x, p.y)
+        |  GROUP BY a.lang),
+        |n AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM cells
+        |  GROUP BY lang),
+        |tx AS (
+        |  SELECT lang, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tiex
+        |  FROM (SELECT lang, x, sum(c) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY lang),
+        |ty AS (
+        |  SELECT lang, CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tiey
+        |  FROM (SELECT lang, y, sum(c) AS t FROM cells GROUP BY 1, 2)
+        |  GROUP BY lang)
+        |SELECT n.lang, n.n AS n_docs,
+        |  CAST(coalesce(cd.nc, 0) AS BIGINT) AS n_conc,
+        |  CAST(coalesce(cd.nd, 0) AS BIGINT) AS n_disc,
+        |  floor((coalesce(cd.nc, 0) - coalesce(cd.nd, 0))
+        |    / sqrt(CAST(n.n * (n.n - 1) // 2 - tx.tiex AS DOUBLE)
+        |      * (n.n * (n.n - 1) // 2 - ty.tiey))
+        |    * 1e4 + 0.5) / 1e4 AS tau_b
+        |FROM n LEFT JOIN cd ON n.lang = cd.lang
+        |JOIN tx ON n.lang = tx.lang JOIN ty ON n.lang = ty.lang
+        |ORDER BY n.lang""".stripMargin,
     "q294_mann_whitney" ->
       """WITH pick AS (
         |  SELECT min(source) AS src_a, max(source) AS src_b FROM documents

@@ -1593,6 +1593,92 @@ object ScoringQueries extends QueryModule {
         .cast("double") / $"nn" + 0.5) / 1e4).as("stump_acc"))
   }
 
+  /** q317 round count: three boosted stumps — enough to see the
+    * reweighting bite (round 2 must attack round 1's mistakes) while
+    * the unrolled oracle stays reviewable. */
+  private val AdaRounds = 3
+
+  /** AdaBoost over decision stumps (q317) — Freund & Schapire 1997,
+    * the canonical boosting loop run ENTIRELY on the value grid: cell
+    * = (n_chars value, y = ±1 for lang = en), and because every stump
+    * decision and every weight update is a pure function of the cell,
+    * per-DOC weights never exist — the trainer's whole state is the
+    * value-domain-bounded cell frame, `localCheckpoint`ed per round
+    * (the structural-guard discipline of q299/q285). Per round: one
+    * grid cumsum scores every (threshold, polarity) stump by EXACT
+    * integer weighted error (weights ride as 1e-6 micro-units, so
+    * error sums are longs — no float-order sensitivity), the argmin
+    * collects as ONE bounded driver row (the PCA/range-shard
+    * precedent), and the multiplicative reweight uses
+    * m = sqrt((1−e)/e) — sqrt is IEEE-correctly-rounded in both
+    * engines, so cell weights stay bit-identical (exp/ln never touch
+    * the weight path). The ensemble vote accumulates integer-quantized
+    * alphas; ln enters ONLY there and in the reported alpha (a 1-ulp
+    * libm divergence flips a 1e-6 floor with probability ~1e-10 —
+    * the q292/q308 accepted class). Output: per round, the chosen
+    * stump, its weighted error, alpha, and the ensemble's running
+    * train accuracy. */
+  def qAdaboostStumps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    adaboostOf(Tables.documents(s, dir).select($"n_chars".as("x"),
+      when($"lang" === "en", 1L).otherwise(-1L).as("y")))
+  }
+
+  /** AdaBoost core over any (x, y∈{+1,−1}) frame; split out so the
+    * spec can pin round-2 reweighting on a crafted two-cut fixture. */
+  private[graft] def adaboostOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    var cells = base.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
+      .withColumn("w", lit(1000000L))
+      .withColumn("vote", lit(0L))
+      .localCheckpoint(true)
+    val out = Seq.newBuilder[(Int, Long, Int, Double, Double, Double)]
+    for (r <- 1 to AdaRounds) {
+      val px = cells.groupBy($"x")
+        .agg(sum(when($"y" === 1L, $"w" * $"c").otherwise(0L)).as("wp"),
+          sum(when($"y" === -1L, $"w" * $"c").otherwise(0L)).as("wn"))
+      val wg = Window.orderBy($"x")
+      val tot = px.agg(sum($"wp").as("wpt"), sum($"wn").as("wnt"))
+      val cum = px
+        .withColumn("cwp", sum($"wp").over(wg))
+        .withColumn("cwn", sum($"wn").over(wg))
+        .crossJoin(broadcast(tot))
+      val thr = cum.select($"x".as("t"), lit(1).as("pol"),
+          ($"cwn" + $"wpt" - $"cwp").as("err"))
+        .unionAll(cum.select($"x".as("t"), lit(-1).as("pol"),
+          ($"cwp" + $"wnt" - $"cwn").as("err")))
+      val bestRow = thr.crossJoin(broadcast(
+          tot.select(($"wpt" + $"wnt").as("wtot"))))
+        .orderBy($"err".asc, $"t".asc, $"pol".desc)
+        .limit(1).collect()(0)
+      val (t, pol, err, wtot) = (bestRow.getAs[Long]("t"),
+        bestRow.getAs[Int]("pol"), bestRow.getAs[Long]("err"),
+        bestRow.getAs[Long]("wtot"))
+      val e = math.min(math.max(err.toDouble / wtot, 1e-9), 1.0 - 1e-9)
+      val m = math.sqrt((1.0 - e) / e)
+      val aq = math.floor(0.5 * math.log((1.0 - e) / e) * 1e6).toLong
+      val h = when($"x" <= t, lit(pol)).otherwise(lit(-pol)).cast("long")
+      cells = cells
+        .withColumn("w",
+          when(h =!= $"y", floor($"w" * lit(m)))
+            .otherwise(floor($"w" * lit(1.0 / m))).cast("long"))
+        .withColumn("vote", $"vote" + lit(aq) * h)
+        .localCheckpoint(true)
+      val accRow = cells.agg(
+        sum(when((when($"vote" >= 0L, 1L).otherwise(-1L)) === $"y", $"c")
+          .otherwise(0L)).as("ok"),
+        sum($"c").as("n")).collect()(0)
+      val acc = accRow.getAs[Long]("ok").toDouble / accRow.getAs[Long]("n")
+      out += ((r, t, pol,
+        math.floor(e * 1e6 + 0.5) / 1e6,
+        math.floor(aq / 100.0 + 0.5) / 1e4,
+        math.floor(acc * 1e4 + 0.5) / 1e4))
+    }
+    s.createDataFrame(out.result()).toDF(
+      "round", "threshold", "polarity", "w_err", "alpha", "acc")
+  }
+
   /** Multinomial Naive Bayes language classifier (q308) — the
     * fastText-before-fastText gate: train P(lang) · Π P(token|lang)
     * with add-one smoothing and report per-language training recall.
@@ -1811,6 +1897,7 @@ object ScoringQueries extends QueryModule {
       "q305_bleu_pairs" -> (qBleuPairs _),
       "q306_rrf_fusion" -> (qRrfFusion _),
       "q307_stump_split" -> (qStumpSplit _),
+      "q317_adaboost_stumps" -> (qAdaboostStumps _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -1908,7 +1995,86 @@ object ScoringQueries extends QueryModule {
         |  FROM grams JOIN ratio USING (b)
         |  GROUP BY doc_id)""".stripMargin
 
+  /** One unrolled AdaBoost round as chained CTEs (the q92/q110
+    * unrolled-iteration oracle pattern): stump scores from the same
+    * integer cumsums, the same (err, t, pol DESC) argmin, the same
+    * sqrt-only weight path and floor quantizations as the engine. */
+  private def adaRoundCteSql(i: Int): String = {
+    val p = i - 1
+    s"""px$i AS (
+       |  SELECT x,
+       |    CAST(sum(CASE WHEN y = 1 THEN w * c ELSE 0 END) AS BIGINT)
+       |      AS wp,
+       |    CAST(sum(CASE WHEN y = -1 THEN w * c ELSE 0 END) AS BIGINT)
+       |      AS wn
+       |  FROM cells$p GROUP BY x),
+       |cum$i AS (
+       |  SELECT x,
+       |    CAST(sum(wp) OVER (ORDER BY x) AS BIGINT) AS cwp,
+       |    CAST(sum(wn) OVER (ORDER BY x) AS BIGINT) AS cwn
+       |  FROM px$i),
+       |tot$i AS (
+       |  SELECT CAST(sum(wp) AS BIGINT) AS wpt,
+       |    CAST(sum(wn) AS BIGINT) AS wnt FROM px$i),
+       |thr$i AS (
+       |  SELECT x AS t, 1 AS pol,
+       |    CAST(cwn + wpt - cwp AS BIGINT) AS err
+       |  FROM cum$i CROSS JOIN tot$i
+       |  UNION ALL
+       |  SELECT x, -1, CAST(cwp + wnt - cwn AS BIGINT)
+       |  FROM cum$i CROSS JOIN tot$i),
+       |best$i AS (
+       |  SELECT t, pol, err FROM thr$i
+       |  ORDER BY err, t, pol DESC LIMIT 1),
+       |st$i AS (
+       |  SELECT t, pol, err,
+       |    least(greatest(CAST(err AS DOUBLE) / (wpt + wnt), 1e-9),
+       |      1 - 1e-9) AS e
+       |  FROM best$i CROSS JOIN tot$i),
+       |st2$i AS (
+       |  SELECT *, sqrt((1 - e) / e) AS m,
+       |    CAST(floor(0.5 * ln((1 - e) / e) * 1e6) AS BIGINT) AS aq
+       |  FROM st$i),
+       |cells$i AS (
+       |  SELECT x, y, c,
+       |    CAST(floor(w * CASE WHEN
+       |        (CASE WHEN x <= s.t THEN s.pol ELSE -s.pol END) <> y
+       |      THEN s.m ELSE 1.0 / s.m END) AS BIGINT) AS w,
+       |    vote + s.aq
+       |      * (CASE WHEN x <= s.t THEN s.pol ELSE -s.pol END) AS vote
+       |  FROM cells$p CROSS JOIN st2$i s),
+       |acc$i AS (
+       |  SELECT CAST(sum(CASE WHEN
+       |      (CASE WHEN vote >= 0 THEN 1 ELSE -1 END) = y
+       |      THEN c ELSE 0 END) AS BIGINT) AS ok,
+       |    CAST(sum(c) AS BIGINT) AS n
+       |  FROM cells$i)""".stripMargin
+  }
+
+  private def adaboostSql: String = {
+    val rounds = (1 to 3).map(adaRoundCteSql).mkString(",\n")
+    val rows = (1 to 3).map { i =>
+      s"""SELECT $i AS round, st2$i.t AS threshold,
+         |  st2$i.pol AS polarity,
+         |  floor(st2$i.e * 1e6 + 0.5) / 1e6 AS w_err,
+         |  floor(st2$i.aq / 100.0 + 0.5) / 1e4 AS alpha,
+         |  floor(CAST(acc$i.ok AS DOUBLE) / acc$i.n * 1e4 + 0.5) / 1e4
+         |    AS acc
+         |FROM st2$i CROSS JOIN acc$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cells0 AS (
+       |  SELECT CAST(n_chars AS BIGINT) AS x,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |    CAST(count(*) AS BIGINT) AS c,
+       |    CAST(1000000 AS BIGINT) AS w, CAST(0 AS BIGINT) AS vote
+       |  FROM documents GROUP BY 1, 2),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q317_adaboost_stumps" -> adaboostSql,
     "q308_naive_bayes" ->
       """WITH docs AS (
         |  SELECT doc_id, lang,

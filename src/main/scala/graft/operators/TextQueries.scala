@@ -1058,7 +1058,71 @@ object TextQueries extends QueryModule {
     "q36_pii_scrub"       -> (qPiiScrub _),
     "q37_vocab_topk"      -> (qVocabTopk _),
     "q38_length_histogram" -> (qLengthHistogram _),
+    "q315_rake_keywords"  -> (qRakeKeywords _),
   )
+
+  /** RAKE phrase-length cap: candidate phrases longer than 4 content
+    * words are overwhelmingly extraction noise (Rose et al. report the
+    * same practical cap) and an uncapped phrase table keys on
+    * arbitrarily long strings. */
+  private val RakeMaxLen = 4
+
+  /** RAKE keyword extraction (q315) — Rose et al. 2010 "Rapid
+    * Automatic Keyword Extraction": candidate phrases are the maximal
+    * stopword-free token runs (stopwords and cleanText-emptied tokens
+    * both break), each word scores deg/freq (deg = Σ over containing
+    * phrases of phrase length; freq = containment count), and a
+    * phrase scores the sum of its member word scores. The corpus-level
+    * top-10 is the document-set keyword list next to q18's per-doc TF
+    * keywords and q227's TextRank — RAKE is the degree-weighted
+    * variant that rewards multi-word collocations. Determinism: word
+    * scores are quantized to integer micro-units (floor(1e6·deg/freq),
+    * the q299 discipline), so phrase scores are exact integer sums —
+    * no float-order sensitivity, and the oracle replays bit-for-bit.
+    * Scale shape: phrase assembly is per-doc windows (PARTITIONED by
+    * doc), word stats one explode + groupBy, the phrase-score join
+    * keys on words, and the top-10 is a TakeOrdered heap — no global
+    * window anywhere. */
+  def qRakeKeywords(s: SparkSession, dir: String): DataFrame =
+    rakeOf(Tables.documents(s, dir))
+
+  /** RAKE core over any (doc_id, text) frame; split out so the spec
+    * can pin phrase segmentation and scoring by hand. */
+  private[graft] def rakeOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", posexplode(TextOps.tokenize(
+        TextOps.cleanText($"text"))).as(Seq("pos", "tok")))
+      .withColumn("brk",
+        ($"tok" === "" || $"tok".isInCollection(TextOps.Stopwords))
+          .cast("int"))
+    val wBrk = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phrases = toks
+      .withColumn("pid", sum($"brk").over(wBrk))
+      .filter($"brk" === 0)
+      .groupBy($"doc_id", $"pid")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"tok"))),
+        c => c("tok")).as("ph"))
+      .filter(size($"ph").between(1, RakeMaxLen))
+      .select(array_join($"ph", " ").as("phrase"), size($"ph").as("len"))
+    val words = phrases
+      .select(explode(split($"phrase", " ")).as("w"), $"len")
+      .groupBy($"w")
+      .agg(floor(lit(1e6) * sum($"len") / count(lit(1))).cast("long")
+        .as("wscore"))
+    val grouped = phrases.groupBy($"phrase")
+      .agg(count(lit(1)).as("n_occ"), max($"len").as("n_words"))
+    grouped
+      .select($"phrase", $"n_occ", $"n_words",
+        explode(split($"phrase", " ")).as("w"))
+      .join(words, "w")
+      .groupBy($"phrase", $"n_occ", $"n_words")
+      .agg((sum($"wscore") / 1e6).as("score"))
+      .orderBy($"score".desc, $"phrase")
+      .limit(10)
+  }
 
   /** Chained-CTE replay of the sequential BPE fit (for the q137/q132
     * oracles): vocabulary v, spaced symbols s0, then per iteration i —
@@ -1096,6 +1160,45 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q315_rake_keywords" -> {
+      val stops = TextOps.stopwordsSqlList
+      val cleanSql = TextOps.cleanTextSql
+      s"""WITH t AS (
+        |  SELECT doc_id, str_split($cleanSql, ' ') AS tk FROM documents),
+        |toks AS (
+        |  SELECT doc_id, i AS pos, tk[i] AS tok,
+        |    CASE WHEN tk[i] = '' OR tk[i] IN $stops THEN 1 ELSE 0 END
+        |      AS brk
+        |  FROM t, unnest(range(1, len(tk) + 1)) u(i)),
+        |pid AS (
+        |  SELECT doc_id, pos, tok, brk,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |  FROM toks),
+        |phrases0 AS (
+        |  SELECT array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+        |    CAST(count(*) AS BIGINT) AS len
+        |  FROM pid WHERE brk = 0 GROUP BY doc_id, pid),
+        |phrases AS (SELECT * FROM phrases0 WHERE len BETWEEN 1 AND 4),
+        |words AS (
+        |  SELECT w,
+        |    CAST(floor(1e6 * sum(len) / count(*)) AS BIGINT) AS wscore
+        |  FROM (SELECT unnest(str_split(phrase, ' ')) AS w, len
+        |        FROM phrases)
+        |  GROUP BY w),
+        |grouped AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+        |    max(len) AS n_words
+        |  FROM phrases GROUP BY phrase),
+        |scored AS (
+        |  SELECT g.phrase, g.n_occ, g.n_words,
+        |    CAST(sum(words.wscore) AS BIGINT) / 1e6 AS score
+        |  FROM (SELECT phrase, n_occ, n_words,
+        |          unnest(str_split(phrase, ' ')) AS w FROM grouped) g
+        |  JOIN words ON g.w = words.w
+        |  GROUP BY g.phrase, g.n_occ, g.n_words)
+        |SELECT phrase, n_occ, n_words, score FROM scored
+        |ORDER BY score DESC, phrase LIMIT 10""".stripMargin
+    },
     "q242_lexical_burst" ->
       """WITH cutv AS (
         |  SELECT (min(doc_id) + max(doc_id)) // 2 AS cut

@@ -121,7 +121,9 @@ object DumpPlans {
     "q82_orc_roundtrip", "q88_temperature_mix", "q96_merge_schema",
     "q99_funnel",
     // round 11 additions
-    "q311_holt_winters", "q312_theil_sen", "q318_page_hinkley")
+    "q311_holt_winters", "q312_theil_sen", "q313_kruskal_wallis",
+    "q314_kendall_tau", "q315_rake_keywords", "q317_adaboost_stumps",
+    "q318_page_hinkley")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -155,6 +157,10 @@ object DumpPlans {
       "distinct-n_chars value-grid CDF cumsum + gap lead (q182's frame)",
     "q307_stump_split" ->
       "distinct-n_chars value-grid class-count cumsum (q182's frame)",
+    "q313_kruskal_wallis" ->
+      "distinct-n_chars value-grid midrank cumsum (q182's frame)",
+    "q317_adaboost_stumps" ->
+      "distinct-n_chars value-grid weighted-error cumsum (q307's frame)",
     "q318_page_hinkley" ->
       "days-sized spine cumavg/cumsum/running-min (q200's frame)")
 

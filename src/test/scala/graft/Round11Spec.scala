@@ -111,6 +111,69 @@ class Round11Spec extends AnyFunSuite {
       "the planted spike slot must carry the largest seasonal")
   }
 
+  test("q313: Kruskal-Wallis on three hand-ranked shifted groups") {
+    import spark.implicits._
+    // lengths 1..6, no ties: R = 3, 7, 11 -> H = 12/42 * 89.5 - 21
+    val docs = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).toDF("source", "n_chars")
+    val r = QualityQueries.kruskalWallisOf(docs).collect().head
+    assert(r.getAs[Long]("n_groups") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("h") == 4.5714, r.toString)
+    assert(r.getAs[Double]("h_tie_corrected") == 4.5714,
+      "no ties => correction is the identity")
+  }
+
+  test("q314: Kendall tau-b on monotone, reversed, and tied fixtures") {
+    import spark.implicits._
+    val base = Seq(
+      ("mono", 1L, 1L), ("mono", 2L, 2L), ("mono", 3L, 3L),
+      ("rev", 1L, 3L), ("rev", 2L, 2L), ("rev", 3L, 1L),
+      ("tie", 1L, 1L), ("tie", 1L, 2L), ("tie", 2L, 3L))
+      .toDF("lang", "x", "y")
+    val out = QualityQueries.kendallTauOf(base).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("mono") == ((3L, 0L, 1.0)))
+    assert(out("rev") == ((0L, 3L, -1.0)))
+    // x-tie pair contributes to neither count; denom sqrt((3-1)*3)
+    assert(out("tie") == ((2L, 0L,
+      math.floor(2.0 / math.sqrt(6.0) * 1e4 + 0.5) / 1e4)))
+  }
+
+  test("q315: RAKE segments at stopwords and scores deg/freq by hand") {
+    import spark.implicits._
+    // phrases: "deep learning" x2, "neural nets" x1 ->
+    // deg(deep)=4 freq=2 score 2; neural/nets deg 2 freq 1 score 2
+    // phrase scores: deep learning = 4.0, neural nets = 4.0
+    val docs = Seq(
+      (1L, "deep learning of the deep learning"),
+      (2L, "the neural nets in a story")).toDF("doc_id", "text")
+    val out = TextQueries.rakeOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("deep learning", 2L, 2, 4.0),
+      ("neural nets", 1L, 2, 4.0),
+      ("story", 1L, 1, 1.0)),
+      out.mkString(";"))
+  }
+
+  test("q317: AdaBoost round 2 attacks round 1's mistakes on a two-cut fixture") {
+    import spark.implicits._
+    val base = (Seq.fill(3)((1L, 1L)) ++ Seq((2L, -1L)) ++
+      Seq.fill(3)((3L, -1L)) ++ Seq((4L, 1L))).toDF("x", "y")
+    val out = ScoringQueries.adaboostOf(base).collect()
+    val r1 = out(0); val r2 = out(1)
+    assert(r1.getAs[Long]("threshold") == 1L &&
+      r1.getAs[Int]("polarity") == 1, r1.toString)
+    assert(r1.getAs[Double]("w_err") == 0.125)
+    assert(r1.getAs[Double]("acc") == 0.875)
+    // after reweighting, the x=4 mistake dominates: the round-2 stump
+    // must flip polarity to carve it out
+    assert(r2.getAs[Long]("threshold") == 3L &&
+      r2.getAs[Int]("polarity") == -1, r2.toString)
+    assert(out.forall(_.getAs[Double]("acc") >= 0.875))
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

@@ -1496,6 +1496,80 @@ object ScoringQueries extends QueryModule {
       .orderBy($"a", $"b")
   }
 
+  /** q316's per-side token cap: the LCS DP is O(n·m) per pair, so the
+    * cap bounds pair cost at 64² = 4096 cells AT ANY CORPUS SIZE — the
+    * same role q31's MaxBlock plays for pair counts. ROUGE-L over the
+    * first 64 tokens is the standard truncated form long-doc evals
+    * run; the published lengths let a consumer see what was cut. */
+  private val RougeMaxTok = 64
+
+  /** Pairwise ROUGE-L (q316) — Lin 2004: LCS-based recall/precision/F1
+    * over the blocked near-dup candidate pairs, the SUBSEQUENCE
+    * companion to q305's n-gram BLEU (LCS credits in-order overlap
+    * with gaps — reordered-with-insertions near-dups score here and
+    * nowhere else). Reference = lower doc_id, candidate = higher
+    * (q305's convention). The LCS length is computed IN-ROW by the
+    * classic rolling-row DP as a nested higher-order fold (outer over
+    * reference tokens carrying the previous DP row; inner over
+    * candidate positions appending to the current row) — pure integer
+    * arithmetic, zero extra shuffles, cost capped by [[RougeMaxTok]]².
+    * The oracle replays the identical DP one cell per recursive-CTE
+    * step, all pairs advancing in lockstep — the hash match proves the
+    * fold IS the textbook recurrence. F1 = 2RP/(R+P), defined 0.0 on
+    * zero overlap. */
+  def qRougePairs(s: SparkSession, dir: String): DataFrame =
+    rougePairsOf(Tables.documents(s, dir))
+
+  /** ROUGE-L core over any (doc_id, text) frame; split out so the spec
+    * can pin LCS arithmetic on hand-traced pairs. */
+  private[graft] def rougePairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = filter(split($"text", " "), t => t =!= lit(""))
+    val d = docs
+      .select($"doc_id",
+        slice(toks, 1, RougeMaxTok).as("tk"),
+        DedupQueries.shingles(TextOps.tokenize($"text")).as("sh"))
+      .filter(size($"sh") > 0)
+      .withColumn("blk", array_min($"sh"))
+      .withColumn("blk_n", count(lit(1)).over(Window.partitionBy($"blk")))
+      .filter($"blk_n" <= BleuMaxBlock)
+    val pairs = d.select($"doc_id".as("a"), $"blk", $"tk".as("ta"))
+      .join(d.select($"doc_id".as("b"), $"blk", $"tk".as("tb")), Seq("blk"))
+      .filter($"a" < $"b")
+      // a blank-text doc can carry shingles of empty tokens yet an
+      // empty filtered array; Spark's sequence(1, 0) DESCENDS, so the
+      // DP must never see an empty side
+      .filter(size($"ta") > 0 && size($"tb") > 0)
+      .select($"a", $"b", $"ta", $"tb")
+    val lcs = expr(
+      """element_at(
+        |  aggregate(ta,
+        |    transform(sequence(1, size(tb) + 1), i -> cast(0 as bigint)),
+        |    (prev, x) -> aggregate(sequence(1, size(tb)),
+        |      array(cast(0 as bigint)),
+        |      (acc, j) -> acc || array(
+        |        if(element_at(tb, j) = x,
+        |          element_at(prev, j) + 1,
+        |          greatest(element_at(prev, j + 1),
+        |            element_at(acc, size(acc))))))),
+        |  size(tb) + 1)""".stripMargin)
+    val r = $"lcs" / $"len_ref"
+    val p = $"lcs" / $"len_cand"
+    pairs
+      .select($"a", $"b",
+        size($"ta").cast("long").as("len_ref"),
+        size($"tb").cast("long").as("len_cand"),
+        lcs.as("lcs"))
+      .select($"a", $"b", $"len_ref", $"len_cand", $"lcs",
+        (floor(lit(1e4) * r + 0.5) / 1e4).as("rouge_r"),
+        (floor(lit(1e4) * p + 0.5) / 1e4).as("rouge_p"),
+        when($"lcs" === 0L, lit(0.0)).otherwise(
+          floor(lit(1e4) * lit(2.0) * r * p / (r + p) + 0.5) / 1e4)
+          .as("rouge_f1"))
+      .orderBy($"a", $"b")
+  }
+
   /** Reciprocal-rank fusion (q306) — Cormack, Clarke & Buettcher 2009:
     * fuse three quality signals (chars, tokens, distinct tokens) by
     * Σ 1/(60+rank) — the rank-space ensemble that needs no score
@@ -1897,6 +1971,7 @@ object ScoringQueries extends QueryModule {
       "q305_bleu_pairs" -> (qBleuPairs _),
       "q306_rrf_fusion" -> (qRrfFusion _),
       "q307_stump_split" -> (qStumpSplit _),
+      "q316_rouge_pairs" -> (qRougePairs _),
       "q317_adaboost_stumps" -> (qAdaboostStumps _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
@@ -2075,6 +2150,70 @@ object ScoringQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "q317_adaboost_stumps" -> adaboostSql,
+    // q316: the LCS DP replayed ONE CELL per recursive step, every
+    // pair advancing in lockstep; prev[k] = dp[i-1][k-1], cur grows
+    // left-to-right, rows roll when j wraps — cell-for-cell the
+    // engine's nested fold
+    "q316_rouge_pairs" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, str_split(text, ' ') AS rawtk,
+        |    list_filter(str_split(text, ' '), x -> x <> '')[1:$RougeMaxTok]
+        |      AS tk
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, rawtk AS tk0,
+        |    unnest(range(1, len(rawtk) - 1)) AS i
+        |  FROM t),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list(tk0[i] || ' ' || tk0[i+1] || ' '
+        |      || tk0[i+2])) AS sh
+        |  FROM idx GROUP BY doc_id),
+        |bb AS (
+        |  SELECT doc_id, list_aggregate(sh, 'min') AS blk,
+        |    count(*) OVER (PARTITION BY list_aggregate(sh, 'min'))
+        |      AS blk_n
+        |  FROM sh WHERE len(sh) > 0),
+        |fd AS (SELECT doc_id, blk FROM bb WHERE blk_n <= $BleuMaxBlock),
+        |pt AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b, ta.tk AS ta, tb.tk AS tb
+        |  FROM fd x JOIN fd y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        |  JOIN t ta ON ta.doc_id = x.doc_id
+        |  JOIN t tb ON tb.doc_id = y.doc_id
+        |  WHERE len(ta.tk) > 0 AND len(tb.tk) > 0),
+        |rec AS (
+        |  SELECT a, b, ta, tb, CAST(1 AS BIGINT) AS i,
+        |    CAST(0 AS BIGINT) AS j,
+        |    list_transform(range(1, len(tb) + 2),
+        |      x -> CAST(0 AS BIGINT)) AS prev,
+        |    [CAST(0 AS BIGINT)] AS cur
+        |  FROM pt
+        |  UNION ALL
+        |  SELECT a, b, ta, tb,
+        |    CASE WHEN j + 1 = len(tb) THEN i + 1 ELSE i END,
+        |    CASE WHEN j + 1 = len(tb) THEN 0 ELSE j + 1 END,
+        |    CASE WHEN j + 1 = len(tb) THEN list_append(cur, v)
+        |      ELSE prev END,
+        |    CASE WHEN j + 1 = len(tb) THEN [CAST(0 AS BIGINT)]
+        |      ELSE list_append(cur, v) END
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN tb[j + 1] = ta[i] THEN prev[j + 1] + 1
+        |        ELSE greatest(prev[j + 2], cur[len(cur)]) END AS v
+        |    FROM rec WHERE i <= len(ta))),
+        |fin AS (
+        |  SELECT a, b, CAST(len(ta) AS BIGINT) AS len_ref,
+        |    CAST(len(tb) AS BIGINT) AS len_cand,
+        |    prev[len(tb) + 1] AS lcs
+        |  FROM rec WHERE i = len(ta) + 1)
+        |SELECT a, b, len_ref, len_cand, lcs,
+        |  floor(1e4 * lcs / len_ref + 0.5) / 1e4 AS rouge_r,
+        |  floor(1e4 * lcs / len_cand + 0.5) / 1e4 AS rouge_p,
+        |  CASE WHEN lcs = 0 THEN 0.0 ELSE
+        |    floor(1e4 * 2.0 * (lcs / len_ref) * (lcs / len_cand)
+        |      / (lcs / len_ref + lcs / len_cand) + 0.5) / 1e4
+        |  END AS rouge_f1
+        |FROM fin ORDER BY a, b""".stripMargin,
     "q308_naive_bayes" ->
       """WITH docs AS (
         |  SELECT doc_id, lang,

@@ -174,6 +174,23 @@ class Round11Spec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("acc") >= 0.875))
   }
 
+  test("q316: hand-traced LCS gives ROUGE r/p/f1 on a gapped reorder pair") {
+    import spark.implicits._
+    // shared min-shingle '0a 0b 0c' blocks the pair; LCS keeps the
+    // common subsequence through q/r insertions: |LCS| = 7
+    val docs = Seq(
+      (1L, "0a 0b 0c a b c d e"),
+      (2L, "0a 0b 0c a q b c r d")).toDF("doc_id", "text")
+    val out = ScoringQueries.rougePairsOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("lcs") == 7L, r.toString)
+    assert(r.getAs[Long]("len_ref") == 8L && r.getAs[Long]("len_cand") == 9L)
+    assert(r.getAs[Double]("rouge_r") == 0.875)
+    assert(r.getAs[Double]("rouge_p") == 0.7778)
+    assert(r.getAs[Double]("rouge_f1") == 0.8235)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

@@ -726,6 +726,87 @@ object ScoringQueries extends QueryModule {
       (round((po - pe) / (lit(1.0) - pe), 4) + lit(0.0)).as("kappa"))
   }
 
+  /** McNemar's paired test (q319) — McNemar 1947 on the SAME 2×2 gate
+    * contingency q238's kappa summarizes: kappa asks "do the two
+    * quality gates agree", McNemar asks the release question kappa
+    * can't — "do they pass systematically DIFFERENT amounts", i.e. is
+    * the marginal pass-rate shift real or noise. Only the discordant
+    * cells matter: χ² = (b−c)²/(b+c) with the Edwards continuity
+    * variant (|b−c|−1)²/(b+c) alongside; b+c = 0 (perfect agreement)
+    * publishes NULL χ² explicitly. One fused map pass → ONE 4-cell
+    * conditional aggregate; every number after is closed-form on a
+    * 1-row frame — exact integers except the two divisions. */
+  def qMcnemarGates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mcnemarOf(Tables.documents(s, dir)
+      .select(QualityQueries.gopherPassesExpr.as("passes"),
+        (lit(1.0) / (lit(1.0) + exp(-qualityZ)) >= 0.5).as("keep")))
+  }
+
+  /** McNemar core over any (passes, keep) frame; split out so the
+    * spec can pin the statistic and the perfect-agreement NULL. */
+  private[graft] def mcnemarOf(gates: DataFrame): DataFrame = {
+    val s = gates.sparkSession
+    import s.implicits._
+    val cells = gates.agg(
+      count(lit(1)).as("n"),
+      sum(when($"passes" && !$"keep", 1L).otherwise(0L)).as("b"),
+      sum(when(!$"passes" && $"keep", 1L).otherwise(0L)).as("c"))
+    val disc = $"b" + $"c"
+    cells.select($"n", $"b", $"c",
+      (floor(lit(1e4) * ($"b" - $"c") * ($"b" - $"c")
+        / when(disc =!= 0L, disc) + 0.5) / 1e4).as("chi2"),
+      (floor(lit(1e4) * (abs($"b" - $"c") - 1L) * (abs($"b" - $"c") - 1L)
+        / when(disc =!= 0L, disc) + 0.5) / 1e4).as("chi2_cc"))
+  }
+
+  /** Murphy decomposition of the Brier score (q320) — Murphy 1973:
+    * q203 reports the Brier number; this splits it into the three
+    * terms a filter owner acts on — RELIABILITY (how far each score
+    * bin's mean forecast sits from its observed rate: fix by
+    * recalibrating, q303's isotonic PAV), RESOLUTION (how far bins
+    * pull away from the base rate: fix by better features), and
+    * UNCERTAINTY ȳ(1−ȳ) (irreducible). Same staged (score, is_dup)
+    * frame and 10-bin layout as q203. The cross-bin Σ n_k(·)² sums
+    * fold IN-ROW over the bin-sorted array (the q313 discipline —
+    * collect_list order is not deterministic, the sorted fold is);
+    * binned forecasts leave a within-bin variance gap, so the direct
+    * Brier is published next to the identity terms rather than
+    * implied. */
+  def qBrierDecomposition(s: SparkSession, dir: String): DataFrame =
+    brierDecompOf(scoredLabeled(s, dir))
+
+  /** Decomposition core over any (score, is_dup) frame; split out so
+    * the spec can pin the Murphy terms on a hand-binned forecast set. */
+  private[graft] def brierDecompOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val bins = base.groupBy(scoreBin($"score").as("bin"))
+      .agg(count(lit(1)).as("nk"), sum($"score").as("sk"),
+        sum($"is_dup".cast("long")).as("yk"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum($"is_dup".cast("long")).as("ny"),
+      avg(($"score" - $"is_dup") * ($"score" - $"is_dup")).as("brier"))
+    bins.agg(array_sort(collect_list(struct($"bin", $"nk", $"sk", $"yk")))
+        .as("bs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ybar", $"ny".cast("double") / $"n")
+      .select($"n", (floor($"ybar" * 1e4 + 0.5) / 1e4).as("y_bar"),
+        (floor(expr(
+          """aggregate(bs, 0.0d, (a, b) -> a + b.nk *
+            |  (b.sk / b.nk - cast(b.yk as double) / b.nk)
+            |  * (b.sk / b.nk - cast(b.yk as double) / b.nk))"""
+            .stripMargin) / $"n" * 1e4 + 0.5) / 1e4).as("reliability"),
+        (floor(expr(
+          """aggregate(bs, 0.0d, (a, b) -> a + b.nk *
+            |  (cast(b.yk as double) / b.nk - ybar)
+            |  * (cast(b.yk as double) / b.nk - ybar))"""
+            .stripMargin) / $"n" * 1e4 + 0.5) / 1e4).as("resolution"),
+        (floor($"ybar" * (lit(1.0) - $"ybar") * 1e4 + 0.5) / 1e4)
+          .as("uncertainty"),
+        (floor($"brier" * 1e4 + 0.5) / 1e4).as("brier"))
+  }
+
   def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val z = qualityZ
@@ -1973,6 +2054,8 @@ object ScoringQueries extends QueryModule {
       "q307_stump_split" -> (qStumpSplit _),
       "q316_rouge_pairs" -> (qRougePairs _),
       "q317_adaboost_stumps" -> (qAdaboostStumps _),
+      "q319_mcnemar_gates" -> (qMcnemarGates _),
+      "q320_brier_decomposition" -> (qBrierDecomposition _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -3276,6 +3359,87 @@ object ScoringQueries extends QueryModule {
         |      / (CAST(sum(np) AS DOUBLE) * sum(nn)) - 1.0, 4) + 0.0
         |    END AS gini_coef
         |FROM cum""".stripMargin
+    },
+    // q319: identical gate replay as q238, different statistic — only
+    // the discordant cells feed the test
+    "q319_mcnemar_gates" -> {
+      val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+      val stop8 = QualityQueries.Stop8.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+        |    str_split(text, ' ') AS tk,
+        |    text
+        |  FROM documents),
+        |gate AS (
+        |  SELECT doc_id,
+        |    (len(tk) BETWEEN 50 AND 100000
+        |      AND round(list_sum(list_transform(tk,
+        |        x -> CAST(length(x) AS DOUBLE))) / len(tk), 4)
+        |        BETWEEN 3.0 AND 10.0
+        |      AND round(CAST(len(regexp_extract_all(text, '#')) +
+        |        len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+        |        / len(tk), 4) <= 0.1
+        |      AND len(list_intersect(list_distinct(tk), $stop8)) >= 2)
+        |      AS passes,
+        |    (1.0 / (1.0 + exp(-($Wb + $Wl * ln(1.0 + n_words)
+        |      + $Ww * (list_sum(list_transform(tk,
+        |          x -> CAST(length(x) AS DOUBLE))) / n_words)
+        |      + $Ws * (CAST(len(list_filter(tk, x -> x IN $stop16))
+        |          AS DOUBLE) / n_words)
+        |      + $Wu * coalesce(
+        |          CAST(length(text) - length(regexp_replace(text,
+        |            '[A-Z]', '', 'g')) AS DOUBLE)
+        |            / nullif(length(text), 0), 0.0)))) >= 0.5) AS keep
+        |  FROM f),
+        |cells AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN passes AND NOT keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN NOT passes AND keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM gate)
+        |SELECT n, b, c,
+        |  floor(1e4 * (b - c) * (b - c) / nullif(b + c, 0) + 0.5) / 1e4
+        |    AS chi2,
+        |  floor(1e4 * (abs(b - c) - 1) * (abs(b - c) - 1)
+        |    / nullif(b + c, 0) + 0.5) / 1e4 AS chi2_cc
+        |FROM cells""".stripMargin
+    },
+    // q320: same lab frame as q203, bin sums folded in cell order
+    "q320_brier_decomposition" -> {
+      s"""WITH $labCtesSql,
+        |bins AS (
+        |  SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+        |    CAST(count(*) AS BIGINT) AS nk, sum(score) AS sk,
+        |    CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS yk
+        |  FROM lab GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS ny,
+        |    avg((score - is_dup) * (score - is_dup)) AS brier
+        |  FROM lab),
+        |bs AS (
+        |  SELECT list({'bin': bin, 'nk': nk, 'sk': sk, 'yk': yk}
+        |    ORDER BY bin) AS bs FROM bins),
+        |st AS (
+        |  SELECT n, ny, brier, bs, CAST(ny AS DOUBLE) / n AS ybar
+        |  FROM bs CROSS JOIN tot)
+        |SELECT n, floor(ybar * 1e4 + 0.5) / 1e4 AS y_bar,
+        |  floor(list_reduce(list_prepend(0.0,
+        |    list_transform(bs, b -> b.nk *
+        |      (b.sk / b.nk - CAST(b.yk AS DOUBLE) / b.nk)
+        |      * (b.sk / b.nk - CAST(b.yk AS DOUBLE) / b.nk))),
+        |    (a, x) -> a + x) / n * 1e4 + 0.5) / 1e4 AS reliability,
+        |  floor(list_reduce(list_prepend(0.0,
+        |    list_transform(bs, b -> b.nk *
+        |      (CAST(b.yk AS DOUBLE) / b.nk - ybar)
+        |      * (CAST(b.yk AS DOUBLE) / b.nk - ybar))),
+        |    (a, x) -> a + x) / n * 1e4 + 0.5) / 1e4 AS resolution,
+        |  floor(ybar * (1.0 - ybar) * 1e4 + 0.5) / 1e4 AS uncertainty,
+        |  floor(brier * 1e4 + 0.5) / 1e4 AS brier
+        |FROM st""".stripMargin
     },
     "q238_gate_kappa" -> {
       val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")

@@ -443,6 +443,61 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cell")
   }
 
+  /** q321's mixture weights — the three λ points MAUVE's divergence
+    * frontier is usually summarized at; exact two-decimal doubles so
+    * both engines hold identical literals. */
+  private val MauveLambdas = Seq(0.25, 0.5, 0.75)
+
+  /** MAUVE-style cluster-histogram divergence (q321) — the Pillutla et
+    * al. 2021 recipe at corpus scale: quantize BOTH distributions
+    * (side P = even embedding labels, side Q = odd — the two-corpora
+    * comparison slot) onto the shared IVF anchor cells, then score the
+    * histogram pair by the mixture KLs KL(P‖λP+(1−λ)Q) and
+    * KL(Q‖λP+(1−λ)Q) at three λ — the divergence-frontier summary
+    * that detects BOTH mode dropping (Q missing P's cells) and mode
+    * invention (Q mass where P has none), which single-number
+    * overlap metrics (q267) conflate. Scale shape: one assignment map
+    * pass (argmax dot against 8 broadcast anchor literals — q44's
+    * expression), ONE 8-cell histogram aggregate, and all divergence
+    * arithmetic on the cell-sorted in-row array (q313's
+    * order-deterministic fold; zero-mass cells contribute exactly 0
+    * by the guard, and mixtures are strictly positive wherever the
+    * numerator is). ln enters only the final scalar terms (the
+    * q292/q308 accepted class). */
+  def qMauveProxy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d,
+      transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val asg = Tables.embeddings(s, dir)
+      .select($"label",
+        transform($"embedding", _.cast("double")).as("v"))
+      .withColumn("nrm", norm($"v")).filter($"nrm" > 0)
+      .select(($"label" % 2 === 0).as("is_p"),
+        element_at(sorted, 1).getField("idx").as("cell"))
+    val hist = asg.groupBy($"cell").agg(
+      sum(when($"is_p", 1L).otherwise(0L)).as("np"),
+      sum(when(!$"is_p", 1L).otherwise(0L)).as("nq"))
+    val tot = hist.agg(sum($"np").as("tp"), sum($"nq").as("tq"))
+    val cs = hist.crossJoin(broadcast(tot))
+      .select(struct($"cell",
+        ($"np" / $"tp".cast("double")).as("p"),
+        ($"nq" / $"tq".cast("double")).as("q")).as("c"))
+      .agg(array_sort(collect_list($"c")).as("cs"))
+    MauveLambdas.map { lam =>
+      cs.select(lit(lam).as("lambda"),
+        (floor(expr(
+          s"""aggregate(cs, 0.0d, (a, c) -> a + if(c.p > 0.0d,
+             |  c.p * ln(c.p / (${lam}d * c.p + ${1 - lam}d * c.q)),
+             |  0.0d))""".stripMargin) * 1e4 + 0.5) / 1e4).as("kl_p_m"),
+        (floor(expr(
+          s"""aggregate(cs, 0.0d, (a, c) -> a + if(c.q > 0.0d,
+             |  c.q * ln(c.q / (${lam}d * c.p + ${1 - lam}d * c.q)),
+             |  0.0d))""".stripMargin) * 1e4 + 0.5) / 1e4).as("kl_q_m"))
+    }.reduce(_.unionAll(_)).orderBy($"lambda")
+  }
+
   /** IVF shard capacity plan (q235) — the serving-infrastructure read
     * on q44's cell statistics: per IVF cell the shard count needed at
     * a 50-vector target shard size (⌈n/50⌉), the mean fill of those
@@ -1375,6 +1430,7 @@ object SimilarityQueries extends QueryModule {
     "q40_cosine_topk" -> (qCosineTopk _),
     "q41_lsh_ann"     -> (qLshAnn _),
     "q143_band_index" -> (qBandIndexProbe _),
+    "q321_mauve_proxy" -> (qMauveProxy _),
     "q42_ivf_ann"     -> (qIvfAnn _),
     "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
@@ -1946,6 +2002,58 @@ object SimilarityQueries extends QueryModule {
       |FROM assigned GROUP BY best.idx ORDER BY cell""".stripMargin
   }
 
+  /** q321: the q44 anchor assignment with labels, histograms per
+    * parity side, then the same cell-ordered transform+fold KL sums
+    * the engine runs — one row per λ. */
+  private def mauveProxySql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i")
+      .mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    val rows = MauveLambdas.map { lam =>
+      val l = lam.toString
+      val om = (1 - lam).toString
+      s"""SELECT $l AS lambda,
+         |  floor(list_reduce(list_prepend(0.0, list_transform(cs,
+         |    c -> CASE WHEN c.p > 0.0 THEN
+         |      c.p * ln(c.p / ($l * c.p + $om * c.q)) ELSE 0.0 END)),
+         |    (a, x) -> a + x) * 1e4 + 0.5) / 1e4 AS kl_p_m,
+         |  floor(list_reduce(list_prepend(0.0, list_transform(cs,
+         |    c -> CASE WHEN c.q > 0.0 THEN
+         |      c.q * ln(c.q / ($l * c.p + $om * c.q)) ELSE 0.0 END)),
+         |    (a, x) -> a + x) * 1e4 + 0.5) / 1e4 AS kl_q_m
+         |FROM cs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lbase AS (
+      |  SELECT label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding, embedding) > 0),
+      |dots AS (
+      |  SELECT label % 2 = 0 AS is_p, v,
+      |    $dotCols
+      |  FROM lbase),
+      |asg AS (
+      |  SELECT is_p, list_sort($structs)[1].idx AS cell FROM dots),
+      |hist AS (
+      |  SELECT cell,
+      |    CAST(sum(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN NOT is_p THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nq
+      |  FROM asg GROUP BY cell),
+      |tot AS (
+      |  SELECT CAST(sum(np) AS BIGINT) AS tp,
+      |    CAST(sum(nq) AS BIGINT) AS tq FROM hist),
+      |cs AS (
+      |  SELECT list({'cell': cell,
+      |    'p': np / CAST(tp AS DOUBLE),
+      |    'q': nq / CAST(tq AS DOUBLE)} ORDER BY cell) AS cs
+      |  FROM hist CROSS JOIN tot)
+      |$rows
+      |ORDER BY lambda""".stripMargin
+  }
+
   /** Subvector slice columns shared by the PQ oracles (DuckDB list
     * slices are 1-based inclusive, mirroring Spark's slice()). */
   private def pqSubCte: String = {
@@ -2339,6 +2447,7 @@ object SimilarityQueries extends QueryModule {
     "q42_ivf_ann"     -> ivfAnnSql,
     "q42b_ivf_kmeans" -> ivfKmeansSql,
     "q44_cluster_stats" -> clusterStatsSql,
+    "q321_mauve_proxy" -> mauveProxySql,
     "q235_shard_plan" -> shardPlanSql,
     "q256_nprobe_sweep" -> nprobeSweepSql,
     "q261_label_centroids" ->

@@ -191,6 +191,51 @@ class Round11Spec extends AnyFunSuite {
     assert(r.getAs[Double]("rouge_f1") == 0.8235)
   }
 
+  test("q319: McNemar statistic by hand; perfect agreement publishes NULL") {
+    import spark.implicits._
+    val gates = (Seq.fill(3)((true, false)) ++ Seq((false, true)) ++
+      Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false)))
+      .toDF("passes", "keep")
+    val r = ScoringQueries.mcnemarOf(gates).collect().head
+    assert((r.getLong(1), r.getLong(2)) == ((3L, 1L)))
+    assert(r.getAs[Double]("chi2") == 1.0)     // (3-1)^2 / 4
+    assert(r.getAs[Double]("chi2_cc") == 0.25) // (|2|-1)^2 / 4
+    val agree = Seq((true, true), (false, false)).toDF("passes", "keep")
+    val a = ScoringQueries.mcnemarOf(agree).collect().head
+    assert(a.isNullAt(a.fieldIndex("chi2")),
+      "zero discordant pairs => the test is undefined, not 0")
+  }
+
+  test("q320: Murphy identity holds exactly on constant-score bins") {
+    import spark.implicits._
+    // two bins with constant forecasts matching their rates =>
+    // reliability 0, and rel - res + unc == brier bit-for-bit
+    val base = (Seq((0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0)) ++
+      Seq((0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)))
+      .toDF("score", "is_dup")
+    val r = ScoringQueries.brierDecompOf(base).collect().head
+    assert(r.getAs[Double]("y_bar") == 0.5)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.0625)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("brier") == 0.1875)
+  }
+
+  test("q321: mixture KLs are nonnegative and shrink as lambda mixes toward the numerator") {
+    val out = SimilarityQueries.qMauveProxy(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 3)
+    val klp = out.map(r => r.getAs[Double]("lambda") ->
+      r.getAs[Double]("kl_p_m")).toMap
+    val klq = out.map(r => r.getAs[Double]("lambda") ->
+      r.getAs[Double]("kl_q_m")).toMap
+    assert(klp.values.forall(_ >= 0.0) && klq.values.forall(_ >= 0.0))
+    assert(klp(0.75) <= klp(0.5) && klp(0.5) <= klp(0.25),
+      s"KL(P||lamP+(1-lam)Q) must fall as lam grows: $klp")
+    assert(klq(0.25) <= klq(0.5) && klq(0.5) <= klq(0.75),
+      s"KL(Q||lamP+(1-lam)Q) must RISE as lam grows: $klq")
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

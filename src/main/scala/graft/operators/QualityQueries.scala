@@ -1830,7 +1830,11 @@ object QualityQueries extends QueryModule {
       .agg(count(lit(1)).as("c"))
     val a = cells.select($"lang", $"x".as("xa"), $"y".as("ya"), $"c".as("ca"))
     val b = cells.select($"lang", $"x".as("xb"), $"y".as("yb"), $"c".as("cb"))
-    val pairs = a.join(b, Seq("lang"))
+    // broadcast one side: the cell frame is value-domain-bounded BY
+    // CONSTRUCTION (≤ |x domain|·|y domain| rows at any corpus size),
+    // and the join key `lang` is ~20 values — a shuffle join would
+    // funnel the whole grid² compare through a handful of reducers
+    val pairs = a.join(broadcast(b), Seq("lang"))
       .filter(struct($"xa", $"ya") < struct($"xb", $"yb"))
     val sgn = signum($"xa" - $"xb") * signum($"ya" - $"yb")
     val cd = pairs.groupBy($"lang")

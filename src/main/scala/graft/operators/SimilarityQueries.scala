@@ -480,22 +480,26 @@ object SimilarityQueries extends QueryModule {
       sum(when($"is_p", 1L).otherwise(0L)).as("np"),
       sum(when(!$"is_p", 1L).otherwise(0L)).as("nq"))
     val tot = hist.agg(sum($"np").as("tp"), sum($"nq").as("tq"))
+    // λ rides as a COLUMN over the ONE collected cell array (a 3-row
+    // explode of exact binary fractions — 1−λ is exact too), so the
+    // assignment pass over the embeddings runs once, not once per λ
     val cs = hist.crossJoin(broadcast(tot))
       .select(struct($"cell",
         ($"np" / $"tp".cast("double")).as("p"),
         ($"nq" / $"tq".cast("double")).as("q")).as("c"))
       .agg(array_sort(collect_list($"c")).as("cs"))
-    MauveLambdas.map { lam =>
-      cs.select(lit(lam).as("lambda"),
+    cs.select($"cs",
+        explode(array(MauveLambdas.map(lit(_)): _*)).as("lambda"))
+      .select($"lambda",
         (floor(expr(
-          s"""aggregate(cs, 0.0d, (a, c) -> a + if(c.p > 0.0d,
-             |  c.p * ln(c.p / (${lam}d * c.p + ${1 - lam}d * c.q)),
-             |  0.0d))""".stripMargin) * 1e4 + 0.5) / 1e4).as("kl_p_m"),
+          """aggregate(cs, 0.0d, (a, c) -> a + if(c.p > 0.0d,
+            |  c.p * ln(c.p / (lambda * c.p + (1.0d - lambda) * c.q)),
+            |  0.0d))""".stripMargin) * 1e4 + 0.5) / 1e4).as("kl_p_m"),
         (floor(expr(
-          s"""aggregate(cs, 0.0d, (a, c) -> a + if(c.q > 0.0d,
-             |  c.q * ln(c.q / (${lam}d * c.p + ${1 - lam}d * c.q)),
-             |  0.0d))""".stripMargin) * 1e4 + 0.5) / 1e4).as("kl_q_m"))
-    }.reduce(_.unionAll(_)).orderBy($"lambda")
+          """aggregate(cs, 0.0d, (a, c) -> a + if(c.q > 0.0d,
+            |  c.q * ln(c.q / (lambda * c.p + (1.0d - lambda) * c.q)),
+            |  0.0d))""".stripMargin) * 1e4 + 0.5) / 1e4).as("kl_q_m"))
+      .orderBy($"lambda")
   }
 
   /** IVF shard capacity plan (q235) — the serving-infrastructure read

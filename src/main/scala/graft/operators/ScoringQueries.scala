@@ -1651,6 +1651,143 @@ object ScoringQueries extends QueryModule {
       .orderBy($"a", $"b")
   }
 
+  /** q322's sample size: Self-BLEU is quadratic in the sample by
+    * construction (every doc scores against every other as reference),
+    * so the sample is FIXED-SIZE at any corpus scale — 20 docs = 190
+    * unordered pairs of gram-count joins, the md5-rank deterministic
+    * draw q70 established. */
+  private val SelfBleuK = 20
+
+  /** Self-BLEU corpus diversity (q322) — Zhu et al. 2018 (Texygen):
+    * score each sampled doc as a BLEU-2 candidate against ALL other
+    * sampled docs as multi-references; high mean Self-BLEU = the
+    * corpus keeps writing the same thing (mode collapse in generated
+    * data, boilerplate monoculture in crawled data) — the DIVERSITY
+    * number next to q321's divergence-to-reference. Multi-reference
+    * clipping needs max gram count over 19 references per candidate —
+    * computed WITHOUT a per-pair explode via the top-2 trick: per gram
+    * keep (max, runner-up, #docs at max); a candidate's reference max
+    * is the runner-up iff the candidate is the UNIQUE argmax, else the
+    * max. Everything is exact integer counts until the two precision
+    * ratios; the sample is md5-rank-deterministic so the oracle
+    * replays the draw. */
+  def qSelfBleu(s: SparkSession, dir: String): DataFrame =
+    selfBleuOf(Tables.documents(s, dir))
+
+  /** Self-BLEU core over any (doc_id, text) frame; split out so the
+    * spec can pin the multi-ref clipping on a crafted trio. */
+  private[graft] def selfBleuOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = filter(split($"text", " "), t => t =!= lit(""))
+    val sample = docs
+      .select($"doc_id", toks.as("tk"), md5($"doc_id".cast("string")).as("rk"))
+      .filter(size($"tk") >= 2)
+      .orderBy($"rk").limit(SelfBleuK)
+      .select($"doc_id", $"tk")
+    def gramCounts(g: Column): DataFrame = sample
+      .select($"doc_id", explode(g).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+    val uni = gramCounts($"tk")
+    val big = gramCounts(zip_with(
+      slice($"tk", lit(1), greatest(size($"tk") - 1, lit(0))),
+      slice($"tk", lit(2), greatest(size($"tk") - 1, lit(0))),
+      (x, y) => concat_ws(" ", x, y)))
+    // per-gram (max, runner-up, #docs-at-max) over the SAMPLE —
+    // count-at-max and runner-up need the max first, so one
+    // sample-scale re-join per gram table
+    def clippedOf(grams: DataFrame): DataFrame = {
+      val stats = grams.groupBy($"t").agg(max($"c").as("m1"))
+        .join(grams, "t")
+        .groupBy($"t", $"m1")
+        .agg(sum(when($"c" === $"m1", 1L).otherwise(0L)).as("n_at_max"),
+          max(when($"c" < $"m1", $"c")).as("m2"))
+      grams.join(stats, "t")
+        .select($"doc_id", $"c",
+          when($"c" === $"m1" && $"n_at_max" === 1L,
+            coalesce($"m2", lit(0L))).otherwise($"m1").as("maxref"))
+        .groupBy($"doc_id")
+        .agg(sum(least($"c", $"maxref")).as("clip"))
+    }
+    val lens = sample.select($"doc_id",
+      size($"tk").cast("long").as("len1"),
+      (size($"tk") - 1).cast("long").as("len2"))
+    val p1c = clippedOf(uni).withColumnRenamed("clip", "clip1")
+    val p2c = clippedOf(big).withColumnRenamed("clip", "clip2")
+    lens.join(p1c, Seq("doc_id"), "left").join(p2c, Seq("doc_id"), "left")
+      .select($"doc_id", $"len1",
+        (floor(lit(1e4) * coalesce($"clip1", lit(0L)) / $"len1" + 0.5)
+          / 1e4).as("p1"),
+        (floor(lit(1e4) * coalesce($"clip2", lit(0L)) / $"len2" + 0.5)
+          / 1e4).as("p2"),
+        (floor(lit(1e4) * sqrt(
+          (coalesce($"clip1", lit(0L)) / $"len1")
+            * (coalesce($"clip2", lit(0L)) / $"len2")) + 0.5) / 1e4)
+          .as("self_bleu2"))
+      .orderBy($"doc_id")
+  }
+
+  /** q323's fixed probe point: the gradient-noise read-out is taken at
+    * one deterministic weight vector (not a trained one — the scale
+    * estimate is about the DATA's gradient dispersion, and a fixed
+    * probe keeps the whole query one pass, replayable, and comparable
+    * across corpus versions). */
+  private val GnsW = (0.0, 0.5, 0.5)
+
+  /** Gradient noise scale (q323) — McCandlish et al. 2018's "simple"
+    * critical-batch-size estimate B ≈ tr(Σ)/|G|² from the per-example
+    * gradient covariance trace and the mean-gradient norm, over q299's
+    * logistic feature map at the fixed probe [[GnsW]] — the number
+    * that says how LARGE a data-parallel batch this corpus rewards
+    * before gradient noise stops paying for compute. One corpus pass:
+    * per-doc gradient dims quantize to 1e-6 micro-units (q299's
+    * discipline — the fast sigmoid u/(2(1+|u|)) keeps exp out
+    * entirely), sums and sums-of-squares accumulate as EXACT
+    * decimal(38,0) (the q289 big-sum pattern — a long would overflow
+    * the square sums at ~10¹² rows), and the trace/norm arithmetic is
+    * closed-form on the 1-row aggregate. */
+  def qGradientNoise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gradientNoiseOf(Tables.documents(s, dir).select(
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
+  }
+
+  /** GNS core over any (y, x1, x2) frame; split out so the spec can
+    * pin the zero-noise and high-noise extremes. */
+  private[graft] def gradientNoiseOf(f: DataFrame): DataFrame = {
+    val s = f.sparkSession
+    import s.implicits._
+    val u = lit(GnsW._1) + lit(GnsW._2) * $"x1" + lit(GnsW._3) * $"x2"
+    val d = $"y" - (lit(0.5) + u / (lit(2.0) * (lit(1.0) + abs(u))))
+    def q6(c: Column): Column =
+      floor(lit(1e6) * c + 0.5).cast("decimal(38,0)")
+    val g = f.select(q6(d).as("g0"), q6(d * $"x1").as("g1"),
+      q6(d * $"x2").as("g2"))
+    val agg = g.agg(count(lit(1)).as("n"),
+      sum($"g0").as("s0"), sum($"g1").as("s1"), sum($"g2").as("s2"),
+      sum($"g0" * $"g0").as("q0"), sum($"g1" * $"g1").as("q1"),
+      sum($"g2" * $"g2").as("q2"))
+    // means/vars back in natural units: micro² cancels in b_simple
+    val nD = $"n".cast("double")
+    def mean(sc: Column) = sc.cast("double") / nD / 1e6
+    def varOf(qc: Column, sc: Column) =
+      qc.cast("double") / nD / 1e12 - mean(sc) * mean(sc)
+    agg.select($"n",
+      (floor(mean($"s0") * 1e6 + 0.5) / 1e6).as("g_bias"),
+      (floor(mean($"s1") * 1e6 + 0.5) / 1e6).as("g_x1"),
+      (floor(mean($"s2") * 1e6 + 0.5) / 1e6).as("g_x2"),
+      (floor((varOf($"q0", $"s0") + varOf($"q1", $"s1")
+        + varOf($"q2", $"s2")) * 1e6 + 0.5) / 1e6).as("trace_cov"),
+      (floor((mean($"s0") * mean($"s0") + mean($"s1") * mean($"s1")
+        + mean($"s2") * mean($"s2")) * 1e6 + 0.5) / 1e6).as("gnorm2"),
+      (floor((varOf($"q0", $"s0") + varOf($"q1", $"s1")
+        + varOf($"q2", $"s2"))
+        / (mean($"s0") * mean($"s0") + mean($"s1") * mean($"s1")
+          + mean($"s2") * mean($"s2")) * 1e4 + 0.5) / 1e4).as("b_simple"))
+  }
+
   /** Reciprocal-rank fusion (q306) — Cormack, Clarke & Buettcher 2009:
     * fuse three quality signals (chars, tokens, distinct tokens) by
     * Σ 1/(60+rank) — the rank-space ensemble that needs no score
@@ -2056,6 +2193,8 @@ object ScoringQueries extends QueryModule {
       "q317_adaboost_stumps" -> (qAdaboostStumps _),
       "q319_mcnemar_gates" -> (qMcnemarGates _),
       "q320_brier_decomposition" -> (qBrierDecomposition _),
+      "q322_self_bleu" -> (qSelfBleu _),
+      "q323_gradient_noise" -> (qGradientNoise _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -2233,6 +2372,104 @@ object ScoringQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "q317_adaboost_stumps" -> adaboostSql,
+    "q322_self_bleu" ->
+      s"""WITH sample AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents
+        |  WHERE len(list_filter(str_split(text, ' '), x -> x <> '')) >= 2
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT $SelfBleuK),
+        |uni AS (
+        |  SELECT doc_id, u.t AS t, CAST(count(*) AS BIGINT) AS c
+        |  FROM sample, unnest(tk) u(t) GROUP BY doc_id, u.t),
+        |big AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS t,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM sample, unnest(range(1, len(tk))) v(i) GROUP BY 1, 2),
+        |us AS (
+        |  SELECT uni.t, s.m1,
+        |    CAST(sum(CASE WHEN c = m1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_at_max,
+        |    max(CASE WHEN c < m1 THEN c END) AS m2
+        |  FROM uni JOIN (SELECT t, max(c) AS m1 FROM uni GROUP BY t) s
+        |    ON uni.t = s.t
+        |  GROUP BY uni.t, s.m1),
+        |bs AS (
+        |  SELECT big.t, s.m1,
+        |    CAST(sum(CASE WHEN c = m1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_at_max,
+        |    max(CASE WHEN c < m1 THEN c END) AS m2
+        |  FROM big JOIN (SELECT t, max(c) AS m1 FROM big GROUP BY t) s
+        |    ON big.t = s.t
+        |  GROUP BY big.t, s.m1),
+        |uc AS (
+        |  SELECT doc_id, CAST(sum(least(c,
+        |    CASE WHEN c = m1 AND n_at_max = 1 THEN coalesce(m2, 0)
+        |      ELSE m1 END)) AS BIGINT) AS clip1
+        |  FROM uni JOIN us ON uni.t = us.t GROUP BY doc_id),
+        |bc AS (
+        |  SELECT doc_id, CAST(sum(least(c,
+        |    CASE WHEN c = m1 AND n_at_max = 1 THEN coalesce(m2, 0)
+        |      ELSE m1 END)) AS BIGINT) AS clip2
+        |  FROM big JOIN bs ON big.t = bs.t GROUP BY doc_id),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS len1,
+        |    CAST(len(tk) - 1 AS BIGINT) AS len2
+        |  FROM sample)
+        |SELECT l.doc_id, l.len1,
+        |  floor(1e4 * coalesce(uc.clip1, 0) / l.len1 + 0.5) / 1e4 AS p1,
+        |  floor(1e4 * coalesce(bc.clip2, 0) / l.len2 + 0.5) / 1e4 AS p2,
+        |  floor(1e4 * sqrt((coalesce(uc.clip1, 0) / l.len1)
+        |    * (coalesce(bc.clip2, 0) / l.len2)) + 0.5) / 1e4
+        |    AS self_bleu2
+        |FROM lens l
+        |LEFT JOIN uc ON l.doc_id = uc.doc_id
+        |LEFT JOIN bc ON l.doc_id = bc.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
+    "q323_gradient_noise" -> {
+      val (w0, w1, w2) = GnsW
+      s"""WITH f AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |    n_chars / 1000.0 AS x1,
+        |    len(str_split(text, ' ')) / 100.0 AS x2
+        |  FROM documents),
+        |ud AS (
+        |  SELECT y, x1, x2, $w0 + $w1 * x1 + $w2 * x2 AS u FROM f),
+        |dd AS (
+        |  SELECT y - (0.5 + u / (2.0 * (1.0 + abs(u)))) AS d, x1, x2
+        |  FROM ud),
+        |g AS (
+        |  SELECT CAST(floor(1e6 * d + 0.5) AS HUGEINT) AS g0,
+        |    CAST(floor(1e6 * d * x1 + 0.5) AS HUGEINT) AS g1,
+        |    CAST(floor(1e6 * d * x2 + 0.5) AS HUGEINT) AS g2
+        |  FROM dd),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    sum(g0) AS s0, sum(g1) AS s1, sum(g2) AS s2,
+        |    sum(g0 * g0) AS q0, sum(g1 * g1) AS q1, sum(g2 * g2) AS q2
+        |  FROM g),
+        |e AS (
+        |  SELECT n,
+        |    CAST(s0 AS DOUBLE) / n / 1e6 AS m0,
+        |    CAST(s1 AS DOUBLE) / n / 1e6 AS m1,
+        |    CAST(s2 AS DOUBLE) / n / 1e6 AS m2,
+        |    CAST(q0 AS DOUBLE) / n / 1e12 AS e0,
+        |    CAST(q1 AS DOUBLE) / n / 1e12 AS e1,
+        |    CAST(q2 AS DOUBLE) / n / 1e12 AS e2
+        |  FROM agg)
+        |SELECT n,
+        |  floor(m0 * 1e6 + 0.5) / 1e6 AS g_bias,
+        |  floor(m1 * 1e6 + 0.5) / 1e6 AS g_x1,
+        |  floor(m2 * 1e6 + 0.5) / 1e6 AS g_x2,
+        |  floor(((e0 - m0 * m0) + (e1 - m1 * m1) + (e2 - m2 * m2))
+        |    * 1e6 + 0.5) / 1e6 AS trace_cov,
+        |  floor((m0 * m0 + m1 * m1 + m2 * m2) * 1e6 + 0.5) / 1e6
+        |    AS gnorm2,
+        |  floor(((e0 - m0 * m0) + (e1 - m1 * m1) + (e2 - m2 * m2))
+        |    / (m0 * m0 + m1 * m1 + m2 * m2) * 1e4 + 0.5) / 1e4
+        |    AS b_simple
+        |FROM e""".stripMargin
+    },
     // q316: the LCS DP replayed ONE CELL per recursive step, every
     // pair advancing in lockstep; prev[k] = dp[i-1][k-1], cur grows
     // left-to-right, rows roll when j wraps — cell-for-cell the

@@ -124,7 +124,8 @@ object DumpPlans {
     "q311_holt_winters", "q312_theil_sen", "q313_kruskal_wallis",
     "q314_kendall_tau", "q315_rake_keywords", "q316_rouge_pairs",
     "q317_adaboost_stumps", "q318_page_hinkley", "q319_mcnemar_gates",
-    "q320_brier_decomposition", "q321_mauve_proxy")
+    "q320_brier_decomposition", "q321_mauve_proxy", "q322_self_bleu",
+    "q323_gradient_noise")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -236,6 +236,34 @@ class Round11Spec extends AnyFunSuite {
       s"KL(Q||lamP+(1-lam)Q) must RISE as lam grows: $klq")
   }
 
+  test("q322: multi-reference clipping by hand on a crafted trio") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val out = ScoringQueries.selfBleuOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc1: unigram clip 3/4 ('a' is its UNIQUE max -> runner-up 1);
+    // bigram clip 2/3 ('a a' has no other reference -> 0)
+    assert(out(1L) == ((0.75, 0.6667, 0.7071)), out.toString)
+    assert(out(2L) == ((0.75, 0.6667, 0.7071)), out.toString)
+    assert(out(3L) == ((0.0, 0.0, 0.0)), "disjoint doc shares nothing")
+  }
+
+  test("q323: identical examples have zero gradient noise; mixed labels don't") {
+    import spark.implicits._
+    val const = (1 to 50).map(_ => (1.0, 0.4, 0.8)).toDF("y", "x1", "x2")
+    val c = ScoringQueries.gradientNoiseOf(const).collect().head
+    assert(c.getAs[Double]("trace_cov") == 0.0)
+    assert(c.getAs[Double]("b_simple") == 0.0,
+      "zero per-example variance => batch size buys nothing")
+    val mixed = ((1 to 25).map(_ => (1.0, 0.4, 0.8)) ++
+      (1 to 25).map(_ => (0.0, 0.4, 0.8))).toDF("y", "x1", "x2")
+    val m = ScoringQueries.gradientNoiseOf(mixed).collect().head
+    assert(m.getAs[Double]("trace_cov") > 0.0)
+    assert(m.getAs[Double]("b_simple") > 0.0)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

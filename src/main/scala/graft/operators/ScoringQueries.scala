@@ -1623,18 +1623,12 @@ object ScoringQueries extends QueryModule {
       // DP must never see an empty side
       .filter(size($"ta") > 0 && size($"tb") > 0)
       .select($"a", $"b", $"ta", $"tb")
-    val lcs = expr(
-      """element_at(
-        |  aggregate(ta,
-        |    transform(sequence(1, size(tb) + 1), i -> cast(0 as bigint)),
-        |    (prev, x) -> aggregate(sequence(1, size(tb)),
-        |      array(cast(0 as bigint)),
-        |      (acc, j) -> acc || array(
-        |        if(element_at(tb, j) = x,
-        |          element_at(prev, j) + 1,
-        |          greatest(element_at(prev, j + 1),
-        |            element_at(acc, size(acc))))))),
-        |  size(tb) + 1)""".stripMargin)
+    // native two-row DP (graft.plans.LcsLength): the declarative
+    // nested-fold form was O(n·m²) interpreted array copies — 107 s
+    // for this pair set at sf0.1; the expression is the same
+    // recurrence as a primitive loop (the oracle still replays it
+    // cell-for-cell, so the hash match pins expression ≡ recurrence)
+    val lcs = graft.plans.LcsLength.col($"ta", $"tb")
     val r = $"lcs" / $"len_ref"
     val p = $"lcs" / $"len_cand"
     pairs

@@ -174,6 +174,21 @@ class Round11Spec extends AnyFunSuite {
     assert(out.forall(_.getAs[Double]("acc") >= 0.875))
   }
 
+  test("lcs_length expression: classic pairs, empties, and codegen path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.split
+    val df = Seq(
+      ("a b c d e", "a x b y c"),   // LCS a b c = 3
+      ("a b c", "c b a"),           // any single char  = 1
+      ("a a b b", "a b a b"),       // a a b / a b b    = 3
+      ("a b", ""),                  // empty side       = 0
+      ("x", "x")).toDF("l", "r")
+    val out = df.select(graft.plans.LcsLength.col(
+        split($"l", " "), split($"r", " ")).as("lcs"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(3L, 1L, 3L, 0L, 1L), out.toString)
+  }
+
   test("q316: hand-traced LCS gives ROUGE r/p/f1 on a gapped reorder pair") {
     import spark.implicits._
     // shared min-shingle '0a 0b 0c' blocks the pair; LCS keeps the

@@ -1965,6 +1965,100 @@ object ScoringQueries extends QueryModule {
       "round", "threshold", "polarity", "w_err", "alpha", "acc")
   }
 
+  /** q324 dimensions: hashed feature space and round count. 4096
+    * buckets is fastText's default-order ballpark scaled to the test
+    * vocabulary; 3 rounds shows the loss moving without bloating the
+    * unrolled oracle. */
+  private val SlrBuckets = 4096L
+  private val SlrRounds = 3
+  private val SlrLr = 1.0
+
+  /** Distributed sparse logistic regression (q324) — the fastText
+    * linear shape (Joulin et al. 2017): binary lang=en classifier over
+    * HASHED token features (md5-prefix mod 4096 — the engine-agnostic
+    * hash family, q174's discipline), trained by full-batch GD where
+    * the WEIGHT VECTOR is a DataFrame. This is the trainer q299
+    * deliberately isn't: q299's gradient is one scalar frame; here
+    * every round is (a) inference — the bounded 4096-row weight frame
+    * BROADCASTS into the doc-feature join, per-doc margins sum as
+    * EXACT nano-unit longs; (b) gradient — residuals quantize to
+    * micro-units and one feature-keyed aggregate partial-combines
+    * map-side (the shuffle is |features| wide, never |corpus|); (c)
+    * update — pure integer arithmetic on the 4096-row frame,
+    * `localCheckpoint`ed per round. Nothing in the loop depends on
+    * float accumulation order, so the unrolled-CTE oracle hash-matches
+    * the whole trajectory. Per round the engine reports the ensemble's
+    * train accuracy, bias, active-feature count, and L1 mass. */
+  def qSparseLogreg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sparseLogregOf(Tables.documents(s, dir).select($"doc_id",
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"), $"text"))
+  }
+
+  /** Sparse-GD core over any (doc_id, y, text) frame; split out so the
+    * spec can pin learning on a separable vocabulary. */
+  private[graft] def sparseLogregOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val docs = base.select($"doc_id", $"y").localCheckpoint()
+    // distinct hashed features per doc (binary presence features)
+    val feats = base.select($"doc_id", explode(array_distinct(
+        filter(split($"text", " "), t => t =!= lit("")))).as("t"))
+      .select($"doc_id",
+        pmod(conv(substring(md5($"t"), 1, 12), 16, 10).cast("long"),
+          lit(SlrBuckets)).as("f"))
+      .distinct()
+      .localCheckpoint()
+    val n = docs.count()
+    var w = s.range(0)
+      .select($"id".as("f"), lit(0L).as("w_nano")).localCheckpoint(true)
+    var bNano = 0L
+    val out = Seq.newBuilder[(Int, Double, Double, Long, Double)]
+    for (r <- 1 to SlrRounds) {
+      // inference: margins in exact nano-units (broadcast the weights)
+      val uDoc = feats.join(broadcast(w), Seq("f"))
+        .groupBy($"doc_id").agg(sum($"w_nano").as("u_nano"))
+      val scored = docs.join(uDoc, Seq("doc_id"), "left")
+        .select($"doc_id", $"y",
+          ((coalesce($"u_nano", lit(0L)) + bNano) / 1e9).as("u"))
+      val dm = scored.select($"doc_id", $"y", $"u",
+        floor(lit(1e6) * ($"y" - (lit(0.5) + $"u"
+          / (lit(2.0) * (lit(1.0) + abs($"u"))))) + 0.5).cast("long")
+          .as("d_micro")).localCheckpoint(true)
+      // gradient: one feature-keyed exact-integer aggregate
+      val gF = feats.join(dm.select($"doc_id", $"d_micro"), Seq("doc_id"))
+        .groupBy($"f").agg(sum($"d_micro").as("g_micro"))
+      val gB = dm.agg(sum($"d_micro").as("gb_micro")).collect()(0)
+        .getLong(0)
+      // update: Δw_nano = floor(1e3·lr·g_micro / N) — one rounding
+      val step = lit(1e3 * SlrLr)
+      w = w.join(gF, Seq("f"), "full")
+        .select(col("f"),
+          (coalesce($"w_nano", lit(0L)) +
+            floor(step * coalesce($"g_micro", lit(0L)) / n).cast("long"))
+            .as("w_nano"))
+        .filter($"w_nano" =!= 0L)
+        .localCheckpoint(true)
+      bNano += math.floor(1e3 * SlrLr * gB / n).toLong
+      // round metrics: prediction at the UPDATED weights
+      val acc = feats.join(broadcast(w), Seq("f"))
+        .groupBy($"doc_id").agg(sum($"w_nano").as("u_nano"))
+        .join(docs, Seq("doc_id"), "right")
+        .select($"y", (coalesce($"u_nano", lit(0L)) + bNano).as("un"))
+        .agg(sum(when(($"un" > 0L).cast("double") === $"y", 1L)
+          .otherwise(0L)).as("ok"), count(lit(1)).as("nn")).collect()(0)
+      val l1 = w.agg(coalesce(sum(abs($"w_nano")), lit(0L)).as("l1"))
+        .collect()(0).getLong(0)
+      val nActive = w.count()
+      out += ((r,
+        math.floor(acc.getLong(0).toDouble / acc.getLong(1) * 1e4 + 0.5)
+          / 1e4,
+        bNano / 1e9, nActive, l1 / 1e9))
+    }
+    s.createDataFrame(out.result()).toDF(
+      "round", "acc", "w_bias", "n_active", "w_l1")
+  }
+
   /** Multinomial Naive Bayes language classifier (q308) — the
     * fastText-before-fastText gate: train P(lang) · Π P(token|lang)
     * with add-one smoothing and report per-language training recall.
@@ -2189,6 +2283,7 @@ object ScoringQueries extends QueryModule {
       "q320_brier_decomposition" -> (qBrierDecomposition _),
       "q322_self_bleu" -> (qSelfBleu _),
       "q323_gradient_noise" -> (qGradientNoise _),
+      "q324_sparse_logreg" -> (qSparseLogreg _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -2364,8 +2459,88 @@ object ScoringQueries extends QueryModule {
        |ORDER BY round""".stripMargin
   }
 
+  /** One unrolled sparse-GD round (q324): inference in exact
+    * nano-units, micro-quantized residuals, feature-keyed integer
+    * gradient, floor-stepped update — the engine's arithmetic
+    * verbatim. */
+  private def slrRoundCteSql(i: Int): String = {
+    val p = i - 1
+    s"""u$i AS (
+       |  SELECT d.doc_id, d.y,
+       |    (coalesce(wsum.u, 0) + (SELECT b FROM b$p)) / 1e9 AS u
+       |  FROM docs d LEFT JOIN (
+       |    SELECT feats.doc_id, CAST(sum(w$p.w_nano) AS BIGINT) AS u
+       |    FROM feats JOIN w$p ON feats.f = w$p.f
+       |    GROUP BY feats.doc_id) wsum
+       |  ON d.doc_id = wsum.doc_id),
+       |dm$i AS (
+       |  SELECT doc_id,
+       |    CAST(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+       |      + 0.5) AS BIGINT) AS d_micro
+       |  FROM u$i),
+       |gf$i AS (
+       |  SELECT f, CAST(sum(d_micro) AS BIGINT) AS g_micro
+       |  FROM feats JOIN dm$i ON feats.doc_id = dm$i.doc_id
+       |  GROUP BY f),
+       |gb$i AS (SELECT CAST(sum(d_micro) AS BIGINT) AS g FROM dm$i),
+       |w$i AS (
+       |  SELECT coalesce(w$p.f, gf$i.f) AS f,
+       |    CAST(coalesce(w$p.w_nano, 0)
+       |      + floor(1e3 * $SlrLr * coalesce(gf$i.g_micro, 0)
+       |          / (SELECT n FROM nn)) AS BIGINT) AS w_nano
+       |  FROM w$p FULL JOIN gf$i ON w$p.f = gf$i.f
+       |  WHERE CAST(coalesce(w$p.w_nano, 0)
+       |    + floor(1e3 * $SlrLr * coalesce(gf$i.g_micro, 0)
+       |        / (SELECT n FROM nn)) AS BIGINT) <> 0),
+       |b$i AS (
+       |  SELECT (SELECT b FROM b$p)
+       |    + CAST(floor(1e3 * $SlrLr * (SELECT g FROM gb$i)
+       |        / (SELECT n FROM nn)) AS BIGINT) AS b),
+       |acc$i AS (
+       |  SELECT CAST(sum(CASE WHEN
+       |      (CASE WHEN coalesce(wsum.u, 0) + (SELECT b FROM b$i) > 0
+       |        THEN 1.0 ELSE 0.0 END) = d.y THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ok,
+       |    CAST(count(*) AS BIGINT) AS nn2
+       |  FROM docs d LEFT JOIN (
+       |    SELECT feats.doc_id, CAST(sum(w$i.w_nano) AS BIGINT) AS u
+       |    FROM feats JOIN w$i ON feats.f = w$i.f
+       |    GROUP BY feats.doc_id) wsum
+       |  ON d.doc_id = wsum.doc_id),
+       |st$i AS (
+       |  SELECT $i AS round,
+       |    floor(CAST(ok AS DOUBLE) / nn2 * 1e4 + 0.5) / 1e4 AS acc,
+       |    (SELECT b FROM b$i) / 1e9 AS w_bias,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM w$i) AS n_active,
+       |    (SELECT CAST(coalesce(sum(abs(w_nano)), 0) AS BIGINT)
+       |      FROM w$i) / 1e9 AS w_l1
+       |  FROM acc$i)""".stripMargin
+  }
+
+  private def sparseLogregSql: String = {
+    val rounds = (1 to SlrRounds).map(slrRoundCteSql).mkString(",\n")
+    val rows = (1 to SlrRounds).map(i => s"SELECT * FROM st$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH docs AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |feats AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(t), 1, 12))::BIGINT % $SlrBuckets AS f
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_filter(
+       |    str_split(text, ' '), x -> x <> ''))) AS t FROM documents)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS f,
+       |  CAST(NULL AS BIGINT) AS w_nano WHERE false),
+       |b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+       |$rounds
+       |$rows
+       |ORDER BY round""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "q317_adaboost_stumps" -> adaboostSql,
+    "q324_sparse_logreg" -> sparseLogregSql,
     "q322_self_bleu" ->
       s"""WITH sample AS (
         |  SELECT doc_id,

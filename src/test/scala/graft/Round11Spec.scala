@@ -279,6 +279,25 @@ class Round11Spec extends AnyFunSuite {
     assert(m.getAs[Double]("b_simple") > 0.0)
   }
 
+  test("q324: disjoint vocabularies train to perfect accuracy with sparse weights") {
+    import spark.implicits._
+    val base = ((1 to 20).map(i =>
+        (i.toLong, 1.0, "good great nice wonderful")) ++
+      (1 to 20).map(i =>
+        (100L + i, 0.0, "bad awful poor dreadful")))
+      .toDF("doc_id", "y", "text")
+    val out = ScoringQueries.sparseLogregOf(base).collect()
+    assert(out.length == 3)
+    assert(out.last.getAs[Double]("acc") == 1.0,
+      s"separable vocab must classify perfectly: ${out.mkString(";")}")
+    assert(out.last.getAs[Long]("n_active") == 8L,
+      "every token carries signal -> every hashed feature active")
+    assert(out.last.getAs[Double]("w_l1") > 0.0)
+    // accuracy never degrades across rounds on separable data
+    val accs = out.map(_.getAs[Double]("acc"))
+    assert(accs.sliding(2).forall(p => p(0) <= p(1)), accs.toSeq.toString)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

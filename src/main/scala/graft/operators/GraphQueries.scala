@@ -628,6 +628,86 @@ object GraphQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** q325: seed count and iteration depth for personalized PageRank. */
+  private val PprSeeds = 3
+  private val PprIters = 3
+
+  /** Personalized PageRank (q325) — Haveliwala 2002 / the Pixie-style
+    * recommendation read (Eksombatchai et al. 2018): rank flows as in
+    * q92 but BOTH the restart mass and the dangling mass teleport to a
+    * SEED SET instead of uniformly — "what is relevant to THESE
+    * items", the item-item recommendation and related-content query
+    * q92's global centrality cannot answer. Seeds are the top-3
+    * weighted-in-degree items (ties by id — integer-deterministic, so
+    * the oracle replays the seed choice); teleport is uniform over
+    * them. Same scale shape as q92: per iteration one edge join + one
+    * in-sum aggregate, every round `localCheckpoint`ed (the structural
+    * guard class); the dangling correction keeps total mass 1. Scores
+    * round before the top-20 rank so order is a pure function of
+    * published values (q292's discipline). */
+  def qPersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pprCore(edgesOf(s, dir).groupBy($"src", $"dst")
+      .agg(count(lit(1)).cast("double").as("w")))
+  }
+
+  /** PPR core over any weighted (src, dst, w) edge frame; split out so
+    * the spec can pin seed locality on a crafted two-cluster graph. */
+  private[graft] def pprCore(we0: DataFrame): DataFrame = {
+    val s = we0.sparkSession
+    import s.implicits._
+    val we = we0.localCheckpoint()
+    val odeg = we.groupBy($"src").agg(sum($"w").as("odeg"))
+      .localCheckpoint()
+    val nodes = we.select($"src".as("node"))
+      .union(we.select($"dst".as("node"))).distinct()
+      .localCheckpoint()
+    // seeds: top-3 weighted in-degree, ties by node — exact integers
+    // (weights are transition counts) so the pick is deterministic
+    val seeds = we.groupBy($"dst".as("node"))
+      .agg(sum($"w").cast("long").as("ind"))
+      .orderBy($"ind".desc, $"node".asc).limit(PprSeeds)
+      .select($"node").localCheckpoint(true)
+    // 1/|seeds|, not 1/PprSeeds: a tiny graph can have fewer than
+    // PprSeeds in-degree-positive nodes, and the teleport vector must
+    // still sum to 1 or rank mass leaks every iteration
+    val nSeeds = seeds.count()
+    val tele = nodes.join(seeds.select($"node", lit(1).as("is_seed")),
+        Seq("node"), "left")
+      .select($"node",
+        when($"is_seed" === 1, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+          .as("t"))
+      .localCheckpoint(true)
+    var ranks = tele.select($"node", $"t".as("rank"))
+    for (_ <- 1 to PprIters) {
+      val contrib = ranks
+        .join(we, ranks("node") === we("src"))
+        .join(odeg, "src")
+        .select($"dst".as("node"), ($"rank" * $"w" / $"odeg").as("c"))
+      val inSum = contrib.groupBy($"node").agg(sum($"c").as("in_sum"))
+      val dangling = ranks
+        .join(odeg, ranks("node") === odeg("src"), "left_anti")
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("dm"))
+      ranks = tele
+        .join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select($"node",
+          ((lit(1.0) - Damping) * $"t" +
+            lit(Damping) * (coalesce($"in_sum", lit(0.0)) + $"dm" * $"t"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    val scored = ranks
+      .join(seeds.select($"node", lit(true).as("s")), Seq("node"), "left")
+      .select($"node", (floor($"rank" * 1e4 + 0.5) / 1e4).as("ppr"),
+        coalesce($"s", lit(false)).as("is_seed"))
+    scored.withColumn("rk", row_number().over(
+        Window.orderBy($"ppr".desc, $"node".asc)))
+      .filter($"rk" <= 20)
+      .select($"rk", $"node", $"ppr", $"is_seed")
+      .orderBy($"rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
         "q144_triangles" -> (qTriangles _),
@@ -639,7 +719,8 @@ object GraphQueries extends QueryModule {
         "q220_bfs_hops" -> (qBfsHops _),
         "q176_coengagement" -> (qCoengagement _),
         "q291_hits" -> (qHits _),
-        "q292_adamic_adar" -> (qAdamicAdar _))
+        "q292_adamic_adar" -> (qAdamicAdar _),
+        "q325_personalized_pagerank" -> (qPersonalizedPagerank _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
   override def oracleSql: Map[String, String] = {
@@ -937,6 +1018,70 @@ object GraphQueries extends QueryModule {
       "q158_cc_stars" -> ccStarsSql,
       "q175_component_sizes" -> componentSizesSql,
       "q176_coengagement" -> coengagementSql,
+      // q325: q92's unrolled iterations with restart AND dangling mass
+      // teleporting to the integer-deterministic top-in-degree seeds
+      "q325_personalized_pagerank" -> {
+        def pit(prev: String, cur: String): String =
+          s"""c$cur AS (
+            |  SELECT we.dst AS node,
+            |    sum(p$prev.rank * we.w / odeg.odeg) AS in_sum
+            |  FROM p$prev JOIN we ON p$prev.node = we.src
+            |  JOIN odeg ON we.src = odeg.src
+            |  GROUP BY we.dst),
+            |d$cur AS (
+            |  SELECT coalesce(sum(rank), 0.0) AS dm FROM p$prev
+            |  WHERE node NOT IN (SELECT src FROM odeg)),
+            |p$cur AS (
+            |  SELECT tele.node,
+            |    (1.0 - $Damping) * tele.t
+            |      + $Damping * (coalesce(c$cur.in_sum, 0.0)
+            |        + d$cur.dm * tele.t) AS rank
+            |  FROM tele LEFT JOIN c$cur ON tele.node = c$cur.node
+            |  CROSS JOIN d$cur)""".stripMargin
+        s"""WITH ev AS (
+          |  SELECT user_id, ts, event_id,
+          |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+          |  FROM events),
+          |o AS (
+          |  SELECT user_id, item,
+          |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS src
+          |  FROM ev),
+          |edges AS (
+          |  SELECT src, item AS dst FROM o
+          |  WHERE src IS NOT NULL AND src <> item),
+          |we AS (
+          |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          |  FROM edges GROUP BY src, dst),
+          |odeg AS (SELECT src, sum(w) AS odeg FROM we GROUP BY src),
+          |nodes AS (
+          |  SELECT src AS node FROM edges
+          |  UNION SELECT dst FROM edges),
+          |seeds AS (
+          |  SELECT node FROM (
+          |    SELECT dst AS node, CAST(sum(w) AS BIGINT) AS ind
+          |    FROM we GROUP BY dst)
+          |  ORDER BY ind DESC, node LIMIT $PprSeeds),
+          |tele AS (
+          |  SELECT nodes.node,
+          |    CASE WHEN nodes.node IN (SELECT node FROM seeds)
+          |      THEN 1.0 / (SELECT count(*) FROM seeds)
+          |      ELSE 0.0 END AS t
+          |  FROM nodes),
+          |p0 AS (SELECT node, t AS rank FROM tele),
+          |${pit("0", "1")},
+          |${pit("1", "2")},
+          |${pit("2", "3")},
+          |scored AS (
+          |  SELECT p3.node, floor(p3.rank * 1e4 + 0.5) / 1e4 AS ppr,
+          |    p3.node IN (SELECT node FROM seeds) AS is_seed
+          |  FROM p3),
+          |rkd AS (
+          |  SELECT *, row_number() OVER (ORDER BY ppr DESC, node) AS rk
+          |  FROM scored)
+          |SELECT rk, node, ppr, is_seed FROM rkd WHERE rk <= 20
+          |ORDER BY rk""".stripMargin
+      },
       "q92_pagerank" ->
       s"""WITH ev AS (
         |  SELECT user_id, ts, event_id,

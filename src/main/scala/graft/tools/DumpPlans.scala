@@ -125,7 +125,8 @@ object DumpPlans {
     "q314_kendall_tau", "q315_rake_keywords", "q316_rouge_pairs",
     "q317_adaboost_stumps", "q318_page_hinkley", "q319_mcnemar_gates",
     "q320_brier_decomposition", "q321_mauve_proxy", "q322_self_bleu",
-    "q323_gradient_noise", "q324_sparse_logreg")
+    "q323_gradient_noise", "q324_sparse_logreg",
+    "q325_personalized_pagerank")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

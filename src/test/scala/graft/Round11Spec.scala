@@ -298,6 +298,28 @@ class Round11Spec extends AnyFunSuite {
     assert(accs.sliding(2).forall(p => p(0) <= p(1)), accs.toSeq.toString)
   }
 
+  test("q325: rank mass stays near the seed cluster, not the far one") {
+    import spark.implicits._
+    // two 3-cycles bridged weakly; heavy edges into node 2 make
+    // {2, 3, 1} the in-degree seeds, so the far cycle {10,11,12}
+    // should collect almost nothing
+    val we = Seq(
+      (1L, 2L, 5.0), (2L, 3L, 5.0), (3L, 1L, 5.0),
+      (3L, 10L, 0.1),
+      (10L, 11L, 1.0), (11L, 12L, 1.0), (12L, 10L, 1.0))
+      .toDF("src", "dst", "w")
+    val out = GraphQueries.pprCore(we).collect()
+    val ppr = out.map(r => r.getLong(1) -> r.getAs[Double]("ppr")).toMap
+    val seeds = out.filter(_.getAs[Boolean]("is_seed")).map(_.getLong(1))
+    assert(seeds.toSet.subsetOf(Set(1L, 2L, 3L, 10L)), seeds.toSeq.toString)
+    val near = Seq(1L, 2L, 3L).map(ppr).sum
+    val far = Seq(11L, 12L).flatMap(ppr.get).sum
+    assert(near > 5 * far,
+      s"teleport locality must hold rank near the seeds: near=$near far=$far")
+    // total published mass ≈ 1 (top-20 covers all 6 nodes here)
+    assert(math.abs(out.map(_.getAs[Double]("ppr")).sum - 1.0) < 0.01)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

@@ -708,8 +708,57 @@ object GraphQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Degree assortativity (q326) — Newman 2002: the Pearson
+    * correlation of endpoint degrees over the support-filtered
+    * undirected edges (each edge contributes BOTH orientations, the
+    * standard symmetric form: r = (M·Σxy − Σx·Σy)/(M·Σx² − (Σx)²)).
+    * The graph-health scalar next to q144's clustering coefficient —
+    * crawl/engagement graphs are typically DISassortative (hubs link
+    * leaves, r < 0); r drifting toward 0/positive flags farm-shaped
+    * structure. Scale shape: one degree aggregate, one edge join
+    * against the degree map, one scalar aggregate — every sum an
+    * EXACT integer (degrees are counts), one division at the end. A
+    * degree-regular graph has zero degree variance — both engines
+    * publish NULL there via the nullif'd denominator (Spark 0/0 is
+    * NULL, DuckDB's is NaN — the q293 cross-engine class). */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fe = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= MinEdgeWeight)
+      .select($"a", $"b")
+    assortativityCore(fe)
+  }
+
+  /** Assortativity core over canonical undirected edges; split out so
+    * the spec can pin the sign on star vs clique fixtures. */
+  private[graft] def assortativityCore(fe: DataFrame): DataFrame = {
+    val s = fe.sparkSession
+    import s.implicits._
+    val sym = fe.select($"a".as("u"), $"b".as("v"))
+      .union(fe.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("deg"))
+    val pairs = sym
+      .join(deg.select($"node".as("u"), $"deg".as("dx")), Seq("u"))
+      .join(deg.select($"node".as("v"), $"deg".as("dy")), Seq("v"))
+    // moments ride as decimal(38,0): m·Σxy and (Σx)² overflow a long
+    // at crawl-graph scale (m ~ 10¹², Σxy ~ 10¹⁸), the q289 pattern
+    val d38 = "decimal(38,0)"
+    pairs.agg(count(lit(1)).cast(d38).as("m"),
+        sum($"dx").cast(d38).as("sx"),
+        sum($"dx" * $"dx").cast(d38).as("sxx"),
+        sum($"dx" * $"dy").cast(d38).as("sxy"))
+      .select($"m".cast("long").as("m"),
+        (floor(($"m" * $"sxy" - $"sx" * $"sx").cast("double")
+          / when(($"m" * $"sxx" - $"sx" * $"sx") =!= 0,
+            ($"m" * $"sxx" - $"sx" * $"sx")).cast("double") * 1e4 + 0.5)
+          / 1e4).as("assortativity"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q92_pagerank" -> (qPagerank _),
+        "q326_assortativity" -> (qAssortativity _),
         "q144_triangles" -> (qTriangles _),
         "q158_cc_stars" -> (qConnectedStars _),
         "q175_component_sizes" -> (qComponentSizes _),
@@ -1018,6 +1067,43 @@ object GraphQueries extends QueryModule {
       "q158_cc_stars" -> ccStarsSql,
       "q175_component_sizes" -> componentSizesSql,
       "q176_coengagement" -> coengagementSql,
+      "q326_assortativity" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |    count(*) AS c
+        |  FROM edges GROUP BY 1, 2),
+        |fe AS (SELECT a, b FROM und WHERE c >= $MinEdgeWeight),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM fe
+        |  UNION ALL SELECT b, a FROM fe),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM sym GROUP BY u),
+        |pairs AS (
+        |  SELECT dx.deg AS dx, dy.deg AS dy
+        |  FROM sym JOIN deg dx ON sym.u = dx.node
+        |  JOIN deg dy ON sym.v = dy.node),
+        |agg AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS m,
+        |    CAST(sum(dx) AS HUGEINT) AS sx,
+        |    CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+        |    CAST(sum(dx * dy) AS HUGEINT) AS sxy
+        |  FROM pairs)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  floor(CAST(m * sxy - sx * sx AS DOUBLE)
+        |    / CAST(nullif(m * sxx - sx * sx, 0) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS assortativity
+        |FROM agg""".stripMargin,
       // q325: q92's unrolled iterations with restart AND dangling mass
       // teleporting to the integer-deterministic top-in-degree seeds
       "q325_personalized_pagerank" -> {

@@ -1059,7 +1059,50 @@ object TextQueries extends QueryModule {
     "q37_vocab_topk"      -> (qVocabTopk _),
     "q38_length_histogram" -> (qLengthHistogram _),
     "q315_rake_keywords"  -> (qRakeKeywords _),
+    "q327_word_burstiness" -> (qWordBurstiness _),
   )
+
+  /** Word burstiness (q327) — Church & Gale 1995: the
+    * variance-to-mean ratio of each top-20 word's per-document count,
+    * ZERO documents included (VMR = (N·Σc² − T²)/(N·T) from exact
+    * integer moments). A Poisson word scatters uniformly (VMR ≈ 1);
+    * content words clump (VMR ≫ 1) — the statistic that separates
+    * topical vocabulary from function words and flags template spam
+    * (boilerplate tokens with impossible VMR). Scale shape: one
+    * (word, doc) count aggregate, the top-20 word pick is a
+    * TakeOrdered heap on the word-total grid, per-word moments are
+    * one regroup of the 20 surviving words' doc counts; moments ride
+    * as decimal(38,0) (N·Σc² overflows a long at corpus scale). */
+  def qWordBurstiness(s: SparkSession, dir: String): DataFrame =
+    wordBurstinessOf(Tables.documents(s, dir))
+
+  /** Burstiness core over any (doc_id, text) frame; split out so the
+    * spec can pin VMR on planted uniform vs clumped words. */
+  private[graft] def wordBurstinessOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val d38 = "decimal(38,0)"
+    val base = docs.select($"doc_id",
+      filter(split($"text", " "), t => t =!= lit("")).as("tk"))
+    val nDocs = base.agg(count(lit(1)).cast(d38).as("nn"))
+    val wd = base.select($"doc_id", explode($"tk").as("w"))
+      .groupBy($"w", $"doc_id").agg(count(lit(1)).as("c"))
+    val top = wd.groupBy($"w").agg(sum($"c").as("total"))
+      .orderBy($"total".desc, $"w".asc).limit(20)
+    wd.join(broadcast(top), Seq("w"))
+      .groupBy($"w", $"total")
+      .agg(count(lit(1)).as("df"),
+        sum($"c" * $"c").cast(d38).as("scc"))
+      .crossJoin(broadcast(nDocs))
+      .select($"w".as("word"), $"total", $"df",
+        (floor($"total".cast(d38).cast("double")
+          / $"nn".cast("double") * 1e4 + 0.5) / 1e4).as("mean"),
+        (floor(($"nn" * $"scc" - $"total".cast(d38) * $"total")
+          .cast("double")
+          / ($"nn" * $"total".cast(d38)).cast("double") * 1e4 + 0.5)
+          / 1e4).as("vmr"))
+      .orderBy($"total".desc, $"word".asc)
+  }
 
   /** RAKE phrase-length cap: candidate phrases longer than 4 content
     * words are overwhelmingly extraction noise (Rose et al. report the
@@ -1160,6 +1203,32 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q327_word_burstiness" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(str_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS nn FROM base),
+        |wd AS (
+        |  SELECT u.w AS w, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM base, unnest(tk) u(w) GROUP BY u.w, doc_id),
+        |top AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS total FROM wd GROUP BY w
+        |  ORDER BY total DESC, w LIMIT 20),
+        |st AS (
+        |  SELECT wd.w, top.total, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c * c) AS HUGEINT) AS scc
+        |  FROM wd JOIN top ON wd.w = top.w
+        |  GROUP BY wd.w, top.total)
+        |SELECT st.w AS word, st.total, st.df,
+        |  floor(CAST(st.total AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS mean,
+        |  floor(CAST(nn.nn * st.scc
+        |      - CAST(st.total AS HUGEINT) * st.total AS DOUBLE)
+        |    / CAST(nn.nn * CAST(st.total AS HUGEINT) AS DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS vmr
+        |FROM st CROSS JOIN nn
+        |ORDER BY st.total DESC, word""".stripMargin,
     "q315_rake_keywords" -> {
       val stops = TextOps.stopwordsSqlList
       val cleanSql = TextOps.cleanTextSql

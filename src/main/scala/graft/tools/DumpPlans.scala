@@ -126,7 +126,8 @@ object DumpPlans {
     "q317_adaboost_stumps", "q318_page_hinkley", "q319_mcnemar_gates",
     "q320_brier_decomposition", "q321_mauve_proxy", "q322_self_bleu",
     "q323_gradient_noise", "q324_sparse_logreg",
-    "q325_personalized_pagerank")
+    "q325_personalized_pagerank", "q326_assortativity",
+    "q327_word_burstiness")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

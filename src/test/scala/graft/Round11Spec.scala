@@ -320,6 +320,30 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(out.map(_.getAs[Double]("ppr")).sum - 1.0) < 0.01)
   }
 
+  test("q326: star is perfectly disassortative; regular graph publishes NULL") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("a", "b")
+    val r = GraphQueries.assortativityCore(star).collect().head
+    assert(r.getAs[Double]("assortativity") == -1.0, r.toString)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    val c = GraphQueries.assortativityCore(cycle).collect().head
+    assert(c.isNullAt(c.fieldIndex("assortativity")),
+      "zero degree variance => undefined, identically in both engines")
+  }
+
+  test("q327: a uniform word has VMR 0, a one-doc clump has VMR 3 on 4 docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u z z z z"), (2L, "u"), (3L, "u"), (4L, "u"))
+      .toDF("doc_id", "text")
+    val out = TextQueries.wordBurstinessOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("u") == ((4L, 4L, 1.0, 0.0)), out.toString)
+    assert(out("z") == ((4L, 1L, 1.0, 3.0)), out.toString)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

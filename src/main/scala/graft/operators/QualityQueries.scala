@@ -743,6 +743,60 @@ object QualityQueries extends QueryModule {
       .orderBy($"lang")
   }
 
+  /** q328 constants: the compute budget as a multiple of the corpus
+    * (4× forces repetition on every language), the q88 temperature,
+    * and Muennighoff et al. 2023's fitted repetition half-life
+    * R* ≈ 15 (epochs beyond ~4·R* contribute ~nothing). */
+  private val RvBudgetX = 4.0
+  private val RvAlpha = 0.3
+  private val RvRStar = 15.0
+
+  /** Data-constrained scaling allocator (q328) — Muennighoff et al.
+    * 2022 "Scaling Data-Constrained Language Models": when the
+    * temperature-mixed budget share (q88's p ∝ share^0.3) asks a
+    * language for MORE tokens than it has, the overflow is served by
+    * repetition, and repeated epochs decay in value — effective tokens
+    * D' = U + U·R*·(1 − e^{−R/R*}) for R = epochs−1 repetitions. The
+    * allocator reports, per language, the budgeted tokens, implied
+    * epochs, EFFECTIVE tokens under the decay fit, and the utilization
+    * ratio — the table that says which languages the mixture is
+    * actually wasting compute on. Pure per-language scalar arithmetic
+    * on the |langs| grid after one corpus aggregate; exp() enters only
+    * the published values (the q308 accepted class). */
+  def qRepetitionValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    repetitionValueOf(Tables.documents(s, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("n_tok"))
+      .groupBy($"lang")
+      .agg(sum($"n_tok").as("u")))
+  }
+
+  /** Allocator core over any (lang, u) frame; split out so the spec
+    * can pin the decay arithmetic against a plain-Scala replica. */
+  private[graft] def repetitionValueOf(langs: DataFrame): DataFrame = {
+    val s = langs.sparkSession
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val base = langs
+      .withColumn("share_raw", $"u".cast("double") / sum($"u").over(w))
+      .withColumn("p_temp",
+        pow($"share_raw", RvAlpha) / sum(pow($"share_raw", RvAlpha)).over(w))
+      .withColumn("budget",
+        $"p_temp" * lit(RvBudgetX) * sum($"u").over(w))
+    val epochs = $"budget" / $"u"
+    val reps = greatest(epochs - lit(1.0), lit(0.0))
+    val eff = $"u" * (lit(1.0) +
+      lit(RvRStar) * (lit(1.0) - exp(-reps / lit(RvRStar))))
+    base.select($"lang", $"u".as("unique_tokens"),
+        (floor($"budget" + 0.5)).cast("long").as("budget_tokens"),
+        (floor(epochs * 1e4 + 0.5) / 1e4).as("epochs"),
+        (floor(least(eff, $"budget") + 0.5)).cast("long")
+          .as("effective_tokens"),
+        (floor(least(eff, $"budget") / $"budget" * 1e4 + 0.5) / 1e4)
+          .as("utilization"))
+      .orderBy($"lang")
+  }
+
   /** Token-budget buckets: 16 range buckets keyed on the FIRST hex char
     * of the rank key. Lowercase hex sorts lexicographically in value
     * order ('0'..'9' < 'a'..'f'), so the bucket is a prefix of the sort
@@ -1902,6 +1956,7 @@ object QualityQueries extends QueryModule {
       "q81_length_deciles"   -> (qLengthDeciles _),
       "q84_token_budget"     -> (qTokenBudget _),
       "q88_temperature_mix"  -> (qTemperatureMix _),
+      "q328_repetition_value" -> (qRepetitionValue _),
       "q90_cms_heavy_hitters" -> (qCmsHeavyHitters _),
       "q98_dataset_card"     -> (qDatasetCard _),
       "q102_epoch_sample"    -> (qEpochSample _),
@@ -2758,6 +2813,39 @@ object QualityQueries extends QueryModule {
         |SELECT term, exact_cnt, TRUE AS cms_ok
         |FROM top WHERE rk <= 20
         |ORDER BY exact_cnt DESC, term""".stripMargin,
+    "q328_repetition_value" ->
+      s"""WITH l AS (
+        |  SELECT lang,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS u
+        |  FROM documents GROUP BY lang),
+        |sh AS (
+        |  SELECT lang, u,
+        |    CAST(u AS DOUBLE) / sum(u) OVER () AS share_raw,
+        |    CAST(sum(u) OVER () AS BIGINT) AS tu
+        |  FROM l),
+        |p AS (
+        |  SELECT lang, u, tu,
+        |    power(share_raw, $RvAlpha)
+        |      / sum(power(share_raw, $RvAlpha)) OVER () AS p_temp
+        |  FROM sh),
+        |b AS (
+        |  SELECT lang, u, p_temp * $RvBudgetX * tu AS budget FROM p),
+        |e AS (
+        |  SELECT lang, u, budget, budget / u AS epochs,
+        |    greatest(budget / u - 1.0, 0.0) AS reps
+        |  FROM b),
+        |f AS (
+        |  SELECT *, u * (1.0 + $RvRStar
+        |    * (1.0 - exp(-reps / $RvRStar))) AS eff
+        |  FROM e)
+        |SELECT lang, u AS unique_tokens,
+        |  CAST(floor(budget + 0.5) AS BIGINT) AS budget_tokens,
+        |  floor(epochs * 1e4 + 0.5) / 1e4 AS epochs,
+        |  CAST(floor(least(eff, budget) + 0.5) AS BIGINT)
+        |    AS effective_tokens,
+        |  floor(least(eff, budget) / budget * 1e4 + 0.5) / 1e4
+        |    AS utilization
+        |FROM f ORDER BY lang""".stripMargin,
     "q88_temperature_mix" ->
       """WITH g AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1326,6 +1326,56 @@ object ScoringQueries extends QueryModule {
       .orderBy($"bin")
   }
 
+  /** Curriculum schedule (q329) — the quality-ordered staging plan
+    * curriculum training consumes (Bengio et al. 2009 applied the
+    * data-engineering way): rank the corpus by the q87 quality score
+    * DESC (clean first) and cut it into 3 stages of ~equal TOKEN mass;
+    * per stage the doc/token counts, token fraction, and mean score —
+    * the manifest that says what "phase 1 data" actually is. Scale
+    * shape: q204's — the corpus collapses once to the ≤10⁴-row
+    * rounded-score histogram, the stage cut is a cumsum over that
+    * bounded grid (a histogram row assigns whole, by its
+    * cumulative-before mass), and mean scores stay EXACT by summing
+    * score·1e4 (already an integer after the 4dp round) times doc
+    * counts as longs. */
+  def qCurriculumSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    curriculumOf(Tables.documents(s, dir)
+      .select(round(lit(1.0) / (lit(1.0) + exp(-qualityZ)), 4).as("score"),
+        size(split($"text", " ")).cast("long").as("n_toks"))
+      .groupBy($"score")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens")))
+  }
+
+  /** Schedule core over any (score, n_docs, n_tokens) histogram; split
+    * out so the spec can pin the token-mass tertile cut. */
+  private[graft] def curriculumOf(hist0: DataFrame): DataFrame = {
+    val s = hist0.sparkSession
+    import s.implicits._
+    val hist = hist0
+      .withColumn("score_i4",
+        round(lit(1e4) * $"score").cast("long") * $"n_docs")
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.agg(sum($"n_tokens").as("tt"))
+    hist
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("stage",
+        least(floor(($"cum" - $"n_tokens") * 3L / $"tt") + 1L, lit(3L))
+          .cast("int"))
+      .groupBy($"stage")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        sum($"score_i4").as("si4"))
+      .crossJoin(broadcast(tot))
+      .select($"stage", $"n_docs", $"n_tokens",
+        (floor($"n_tokens".cast("double") / $"tt" * 1e4 + 0.5) / 1e4)
+          .as("token_frac"),
+        (floor($"si4".cast("double") / $"n_docs" + 0.5) / 1e4)
+          .as("mean_score"))
+      .orderBy($"stage")
+  }
+
   /** Quality-threshold sweep (q204): kept docs/tokens at each cutoff
     * in {0.00, 0.05, …, 1.00} — the knob-tuning curve a filter
     * threshold is actually chosen from (q180 shows three fixed gates;
@@ -2284,6 +2334,7 @@ object ScoringQueries extends QueryModule {
       "q322_self_bleu" -> (qSelfBleu _),
       "q323_gradient_noise" -> (qGradientNoise _),
       "q324_sparse_logreg" -> (qSparseLogreg _),
+      "q329_curriculum_schedule" -> (qCurriculumSchedule _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -2541,6 +2592,52 @@ object ScoringQueries extends QueryModule {
   override def oracleSql: Map[String, String] = Map(
     "q317_adaboost_stumps" -> adaboostSql,
     "q324_sparse_logreg" -> sparseLogregSql,
+    "q329_curriculum_schedule" -> {
+      val stop16 = Stop16.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"""WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS n_words,
+        |    str_split(text, ' ') AS tk, text
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_toks,
+        |    $Wb + $Wl * ln(1.0 + n_words)
+        |      + $Ww * (list_sum(list_transform(tk,
+        |          x -> CAST(length(x) AS DOUBLE))) / n_words)
+        |      + $Ws * (CAST(len(list_filter(tk, x -> x IN $stop16))
+        |          AS DOUBLE) / n_words)
+        |      + $Wu * coalesce(
+        |          CAST(length(text) - length(regexp_replace(text,
+        |            '[A-Z]', '', 'g')) AS DOUBLE)
+        |            / nullif(length(text), 0), 0.0) AS z
+        |  FROM f),
+        |hist AS (
+        |  SELECT round(1.0 / (1.0 + exp(-z)), 4) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM z GROUP BY 1),
+        |h2 AS (
+        |  SELECT *,
+        |    CAST(round(1e4 * score) AS BIGINT) * n_docs AS score_i4,
+        |    CAST(sum(n_tokens) OVER (ORDER BY score DESC) AS BIGINT)
+        |      AS cum
+        |  FROM hist),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM hist),
+        |st AS (
+        |  SELECT CAST(least(
+        |      floor((cum - n_tokens) * 3 / t.tt) + 1, 3) AS INTEGER)
+        |      AS stage,
+        |    n_docs, n_tokens, score_i4
+        |  FROM h2 CROSS JOIN t)
+        |SELECT stage, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(n_tokens) AS DOUBLE) / t.tt * 1e4 + 0.5) / 1e4
+        |    AS token_frac,
+        |  floor(CAST(sum(score_i4) AS DOUBLE) / sum(n_docs) + 0.5) / 1e4
+        |    AS mean_score
+        |FROM st CROSS JOIN t
+        |GROUP BY stage, t.tt ORDER BY stage""".stripMargin
+    },
     "q322_self_bleu" ->
       s"""WITH sample AS (
         |  SELECT doc_id,

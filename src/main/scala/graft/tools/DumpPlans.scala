@@ -127,7 +127,8 @@ object DumpPlans {
     "q320_brier_decomposition", "q321_mauve_proxy", "q322_self_bleu",
     "q323_gradient_noise", "q324_sparse_logreg",
     "q325_personalized_pagerank", "q326_assortativity",
-    "q327_word_burstiness")
+    "q327_word_burstiness", "q328_repetition_value",
+    "q329_curriculum_schedule")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -166,7 +167,11 @@ object DumpPlans {
     "q317_adaboost_stumps" ->
       "distinct-n_chars value-grid weighted-error cumsum (q307's frame)",
     "q318_page_hinkley" ->
-      "days-sized spine cumavg/cumsum/running-min (q200's frame)")
+      "days-sized spine cumavg/cumsum/running-min (q200's frame)",
+    "q328_repetition_value" ->
+      "langs-sized share/temperature windows (q88's frame)",
+    "q329_curriculum_schedule" ->
+      "rounded-score histogram cumsum (q201's frame)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -344,6 +344,56 @@ class Round11Spec extends AnyFunSuite {
     assert(out("z") == ((4L, 1L, 1.0, 3.0)), out.toString)
   }
 
+  test("q328: allocator matches a plain-Scala replica; minority language over-epochs") {
+    import spark.implicits._
+    val langs = Seq(("min", 100L), ("maj", 900L)).toDF("lang", "u")
+    val out = QualityQueries.repetitionValueOf(langs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // replica of the published arithmetic
+    def replica(u: Double, other: Double) = {
+      val tu = u + other
+      val p = math.pow(u / tu, 0.3) /
+        (math.pow(u / tu, 0.3) + math.pow(other / tu, 0.3))
+      val budget = p * 4.0 * tu
+      val reps = math.max(budget / u - 1.0, 0.0)
+      val eff = math.min(u * (1.0 + 15.0 * (1.0 - math.exp(-reps / 15.0))),
+        budget)
+      (math.floor(budget + 0.5).toLong,
+        math.floor(budget / u * 1e4 + 0.5) / 1e4,
+        math.floor(eff + 0.5).toLong,
+        math.floor(eff / budget * 1e4 + 0.5) / 1e4)
+    }
+    val (b1, e1, f1, ut1) = replica(100.0, 900.0)
+    val r = out("min")
+    assert(r.getAs[Long]("budget_tokens") == b1)
+    assert(r.getAs[Double]("epochs") == e1)
+    assert(r.getAs[Long]("effective_tokens") == f1)
+    assert(r.getAs[Double]("utilization") == ut1)
+    // temperature flattening: the minority language runs MORE epochs
+    // and wastes more of its budget to repetition decay
+    assert(out("min").getAs[Double]("epochs") >
+      out("maj").getAs[Double]("epochs"))
+    assert(out("min").getAs[Double]("utilization") <
+      out("maj").getAs[Double]("utilization"))
+  }
+
+  test("q329: token-mass tertiles cut clean-first on a crafted histogram") {
+    import spark.implicits._
+    // scores desc: .9(30 tokens), .8(30), .5(30) -> one stage each;
+    // doc counts differ so mean_score pins the exact-i4 arithmetic
+    val hist = Seq((0.9, 2L, 30L), (0.8, 3L, 30L), (0.5, 1L, 30L))
+      .toDF("score", "n_docs", "n_tokens")
+    val out = ScoringQueries.curriculumOf(hist).collect()
+    assert(out.length == 3)
+    val s1 = out(0)
+    assert(s1.getInt(0) == 1 && s1.getAs[Long]("n_tokens") == 30L)
+    assert(s1.getAs[Double]("mean_score") == 0.9)
+    assert(out(1).getAs[Double]("mean_score") == 0.8)
+    assert(out(2).getAs[Double]("mean_score") == 0.5)
+    assert(out.map(_.getAs[Double]("token_frac")).sum == 0.9999,
+      "three floor-rounded thirds")
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

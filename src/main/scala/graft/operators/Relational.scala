@@ -475,7 +475,46 @@ object Relational extends QueryModule {
       .orderBy($"g_lang", $"g_source", $"lang", $"source")
   }
 
+  /** q330's band half-width: documents within ±5 chars pair. */
+  private val BandEps = 5L
+
+  /** Bucketed band join (q330) — the scalable rewrite of the numeric
+    * theta join |x_a − x_b| ≤ ε (DBLP: the classic "band join", DeWitt
+    * et al. 1991): pairing every cross-source document whose lengths
+    * differ by ≤ ε would naively be a BroadcastNestedLoopJoin (the
+    * plan that dies first at scale). Instead each probe row keys on
+    * its ⌊x/(ε+1)⌋ bucket, the build side EXPLODES to its bucket ±1,
+    * and the theta predicate filters inside the resulting EQUI join —
+    * shuffle on the bucket key, candidate volume ∝ band density, and
+    * each true pair meets exactly once (the probe's single bucket
+    * appears once among the build row's three). The aggregate reports
+    * per source pair the band-pair count and the mean |Δ| — the
+    * "how much near-duplicate-length mass sits across sources"
+    * profile. Oracle: DuckDB runs the plain theta join (affordable at
+    * oracle scale) — the hash match proves rewrite ≡ predicate. */
+  def qBandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val wEps = BandEps + 1L
+    val probe = d.select($"doc_id".as("a"), $"source".as("src_a"),
+      $"n_chars".as("xa"), ($"n_chars" / wEps).cast("long").as("bkt"))
+    val build = d.select($"doc_id".as("b"), $"source".as("src_b"),
+        $"n_chars".as("xb"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .select($"b", $"src_b", $"xb",
+        (($"xb" / wEps).cast("long") + $"off").as("bkt"))
+    probe.join(build, Seq("bkt"))
+      .filter($"src_a" < $"src_b" && abs($"xa" - $"xb") <= BandEps)
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum(abs($"xa" - $"xb")).cast("double")
+          / count(lit(1)) * 1e4 + 0.5) / 1e4).as("mean_gap"))
+      .orderBy($"src_a", $"src_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_band_join"    -> (qBandJoin _),
     "q197_grouping_sets" -> (qGroupingSets _),
     "q193_join_estimate" -> (qJoinEstimate _),
     "q153_ri_audit"     -> (qRiAudit _),
@@ -498,6 +537,16 @@ object Relational extends QueryModule {
   )
 
   override def oracleSql: Map[String, String] = Map(
+    "q330_band_join" ->
+      s"""SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(sum(abs(a.n_chars - b.n_chars)) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS mean_gap
+        |FROM documents a JOIN documents b
+        |  ON a.source < b.source
+        |  AND abs(a.n_chars - b.n_chars) <= $BandEps
+        |GROUP BY a.source, b.source
+        |ORDER BY src_a, src_b""".stripMargin,
     "q197_grouping_sets" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars,

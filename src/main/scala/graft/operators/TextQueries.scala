@@ -1060,7 +1060,53 @@ object TextQueries extends QueryModule {
     "q38_length_histogram" -> (qLengthHistogram _),
     "q315_rake_keywords"  -> (qRakeKeywords _),
     "q327_word_burstiness" -> (qWordBurstiness _),
+    "q331_f2_sketch" -> (qF2Sketch _),
   )
+
+  /** q331 counter count: 16 independent sign-hash counters, averaged
+    * (AMS's mean-of-estimators form; variance ∝ F2²/16). */
+  private val F2K = 16
+
+  /** AMS second-moment sketch (q331) — Alon, Matias & Szegedy 1996:
+    * estimate F2 = Σ_t f_t² of the token frequency vector from 16
+    * ±1-sign counters S_k = Σ_t f_t·sign_k(t), Ê = mean(S_k²). F2 IS
+    * the self-join size of the token table — the number a join
+    * planner wants BEFORE shuffling (q193 estimates a specific join
+    * from full histograms; this is the sketch that costs one pass and
+    * 16 longs at any corpus size, mergeable by addition across
+    * shards). Signs come from an md5 bit per (k, token) — the
+    * engine-agnostic hash family — so every counter is an EXACT
+    * integer sum and the estimate is deterministic. The exact F2
+    * rides along for the relative-error verdict (at sf scale the
+    * token grid is affordable; at 100 TB you'd publish only the
+    * sketch). */
+  def qF2Sketch(s: SparkSession, dir: String): DataFrame =
+    f2SketchOf(Tables.documents(s, dir))
+
+  /** F2 core over any (doc_id, text) frame; split out so the spec can
+    * pin the estimator on closed-form frequency vectors. */
+  private[graft] def f2SketchOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(explode(
+      filter(split($"text", " "), t => t =!= lit(""))).as("t"))
+    val sign = (k: Int) =>
+      (conv(substring(md5(concat(lit(s"f2:$k:"), $"t")), 1, 1), 16, 10)
+        .cast("long") % 2L * 2L - 1L)
+    val counters = toks.agg(
+      count(lit(1)).as("n_tokens"),
+      (0 until F2K).map(k => sum(sign(k)).as(s"s$k")): _*)
+    val exact = toks.groupBy($"t").agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum($"f" * $"f").as("f2_exact"))
+    val estExpr = (0 until F2K).map(k => col(s"s$k") * col(s"s$k"))
+      .reduce(_ + _).cast("double") / F2K
+    counters.crossJoin(broadcast(exact))
+      .select($"n_tokens", $"n_distinct", $"f2_exact",
+        (floor(estExpr + 0.5)).cast("long").as("f2_est"),
+        (floor(abs(estExpr - $"f2_exact") / $"f2_exact" * 1e4 + 0.5)
+          / 1e4).as("rel_err"))
+  }
 
   /** Word burstiness (q327) — Church & Gale 1995: the
     * variance-to-mean ratio of each top-20 word's per-document count,
@@ -1203,6 +1249,31 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q331_f2_sketch" -> {
+      val sCols = (0 until F2K).map(k =>
+        s"CAST(sum((('0x' || substr(md5('f2:$k:' || t), 1, 1))::BIGINT" +
+          s" % 2) * 2 - 1) AS BIGINT) AS s$k").mkString(",\n|    ")
+      val est = (0 until F2K).map(k => s"s$k * s$k").mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT u.t AS t
+        |  FROM (SELECT list_filter(str_split(text, ' '), x -> x <> '')
+        |          AS tk FROM documents), unnest(tk) u(t)),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |    $sCols
+        |  FROM toks),
+        |e AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum(f * f) AS BIGINT) AS f2_exact
+        |  FROM (SELECT t, CAST(count(*) AS BIGINT) AS f FROM toks
+        |        GROUP BY t))
+        |SELECT n_tokens, n_distinct, f2_exact,
+        |  CAST(floor(CAST($est AS DOUBLE) / $F2K + 0.5) AS BIGINT)
+        |    AS f2_est,
+        |  floor(abs(CAST($est AS DOUBLE) / $F2K - f2_exact)
+        |    / f2_exact * 1e4 + 0.5) / 1e4 AS rel_err
+        |FROM c CROSS JOIN e""".stripMargin
+    },
     "q327_word_burstiness" ->
       """WITH base AS (
         |  SELECT doc_id,

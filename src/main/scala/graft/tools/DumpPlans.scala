@@ -128,7 +128,7 @@ object DumpPlans {
     "q323_gradient_noise", "q324_sparse_logreg",
     "q325_personalized_pagerank", "q326_assortativity",
     "q327_word_burstiness", "q328_repetition_value",
-    "q329_curriculum_schedule")
+    "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -394,6 +394,38 @@ class Round11Spec extends AnyFunSuite {
       "three floor-rounded thirds")
   }
 
+  test("q330: band join catches cross-bucket neighbors and rejects out-of-band") {
+    import spark.implicits._
+    // width 6 buckets: (5, 7) straddles buckets 0|1 and MUST pair —
+    // the case a naive same-bucket join silently drops
+    val docs = Seq(
+      (1L, "a", 5L), (2L, "a", 100L),
+      (3L, "b", 7L), (4L, "b", 104L), (5L, "b", 110L))
+      .toDF("doc_id", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_band").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Relational.qBandJoin(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pairs") == 2L, r.head.toString)
+    assert(r.head.getAs[Double]("mean_gap") == 3.0) // gaps 2 and 4
+  }
+
+  test("q331: a single repeated token estimates F2 exactly; moments exact") {
+    import spark.implicits._
+    val solo = Seq((1L, "w w w w w")).toDF("doc_id", "text")
+    val r = TextQueries.f2SketchOf(solo).collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_distinct") == 1L)
+    assert(r.getAs[Long]("f2_exact") == 25L)
+    assert(r.getAs[Long]("f2_est") == 25L,
+      "one token: every sign counter is ±5, every square 25 — exact")
+    assert(r.getAs[Double]("rel_err") == 0.0)
+    val two = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val t = TextQueries.f2SketchOf(two).collect().head
+    assert(t.getAs[Long]("f2_exact") == 10L)
+    assert(t.getAs[Long]("f2_est") > 0L)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

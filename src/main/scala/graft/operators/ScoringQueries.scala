@@ -513,6 +513,17 @@ object ScoringQueries extends QueryModule {
     * lengths), not the row count. */
   def qKsDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    ksPerSource(s, dir)
+      .select($"source", $"ns".as("n_docs"),
+        round($"dmax", 4).as("d_stat"))
+      .orderBy($"source")
+  }
+
+  /** The per-source KS frame (source, ns, n_all, dmax) UNROUNDED —
+    * q182 publishes the rounded statistic; q332 needs the raw D for
+    * its p-values. */
+  private def ksPerSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val d = Tables.documents(s, dir).select($"source", $"n_chars")
     val grid = d.select($"n_chars").distinct()
     val srcs = d.select($"source").distinct()
@@ -533,12 +544,51 @@ object ScoringQueries extends QueryModule {
     cum.join(overall, "n_chars")
       .join(broadcast(ns), "source")
       .crossJoin(broadcast(tot))
-      .select($"source", $"ns",
+      .select($"source", $"ns", $"n_all",
         abs($"cs" / $"ns".cast("double") -
           ($"ctot" - $"cs") / ($"n_all" - $"ns").cast("double")).as("diff"))
       .groupBy($"source")
-      .agg(max($"ns").as("n_docs"), round(max($"diff"), 4).as("d_stat"))
-      .orderBy($"source")
+      .agg(max($"ns").as("ns"), max($"n_all").as("n_all"),
+        max($"diff").as("dmax"))
+  }
+
+  /** q332's FDR level. */
+  private val BhAlpha = 0.05
+
+  /** Benjamini–Hochberg drift screen (q332) — BH 1995 step-up over the
+    * per-source KS drift tests (q182's D, source vs rest): with 20+
+    * sources, "which sources drifted" is a MULTIPLE-testing question —
+    * thresholding raw p at 0.05 false-alarms ~1 source per run
+    * forever. p comes from the Smirnov large-sample tail
+    * p = min(1, 2·e^{−2·n_e·D²}), n_e = n₁n₂/(n₁+n₂); BH sorts p
+    * ascending and rejects ranks ≤ argmax{i : p_(i) ≤ i·α/m}. Scale
+    * shape: everything after q182's audited grid pass runs on the
+    * |sources| frame (the sort window is sources-sized — audited); the
+    * step-up max is one running max back-join. */
+  def qBhDriftScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ksPerSource(s, dir)
+      .select($"source", $"ns",
+        ($"ns" * ($"n_all" - $"ns")).cast("double")
+          ./($"n_all".cast("double")).as("ne"),
+        $"dmax")
+      .withColumn("p",
+        least(lit(1.0), lit(2.0) * exp(lit(-2.0) * $"ne" * $"dmax" * $"dmax")))
+    val m = Window.partitionBy(lit(1))
+    val ranked = base
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"p".asc, $"source".asc)))
+      .withColumn("pass", $"p" <= $"rk" * lit(BhAlpha) / $"m")
+    val kMax = ranked.agg(coalesce(max(when($"pass", $"rk")), lit(0))
+      .as("k"))
+    ranked.crossJoin(broadcast(kMax))
+      .select($"source", $"ns".as("n_docs"),
+        (floor($"dmax" * 1e4 + 0.5) / 1e4).as("d_stat"),
+        (floor($"p" * 1e6 + 0.5) / 1e6).as("p_value"),
+        $"rk".cast("int").as("rank"),
+        ($"rk" <= $"k").as("reject"))
+      .orderBy($"rank")
   }
 
   /** Normal-consistency factor: MAD·1.4826 estimates σ under
@@ -2335,6 +2385,7 @@ object ScoringQueries extends QueryModule {
       "q323_gradient_noise" -> (qGradientNoise _),
       "q324_sparse_logreg" -> (qSparseLogreg _),
       "q329_curriculum_schedule" -> (qCurriculumSchedule _),
+      "q332_bh_drift_screen" -> (qBhDriftScreen _),
       "q202_ess_audit" -> (qEssAudit _),
       "q203_calibration" -> (qCalibration _),
       "q204_threshold_sweep" -> (qThresholdSweep _),
@@ -3632,6 +3683,65 @@ object ScoringQueries extends QueryModule {
         |  round(max(nll), 4) AS max_nll
         |FROM t GROUP BY lang, bucket
         |ORDER BY lang, bucket""".stripMargin,
+    // q332: q182's diff chain unrounded, then Smirnov p + BH step-up
+    "q332_bh_drift_screen" ->
+      s"""WITH d AS (SELECT source, n_chars FROM documents),
+        |grid AS (SELECT DISTINCT n_chars FROM d),
+        |srcs AS (SELECT DISTINCT source FROM d),
+        |cnts AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY source, n_chars),
+        |filled AS (
+        |  SELECT s.source, g.n_chars, coalesce(c.c, 0) AS c
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN cnts c ON c.source = s.source
+        |    AND c.n_chars = g.n_chars),
+        |cum AS (
+        |  SELECT source, n_chars, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM filled),
+        |overall AS (
+        |  SELECT n_chars,
+        |    sum(call) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctot
+        |  FROM (SELECT n_chars, CAST(count(*) AS BIGINT) AS call
+        |        FROM d GROUP BY n_chars)),
+        |ns AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS ns
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM d),
+        |diffs AS (
+        |  SELECT cum.source, ns.ns, t.n_all,
+        |    abs(cum.cs / CAST(ns.ns AS DOUBLE)
+        |      - (o.ctot - cum.cs) / CAST(t.n_all - ns.ns AS DOUBLE))
+        |      AS diff
+        |  FROM cum JOIN overall o USING (n_chars)
+        |  JOIN ns USING (source) CROSS JOIN tot t),
+        |ks AS (
+        |  SELECT source, max(ns) AS ns, max(n_all) AS n_all,
+        |    max(diff) AS dmax
+        |  FROM diffs GROUP BY source),
+        |pv AS (
+        |  SELECT source, ns, dmax,
+        |    least(1.0, 2.0 * exp(-2.0
+        |      * (CAST(ns * (n_all - ns) AS DOUBLE) / n_all)
+        |      * dmax * dmax)) AS p
+        |  FROM ks),
+        |ranked AS (
+        |  SELECT *, count(*) OVER () AS m,
+        |    row_number() OVER (ORDER BY p, source) AS rk
+        |  FROM pv),
+        |k AS (
+        |  SELECT coalesce(max(CASE WHEN p <= rk * $BhAlpha / m
+        |    THEN rk END), 0) AS k
+        |  FROM ranked)
+        |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+        |  floor(dmax * 1e4 + 0.5) / 1e4 AS d_stat,
+        |  floor(p * 1e6 + 0.5) / 1e6 AS p_value,
+        |  CAST(rk AS INTEGER) AS rank,
+        |  rk <= k.k AS reject
+        |FROM ranked CROSS JOIN k ORDER BY rank""".stripMargin,
     "q182_ks_drift" ->
       """WITH d AS (SELECT source, n_chars FROM documents),
         |grid AS (SELECT DISTINCT n_chars FROM d),

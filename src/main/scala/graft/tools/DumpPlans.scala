@@ -128,7 +128,8 @@ object DumpPlans {
     "q323_gradient_noise", "q324_sparse_logreg",
     "q325_personalized_pagerank", "q326_assortativity",
     "q327_word_burstiness", "q328_repetition_value",
-    "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch")
+    "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch",
+    "q332_bh_drift_screen")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -171,7 +172,9 @@ object DumpPlans {
     "q328_repetition_value" ->
       "langs-sized share/temperature windows (q88's frame)",
     "q329_curriculum_schedule" ->
-      "rounded-score histogram cumsum (q201's frame)")
+      "rounded-score histogram cumsum (q201's frame)",
+    "q332_bh_drift_screen" ->
+      "sources-sized p-value rank/count windows (post-agg, |sources| rows)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

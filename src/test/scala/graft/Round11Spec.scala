@@ -426,6 +426,28 @@ class Round11Spec extends AnyFunSuite {
     assert(t.getAs[Long]("f2_est") > 0L)
   }
 
+  test("q332: BH rejects the planted shifted source and spares the rest") {
+    import spark.implicits._
+    // 5 sources x 60 docs from the same length ladder; source 'dr'
+    // shifted far away — its KS p crashes, BH must reject exactly it
+    val rows = for {
+      (s, si) <- Seq("a1", "b2", "c3", "d4", "dr").zipWithIndex
+      i <- 1 to 60
+    } yield {
+      val len = if (s == "dr") 5000L + i else 100L + (i % 20)
+      (si * 100L + i, s, len, "t", "en")
+    }
+    val docs = rows.toDF("doc_id", "source", "n_chars", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ScoringQueries.qBhDriftScreen(spark, dir).collect()
+    val rej = out.filter(_.getAs[Boolean]("reject")).map(_.getString(0))
+    assert(rej.contains("dr"), out.mkString(";"))
+    assert(out.head.getString(0) == "dr", "smallest p ranks first")
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 5),
+      "ranks are a permutation of 1..m")
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

@@ -1061,7 +1061,46 @@ object TextQueries extends QueryModule {
     "q315_rake_keywords"  -> (qRakeKeywords _),
     "q327_word_burstiness" -> (qWordBurstiness _),
     "q331_f2_sketch" -> (qF2Sketch _),
+    "q333_yule_k" -> (qYuleK _),
   )
+
+  /** Yule's K vocabulary-richness characteristic (q333) — Yule 1944:
+    * K = 10⁴·(Σ_r r²·N_r − N)/N² from the count-of-counts profile
+    * (q296's frame), with the hapax share alongside. K is
+    * length-invariant where type-token ratio is not — the lexical
+    * fingerprint that separates rich natural prose (low K) from
+    * template/boilerplate output (high K: the same words over and
+    * over), reported PER LANGUAGE so the gate can flag one degraded
+    * source language. Scale shape: one (lang, token) aggregate, one
+    * count-of-counts regroup, one |lang|×|r| fold — every term an
+    * exact integer until the final division (as decimal(38,0):
+    * r²·N_r·10⁴ overflows a long at web scale). */
+  def qYuleK(s: SparkSession, dir: String): DataFrame =
+    yuleKOf(Tables.documents(s, dir))
+
+  /** Yule-K core over any (lang, text) frame; split out so the spec
+    * can pin K on closed-form frequency profiles. */
+  private[graft] def yuleKOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val d38 = "decimal(38,0)"
+    val f = docs.select($"lang", explode(
+        filter(split($"text", " "), t => t =!= lit(""))).as("t"))
+      .groupBy($"lang", $"t").agg(count(lit(1)).as("f"))
+    val cc = f.groupBy($"lang", $"f".as("r"))
+      .agg(count(lit(1)).as("nr"))
+    cc.groupBy($"lang")
+      .agg(sum($"r" * $"nr").cast(d38).as("n"),
+        sum($"nr").as("vocab"),
+        sum(when($"r" === 1L, $"nr").otherwise(0L)).as("hapax"),
+        sum(($"r" * $"r").cast(d38) * $"nr").as("srr"))
+      .select($"lang", $"n".cast("long").as("n_tokens"), $"vocab",
+        (floor($"hapax".cast("double") / $"vocab" * 1e4 + 0.5) / 1e4)
+          .as("hapax_share"),
+        (floor((lit(10000).cast(d38) * ($"srr" - $"n")).cast("double")
+          / ($"n" * $"n").cast("double") * 1e4 + 0.5) / 1e4).as("yule_k"))
+      .orderBy($"lang")
+  }
 
   /** q331 counter count: 16 independent sign-hash counters, averaged
     * (AMS's mean-of-estimators form; variance ∝ F2²/16). */
@@ -1249,6 +1288,30 @@ object TextQueries extends QueryModule {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    "q333_yule_k" ->
+      """WITH f AS (
+        |  SELECT lang, u.t AS t, CAST(count(*) AS BIGINT) AS f
+        |  FROM (SELECT lang,
+        |          list_filter(str_split(text, ' '), x -> x <> '') AS tk
+        |        FROM documents), unnest(tk) u(t)
+        |  GROUP BY lang, u.t),
+        |cc AS (
+        |  SELECT lang, f AS r, CAST(count(*) AS BIGINT) AS nr
+        |  FROM f GROUP BY lang, f),
+        |agg AS (
+        |  SELECT lang,
+        |    CAST(sum(r * nr) AS HUGEINT) AS n,
+        |    CAST(sum(nr) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN r = 1 THEN nr ELSE 0 END) AS BIGINT)
+        |      AS hapax,
+        |    CAST(sum(CAST(r AS HUGEINT) * r * nr) AS HUGEINT) AS srr
+        |  FROM cc GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n_tokens, vocab,
+        |  floor(CAST(hapax AS DOUBLE) / vocab * 1e4 + 0.5) / 1e4
+        |    AS hapax_share,
+        |  floor(CAST(10000 * (srr - n) AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE) * 1e4 + 0.5) / 1e4 AS yule_k
+        |FROM agg ORDER BY lang""".stripMargin,
     "q331_f2_sketch" -> {
       val sCols = (0 until F2K).map(k =>
         s"CAST(sum((('0x' || substr(md5('f2:$k:' || t), 1, 1))::BIGINT" +

@@ -129,7 +129,7 @@ object DumpPlans {
     "q325_personalized_pagerank", "q326_assortativity",
     "q327_word_burstiness", "q328_repetition_value",
     "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch",
-    "q332_bh_drift_screen")
+    "q332_bh_drift_screen", "q333_yule_k")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

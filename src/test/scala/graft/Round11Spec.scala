@@ -448,6 +448,21 @@ class Round11Spec extends AnyFunSuite {
       "ranks are a permutation of 1..m")
   }
 
+  test("q333: Yule's K on closed-form frequency profiles") {
+    import spark.implicits._
+    // all-distinct tokens: srr = N, K = 0 (maximal richness);
+    // one token 10x: srr = 100, N = 10 -> K = 1e4*90/100 = 9000
+    val docs = Seq(
+      ("rich", "a b c d e f g h i j"),
+      ("poor", "w w w w w w w w w w")).toDF("lang", "text")
+    val out = TextQueries.yuleKOf(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out("rich") == ((10L, 10L, 1.0, 0.0)), out.toString)
+    assert(out("poor") == ((10L, 1L, 0.0, 9000.0)), out.toString)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

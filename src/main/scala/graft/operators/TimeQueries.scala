@@ -916,6 +916,33 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** Native as-of join (q334) — the same query as q27 answered by the
+    * engine's OWN physical operator (graft.plans.AsOfJoinExec: custom
+    * LogicalPlan + Strategy + SparkPlan — the (c)-tier of §7.3's
+    * extension ladder, exercised end-to-end through planning,
+    * EnsureRequirements co-partitioning, and a per-partition streamed
+    * merge with O(1) state). q27's compositional form unions both
+    * sides into ONE shuffled stream and runs a window over it; this
+    * node shuffles/sorts each side separately on (user, ts) — the
+    * SortMergeJoin shape — and never materializes the union. Same
+    * DuckDB ASOF LEFT JOIN oracle as q27, so the hash match proves
+    * operator ≡ composition ≡ DuckDB semantics on the same corpus. */
+  def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("c_ts"),
+        $"value".as("c_value"))
+    graft.plans.AsOfJoin.of(purchases, clicks, "user_id", "ts")
+      .select($"event_id", purchases("user_id"),
+        round($"value", 4).as("value"),
+        $"c_ts".as("click_ts"),
+        round($"c_value", 4).as("click_value"))
+      .orderBy($"event_id")
+  }
+
   /** Time-range self join: ordered event pairs of the same user within
     * 5 minutes.
     *
@@ -2199,6 +2226,7 @@ object TimeQueries extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q311_holt_winters"      -> (qHoltWinters _),
+    "q334_asof_native"       -> (qAsofNative _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -3507,6 +3535,21 @@ object TimeQueries extends QueryModule {
         |    ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    // q334: the native-operator twin answers the identical question —
+    // same oracle as q27
+    "q334_asof_native" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, round(p.value, 4) AS value,
+        |  c.ts AS click_ts, round(c.value, 4) AS click_value
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     "q27_asof_join" ->
       """WITH clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value

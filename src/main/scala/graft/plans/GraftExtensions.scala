@@ -89,5 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapAgg(exprs.head).toAggregateExpression()))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
+    // native AS-OF JOIN physical operator (graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -129,7 +129,7 @@ object DumpPlans {
     "q325_personalized_pagerank", "q326_assortativity",
     "q327_word_burstiness", "q328_repetition_value",
     "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch",
-    "q332_bh_drift_screen", "q333_yule_k")
+    "q332_bh_drift_screen", "q333_yule_k", "q334_asof_native")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -188,6 +188,8 @@ object DumpPlans {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.TopKWindowRule)
+    org.apache.spark.sql.GraftBridge.installStrategy(spark,
+      graft.plans.AsOfJoinStrategy)
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append(s"Generated by `graft.tools.DumpPlans` on `$sfDir`. The plan\n")

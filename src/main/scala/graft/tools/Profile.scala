@@ -19,6 +19,8 @@ object Profile {
     // same session shape as Bench, so profiled plans match benched plans
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.TopKWindowRule)
+    org.apache.spark.sql.GraftBridge.installStrategy(spark,
+      graft.plans.AsOfJoinStrategy)
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.contains(n) }
     qs.foreach { case (name, fn) =>

@@ -48,6 +48,20 @@ object GraftBridge {
         cs.experimental.extraOptimizations :+ rule
   }
 
+  /** Wrap a logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql]) — the entry point for custom LogicalPlan nodes. */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Append a planner strategy to an already-built session. Idempotent. */
+  def installStrategy(spark: SparkSession,
+      st: execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(st))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ st
+  }
+
   /** Apply an extensions object's injected functions to an already-built
     * session (getOrCreate ignores withExtensions when a session exists —
     * e.g. shared test sessions). */

@@ -463,6 +463,40 @@ class Round11Spec extends AnyFunSuite {
     assert(out("poor") == ((10L, 1L, 0.0, 9000.0)), out.toString)
   }
 
+  test("asof exec: merge semantics on a crafted partition, self-join ids deduped") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"),
+      (3L, 7L, "p4")).toDF("user_id", "ts", "pid")
+    val r = Seq((1L, 8L, 0.5), (1L, 15L, 0.7), (1L, 15L, 0.7),
+      (3L, 9L, 0.9)).toDF("user_id", "ts", "c_value")
+    val out = graft.plans.AsOfJoin.of(l, r, "user_id", "ts")
+      .select($"pid", $"c_value").collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(out("p1") == Some(0.5), "latest click at-or-before t=10")
+    assert(out("p2") == Some(0.7), "ties at t=15 both carry 0.7")
+    assert(out("p3") == None, "user 2 has no clicks")
+    assert(out("p4") == None, "user 3's only click is AFTER the purchase")
+    // the custom physical operator actually planned
+    // TreeNode.nodeName strips the Exec suffix — "AsOfJoin" in the
+    // physical plan IS AsOfJoinExec, over one exchange+sort per side
+    val plan = graft.plans.AsOfJoin.of(l, r, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.linesIterator.count(_.contains("Exchange")) == 2, plan)
+  }
+
+  test("q334: the native operator agrees with q27's compositional form row-for-row") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val native = TimeQueries.qAsofNative(spark, sf).collect().toSeq
+    val composed = SparkEntry.queries("q27_asof_join")(spark, sf)
+      .collect().toSeq
+    assert(native == composed,
+      s"native=${native.take(3)} composed=${composed.take(3)}")
+    assert(native.nonEmpty)
+  }
+
   test("q297: first-letter/length-colliding token streams no longer share fingerprints") {
     import spark.implicits._
     // Every token pair below shares (first char, length) — the old

@@ -6,13 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextOps
 
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("graft-test")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test")
+      .getOrCreate()
+    org.apache.spark.sql.GraftBridge.installStrategy(s,
+      graft.plans.AsOfJoinStrategy)
+    s
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite {

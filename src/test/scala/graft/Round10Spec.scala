@@ -49,7 +49,9 @@ class Round10Spec extends AnyFunSuite {
       "hitsCore" -> GraphQueries.hitsCore(
         und.select($"a".as("src"), $"b".as("dst")), 3, Some(true)),
       "logregCore" -> ScoringQueries.logregCore(
-        Seq((1.0, 0.1, 0.2), (0.0, 0.3, 0.4)).toDF("y", "x1", "x2")))
+        Seq((1.0, 0.1, 0.2), (0.0, 0.3, 0.4)).toDF("y", "x1", "x2")),
+      "pprCore" -> GraphQueries.pprCore(
+        Seq((1L, 2L, 2.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")))
     for ((name, df) <- cores) {
       val leaves = df.queryExecution.analyzed.collectLeaves()
       assert(leaves.nonEmpty, name)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.functions.TextOps
+import graft.Barrier._
 import graft.sources.Tables
 
 /** Deduplication suite (north-star; BASELINE.json): exact hash dedup,
@@ -524,7 +525,7 @@ object DedupQueries extends QueryModule {
     * (q173's discipline). */
   def qLshRecallSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = mdSignatures(s, dir).localCheckpoint()
+    val sigs = mdSignatures(s, dir).roundBarrier()
     val truth = prefixPairs(s, dir).select($"doc_a", $"doc_b")
     val layouts = Seq((16, 2), (8, 4), (4, 8))
     layouts.map { case (b, r) =>
@@ -808,7 +809,7 @@ object DedupQueries extends QueryModule {
     var labels = edges.select($"src".as("doc_id"))
       .distinct()
       .select($"doc_id", $"doc_id".as("lbl"))
-      .localCheckpoint()
+      .roundBarrier()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < MaxCcIters) {
@@ -821,7 +822,7 @@ object DedupQueries extends QueryModule {
         .join(neigh, Seq("doc_id"), "left")
         .select($"doc_id", $"lbl".as("old_lbl"),
           least($"lbl", coalesce($"n_lbl", $"lbl")).as("lbl"))
-        .localCheckpoint()
+        .roundBarrier()
       changed = stepped.filter($"lbl" < $"old_lbl").count()
       labels = stepped.select($"doc_id", $"lbl")
       iter += 1
@@ -1615,7 +1616,7 @@ object DedupQueries extends QueryModule {
         Window.partitionBy($"bkt").orderBy($"tok")).cast("long"))
       .join(broadcast(off0), "bkt")
       .select($"doc_id", $"pos", ($"off" + $"lr").as("r"))
-      .localCheckpoint() // eager: round barrier
+      .roundBarrier() // eager: round barrier
     base.unpersist()
 
     var step = 1
@@ -1642,7 +1643,7 @@ object DedupQueries extends QueryModule {
           Window.partitionBy($"bkt").orderBy($"ra", $"rb")).cast("long"))
         .join(broadcast(offs), "bkt")
         .select($"doc_id", $"pos", ($"off" + $"lr").as("r"))
-        .localCheckpoint() // eager: paired fully consumed past here
+        .roundBarrier() // eager: paired fully consumed past here
       paired.unpersist()
       step *= 2
     }
@@ -1689,7 +1690,7 @@ object DedupQueries extends QueryModule {
     val full = suffixRanks(s, dir).join(lens, "doc_id")
       .filter($"pos" + (SaContext - 1) <= $"n_tok")
       .select($"doc_id", $"pos", $"sfx_rank".as("r"))
-      .localCheckpoint()
+      .roundBarrier()
     val dup = full.groupBy($"r")
       .agg(count(lit(1)).as("occ"),
         min(struct($"doc_id", $"pos")).as("keeper"))

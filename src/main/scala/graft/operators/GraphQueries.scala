@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
+import graft.Barrier._
 import graft.sources.Tables
 
 /** Batch graph analytics over a graph DERIVED from the event stream —
@@ -77,8 +78,8 @@ object GraphQueries extends QueryModule {
     var nodes = edges.select($"src".as("node"))
       .union(edges.select($"dst".as("node"))).distinct()
     if (truncate) {
-      we = we.localCheckpoint(); odeg = odeg.localCheckpoint()
-      nodes = nodes.localCheckpoint()
+      we = we.roundBarrier(); odeg = odeg.roundBarrier()
+      nodes = nodes.roundBarrier()
     }
     val nTot = nodes.agg(count(lit(1)).cast("double").as("n"))
     var ranks = nodes.crossJoin(broadcast(nTot))
@@ -101,7 +102,7 @@ object GraphQueries extends QueryModule {
           ((lit(1.0) - Damping) / $"n" +
             lit(Damping) * (coalesce($"in_sum", lit(0.0)) + $"dm" / $"n"))
             .as("rank"))
-      if (truncate) ranks = ranks.localCheckpoint()
+      if (truncate) ranks = ranks.roundBarrier()
     }
     ranks.select($"node", round($"rank", 4).as("rank")).orderBy($"node")
   }
@@ -212,10 +213,10 @@ object GraphQueries extends QueryModule {
     import und.sparkSession.implicits._
     val nodes = und.select($"a".as("node"))
       .union(und.select($"b".as("node"))).distinct()
-      .localCheckpoint()
+      .roundBarrier()
     // invariant: e holds canonical (u < v) distinct edges
     var e = und.select($"a".as("u"), $"b".as("v")).distinct()
-      .localCheckpoint()
+      .roundBarrier()
     var eCount = e.count()
     var converged = false
     var guard = 0
@@ -238,7 +239,7 @@ object GraphQueries extends QueryModule {
         .select($"m".as("u"), $"v")
         .union(m2.select($"m".as("u"), $"u".as("v")))
         .distinct()
-        .localCheckpoint()
+        .roundBarrier()
       // fixpoint: both frames are distinct canonical sets, so equal
       // counts + empty one-way difference ⇒ equal sets
       val ssCount = ss.count()
@@ -341,7 +342,7 @@ object GraphQueries extends QueryModule {
       .agg(count(lit(1)).as("c"))
       .filter($"c" >= CoreSupport)
       .select($"a", $"b")
-      .localCheckpoint() // reused by 6 peels + the final degree pass
+      .roundBarrier() // reused by 6 peels + the final degree pass
     val nodes0 = und.select($"a".as("node"))
       .unionAll(und.select($"b".as("node"))).distinct()
     def coreDeg(alive: DataFrame): DataFrame =
@@ -358,7 +359,7 @@ object GraphQueries extends QueryModule {
       // q64/q158 lineage-truncation discipline (measured 44 s → ~1 s
       // at sf0.1); the checkpointed frame is |alive nodes| rows
       alive = coreDeg(alive).filter($"d" >= CoreK).select($"node")
-        .localCheckpoint()
+        .roundBarrier()
     }
     val converged = prev.agg(count(lit(1)).as("c_prev"))
       .crossJoin(alive.agg(count(lit(1)).as("c_last")))
@@ -441,7 +442,7 @@ object GraphQueries extends QueryModule {
     import und.sparkSession.implicits._
     val sym = und.select($"a".as("u"), $"b".as("v"))
       .union(und.select($"b".as("u"), $"a".as("v")))
-      .localCheckpoint()
+      .roundBarrier()
     val nodes = sym.select($"u".as("node")).distinct()
     var lbl = nodes.select($"node", $"node".as("lab"))
     for (_ <- 1 to LpaIters) {
@@ -452,7 +453,7 @@ object GraphQueries extends QueryModule {
       lbl = cnt.withColumn("rk", row_number().over(w))
         .filter($"rk" === 1)
         .select($"u".as("node"), $"lab")
-        .localCheckpoint()
+        .roundBarrier()
     }
     lbl.select($"node", $"lab".as("comm"),
         count(lit(1)).over(Window.partitionBy($"lab")).as("comm_size"))
@@ -491,7 +492,7 @@ object GraphQueries extends QueryModule {
     import und.sparkSession.implicits._
     val sym = und.select($"a".as("u"), $"b".as("v"))
       .union(und.select($"b".as("u"), $"a".as("v")))
-      .localCheckpoint()
+      .roundBarrier()
     val nodes = sym.select($"u".as("node")).distinct()
     val seeds = nodes.agg(min($"node").as("lo"), max($"node").as("hi"))
     var dist = nodes.crossJoin(broadcast(seeds))
@@ -502,7 +503,7 @@ object GraphQueries extends QueryModule {
         .select($"v".as("node"), ($"d" + 1).as("d"))
       dist = dist.union(ext)
         .groupBy($"node").agg(min($"d").as("d"))
-        .localCheckpoint()
+        .roundBarrier()
     }
     nodes.join(dist, Seq("node"), "left")
       .select($"node", $"d".as("hops"), $"d".isNotNull.as("reached"))
@@ -546,7 +547,7 @@ object GraphQueries extends QueryModule {
     var e = edges
     var nodes = e.select($"src".as("node"))
       .union(e.select($"dst".as("node"))).distinct()
-    if (truncate) { e = e.localCheckpoint(); nodes = nodes.localCheckpoint() }
+    if (truncate) { e = e.roundBarrier(); nodes = nodes.roundBarrier() }
     var auth = nodes.select($"node", lit(1.0).as("a"))
     var hub = nodes.select($"node", lit(1.0).as("h"))
     for (_ <- 1 to iters) {
@@ -556,14 +557,14 @@ object GraphQueries extends QueryModule {
       auth = nodes.join(araw, Seq("node"), "left")
         .crossJoin(broadcast(at))
         .select($"node", (coalesce($"raw", lit(0.0)) / $"t").as("a"))
-      if (truncate) auth = auth.localCheckpoint()
+      if (truncate) auth = auth.roundBarrier()
       val hraw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy($"src".as("node")).agg(sum($"a").as("raw"))
       val ht = hraw.agg(sum($"raw").as("t"))
       hub = nodes.join(hraw, Seq("node"), "left")
         .crossJoin(broadcast(ht))
         .select($"node", (coalesce($"raw", lit(0.0)) / $"t").as("h"))
-      if (truncate) hub = hub.localCheckpoint()
+      if (truncate) hub = hub.roundBarrier()
     }
     auth.join(hub, "node")
       .select($"node", round($"a", 4).as("auth"), round($"h", 4).as("hub"))
@@ -656,18 +657,18 @@ object GraphQueries extends QueryModule {
   private[graft] def pprCore(we0: DataFrame): DataFrame = {
     val s = we0.sparkSession
     import s.implicits._
-    val we = we0.localCheckpoint()
+    val we = we0.roundBarrier()
     val odeg = we.groupBy($"src").agg(sum($"w").as("odeg"))
-      .localCheckpoint()
+      .roundBarrier()
     val nodes = we.select($"src".as("node"))
       .union(we.select($"dst".as("node"))).distinct()
-      .localCheckpoint()
+      .roundBarrier()
     // seeds: top-3 weighted in-degree, ties by node — exact integers
     // (weights are transition counts) so the pick is deterministic
     val seeds = we.groupBy($"dst".as("node"))
       .agg(sum($"w").cast("long").as("ind"))
       .orderBy($"ind".desc, $"node".asc).limit(PprSeeds)
-      .select($"node").localCheckpoint(true)
+      .select($"node").roundBarrier(true)
     // 1/|seeds|, not 1/PprSeeds: a tiny graph can have fewer than
     // PprSeeds in-degree-positive nodes, and the teleport vector must
     // still sum to 1 or rank mass leaks every iteration
@@ -677,7 +678,7 @@ object GraphQueries extends QueryModule {
       .select($"node",
         when($"is_seed" === 1, lit(1.0 / nSeeds)).otherwise(lit(0.0))
           .as("t"))
-      .localCheckpoint(true)
+      .roundBarrier(true)
     var ranks = tele.select($"node", $"t".as("rank"))
     for (_ <- 1 to PprIters) {
       val contrib = ranks
@@ -695,7 +696,7 @@ object GraphQueries extends QueryModule {
           ((lit(1.0) - Damping) * $"t" +
             lit(Damping) * (coalesce($"in_sum", lit(0.0)) + $"dm" * $"t"))
             .as("rank"))
-        .localCheckpoint()
+        .roundBarrier()
     }
     val scored = ranks
       .join(seeds.select($"node", lit(true).as("s")), Seq("node"), "left")

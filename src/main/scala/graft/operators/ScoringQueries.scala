@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryModule
 import graft.functions.TextOps
+import graft.Barrier._
 import graft.sources.Tables
 
 /** Corpus-relative document scoring — the two classic "score every doc
@@ -1533,11 +1534,11 @@ object ScoringQueries extends QueryModule {
   private[graft] def logregCore(f0: DataFrame): DataFrame = {
     val s = f0.sparkSession
     import s.implicits._
-    val f = f0.localCheckpoint()
-    val nF = f.agg(count(lit(1)).as("n")).localCheckpoint()
+    val f = f0.roundBarrier()
+    val nF = f.agg(count(lit(1)).as("n")).roundBarrier()
     var w = s.range(1)
       .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
-      .localCheckpoint()
+      .roundBarrier()
     val u = $"a" + $"b" * $"x1" + $"c" * $"x2"
     val d = $"y" - (lit(0.5) + u / (lit(2.0) * (lit(1.0) + abs(u))))
     def snap9(col: Column): Column =
@@ -1552,7 +1553,7 @@ object ScoringQueries extends QueryModule {
           snap9($"a" + lit(LrRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
           snap9($"b" + lit(LrRate) * $"gb" / (lit(1e6) * $"n")).as("b"),
           snap9($"c" + lit(LrRate) * $"gc" / (lit(1e6) * $"n")).as("c"))
-        .localCheckpoint()
+        .roundBarrier()
     }
     val acc = f.crossJoin(broadcast(w)).agg(
       sum(when((u >= 0) === ($"y" === 1.0), 1L).otherwise(0L))
@@ -2018,7 +2019,7 @@ object ScoringQueries extends QueryModule {
     var cells = base.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
       .withColumn("w", lit(1000000L))
       .withColumn("vote", lit(0L))
-      .localCheckpoint(true)
+      .roundBarrier(true)
     val out = Seq.newBuilder[(Int, Long, Int, Double, Double, Double)]
     for (r <- 1 to AdaRounds) {
       val px = cells.groupBy($"x")
@@ -2050,7 +2051,7 @@ object ScoringQueries extends QueryModule {
           when(h =!= $"y", floor($"w" * lit(m)))
             .otherwise(floor($"w" * lit(1.0 / m))).cast("long"))
         .withColumn("vote", $"vote" + lit(aq) * h)
-        .localCheckpoint(true)
+        .roundBarrier(true)
       val accRow = cells.agg(
         sum(when((when($"vote" >= 0L, 1L).otherwise(-1L)) === $"y", $"c")
           .otherwise(0L)).as("ok"),
@@ -2100,7 +2101,7 @@ object ScoringQueries extends QueryModule {
   private[graft] def sparseLogregOf(base: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
-    val docs = base.select($"doc_id", $"y").localCheckpoint()
+    val docs = base.select($"doc_id", $"y").roundBarrier()
     // distinct hashed features per doc (binary presence features)
     val feats = base.select($"doc_id", explode(array_distinct(
         filter(split($"text", " "), t => t =!= lit("")))).as("t"))
@@ -2108,10 +2109,10 @@ object ScoringQueries extends QueryModule {
         pmod(conv(substring(md5($"t"), 1, 12), 16, 10).cast("long"),
           lit(SlrBuckets)).as("f"))
       .distinct()
-      .localCheckpoint()
+      .roundBarrier()
     val n = docs.count()
     var w = s.range(0)
-      .select($"id".as("f"), lit(0L).as("w_nano")).localCheckpoint(true)
+      .select($"id".as("f"), lit(0L).as("w_nano")).roundBarrier(true)
     var bNano = 0L
     val out = Seq.newBuilder[(Int, Double, Double, Long, Double)]
     for (r <- 1 to SlrRounds) {
@@ -2124,7 +2125,7 @@ object ScoringQueries extends QueryModule {
       val dm = scored.select($"doc_id", $"y", $"u",
         floor(lit(1e6) * ($"y" - (lit(0.5) + $"u"
           / (lit(2.0) * (lit(1.0) + abs($"u"))))) + 0.5).cast("long")
-          .as("d_micro")).localCheckpoint(true)
+          .as("d_micro")).roundBarrier(true)
       // gradient: one feature-keyed exact-integer aggregate
       val gF = feats.join(dm.select($"doc_id", $"d_micro"), Seq("doc_id"))
         .groupBy($"f").agg(sum($"d_micro").as("g_micro"))
@@ -2138,7 +2139,7 @@ object ScoringQueries extends QueryModule {
             floor(step * coalesce($"g_micro", lit(0L)) / n).cast("long"))
             .as("w_nano"))
         .filter($"w_nano" =!= 0L)
-        .localCheckpoint(true)
+        .roundBarrier(true)
       bNano += math.floor(1e3 * SlrLr * gB / n).toLong
       // round metrics: prediction at the UPDATED weights
       val acc = feats.join(broadcast(w), Seq("f"))
@@ -2246,10 +2247,10 @@ object ScoringQueries extends QueryModule {
   private[graft] def quantileRegCore(f0: DataFrame): DataFrame = {
     val s = f0.sparkSession
     import s.implicits._
-    val f = f0.localCheckpoint()
-    val nF = f.agg(count(lit(1)).as("n")).localCheckpoint()
+    val f = f0.roundBarrier()
+    val nF = f.agg(count(lit(1)).as("n")).roundBarrier()
     var w = s.range(1).select(lit(0.0).as("a"), lit(0.0).as("b"))
-      .localCheckpoint()
+      .roundBarrier()
     def snap9(col: Column): Column =
       floor(col * lit(1e9) + lit(0.5)) / lit(1e9)
     val yhat = $"a" + $"b" * $"x"
@@ -2262,7 +2263,7 @@ object ScoringQueries extends QueryModule {
         .select(
           snap9($"a" + lit(QrRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
           snap9($"b" + lit(QrRate) * $"gb" / (lit(1e6) * $"n")).as("b"))
-        .localCheckpoint()
+        .roundBarrier()
     }
     // pinball loss at the final weights, exact-quantized per row
     val lossTerm = when($"y" >= yhat, lit(QrTau) * ($"y" - yhat))
@@ -2309,14 +2310,14 @@ object ScoringQueries extends QueryModule {
   private[graft] def tracinCore(base0: DataFrame): DataFrame = {
     val s = base0.sparkSession
     import s.implicits._
-    val base = base0.localCheckpoint()
+    val base = base0.roundBarrier()
     val tr = base.filter(!$"isval")
     val va = base.filter($"isval")
-    val nTr = tr.agg(count(lit(1)).as("n")).localCheckpoint()
-    val nVa = va.agg(count(lit(1)).as("nv")).localCheckpoint()
+    val nTr = tr.agg(count(lit(1)).as("n")).roundBarrier()
+    val nVa = va.agg(count(lit(1)).as("nv")).roundBarrier()
     var w = s.range(1)
       .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
-      .localCheckpoint()
+      .roundBarrier()
     def snap9(col: Column): Column =
       floor(col * lit(1e9) + lit(0.5)) / lit(1e9)
     val u = $"a" + $"b" * $"x1" + $"c" * $"x2"
@@ -2334,7 +2335,7 @@ object ScoringQueries extends QueryModule {
         .select(($"sa" / (lit(1e6) * $"nv")).as(s"vga$r"),
           ($"sb" / (lit(1e6) * $"nv")).as(s"vgb$r"),
           ($"sc" / (lit(1e6) * $"nv")).as(s"vgc$r"))
-        .localCheckpoint()
+        .roundBarrier()
       gvs += gv
       val g = tr.crossJoin(broadcast(w)).agg(
         sum(floor(lit(1e6) * d + lit(0.5))).as("ga"),
@@ -2345,7 +2346,7 @@ object ScoringQueries extends QueryModule {
           snap9($"a" + lit(TiRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
           snap9($"b" + lit(TiRate) * $"gb" / (lit(1e6) * $"n")).as("b"),
           snap9($"c" + lit(TiRate) * $"gc" / (lit(1e6) * $"n")).as("c"))
-        .localCheckpoint()
+        .roundBarrier()
     }
     var frame = tr
     for (wr <- ws.result()) frame = frame.crossJoin(broadcast(wr))

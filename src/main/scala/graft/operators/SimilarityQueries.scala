@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryModule
+import graft.Barrier._
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (north-star).
@@ -143,7 +144,7 @@ object SimilarityQueries extends QueryModule {
     // and truncates its lineage: without it, the sizing count() and
     // every per-chunk broadcast branch each re-derive q from the full
     // corpus scan — nChunks+1 extra corpus passes per ANN run.
-    val qc = q.localCheckpoint(true)
+    val qc = q.roundBarrier(true)
     val nChunks = math.max(1L,
       (qc.count() + chunkRows - 1) / chunkRows).toInt
     (0 until nChunks).map { i =>
@@ -625,7 +626,7 @@ object SimilarityQueries extends QueryModule {
     })
     val corpus = withCell
       .select($"vec_id", $"v", $"nrm", element_at($"cells", 1).as("cell"))
-      .localCheckpoint()
+      .roundBarrier()
     val sweeps = (1 to 4).map { p =>
       withCell.filter($"vec_id" % 100 === 0)
         .select(lit(p).as("nprobe"), $"vec_id".as("q_id"),

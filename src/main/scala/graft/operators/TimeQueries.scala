@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryModule
+import graft.Barrier._
 import graft.sources.Tables
 
 /** Timestamp / JSON / event-time-window operators (SURVEY.md §2: P6, P7,
@@ -574,7 +575,7 @@ object TimeQueries extends QueryModule {
       .withColumn("p", $"n".cast("double") /
         sum($"n").over(Window.partitionBy($"src")))
       .select($"src", $"dst", $"p")
-      .localCheckpoint()
+      .roundBarrier()
     val states = m.select($"src".as("state")).distinct()
     var pv = states.select($"state",
       when($"state" === "purchase", 1.0).otherwise(0.0).as("pc"))

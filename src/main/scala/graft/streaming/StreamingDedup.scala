@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.Barrier._
 import graft.operators.DedupQueries
 
 /** Streaming twin of the incremental near-dup pass (q85/q112): the
@@ -45,9 +46,9 @@ object StreamingDedup {
     if (batch.isEmpty) return
     // materialize the (small) batch once: bands, shingles, and the
     // probe all consume it, and a streaming source can't be re-read
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint(true)
-    val nb = DedupQueries.bandsFor(b).localCheckpoint(true)
-    val nsh = DedupQueries.shinglesFor(b).localCheckpoint(true)
+    val b = batch.select(col("doc_id"), col("text")).roundBarrier(true)
+    val nb = DedupQueries.bandsFor(b).roundBarrier(true)
+    val nsh = DedupQueries.shinglesFor(b).roundBarrier(true)
     val idxBands = s.read.parquet(s"$indexDir/bands")
     val idxSh = s.read.parquet(s"$indexDir/shingles")
     // new×index and new×new candidates in one probe: the index union

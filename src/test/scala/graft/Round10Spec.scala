@@ -36,6 +36,10 @@ class Round10Spec extends AnyFunSuite {
     // (the exact failure mode q285 shipped with in round 9). Run the
     // check against every iterative core in the repo so the next
     // uncheckpointed loop fails at build time, not in the bench.
+    // Both barrier flavors (localCheckpoint, and the reliable
+    // checkpoint() that graft.checkpoint.dir switches on — Barrier
+    // .roundBarrier, Round12Spec) bottom out in a LogicalRDD leaf, so
+    // this guard accepts either.
     import spark.implicits._
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("a", "b").localCheckpoint()

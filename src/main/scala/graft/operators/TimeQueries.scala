@@ -944,6 +944,34 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q335's WITHIN bound: attribute a purchase to a click only if the
+    * click is at most this many seconds before it. */
+  private val AsofTolSec = 3600L
+
+  /** Toleranced as-of join (q335) — q334's native operator with its
+    * production `WITHIN <tolerance>` surface (DuckDB ASOF / pandas
+    * merge_asof tolerance): the latest at-or-before click matches only
+    * if it is ≤ 1 h old; a staler latest click yields nulls, never an
+    * older one (older ⇒ farther, so the bound is a post-filter on the
+    * single buffered candidate — no extra state in the merge). Oracle:
+    * DuckDB's plain ASOF LEFT JOIN wrapped in the same gap filter. */
+  def qAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("c_ts"),
+        $"value".as("c_value"))
+    graft.plans.AsOfJoin.of(purchases, clicks, "user_id", "ts",
+        Some(AsofTolSec * 1000000L)) // timestamp backing is micros
+      .select($"event_id", purchases("user_id"),
+        round($"value", 4).as("value"),
+        $"c_ts".as("click_ts"),
+        round($"c_value", 4).as("click_value"))
+      .orderBy($"event_id")
+  }
+
   /** Time-range self join: ordered event pairs of the same user within
     * 5 minutes.
     *
@@ -2228,6 +2256,7 @@ object TimeQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q311_holt_winters"      -> (qHoltWinters _),
     "q334_asof_native"       -> (qAsofNative _),
+    "q335_asof_tolerance"    -> (qAsofTolerance _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -3536,6 +3565,28 @@ object TimeQueries extends QueryModule {
         |    ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    // q335: DuckDB's ASOF picks the same latest at-or-before row; the
+    // tolerance is the gap filter on that single candidate (an older
+    // row can never re-qualify — it is farther away by construction)
+    "q335_asof_tolerance" ->
+      s"""WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.value,
+        |    c.ts AS c_ts, c.value AS c_value,
+        |    epoch(p.ts) - epoch(c.ts) AS gap
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id, round(value, 4) AS value,
+        |  CASE WHEN gap <= $AsofTolSec.0 THEN c_ts END AS click_ts,
+        |  round(CASE WHEN gap <= $AsofTolSec.0 THEN c_value END, 4)
+        |    AS click_value
+        |FROM j ORDER BY event_id""".stripMargin,
     // q334: the native-operator twin answers the identical question —
     // same oracle as q27
     "q334_asof_native" ->

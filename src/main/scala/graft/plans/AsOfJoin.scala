@@ -31,10 +31,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Keys and times must be long-backed types (bigint / timestamp —
   * micros internally); the helper validates. Null keys/times never
-  * match. */
+  * match.
+  *
+  * `tolerance` (optional) is the `WITHIN` bound of DuckDB's / pandas
+  * merge_asof's tolerance surface: the latest at-or-before right row
+  * matches only if `l.time − r.time ≤ tolerance` (same unit as the
+  * long backing — micros for timestamps); a match outside the bound
+  * yields nulls, never an older row (any older row is farther away, so
+  * the post-filter IS the tolerance semantics). */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -44,15 +52,26 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  // observable in the Spark UI / SQLAppStatusStore like any built-in
+  // join: output cardinality plus how many left rows actually matched
+  // (the gap between them is the null-extension rate — the first thing
+  // to check when an asof feed looks sparse)
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -75,6 +94,9 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val leftOut = left.output
     val rightOut = right.output
     val allOut = output
+    val tol = tolerance
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lk = BindReferences.bindReference(leftKey, leftOut)
       val lt = BindReferences.bindReference(leftTime, leftOut)
@@ -88,7 +110,9 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       // time for matchKey — O(1) state per partition
       var matchRow: InternalRow = null
       var matchKey: Long = 0L
+      var matchTime: Long = 0L
       lIter.map { l =>
+        numOutputRows += 1
         val lkv = lk.eval(l)
         val ltv = lt.eval(l)
         if (lkv == null || ltv == null) proj(joined(l, nullRow))
@@ -106,13 +130,18 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
               if (rKey < lKey) { rBuf.next(); () }
               else if (rKey == lKey &&
                   rtv.asInstanceOf[Long] <= lTime) {
-                matchRow = r.copy(); matchKey = rKey; rBuf.next(); ()
+                matchRow = r.copy(); matchKey = rKey
+                matchTime = rtv.asInstanceOf[Long]; rBuf.next(); ()
               } else advance = false
             }
           }
-          if (matchRow != null && matchKey == lKey)
+          // tolerance never re-opens an OLDER row: the buffered match
+          // is the closest at-or-before, so out-of-bound ⇒ no match
+          if (matchRow != null && matchKey == lKey &&
+              tol.forall(lTime - matchTime <= _)) {
+            numMatchedRows += 1
             proj(joined(l, matchRow))
-          else proj(joined(l, nullRow))
+          } else proj(joined(l, nullRow))
         }
       }
     }
@@ -135,7 +164,14 @@ object AsOfJoin {
     * keeping the latest matching right row (or nulls). Rename clashing
     * right columns before calling — the output carries both sides. */
   def of(left: DataFrame, right: DataFrame,
-      key: String, time: String): DataFrame = {
+      key: String, time: String): DataFrame =
+    of(left, right, key, time, tolerance = None)
+
+  /** As above with a `WITHIN` tolerance: match only if
+    * `l.time − r.time ≤ tolerance`, in the time column's long backing
+    * unit (MICROSECONDS for timestamp columns, raw for bigint). */
+  def of(left: DataFrame, right: DataFrame,
+      key: String, time: String, tolerance: Option[Long]): DataFrame = {
     val s = left.sparkSession
     val lp = left.queryExecution.analyzed
     // self-join hygiene: when both sides derive from the same scan
@@ -156,6 +192,8 @@ object AsOfJoin {
     val (ltA, rtA) = (attr(lp, time), attr(rp, time))
     require(Seq(lkA, rkA, ltA, rtA).forall(longBacked),
       "asof join: key and time must be bigint or timestamp columns")
-    GraftBridge.dataFrame(s, AsOfJoin(lp, rp, lkA, rkA, ltA, rtA))
+    require(tolerance.forall(_ >= 0L), "asof join: tolerance must be >= 0")
+    GraftBridge.dataFrame(s,
+      AsOfJoin(lp, rp, lkA, rkA, ltA, rtA, tolerance))
   }
 }

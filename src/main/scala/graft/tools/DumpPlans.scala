@@ -129,7 +129,8 @@ object DumpPlans {
     "q325_personalized_pagerank", "q326_assortativity",
     "q327_word_burstiness", "q328_repetition_value",
     "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch",
-    "q332_bh_drift_screen", "q333_yule_k", "q334_asof_native")
+    "q332_bh_drift_screen", "q333_yule_k", "q334_asof_native",
+    "q335_asof_tolerance")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -71,6 +71,64 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  private def executedAsOf(df: org.apache.spark.sql.DataFrame)
+      : graft.plans.AsOfJoinExec = {
+    // AQE wraps executed subtrees in QueryStageExec LEAF nodes (Spark
+    // 4's ResultQueryStage included) — descend through them explicitly
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinExec] = p match {
+      case e: graft.plans.AsOfJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => find(q.plan)
+      case other => other.children.view.flatMap(find(_)).headOption
+    }
+    find(df.queryExecution.executedPlan)
+      .getOrElse(fail("no AsOfJoinExec in plan"))
+  }
+
+  test("asof WITHIN tolerance: boundary gap matches, gap+1 nulls out") {
+    import spark.implicits._
+    // key 1: p@100 has latest click r@90 (gap 10), p@200 has r@195
+    // (gap 5); key 2: p@50 has only r@10 (gap 40). With tol=10 the
+    // boundary gap MATCHES (≤, not <); with tol=9 it nulls out — and
+    // never falls back to an older row.
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, "r90"), (1L, 195L, "r195"),
+      (2L, 10L, "r10")).toDF("k", "t", "rtag")
+    def run(tol: Long): Map[String, String] =
+      graft.plans.AsOfJoin.of(left, right, "k", "t", Some(tol))
+        .select($"tag", $"rtag").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run(10L) ==
+      Map("p1" -> "r90", "p2" -> "r195", "p3" -> null))
+    assert(run(9L) ==
+      Map("p1" -> null, "p2" -> "r195", "p3" -> null))
+    // no tolerance: same merge, every latest-at-or-before row kept
+    val unbounded = graft.plans.AsOfJoin.of(left, right, "k", "t")
+      .select($"tag", $"rtag").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(unbounded ==
+      Map("p1" -> "r90", "p2" -> "r195", "p3" -> "r10"))
+  }
+
+  test("asof operator reports SQL metrics") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, "r90"), (2L, 10L, "r10"))
+      .toDF("k", "t", "rtag")
+    // tol=10: p1 matches r90 (gap 10, boundary), p2's candidate is 110
+    // stale, p3's is 40 stale → 3 output rows, exactly 1 matched
+    val df = graft.plans.AsOfJoin.of(left, right, "k", "t", Some(10L))
+    df.collect()
+    val exec = executedAsOf(df)
+    assert(exec.metrics("numOutputRows").value == 3L)
+    assert(exec.metrics("numMatchedRows").value == 1L)
+  }
+
   test("barrier stays local when the dir conf is unset") {
     import spark.implicits._
     // the default path must not touch any checkpoint dir (bench posture

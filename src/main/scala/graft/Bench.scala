@@ -100,6 +100,8 @@ object Bench {
       s.sparkContext.setLogLevel("WARN")
       org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
         graft.plans.TopKWindowRule)
+      org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
+        graft.plans.BandJoinRule)
       org.apache.spark.sql.GraftBridge.installStrategy(s,
         graft.plans.AsOfJoinStrategy)
       // Warm the JVM/codegen paths once so the first timed query doesn't

@@ -20,6 +20,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.TopKWindowRule)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.BandJoinRule)
     org.apache.spark.sql.GraftBridge.installStrategy(spark,
       graft.plans.AsOfJoinStrategy)
     new java.io.File(outDir).mkdirs()

@@ -478,34 +478,35 @@ object Relational extends QueryModule {
   /** q330's band half-width: documents within ±5 chars pair. */
   private val BandEps = 5L
 
-  /** Bucketed band join (q330) — the scalable rewrite of the numeric
-    * theta join |x_a − x_b| ≤ ε (DBLP: the classic "band join", DeWitt
-    * et al. 1991): pairing every cross-source document whose lengths
-    * differ by ≤ ε would naively be a BroadcastNestedLoopJoin (the
-    * plan that dies first at scale). Instead each probe row keys on
-    * its ⌊x/(ε+1)⌋ bucket, the build side EXPLODES to its bucket ±1,
-    * and the theta predicate filters inside the resulting EQUI join —
-    * shuffle on the bucket key, candidate volume ∝ band density, and
-    * each true pair meets exactly once (the probe's single bucket
-    * appears once among the build row's three). The aggregate reports
-    * per source pair the band-pair count and the mean |Δ| — the
-    * "how much near-duplicate-length mass sits across sources"
-    * profile. Oracle: DuckDB runs the plain theta join (affordable at
-    * oracle scale) — the hash match proves rewrite ≡ predicate. */
+  /** Band join (q330) — the numeric theta join |x_a − x_b| ≤ ε,
+    * written NAIVELY: pairing every cross-source document whose
+    * lengths differ by ≤ ε, as a plain theta join with no equi keys —
+    * exactly the query a user writes, and the plan Spark answers with
+    * BroadcastNestedLoopJoin (the plan that dies first at scale). The
+    * engine's `BandJoinRule` optimizer rule (graft.plans — the
+    * TopKWindowRule pattern) rewrites it to the classic bucketed band
+    * join (DeWitt et al. 1991): probe keys on its ⌊x/(ε+1)⌋ bucket,
+    * build explodes to bucket ±1, the theta predicate runs as the
+    * EQUI join's residual — shuffle on the bucket key, candidate
+    * volume ∝ band density, each true pair met exactly once (the
+    * probe's single bucket appears once among the build row's three).
+    * PlanSpec pins zero BNLJ in this query's optimized plan; rounds
+    * ≤ 11 built the same shape BY HAND here — the rule moves the
+    * rewrite into the optimizer where every naive spelling gets it.
+    * The aggregate reports per source pair the band-pair count and
+    * the mean |Δ| — the "how much near-duplicate-length mass sits
+    * across sources" profile. Oracle: DuckDB runs the same plain
+    * theta join (affordable at oracle scale) — the hash match proves
+    * rewrite ≡ predicate. */
   def qBandJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"n_chars")
-    val wEps = BandEps + 1L
-    val probe = d.select($"doc_id".as("a"), $"source".as("src_a"),
-      $"n_chars".as("xa"), ($"n_chars" / wEps).cast("long").as("bkt"))
-    val build = d.select($"doc_id".as("b"), $"source".as("src_b"),
-        $"n_chars".as("xb"),
-        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
-      .select($"b", $"src_b", $"xb",
-        (($"xb" / wEps).cast("long") + $"off").as("bkt"))
-    probe.join(build, Seq("bkt"))
-      .filter($"src_a" < $"src_b" && abs($"xa" - $"xb") <= BandEps)
+    val a = d.select($"doc_id".as("a"), $"source".as("src_a"),
+      $"n_chars".as("xa"))
+    val b = d.select($"doc_id".as("b"), $"source".as("src_b"),
+      $"n_chars".as("xb"))
+    a.join(b, $"src_a" < $"src_b" && abs($"xa" - $"xb") <= BandEps)
       .groupBy($"src_a", $"src_b")
       .agg(count(lit(1)).as("n_pairs"),
         (floor(sum(abs($"xa" - $"xb")).cast("double")

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Rewrites the numeric band join — a join whose ONLY cross-side
+  * predicate is `|x_l − x_r| ≤ ε` (or the equivalent
+  * `x_l BETWEEN x_r − ε AND x_r + ε` pair) — from the
+  * BroadcastNestedLoopJoin Spark plans for it (no equi keys ⇒ every
+  * probe row scans the whole build side; the first plan to die at
+  * scale) into the classic bucketed band join (DeWitt et al. 1991,
+  * q330's hand-built shape):
+  *
+  *   Project(original output)
+  *     Join(bkt_l = bkt_r AND <original condition>)
+  *       :- Project(left,  ⌊x_l / (ε+1)⌋ AS bkt_l)
+  *       +- Generate(explode([b−1, b, b+1]))        b = ⌊x_r / (ε+1)⌋
+  *            Project(right)
+  *
+  * The probe keys on its single width-(ε+1) bucket, the build side
+  * explodes to its bucket ±1 (any pair within ε spans at most one
+  * bucket boundary), and the original predicate runs as the equi
+  * join's residual — so each true pair meets EXACTLY once (the probe's
+  * one bucket occurs once among the build row's three), candidate
+  * volume is band-density-bound, and the shuffle is an ordinary
+  * hash-partitioned exchange. Output attributes are preserved exactly
+  * (the restore Project), so parent plans never notice.
+  *
+  * Guards: inner/cross join with a condition; NO cross-side equality
+  * conjunct (if one exists the planner already hash-joins and the band
+  * predicate is a fine residual — this also makes the rule a no-op on
+  * its own output); band sides integral (int/bigint), deterministic,
+  * each referencing exactly one side; ε a foldable non-negative
+  * integral literal. Fractional bands are out of scope (bucketing by
+  * a float width needs an epsilon-grid contract the caller owns).
+  */
+object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case _ => None
+  }
+
+  /** `|x − y| ≤ eps` in its comparison spellings → (x, y, eps). */
+  private def absBand(c: Expression)
+      : Option[(Expression, Expression, Long)] = c match {
+    case LessThanOrEqual(Abs(Subtract(x, y, _), _), l) =>
+      litLong(l).map((x, y, _))
+    case GreaterThanOrEqual(l, Abs(Subtract(x, y, _), _)) =>
+      litLong(l).map((x, y, _))
+    case LessThan(Abs(Subtract(x, y, _), _), l) =>
+      litLong(l).map(v => (x, y, v - 1))
+    case GreaterThan(l, Abs(Subtract(x, y, _), _)) =>
+      litLong(l).map(v => (x, y, v - 1))
+    case _ => None
+  }
+
+  /** `x ≥ y − eps` (the lower half of a BETWEEN band). */
+  private def lowBound(c: Expression)
+      : Option[(Expression, Expression, Long)] = c match {
+    case GreaterThanOrEqual(x, Subtract(y, e, _)) =>
+      litLong(e).map((x, y, _))
+    case LessThanOrEqual(Subtract(y, e, _), x) =>
+      litLong(e).map((x, y, _))
+    case _ => None
+  }
+
+  /** `x ≤ y + eps` (the upper half of a BETWEEN band). */
+  private def highBound(c: Expression)
+      : Option[(Expression, Expression, Long)] = c match {
+    case LessThanOrEqual(x, Add(y, e, _)) => litLong(e).map((x, y, _))
+    case GreaterThanOrEqual(Add(y, e, _), x) => litLong(e).map((x, y, _))
+    case _ => None
+  }
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case IntegerType | LongType | ShortType => true
+    case _ => false
+  }
+
+  /** The band (x, y, eps) from the conjunct set: one abs-form conjunct,
+    * or a matching lower/upper BETWEEN pair (same x/y, same eps). */
+  private def findBand(conjuncts: Seq[Expression])
+      : Option[(Expression, Expression, Long)] = {
+    val abs = conjuncts.flatMap(absBand(_)).headOption
+    if (abs.isDefined) abs
+    else {
+      val lows = conjuncts.flatMap(lowBound(_))
+      val highs = conjuncts.flatMap(highBound(_))
+      lows.flatMap { case (x, y, e) =>
+        highs.collect {
+          case (x2, y2, e2)
+              if e2 == e && x2.semanticEquals(x) && y2.semanticEquals(y) =>
+            (x, y, e)
+        }
+      }.headOption
+    }
+  }
+
+  private def oneSided(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
+      e.deterministic
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasCrossEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (oneSided(a, l) && oneSided(b, r)) ||
+            (oneSided(a, r) && oneSided(b, l))
+        case EqualNullSafe(a, b) =>
+          (oneSided(a, l) && oneSided(b, r)) ||
+            (oneSided(a, r) && oneSided(b, l))
+        case _ => false
+      }
+      val band = if (hasCrossEqui) None else findBand(conjuncts)
+      // orient the band as (left-side expr, right-side expr)
+      val oriented = band.flatMap { case (x, y, eps) =>
+        if (eps < 0 || !integral(x) || !integral(y)) None
+        else if (oneSided(x, l) && oneSided(y, r)) Some((x, y, eps))
+        else if (oneSided(x, r) && oneSided(y, l)) Some((y, x, eps))
+        else None
+      }
+      oriented match {
+        case None => j
+        case Some((xl, xr, eps)) =>
+          val w = (eps + 1).toDouble
+          // floor-division bucket (sign-safe, unlike integer `/` which
+          // truncates toward zero); double is exact for |x| < 2^52 —
+          // far past any 64-bit count/length column this fires on
+          def bkt(x: Expression): Expression =
+            Floor(Divide(Cast(x, DoubleType), Literal(w)))
+          val lAlias = Alias(bkt(xl), "_band_bkt")()
+          val newLeft = Project(l.output :+ lAlias, l)
+          val rBkt = bkt(xr)
+          val arrAlias = Alias(CreateArray(Seq(
+            Subtract(rBkt, Literal(1L)), rBkt,
+            Add(rBkt, Literal(1L)))), "_band_arr")()
+          val projR = Project(r.output :+ arrAlias, r)
+          val rBktAttr =
+            AttributeReference("_band_bkt_r", LongType, nullable = true)()
+          val gen = Generate(Explode(arrAlias.toAttribute),
+            unrequiredChildIndex = Seq(r.output.size), outer = false,
+            qualifier = None, generatorOutput = Seq(rBktAttr), projR)
+          val newCond = And(EqualTo(lAlias.toAttribute, rBktAttr), cond)
+          val rewritten =
+            Join(newLeft, gen, Inner, Some(newCond), hint)
+          Project(j.output, rewritten)
+      }
+  }
+}

@@ -89,6 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapAgg(exprs.head).toAggregateExpression()))
     // Filter(row_number <= k) over Window → bounded-heap aggregate
     ext.injectOptimizerRule(_ => TopKWindowRule)
+    // |a−b| ≤ ε theta join → bucketed equi join (kills the BNLJ plan)
+    ext.injectOptimizerRule(_ => BandJoinRule)
     // native AS-OF JOIN physical operator (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

@@ -42,6 +42,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q330: naive band theta join plans with zero BNLJ (BandJoinRule)") {
+    // q330 is WRITTEN as the plain |xa−xb| ≤ ε theta join a user would
+    // type; BandJoinRule must turn it into the bucketed equi join —
+    // any BroadcastNestedLoopJoin here is the plan that dies at scale
+    val p = plan("q330_band_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join must not plan as BNLJ with BandJoinRule installed")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Generate"), "bucket ±1 explode missing")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "expected an equi join")
+  }
+
   test("q40: query side broadcasts — corpus side never shuffles") {
     val p = plan("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"),

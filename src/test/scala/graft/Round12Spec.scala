@@ -129,6 +129,41 @@ class Round12Spec extends AnyFunSuite {
     assert(exec.metrics("numMatchedRows").value == 1L)
   }
 
+  test("BandJoinRule: rewrite ≡ predicate on signed data, both spellings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.abs
+    // values straddle 0 and the ε+1=4 bucket boundaries, so a
+    // truncating (toward-zero) bucket division would mis-bucket the
+    // negatives — the floor-div sign-safety this pins
+    val xs = Seq(-7L, -6L, -4L, -1L, 0L, 3L, 4L, 10L)
+    val l = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("lid", "xl")
+    val r = xs.zipWithIndex.map { case (x, i) => (i.toLong + 100, x) }
+      .toDF("rid", "xr")
+    val expect = (for {
+      (x, i) <- xs.zipWithIndex; (y, j) <- xs.zipWithIndex
+      if math.abs(x - y) <= 3
+    } yield (i.toLong, j.toLong + 100)).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"lid", $"rid").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+    val absForm = l.join(r, abs($"xl" - $"xr") <= 3L)
+    val betweenForm =
+      l.join(r, $"xl" >= $"xr" - 3L && $"xl" <= $"xr" + 3L)
+    for (df <- Seq(absForm, betweenForm)) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_band_bkt"), s"rule did not fire:\n$opt")
+      assert(pairs(df) == expect)
+    }
+    // equi-keyed joins are NOT rewritten: the planner already hashes
+    // on the key and the band predicate is a fine residual
+    val keyed = l.join(r, $"lid" === $"rid" - 100L &&
+      abs($"xl" - $"xr") <= 3L)
+    assert(!keyed.queryExecution.optimizedPlan.toString
+      .contains("_band_bkt"))
+    assert(pairs(keyed) == expect.filter { case (a, b) => a == b - 100 })
+  }
+
   test("barrier stays local when the dir conf is unset") {
     import spark.implicits._
     // the default path must not touch any checkpoint dir (bench posture

@@ -16,6 +16,8 @@ object TestSpark {
       .getOrCreate()
     org.apache.spark.sql.GraftBridge.installStrategy(s,
       graft.plans.AsOfJoinStrategy)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
+      graft.plans.BandJoinRule)
     s
   }
 }

@@ -47,7 +47,9 @@ object Bench {
       .mkString("{", ",", "}")
 
   private[graft] def renderLine(results: Map[String, Double],
-                                sfDir: String): String = {
+                                sfDir: String,
+                                warm: Map[String, Double] = Map.empty)
+      : String = {
     val (twins, main) = results.partition(kv => TwinQueries(kv._1))
     val fams = SparkEntry.families
     // Unknown names (shouldn't happen; belt for synthetic spec input)
@@ -56,16 +58,25 @@ object Bench {
       .groupBy { case (n, _) => fams.getOrElse(n, "other") }
       .map { case (f, kvs) => f -> kvs.map(_._2).sum }
       .toSeq.sortBy(_._1)
-    val slowest = main.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val slowFull = main.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val slowest = slowFull
       .map { case (n, v) => shortKey(n) -> v }.sortBy(_._1)
+    // warm figures for the slowest rows only (bounded at 5 entries —
+    // the line budget): a staged-chain head like q285 pays its
+    // family's staging in BOTH interleaved passes since the per-family
+    // cache release, so its min-of-2 is staging-inclusive; the warm
+    // column is the same query re-run with the stage cache live, i.e.
+    // the query's own cost — read staging vs query cost separately.
+    val slowWarm = slowFull.flatMap { case (n, _) =>
+      warm.get(n).map(shortKey(n) -> _) }.sortBy(_._1)
     val failed = results.collect { case (k, v) if v < 0 => shortKey(k) }
       .toSeq.sorted
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt3(main.values.filter(_ >= 0).sum)
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val note = "sec; min of 2 passes; family rollups; " +
-      "per-query map in bench_out.json; -1=failed; twins excl"
-    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${main.size},"queries":${obj(byFamily)},"slowest":${obj(slowest)},"twins":${obj(twins.toSeq.sortBy(_._1).map { case (k, v) => shortKey(k) -> v })},"failed":$failedJson,"sf":"$sf","note":"$note"}"""
+    val note = "sec; min of 2 passes; warm=cache-live re-run; " +
+      "per-query maps in bench_out.json; -1=failed; twins excl"
+    s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${main.size},"queries":${obj(byFamily)},"slowest":${obj(slowest)},"slowest_warm":${obj(slowWarm)},"twins":${obj(twins.toSeq.sortBy(_._1).map { case (k, v) => shortKey(k) -> v })},"failed":$failedJson,"sf":"$sf","note":"$note"}"""
   }
 
   /** Full per-query detail for bench_out.json — same shape the driver
@@ -73,7 +84,9 @@ object Bench {
     * the family rollups appended for convenience. Unbounded length is
     * fine here: it's a file, not the captured stdout tail. */
   private[graft] def renderDetail(results: Map[String, Double],
-                                  sfDir: String): String = {
+                                  sfDir: String,
+                                  warm: Map[String, Double] = Map.empty)
+      : String = {
     val (twins, main) = results.partition(kv => TwinQueries(kv._1))
     def objFull(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
@@ -82,7 +95,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt3(main.values.filter(_ >= 0).sum)
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${objFull(main)},"twins":${objFull(twins)},"failed":$failedJson,"sf":"$sf","note":"sec; min of 2 passes; -1=failed; twins excl"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${objFull(main)},"warm":${objFull(warm)},"twins":${objFull(twins)},"failed":$failedJson,"sf":"$sf","note":"sec; min of 2 passes; warm=cache-live re-run of >1s queries; -1=failed; twins excl"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -150,14 +163,33 @@ object Bench {
     val byFamily = SparkEntry.queries.toSeq.sortBy(_._1)
       .groupBy { case (n, _) => fams.getOrElse(n, "other") }
       .toSeq.sortBy(_._1)
-    def fullPass(): Map[String, Option[Double]] =
-      byFamily.flatMap { case (_, qs) =>
-        val timed = qs.map { case (n, fn) => n -> once(n, fn) }
+    // Warm column (round-11 verdict #2): with the per-family cache
+    // release, a staged-chain head (q285's suffix build, q199's prefix
+    // truth set, …) re-pays its family staging in BOTH interleaved
+    // passes, so min-of-2 can never show a warm number for it — q285
+    // read 5.81 s while its warm cost is 0.22 s. After a family's
+    // pass-2 queries are timed, its over-threshold queries re-run ONCE
+    // with the family cache still live; that warm figure is recorded
+    // separately (never min'd into the headline), so staging cost and
+    // query cost read as two columns instead of one conflated number.
+    val WarmThresholdSec = 1.0
+    def fullPass(recordWarm: Boolean)
+        : (Map[String, Option[Double]], Map[String, Double]) = {
+      val warmB = Map.newBuilder[String, Double]
+      val timed = byFamily.flatMap { case (_, qs) =>
+        val t = qs.map { case (n, fn) => n -> once(n, fn) }
+        if (recordWarm) {
+          val tm = t.toMap
+          for ((n, fn) <- qs; v <- tm(n) if v > WarmThresholdSec;
+               w <- once(n, fn)) warmB += n -> w
+        }
         graft.operators.SessionCache.releaseAll(spark)
-        timed
+        t
       }.toMap
-    val pass1 = fullPass()
-    val pass2 = fullPass()
+      (timed, warmB.result())
+    }
+    val (pass1, _) = fullPass(recordWarm = false)
+    val (pass2, warm) = fullPass(recordWarm = true)
     // Stall-suspect retry runs in a FRESH session in a fresh context
     // (round-10 verdict #2a): stall windows correlate within a JVM's
     // cache/GC state, so re-measuring suspects under the state that
@@ -182,11 +214,11 @@ object Bench {
           retried.getOrElse(name, None).toSeq
         name -> (if (samples.isEmpty) -1.0 else samples.min)
       }.toMap
-    val line = renderLine(results, sfDir)
+    val line = renderLine(results, sfDir, warm)
     stdout.println(line)
     stdout.flush()
     try Files.writeString(Paths.get("bench_out.json"),
-      renderDetail(results, sfDir) + "\n")
+      renderDetail(results, sfDir, warm) + "\n")
     catch { case _: Throwable => }
     spark.stop()
   }

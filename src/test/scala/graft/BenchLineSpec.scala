@@ -34,7 +34,10 @@ class BenchLineSpec extends AnyFunSuite {
     val extra = (1 to 15).map(i => s"q9$i%02d_future$i" -> 123.456789)
     val results = allNames.map(_ -> 123.456789).toMap ++ extra +
       (allNames.head -> -1.0)
-    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    // worst case for the warm column too: every query warm-recorded —
+    // the line must still only surface the slowest-5's warm figures
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1",
+      results.map { case (k, _) => k -> 99.9 })
     assert(!line.contains("\n"))
     assert(line.length < 1500,
       s"bench line ${line.length} chars — driver tail window is 2000 " +
@@ -79,6 +82,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"twins\":{\"q12b\":7.00,\"q18b\":3.00}"))
     // headline total = default plans only
     assert(line.contains("\"value\":1.000"))
+  }
+
+  test("warm column: slowest rows carry warm figures, detail full map") {
+    // a staged-head query (q285-class) reads staging-inclusive in the
+    // min-of-2 column; its warm figure rides beside it, never min'd in
+    val results = Map("q1_agg" -> 5.0, "q2_join_revenue" -> 3.0)
+    val warm = Map("q1_agg" -> 0.22)
+    val line = Bench.renderLine(results, "/x", warm)
+    assert(line.contains("\"slowest\":{\"q1\":5.00,\"q2\":3.00}"))
+    assert(line.contains("\"slowest_warm\":{\"q1\":0.22}"))
+    assert(line.contains("\"value\":8.000"), "warm never joins the total")
+    val detail = Bench.renderDetail(results, "/x", warm)
+    assert(detail.contains("\"warm\":{\"q1_agg\":0.220}"))
+    assert(detail.contains("\"value\":8.000"))
   }
 
   test("renderDetail keeps the full per-query map for bench_out.json") {

@@ -1234,7 +1234,11 @@ object QualityQueries extends QueryModule {
     val best = rows.agg(max(round($"ll", 4)).as("best_ll"))
     rows.crossJoin(broadcast(best))
       .select($"lambda", (round($"ll", 4) + lit(0.0)).as("log_lik"),
-        (round($"ll", 4) === $"best_ll").as("selected"))
+        // zero-variance corpus: every ll is NULL (ln of nullif'd 0 —
+        // DuckDB's ln(0) ERRORS, Spark's is NULL; the nullif aligns
+        // them) and nothing is selected — false, never a NULL boolean
+        coalesce(round($"ll", 4) === $"best_ll", lit(false))
+          .as("selected"))
       .orderBy($"lambda")
   }
 
@@ -1492,8 +1496,11 @@ object QualityQueries extends QueryModule {
       .select($"n_docs",
         round($"chi2raw", 4).as("chi2"),
         (($"r" - 1) * ($"c" - 1)).as("df"),
+        // 1×1 contingency (one lang, one source): df = 0 and V is
+        // undefined → NULL via the nullif'd denominator (DuckDB's /0)
         round(sqrt($"chi2raw" /
-          ($"n_docs" * least($"r" - 1, $"c" - 1)).cast("double")), 4)
+          when(least($"r" - 1, $"c" - 1) =!= 0,
+            ($"n_docs" * least($"r" - 1, $"c" - 1)).cast("double"))), 4)
           .as("cramers_v"))
   }
 
@@ -1758,7 +1765,10 @@ object QualityQueries extends QueryModule {
         (floor($"w0" * 1e4 + 0.5) / 1e4).as("w0"),
         (floor($"w1" * 1e4 + 0.5) / 1e4).as("w1"),
         (floor($"w2" * 1e4 + 0.5) / 1e4).as("w2"),
-        (floor((lit(1.0) - $"sse" / $"sst") * 1e4 + 0.5) / 1e4).as("r2"))
+        // zero-variance target (n=1 or constant y): R² is undefined
+        // → NULL via the nullif'd SST, DuckDB's natural 0/0
+        (floor((lit(1.0) - $"sse" / when($"sst" =!= 0.0, $"sst"))
+          * 1e4 + 0.5) / 1e4).as("r2"))
   }
 
   /** 1-Wasserstein distance (q302) — the earth-mover form over the
@@ -1851,9 +1861,17 @@ object QualityQueries extends QueryModule {
       .select($"n_groups", $"n",
         (floor((lit(12.0) / ($"n" * ($"n" + 1L)) * $"rterm"
           - lit(3.0) * ($"n" + 1L)) * 1e4 + 0.5) / 1e4).as("h"),
+        // n = 1 (tie term 0/0) and the all-tied corpus (correction
+        // factor 0) both leave the corrected H undefined → NULL via
+        // nullif'd divisors, matching DuckDB's /0 at each step
         (floor((lit(12.0) / ($"n" * ($"n" + 1L)) * $"rterm"
           - lit(3.0) * ($"n" + 1L))
-          / (lit(1.0) - $"tsum" / ($"n".cast("double") * $"n" * $"n" - $"n"))
+          / when((lit(1.0) - $"tsum" /
+              when($"n" > 1L,
+                $"n".cast("double") * $"n" * $"n" - $"n")) =!= 0.0,
+            lit(1.0) - $"tsum" /
+              when($"n" > 1L,
+                $"n".cast("double") * $"n" * $"n" - $"n"))
           * 1e4 + 0.5) / 1e4).as("h_tie_corrected"))
   }
 
@@ -1903,9 +1921,13 @@ object QualityQueries extends QueryModule {
       .select($"lang", $"n".as("n_docs"),
         coalesce($"nc", lit(0L)).as("n_conc"),
         coalesce($"nd", lit(0L)).as("n_disc"),
+        // a 1-doc or fully-tied-axis language has no orderable pairs:
+        // τ-b is 0/0-undefined → NULL via the nullif'd denominator
         (floor((coalesce($"nc", lit(0L)) - coalesce($"nd", lit(0L)))
-          / sqrt(($"n" * ($"n" - 1L) / 2L - $"tiex").cast("double")
-            * ($"n" * ($"n" - 1L) / 2L - $"tiey"))
+          / when(sqrt(($"n" * ($"n" - 1L) / 2L - $"tiex").cast("double")
+              * ($"n" * ($"n" - 1L) / 2L - $"tiey")) =!= 0.0,
+            sqrt(($"n" * ($"n" - 1L) / 2L - $"tiex").cast("double")
+              * ($"n" * ($"n" - 1L) / 2L - $"tiey")))
           * 1e4 + 0.5) / 1e4).as("tau_b"))
       .orderBy($"lang")
   }
@@ -2485,7 +2507,8 @@ object QualityQueries extends QueryModule {
         |    AS alpha_hill,
         |  (count(*) / sum(ln(CAST(n_chars AS DOUBLE) / x_k1)) > 2.0)
         |    AS finite_variance
-        |FROM top CROSS JOIN xk1 WHERE rk <= 50""".stripMargin,
+        |FROM top CROSS JOIN xk1 WHERE rk <= 50
+        |HAVING count(*) = 50""".stripMargin,
     "q250_box_cox" -> {
       val lambdas = Seq(-1.0, -0.5, 0.0, 0.5, 1.0)
       def ySql(l: Double): String =
@@ -2493,7 +2516,7 @@ object QualityQueries extends QueryModule {
       val vCols = lambdas.zipWithIndex.map { case (l, i) =>
         s"var_pop(${ySql(l)}) AS v$i" }.mkString(",\n|    ")
       val rowSel = lambdas.zipWithIndex.map { case (l, i) =>
-        s"SELECT $l AS lambda, n, -0.5 * n * ln(v$i) + ($l - 1.0) * slnx AS ll FROM agg"
+        s"SELECT $l AS lambda, n, -0.5 * n * ln(nullif(v$i, 0.0)) + ($l - 1.0) * slnx AS ll FROM agg"
       }.mkString("\n|  UNION ALL ")
       s"""WITH base AS (
         |  SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
@@ -2506,7 +2529,7 @@ object QualityQueries extends QueryModule {
         |  $rowSel),
         |best AS (SELECT max(round(ll, 4)) AS best_ll FROM rows)
         |SELECT lambda, round(ll, 4) + 0.0 AS log_lik,
-        |  round(ll, 4) = best_ll AS selected
+        |  coalesce(round(ll, 4) = best_ll, FALSE) AS selected
         |FROM rows CROSS JOIN best ORDER BY lambda""".stripMargin
     },
     "q244_feature_corr" ->

@@ -422,6 +422,16 @@ object ScoringQueries extends QueryModule {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       def r(x: Double, sc: Int): Double = BigDecimal(x)
         .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // an empty held-out support (a tiny corpus whose 10% slice has
+      // no bigrams) leaves EM undefined: the oracle's sums over the
+      // empty `hob` CTE publish lambda/nll NULL from iteration 1 (and
+      // NULL nll at the 0.5 start) — replay exactly that shape
+      if (hob.isEmpty) {
+        val rows = (0, Some(0.5), Option.empty[Double]) +:
+          (1 to JmIters).map(t =>
+            (t, Option.empty[Double], Option.empty[Double]))
+        return rows.toDF("iter", "lambda", "heldout_nll").orderBy($"iter")
+      }
       def nllOf(l: Double): Double = r(hob.agg(
         (sum(-log(lit(l) * $"pb" + lit(1.0 - l) * $"pu") * $"m") /
           sum($"m")).as("x")).head().getDouble(0), 4)
@@ -546,8 +556,12 @@ object ScoringQueries extends QueryModule {
       .join(broadcast(ns), "source")
       .crossJoin(broadcast(tot))
       .select($"source", $"ns", $"n_all",
+        // one-source corpus: "rest" is empty, D undefined → NULL (the
+        // divisor NULLs like DuckDB's /0, so both engines publish NULL)
         abs($"cs" / $"ns".cast("double") -
-          ($"ctot" - $"cs") / ($"n_all" - $"ns").cast("double")).as("diff"))
+          ($"ctot" - $"cs") /
+            when($"n_all" =!= $"ns", ($"n_all" - $"ns").cast("double")))
+          .as("diff"))
       .groupBy($"source")
       .agg(max($"ns").as("ns"), max($"n_all").as("n_all"),
         max($"diff").as("dmax"))
@@ -774,7 +788,10 @@ object ScoringQueries extends QueryModule {
       ($"n01" + $"n00") * ($"n10" + $"n00")) / (nD * nD)
     cells.select($"n", $"n11", $"n10", $"n01", $"n00",
       round(po, 4).as("p_obs"), round(pe, 4).as("p_exp"),
-      (round((po - pe) / (lit(1.0) - pe), 4) + lit(0.0)).as("kappa"))
+      // pe = 1 (all mass in one cell — e.g. a 1-doc corpus): κ is
+      // 0/0-undefined → NULL via the nullif'd denominator (DuckDB /0)
+      (round((po - pe) / when(pe =!= 1.0, lit(1.0) - pe), 4) + lit(0.0))
+        .as("kappa"))
   }
 
   /** McNemar's paired test (q319) — McNemar 1947 on the SAME 2×2 gate
@@ -1288,15 +1305,20 @@ object ScoringQueries extends QueryModule {
       .agg(coalesce(sum($"np"), lit(0L)).as("tp"),
         coalesce(sum($"nn"), lit(0L)).as("fp"))
       .crossJoin(broadcast(tot))
-    val tpr = $"tp".cast("double") / $"n_pos"
-    val fpr = $"fp".cast("double") / $"n_neg"
+    // one-class corpora (e.g. a 1-doc degenerate corpus has no dup
+    // positives): rates are 0/0-undefined → NULL rows, like DuckDB's /0
+    val tpr = $"tp".cast("double") / when($"n_pos" =!= 0L, $"n_pos")
+    val fpr = $"fp".cast("double") / when($"n_neg" =!= 0L, $"n_neg")
     val j = tpr - fpr
     val best = agg.agg(max(round(j, 4) + lit(0.0)).as("best_j"))
     agg.crossJoin(broadcast(best))
       .select(round($"t", 2).as("t"), $"tp", $"fp",
         round(tpr, 4).as("tpr"), round(fpr, 4).as("fpr"),
         (round(j, 4) + lit(0.0)).as("youden_j"),
-        ((round(j, 4) + lit(0.0)) === $"best_j").as("selected"))
+        // NULL J (one-class corpus): nothing is selected — false on
+        // BOTH engines, never a NULL boolean
+        coalesce((round(j, 4) + lit(0.0)) === $"best_j", lit(false))
+          .as("selected"))
       .orderBy($"t")
   }
 
@@ -2042,7 +2064,12 @@ object ScoringQueries extends QueryModule {
       val (t, pol, err, wtot) = (bestRow.getAs[Long]("t"),
         bestRow.getAs[Int]("pol"), bestRow.getAs[Long]("err"),
         bestRow.getAs[Long]("wtot"))
-      val e = math.min(math.max(err.toDouble / wtot, 1e-9), 1.0 - 1e-9)
+      // wtot = 0 (all weights floored to 0 on a perfectly-separated
+      // tiny corpus): 0/0 is NaN in Scala but the oracle's clamp sees
+      // NULL and floors it to 1e-9 (DuckDB greatest ignores NULL) —
+      // treat the zero-mass round as zero error explicitly
+      val e = math.min(math.max(
+        if (wtot == 0L) 0.0 else err.toDouble / wtot, 1e-9), 1.0 - 1e-9)
       val m = math.sqrt((1.0 - e) / e)
       val aq = math.floor(0.5 * math.log((1.0 - e) / e) * 1e6).toLong
       val h = when($"x" <= t, lit(pol)).otherwise(lit(-pol)).cast("long")
@@ -3369,7 +3396,7 @@ object ScoringQueries extends QueryModule {
         |SELECT round(t, 2) AS t, tp, fp, round(tpr, 4) AS tpr,
         |  round(fpr, 4) AS fpr,
         |  round(tpr - fpr, 4) + 0.0 AS youden_j,
-        |  (round(tpr - fpr, 4) + 0.0) = best_j AS selected
+        |  coalesce((round(tpr - fpr, 4) + 0.0) = best_j, FALSE) AS selected
         |FROM sc CROSS JOIN best ORDER BY t""".stripMargin,
     "q247_prf_expansion" -> {
       val qTerms = Bm25Terms.map(t => s"'$t'").mkString("(", ", ", ")")

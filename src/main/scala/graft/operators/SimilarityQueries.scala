@@ -484,10 +484,14 @@ object SimilarityQueries extends QueryModule {
     // λ rides as a COLUMN over the ONE collected cell array (a 3-row
     // explode of exact binary fractions — 1−λ is exact too), so the
     // assignment pass over the embeddings runs once, not once per λ
+    // an empty side (all labels in one parity — the 1-vector corpus)
+    // has no distribution to compare: its shares go NULL via the
+    // nullif'd total (DuckDB's /0), and both KLs publish NULL
     val cs = hist.crossJoin(broadcast(tot))
       .select(struct($"cell",
-        ($"np" / $"tp".cast("double")).as("p"),
-        ($"nq" / $"tq".cast("double")).as("q")).as("c"))
+        ($"np" / when($"tp" =!= 0L, $"tp".cast("double"))).as("p"),
+        ($"nq" / when($"tq" =!= 0L, $"tq".cast("double"))).as("q"))
+        .as("c"))
       .agg(array_sort(collect_list($"c")).as("cs"))
     cs.select($"cs",
         explode(array(MauveLambdas.map(lit(_)): _*)).as("lambda"))
@@ -1216,8 +1220,13 @@ object SimilarityQueries extends QueryModule {
       .select($"vec_id", transform($"v", x => x / $"nrm").as("nv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val first = base.orderBy($"vec_id").limit(1)
-        .select($"vec_id", $"nv").as[(Long, Seq[Double])].head()
+      val firstOpt = base.orderBy($"vec_id").limit(1)
+        .select($"vec_id", $"nv").as[(Long, Seq[Double])]
+        .collect().headOption
+      if (firstOpt.isEmpty) // zero nonzero-norm vectors: nothing to seed
+        return Vector.empty[(Int, Long, Long, Option[Double])]
+          .toDF("rk", "vec_id", "weight", "sep")
+      val first = firstOpt.get
       var cand = Vector((first._1, first._2.toArray))
       for (r <- 1 to KmpRounds) {
         val dCols = cand.map { case (_, c) =>
@@ -1230,7 +1239,10 @@ object SimilarityQueries extends QueryModule {
         val u = conv(substring(md5(concat(lit(s"kmp:$r:"),
           $"vec_id".cast("string"))), 1, 8), 16, 10)
           .cast("double") / 4294967296.0
-        val sampled = withD
+        // φ = 0 ⟺ every point coincides with a candidate: no residual
+        // mass to sample (DuckDB's d2/0 → NULL excludes the same rows)
+        val sampled = if (phi == 0.0) Array.empty[(Long, Seq[Double])]
+        else withD
           .filter(u < least(lit(1.0), lit(KmpL.toDouble) * $"d2" / phi))
           .orderBy($"vec_id")
           .select($"vec_id", $"nv").as[(Long, Seq[Double])].collect()
@@ -2248,7 +2260,12 @@ object SimilarityQueries extends QueryModule {
         |s$r AS (
         |  SELECT b.vec_id, b.nv
         |  FROM base b JOIN d$r USING (vec_id) CROSS JOIN p$r
-        |  WHERE ('0x' || substr(md5('kmp:$r:' ||
+        |  -- phi = 0 (every point already a candidate): no residual
+        |  -- mass to sample — the explicit guard, because DuckDB's
+        |  -- least() IGNORES the NULL a bare d2/0 would give, which
+        |  -- would sample everything instead of nothing
+        |  WHERE p$r.phi > 0
+        |    AND ('0x' || substr(md5('kmp:$r:' ||
         |      CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT
         |    / 4294967296.0 < least(1.0, $KmpL.0 * d$r.d2 / p$r.phi)),
         |cand$r AS MATERIALIZED (

@@ -807,6 +807,9 @@ object StorageQueries extends QueryModule {
         .select((i / u).as("j"))
         .agg(count(lit(1)).as("n_pairs"),
           round(avg($"j"), 4).as("mean_adj_jaccard"))
+        // a pairless corpus (0 or 1 shingled docs) has no adjacency to
+        // measure: no row, matching the oracle's GROUP BY over no pairs
+        .filter($"n_pairs" =!= 0L)
         .select(lit(label).as("layout"), $"n_pairs", $"mean_adj_jaccard")
     }
     meanAdj(expr("doc_id div 64"), Seq($"doc_id"), "arrival")

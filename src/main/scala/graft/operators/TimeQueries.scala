@@ -260,8 +260,11 @@ object TimeQueries extends QueryModule {
       .select($"event_type", $"n", round($"iqr", 4).as("iqr"),
         round(lit(2.0) * $"iqr" / cbrt($"n".cast("double")), 4)
           .as("bin_width"),
+        // zero IQR (constant/1-row series): width 0, bin count
+        // undefined → NULL via the nullif'd divisor (DuckDB's 0/0)
         round(($"hi" - $"lo") /
-          (lit(2.0) * $"iqr" / cbrt($"n".cast("double"))), 4)
+          when($"iqr" =!= 0.0,
+            lit(2.0) * $"iqr" / cbrt($"n".cast("double"))), 4)
           .as("n_bins"))
       .orderBy($"event_type")
   }
@@ -506,7 +509,10 @@ object TimeQueries extends QueryModule {
     perType.crossJoin(broadcast(glob))
       .select($"event_type", $"n_users", round(p, 4).as("base_rate"),
         round(nArm, 1).as("n_per_arm"),
-        round(nArm * 2.0 / ($"n_total" / $"days"), 1)
+        // a zero-span corpus (single timestamp) has no daily-traffic
+        // rate → days_needed NULL via the nullif'd divisor
+        round(nArm * 2.0 /
+          when($"days" =!= 0.0, $"n_total" / $"days"), 1)
           .as("days_needed"))
       .orderBy($"event_type")
   }
@@ -750,8 +756,10 @@ object TimeQueries extends QueryModule {
         sum($"in_val".cast("long")).as("n_val_users"),
         sum(when($"in_train" === 1 && $"in_val" === 1, 1L)
           .otherwise(0L)).as("n_leaky_users"))
-      .withColumn("leak_rate",
-        round($"n_leaky_users" / $"n_val_users", 4))
+      .withColumn("leak_rate", // NULL when no val users (degenerate
+        // 1-event corpus) — DuckDB's natural /0 result, same both sides
+        round($"n_leaky_users" / when($"n_val_users" =!= 0L,
+          $"n_val_users"), 4))
       .orderBy($"event_type")
   }
 
@@ -1132,7 +1140,9 @@ object TimeQueries extends QueryModule {
       .agg((round(regr_slope($"y", $"x"), 4) + lit(0.0)).as("slope"),
         (round(regr_intercept($"y", $"x"), 4) + lit(0.0)).as("icept"),
         (round(regr_r2($"y", $"x"), 4) + lit(0.0)).as("r2"))
-      .withColumn("declining", $"slope" < 0.0)
+      // NULL slope (single-point series): not evidence of decline —
+      // false on BOTH engines, never a NULL boolean
+      .withColumn("declining", coalesce($"slope" < 0.0, lit(false)))
       .orderBy($"event_type")
   }
 
@@ -2195,9 +2205,16 @@ object TimeQueries extends QueryModule {
     daily
       .agg(array_sort(collect_list(struct($"i", $"day", $"y"))).as("cells"))
       .filter(size($"cells") >= 2 * p + 1)
+      // the slice length is clamped at 0 even though the filter above
+      // already excludes short series: codegen subexpression
+      // elimination evaluates the fold BEFORE the filter conjunct's
+      // short-circuit, so an unclamped negative length throws on a
+      // sub-2-season corpus despite the guard (observed on the 1-day
+      // degenerate corpus; greatest(0, …) makes the expression total)
       .select(expr(
         s"""aggregate(
-           |  slice(cells, ${2 * p + 1}, size(cells) - ${2 * p}),
+           |  slice(cells, ${2 * p + 1},
+           |    greatest(0, size(cells) - ${2 * p})),
            |  struct(
            |    cast(array() as array<struct<day: date, y: bigint,
            |      fc: double, level: double, trend: double,
@@ -3337,7 +3354,8 @@ object TimeQueries extends QueryModule {
         |    round(regr_intercept(y, x), 4) + 0.0 AS icept,
         |    round(regr_r2(y, x), 4) + 0.0 AS r2
         |  FROM filled GROUP BY event_type)
-        |SELECT event_type, slope, icept, r2, slope < 0.0 AS declining
+        |SELECT event_type, slope, icept, r2,
+        |  coalesce(slope < 0.0, FALSE) AS declining
         |FROM fit ORDER BY event_type""".stripMargin,
     // q150: q99's first-touch semantics with the latency percentiles on
     // the per-converter frame

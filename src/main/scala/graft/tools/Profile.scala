@@ -19,6 +19,8 @@ object Profile {
     // same session shape as Bench, so profiled plans match benched plans
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.TopKWindowRule)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.BandJoinRule)
     org.apache.spark.sql.GraftBridge.installStrategy(spark,
       graft.plans.AsOfJoinStrategy)
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)

@@ -1950,7 +1950,54 @@ object DedupQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** q337's boundary modulus: a token cuts a chunk when its 24-bit md5
+    * prefix ≡ 0 (mod 16) — expected chunk length 16 tokens. */
+  private val CdcMod = 16L
+
+  /** Content-defined chunking (q337) — the storage-dedup primitive
+    * under restic/casync/LBFS (Muthitacharoen et al. 2001) and the
+    * sub-document dedup shape RefinedWeb-style pipelines want where
+    * q304's FIXED stride fails: a one-token insertion shifts every
+    * fixed chunk after it (nothing dedups), while content-defined
+    * boundaries (cut after any token whose md5 ≡ 0 mod 16 — the
+    * engine-agnostic hash family, q174) re-synchronize immediately, so
+    * shared suffixes keep deduping. Chunking is ONE in-row expression
+    * (boundary scan + slice-join, no shuffle); the corpus stats are a
+    * per-source aggregate over the exploded chunk stream keyed on the
+    * chunk string — the same two-shuffle shape as q304. Emits per
+    * source: chunks, distinct chunks, dup ratio, mean chunk tokens —
+    * the dedupable-mass read a chunk store sizes against. */
+  def qCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"source",
+        filter(split($"text", " "), t => t =!= lit("")).as("w"))
+      .filter(size($"w") > 0)
+    // boundary positions once per row, chunks sliced between them
+    // (j is 0-based in Spark's indexed lambda; element_at is 1-based,
+    // so element_at(ends, j) is the PREVIOUS boundary)
+    val chunks = base
+      .withColumn("ends", expr(
+        s"""filter(sequence(1, size(w)), i -> i = size(w)
+           |  OR cast(conv(substring(md5(element_at(w, i)), 1, 6),
+           |      16, 10) as bigint) % $CdcMod = 0)""".stripMargin))
+      .select($"source", explode(expr(
+        """transform(ends, (e, j) -> array_join(slice(w,
+          |  CASE WHEN j = 0 THEN 1 ELSE element_at(ends, j) + 1 END,
+          |  e - CASE WHEN j = 0 THEN 0 ELSE element_at(ends, j) END),
+          |  ' '))""".stripMargin)).as("chunk"))
+    chunks.groupBy($"source")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct($"chunk").as("n_distinct"),
+        (floor(lit(1e4) * (count(lit(1)) - countDistinct($"chunk"))
+          / count(lit(1)) + 0.5) / 1e4).as("dup_ratio"),
+        (floor(lit(1e4) * sum(size(split($"chunk", " ")))
+          / count(lit(1)) + 0.5) / 1e4).as("mean_tokens"))
+      .orderBy($"source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_cdc_chunks"   -> (qCdcChunks _),
     "q297_winnowing"    -> (qWinnowing _),
     "q301_blocking_eval" -> (qBlockingEval _),
     "q304_paragraph_dedup" -> (qParagraphDedup _),
@@ -2142,6 +2189,36 @@ object DedupQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = {
     Map(
+      // q337: identical boundary rule (24-bit md5 prefix mod 16) and
+      // slice-join; DuckDB list indexes and its indexed lambda are
+      // 1-based where Spark's lambda index is 0-based — the CASE
+      // arms shift accordingly
+      "q337_cdc_chunks" ->
+        s"""WITH d AS (
+          |  SELECT source,
+          |    list_filter(str_split(text, ' '), t -> t <> '') AS w
+          |  FROM documents),
+          |d2 AS (SELECT * FROM d WHERE len(w) > 0),
+          |e AS (
+          |  SELECT source, w,
+          |    list_filter(range(1, len(w) + 1), i -> i = len(w)
+          |      OR ('0x' || substr(md5(w[i]), 1, 6))::BIGINT
+          |        % $CdcMod = 0) AS ends
+          |  FROM d2),
+          |c AS (
+          |  SELECT source,
+          |    unnest(list_transform(ends, (x, j) ->
+          |      array_to_string(list_slice(w,
+          |        CASE WHEN j = 1 THEN 1 ELSE ends[j - 1] + 1 END,
+          |        x), ' '))) AS chunk
+          |  FROM e)
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+          |  floor(1e4 * (count(*) - count(DISTINCT chunk))
+          |    / count(*) + 0.5) / 1e4 AS dup_ratio,
+          |  floor(1e4 * sum(len(str_split(chunk, ' ')))
+          |    / count(*) + 0.5) / 1e4 AS mean_tokens
+          |FROM c GROUP BY source ORDER BY source""".stripMargin,
       "q304_paragraph_dedup" ->
         s"""WITH d AS (
           |  SELECT doc_id,

@@ -629,6 +629,68 @@ object GraphQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** Edge clustering coefficient (q340) — Radicchi et al. 2004's
+    * community-boundary signal: per edge, C = z / (min(deg)−1) where z
+    * is the edge's triangle count — low-C edges are inter-community
+    * bridges (the Girvan–Newman cut criterion at edge-local cost,
+    * where betweenness needs all-pairs paths). Scale shape: wedges
+    * expand from the LOWER-degree endpoint of each edge (ties by id),
+    * the Chiba–Nishizeki orientation that bounds candidate volume by
+    * Σ_e min(deg) — the same degree-orientation trick behind q144's
+    * global count, here kept per edge; candidate wedges close via one
+    * equi-join against the canonical edge set. Leaf edges
+    * (min(deg) = 1) have an undefined C and are excluded rather than
+    * published as NULL (both engines sort on C). Top-20 by rounded C
+    * then (a, b) so rank is a pure function of published values. */
+  def qEdgeClustering(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fe = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= MinEdgeWeight)
+      .select($"a", $"b")
+    edgeClusteringCore(fe)
+  }
+
+  /** Edge-clustering core over canonical undirected edges (a < b,
+    * distinct); split out so the spec can pin C on crafted graphs
+    * (triangle+tail: the triangle's edges at C = 1, bridge excluded). */
+  private[graft] def edgeClusteringCore(fe: DataFrame): DataFrame = {
+    val s = fe.sparkSession
+    import s.implicits._
+    val sym = fe.select($"a".as("node"), $"b".as("nbr"))
+      .union(fe.select($"b".as("node"), $"a".as("nbr")))
+    val deg = sym.groupBy($"node").agg(count(lit(1)).as("deg"))
+    val fed = fe
+      .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+    // pivot = lower-degree endpoint (ties by the a < b canonical id):
+    // its neighbor list is the one that expands
+    val piv = fed.select($"a", $"b", $"da", $"db",
+      when($"da" <= $"db", $"a").otherwise($"b").as("p"),
+      when($"da" <= $"db", $"b").otherwise($"a").as("q"))
+    val cand = piv
+      .join(sym.select($"node".as("p"), $"nbr".as("x")), Seq("p"))
+      .filter($"x" =!= $"q")
+      .select($"a", $"b",
+        least($"x", $"q").as("xa"), greatest($"x", $"q").as("xb"))
+    val tri = cand
+      .join(fe.select($"a".as("xa"), $"b".as("xb")), Seq("xa", "xb"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("z"))
+    fed.join(tri, Seq("a", "b"), "left")
+      .filter(least($"da", $"db") > 1L)
+      .select($"a", $"b", coalesce($"z", lit(0L)).as("z"),
+        least($"da", $"db").as("deg_min"),
+        (floor(coalesce($"z", lit(0L))
+          / (least($"da", $"db") - 1L).cast("double") * 1e4 + 0.5)
+          / 1e4).as("c_edge"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"c_edge".desc, $"a".asc, $"b".asc)))
+      .filter($"rk" <= 20)
+      .select($"rk", $"a", $"b", $"z", $"deg_min", $"c_edge")
+      .orderBy($"rk")
+  }
+
   /** q325: seed count and iteration depth for personalized PageRank. */
   private val PprSeeds = 3
   private val PprIters = 3
@@ -770,6 +832,7 @@ object GraphQueries extends QueryModule {
         "q176_coengagement" -> (qCoengagement _),
         "q291_hits" -> (qHits _),
         "q292_adamic_adar" -> (qAdamicAdar _),
+        "q340_edge_clustering" -> (qEdgeClustering _),
         "q325_personalized_pagerank" -> (qPersonalizedPagerank _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
@@ -1240,6 +1303,52 @@ object GraphQueries extends QueryModule {
           |FROM a3 JOIN h3 ON a3.node = h3.node
           |ORDER BY node""".stripMargin
       },
+      // q340: z via the naive neighbor-pair close (affordable at oracle
+      // scale); the engine reaches the identical per-edge counts
+      // through the min-degree orientation
+      "q340_edge_clustering" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, item,
+        |    lag(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, item AS dst FROM o
+        |  WHERE src IS NOT NULL AND src <> item),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS c
+        |  FROM edges GROUP BY 1, 2),
+        |fe AS (SELECT a, b FROM und WHERE c >= $MinEdgeWeight),
+        |sym AS (
+        |  SELECT a AS node, b AS nbr FROM fe
+        |  UNION ALL SELECT b, a FROM fe),
+        |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+        |tri AS (
+        |  SELECT fe.a, fe.b, CAST(count(*) AS BIGINT) AS z
+        |  FROM fe
+        |  JOIN sym s1 ON s1.node = fe.a
+        |  JOIN sym s2 ON s2.node = fe.b AND s2.nbr = s1.nbr
+        |  GROUP BY fe.a, fe.b),
+        |scored AS (
+        |  SELECT fe.a, fe.b, coalesce(tri.z, 0) AS z,
+        |    least(d1.deg, d2.deg) AS deg_min,
+        |    floor(coalesce(tri.z, 0)
+        |      / CAST(least(d1.deg, d2.deg) - 1 AS DOUBLE) * 1e4 + 0.5)
+        |      / 1e4 AS c_edge
+        |  FROM fe
+        |  JOIN deg d1 ON d1.node = fe.a
+        |  JOIN deg d2 ON d2.node = fe.b
+        |  LEFT JOIN tri ON tri.a = fe.a AND tri.b = fe.b
+        |  WHERE least(d1.deg, d2.deg) > 1),
+        |rkd AS (
+        |  SELECT *, row_number() OVER (ORDER BY c_edge DESC, a, b) AS rk
+        |  FROM scored)
+        |SELECT rk, a, b, CAST(z AS BIGINT) AS z,
+        |  CAST(deg_min AS BIGINT) AS deg_min, c_edge
+        |FROM rkd WHERE rk <= 20 ORDER BY rk""".stripMargin,
       "q292_adamic_adar" ->
       s"""WITH ev AS (
         |  SELECT user_id, ts, event_id,

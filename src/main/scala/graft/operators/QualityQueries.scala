@@ -1504,6 +1504,46 @@ object QualityQueries extends QueryModule {
           .as("cramers_v"))
   }
 
+  /** G-test of independence (q339) — the log-likelihood-ratio twin of
+    * q207's Pearson χ² on the same lang × source contingency:
+    * G = 2·Σ o·ln(o/e). Preferred when any o/e is far from 1 (χ²'s
+    * quadratic approximation degrades exactly where the independence
+    * question is interesting — a source that is 90% one language);
+    * G is also additive across nested table partitions, so per-shard
+    * Gs SUM to the corpus G — the mergeability χ² lacks. Same one
+    * partial agg to the |langs|×|sources| cell grid; the cross-cell
+    * ln-sum folds IN (lang, source)-SORTED ORDER (q313's
+    * order-deterministic in-row fold — a float sum over cells would be
+    * accumulation-order-dependent). Only observed cells contribute
+    * (o ≥ 1 by construction, so no ln(0) exists on either engine);
+    * a 1×1 table gives G = 0, df = 0. */
+  def qGTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o"))
+    val g = cells
+      .withColumn("rt", sum($"o").over(Window.partitionBy($"lang")))
+      .withColumn("ct", sum($"o").over(Window.partitionBy($"source")))
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+    val dims = cells.agg(
+      countDistinct($"lang").as("r"), countDistinct($"source").as("c"))
+    g.select(struct($"lang", $"source",
+        $"o".cast("double").as("o"), $"rt".cast("double").as("rt"),
+        $"ct".cast("double").as("ct"), $"n".cast("double").as("n"))
+        .as("cell"),
+        $"n".as("n_docs"))
+      .groupBy($"n_docs")
+      .agg(array_sort(collect_list($"cell")).as("cs"))
+      .crossJoin(broadcast(dims))
+      .select($"n_docs",
+        (floor(expr(
+          """2.0d * aggregate(cs, 0.0d, (a, c) ->
+            |  a + c.o * ln(c.o / (c.rt * c.ct / c.n)))""".stripMargin)
+          * 1e4 + 0.5) / 1e4).as("g_stat"),
+        (($"r" - 1) * ($"c" - 1)).as("df"))
+  }
+
   /** q286 constants: 16 linear slots per octave = 5-bit HDR precision
     * (worst-case relative error 1/32 above the exact range), the
     * exact-representation cutoff, and integer percentile targets. */
@@ -1875,6 +1915,63 @@ object QualityQueries extends QueryModule {
           * 1e4 + 0.5) / 1e4).as("h_tie_corrected"))
   }
 
+  /** One-way ANOVA F (q336) — Fisher's variance-ratio test of equal
+    * mean document length across ALL sources: the parametric
+    * complement of q313's rank-based Kruskal–Wallis (KW survives
+    * outliers; ANOVA is the textbook first read and carries the
+    * effect size η² = SSB/SST that a rank test cannot give). Scale
+    * shape is q300/q326's: ONE map-side-combined aggregate collects
+    * per-source exact integer moments (count, Σx as long, Σx² as
+    * decimal(38,0) — bit-identical under any partial-agg order), the
+    * |sources|-row frame folds IN SOURCE-SORTED ORDER (q313's
+    * order-deterministic in-row fold — a float sum over groups would
+    * be accumulation-order-dependent), and everything after is
+    * closed-form on one row. Degenerate guards: one source (df₁ = 0),
+    * all-equal-within (SSW = 0), n = k (df₂ = 0) each publish NULL F
+    * via nullif'd divisors — DuckDB's natural /0. */
+  def qAnovaF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    anovaOf(Tables.documents(s, dir).select($"source",
+      $"n_chars".cast("long").as("x")))
+  }
+
+  /** ANOVA core over any (source, x) frame; split out so the spec can
+    * pin F on a hand-computed fixture. */
+  private[graft] def anovaOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val per = base.groupBy($"source")
+      .agg(count(lit(1)).as("nj"),
+        sum($"x").as("sj"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("qj"))
+      .select(struct($"source", $"nj",
+        $"sj".cast("double").as("sj"),
+        $"qj".cast("double").as("qj")).as("g"))
+      .agg(array_sort(collect_list($"g")).as("gs"))
+    val folded = per.select(
+      size($"gs").cast("long").as("k"),
+      expr("aggregate(gs, cast(0 as bigint), (a, g) -> a + g.nj)")
+        .as("n"),
+      expr("aggregate(gs, 0.0d, (a, g) -> a + g.sj)").as("s"),
+      expr("aggregate(gs, 0.0d, (a, g) -> a + g.qj)").as("q"),
+      expr("aggregate(gs, 0.0d, (a, g) -> a + g.sj * g.sj / g.nj)")
+        .as("rterm"))
+    val ssb = $"rterm" - $"s" * $"s" / $"n"
+    val ssw = $"q" - $"rterm"
+    val f = (ssb / when($"k" > 1L, ($"k" - 1L).cast("double"))) /
+      when($"n" > $"k" && ssw =!= 0.0,
+        ssw / ($"n" - $"k").cast("double"))
+    // ±0.0 idiom on every rounded column: the sums-of-squares are
+    // mathematically ≥ 0 but float cancellation can land at −1e−12,
+    // and Spark/DuckDB round −0.0 apart
+    folded.select($"k".as("n_groups"), $"n".as("n_docs"),
+      (round(ssb, 4) + lit(0.0)).as("ss_between"),
+      (round(ssw, 4) + lit(0.0)).as("ss_within"),
+      (round(f, 4) + lit(0.0)).as("f_stat"),
+      (round(ssb / when(ssb + ssw =!= 0.0, ssb + ssw), 4) + lit(0.0))
+        .as("eta_sq"))
+  }
+
   /** Kendall rank correlation tau-b (q314) — Kendall 1938 with the
     * tie-aware b normalization: per language, do document length and
     * token count co-order? The concordance complement of q295's
@@ -1935,6 +2032,8 @@ object QualityQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q313_kruskal_wallis"  -> (qKruskalWallis _),
+      "q336_anova_f"         -> (qAnovaF _),
+      "q339_g_test"          -> (qGTest _),
       "q314_kendall_tau"     -> (qKendallTau _),
       "q294_mann_whitney"    -> (qMannWhitney _),
       "q295_spearman"        -> (qSpearman _),
@@ -2068,6 +2167,72 @@ object QualityQueries extends QueryModule {
         |    * 1e4 + 0.5) / 1e4 AS w1_dist
         |FROM g CROSS JOIN tot
         |GROUP BY src_a, src_b, n1, n2""".stripMargin,
+    // q339: same contingency grid as q207, the ln-sum folded in
+    // (lang, source)-sorted order like the engine
+    "q339_g_test" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY lang, source),
+        |g AS (
+        |  SELECT lang, source, o,
+        |    sum(o) OVER (PARTITION BY lang) AS rt,
+        |    sum(o) OVER (PARTITION BY source) AS ct,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |dims AS (
+        |  SELECT CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS c
+        |  FROM cells),
+        |cs AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |    list({'lang': lang, 'source': source,
+        |      'o': CAST(o AS DOUBLE), 'rt': CAST(rt AS DOUBLE),
+        |      'ct': CAST(ct AS DOUBLE), 'n': CAST(n AS DOUBLE)}
+        |      ORDER BY lang, source) AS cs
+        |  FROM g)
+        |SELECT n_docs,
+        |  floor(2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(cs, el ->
+        |        el.o * ln(el.o / (el.rt * el.ct / el.n)))),
+        |      (acc, x) -> acc + x) * 1e4 + 0.5) / 1e4 AS g_stat,
+        |  (r - 1) * (c - 1) AS df
+        |FROM cs CROSS JOIN dims""".stripMargin,
+    // q336: ANOVA from the same sorted-group-fold discipline as q313;
+    // every divisor nullif'd so the degenerate cases agree with the
+    // engine's when-guards
+    "q336_anova_f" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sjl,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS qjh
+        |  FROM documents GROUP BY source),
+        |gs AS (
+        |  SELECT list({'source': source, 'nj': nj,
+        |    'sj': CAST(sjl AS DOUBLE), 'qj': CAST(qjh AS DOUBLE)}
+        |    ORDER BY source) AS gs FROM per),
+        |a AS (
+        |  SELECT CAST(len(gs) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(gs, g -> g.nj)), (a, x) -> a + x) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g -> g.sj)), (a, x) -> a + x) AS s,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g -> g.qj)), (a, x) -> a + x) AS q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g -> g.sj * g.sj / g.nj)),
+        |      (a, x) -> a + x) AS rterm
+        |  FROM gs)
+        |SELECT k AS n_groups, n AS n_docs,
+        |  round(rterm - s * s / n, 4) + 0.0 AS ss_between,
+        |  round(q - rterm, 4) + 0.0 AS ss_within,
+        |  round(((rterm - s * s / n)
+        |      / nullif(CAST(k - 1 AS DOUBLE), 0.0))
+        |    / nullif((q - rterm) / nullif(CAST(n - k AS DOUBLE), 0.0),
+        |      0.0), 4) + 0.0 AS f_stat,
+        |  round((rterm - s * s / n)
+        |    / nullif(rterm - s * s / n + q - rterm, 0.0), 4) + 0.0
+        |    AS eta_sq
+        |FROM a""".stripMargin,
     "q313_kruskal_wallis" ->
       """WITH cells AS (
         |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c

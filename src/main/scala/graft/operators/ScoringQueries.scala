@@ -2322,6 +2322,97 @@ object ScoringQueries extends QueryModule {
     * broadcasts and the whole R-term dot-product sum evaluated
     * in-row; the top-10 read heap-rewrites. No per-round corpus
     * mutation, no driver collect. */
+  /** q338 region cuts: easy ⟺ mean true-label probability ≥ 0.6, hard
+    * ⟺ ≤ 0.4 — compared in EXACT micro-unit integers (Σp_µ against
+    * 0.6·R·10⁶), so the bucket boundary can never ride float dust. */
+  private val CartoHiMicro = 4800000L // 0.6 · R · 10⁶ at R = 8, exact
+  private val CartoLoMicro = 3200000L // 0.4 · R · 10⁶ — literal longs,
+  // never derived via a double product (0.6·8e6 truncates to 4799999)
+
+  /** Dataset cartography (q338) — Swayamdipta et al. 2020 ("Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics"): replay q299's exact GD trajectory, and for every
+    * training document track the TRUE-label probability at each of the
+    * R rounds; its mean (confidence) and cross-round variance
+    * (variability) split the corpus into easy-to-learn / ambiguous /
+    * hard-to-learn regions — hard ≈ mislabeled or noisy (the curation
+    * signal next to q310's TracIn, which needs a val set; cartography
+    * doesn't). Scale shape: R scalar weight frames (checkpointed,
+    * q299's snap9 trajectory — bit-identical cross-engine), then ONE
+    * corpus pass computes all R probabilities as 1e-6-quantized longs;
+    * Σp and Σp² stay exact integers per doc, the region compare is
+    * integer, and the per-region means divide exact decimal(38,0)
+    * sums — no float accumulates across rows anywhere. Variability is
+    * reported as mean population VARIANCE of the round probabilities
+    * ((R·Σp² − (Σp)²)/R² per doc — the exact-integer form; the paper
+    * plots the std, a monotone transform). */
+  def qCartography(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cartographyOf(Tables.documents(s, dir).select($"doc_id",
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
+  }
+
+  /** Cartography core over any (doc_id, y, x1, x2) frame; split out so
+    * the spec can pin the easy/hard split on a separable fixture. */
+  private[graft] def cartographyOf(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.roundBarrier()
+    val nF = base.agg(count(lit(1)).as("n")).roundBarrier()
+    var w = s.range(1)
+      .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
+      .roundBarrier()
+    def snap9(col: Column): Column =
+      floor(col * lit(1e9) + lit(0.5)) / lit(1e9)
+    val u = $"a" + $"b" * $"x1" + $"c" * $"x2"
+    val d = $"y" - (lit(0.5) + u / (lit(2.0) * (lit(1.0) + abs(u))))
+    val ws = Seq.newBuilder[DataFrame]
+    for (r <- 1 to LrIters) {
+      val g = base.crossJoin(broadcast(w)).agg(
+        sum(floor(lit(1e6) * d + lit(0.5))).as("ga"),
+        sum(floor(lit(1e6) * d * $"x1" + lit(0.5))).as("gb"),
+        sum(floor(lit(1e6) * d * $"x2" + lit(0.5))).as("gc"))
+      w = w.crossJoin(broadcast(g)).crossJoin(broadcast(nF))
+        .select(
+          snap9($"a" + lit(LrRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
+          snap9($"b" + lit(LrRate) * $"gb" / (lit(1e6) * $"n")).as("b"),
+          snap9($"c" + lit(LrRate) * $"gc" / (lit(1e6) * $"n")).as("c"))
+        .roundBarrier()
+      ws += w.select($"a".as(s"a$r"), $"b".as(s"b$r"), $"c".as(s"c$r"))
+    }
+    var frame = base
+    for (wr <- ws.result()) frame = frame.crossJoin(broadcast(wr))
+    val probs = (1 to LrIters).map { r =>
+      val ur = col(s"a$r") + col(s"b$r") * $"x1" + col(s"c$r") * $"x2"
+      val pr = lit(0.5) + ur / (lit(2.0) * (lit(1.0) + abs(ur)))
+      floor(lit(1e6) * when($"y" === 1.0, pr).otherwise(lit(1.0) - pr)
+        + lit(0.5)).cast("long")
+    }
+    val scored = frame.select($"doc_id",
+      probs.reduce(_ + _).as("sp"),
+      probs.map(p => p * p).reduce(_ + _).as("sq"))
+    scored
+      .select($"sp",
+        (lit(LrIters.toLong) * $"sq" - $"sp" * $"sp").as("vn"),
+        when($"sp" >= CartoHiMicro, "easy")
+          .when($"sp" <= CartoLoMicro, "hard")
+          .otherwise("ambiguous").as("region"))
+      .groupBy($"region")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"sp".cast("decimal(38,0)")).as("ssp"),
+        sum($"vn".cast("decimal(38,0)")).as("svn"))
+      .select($"region", $"n_docs",
+        (floor(lit(1e4) * ($"ssp".cast("double")
+          / (lit(LrIters * 1e6) * $"n_docs")) + 0.5) / 1e4)
+          .as("mean_conf"),
+        (floor(lit(1e6) * ($"svn".cast("double")
+          / (lit(LrIters.toDouble * LrIters * 1e12) * $"n_docs"))
+          + 0.5) / 1e6).as("mean_var"))
+      .orderBy($"region")
+  }
+
   def qTracinInfluence(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     tracinCore(Tables.documents(s, dir).select($"doc_id",
@@ -2398,6 +2489,7 @@ object ScoringQueries extends QueryModule {
     Map(
       "q296_good_turing" -> (qGoodTuring _),
       "q299_logreg_gd" -> (qLogregGd _),
+      "q338_cartography" -> (qCartography _),
       "q308_naive_bayes" -> (qNaiveBayes _),
       "q309_quantile_reg" -> (qQuantileReg _),
       "q310_tracin_influence" -> (qTracinInfluence _),
@@ -3193,6 +3285,78 @@ object ScoringQueries extends QueryModule {
     // q299: the same 8 rounds unrolled as CTEs — rational sigmoid,
     // 1e-6-grid gradient quantization (exact double sums), 1e-9-grid
     // weight snap; every float op is the identical IEEE tree.
+    // q338: q299's trajectory CTEs, every round's weights kept; the
+    // per-doc round probabilities quantize to micro-longs so Σp / Σp²
+    // and the region compare are exact integers (engine code's form)
+    "q338_cartography" -> {
+      def rd(p: String, c: String): String =
+        s"""g$c AS (
+          |  SELECT
+          |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+          |      + 0.5)) AS ga,
+          |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+          |      * x1 + 0.5)) AS gb,
+          |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+          |      * x2 + 0.5)) AS gc
+          |  FROM (SELECT f.y, f.x1, f.x2,
+          |      w$p.a + w$p.b * f.x1 + w$p.c * f.x2 AS u
+          |    FROM f CROSS JOIN w$p)),
+          |w$c AS (
+          |  SELECT
+          |    floor((w$p.a + $LrRate * g$c.ga / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS a,
+          |    floor((w$p.b + $LrRate * g$c.gb / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS b,
+          |    floor((w$p.c + $LrRate * g$c.gc / (1e6 * nn.n)) * 1e9
+          |      + 0.5) / 1e9 AS c
+          |  FROM w$p CROSS JOIN g$c CROSS JOIN nn)""".stripMargin
+      val rounds = (1 to LrIters)
+        .map(i => rd((i - 1).toString, i.toString)).mkString(",\n")
+      val crossWs = (1 to LrIters).map(r => s"CROSS JOIN w$r").mkString(" ")
+      val us = (1 to LrIters).map(r =>
+        s"w$r.a + w$r.b * f.x1 + w$r.c * f.x2 AS u$r").mkString(",\n|    ")
+      val ts = (1 to LrIters).map(r =>
+        s"""CAST(floor(1e6 * (CASE WHEN y = 1.0
+           |      THEN (0.5 + u$r / (2.0 * (1.0 + abs(u$r))))
+           |      ELSE 1.0 - (0.5 + u$r / (2.0 * (1.0 + abs(u$r)))) END)
+           |      + 0.5) AS BIGINT) AS t$r""".stripMargin)
+        .mkString(",\n|    ")
+      val spSum = (1 to LrIters).map(r => s"t$r").mkString(" + ")
+      val sqSum = (1 to LrIters).map(r => s"t$r * t$r").mkString(" + ")
+      s"""WITH f AS (
+        |  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)
+        |      AS y,
+        |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+        |    CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x2
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,
+        |  CAST(0 AS DOUBLE) AS c),
+        |$rounds,
+        |scored AS (
+        |  SELECT f.y,
+        |    $us
+        |  FROM f $crossWs),
+        |terms AS (
+        |  SELECT
+        |    $ts
+        |  FROM scored),
+        |doc AS (
+        |  SELECT ($spSum) AS sp, ($sqSum) AS sq FROM terms),
+        |reg AS (
+        |  SELECT sp, $LrIters * sq - sp * sp AS vn,
+        |    CASE WHEN sp >= $CartoHiMicro THEN 'easy'
+        |      WHEN sp <= $CartoLoMicro THEN 'hard'
+        |      ELSE 'ambiguous' END AS region
+        |  FROM doc)
+        |SELECT region, CAST(count(*) AS BIGINT) AS n_docs,
+        |  floor(1e4 * (CAST(sum(sp) AS DOUBLE)
+        |    / (${LrIters}000000.0 * count(*))) + 0.5) / 1e4 AS mean_conf,
+        |  floor(1e6 * (CAST(sum(vn) AS DOUBLE)
+        |    / (${LrIters.toLong * LrIters}000000000000.0 * count(*)))
+        |    + 0.5) / 1e6 AS mean_var
+        |FROM reg GROUP BY region ORDER BY region""".stripMargin
+    },
     "q299_logreg_gd" -> {
       def rd(p: String, c: String): String =
         s"""g$c AS (

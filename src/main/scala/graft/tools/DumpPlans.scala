@@ -130,7 +130,10 @@ object DumpPlans {
     "q327_word_burstiness", "q328_repetition_value",
     "q329_curriculum_schedule", "q330_band_join", "q331_f2_sketch",
     "q332_bh_drift_screen", "q333_yule_k", "q334_asof_native",
-    "q335_asof_tolerance")
+    "q335_asof_tolerance",
+    // round 12 additions
+    "q336_anova_f", "q337_cdc_chunks", "q338_cartography",
+    "q339_g_test", "q340_edge_clustering")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -164,6 +164,121 @@ class Round12Spec extends AnyFunSuite {
     assert(pairs(keyed) == expect.filter { case (a, b) => a == b - 100 })
   }
 
+  private def fixtureDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_r12_").toString
+
+  test("q336: hand-computed ANOVA F, and the degenerate NULLs") {
+    import spark.implicits._
+    // groups A = {0, 2}, B = {6, 8}: SSB = 36, SSW = 4,
+    // F = (36/1)/(4/2) = 18, eta² = 36/40 = 0.9
+    val rows = QualityQueries.anovaOf(
+      Seq(("A", 0L), ("A", 2L), ("B", 6L), ("B", 8L)).toDF("source", "x"))
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("n_groups") == 2 && r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Double]("ss_between") == 36.0)
+    assert(r.getAs[Double]("ss_within") == 4.0)
+    assert(r.getAs[Double]("f_stat") == 18.0)
+    assert(r.getAs[Double]("eta_sq") == 0.9)
+    // one group → df₁ = 0 → NULL F; zero within-variance → NULL F
+    val one = QualityQueries.anovaOf(
+      Seq(("A", 1L), ("A", 2L)).toDF("source", "x")).head()
+    assert(one.isNullAt(one.fieldIndex("f_stat")))
+    val zw = QualityQueries.anovaOf(
+      Seq(("A", 1L), ("A", 1L), ("B", 3L)).toDF("source", "x")).head()
+    assert(zw.isNullAt(zw.fieldIndex("f_stat")))
+  }
+
+  test("q337: content-defined boundaries re-sync after an insertion") {
+    import spark.implicits._
+    def mod16(t: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(3)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 16
+    }
+    // scan candidate tokens for one boundary (md5 ≡ 0 mod 16) and
+    // several non-boundary tokens — content decides, not position
+    val toks = (1 to 200).map(i => s"t$i")
+    val tb = toks.find(mod16(_) == 0L).get
+    val nb = toks.filter(mod16(_) != 0L).take(6)
+    // A chunks as [n0 n1 tb | n2 n3 tb | n4]; B = n5 prepended — the
+    // first chunk absorbs it, every later chunk IDENTICAL (the fixed-
+    // stride q304 would shift every chunk and share nothing)
+    val a = Seq(nb(0), nb(1), tb, nb(2), nb(3), tb, nb(4)).mkString(" ")
+    val b = (nb(5) +: Seq(nb(0), nb(1), tb, nb(2), nb(3), tb, nb(4)))
+      .mkString(" ")
+    val dir = fixtureDir()
+    Seq((1L, "s1", a), (2L, "s1", b)).toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DedupQueries.qCdcChunks(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_chunks") == 6)
+    assert(r(0).getAs[Long]("n_distinct") == 4,
+      "chunks after the first boundary must re-synchronize")
+    assert(r(0).getAs[Double]("dup_ratio") == 0.3333)
+  }
+
+  test("q338: mislabeled doc maps outside the easy region") {
+    import spark.implicits._
+    // separable mass (positive x1 ⇒ y = 1) plus ONE mislabeled doc:
+    // its true-label probability falls as training fits the others
+    val base = Seq(
+      (1L, 1.0, 5.0, 0.0), (2L, 1.0, 5.0, 0.0), (3L, 1.0, 5.0, 0.0),
+      (4L, 0.0, -5.0, 0.0), (5L, 0.0, -5.0, 0.0), (6L, 0.0, -5.0, 0.0),
+      (7L, 0.0, 5.0, 0.0)) // mislabeled
+      .toDF("doc_id", "y", "x1", "x2")
+    val rows = ScoringQueries.cartographyOf(base).collect()
+      .map(r => r.getAs[String]("region") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_conf"))).toMap
+    val total = rows.values.map(_._1).sum
+    assert(total == 7)
+    assert(rows.contains("easy"), s"got $rows")
+    assert(rows("easy")._1 == 6, s"got $rows")
+    val other = (rows - "easy").values.headOption
+    assert(other.exists(_._1 == 1), s"mislabeled doc must sit alone: $rows")
+    assert(other.exists(_._2 < rows("easy")._2),
+      "mislabeled doc's confidence must trail the aligned mass")
+  }
+
+  test("q339: independent table gives G = 0; dependent gives 2N·ln2") {
+    import spark.implicits._
+    def g(docs: Seq[(String, String)]): (Double, Long) = {
+      val dir = fixtureDir()
+      docs.zipWithIndex.map { case ((l, src), i) => (i.toLong, l, src) }
+        .toDF("doc_id", "lang", "source")
+        .write.parquet(s"$dir/documents.parquet")
+      val r = QualityQueries.qGTest(spark, dir).head()
+      (r.getAs[Double]("g_stat"), r.getAs[Long]("df"))
+    }
+    // perfect independence: every cell o = e ⇒ G = 0 exactly
+    val ind = Seq(("en", "s1"), ("en", "s2"), ("de", "s1"), ("de", "s2"))
+    assert(g(ind) == (0.0, 1L))
+    // perfect association: o = 4 where e = 2 ⇒ G = 2·8·ln 2 = 11.0904
+    val dep = Seq.fill(4)(("en", "s1")) ++ Seq.fill(4)(("de", "s2"))
+    val (gd, dfd) = g(dep)
+    assert(dfd == 1L)
+    assert(math.abs(gd - math.floor(16.0 * math.log(2.0) * 1e4 + 0.5) / 1e4)
+      < 1e-9, s"got $gd")
+  }
+
+  test("q340: triangle edges score 1, bridge excluded, square scores 0") {
+    import spark.implicits._
+    // triangle 1-2-3 with tail 3-4: the three triangle edges have
+    // z = 1, min(deg) = 2 ⇒ C = 1; the bridge's min(deg) = 1 ⇒ excluded
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r1 = GraphQueries.edgeClusteringCore(tri).collect()
+    assert(r1.length == 3)
+    assert(r1.forall(_.getAs[Double]("c_edge") == 1.0))
+    assert(r1.forall(_.getAs[Long]("z") == 1L))
+    // 4-cycle: no triangles anywhere ⇒ every edge C = 0
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val r2 = GraphQueries.edgeClusteringCore(sq).collect()
+    assert(r2.length == 4)
+    assert(r2.forall(_.getAs[Double]("c_edge") == 0.0))
+  }
+
   test("barrier stays local when the dir conf is unset") {
     import spark.implicits._
     // the default path must not touch any checkpoint dir (bench posture

@@ -214,6 +214,54 @@ class StreamJoinSpec extends AnyFunSuite {
       s"streaming twin diverged: extra=${streamed -- batch} " +
         s"missing=${batch -- streamed}")
   }
+
+  test("streaming as-of enrichment ≡ batch q27 across a 3-batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAsOf
+    val sf = "/root/testdata/sf0.001"
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // event-time-ordered feed, clicks before co-timed purchases (the
+    // batch join's side ordering) so a tercile cut can never place a
+    // matching co-timed click AFTER its purchase
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"event_id", $"value")
+      .as[StreamingAsOf.Ev].collect()
+      .sortBy(e => (e.ts.getTime,
+        if (e.event_type == "click") 0 else 1, e.event_id))
+    val n = evs.length
+    assert(n > 100, "fixture corpus unexpectedly small")
+    val batches = Seq(evs.slice(0, n / 3), evs.slice(n / 3, 2 * n / 3),
+      evs.slice(2 * n / 3, n))
+    val src = MemoryStream[StreamingAsOf.Ev]
+    val q = StreamingAsOf(src.toDS())
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    val got = try {
+      batches.foreach { b =>
+        src.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      spark.table("asof_stream_out").as[StreamingAsOf.AsOfOut].collect()
+        .map(o => o.event_id -> ((o.user_id, r4(o.value),
+          o.click_ts.map(_.toString).orNull,
+          o.click_value.map(v => r4(v).toString).orNull))).toMap
+    } finally q.stop()
+    val exp = SparkEntry.queries("q27_asof_join")(spark, sf).collect()
+      .map { r =>
+        r.getAs[Long]("event_id") -> ((r.getAs[Long]("user_id"),
+          r.getAs[Double]("value"),
+          Option(r.getAs[java.sql.Timestamp]("click_ts"))
+            .map(_.toString).orNull,
+          Option(r.get(r.fieldIndex("click_value")))
+            .map(_.toString).orNull))
+      }.toMap
+    assert(got.size == exp.size, s"${got.size} vs ${exp.size} purchases")
+    val diffs = exp.keys.filter(k => got(k) != exp(k)).take(3)
+    assert(diffs.isEmpty, diffs.map(k =>
+      s"$k: stream=${got(k)} batch=${exp(k)}").mkString("; "))
+  }
 }
 
 class SessionizeSpec extends AnyFunSuite {

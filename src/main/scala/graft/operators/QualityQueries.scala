@@ -1972,6 +1972,70 @@ object QualityQueries extends QueryModule {
         .as("eta_sq"))
   }
 
+  /** q343's fold count. */
+  private val FoldK = 5
+
+  /** Grouped k-fold assignment (q343) — the leakage-safe
+    * cross-validation split: whole SOURCES assign to folds (q106's
+    * grouped-split argument — near-duplicates and house style live
+    * within a source, so splitting a source across folds leaks), with
+    * token mass balanced by SNAKE ordering (sources sorted by mass
+    * desc, dealt 0,1,2,3,4,4,3,2,1,0,… — the deterministic one-pass
+    * approximation of LPT bin packing, within-2-rows-of-greedy balance
+    * without any sequential state). The only window is a
+    * |sources|-sized rank (bounded by the source domain, never the
+    * corpus); token mass is one corpus aggregate. Emits the fold
+    * manifest a trainer consumes: sources, token mass, corpus share
+    * per fold. */
+  def qGroupedFolds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val mass = Tables.documents(s, dir)
+      .select($"source", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy($"source").agg(sum($"t").as("tokens"))
+    val idx = mass.withColumn("i",
+      (row_number().over(Window.orderBy($"tokens".desc, $"source"))
+        - 1).cast("long"))
+    val folds = idx.select($"source", $"tokens",
+      when(floor($"i" / FoldK).cast("long") % 2 === 0, $"i" % FoldK)
+        .otherwise(lit(FoldK - 1) - $"i" % FoldK).as("fold"))
+    val tot = folds.agg(sum($"tokens").as("tot"))
+    folds.groupBy($"fold")
+      .agg(count(lit(1)).as("n_sources"), sum($"tokens").as("tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"fold", $"n_sources", $"tokens",
+        (floor($"tokens" * 1e4 / $"tot" + 0.5) / 1e4).as("token_share"))
+      .orderBy($"fold")
+  }
+
+  /** Brown–Forsythe / Levene test (q341) — variance homogeneity across
+    * sources, the ASSUMPTION check q336's ANOVA rests on (unequal
+    * variances inflate its F): one-way ANOVA on the median-centered
+    * absolute deviations z = |x − median_source| (the median-centered
+    * Brown–Forsythe 1974 form — robust where Levene's mean-centering
+    * is outlier-dragged). Exactness trick: the test runs on
+    * z₂ = |2x − 2·median| instead — 2·median of integer lengths is an
+    * exact integer even at even group sizes (the interpolated .5
+    * doubles away), so every moment stays an exact integer and F is
+    * unchanged (F is scale-invariant: both SS terms scale by c²). One
+    * exact-percentile aggregate per source (broadcast back), then the
+    * q336 core verbatim. */
+  def qLeveneBf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"source", $"n_chars".cast("long").as("x0"))
+    val med = base.groupBy($"source")
+      .agg((percentile($"x0", lit(0.5)) * 2.0).cast("long").as("m2"))
+    anovaOf(base.join(broadcast(med), "source")
+      .select($"source", abs($"x0" * 2L - $"m2").as("x")))
+      .select($"n_groups", $"n_docs",
+        $"f_stat".as("bf_stat"),
+        // homogeneity verdict at the conventional F ≈ 2 screen level
+        // (df-exact critical values need an F inverse; the screen is
+        // the monitoring read, not a published p)
+        coalesce($"f_stat" > 2.0, lit(false)).as("flagged"))
+  }
+
   /** Kendall rank correlation tau-b (q314) — Kendall 1938 with the
     * tie-aware b normalization: per language, do document length and
     * token count co-order? The concordance complement of q295's
@@ -2034,6 +2098,8 @@ object QualityQueries extends QueryModule {
       "q313_kruskal_wallis"  -> (qKruskalWallis _),
       "q336_anova_f"         -> (qAnovaF _),
       "q339_g_test"          -> (qGTest _),
+      "q341_levene_bf"       -> (qLeveneBf _),
+      "q343_grouped_folds"   -> (qGroupedFolds _),
       "q314_kendall_tau"     -> (qKendallTau _),
       "q294_mann_whitney"    -> (qMannWhitney _),
       "q295_spearman"        -> (qSpearman _),
@@ -2197,6 +2263,74 @@ object QualityQueries extends QueryModule {
         |      (acc, x) -> acc + x) * 1e4 + 0.5) / 1e4 AS g_stat,
         |  (r - 1) * (c - 1) AS df
         |FROM cs CROSS JOIN dims""".stripMargin,
+    // q343: same snake deal over the mass-ranked sources
+    "q343_grouped_folds" ->
+      s"""WITH mass AS (
+        |  SELECT source,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |idx AS (
+        |  SELECT source, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens DESC, source)
+        |      - 1 AS BIGINT) AS i
+        |  FROM mass),
+        |folds AS (
+        |  SELECT source, tokens,
+        |    CASE WHEN (i // $FoldK) % 2 = 0 THEN i % $FoldK
+        |      ELSE ${FoldK - 1} - i % $FoldK END AS fold
+        |  FROM idx),
+        |tot AS (SELECT sum(tokens) AS tot FROM folds)
+        |SELECT fold, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens,
+        |  floor(sum(tokens) * 1e4 / tot + 0.5) / 1e4 AS token_share
+        |FROM folds CROSS JOIN tot
+        |GROUP BY fold, tot ORDER BY fold""".stripMargin,
+    // q341: Brown–Forsythe = q336's ANOVA on |2x − 2·median| (exact
+    // integers; F scale-invariant). DuckDB's quantile_cont interpolates
+    // the even-count median exactly like Spark's percentile.
+    "q341_levene_bf" ->
+      """WITH b AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x0 FROM documents),
+        |med AS (
+        |  SELECT source,
+        |    CAST(quantile_cont(x0, 0.5) * 2.0 AS BIGINT) AS m2
+        |  FROM b GROUP BY source),
+        |z AS (
+        |  SELECT b.source, abs(b.x0 * 2 - med.m2) AS x
+        |  FROM b JOIN med USING (source)),
+        |per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nj,
+        |    CAST(sum(CAST(x AS BIGINT)) AS BIGINT) AS sjl,
+        |    sum(CAST(x AS HUGEINT) * x) AS qjh
+        |  FROM z GROUP BY source),
+        |gs AS (
+        |  SELECT list({'source': source, 'nj': nj,
+        |    'sj': CAST(sjl AS DOUBLE), 'qj': CAST(qjh AS DOUBLE)}
+        |    ORDER BY source) AS gs FROM per),
+        |a AS (
+        |  SELECT CAST(len(gs) AS BIGINT) AS k,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(gs, g -> g.nj)), (a, x) -> a + x) AS n,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g -> g.sj)), (a, x) -> a + x) AS s,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g -> g.qj)), (a, x) -> a + x) AS q,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(gs, g -> g.sj * g.sj / g.nj)),
+        |      (a, x) -> a + x) AS rterm
+        |  FROM gs)
+        |SELECT k AS n_groups, n AS n_docs,
+        |  round(((rterm - s * s / n)
+        |      / nullif(CAST(k - 1 AS DOUBLE), 0.0))
+        |    / nullif((q - rterm) / nullif(CAST(n - k AS DOUBLE), 0.0),
+        |      0.0), 4) + 0.0 AS bf_stat,
+        |  -- flag compares the ROUNDED statistic (the engine flags off
+        |  -- its published f_stat) so a boundary F can't split engines
+        |  coalesce(round(((rterm - s * s / n)
+        |      / nullif(CAST(k - 1 AS DOUBLE), 0.0))
+        |    / nullif((q - rterm) / nullif(CAST(n - k AS DOUBLE), 0.0),
+        |      0.0), 4) + 0.0 > 2.0, FALSE) AS flagged
+        |FROM a""".stripMargin,
     // q336: ANOVA from the same sorted-group-fold discipline as q313;
     // every divisor nullif'd so the degenerate cases agree with the
     // engine's when-guards

@@ -616,6 +616,43 @@ object StorageQueries extends QueryModule {
     * here visible per file, with the skipped-row share that prices
     * the clustering. Corpus cost: one percentile aggregate (→ q73's
     * mergeable sketch at 100 TB) + one map pass + a 4-row rollup. */
+  /** Clustering depth (q342) — the metric lakehouse OPTIMIZE reports
+    * for a layout's health: per file, how many files' [min, max]
+    * key ranges overlap it (including itself) — i.e. how many files a
+    * point lookup on the key must read after zone-map pruning. A
+    * round-robin arrival layout interleaves the key domain into every
+    * file (depth ≈ n_files — pruning buys nothing); a value-range
+    * bucketed layout keeps depth ≈ 1 + boundary ties. This is the
+    * single-number summary over q230's per-file zone maps and the
+    * read q274 prices per-predicate. File stats are one partial agg
+    * to 16 rows per layout; the overlap count is a 16×16 broadcast
+    * self-join — metadata arithmetic at any corpus size. */
+  def qClusteringDepth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    def depthOf(fileCol: Column, label: String): DataFrame = {
+      val files = d.select(fileCol.as("f"), $"n_chars")
+        .groupBy($"f")
+        .agg(min($"n_chars").as("lo"), max($"n_chars").as("hi"))
+      files
+        .crossJoin(broadcast(files.select(
+          $"f".as("g"), $"lo".as("lo2"), $"hi".as("hi2"))))
+        .filter($"lo" <= $"hi2" && $"lo2" <= $"hi")
+        .groupBy($"f").agg(count(lit(1)).as("depth"))
+        .agg(count(lit(1)).as("n_files"),
+          (floor(sum($"depth") * 1e4 / count(lit(1)) + 0.5) / 1e4)
+            .as("avg_depth"),
+          max($"depth").as("max_depth"))
+        .select(lit(label).as("layout"), $"n_files",
+          $"avg_depth", $"max_depth")
+    }
+    depthOf(pmod($"doc_id", lit(16L)), "round_robin")
+      .unionByName(depthOf(
+        least(floor($"n_chars" / 64L).cast("long"), lit(15L)),
+        "range_bucketed"))
+      .orderBy($"layout")
+  }
+
   def qZoneMap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
@@ -935,6 +972,7 @@ object StorageQueries extends QueryModule {
       "q275_bloom_calibration" -> (qBloomCalibration _),
       "q258_encoding_advisor" -> (qEncodingAdvisor _),
       "q230_zone_map" -> (qZoneMap _),
+      "q342_clustering_depth" -> (qClusteringDepth _),
       "q210_contract" -> (qContract _),
       "q131_delete_cascade" -> (qDeleteCascade _),
       "q124_delta_agg"     -> (qDeltaAgg _),
@@ -958,6 +996,34 @@ object StorageQueries extends QueryModule {
     )
 
   override def oracleSql: Map[String, String] = Map(
+    "q342_clustering_depth" ->
+      """WITH d AS (SELECT doc_id, n_chars FROM documents),
+        |f1 AS (
+        |  SELECT doc_id % 16 AS f, min(n_chars) AS lo, max(n_chars) AS hi
+        |  FROM d GROUP BY 1),
+        |f2 AS (
+        |  SELECT least(n_chars // 64, 15) AS f,
+        |    min(n_chars) AS lo, max(n_chars) AS hi
+        |  FROM d GROUP BY 1),
+        |d1 AS (
+        |  SELECT a.f, CAST(count(*) AS BIGINT) AS depth
+        |  FROM f1 a JOIN f1 b ON a.lo <= b.hi AND b.lo <= a.hi
+        |  GROUP BY a.f),
+        |d2 AS (
+        |  SELECT a.f, CAST(count(*) AS BIGINT) AS depth
+        |  FROM f2 a JOIN f2 b ON a.lo <= b.hi AND b.lo <= a.hi
+        |  GROUP BY a.f)
+        |SELECT 'range_bucketed' AS layout,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  floor(sum(depth) * 1e4 / count(*) + 0.5) / 1e4 AS avg_depth,
+        |  CAST(max(depth) AS BIGINT) AS max_depth
+        |FROM d2
+        |UNION ALL
+        |SELECT 'round_robin', CAST(count(*) AS BIGINT),
+        |  floor(sum(depth) * 1e4 / count(*) + 0.5) / 1e4,
+        |  CAST(max(depth) AS BIGINT)
+        |FROM d1
+        |ORDER BY layout""".stripMargin,
     "q283_range_shard_plan" -> {
       val ranks = (1 until RangeShards).map(_ * RangeK / RangeShards)
         .mkString("(", ", ", ")")

@@ -133,7 +133,8 @@ object DumpPlans {
     "q335_asof_tolerance",
     // round 12 additions
     "q336_anova_f", "q337_cdc_chunks", "q338_cartography",
-    "q339_g_test", "q340_edge_clustering")
+    "q339_g_test", "q340_edge_clustering", "q341_levene_bf",
+    "q342_clustering_depth", "q343_grouped_folds")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -152,12 +153,15 @@ object DumpPlans {
     "q102_epoch_sample" ->
       "langs-sized temperature-mix share windows (q88's frame)",
     "q114_dsir_select" -> "16-row weight-bucket offset spine",
+    "q343_grouped_folds" ->
+      "sources-sized mass-rank window for the snake deal (post-agg)",
     "q182_ks_drift" ->
       "distinct-length value-grid cumsum (value-domain-bounded)",
     "q183_lorenz_gini" -> "10-row decile frame",
     "q200_peak_concurrency" -> "days-sized spine carry-in",
     "q201_auc_eval" -> "rounded-score histogram frame",
     "q207_chi_square" -> "grand total over the langs x sources cell grid",
+    "q339_g_test" -> "grand total over the langs x sources cell grid",
     "q212_kaplan_meier" ->
       "days-sized duration grid (risk suffix-sum, survival cumsum, zero flag)",
     "q252_neg_sampling" -> "30-row top-k frame cumsum (post-heap-cut)",

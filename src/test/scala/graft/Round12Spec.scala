@@ -279,6 +279,55 @@ class Round12Spec extends AnyFunSuite {
     assert(r2.forall(_.getAs[Double]("c_edge") == 0.0))
   }
 
+  test("q341: spread-heavy source flags, hand-computed BF statistic") {
+    import spark.implicits._
+    // A = {10,10,10} (zero spread), B = {0,10,40} (median 10, doubled
+    // deviations {20,0,60}): by hand F = (6400/6)/((5600/3)/4) = 2.2857
+    val dir = fixtureDir()
+    (Seq((1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L),
+      (4L, "B", 0L), (5L, "B", 10L), (6L, "B", 40L)))
+      .toDF("doc_id", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = QualityQueries.qLeveneBf(spark, dir).head()
+    assert(r.getAs[Double]("bf_stat") == 2.2857, r.toString)
+    assert(r.getAs[Boolean]("flagged"))
+  }
+
+  test("q342: round-robin interleaving reads everything, range files 1") {
+    import spark.implicits._
+    // n_chars = 10·doc_id over ids 0..31: every round-robin file's
+    // [10f, 10f+160] range overlaps every other (depth 16); value-range
+    // buckets are disjoint intervals by construction (depth 1)
+    val dir = fixtureDir()
+    (0L until 32L).map(i => (i, i * 10L)).toDF("doc_id", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = StorageQueries.qClusteringDepth(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_files"), r.getAs[Double]("avg_depth"),
+          r.getAs[Long]("max_depth"))).toMap
+    assert(rows("round_robin") == ((16L, 16.0, 16L)), rows.toString)
+    assert(rows("range_bucketed")._2 == 1.0 &&
+      rows("range_bucketed")._3 == 1L, rows.toString)
+  }
+
+  test("q343: snake deal balances the crafted mass ladder") {
+    import spark.implicits._
+    // masses 70..10 over 7 sources: snake = 0,1,2,3,4 then 4,3 →
+    // folds get 70 / 60 / 50 / 40+10 / 30+20
+    val dir = fixtureDir()
+    val docs = Seq(("s1", 70), ("s2", 60), ("s3", 50), ("s4", 40),
+      ("s5", 30), ("s6", 20), ("s7", 10)).zipWithIndex.map {
+      case ((src, k), i) =>
+        (i.toLong, src, Seq.fill(k)("w").mkString(" "))
+    }
+    docs.toDF("doc_id", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = QualityQueries.qGroupedFolds(spark, dir).collect()
+      .map(r => r.getAs[Long]("fold") -> r.getAs[Long]("tokens")).toMap
+    assert(rows == Map(0L -> 70L, 1L -> 60L, 2L -> 50L,
+      3L -> 50L, 4L -> 50L), rows.toString)
+  }
+
   test("barrier stays local when the dir conf is unset") {
     import spark.implicits._
     // the default path must not touch any checkpoint dir (bench posture

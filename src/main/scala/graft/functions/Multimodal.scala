@@ -208,6 +208,84 @@ object Multimodal {
     * lumaHistogram; images beyond 64 pixels hash only their first 64
     * (row-major) so the result always fits one long. None when no JDK
     * reader accepts the bytes. */
+  /** Full luma raster [y][x] under the same pixel model as
+    * lumaMean/lumaHistogram (raw samples, integer Rec.601, palette
+    * resolved) — the input the resize arithmetic runs on. */
+  private[graft] def lumaRaster(img: java.awt.image.BufferedImage)
+      : Array[Array[Int]] = {
+    val raster = img.getRaster
+    val icm: java.awt.image.IndexColorModel = img.getColorModel match {
+      case m: java.awt.image.IndexColorModel => m
+      case _ => null
+    }
+    val bands = raster.getNumBands
+    Array.tabulate(img.getHeight, img.getWidth) { (y, x) =>
+      if (icm != null) {
+        val i = raster.getSample(x, y, 0)
+        (299 * icm.getRed(i) + 587 * icm.getGreen(i) +
+          114 * icm.getBlue(i)) / 1000
+      } else if (bands == 1) raster.getSample(x, y, 0)
+      else (299 * raster.getSample(x, y, 0) +
+        587 * raster.getSample(x, y, 1) +
+        114 * raster.getSample(x, y, 2)) / 1000
+    }
+  }
+
+  /** Area-average RESIZE of a luma raster to tw×th, row-major — pure
+    * integer arithmetic (cell = ⌊Σblock / |block|⌋ over the floor-grid
+    * block partition), so an oracle can state the expected thumb of a
+    * known pattern as literals (q163's patHash discipline). Handles
+    * any dims ≥ 1; a source smaller than the target repeats pixels
+    * (every block is forced non-empty). */
+  private[graft] def thumbOf(px: Array[Array[Int]], tw: Int, th: Int)
+      : Array[Int] = {
+    val h = px.length
+    val w = px(0).length
+    (for (i <- 0 until th; j <- 0 until tw) yield {
+      val r0 = math.min(i * h / th, h - 1)
+      val r1 = math.max((i + 1) * h / th, r0 + 1)
+      val c0 = math.min(j * w / tw, w - 1)
+      val c1 = math.max((j + 1) * w / tw, c0 + 1)
+      var s = 0L; var n = 0
+      var r = r0
+      while (r < math.min(r1, h)) {
+        var c = c0
+        while (c < math.min(c1, w)) { s += px(r)(c); n += 1; c += 1 }
+        r += 1
+      }
+      (s / n).toInt
+    }).toArray
+  }
+
+  /** Per-partition decode + area-average grayscale resize (the
+    * "resize" member of the multimodal op set, q344): adds original
+    * dims and the tw×th integer thumb; undecodable rows null out (F4's
+    * error-isolation posture). Decode and resize are partition-local
+    * map work — embarrassingly parallel, no shuffle implied. */
+  def thumbnail(df: DataFrame, binCol: String,
+      tw: Int = 2, th: Int = 2): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema
+      .add("img_w", IntegerType)
+      .add("img_h", IntegerType)
+      .add("thumb", ArrayType(IntegerType))
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val extra: Seq[Any] =
+          decodeImage(r.getAs[Array[Byte]](binIdx)) match {
+            case Some(img) =>
+              Seq(img.getWidth, img.getHeight,
+                thumbOf(lumaRaster(img), tw, th).toSeq)
+            case None => Seq(null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+  }
+
   private[graft] def aHash(bytes: Array[Byte]): Option[Long] =
     decodeImage(bytes).map { img =>
       val raster = img.getRaster

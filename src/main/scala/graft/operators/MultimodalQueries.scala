@@ -285,7 +285,35 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** Image thumbnail resize (q344) — the RESIZE member of the
+    * multimodal op set (decode / feature-extract / resize /
+    * frame-sample): every decodable payload area-average-resizes to a
+    * 2×2 integer luma thumb through the REAL ImageIO decode path
+    * (Multimodal.thumbnail — q61's decoder, q163's pixel model), the
+    * downscale step a captioning/embedding stage runs before its
+    * model. Pure integer block means, so the oracle states each
+    * planted pattern's expected thumb as literals computed by the SAME
+    * plain-Scala arithmetic on the pattern matrix (patHash's
+    * discipline — independent of the decode path being verified).
+    * Decode+resize is partition-local map work; undecodable rows drop
+    * via the null filter (F4). */
+  def qThumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pay = when($"doc_id" % 5 === 0, unhex(lit(PngAHex)))
+      .when($"doc_id" % 5 === 1, unhex(lit(PngBHex)))
+      .when($"doc_id" % 5 === 2, unhex(lit(PngCHex)))
+      .when($"doc_id" % 5 === 3, unhex(lit(PngFlatHex)))
+      .otherwise(concat(unhex(lit("FFD8FFE0")), $"text".cast("binary")))
+    graft.functions.Multimodal.thumbnail(
+      Tables.documents(s, dir).select($"doc_id", pay.as("media")),
+      "media")
+      .filter($"thumb".isNotNull)
+      .select($"doc_id", $"img_w", $"img_h", $"thumb")
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_thumbnail" -> (qThumbnail _),
     "q284_scene_cuts" -> (qSceneCuts _),
     "q246_audio_spectrum" -> (qAudioSpectrum _),
     "q60_media_meta"     -> (qMediaMeta _),
@@ -364,6 +392,26 @@ object MultimodalQueries extends QueryModule {
     // states the per-class hash constants from independent arithmetic
     // on the pattern matrices (patHash) — A and B MUST collide, C and
     // flat must not, corrupt rows drop.
+    // q344: expected thumbs from the SAME pure-Scala block-mean
+    // arithmetic on the pattern matrices — independent of the ImageIO
+    // decode path under test (patHash's discipline)
+    "q344_thumbnail" -> {
+      def lits(px: Array[Array[Int]]): String =
+        graft.functions.Multimodal.thumbOf(px, 2, 2)
+          .mkString("[", ", ", "]")
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INTEGER)
+        |      WHEN 0 THEN ${lits(PatA)}
+        |      WHEN 1 THEN ${lits(PatB)}
+        |      WHEN 2 THEN ${lits(PatC)}
+        |      WHEN 3 THEN [128, 128, 128, 128]
+        |      ELSE NULL END AS thumb
+        |  FROM documents)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS img_w,
+        |  CAST(3 AS INTEGER) AS img_h, thumb
+        |FROM t WHERE thumb IS NOT NULL ORDER BY doc_id""".stripMargin
+    },
     "q163_image_phash" ->
       s"""WITH h AS (
         |  SELECT doc_id,

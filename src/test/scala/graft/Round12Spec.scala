@@ -328,6 +328,26 @@ class Round12Spec extends AnyFunSuite {
       3L -> 50L, 4L -> 50L), rows.toString)
   }
 
+  test("q344: real decode + area resize matches plain-Scala block means") {
+    import spark.implicits._
+    // PatA (3×4, v = 20·(4y+x)) resized 2×2 by hand: [10, 50, 130, 170]
+    val png = graft.functions.MediaGen.grayPng(
+      graft.operators.MultimodalQueries.PatA)
+    val junk = "not an image".getBytes("UTF-8")
+    val rows = graft.functions.Multimodal.thumbnail(
+      Seq((1L, png), (2L, junk)).toDF("id", "media"), "media")
+      .orderBy($"id").collect()
+    val a = rows(0)
+    assert(a.getInt(a.fieldIndex("img_w")) == 4)
+    assert(a.getInt(a.fieldIndex("img_h")) == 3)
+    assert(a.getSeq[Int](a.fieldIndex("thumb")) == Seq(10, 50, 130, 170))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("thumb")),
+      "undecodable payload must null out, not throw")
+    // a source smaller than the target repeats pixels, never crashes
+    val one = graft.functions.Multimodal.thumbOf(Array(Array(7)), 2, 2)
+    assert(one.toSeq == Seq(7, 7, 7, 7))
+  }
+
   test("barrier stays local when the dir conf is unset") {
     import spark.implicits._
     // the default path must not touch any checkpoint dir (bench posture

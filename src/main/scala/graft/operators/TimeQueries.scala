@@ -980,6 +980,39 @@ object TimeQueries extends QueryModule {
       .orderBy($"event_id")
   }
 
+  /** q345's band half-width on purchase values, and the deterministic
+    * user sample that bounds the oracle's naive theta join. */
+  private val ValueBandEps = 0.05
+  private val ValueBandSample = 50L
+
+  /** Fractional value-band join (q345) — near-identical purchase
+    * amounts across DIFFERENT users (|v_a − v_b| ≤ 0.05): the
+    * duplicate-order / scripted-purchase radar, and the FRACTIONAL
+    * exercise of BandJoinRule (q330 proves the integral path): the
+    * query is the naive theta join a user writes on DOUBLE columns,
+    * and the rule rewrites it to the ε-width bucketed equi join with
+    * the ±2 boundary-immunity explode. Per-pair gaps quantize to
+    * exact micro-longs BEFORE summing (a float sum over pairs is
+    * accumulation-order-dependent — the engines would round apart);
+    * the published mean divides exact integers. Sampled to user_id ≡ 0
+    * (mod 50) so the ORACLE's genuinely-quadratic replay stays
+    * affordable — the engine side needs no such bound. */
+  def qValueBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" &&
+        $"user_id" % ValueBandSample === 0L)
+      .select($"user_id", $"value")
+    val a = p.select($"user_id".as("ua"), $"value".as("va"))
+    val b = p.select($"user_id".as("ub"), $"value".as("vb"))
+    a.join(b, $"ua" < $"ub" && abs($"va" - $"vb") <= ValueBandEps)
+      .select(floor(abs($"va" - $"vb") * 1e6 + 0.5).cast("long")
+        .as("gap_micro"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (floor(sum($"gap_micro").cast("double") / count(lit(1)) + 0.5)
+          / 1e6).as("mean_gap"))
+  }
+
   /** Time-range self join: ordered event pairs of the same user within
     * 5 minutes.
     *
@@ -2274,6 +2307,7 @@ object TimeQueries extends QueryModule {
     "q311_holt_winters"      -> (qHoltWinters _),
     "q334_asof_native"       -> (qAsofNative _),
     "q335_asof_tolerance"    -> (qAsofTolerance _),
+    "q345_value_band"        -> (qValueBand _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -3583,6 +3617,24 @@ object TimeQueries extends QueryModule {
         |    ORDER BY CAST(day - DATE '1970-01-01' AS BIGINT)
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
         |FROM daily ORDER BY event_type, day""".stripMargin,
+    // q345: the plain quadratic theta join (affordable on the sampled
+    // slice) — the hash match proves the fractional bucket rewrite ≡
+    // the predicate; gaps quantize to micro-longs before any sum
+    "q345_value_band" ->
+      s"""WITH p AS (
+        |  SELECT user_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND user_id % $ValueBandSample = 0),
+        |pairs AS (
+        |  SELECT CAST(floor(abs(a.value - b.value) * 1e6 + 0.5)
+        |    AS BIGINT) AS gap_micro
+        |  FROM p a JOIN p b
+        |    ON a.user_id < b.user_id
+        |    AND abs(a.value - b.value) <= $ValueBandEps)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(sum(gap_micro) AS DOUBLE) / count(*) + 0.5) / 1e6
+        |    AS mean_gap
+        |FROM pairs""".stripMargin,
     // q335: DuckDB's ASOF picks the same latest at-or-before row; the
     // tolerance is the gap filter on that single candidate (an older
     // row can never re-qualify — it is farther away by construction)

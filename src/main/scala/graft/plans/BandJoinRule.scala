@@ -32,49 +32,61 @@ import org.apache.spark.sql.types._
   * Guards: inner/cross join with a condition; NO cross-side equality
   * conjunct (if one exists the planner already hash-joins and the band
   * predicate is a fine residual — this also makes the rule a no-op on
-  * its own output); band sides integral (int/bigint), deterministic,
-  * each referencing exactly one side; ε a foldable non-negative
-  * integral literal. Fractional bands are out of scope (bucketing by
-  * a float width needs an epsilon-grid contract the caller owns).
+  * its own output); band sides numeric (int/bigint/float/double),
+  * deterministic, each referencing exactly one side; ε a foldable
+  * non-negative literal. Integral bands bucket at width ε+1 with
+  * build-side explode ±1 (exact: a true pair spans at most one
+  * boundary in integer arithmetic). Fractional bands bucket at width
+  * ε with explode ±2: the quotient gap (a−b)/ε is ≤ 1 only up to
+  * division rounding, and a floor flip at the boundary could push a
+  * true pair two buckets apart — the extra offset buys immunity while
+  * the original predicate (the equi join's residual) keeps exactness.
+  * Fractional ε = 0 degenerates to float equality and is left alone.
   */
 object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def litLong(e: Expression): Option[Long] = e match {
-    case Literal(v: Int, IntegerType) => Some(v.toLong)
-    case Literal(v: Long, LongType) => Some(v)
-    case Literal(v: Short, ShortType) => Some(v.toLong)
+  private def litNum(e: Expression): Option[Double] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toDouble)
+    case Literal(v: Long, LongType) => Some(v.toDouble)
+    case Literal(v: Short, ShortType) => Some(v.toDouble)
+    case Literal(v: Double, DoubleType) => Some(v)
+    case Literal(v: Float, FloatType) => Some(v.toDouble)
     case _ => None
   }
 
   /** `|x − y| ≤ eps` in its comparison spellings → (x, y, eps). */
   private def absBand(c: Expression)
-      : Option[(Expression, Expression, Long)] = c match {
+      : Option[(Expression, Expression, Double)] = c match {
     case LessThanOrEqual(Abs(Subtract(x, y, _), _), l) =>
-      litLong(l).map((x, y, _))
+      litNum(l).map((x, y, _))
     case GreaterThanOrEqual(l, Abs(Subtract(x, y, _), _)) =>
-      litLong(l).map((x, y, _))
+      litNum(l).map((x, y, _))
+    // strict `<` keeps ε as the BUCKET bound (sound for any type: the
+    // bucket width only needs to be ≥ the band's reach — the original
+    // strict predicate still runs as the residual); mapping to ε−1
+    // would under-size fractional buckets and miss pairs
     case LessThan(Abs(Subtract(x, y, _), _), l) =>
-      litLong(l).map(v => (x, y, v - 1))
+      litNum(l).map(v => (x, y, v))
     case GreaterThan(l, Abs(Subtract(x, y, _), _)) =>
-      litLong(l).map(v => (x, y, v - 1))
+      litNum(l).map(v => (x, y, v))
     case _ => None
   }
 
   /** `x ≥ y − eps` (the lower half of a BETWEEN band). */
   private def lowBound(c: Expression)
-      : Option[(Expression, Expression, Long)] = c match {
+      : Option[(Expression, Expression, Double)] = c match {
     case GreaterThanOrEqual(x, Subtract(y, e, _)) =>
-      litLong(e).map((x, y, _))
+      litNum(e).map((x, y, _))
     case LessThanOrEqual(Subtract(y, e, _), x) =>
-      litLong(e).map((x, y, _))
+      litNum(e).map((x, y, _))
     case _ => None
   }
 
   /** `x ≤ y + eps` (the upper half of a BETWEEN band). */
   private def highBound(c: Expression)
-      : Option[(Expression, Expression, Long)] = c match {
-    case LessThanOrEqual(x, Add(y, e, _)) => litLong(e).map((x, y, _))
-    case GreaterThanOrEqual(Add(y, e, _), x) => litLong(e).map((x, y, _))
+      : Option[(Expression, Expression, Double)] = c match {
+    case LessThanOrEqual(x, Add(y, e, _)) => litNum(e).map((x, y, _))
+    case GreaterThanOrEqual(Add(y, e, _), x) => litNum(e).map((x, y, _))
     case _ => None
   }
 
@@ -83,10 +95,18 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
+  private def fractional(e: Expression): Boolean = e.dataType match {
+    case DoubleType | FloatType => true
+    case _ => false
+  }
+
+  private def bandable(e: Expression): Boolean =
+    integral(e) || fractional(e)
+
   /** The band (x, y, eps) from the conjunct set: one abs-form conjunct,
     * or a matching lower/upper BETWEEN pair (same x/y, same eps). */
   private def findBand(conjuncts: Seq[Expression])
-      : Option[(Expression, Expression, Long)] = {
+      : Option[(Expression, Expression, Double)] = {
     val abs = conjuncts.flatMap(absBand(_)).headOption
     if (abs.isDefined) abs
     else {
@@ -121,7 +141,7 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val band = if (hasCrossEqui) None else findBand(conjuncts)
       // orient the band as (left-side expr, right-side expr)
       val oriented = band.flatMap { case (x, y, eps) =>
-        if (eps < 0 || !integral(x) || !integral(y)) None
+        if (eps < 0 || !bandable(x) || !bandable(y)) None
         else if (oneSided(x, l) && oneSided(y, r)) Some((x, y, eps))
         else if (oneSided(x, r) && oneSided(y, l)) Some((y, x, eps))
         else None
@@ -129,7 +149,20 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       oriented match {
         case None => j
         case Some((xl, xr, eps)) =>
-          val w = (eps + 1).toDouble
+          val isInt = integral(xl) && integral(xr) &&
+            eps == math.floor(eps)
+          // fractional bands with ε = 0 degenerate to float equality —
+          // no finite bucket width; leave those to the planner
+          if (!isInt && eps == 0.0) j
+          else {
+          // integral: width ε+1, a true pair spans ≤ 1 bucket boundary
+          // EXACTLY (integer arithmetic). fractional: width ε, the
+          // quotient gap (a−b)/ε ≤ 1 only up to division rounding, so
+          // the build side explodes to ±2 — one extra candidate bucket
+          // buys immunity to a floor flip at the boundary
+          val w = if (isInt) eps + 1.0 else eps
+          val offs: Seq[Long] = if (isInt) Seq(-1L, 0L, 1L)
+            else Seq(-2L, -1L, 0L, 1L, 2L)
           // floor-division bucket (sign-safe, unlike integer `/` which
           // truncates toward zero); double is exact for |x| < 2^52 —
           // far past any 64-bit count/length column this fires on
@@ -138,9 +171,8 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val lAlias = Alias(bkt(xl), "_band_bkt")()
           val newLeft = Project(l.output :+ lAlias, l)
           val rBkt = bkt(xr)
-          val arrAlias = Alias(CreateArray(Seq(
-            Subtract(rBkt, Literal(1L)), rBkt,
-            Add(rBkt, Literal(1L)))), "_band_arr")()
+          val arrAlias = Alias(CreateArray(
+            offs.map(o => Add(rBkt, Literal(o)))), "_band_arr")()
           val projR = Project(r.output :+ arrAlias, r)
           val rBktAttr =
             AttributeReference("_band_bkt_r", LongType, nullable = true)()
@@ -151,6 +183,7 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           val rewritten =
             Join(newLeft, gen, Inner, Some(newCond), hint)
           Project(j.output, rewritten)
+          }
       }
   }
 }

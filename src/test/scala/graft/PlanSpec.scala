@@ -55,6 +55,13 @@ class PlanSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"), "expected an equi join")
   }
 
+  test("q345: naive fractional band join plans with zero BNLJ") {
+    val p = plan("q345_value_band")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "fractional band must not plan as BNLJ with BandJoinRule installed")
+    assert(p.contains("Generate"), "bucket ±2 explode missing")
+  }
+
   test("q40: query side broadcasts — corpus side never shuffles") {
     val p = plan("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -167,6 +167,35 @@ class Round12Spec extends AnyFunSuite {
   private def fixtureDir(): String =
     java.nio.file.Files.createTempDirectory("graft_r12_").toString
 
+  test("BandJoinRule: fractional band rewrites with boundary immunity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.abs
+    // values land on and around ε = 0.05 bucket boundaries (0.05/0.1
+    // sit EXACTLY on floor(v/ε) edges) and below zero — the floor-flip
+    // cases the build side's ±2 explode must absorb
+    val xs = Seq(0.0, 0.049, 0.05, 0.1, 0.1499, 0.15, 0.2,
+      -0.05, -0.024, 1.0)
+    val l = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("lid", "xl")
+    val r = xs.zipWithIndex.map { case (x, i) => (i.toLong + 100, x) }
+      .toDF("rid", "xr")
+    // expectation from the SAME IEEE predicate on the same doubles
+    val expect = (for {
+      (x, i) <- xs.zipWithIndex; (y, j) <- xs.zipWithIndex
+      if math.abs(x - y) <= 0.05
+    } yield (i.toLong, j.toLong + 100)).toSet
+    val df = l.join(r, abs($"xl" - $"xr") <= 0.05)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("_band_bkt"), s"fractional band did not fire:\n$opt")
+    val got = df.select($"lid", $"rid").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+    // ε = 0 on doubles degenerates to float equality: left alone
+    val eq0 = l.join(r, abs($"xl" - $"xr") <= 0.0)
+    assert(!eq0.queryExecution.optimizedPlan.toString.contains("_band_bkt"))
+  }
+
   test("q336: hand-computed ANOVA F, and the degenerate NULLs") {
     import spark.implicits._
     // groups A = {0, 2}, B = {6, 8}: SSB = 36, SSW = 4,

@@ -28,20 +28,36 @@ import org.apache.spark.sql.DataFrame
   * either setting.
   */
 object Barrier {
-  /** Runtime conf key: durable checkpoint directory. Set it via
-    * `--conf spark.graft.checkpoint.dir=hdfs://…` … exposed through
-    * SQLConf so `spark.conf.set(...)` works per-session too. */
+  /** Runtime conf keys: durable checkpoint directory. Both the bare
+    * key (`spark.conf.set("graft.checkpoint.dir", …)`) and the
+    * spark-submit-friendly `--conf spark.graft.checkpoint.dir=…` form
+    * are honored — spark-submit only forwards keys with the `spark.`
+    * prefix, so reading one spelling alone silently strands exactly
+    * the production cluster runs the feature exists for (ADVICE r12).
+    * The prefixed form wins if both are set. */
   val DirConf = "graft.checkpoint.dir"
+  val DirConfSpark = "spark.graft.checkpoint.dir"
 
   // remember which conf value we last applied per SparkContext, so the
   // UUID-subdir-creating setCheckpointDir only runs when the knob
-  // changes, not once per round
-  private val applied =
-    new java.util.concurrent.ConcurrentHashMap[SparkContext, String]()
+  // changes, not once per round. NOTE: the checkpoint dir is GLOBAL to
+  // the SparkContext while the knob reads per-session conf — two
+  // sessions on one context with different dirs are a config error;
+  // the second value wins and a warning is logged so the conflict is
+  // visible rather than silent. Keyed weakly so stopped contexts
+  // don't accumulate.
+  private val applied = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkContext, String]())
 
   private def ensureDir(sc: SparkContext, dir: String): Unit =
-    if (applied.get(sc) != dir) synchronized {
-      if (applied.get(sc) != dir) {
+    if (applied.get(sc) != dir) applied.synchronized {
+      val prev = applied.get(sc)
+      if (prev != dir) {
+        if (prev != null)
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"graft.Barrier: checkpoint dir changing " +
+              s"'$prev' -> '$dir'; the dir is SparkContext-global, " +
+              "per-session values cannot differ safely")
         sc.setCheckpointDir(dir)
         applied.put(sc, dir)
       }
@@ -50,12 +66,14 @@ object Barrier {
   implicit final class BarrierOps(private val df: DataFrame)
       extends AnyVal {
     /** Eager barrier — the form every round of an iterative core ends
-      * in. Reliable when `graft.checkpoint.dir` is set, local else. */
+      * in. Reliable when `[spark.]graft.checkpoint.dir` is set, local
+      * else. */
     def roundBarrier(): DataFrame = roundBarrier(eager = true)
 
     def roundBarrier(eager: Boolean): DataFrame = {
       val s = df.sparkSession
-      val dir = s.conf.getOption(Barrier.DirConf)
+      val dir = s.conf.getOption(Barrier.DirConfSpark)
+        .orElse(s.conf.getOption(Barrier.DirConf))
         .map(_.trim).filter(_.nonEmpty)
       dir match {
         case Some(d) =>

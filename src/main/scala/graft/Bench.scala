@@ -79,13 +79,46 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${main.size},"queries":${obj(byFamily)},"slowest":${obj(slowest)},"slowest_warm":${obj(slowWarm)},"twins":${obj(twins.toSeq.sortBy(_._1).map { case (k, v) => shortKey(k) -> v })},"failed":$failedJson,"sf":"$sf","note":"$note"}"""
   }
 
+  /** Parse the per-query map out of a PRIOR bench_out.json (the file
+    * this run is about to overwrite). Tolerant by construction — a
+    * missing/garbled file just yields an empty map and no delta
+    * section. Scoped to the `"queries":{...}` object so warm/twins
+    * entries don't alias. */
+  private[graft] def parsePrevQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = json.substring(start + 11, json.indexOf('}', start))
+      val Entry = "\"([^\"]+)\":(-?[0-9.]+)".r
+      Entry.findAllMatchIn(body)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble)
+          .toOption)
+        .toMap
+    }
+  }
+
+  /** Round-over-round self-flagging (round-12 verdict #4): queries
+    * whose min moved > 25% AND > 0.5 s against the previous
+    * bench_out.json — the carried-suite drift detector, so a +10%
+    * diffuse drift or a single regressed query is named in the
+    * artifact instead of discovered by diffing rounds by hand. */
+  private[graft] def movers(prev: Map[String, Double],
+                            now: Map[String, Double])
+      : Seq[(String, Double, Double)] =
+    now.toSeq.collect {
+      case (n, v) if v >= 0 && prev.get(n).exists(p => p >= 0 &&
+          math.abs(v - p) > 0.5 && math.abs(v - p) > 0.25 * p) =>
+        (n, prev(n), v)
+    }.sortBy { case (_, p, v) => -(math.abs(v - p)) }
+
   /** Full per-query detail for bench_out.json — same shape the driver
     * used to get on stdout (full names, millisecond precision), with
     * the family rollups appended for convenience. Unbounded length is
     * fine here: it's a file, not the captured stdout tail. */
   private[graft] def renderDetail(results: Map[String, Double],
                                   sfDir: String,
-                                  warm: Map[String, Double] = Map.empty)
+                                  warm: Map[String, Double] = Map.empty,
+                                  prev: Map[String, Double] = Map.empty)
       : String = {
     val (twins, main) = results.partition(kv => TwinQueries(kv._1))
     def objFull(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
@@ -95,7 +128,10 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt3(main.values.filter(_ >= 0).sum)
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":${objFull(main)},"warm":${objFull(warm)},"twins":${objFull(twins)},"failed":$failedJson,"sf":"$sf","note":"sec; min of 2 passes; warm=cache-live re-run of >1s queries; -1=failed; twins excl"}"""
+    val moved = movers(prev, main).map { case (n, p, v) =>
+      "\"" + n + "\":[" + fmt3(p) + "," + fmt3(v) + "]"
+    }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":${objFull(main)},"warm":${objFull(warm)},"twins":${objFull(twins)},"moved_vs_prev":$moved,"failed":$failedJson,"sf":"$sf","note":"sec; min of 2 passes; warm=cache-live re-run of >1s queries; moved_vs_prev=[prev,now] where delta >25% and >0.5s vs prior bench_out.json; -1=failed; twins excl"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -217,8 +253,13 @@ object Bench {
     val line = renderLine(results, sfDir, warm)
     stdout.println(line)
     stdout.flush()
+    val prev = try {
+      val p = Paths.get("bench_out.json")
+      if (Files.exists(p)) parsePrevQueries(Files.readString(p))
+      else Map.empty[String, Double]
+    } catch { case _: Throwable => Map.empty[String, Double] }
     try Files.writeString(Paths.get("bench_out.json"),
-      renderDetail(results, sfDir, warm) + "\n")
+      renderDetail(results, sfDir, warm, prev) + "\n")
     catch { case _: Throwable => }
     spark.stop()
   }

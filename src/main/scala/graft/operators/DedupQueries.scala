@@ -71,6 +71,12 @@ object DedupQueries extends QueryModule {
     * such data is q32's banded MinHash-LSH. */
   private val MaxBlock = 1000
 
+  /** q172's posting-list df cap: shingles in more than this many docs
+    * are boilerplate (near-zero idf) and are pruned from the weight
+    * frame before norms/dots — same literal on both engines. Matches
+    * q28's (span dedup) MaxDf published practice. */
+  private val CosMaxDf = 50L
+
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
@@ -174,7 +180,18 @@ object DedupQueries extends QueryModule {
     * capped — never all-pairs), and the dot join touches only candidate
     * pairs' shared shingles: cost ∝ Σ_pairs |x∩y|, the inverted-index
     * economics a sparse search engine runs on. Threshold on the
-    * rounded value. */
+    * rounded value.
+    *
+    * Df-PRUNING (round-13, the q285 boilerplate guard applied to the
+    * posting lists): shingles with df > CosMaxDf drop from the weight
+    * frame BEFORE norms and dots — the sparse-retrieval stop-shingle
+    * cut (Lucene's maxDocFreq form). A df-50+ shingle carries the
+    * suite's lowest idf weights yet lands in the most candidate
+    * intersections (Σ_pairs |x∩y| is df-quadratic in the worst case),
+    * so it is nearly all of the dot-join volume and nearly none of the
+    * signal. Norms prune identically, so the metric is the exact
+    * tf-idf cosine over the capped vocabulary — replayed verbatim by
+    * the oracle's matching WHERE df <= cap. */
   def qSparseCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docSh = Tables.documents(s, dir)
@@ -188,7 +205,8 @@ object DedupQueries extends QueryModule {
     // Unhinted, the shuffle join co-partitions on the same `sh` key the
     // df aggregate just used, and the planner may still elect a
     // broadcast from runtime stats when the frame is genuinely small.
-    val weights = w.join(df, "sh").crossJoin(broadcast(n))
+    val weights = w.join(df.filter($"df" <= CosMaxDf), "sh")
+      .crossJoin(broadcast(n))
       .select($"doc_id", $"sh",
         log($"n".cast("double") / $"df").as("wt"))
     val norms = weights.groupBy($"doc_id")
@@ -213,7 +231,10 @@ object DedupQueries extends QueryModule {
       .join(norms.select($"doc_id".as("x_id"), $"nrm".as("nx")), "x_id")
       .join(norms.select($"doc_id".as("y_id"), $"nrm".as("ny")), "y_id")
       .select($"x_id", $"y_id",
-        round($"dot" / ($"nx" * $"ny"), 4).as("cos"))
+        // all-boilerplate pair on a ≤cap-doc corpus: norms can be 0
+        // (every wt = ln(N/N)); NULL cos fails the threshold both sides
+        round($"dot" / when($"nx" * $"ny" =!= 0.0, $"nx" * $"ny"), 4)
+          .as("cos"))
       .filter($"cos" >= 0.5)
       .orderBy($"x_id", $"y_id")
   }
@@ -2947,7 +2968,8 @@ object DedupQueries extends QueryModule {
           |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM w),
           |wt AS (
           |  SELECT w.doc_id, w.sh, ln(CAST(n AS DOUBLE) / df) AS wt
-          |  FROM w JOIN df USING (sh) CROSS JOIN nn),
+          |  FROM w JOIN df USING (sh) CROSS JOIN nn
+          |  WHERE df <= $CosMaxDf),
           |nrm AS (
           |  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
           |b AS (
@@ -2966,7 +2988,7 @@ object DedupQueries extends QueryModule {
           |  GROUP BY c.x_id, c.y_id),
           |scored AS (
           |  SELECT d.x_id, d.y_id,
-          |    round(d.dot / (nx.nrm * ny.nrm), 4) AS cos
+          |    round(d.dot / nullif(nx.nrm * ny.nrm, 0), 4) AS cos
           |  FROM dots d
           |  JOIN nrm nx ON nx.doc_id = d.x_id
           |  JOIN nrm ny ON ny.doc_id = d.y_id)

@@ -296,7 +296,10 @@ object MultimodalQueries extends QueryModule {
     * plain-Scala arithmetic on the pattern matrix (patHash's
     * discipline — independent of the decode path being verified).
     * Decode+resize is partition-local map work; undecodable rows drop
-    * via the null filter (F4). */
+    * via the null filter (F4). The thumb is PUBLISHED comma-joined
+    * (q284's cut_idx discipline) — the driver's pandas compare cannot
+    * sort/hash raw array cells, so the output contract is scalar
+    * columns only (pinned in RegistrySpec). */
   def qThumbnail(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pay = when($"doc_id" % 5 === 0, unhex(lit(PngAHex)))
@@ -308,7 +311,9 @@ object MultimodalQueries extends QueryModule {
       Tables.documents(s, dir).select($"doc_id", pay.as("media")),
       "media")
       .filter($"thumb".isNotNull)
-      .select($"doc_id", $"img_w", $"img_h", $"thumb")
+      .select($"doc_id", $"img_w", $"img_h",
+        array_join(transform($"thumb", _.cast("string")), ",")
+          .as("thumb_csv"))
       .orderBy($"doc_id")
   }
 
@@ -394,23 +399,23 @@ object MultimodalQueries extends QueryModule {
     // flat must not, corrupt rows drop.
     // q344: expected thumbs from the SAME pure-Scala block-mean
     // arithmetic on the pattern matrices — independent of the ImageIO
-    // decode path under test (patHash's discipline)
+    // decode path under test (patHash's discipline). Published as the
+    // comma-joined string so the driver's pandas compare can hash it.
     "q344_thumbnail" -> {
       def lits(px: Array[Array[Int]]): String =
-        graft.functions.Multimodal.thumbOf(px, 2, 2)
-          .mkString("[", ", ", "]")
+        graft.functions.Multimodal.thumbOf(px, 2, 2).mkString(",")
       s"""WITH t AS (
         |  SELECT doc_id,
         |    CASE CAST(doc_id % 5 AS INTEGER)
-        |      WHEN 0 THEN ${lits(PatA)}
-        |      WHEN 1 THEN ${lits(PatB)}
-        |      WHEN 2 THEN ${lits(PatC)}
-        |      WHEN 3 THEN [128, 128, 128, 128]
-        |      ELSE NULL END AS thumb
+        |      WHEN 0 THEN '${lits(PatA)}'
+        |      WHEN 1 THEN '${lits(PatB)}'
+        |      WHEN 2 THEN '${lits(PatC)}'
+        |      WHEN 3 THEN '128,128,128,128'
+        |      ELSE NULL END AS thumb_csv
         |  FROM documents)
         |SELECT doc_id, CAST(4 AS INTEGER) AS img_w,
-        |  CAST(3 AS INTEGER) AS img_h, thumb
-        |FROM t WHERE thumb IS NOT NULL ORDER BY doc_id""".stripMargin
+        |  CAST(3 AS INTEGER) AS img_h, thumb_csv
+        |FROM t WHERE thumb_csv IS NOT NULL ORDER BY doc_id""".stripMargin
     },
     "q163_image_phash" ->
       s"""WITH h AS (

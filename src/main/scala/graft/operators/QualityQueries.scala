@@ -1899,12 +1899,15 @@ object QualityQueries extends QueryModule {
           .stripMargin).as("rterm"))
       .crossJoin(broadcast(ties))
       .select($"n_groups", $"n",
-        (floor((lit(12.0) / ($"n" * ($"n" + 1L)) * $"rterm"
+        // n = 0 (empty corpus) leaves H undefined → NULL divisor guard
+        (floor((lit(12.0) / when($"n" > 0L, $"n" * ($"n" + 1L))
+          * $"rterm"
           - lit(3.0) * ($"n" + 1L)) * 1e4 + 0.5) / 1e4).as("h"),
         // n = 1 (tie term 0/0) and the all-tied corpus (correction
         // factor 0) both leave the corrected H undefined → NULL via
         // nullif'd divisors, matching DuckDB's /0 at each step
-        (floor((lit(12.0) / ($"n" * ($"n" + 1L)) * $"rterm"
+        (floor((lit(12.0) / when($"n" > 0L, $"n" * ($"n" + 1L))
+          * $"rterm"
           - lit(3.0) * ($"n" + 1L))
           / when((lit(1.0) - $"tsum" /
               when($"n" > 1L,
@@ -1956,7 +1959,10 @@ object QualityQueries extends QueryModule {
       expr("aggregate(gs, 0.0d, (a, g) -> a + g.qj)").as("q"),
       expr("aggregate(gs, 0.0d, (a, g) -> a + g.sj * g.sj / g.nj)")
         .as("rterm"))
-    val ssb = $"rterm" - $"s" * $"s" / $"n"
+    // n = 0 (empty corpus) ⇒ grand-mean term 0/0 ⇒ NULL ss_between;
+    // ssw stays the plain fold difference (0.0 on empty — the oracle's
+    // list fold replays the same)
+    val ssb = $"rterm" - $"s" * $"s" / when($"n" > 0L, $"n")
     val ssw = $"q" - $"rterm"
     val f = (ssb / when($"k" > 1L, ($"k" - 1L).cast("double"))) /
       when($"n" > $"k" && ssw =!= 0.0,
@@ -2319,7 +2325,7 @@ object QualityQueries extends QueryModule {
         |      list_transform(gs, g -> g.sj * g.sj / g.nj)),
         |      (a, x) -> a + x) AS rterm
         |  FROM gs)
-        |SELECT k AS n_groups, n AS n_docs,
+        |SELECT coalesce(k, 0) AS n_groups, n AS n_docs,
         |  round(((rterm - s * s / n)
         |      / nullif(CAST(k - 1 AS DOUBLE), 0.0))
         |    / nullif((q - rterm) / nullif(CAST(n - k AS DOUBLE), 0.0),
@@ -2356,7 +2362,7 @@ object QualityQueries extends QueryModule {
         |      list_transform(gs, g -> g.sj * g.sj / g.nj)),
         |      (a, x) -> a + x) AS rterm
         |  FROM gs)
-        |SELECT k AS n_groups, n AS n_docs,
+        |SELECT coalesce(k, 0) AS n_groups, n AS n_docs,
         |  round(rterm - s * s / n, 4) + 0.0 AS ss_between,
         |  round(q - rterm, 4) + 0.0 AS ss_within,
         |  round(((rterm - s * s / n)
@@ -2398,7 +2404,7 @@ object QualityQueries extends QueryModule {
         |ties AS (
         |  SELECT CAST(sum(ct * ct * ct - ct) AS DOUBLE) AS tsum
         |  FROM ranked)
-        |SELECT n_groups, n,
+        |SELECT coalesce(n_groups, 0) AS n_groups, n,
         |  floor((12.0 / (n * (n + 1)) * rterm - 3.0 * (n + 1))
         |    * 1e4 + 0.5) / 1e4 AS h,
         |  floor((12.0 / (n * (n + 1)) * rterm - 3.0 * (n + 1))

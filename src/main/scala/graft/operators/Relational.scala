@@ -382,7 +382,9 @@ object Relational extends QueryModule {
         .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
         .select(lit(name).as("edge"), $"n_child", $"n_fk_values",
           $"n_orphans",
-          round(lit(1.0) - $"n_orphans".cast("double") / $"n_child", 4)
+          // empty child table ⇒ coverage undefined (NULL), not 0/0
+          round(lit(1.0) - $"n_orphans".cast("double") /
+            when($"n_child" =!= 0, $"n_child"), 4)
             .as("coverage"))
     }
     Seq(
@@ -597,12 +599,13 @@ object Relational extends QueryModule {
         s"""SELECT '$name' AS edge,
           |  count(*) AS n_child,
           |  count(DISTINCT $fk) AS n_fk_values,
-          |  CAST(sum(CASE WHEN NOT EXISTS
+          |  CAST(coalesce(sum(CASE WHEN NOT EXISTS
           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
-          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+          |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans,
           |  round(1.0 - CAST(sum(CASE WHEN NOT EXISTS
           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
-          |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage
+          |    THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / nullif(count(*), 0), 4) AS coverage
           |FROM $child c WHERE c.$fk IS NOT NULL""".stripMargin
       Seq(
         edgeSql("customer->nation", "customer", "c_nationkey",

@@ -858,18 +858,20 @@ object ScoringQueries extends QueryModule {
     bins.agg(array_sort(collect_list(struct($"bin", $"nk", $"sk", $"yk")))
         .as("bs"))
       .crossJoin(broadcast(tot))
-      .withColumn("ybar", $"ny".cast("double") / $"n")
+      .withColumn("ybar", $"ny".cast("double") / when($"n" > 0L, $"n"))
       .select($"n", (floor($"ybar" * 1e4 + 0.5) / 1e4).as("y_bar"),
         (floor(expr(
           """aggregate(bs, 0.0d, (a, b) -> a + b.nk *
             |  (b.sk / b.nk - cast(b.yk as double) / b.nk)
             |  * (b.sk / b.nk - cast(b.yk as double) / b.nk))"""
-            .stripMargin) / $"n" * 1e4 + 0.5) / 1e4).as("reliability"),
+            .stripMargin) / when($"n" > 0L, $"n") * 1e4 + 0.5) / 1e4)
+          .as("reliability"),
         (floor(expr(
           """aggregate(bs, 0.0d, (a, b) -> a + b.nk *
             |  (cast(b.yk as double) / b.nk - ybar)
             |  * (cast(b.yk as double) / b.nk - ybar))"""
-            .stripMargin) / $"n" * 1e4 + 0.5) / 1e4).as("resolution"),
+            .stripMargin) / when($"n" > 0L, $"n") * 1e4 + 0.5) / 1e4)
+          .as("resolution"),
         (floor($"ybar" * (lit(1.0) - $"ybar") * 1e4 + 0.5) / 1e4)
           .as("uncertainty"),
         (floor($"brier" * 1e4 + 0.5) / 1e4).as("brier"))
@@ -2038,6 +2040,12 @@ object ScoringQueries extends QueryModule {
   private[graft] def adaboostOf(base: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
+    val empty = s.createDataFrame(
+      Seq.empty[(Int, Long, Int, Double, Double, Double)]).toDF(
+      "round", "threshold", "polarity", "w_err", "alpha", "acc")
+    // empty corpus: no cells, no best stump (limit(1) returns nothing)
+    // — zero training rounds, not a crash (0-row sweep)
+    if (base.isEmpty) return empty
     var cells = base.groupBy($"x", $"y").agg(count(lit(1)).as("c"))
       .withColumn("w", lit(1000000L))
       .withColumn("vote", lit(0L))
@@ -2128,6 +2136,12 @@ object ScoringQueries extends QueryModule {
   private[graft] def sparseLogregOf(base: DataFrame): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
+    // empty corpus: N = 0 makes every per-round update 0/0 and the
+    // metric collects NULL — zero training rounds, not a crash
+    if (base.isEmpty)
+      return s.createDataFrame(
+        Seq.empty[(Int, Double, Double, Long, Double)]).toDF(
+        "round", "acc", "w_bias", "n_active", "w_l1")
     val docs = base.select($"doc_id", $"y").roundBarrier()
     // distinct hashed features per doc (binary presence features)
     val feats = base.select($"doc_id", explode(array_distinct(
@@ -2741,7 +2755,11 @@ object ScoringQueries extends QueryModule {
 
   private def sparseLogregSql: String = {
     val rounds = (1 to SlrRounds).map(slrRoundCteSql).mkString(",\n")
-    val rows = (1 to SlrRounds).map(i => s"SELECT * FROM st$i")
+    // empty corpus ⇒ zero training rounds (the engine's early exit) —
+    // without the guard the unrolled CTEs still emit one NULL-stats
+    // row per round
+    val rows = (1 to SlrRounds).map(i =>
+        s"SELECT * FROM st$i WHERE (SELECT n FROM nn) > 0")
       .mkString("\nUNION ALL\n")
     s"""WITH docs AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y

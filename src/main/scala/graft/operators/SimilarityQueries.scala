@@ -377,6 +377,10 @@ object SimilarityQueries extends QueryModule {
     try {
       val b = base.agg(min($"vec_id").as("lo"), max($"vec_id").as("hi"))
         .head()
+      // empty corpus: nothing to fit — fall back to the fixed gaussian
+      // anchors (q42's quantizer); ivfWith over zero vectors emits zero
+      // rows whatever the cells are (0-row sweep)
+      if (b.isNullAt(0)) return anchors.map(_.clone())
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val span = hi - lo + 1
       // Bucket boundary at floor(b·span/8): an id belongs to bucket b

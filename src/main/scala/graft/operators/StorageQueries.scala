@@ -233,7 +233,10 @@ object StorageQueries extends QueryModule {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       Tables.documents(s, dir).write.partitionBy("lang").parquet(path)
-    s.read.parquet(path)
+    // explicit schema: an EMPTY partitioned write lands only _SUCCESS,
+    // and schema inference over zero files fails — the read must state
+    // what the write would have produced (0-row corpus sweep)
+    s.read.schema(Tables.documents(s, dir).schema).parquet(path)
       .filter($"lang" === "en")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
@@ -700,14 +703,16 @@ object StorageQueries extends QueryModule {
     cols.map { c =>
       agg.select(lit(c).as("column"), $"rows",
         col(s"ndv_$c").as("ndv"),
-        round(col(s"ndv_$c").cast("double") / $"rows", 4)
-          .as("ndv_ratio"),
+        // empty table ⇒ ratio undefined (NULL), recommendation false
+        round(col(s"ndv_$c").cast("double") /
+          when($"rows" =!= 0, $"rows"), 4).as("ndv_ratio"),
         // ⌈log₂ ndv⌉ as the BIT LENGTH of ndv−1 (integer-exact on both
         // engines — a float log2 can flip ceil at exact powers of two)
         when(col(s"ndv_$c") === 1, lit(0L))
           .otherwise(length(conv((col(s"ndv_$c") - 1).cast("string"),
             10, 2)).cast("long")).as("dict_bits"),
-        (col(s"ndv_$c").cast("double") / $"rows" < 0.1)
+        coalesce(col(s"ndv_$c").cast("double") /
+            when($"rows" =!= 0, $"rows") < 0.1, lit(false))
           .as("dict_recommended"))
     }.reduce(_.unionAll(_)).orderBy($"column")
   }
@@ -1212,12 +1217,13 @@ object StorageQueries extends QueryModule {
       val rows = cols.map { c =>
         s"""SELECT '$c' AS \"column\", CAST(count(*) AS BIGINT) AS rows,
           |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
-          |  round(count(DISTINCT $c) / CAST(count(*) AS DOUBLE), 4)
-          |    AS ndv_ratio,
+          |  round(count(DISTINCT $c)
+          |    / CAST(nullif(count(*), 0) AS DOUBLE), 4) AS ndv_ratio,
           |  CAST(CASE WHEN count(DISTINCT $c) = 1 THEN 0
           |    ELSE len(bin(count(DISTINCT $c) - 1)) END
           |    AS BIGINT) AS dict_bits,
-          |  (count(DISTINCT $c) / CAST(count(*) AS DOUBLE) < 0.1)
+          |  coalesce(count(DISTINCT $c)
+          |    / CAST(nullif(count(*), 0) AS DOUBLE) < 0.1, false)
           |    AS dict_recommended
           |FROM lineitem""".stripMargin
       }.mkString("\n|UNION ALL ")

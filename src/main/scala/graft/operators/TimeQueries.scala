@@ -1013,6 +1013,86 @@ object TimeQueries extends QueryModule {
           / 1e6).as("mean_gap"))
   }
 
+  /** LEFT-OUTER fractional band join (q346) — the tolerance-matching
+    * ENRICHMENT form of q345 (round-12 verdict #6): keep EVERY sampled
+    * purchase and attach how many near-identical amounts OTHER users
+    * posted (|va − vb| ≤ 0.05) plus the mean gap, written as the naive
+    * LEFT OUTER theta join a user would; BandJoinRule rewrites it to
+    * the bucketed equi join with the explode on the NON-preserved side
+    * — each unmatched purchase null-extends exactly once and nothing
+    * plans as BNLJ (PlanSpec pin). Per-pair gaps quantize to exact
+    * micro-longs before summing (q345's discipline) and the oracle
+    * replays the naive LEFT JOIN verbatim. */
+  def qBandLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" &&
+        $"user_id" % ValueBandSample === 0L)
+      .select($"event_id", $"user_id", $"value")
+    val a = p.select($"event_id".as("eid"), $"user_id".as("ua"),
+      $"value".as("va"))
+    val b = p.select($"user_id".as("ub"), $"value".as("vb"))
+    a.join(b, $"ua" =!= $"ub" && abs($"va" - $"vb") <= ValueBandEps,
+        "left_outer")
+      .select($"eid",
+        floor(abs($"va" - $"vb") * 1e6 + 0.5).cast("long")
+          .as("gap_micro"))
+      .groupBy($"eid")
+      .agg(count($"gap_micro").as("n_near"),
+        (floor(sum($"gap_micro").cast("double") /
+          when(count($"gap_micro") > 0, count($"gap_micro")) + 0.5)
+          / 1e6).as("mean_gap"))
+      .orderBy($"eid")
+  }
+
+  /** Band SEMI join (q348) — the EXISTS form of the q345/q346 radar:
+    * which sampled purchases have ANY near-identical amount from a
+    * different user, written as the naive LEFT SEMI theta join.
+    * BandJoinRule's semi path rewrites it (semi joins are insensitive
+    * to build-side duplication, so the ±2 bucket explode needs no
+    * compensation at all); the oracle is the literal EXISTS subquery. */
+  def qBandSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.events(s, dir)
+      .filter($"event_type" === "purchase" &&
+        $"user_id" % ValueBandSample === 0L)
+      .select($"event_id", $"user_id", $"value")
+    val a = p.select($"event_id".as("eid"), $"user_id".as("ua"),
+      $"value".as("va"))
+    val b = p.select($"user_id".as("ub"), $"value".as("vb"))
+    a.join(b, $"ua" =!= $"ub" && abs($"va" - $"vb") <= ValueBandEps,
+        "left_semi")
+      .select($"eid", round($"va", 4).as("value"))
+      .orderBy($"eid")
+  }
+
+  /** Pure-SQL as-of join (q347) — q334's question asked THROUGH the
+    * SQL surface: GraftExtensions' `asof_join(left, right, key, time)`
+    * table-valued function (injectTableFunction) resolves the temp
+    * views against the session catalog and emits the same native
+    * AsOfJoin logical node, so a SQL-only caller gets AsOfJoinExec's
+    * single-pass merge plan (ExtensionsSpec pins the plan identity;
+    * this query pins the ANSWER against DuckDB's own ASOF LEFT JOIN).
+    * Key/time columns appear on both sides of a join output, so the
+    * published projection keeps the unambiguous columns. */
+  def qAsofSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    org.apache.spark.sql.GraftBridge.applyExtensions(s,
+      new graft.plans.GraftExtensions()(_))
+    val ev = Tables.events(s, dir)
+    ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+      .createOrReplaceTempView("q347_purchases")
+    ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value".as("c_value"))
+      .createOrReplaceTempView("q347_clicks")
+    s.sql(
+      """SELECT event_id, round(value, 4) AS value,
+        |       round(c_value, 4) AS click_value
+        |FROM asof_join('q347_purchases', 'q347_clicks', 'user_id', 'ts')
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Time-range self join: ordered event pairs of the same user within
     * 5 minutes.
     *
@@ -2308,6 +2388,9 @@ object TimeQueries extends QueryModule {
     "q334_asof_native"       -> (qAsofNative _),
     "q335_asof_tolerance"    -> (qAsofTolerance _),
     "q345_value_band"        -> (qValueBand _),
+    "q346_band_left"         -> (qBandLeft _),
+    "q347_asof_sql"          -> (qAsofSql _),
+    "q348_band_semi"         -> (qBandSemi _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -3635,9 +3718,58 @@ object TimeQueries extends QueryModule {
         |  floor(CAST(sum(gap_micro) AS DOUBLE) / count(*) + 0.5) / 1e6
         |    AS mean_gap
         |FROM pairs""".stripMargin,
+    // q346: the naive LEFT JOIN replay — unmatched purchases keep a
+    // row with n_near 0 / NULL mean; gaps quantize to micro-longs
+    "q346_band_left" ->
+      s"""WITH p AS (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND user_id % $ValueBandSample = 0),
+        |j AS (
+        |  SELECT a.event_id AS eid,
+        |    CAST(floor(abs(a.value - b.value) * 1e6 + 0.5) AS BIGINT)
+        |      AS gap_micro
+        |  FROM p a LEFT JOIN p b
+        |    ON a.user_id <> b.user_id
+        |    AND abs(a.value - b.value) <= $ValueBandEps)
+        |SELECT eid, CAST(count(gap_micro) AS BIGINT) AS n_near,
+        |  floor(CAST(sum(gap_micro) AS DOUBLE)
+        |    / nullif(count(gap_micro), 0) + 0.5) / 1e6 AS mean_gap
+        |FROM j GROUP BY eid ORDER BY eid""".stripMargin,
+    // q348: the literal EXISTS replay of the semi band join
+    "q348_band_semi" ->
+      s"""WITH p AS (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND user_id % $ValueBandSample = 0)
+        |SELECT a.event_id AS eid, round(a.value, 4) AS value
+        |FROM p a
+        |WHERE EXISTS (SELECT 1 FROM p b
+        |  WHERE b.user_id <> a.user_id
+        |    AND abs(a.value - b.value) <= $ValueBandEps)
+        |ORDER BY eid""".stripMargin,
+    // q347: same operator semantics as q334, reached via SQL — DuckDB
+    // replays with its own ASOF LEFT JOIN
+    "q347_asof_sql" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, round(p.value, 4) AS value,
+        |  round(c.value, 4) AS click_value
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
     // q335: DuckDB's ASOF picks the same latest at-or-before row; the
     // tolerance is the gap filter on that single candidate (an older
-    // row can never re-qualify — it is farther away by construction)
+    // row can never re-qualify — it is farther away by construction).
+    // The gap compares in EXACT integer microseconds (epoch_us),
+    // matching the engine's micros arithmetic — floating-point epoch
+    // seconds could round a within-1us-of-boundary gap across the
+    // WITHIN edge differently per engine (ADVICE r12).
     "q335_asof_tolerance" ->
       s"""WITH clicks AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
@@ -3648,14 +3780,15 @@ object TimeQueries extends QueryModule {
         |j AS (
         |  SELECT p.event_id, p.user_id, p.value,
         |    c.ts AS c_ts, c.value AS c_value,
-        |    epoch(p.ts) - epoch(c.ts) AS gap
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
         |  FROM purchases p
         |  ASOF LEFT JOIN clicks c
         |    ON p.user_id = c.user_id AND p.ts >= c.ts)
         |SELECT event_id, user_id, round(value, 4) AS value,
-        |  CASE WHEN gap <= $AsofTolSec.0 THEN c_ts END AS click_ts,
-        |  round(CASE WHEN gap <= $AsofTolSec.0 THEN c_value END, 4)
-        |    AS click_value
+        |  CASE WHEN gap_us <= ${AsofTolSec}000000 THEN c_ts END
+        |    AS click_ts,
+        |  round(CASE WHEN gap_us <= ${AsofTolSec}000000 THEN c_value
+        |    END, 4) AS click_value
         |FROM j ORDER BY event_id""".stripMargin,
     // q334: the native-operator twin answers the identical question —
     // same oracle as q27

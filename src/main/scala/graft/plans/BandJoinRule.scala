@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -29,19 +29,25 @@ import org.apache.spark.sql.types._
   * hash-partitioned exchange. Output attributes are preserved exactly
   * (the restore Project), so parent plans never notice.
   *
-  * Guards: inner/cross join with a condition; NO cross-side equality
-  * conjunct (if one exists the planner already hash-joins and the band
-  * predicate is a fine residual — this also makes the rule a no-op on
-  * its own output); band sides numeric (int/bigint/float/double),
-  * deterministic, each referencing exactly one side; ε a foldable
-  * non-negative literal. Integral bands bucket at width ε+1 with
-  * build-side explode ±1 (exact: a true pair spans at most one
-  * boundary in integer arithmetic). Fractional bands bucket at width
-  * ε with explode ±2: the quotient gap (a−b)/ε is ≤ 1 only up to
-  * division rounding, and a floor flip at the boundary could push a
-  * true pair two buckets apart — the extra offset buys immunity while
-  * the original predicate (the equi join's residual) keeps exactness.
-  * Fractional ε = 0 degenerates to float equality and is left alone.
+  * Guards: inner/cross/left-outer/right-outer/semi/anti join with a
+  * condition; NO cross-side equality conjunct (if one exists the
+  * planner already hash-joins and the band predicate is a fine
+  * residual — this also makes the rule a no-op on its own output);
+  * band sides numeric (int/bigint/float/double), deterministic, each
+  * referencing exactly one side; ε a foldable non-negative literal.
+  * Integral bands bucket at width ⌊ε⌋+1 in EXACT long arithmetic
+  * (never a double cast — 2^52-plus epoch longs would round across
+  * buckets and drop true pairs) with build-side explode ±1 (exact: a
+  * true pair spans at most one boundary in integer arithmetic).
+  * Fractional bands bucket at width ε with explode ±2: the quotient
+  * gap (a−b)/ε is ≤ 1 only up to division rounding, and a floor flip
+  * at the boundary could push a true pair two buckets apart — the
+  * extra offset buys immunity while the original predicate (the equi
+  * join's residual) keeps exactness. Fractional ε = 0 degenerates to
+  * float equality and is left alone. Outer variants explode the
+  * NON-preserved side (right-outer mirrors), so each unmatched
+  * preserved row null-extends exactly once; semi/anti are insensitive
+  * to build-side duplication by construction.
   */
 object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -127,7 +133,9 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       e.deterministic
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
+    case j @ Join(l, r,
+        Inner | Cross | LeftOuter | RightOuter | LeftSemi | LeftAnti,
+        Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hasCrossEqui = conjuncts.exists {
         case EqualTo(a, b) =>
@@ -149,39 +157,78 @@ object BandJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       oriented match {
         case None => j
         case Some((xl, xr, eps)) =>
-          val isInt = integral(xl) && integral(xr) &&
-            eps == math.floor(eps)
+          // both sides integral ⇒ the gap a−b is an exact integer, so
+          // |a−b| ≤ ε ⟺ |a−b| ≤ ⌊ε⌋ even for fractional ε — route ALL
+          // integral bands through the exact-long path (never through
+          // a double cast, which rounds at |x| ≥ 2^52 and would place
+          // a true pair of nanosecond-epoch longs many buckets apart,
+          // silently dropping matches)
+          val isInt = integral(xl) && integral(xr)
           // fractional bands with ε = 0 degenerate to float equality —
           // no finite bucket width; leave those to the planner
           if (!isInt && eps == 0.0) j
           else {
-          // integral: width ε+1, a true pair spans ≤ 1 bucket boundary
+          // integral: width ⌊ε⌋+1, a true pair spans ≤ 1 bucket boundary
           // EXACTLY (integer arithmetic). fractional: width ε, the
           // quotient gap (a−b)/ε ≤ 1 only up to division rounding, so
           // the build side explodes to ±2 — one extra candidate bucket
           // buys immunity to a floor flip at the boundary
-          val w = if (isInt) eps + 1.0 else eps
           val offs: Seq[Long] = if (isInt) Seq(-1L, 0L, 1L)
             else Seq(-2L, -1L, 0L, 1L, 2L)
-          // floor-division bucket (sign-safe, unlike integer `/` which
-          // truncates toward zero); double is exact for |x| < 2^52 —
-          // far past any 64-bit count/length column this fires on
+          // sign-safe floor-division bucket. Integral sides: EXACT long
+          // arithmetic — truncating `div` corrected down by one when a
+          // negative value has a nonzero remainder (no subtraction form,
+          // so no Long.MinValue underflow; ADVICE round 12). Fractional
+          // sides: double floor-div (double is the value's own type —
+          // no precision added or lost by the bucket computation).
           def bkt(x: Expression): Expression =
-            Floor(Divide(Cast(x, DoubleType), Literal(w)))
-          val lAlias = Alias(bkt(xl), "_band_bkt")()
-          val newLeft = Project(l.output :+ lAlias, l)
-          val rBkt = bkt(xr)
-          val arrAlias = Alias(CreateArray(
-            offs.map(o => Add(rBkt, Literal(o)))), "_band_arr")()
-          val projR = Project(r.output :+ arrAlias, r)
-          val rBktAttr =
-            AttributeReference("_band_bkt_r", LongType, nullable = true)()
-          val gen = Generate(Explode(arrAlias.toAttribute),
-            unrequiredChildIndex = Seq(r.output.size), outer = false,
-            qualifier = None, generatorOutput = Seq(rBktAttr), projR)
-          val newCond = And(EqualTo(lAlias.toAttribute, rBktAttr), cond)
-          val rewritten =
-            Join(newLeft, gen, Inner, Some(newCond), hint)
+            if (isInt) {
+              val wl = Literal(eps.toLong + 1L)
+              val xv = Cast(x, LongType)
+              Subtract(IntegralDivide(xv, wl),
+                If(And(LessThan(xv, Literal(0L)),
+                    Not(EqualTo(Remainder(xv, wl), Literal(0L)))),
+                  Literal(1L), Literal(0L)))
+            } else
+              Floor(Divide(Cast(x, DoubleType), Literal(eps)))
+          // Which side explodes: the side whose rows may DUPLICATE
+          // without changing the result. A left-preserving join
+          // (inner/cross/left outer/semi/anti) explodes the RIGHT —
+          // an unmatched left row null-extends (or anti-passes) once
+          // per LEFT row, so right-side copies are invisible to it. A
+          // RIGHT OUTER join must explode the LEFT for the mirror
+          // reason: exploding the preserved side would null-extend
+          // each unmatched row once per bucket copy (3–5 duplicates).
+          def keyed(side: LogicalPlan, x: Expression)
+              : (Project, Attribute) = {
+            val a = Alias(bkt(x), "_band_bkt")()
+            (Project(side.output :+ a, side), a.toAttribute)
+          }
+          def exploded(side: LogicalPlan, x: Expression)
+              : (Generate, Attribute) = {
+            val arr = Alias(CreateArray(
+              offs.map(o => Add(bkt(x), Literal(o)))), "_band_arr")()
+            val proj = Project(side.output :+ arr, side)
+            val bktAttr = AttributeReference(
+              "_band_bkt_x", LongType, nullable = true)()
+            (Generate(Explode(arr.toAttribute),
+              unrequiredChildIndex = Seq(side.output.size), outer = false,
+              qualifier = None, generatorOutput = Seq(bktAttr), proj),
+              bktAttr)
+          }
+          val rewritten = j.joinType match {
+            case RightOuter =>
+              val (genL, lBkt) = exploded(l, xl)
+              val (keyR, rBkt) = keyed(r, xr)
+              Join(genL, keyR, RightOuter,
+                Some(And(EqualTo(lBkt, rBkt), cond)), hint)
+            case jt =>
+              val (keyL, lBkt) = keyed(l, xl)
+              val (genR, rBkt) = exploded(r, xr)
+              val t = if (jt == Cross) Inner else jt
+              Join(keyL, genR, t,
+                Some(And(EqualTo(lBkt, rBkt), cond)), hint)
+          }
           Project(j.output, rewritten)
           }
       }

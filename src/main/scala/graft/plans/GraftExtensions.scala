@@ -93,5 +93,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => BandJoinRule)
     // native AS-OF JOIN physical operator (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // asof_join('left_tbl','right_tbl','key','time'[, tolerance]) —
+    // the table-valued SQL surface of the native operator, so pure-SQL
+    // callers reach AsOfJoinExec without the DataFrame API. Table and
+    // column names are string literals resolved against the session
+    // catalog at analysis time (the builder runs on the driver during
+    // resolution, where SparkSession.active is the resolving session);
+    // tolerance is an integer literal in the time column's long
+    // backing unit (MICROSECONDS for timestamps).
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo(classOf[AsOfJoin].getName, "asof_join"),
+      (exprs: Seq[Expression]) => {
+        def str(e: Expression, what: String): String = e.eval(null) match {
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+          case other => throw new IllegalArgumentException(
+            s"asof_join: $what must be a string literal, got $other")
+        }
+        require(exprs.size == 4 || exprs.size == 5,
+          "asof_join(left_tbl, right_tbl, key, time[, tolerance])")
+        val tol = if (exprs.size < 5) None else Some(
+          exprs(4).eval(null) match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case other => throw new IllegalArgumentException(
+              s"asof_join: tolerance must be an integer literal, got $other")
+          })
+        val s = org.apache.spark.sql.SparkSession.active
+        AsOfJoin.of(
+          s.table(str(exprs(0), "left table")),
+          s.table(str(exprs(1), "right table")),
+          str(exprs(2), "key"), str(exprs(3), "time"), tol)
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -135,7 +135,8 @@ object DumpPlans {
     "q336_anova_f", "q337_cdc_chunks", "q338_cartography",
     "q339_g_test", "q340_edge_clustering", "q341_levene_bf",
     "q342_clustering_depth", "q343_grouped_folds", "q344_thumbnail",
-    "q345_value_band")
+    "q345_value_band", "q346_band_left", "q347_asof_sql",
+    "q348_band_semi")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -62,13 +62,14 @@ object GraftBridge {
         cs.experimental.extraStrategies :+ st
   }
 
-  /** Apply an extensions object's injected functions to an already-built
-    * session (getOrCreate ignores withExtensions when a session exists —
-    * e.g. shared test sessions). */
+  /** Apply an extensions object's injected scalar AND table functions
+    * to an already-built session (getOrCreate ignores withExtensions
+    * when a session exists — e.g. shared test sessions). */
   def applyExtensions(spark: SparkSession,
       ext: SparkSessionExtensions => Unit): Unit = {
     val e = new SparkSessionExtensions
     ext(e)
     e.registerFunctions(spark.sessionState.functionRegistry)
+    e.registerTableFunctions(spark.sessionState.tableFunctionRegistry)
   }
 }

@@ -105,4 +105,24 @@ class BenchLineSpec extends AnyFunSuite {
     assert(detail.contains("\"twins\":{\"q12b_bigrams_inrow\":2.000}"))
     assert(detail.contains("\"value\":0.960"))
   }
+
+  test("moved_vs_prev: >25% and >0.5s movers self-flag, round-trip") {
+    val prevJson = Bench.renderDetail(
+      Map("q1_agg" -> 3.0, "q2_join_revenue" -> 0.1,
+          "q5_anti_join" -> 2.0), "/x")
+    val prev = Bench.parsePrevQueries(prevJson)
+    assert(prev == Map("q1_agg" -> 3.0, "q2_join_revenue" -> 0.1,
+      "q5_anti_join" -> 2.0))
+    // q1 regresses 3.0→4.0 (+33%, +1s: flags); q2 0.1→0.2 (+100% but
+    // +0.1s: below the absolute floor); q5 2.0→2.2 (+10%: below the
+    // relative floor); a brand-new query never flags
+    val now = Map("q1_agg" -> 4.0, "q2_join_revenue" -> 0.2,
+      "q5_anti_join" -> 2.2, "q9_salted_agg" -> 9.0)
+    assert(Bench.movers(prev, now) == Seq(("q1_agg", 3.0, 4.0)))
+    val detail = Bench.renderDetail(now, "/x", prev = prev)
+    assert(detail.contains("\"moved_vs_prev\":{\"q1_agg\":[3.000,4.000]}"))
+    // failed runs (-1) never flag in either direction
+    assert(Bench.movers(Map("q1_agg" -> -1.0), Map("q1_agg" -> 5.0)).isEmpty)
+    assert(Bench.movers(Map("q1_agg" -> 5.0), Map("q1_agg" -> -1.0)).isEmpty)
+  }
 }

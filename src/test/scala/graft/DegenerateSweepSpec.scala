@@ -29,16 +29,16 @@ class DegenerateSweepSpec extends AnyFunSuite {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private lazy val dir: String = {
+  private def degenDir(n: Int): String = {
     val d = java.nio.file.Files
-      .createTempDirectory("graft_degen_").toString
+      .createTempDirectory(s"graft_degen${n}_").toString
     for (t <- tables)
-      spark.read.parquet(s"$src/$t.parquet").limit(1)
+      spark.read.parquet(s"$src/$t.parquet").limit(n)
         .coalesce(1).write.parquet(s"$d/$t.parquet")
     d
   }
 
-  test("every query survives the 1-row corpus with finite output") {
+  private def sweep(dir: String): Seq[String] = {
     val failures = Seq.newBuilder[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       try {
@@ -63,9 +63,25 @@ class DegenerateSweepSpec extends AnyFunSuite {
       }
     }
     graft.operators.SessionCache.releaseAll(spark)
-    val bad = failures.result()
+    failures.result()
+  }
+
+  test("every query survives the 1-row corpus with finite output") {
+    val bad = sweep(degenDir(1))
     assert(bad.isEmpty,
-      s"${bad.size} queries break on the degenerate corpus:\n" +
+      s"${bad.size} queries break on the 1-row corpus:\n" +
+        bad.mkString("\n"))
+  }
+
+  /** Round-12 verdict #3: the next degenerate class is EMPTY input —
+    * `head()` on an empty frame (q282's round-12 bug was exactly that
+    * shape), seeds picked from empty frames, aggregates that publish
+    * one NULL row where DuckDB publishes zero. Same
+    * finite-or-NULL/no-crash contract over limit(0) tables. */
+  test("every query survives the 0-row corpus with finite output") {
+    val bad = sweep(degenDir(0))
+    assert(bad.isEmpty,
+      s"${bad.size} queries break on the empty corpus:\n" +
         bad.mkString("\n"))
   }
 }

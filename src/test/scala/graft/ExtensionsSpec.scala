@@ -85,6 +85,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(words(1) == 1L)
   }
 
+  test("asof_join table function: pure SQL reaches the native operator") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("asof_purchases")
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .createOrReplaceTempView("asof_clicks")
+    // the TVF needs key/time names shared by both sides
+    spark.sql("""CREATE OR REPLACE TEMP VIEW asof_clicks2 AS
+      SELECT c_user AS user_id, click_ts AS ts, click_value
+      FROM asof_clicks""")
+    // key/time columns appear on both sides of the output — select the
+    // unambiguous columns only (standard join-output hygiene)
+    val viaSql = spark.sql(
+      """SELECT event_id, value, click_value
+        |FROM asof_join('asof_purchases', 'asof_clicks2', 'user_id', 'ts')
+        |ORDER BY event_id""".stripMargin)
+    // the plan must BE the custom operator (logical level — the
+    // physical AsOfJoinExec pin lives in Round12Spec; AQE wraps the
+    // physical tree here)
+    assert(viaSql.queryExecution.optimizedPlan.collect {
+      case a: graft.plans.AsOfJoin => a }.nonEmpty,
+      "SQL asof_join did not produce the AsOfJoin logical node")
+    // DataFrame twin via the same helper with matching names
+    val dfTwin = graft.plans.AsOfJoin.of(
+        spark.table("asof_purchases"), spark.table("asof_clicks2"),
+        "user_id", "ts")
+      .select(col("event_id"), col("value"), col("click_value"))
+      .orderBy("event_id")
+    assert(viaSql.collect().toSeq == dfTwin.collect().toSeq)
+    // WITHIN tolerance arg also reaches the operator (1 hour in micros)
+    val tolRows = spark.sql(
+      """SELECT count(click_value) AS n
+        |FROM asof_join('asof_purchases', 'asof_clicks2', 'user_id', 'ts',
+        |               3600000000)""".stripMargin).head().getLong(0)
+    val tolTwin = graft.plans.AsOfJoin.of(
+        spark.table("asof_purchases"), spark.table("asof_clicks2"),
+        "user_id", "ts", Some(3600000000L))
+      .agg(count(col("click_value"))).head().getLong(0)
+    assert(tolRows == tolTwin)
+  }
+
   test("mg_sketch callable from spark.sql with SQL-side membership test") {
     val rows = spark.sql(
       """SELECT e.term, e.cnt FROM (

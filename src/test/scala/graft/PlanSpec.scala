@@ -62,6 +62,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "bucket ±2 explode missing")
   }
 
+  test("q346/q348: outer and semi band joins plan with zero BNLJ") {
+    // round-13: the naive LEFT OUTER / LEFT SEMI spellings must go
+    // through BandJoinRule's outer/semi paths — a BNLJ outer join is
+    // the enrichment plan that dies at scale
+    for ((name, joinStr) <- Seq(
+        "q346_band_left" -> "LeftOuter", "q348_band_semi" -> "LeftSemi")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan as BNLJ with BandJoinRule installed")
+      assert(p.contains("Generate"), s"$name: bucket explode missing")
+      assert(p.contains(joinStr), s"$name: join type must stay $joinStr")
+    }
+  }
+
   test("q40: query side broadcasts — corpus side never shuffles") {
     val p = plan("q40_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin"),

@@ -49,6 +49,34 @@ class RegistrySpec extends AnyFunSuite {
       "window allowlist names a query that no longer exists")
   }
 
+  /** Output-contract guard (round-12 verdict #2): the driver's oracle
+    * harness sorts/hashes every published column through pandas, which
+    * cannot factorize nested cells (q344 shipped a raw `array<int>`
+    * and errored with `unhashable type: 'numpy.ndarray'`). Every query
+    * must publish SCALAR columns only — serialize nested values before
+    * the select boundary (q284's `array_join(transform(...))` /
+    * q75's md5-fingerprint discipline). Schema-only: building the
+    * DataFrame never runs the job. */
+  test("no query publishes a top-level array/map/struct column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name: column '${f.name}' is ${f.dataType.simpleString}"
+        }
+    }
+    graft.operators.SessionCache.releaseAll(spark)
+    assert(bad.isEmpty,
+      "nested output columns break the driver's pandas compare " +
+        "(serialize them — q284's cut_idx discipline):\n" +
+        bad.mkString("\n"))
+  }
+
   test("SURVEY.md's query index lists every registered name verbatim") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")), "UTF-8")

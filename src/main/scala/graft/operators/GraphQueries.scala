@@ -460,6 +460,66 @@ object GraphQueries extends QueryModule {
       .orderBy($"node")
   }
 
+  /** Newman modularity of the q219 LPA partition (q353) — Newman &
+    * Girvan 2004: Q = Σ_c [ L_c/m − (d_c/2m)² ] over the same
+    * support-filtered undirected graph and the same 4-round LPA
+    * labels; the quality score that tells a pipeline whether the
+    * communities it just computed are structure or noise (Q ≈ 0 ⇒ no
+    * better than random wiring given the degree sequence). The
+    * LPA/Q pairing is deliberate: LPA itself never optimizes Q, so
+    * this is an unbiased audit, not a circular one. Determinism at
+    * any scale: Q reduces to (ΣL_c)/m − (Σd_c²)/(4m²) — BOTH numerators
+    * are exact integer sums (Σd_c² in decimal(38,0) — a hub community's
+    * d_c² can pass 2^63 long before the graph is large), so no float
+    * ever accumulates across rows; one double expression at the end.
+    * Cost over q219: one degree agg + one edge⋈labels join (twice,
+    * on each endpoint — the a-side join reuses the LPA edge
+    * partitioning). */
+  def qModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val und = edgesOf(s, dir)
+      .groupBy(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" >= LpaSupport)
+      .select($"a", $"b")
+      .roundBarrier()
+    modularityOf(und)
+  }
+
+  /** Modularity core over canonical (a < b) undirected edges; split
+    * out so GraphSpec-style fixtures can pin Q on crafted graphs
+    * (two disjoint triangles ⇒ Q = 1/2). */
+  private[graft] def modularityOf(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val lbl = lpaLabels(und).select($"node", $"comm")
+    val deg = und.select($"a".as("node"))
+      .union(und.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val dc = deg.join(lbl, "node")
+      .groupBy($"comm").agg(sum($"d").as("dc"))
+    val lc = und
+      .join(lbl.select($"node".as("a"), $"comm".as("ca")), "a")
+      .join(lbl.select($"node".as("b"), $"comm".as("cb")), "b")
+      .filter($"ca" === $"cb")
+      .groupBy($"ca".as("comm")).agg(count(lit(1)).as("lc"))
+    val m = und.agg(count(lit(1)).as("m"))
+    dc.join(lc, Seq("comm"), "left")
+      .select($"comm", coalesce($"lc", lit(0L)).as("lc"), $"dc")
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_comms"),
+        first($"m").as("m_edges"),
+        sum($"lc").as("intra"),
+        sum(($"dc" * $"dc").cast("decimal(38,0)")).as("d2"))
+      .select($"n_comms", $"m_edges",
+        $"intra".as("intra_edges"),
+        (round($"intra".cast("double") / when($"m_edges" > 0L,
+            $"m_edges") -
+          $"d2".cast("double") /
+            (lit(4.0) * $"m_edges" * $"m_edges"), 4) + lit(0.0))
+          .as("modularity"))
+  }
+
   private val BfsIters = 4
 
   /** Multi-source BFS hop distance (q220) — the distance semiring over
@@ -833,6 +893,7 @@ object GraphQueries extends QueryModule {
         "q291_hits" -> (qHits _),
         "q292_adamic_adar" -> (qAdamicAdar _),
         "q340_edge_clustering" -> (qEdgeClustering _),
+        "q353_modularity" -> (qModularity _),
         "q325_personalized_pagerank" -> (qPersonalizedPagerank _))
 
   /** The oracle unrolls the same three iterations as chained CTEs. */
@@ -1033,7 +1094,9 @@ object GraphQueries extends QueryModule {
         |CROSS JOIN cv
         |ORDER BY a0.node""".stripMargin
     }
-    val lpaSql = {
+    // the LPA chain (graph build + 4 unrolled rounds) is shared by the
+    // q219 read-out and q353's modularity tail
+    val lpaChain = {
       val rounds = (1 to LpaIters).map { i =>
         s"""c$i AS (
           |  SELECT s.u AS node, l.lab, CAST(count(*) AS BIGINT) AS cnt
@@ -1045,7 +1108,7 @@ object GraphQueries extends QueryModule {
           |      PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rk
           |    FROM c$i) WHERE rk = 1)""".stripMargin
       }.mkString(",\n")
-      s"""WITH ev AS (
+      s"""ev AS (
         |  SELECT user_id, ts, event_id,
         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
         |  FROM events),
@@ -1064,11 +1127,46 @@ object GraphQueries extends QueryModule {
         |  SELECT a AS u, b AS v FROM und
         |  UNION ALL SELECT b, a FROM und),
         |l0 AS (SELECT DISTINCT u AS node, u AS lab FROM sym),
-        |$rounds
+        |$rounds""".stripMargin
+    }
+    val lpaSql =
+      s"""WITH $lpaChain
         |SELECT node, lab AS comm,
         |  CAST(count(*) OVER (PARTITION BY lab) AS BIGINT) AS comm_size
         |FROM l$LpaIters ORDER BY node""".stripMargin
-    }
+    // q353: modularity over the same chain — exact integer numerators
+    // (ΣL_c, Σd_c²), one double expression at the end, every agg shape
+    // mirroring the engine (LEFT JOIN + coalesce for edge-less
+    // communities, any_value(m) so the empty-graph row is NULL/0 the
+    // same way on both engines)
+    val modularitySql =
+      s"""WITH $lpaChain,
+        |lab AS (SELECT node, lab FROM l$LpaIters),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS node FROM und
+        |    UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |dcq AS (
+        |  SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dc
+        |  FROM deg d JOIN lab l USING (node) GROUP BY l.lab),
+        |lcq AS (
+        |  SELECT la.lab, CAST(count(*) AS BIGINT) AS lc
+        |  FROM und u JOIN lab la ON la.node = u.a
+        |  JOIN lab lb ON lb.node = u.b
+        |  WHERE la.lab = lb.lab GROUP BY la.lab),
+        |mrow AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        |per AS (
+        |  SELECT d.lab, coalesce(l.lc, 0) AS lc, d.dc
+        |  FROM dcq d LEFT JOIN lcq l USING (lab))
+        |SELECT CAST(count(*) AS BIGINT) AS n_comms,
+        |  any_value(m) AS m_edges,
+        |  CAST(sum(lc) AS BIGINT) AS intra_edges,
+        |  round(CAST(sum(lc) AS DOUBLE) / nullif(any_value(m), 0)
+        |    - CAST(sum(dc * dc) AS DOUBLE)
+        |      / (4.0 * any_value(m) * any_value(m)), 4) + 0.0
+        |    AS modularity
+        |FROM per CROSS JOIN mrow""".stripMargin
     val bfsSql = {
       val rounds = (1 to BfsIters).map { i =>
         s"""d$i AS MATERIALIZED (
@@ -1110,6 +1208,7 @@ object GraphQueries extends QueryModule {
     Map(
       "q216_kcore" -> kcoreSql,
       "q219_lpa_communities" -> lpaSql,
+      "q353_modularity" -> modularitySql,
       "q220_bfs_hops" -> bfsSql,
       "q214_degree_mle" ->
         """WITH ui AS (

@@ -1978,6 +1978,67 @@ object QualityQueries extends QueryModule {
         .as("eta_sq"))
   }
 
+  /** Welch's unequal-variance t (q352) — Welch 1947, the two-sample
+    * location test that drops ANOVA's (q336) equal-variance
+    * assumption: t on click-vs-purchase event values with the
+    * Welch–Satterthwaite df. The pair everything-else-here implies:
+    * q336 tests k means under homoskedasticity, q341 tests the
+    * homoskedasticity itself, q294 is the rank fallback — Welch is
+    * the parametric answer when q341 REJECTS. Determinism: values
+    * quantize to exact 1e-6-grid longs per row (a float Σ over rows
+    * is accumulation-order-dependent), Σv and Σv² sum exactly
+    * (decimal(38,0) — v²_µ ≈ 2.5e17/row overflows a long SUM, not a
+    * row), and both engines then run the identical double tree. One
+    * map-side-combined aggregate; scalar algebra after. */
+  def qWelchT(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vm = floor($"value" * 1e6 + 0.5).cast("long")
+    val m = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", vm.as("vm"))
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n2"),
+        sum(when($"event_type" === "click", $"vm").otherwise(0L))
+          .as("s1"),
+        sum(when($"event_type" === "purchase", $"vm").otherwise(0L))
+          .as("s2"),
+        sum(when($"event_type" === "click",
+          ($"vm" * $"vm").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when($"event_type" === "purchase",
+          ($"vm" * $"vm").cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
+    // sample variances in micro² units; n < 2 ⇒ NULL via the guards
+    val v1 = ($"q1".cast("double") -
+      $"s1".cast("double") * $"s1".cast("double") /
+        when($"n1" > 0L, $"n1")) / when($"n1" > 1L, $"n1" - 1L)
+    val v2 = ($"q2".cast("double") -
+      $"s2".cast("double") * $"s2".cast("double") /
+        when($"n2" > 0L, $"n2")) / when($"n2" > 1L, $"n2" - 1L)
+    val se1 = v1 / $"n1"
+    val se2 = v2 / $"n2"
+    // micro-unit means over micro-unit standard error: units cancel;
+    // zero pooled SE (both groups constant) ⇒ NULL, never an ANSI /0
+    val seTot = sqrt(se1 + se2)
+    val tStat = ($"s1".cast("double") /
+      when($"n1" > 0L, $"n1") -
+      $"s2".cast("double") / when($"n2" > 0L, $"n2")) /
+      when(seTot =!= 0.0, seTot)
+    val dfW = (se1 + se2) * (se1 + se2) /
+      when($"n1" > 1L && $"n2" > 1L &&
+          (se1 =!= 0.0 || se2 =!= 0.0),
+        se1 * se1 / ($"n1" - 1L) + se2 * se2 / ($"n2" - 1L))
+    m.select($"n1", $"n2",
+      (round($"s1".cast("double") / when($"n1" > 0L, $"n1") / 1e6, 4)
+        + lit(0.0)).as("mean_click"),
+      (round($"s2".cast("double") / when($"n2" > 0L, $"n2") / 1e6, 4)
+        + lit(0.0)).as("mean_purchase"),
+      (round(tStat, 4) + lit(0.0)).as("t_stat"),
+      (round(dfW, 4) + lit(0.0)).as("df_welch"))
+  }
+
   /** q343's fold count. */
   private val FoldK = 5
 
@@ -2103,6 +2164,7 @@ object QualityQueries extends QueryModule {
     Map(
       "q313_kruskal_wallis"  -> (qKruskalWallis _),
       "q336_anova_f"         -> (qAnovaF _),
+      "q352_welch_t"         -> (qWelchT _),
       "q339_g_test"          -> (qGTest _),
       "q341_levene_bf"       -> (qLeveneBf _),
       "q343_grouped_folds"   -> (qGroupedFolds _),
@@ -2337,6 +2399,49 @@ object QualityQueries extends QueryModule {
         |    / nullif((q - rterm) / nullif(CAST(n - k AS DOUBLE), 0.0),
         |      0.0), 4) + 0.0 > 2.0, FALSE) AS flagged
         |FROM a""".stripMargin,
+    // q352: Welch from the same exact-integer moments (vm on the 1e-6
+    // grid; Σvm² in HUGEINT, matching the engine's decimal(38,0));
+    // every guard mirrors the engine's when(...) as CASE/nullif, and
+    // DuckDB's natural NULL-on-/0 covers the n=0 paths the engine
+    // nulls via a NULL numerator
+    "q352_welch_t" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN vm ELSE 0
+        |      END) AS DOUBLE) AS s1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm ELSE 0
+        |      END) AS DOUBLE) AS s2,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN vm * vm
+        |      ELSE 0 END) AS DOUBLE) AS q1,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm * vm
+        |      ELSE 0 END) AS DOUBLE) AS q2
+        |  FROM b),
+        |v AS (
+        |  SELECT *,
+        |    (q1 - s1 * s1 / nullif(n1, 0))
+        |      / (CASE WHEN n1 > 1 THEN n1 - 1 END) AS v1,
+        |    (q2 - s2 * s2 / nullif(n2, 0))
+        |      / (CASE WHEN n2 > 1 THEN n2 - 1 END) AS v2
+        |  FROM m),
+        |e AS (SELECT *, v1 / n1 AS se1, v2 / n2 AS se2 FROM v)
+        |SELECT n1, n2,
+        |  round(s1 / nullif(n1, 0) / 1e6, 4) + 0.0 AS mean_click,
+        |  round(s2 / nullif(n2, 0) / 1e6, 4) + 0.0 AS mean_purchase,
+        |  round((s1 / nullif(n1, 0) - s2 / nullif(n2, 0))
+        |    / nullif(sqrt(se1 + se2), 0.0), 4) + 0.0 AS t_stat,
+        |  round((se1 + se2) * (se1 + se2) /
+        |    (CASE WHEN n1 > 1 AND n2 > 1 AND (se1 <> 0.0 OR se2 <> 0.0)
+        |     THEN se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1) END), 4)
+        |    + 0.0 AS df_welch
+        |FROM e""".stripMargin,
     // q336: ANOVA from the same sorted-group-fold discipline as q313;
     // every divisor nullif'd so the degenerate cases agree with the
     // engine's when-guards

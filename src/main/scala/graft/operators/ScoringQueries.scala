@@ -2499,8 +2499,184 @@ object ScoringQueries extends QueryModule {
       .orderBy($"pos")
   }
 
+  /** q356's Huber threshold (chars) and round count. */
+  private val HuberDelta = 300.0
+  private val HuberRounds = 2
+
+  /** Huber-robust regression by IRLS (q356) — Huber 1964 via
+    * iteratively reweighted least squares: q300's ridge fit chases
+    * outliers (squared loss is unbounded); Huber caps each row's pull
+    * at δ, the fit a quality-score regression over a heavy-tailed
+    * corpus actually wants. Round 0 solves q300's ridge system
+    * (weights ≡ 1); each IRLS round recomputes per-row weights
+    * u = min(1, δ/|y − ŷ|) and re-solves the u-weighted normal
+    * equations — the textbook W-update. Distributed shape is q300's
+    * multiplied by rounds: one map-side-combined 10-moment aggregate
+    * per round (weights fold INTO the aggregate — the corpus is never
+    * materialized with a weight column), scalar cofactor algebra on a
+    * 1-row broadcast after. Determinism: u quantizes to the 1e-6 grid
+    * per row, so every weighted moment is an exact integer sum
+    * (decimal(38,0) where u_µ·x·x can overflow a long SUM), w snaps
+    * to 1e-9 between rounds — both engines walk identical doubles. */
+  def qHuberIrls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    huberCore(Tables.documents(s, dir).select(
+      size(split($"text", " ")).cast("long").as("x1"),
+      size(array_distinct(split($"text", " "))).cast("long").as("x2"),
+      $"n_chars".as("y")))
+  }
+
+  /** Huber-IRLS core over any integer (x1, x2, y) frame; split out so
+    * the spec can pin outlier resistance on a planted law. */
+  private[graft] def huberCore(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.roundBarrier()
+    val lam = lit(100.0) // q300's ridge stabilizer, kept per round
+    def snap9(c: Column): Column =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    // one u-weighted solve; uMicro is an exact 1e-6-grid long per row
+    def solve(f: DataFrame, uMicro: Column): DataFrame = {
+      def dm(c: Column): Column =
+        sum((uMicro * c).cast("decimal(38,0)")).cast("double") / 1e6
+      f.agg(
+          sum(uMicro).cast("double").as("nw"),
+          count(lit(1)).as("nl"),
+          sum(uMicro * $"x1").cast("double").as("s1"),
+          sum(uMicro * $"x2").cast("double").as("s2"),
+          dm($"x1" * $"x1").as("s11"),
+          dm($"x1" * $"x2").as("s12"),
+          dm($"x2" * $"x2").as("s22"),
+          sum(uMicro * $"y").cast("double").as("sy"),
+          dm($"x1" * $"y").as("s1y"),
+          dm($"x2" * $"y").as("s2y"))
+        .select($"nl", ($"nw" / 1e6).as("nw"),
+          ($"s1" / 1e6).as("s1"), ($"s2" / 1e6).as("s2"),
+          $"s11", $"s12", $"s22",
+          ($"sy" / 1e6).as("sy"), $"s1y", $"s2y")
+        .withColumn("a11", $"nw" + lam)
+        .withColumn("a22", $"s11" + lam)
+        .withColumn("a33", $"s22" + lam)
+        .withColumn("det",
+          $"a11" * ($"a22" * $"a33" - $"s12" * $"s12")
+            - $"s1" * ($"s1" * $"a33" - $"s12" * $"s2")
+            + $"s2" * ($"s1" * $"s12" - $"a22" * $"s2"))
+        .select($"nl",
+          snap9((($"a22" * $"a33" - $"s12" * $"s12") * $"sy"
+            + ($"s2" * $"s12" - $"s1" * $"a33") * $"s1y"
+            + ($"s1" * $"s12" - $"s2" * $"a22") * $"s2y") / $"det")
+            .as("w0"),
+          snap9((($"s2" * $"s12" - $"s1" * $"a33") * $"sy"
+            + ($"a11" * $"a33" - $"s2" * $"s2") * $"s1y"
+            + ($"s2" * $"s1" - $"a11" * $"s12") * $"s2y") / $"det")
+            .as("w1"),
+          snap9((($"s1" * $"s12" - $"s2" * $"a22") * $"sy"
+            + ($"s2" * $"s1" - $"a11" * $"s12") * $"s1y"
+            + ($"a11" * $"a22" - $"s1" * $"s1") * $"s2y") / $"det")
+            .as("w2"))
+    }
+    var w = solve(base, lit(1000000L)).roundBarrier()
+    for (_ <- 1 to HuberRounds) {
+      val f = base.crossJoin(broadcast(w))
+      val resid = $"y" - ($"w0" + $"w1" * $"x1" + $"w2" * $"x2")
+      // |r| ≤ δ keeps full weight; the branch guard keeps the δ/|r|
+      // division away from |r| = 0 (ANSI)
+      val u = when(abs(resid) <= lit(HuberDelta), lit(1.0))
+        .otherwise(lit(HuberDelta) / abs(resid))
+      w = solve(f, floor(u * lit(1e6) + lit(0.5)).cast("long"))
+        .roundBarrier()
+    }
+    val fin = base.crossJoin(broadcast(w))
+    val resid = $"y" - ($"w0" + $"w1" * $"x1" + $"w2" * $"x2")
+    fin.agg(
+        count(lit(1)).as("n"),
+        first($"w0").as("f0"), first($"w1").as("f1"),
+        first($"w2").as("f2"),
+        sum(floor(abs(resid) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("ar"))
+      .select($"n",
+        (round($"f0", 4) + lit(0.0)).as("w0"),
+        (round($"f1", 4) + lit(0.0)).as("w1"),
+        (round($"f2", 4) + lit(0.0)).as("w2"),
+        (round($"ar".cast("double") / when($"n" > 0L, $"n") / 1e6, 4)
+          + lit(0.0)).as("mean_abs_resid"))
+  }
+
+  /** q354's grid: within-source deciles. */
+  private val QnTiles = 10
+
+  /** Discrete quantile normalization (q354) — Bolstad et al. 2003
+    * (the microarray method) on the decile grid: each source's
+    * document-length distribution maps onto the cross-source
+    * reference curve — within each source rank-decile, the value is
+    * replaced by the mean of all sources' decile means. The
+    * batch-effect corrector for per-source quality/length scores
+    * (q115 DETECTS per-source drift; this REMOVES it before mixing
+    * compares scores across sources). Shape: one per-source window
+    * (partitioned — never global), one (source, decile) aggregate,
+    * one |sources|×10 reference aggregate broadcast back. Per-cell
+    * means quantize to exact 1e-6-grid longs before the cross-source
+    * average, so no float accumulates across rows on either engine. */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val per = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("decile", ntile(QnTiles).over(w))
+      .groupBy($"source", $"decile")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sc"))
+      .withColumn("mean_mc",
+        floor($"sc".cast("double") * 1e6 / $"n" + 0.5).cast("long"))
+    val ref = per.groupBy($"decile")
+      .agg(sum($"mean_mc").as("sm"), count(lit(1)).as("ns"))
+      .select($"decile",
+        floor($"sm".cast("double") / $"ns" + 0.5).cast("long")
+          .as("ref_mc"))
+    per.join(ref, "decile")
+      .select($"source", $"decile", $"n",
+        (round($"mean_mc" / 1e6, 4) + lit(0.0)).as("raw_mean"),
+        (round($"ref_mc" / 1e6, 4) + lit(0.0)).as("norm_value"))
+      .orderBy($"source", $"decile")
+  }
+
+  /** q357's bucket count — 2^6, small enough that collisions are the
+    * POINT (the query reports them). */
+  private val FhBuckets = 64
+
+  /** Feature hashing (q357) — Weinberger et al. 2009's hashing trick:
+    * terms map to a FIXED 64-slot feature space via a hash bucket and
+    * a ± sign hash (the sign makes collisions cancel in expectation —
+    * the trick that keeps the estimator unbiased), the featurizer
+    * that replaces an unbounded vocabulary→index dictionary at 100 TB
+    * (no vocab broadcast, no OOV path — q164's problem dissolves).
+    * Published per bucket: distinct colliding terms, token mass, and
+    * the signed sum whose |·| ≪ mass signals heavy cancellation.
+    * Zero joins — one explode + one 64-group aggregate; the md5
+    * bucket/sign replays verbatim in SQL. */
+  def qFeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = md5(concat(lit("fh:"), $"term"))
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .select($"term",
+        pmod(conv(substring(h, 1, 6), 16, 10).cast("long"),
+          lit(FhBuckets.toLong)).as("bucket"),
+        when(substring(h, 7, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      .groupBy($"bucket")
+      .agg(countDistinct($"term").as("n_terms"),
+        count(lit(1)).as("n_tokens"),
+        sum($"sign").as("signed_sum"))
+      .orderBy($"bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q354_quantile_norm" -> (qQuantileNorm _),
+      "q356_huber_irls" -> (qHuberIrls _),
+      "q357_feature_hashing" -> (qFeatureHashing _),
       "q296_good_turing" -> (qGoodTuring _),
       "q299_logreg_gd" -> (qLogregGd _),
       "q338_cartography" -> (qCartography _),
@@ -2778,7 +2954,127 @@ object ScoringQueries extends QueryModule {
        |ORDER BY round""".stripMargin
   }
 
+  /** q356's oracle: the IRLS rounds unrolled — each round is one
+    * u-weighted 10-moment aggregate (exact integer sums; u on the
+    * 1e-6 grid) + the q300 cofactor solve, w snapped to 1e-9, exactly
+    * the engine's tree. */
+  private def huberIrlsSql: String = {
+    // one weighted solve: rows of `src` must expose x1, x2, y and the
+    // 1e-6-grid weight column um; emits w$i(w0, w1, w2)
+    def solve(i: Int, src: String): String =
+      s"""m$i AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    CAST(sum(um) AS DOUBLE) / 1e6 AS nw,
+        |    CAST(sum(um * x1) AS DOUBLE) / 1e6 AS s1,
+        |    CAST(sum(um * x2) AS DOUBLE) / 1e6 AS s2,
+        |    CAST(sum(um * x1 * x1) AS DOUBLE) / 1e6 AS s11,
+        |    CAST(sum(um * x1 * x2) AS DOUBLE) / 1e6 AS s12,
+        |    CAST(sum(um * x2 * x2) AS DOUBLE) / 1e6 AS s22,
+        |    CAST(sum(um * y) AS DOUBLE) / 1e6 AS sy,
+        |    CAST(sum(um * x1 * y) AS DOUBLE) / 1e6 AS s1y,
+        |    CAST(sum(um * x2 * y) AS DOUBLE) / 1e6 AS s2y
+        |  FROM $src),
+        |k$i AS (
+        |  SELECT *, nw + 100.0 AS a11, s11 + 100.0 AS a22,
+        |    s22 + 100.0 AS a33 FROM m$i),
+        |d$i AS (
+        |  SELECT *,
+        |    a11 * (a22 * a33 - s12 * s12)
+        |      - s1 * (s1 * a33 - s12 * s2)
+        |      + s2 * (s1 * s12 - a22 * s2) AS det
+        |  FROM k$i),
+        |w$i AS (
+        |  SELECT nl,
+        |    floor((((a22 * a33 - s12 * s12) * sy
+        |      + (s2 * s12 - s1 * a33) * s1y
+        |      + (s1 * s12 - s2 * a22) * s2y) / det) * 1e9 + 0.5) / 1e9
+        |      AS w0,
+        |    floor((((s2 * s12 - s1 * a33) * sy
+        |      + (a11 * a33 - s2 * s2) * s1y
+        |      + (s2 * s1 - a11 * s12) * s2y) / det) * 1e9 + 0.5) / 1e9
+        |      AS w1,
+        |    floor((((s1 * s12 - s2 * a22) * sy
+        |      + (s2 * s1 - a11 * s12) * s1y
+        |      + (a11 * a22 - s1 * s1) * s2y) / det) * 1e9 + 0.5) / 1e9
+        |      AS w2
+        |  FROM d$i)""".stripMargin
+    val rounds = (1 to HuberRounds).map { i =>
+      s"""r$i AS (
+        |  SELECT b.x1, b.x2, b.y,
+        |    CAST(floor((CASE
+        |      WHEN abs(b.y - (w.w0 + w.w1 * b.x1 + w.w2 * b.x2))
+        |        <= $HuberDelta THEN 1.0
+        |      ELSE $HuberDelta
+        |        / abs(b.y - (w.w0 + w.w1 * b.x1 + w.w2 * b.x2))
+        |      END) * 1e6 + 0.5) AS BIGINT) AS um
+        |  FROM b CROSS JOIN w${i - 1} w),
+        |${solve(i, s"r$i")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+      |  SELECT CAST(len(str_split(text, ' ')) AS BIGINT) AS x1,
+      |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+      |      AS x2,
+      |    n_chars AS y
+      |  FROM documents),
+      |b0 AS (SELECT *, CAST(1000000 AS BIGINT) AS um FROM b),
+      |${solve(0, "b0")},
+      |$rounds
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n,
+      |  round(w0, 4) + 0.0 AS w0, round(w1, 4) + 0.0 AS w1,
+      |  round(w2, 4) + 0.0 AS w2,
+      |  round(CAST((SELECT sum(CAST(floor(abs(b.y - (w.w0 + w.w1 * b.x1
+      |      + w.w2 * b.x2)) * 1e6 + 0.5) AS BIGINT))
+      |    FROM b CROSS JOIN w$HuberRounds w) AS DOUBLE)
+      |    / nullif((SELECT count(*) FROM b), 0) / 1e6, 4) + 0.0
+      |    AS mean_abs_resid
+      |FROM w$HuberRounds""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    // q354: ntile replays identically (both engines deal the first
+    // n mod 10 deciles the extra row); per-cell means quantize to
+    // 1e-6 longs before the cross-source average
+    "q354_quantile_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ntile(10) OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(decile AS BIGINT) AS decile,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(floor(CAST(sum(n_chars) AS DOUBLE) * 1e6 / count(*)
+        |      + 0.5) AS BIGINT) AS mean_mc
+        |  FROM d GROUP BY source, decile),
+        |ref AS (
+        |  SELECT decile,
+        |    CAST(floor(CAST(sum(mean_mc) AS DOUBLE) / count(*) + 0.5)
+        |      AS BIGINT) AS ref_mc
+        |  FROM per GROUP BY decile)
+        |SELECT source, decile, n,
+        |  round(mean_mc / 1e6, 4) + 0.0 AS raw_mean,
+        |  round(ref_mc / 1e6, 4) + 0.0 AS norm_value
+        |FROM per JOIN ref USING (decile)
+        |ORDER BY source, decile""".stripMargin,
+    // q356: the unrolled IRLS replay
+    "q356_huber_irls" -> huberIrlsSql,
+    // q357: md5 bucket/sign replayed verbatim; % and pmod agree on
+    // non-negative operands
+    "q357_feature_hashing" ->
+      """WITH t AS (
+        |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+        |h AS (
+        |  SELECT term,
+        |    ('0x' || substr(md5('fh:' || term), 1, 6))::BIGINT % 64
+        |      AS bucket,
+        |    CASE WHEN substr(md5('fh:' || term), 7, 1) IN
+        |      ('0', '1', '2', '3', '4', '5', '6', '7')
+        |    THEN 1 ELSE -1 END AS sign
+        |  FROM t WHERE term <> '')
+        |SELECT bucket, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(sign) AS BIGINT) AS signed_sum
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q317_adaboost_stumps" -> adaboostSql,
     "q324_sparse_logreg" -> sparseLogregSql,
     "q329_curriculum_schedule" -> {

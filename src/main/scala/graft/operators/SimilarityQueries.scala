@@ -448,6 +448,121 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cell")
   }
 
+  /** Simplified silhouette (q355) — Rousseeuw 1987's cluster-quality
+    * coefficient in its centroid form (Hruschka et al.'s "simplified
+    * silhouette": a(i) = distance to OWN centroid, b(i) = distance to
+    * the nearest OTHER centroid — the O(n·k) variant; the classic
+    * all-pairs a/b is O(n²) and exactly what a 100 TB pipeline can't
+    * run). Distances are cosine distances to the q42/q44 anchor
+    * literals, so assignment AND scoring replay verbatim in SQL.
+    * s = (b − a)/max(a, b) per vector, quantized to the 1e-6 grid
+    * before the per-cell mean (no float accumulates across rows).
+    * The q44 profile says how POPULATED each cell is; this says how
+    * SEPARATED — the go/no-go audit before trusting IVF cells (q42)
+    * or SemDeDup cells (q86) as semantic units. Zero joins: one map
+    * pass against 8 broadcast literals + one 8-group aggregate. */
+  def qSilhouette(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d,
+      transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    // anchor norms as Scala-computed double literals (q44's discipline:
+    // both engines hold the identical constant)
+    val aNorms = array(anchors.map(a =>
+      lit(math.sqrt(a.map(x => x * x).sum))): _*)
+    val dist = zip_with(d, aNorms,
+      (dd, an) => lit(1.0) - dd / ($"nrm" * an))
+    val withCell = vecs(s, dir)
+      .select($"vec_id",
+        element_at(sorted, 1).getField("idx").as("cell"),
+        dist.as("dl"))
+    val a = element_at($"dl", $"cell" + 1)
+    val b = array_min(filter($"dl", (_, i) => i =!= $"cell"))
+    val mx = greatest(a, b)
+    val sq = floor((b - a) / when(mx =!= 0.0, mx) * 1e6 + 0.5)
+      .cast("long")
+    withCell.select($"cell", sq.as("sq"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), count($"sq").as("n_scored"),
+        sum($"sq").as("ssum"))
+      .select($"cell".cast("long").as("cell"), $"n", $"n_scored",
+        (round($"ssum".cast("double") /
+          when($"n_scored" > 0L, $"n_scored") / 1e6, 4) + lit(0.0))
+          .as("mean_silhouette"))
+      .orderBy($"cell")
+  }
+
+  /** q360's selection size. */
+  private val FlK = 3
+
+  /** Greedy facility-location selection (q360) — Lin & Bilmes 2011's
+    * submodular data-subset objective F(S) = Σ_j max_{c∈S} sim(j, c),
+    * maximized by the classic (1−1/e)-greedy: the representative-
+    * subset selector behind coreset/exemplar curation (pick the k
+    * documents that best "cover" the corpus in embedding space).
+    * Candidate pool = the 8 per-cell representatives (min vec_id per
+    * q42 anchor cell — one exemplar per region), ground set = every
+    * vector; sim = cosine clamped at 0, quantized to 1e-6-grid longs
+    * so every gain sum and every coverage sum is an exact integer
+    * (greedy argmax can never ride float dust). Scale shape: per round
+    * ONE corpus pass against a ≤ 8-row broadcast (gains) + one 1-row
+    * argmax + one corpus update of the running best-sim column —
+    * 3 rounds, no driver collect, state = one long per row. The
+    * oracle unrolls the 3 rounds as CTEs. */
+  def qFacilityLocation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d,
+      transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val withCell = vecs(s, dir)
+      .select($"vec_id",
+        transform($"v", x => x / $"nrm").as("nv"),
+        element_at(sorted, 1).getField("idx").as("cell"))
+      .roundBarrier()
+    // one exemplar per cell: the min-vec_id row (integer-exact pick)
+    val repIds = withCell.groupBy($"cell")
+      .agg(min($"vec_id").as("cand_id"))
+    val reps = repIds.join(
+        withCell.select($"vec_id".as("cand_id"), $"nv".as("cnv")),
+        "cand_id")
+      .select($"cand_id", $"cnv").roundBarrier()
+    def smq(nv: Column, cnv: Column): Column =
+      floor(greatest(dot(nv, cnv), lit(0.0)) * 1e6 + 0.5).cast("long")
+    var corpus = withCell.select($"vec_id", $"nv")
+      .withColumn("best", lit(0L))
+    var pool = reps
+    var out: DataFrame = null
+    for (r <- 1 to FlK) {
+      val gains = corpus.crossJoin(broadcast(pool))
+        .select($"cand_id",
+          greatest(smq($"nv", $"cnv") - $"best", lit(0L)).as("g"))
+        .groupBy($"cand_id").agg(sum($"g").as("gain"))
+      val pick = gains
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"gain".desc, $"cand_id".asc)))
+        .filter($"rk" <= 1).select($"cand_id", $"gain")
+        .join(pool, "cand_id").roundBarrier()
+      corpus = corpus.crossJoin(broadcast(pick))
+        .select($"vec_id", $"nv",
+          greatest($"best", smq($"nv", $"cnv")).as("best"))
+        .roundBarrier()
+      val cov = corpus.agg(sum($"best").as("covsum"),
+        count(lit(1)).as("nvec"))
+      val row = pick.crossJoin(broadcast(cov))
+        .select(lit(r).cast("long").as("round"),
+          $"cand_id", ($"gain" / 1e6).as("gain"),
+          (round($"covsum".cast("double") /
+            when($"nvec" > 0L, $"nvec") / 1e6, 4) + lit(0.0))
+            .as("mean_coverage"))
+      out = if (out == null) row else out.unionAll(row)
+      pool = pool.join(pick.select($"cand_id"), Seq("cand_id"),
+        "left_anti").roundBarrier()
+    }
+    out.orderBy($"round")
+  }
+
   /** q321's mixture weights — the three λ points MAUVE's divergence
     * frontier is usually summarized at; exact two-decimal doubles so
     * both engines hold identical literals. */
@@ -1456,6 +1571,8 @@ object SimilarityQueries extends QueryModule {
     "q42b_ivf_kmeans" -> (qIvfKmeans _),
     "q43_topk_agg"    -> (qTopkAggregate _),
     "q44_cluster_stats" -> (qClusterStats _),
+    "q355_silhouette" -> (qSilhouette _),
+    "q360_facility_location" -> (qFacilityLocation _),
     "q235_shard_plan" -> (qShardPlan _),
     "q256_nprobe_sweep" -> (qNprobeSweep _),
     "q261_label_centroids" -> (qLabelCentroids _),
@@ -2001,6 +2118,115 @@ object SimilarityQueries extends QueryModule {
   }
 
   /** q44's oracle: same literal-anchor argmax as q42's, aggregated. */
+  /** q360's oracle: the greedy rounds unrolled — per round a gains
+    * aggregate (exact micro-long sums), a 1-row argmax, the best-sim
+    * column update, and the coverage read-out; pool shrinks via
+    * NOT IN. Round r's row vanishes with its pick (empty-corpus and
+    * exhausted-pool rounds publish nothing, like the engine). */
+  private def facilityLocationSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    def smq(nv: String, cnv: String): String =
+      s"CAST(floor(greatest(list_dot_product($nv, $cnv), 0.0) * 1e6" +
+        s" + 0.5) AS BIGINT)"
+    val rounds = (1 to FlK).map { r =>
+      val pool = if (r == 1) "reps"
+        else s"(SELECT * FROM reps WHERE cand_id NOT IN (" +
+          (1 until r).map(i => s"SELECT cand_id FROM p$i")
+            .mkString(" UNION ALL ") + "))"
+      s"""g$r AS (
+        |  SELECT p.cand_id,
+        |    sum(greatest(${smq("c.nv", "p.cnv")} - c.best, 0)) AS gain
+        |  FROM c${r - 1} c CROSS JOIN $pool p
+        |  GROUP BY p.cand_id),
+        |p$r AS (
+        |  SELECT cand_id, gain, cnv FROM (
+        |    SELECT g.cand_id, g.gain, r2.cnv,
+        |      row_number() OVER (ORDER BY g.gain DESC, g.cand_id)
+        |        AS rk
+        |    FROM g$r g JOIN reps r2 USING (cand_id)) WHERE rk = 1),
+        |c$r AS (
+        |  SELECT c.vec_id, c.nv,
+        |    greatest(c.best, ${smq("c.nv", "p.cnv")}) AS best
+        |  FROM c${r - 1} c CROSS JOIN p$r p),
+        |cov$r AS (
+        |  SELECT sum(best) AS covsum, count(*) AS nvec FROM c$r),
+        |row$r AS (
+        |  SELECT CAST($r AS BIGINT) AS round, cand_id,
+        |    gain / 1e6 AS gain,
+        |    round(CAST(covsum AS DOUBLE) / nullif(nvec, 0) / 1e6, 4)
+        |      + 0.0 AS mean_coverage
+        |  FROM p$r CROSS JOIN cov$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |wc AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x ->
+      |      x / sqrt(list_dot_product(v, v))) AS nv,
+      |    list_sort($structs)[1].idx AS cell
+      |  FROM dots),
+      |reps AS (
+      |  SELECT r.cand_id, w.nv AS cnv
+      |  FROM (SELECT cell, min(vec_id) AS cand_id FROM wc
+      |        GROUP BY cell) r
+      |  JOIN wc w ON w.vec_id = r.cand_id),
+      |c0 AS (SELECT vec_id, nv, CAST(0 AS BIGINT) AS best FROM wc),
+      |$rounds
+      |SELECT round, cand_id, gain, mean_coverage FROM (
+      |${(1 to FlK).map(r => s"  SELECT * FROM row$r")
+          .mkString("\n  UNION ALL\n")})
+      |ORDER BY round""".stripMargin
+  }
+
+  /** q355's oracle: the q44 assignment + per-element cosine-distance
+    * list (anchor norms as the same Scala-computed double literals),
+    * a/b via 1-based list ops, 1e-6 quantization before the per-cell
+    * mean. */
+  private def silhouetteSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    val aNorms = anchors.map(a => math.sqrt(a.map(x => x * x).sum))
+    val distList = anchors.indices.map(i =>
+      s"1.0 - d$i / (nrm * ${aNorms(i)})").mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |n1 AS (
+      |  SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm,
+      |    list_sort($structs)[1] AS best,
+      |    ${anchors.indices.map(i => s"d$i").mkString(", ")}
+      |  FROM dots),
+      |n2 AS (
+      |  SELECT vec_id, best.idx AS cell,
+      |    $distList AS dl
+      |  FROM n1),
+      |n3 AS (
+      |  SELECT cell, dl[cell + 1] AS a,
+      |    list_min(list_filter(dl, (x, i) -> i <> cell + 1)) AS b
+      |  FROM n2),
+      |sc AS (
+      |  SELECT cell,
+      |    CAST(floor((b - a) / nullif(greatest(a, b), 0.0) * 1e6
+      |      + 0.5) AS BIGINT) AS sq
+      |  FROM n3)
+      |SELECT CAST(cell AS BIGINT) AS cell,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(sq) AS BIGINT) AS n_scored,
+      |  round(CAST(sum(sq) AS DOUBLE) / nullif(count(sq), 0) / 1e6, 4)
+      |    + 0.0 AS mean_silhouette
+      |FROM sc GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   private def clusterStatsSql: String = {
     val dotCols = anchors.indices.map(i =>
       s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
@@ -2473,6 +2699,8 @@ object SimilarityQueries extends QueryModule {
     "q42_ivf_ann"     -> ivfAnnSql,
     "q42b_ivf_kmeans" -> ivfKmeansSql,
     "q44_cluster_stats" -> clusterStatsSql,
+    "q355_silhouette" -> silhouetteSql,
+    "q360_facility_location" -> facilityLocationSql,
     "q321_mauve_proxy" -> mauveProxySql,
     "q235_shard_plan" -> shardPlanSql,
     "q256_nprobe_sweep" -> nprobeSweepSql,

@@ -592,6 +592,66 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  /** q359's literal WordPiece vocabulary: 20 common English subwords
+    * plus the single-letter fallback (every [a-z]+ word encodes with
+    * zero UNKs — the char-fallback WordPiece ships with). Candidates
+    * try longest-first, ties lexicographic — the ONE ordered list both
+    * engines' greedy match is generated from. */
+  private val WpMulti = Seq("the", "ing", "ion", "ent", "er", "an",
+    "re", "on", "at", "en", "or", "ar", "te", "al", "st", "it", "is",
+    "le", "ra", "ri")
+  private val WpCands: Seq[String] =
+    (WpMulti ++ ('a' to 'z').map(_.toString)).distinct
+      .sortBy(p => (-p.length, p))
+  private val WpMaxLen = 16
+
+  /** WordPiece encode (q359) — Wu et al. 2016 (the BERT tokenizer):
+    * greedy LONGEST-match-first against a fixed vocabulary with
+    * `##`-marked continuations — the APPLY semantics that differ from
+    * BPE's (q132) ordered-merge replay: BPE applies fit-order merges,
+    * WordPiece re-derives the longest prefix at every position, so the
+    * two can split the same word differently from the same piece
+    * inventory. Runs on the DISTINCT [a-z]+ word frame (q110's
+    * discipline — never the token stream); the greedy scan is ONE
+    * in-row `aggregate` fold over ≤ 16 steps, each step a
+    * longest-first `coalesce` over the literal candidate list — zero
+    * shuffles before the final top-30 count (heap-rewritten). Both
+    * engines' greedy match is GENERATED from the same `WpCands` list
+    * (Spark coalesce chain ≡ SQL CASE chain), so the tie/order rule
+    * cannot drift. */
+  def qWordpiece(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike("^[a-z]+$") && length($"w") <= WpMaxLen)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    def pickTok(rem: Column): Column =
+      coalesce(WpCands.map(p =>
+        when(startswith(rem, lit(p)), lit(p))): _*)
+    val enc = aggregate(
+      sequence(lit(1), lit(WpMaxLen)),
+      struct($"w".as("rem"),
+        array().cast("array<string>").as("toks")),
+      (st, _) => {
+        val rem = st.getField("rem")
+        val toks = st.getField("toks")
+        val tok = pickTok(rem)
+        when(length(rem) === 0, st).otherwise(struct(
+          rem.substr(length(tok) + 1, lit(WpMaxLen)).as("rem"),
+          concat(toks, array(
+            when(size(toks) === 0, tok)
+              .otherwise(concat(lit("##"), tok)))).as("toks")))
+      },
+      st => st.getField("toks"))
+    val byN = Window.orderBy($"n".desc, $"tok")
+    words.select($"freq", explode(enc).as("tok"))
+      .groupBy($"tok").agg(sum($"freq").as("n"))
+      .withColumn("rk", row_number().over(byN))
+      .filter($"rk" <= 30)
+      .select($"rk", $"tok", $"n")
+      .orderBy($"rk")
+  }
+
   /** BPE compression card (q248) — the number a tokenizer fit is
     * JUDGED by (Sennrich et al. report it as the compression/fertility
     * trade): apply q137's sequential merge table to the vocabulary and
@@ -1038,6 +1098,7 @@ object TextQueries extends QueryModule {
     "q129_pmi_collocations" -> (qPmiCollocations _),
     "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
+    "q359_wordpiece"      -> (qWordpiece _),
     "q137_bpe_fit"        -> (qBpeFitSeq _),
     "q119_inverted_index" -> (qInvertedIndex _),
     "q121_word_entropy"   -> (qWordEntropy _),
@@ -1700,6 +1761,40 @@ object TextQueries extends QueryModule {
          |  round(sum(freq * ntok) / CAST(sum(freq) AS DOUBLE), 4)
          |    AS tokens_per_word
          |FROM fin""".stripMargin,
+    // q359: the same greedy longest-first match, generated from the
+    // same WpCands list as a CASE chain inside a recursive walk
+    "q359_wordpiece" -> {
+      val caseChain = WpCands.map(p =>
+        s"WHEN starts_with(rem, '$p') THEN '$p'").mkString("\n|      ")
+      s"""WITH RECURSIVE words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) <= $WpMaxLen
+         |  GROUP BY w),
+         |wp AS (
+         |  SELECT w, freq, w AS rem, CAST([] AS VARCHAR[]) AS toks
+         |  FROM words
+         |  UNION ALL
+         |  SELECT w, freq, substr(rem, len(tok) + 1),
+         |    list_append(toks,
+         |      CASE WHEN len(toks) = 0 THEN tok ELSE '##' || tok END)
+         |  FROM (
+         |    SELECT w, freq, rem, toks, CASE
+         |      $caseChain
+         |      END AS tok
+         |    FROM wp WHERE rem <> '')),
+         |toks AS (
+         |  SELECT freq, unnest(toks) AS tok FROM wp WHERE rem = ''),
+         |agg AS (
+         |  SELECT tok, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM toks GROUP BY tok),
+         |ranked AS (
+         |  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+         |  FROM agg)
+         |SELECT CAST(rk AS INTEGER) AS rk, tok, n
+         |FROM ranked WHERE rk <= 30 ORDER BY rk""".stripMargin
+    },
     "q132_bpe_encode" ->
       s"""WITH RECURSIVE ${bpeSeqCteSql(10)},
          |enc AS (

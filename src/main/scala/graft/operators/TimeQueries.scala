@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryModule
@@ -978,6 +978,132 @@ object TimeQueries extends QueryModule {
         $"c_ts".as("click_ts"),
         round($"c_value", 4).as("click_value"))
       .orderBy($"event_id")
+  }
+
+  /** Forward as-of join (q350) — the NEXT click at-or-after each
+    * purchase (pandas merge_asof direction='forward'; DuckDB
+    * `ASOF ... ON l.ts <= r.ts`): the upsell/reaction attribution
+    * question, mirror-image of q334's last-click-before. Same
+    * AsOfJoinExec single-pass merge: the forward candidate is the
+    * merge's un-consumed stream head — the row the backward advance
+    * loop stops AT — so the direction costs zero extra state and no
+    * second sort. Exchanges/sorts identical to q334. */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("c_ts"),
+        $"value".as("c_value"))
+    graft.plans.AsOfJoin.of(purchases, clicks, "user_id", "ts",
+        None, "forward")
+      .select($"event_id", purchases("user_id"),
+        round($"value", 4).as("value"),
+        $"c_ts".as("click_ts"),
+        round($"c_value", 4).as("click_value"))
+      .orderBy($"event_id")
+  }
+
+  /** Nearest as-of join (q351) — the closest click on EITHER side of
+    * each purchase, gap-ties to the earlier (backward) click, bounded
+    * by q335's 1 h tolerance (pandas merge_asof direction='nearest'):
+    * sensor-reading alignment where before/after is noise and only
+    * distance matters. Semantics pinned exactly: pick the smaller
+    * absolute gap FIRST, then tolerance-filter the chosen candidate —
+    * a nearer out-of-bound click nulls the row even when the farther
+    * side would have been in bound (matching merge_asof). The oracle
+    * replays as backward ASOF + forward ASOF + an exact-micros CASE
+    * on the two gaps — no native nearest exists in DuckDB, which is
+    * the point of owning the physical operator. */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"ts".as("c_ts"),
+        $"value".as("c_value"))
+    graft.plans.AsOfJoin.of(purchases, clicks, "user_id", "ts",
+        Some(AsofTolSec * 1000000L), "nearest")
+      .select($"event_id", purchases("user_id"),
+        round($"value", 4).as("value"),
+        $"c_ts".as("click_ts"),
+        round($"c_value", 4).as("click_value"))
+      .orderBy($"event_id")
+  }
+
+  /** q349's bucket width: 6 h in micros. Spans are intra-day (≤ 24 h),
+    * so a span explodes to ≤ 5 bucket rows — bounded fan-out. */
+  private val IvBucketUs = 21600000000L
+
+  /** Interval OVERLAP join (q349) — concurrent activity spans across
+    * DIFFERENT users: per (user, day, type) the [first, last] event
+    * span, then every (view-span, purchase-span) pair with
+    * `v.t0 ≤ p.t1 AND p.t0 ≤ v.t1` — the interval×interval theta join
+    * (q29 is point-in-range; q330/q345 are point-band). Naively a
+    * quadratic BNLJ; here each span explodes to its covered 6 h
+    * buckets (≤ 5 rows — fan-out bounded by span/width, the DeWitt
+    * partitioned interval-join construction), pairs meet on bucket
+    * EQUALITY, and exactly-once matching assigns each pair to the
+    * OWNER bucket `⌊max(v0, p0)/W⌋` — which both sides provably cover
+    * (max(v0,p0) ∈ [v0, v1] ∩ [p0, p1] under the overlap predicate,
+    * and ⌊·/W⌋ is monotone). At 100 TB candidate volume is per-bucket
+    * density², never corpus²; the oracle replays the naive quadratic
+    * join. Overlap micros sum exactly as integers; one double divide
+    * at the end. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def bkt(c: Column): Column =
+      floor(c / lit(IvBucketUs.toDouble)).cast("long")
+    val sp = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id", to_date($"ts").as("day"), $"event_type")
+      .agg(min(unix_micros($"ts")).as("t0"),
+        max(unix_micros($"ts")).as("t1"))
+    val v = sp.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day",
+        $"t0".as("v0"), $"t1".as("v1"))
+      .withColumn("bucket", explode(sequence(bkt($"v0"), bkt($"v1"))))
+    val p = sp.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"t0".as("p0"), $"t1".as("p1"))
+      .withColumn("bucket", explode(sequence(bkt($"p0"), bkt($"p1"))))
+    v.join(p, Seq("bucket"))
+      .filter($"vu" =!= $"pu" && $"v0" <= $"p1" && $"p0" <= $"v1" &&
+        $"bucket" === bkt(greatest($"v0", $"p0")))
+      .select($"day",
+        (least($"v1", $"p1") - greatest($"v0", $"p0")).as("ov_us"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ov_us").as("sum_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_pairs",
+        (floor($"sum_us".cast("double") / $"n_pairs" / 100.0 + 0.5)
+          / 1e4).as("mean_overlap_sec"))
+      .orderBy($"day")
+  }
+
+  /** Event-sequence motif count (q358) — CEP-lite pattern matching
+    * (the MATCH_RECOGNIZE shape) over each user's event-type string:
+    * per user, order events by (ts, event_id), take each type's
+    * initial (c/e/p/s/v), and count non-overlapping
+    * `v[^p]*c[^p]*p` motifs — a view, then a click, then the FIRST
+    * purchase after it, with no intervening purchase: the converting
+    * journey counter. The char-class-only regex is deterministic
+    * across engines (greedy `[^p]*` cannot cross a `p`, so both
+    * java.util.regex and RE2 pin the same leftmost spans — no
+    * backtracking-order ambiguity). One groupBy shuffle; per-user
+    * state is that user's event count, never the corpus. */
+  def qEventMotifs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"ts", $"event_id",
+          substring($"event_type", 1, 1).as("i")))),
+        r => r.getField("i"))).as("seq"))
+      .select($"user_id", length($"seq").cast("long").as("seq_len"),
+        size(regexp_extract_all($"seq", lit("v[^p]*c[^p]*p"), lit(0)))
+          .cast("long").as("n_motifs"))
+      .orderBy($"user_id")
   }
 
   /** q345's band half-width on purchase values, and the deterministic
@@ -2391,6 +2517,10 @@ object TimeQueries extends QueryModule {
     "q346_band_left"         -> (qBandLeft _),
     "q347_asof_sql"          -> (qAsofSql _),
     "q348_band_semi"         -> (qBandSemi _),
+    "q349_interval_join"     -> (qIntervalJoin _),
+    "q350_asof_forward"      -> (qAsofForward _),
+    "q351_asof_nearest"      -> (qAsofNearest _),
+    "q358_event_motifs"      -> (qEventMotifs _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -3748,6 +3878,102 @@ object TimeQueries extends QueryModule {
         |  WHERE b.user_id <> a.user_id
         |    AND abs(a.value - b.value) <= $ValueBandEps)
         |ORDER BY eid""".stripMargin,
+    // q349: the naive quadratic interval-overlap replay — DuckDB's
+    // IEJoin handles the theta join directly; overlap micros are
+    // exact integers, one double divide at the end (same tree as the
+    // engine's)
+    "q349_interval_join" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+        |      FROM sp WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+        |      FROM sp WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT v.day,
+        |    least(v1, p1) - greatest(v0, p0) AS ov_us
+        |  FROM v JOIN p
+        |    ON vu <> pu AND v0 <= p1 AND p0 <= v1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(sum(ov_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
+        |    / 1e4 AS mean_overlap_sec
+        |FROM pr GROUP BY day ORDER BY day""".stripMargin,
+    // q350: DuckDB's forward ASOF — the inequality flips, the engine
+    // picks the smallest at-or-after right row
+    "q350_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, round(p.value, 4) AS value,
+        |  c.ts AS click_ts, round(c.value, 4) AS click_value
+        |FROM purchases p
+        |ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    // q351: nearest = backward ASOF + forward ASOF + an exact-micros
+    // gap CASE (ties → backward), tolerance filtering the CHOSEN side
+    // only — a nearer out-of-bound click nulls the row even when the
+    // farther side is in bound, matching the engine/merge_asof
+    "q351_asof_nearest" ->
+      s"""WITH clicks AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT p.event_id, c.ts AS b_ts, c.value AS b_value,
+        |    epoch_us(p.ts) - epoch_us(c.ts) AS b_gap
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (
+        |  SELECT p.event_id, c.ts AS f_ts, c.value AS f_value,
+        |    epoch_us(c.ts) - epoch_us(p.ts) AS f_gap
+        |  FROM purchases p
+        |  ASOF LEFT JOIN clicks c
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts),
+        |pick AS (
+        |  SELECT p.event_id, p.user_id, p.value,
+        |    CASE WHEN b_gap IS NOT NULL
+        |           AND (f_gap IS NULL OR b_gap <= f_gap)
+        |         THEN CASE WHEN b_gap <= ${AsofTolSec}000000
+        |              THEN b_ts END
+        |         WHEN f_gap IS NOT NULL
+        |         THEN CASE WHEN f_gap <= ${AsofTolSec}000000
+        |              THEN f_ts END END AS click_ts,
+        |    CASE WHEN b_gap IS NOT NULL
+        |           AND (f_gap IS NULL OR b_gap <= f_gap)
+        |         THEN CASE WHEN b_gap <= ${AsofTolSec}000000
+        |              THEN b_value END
+        |         WHEN f_gap IS NOT NULL
+        |         THEN CASE WHEN f_gap <= ${AsofTolSec}000000
+        |              THEN f_value END END AS click_value
+        |  FROM purchases p
+        |  JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, round(value, 4) AS value,
+        |  click_ts, round(click_value, 4) AS click_value
+        |FROM pick ORDER BY event_id""".stripMargin,
+    // q358: string_agg replays the ordered type-initial sequence; the
+    // char-class regex is engine-portable (see the query doc)
+    "q358_event_motifs" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))
+        |    AS BIGINT) AS n_motifs
+        |FROM seqs ORDER BY user_id""".stripMargin,
     // q347: same operator semantics as q334, reached via SQL — DuckDB
     // replays with its own ASOF LEFT JOIN
     "q347_asof_sql" ->

@@ -38,11 +38,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * matches only if `l.time − r.time ≤ tolerance` (same unit as the
   * long backing — micros for timestamps); a match outside the bound
   * yields nulls, never an older row (any older row is farther away, so
-  * the post-filter IS the tolerance semantics). */
+  * the post-filter IS the tolerance semantics).
+  *
+  * `direction` (round 13) is pandas merge_asof's direction surface:
+  *  - "backward" (default): latest right at-or-before the left time;
+  *  - "forward": EARLIEST right at-or-after the left time (DuckDB's
+  *    `ASOF ... ON l.t <= r.t`); tolerance bounds `r.time − l.time`;
+  *  - "nearest": whichever of the two candidates has the smaller
+  *    absolute gap (exact-time ties → the backward side), tolerance
+  *    bounding the chosen gap. All three run in the SAME single-pass
+  *    merge: after the advance loop the buffered row is the backward
+  *    candidate and the un-consumed stream head is the forward one —
+  *    no extra state, no second sort. A co-timed right row (gap 0)
+  *    serves every direction. */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    direction: String = "backward") extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,15 +65,16 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, dir,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long],
+    tolerance: Option[Long], direction: String,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   // observable in the Spark UI / SQLAppStatusStore like any built-in
@@ -95,6 +109,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val rightOut = right.output
     val allOut = output
     val tol = tolerance
+    val dir = direction
     val numOutputRows = longMetric("numOutputRows")
     val numMatchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -135,12 +150,44 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
               } else advance = false
             }
           }
-          // tolerance never re-opens an OLDER row: the buffered match
-          // is the closest at-or-before, so out-of-bound ⇒ no match
-          if (matchRow != null && matchKey == lKey &&
-              tol.forall(lTime - matchTime <= _)) {
+          // after the advance loop: the buffered row is the BACKWARD
+          // candidate (latest at-or-before, gap = lTime − matchTime)
+          // and the un-consumed stream head is the FORWARD one
+          // (earliest strictly-after; a gap-0 co-timed right was
+          // consumed into the buffer and serves both directions).
+          // tolerance never re-opens a farther row on either side.
+          val hasB = matchRow != null && matchKey == lKey
+          val bGap = lTime - matchTime
+          var fRow: InternalRow = null
+          var fGap = 0L
+          if (dir != "backward" && !(hasB && bGap == 0L) &&
+              rBuf.hasNext) {
+            val h = rBuf.head
+            val hk = rk.eval(h)
+            val ht = rt.eval(h)
+            if (hk != null && ht != null &&
+                hk.asInstanceOf[Long] == lKey) {
+              fRow = h
+              fGap = ht.asInstanceOf[Long] - lTime
+            }
+          }
+          val (cand, gap) = dir match {
+            case "backward" =>
+              if (hasB) (matchRow, bGap) else (null, 0L)
+            case "forward" =>
+              if (hasB && bGap == 0L) (matchRow, 0L)
+              else if (fRow != null) (fRow, fGap)
+              else (null, 0L)
+            case _ => // nearest: smaller gap wins, ties → backward
+              if (hasB && fRow != null) {
+                if (bGap <= fGap) (matchRow, bGap) else (fRow, fGap)
+              } else if (hasB) (matchRow, bGap)
+              else if (fRow != null) (fRow, fGap)
+              else (null, 0L)
+          }
+          if (cand != null && tol.forall(gap <= _)) {
             numMatchedRows += 1
-            proj(joined(l, matchRow))
+            proj(joined(l, cand))
           } else proj(joined(l, nullRow))
         }
       }
@@ -171,7 +218,15 @@ object AsOfJoin {
     * `l.time − r.time ≤ tolerance`, in the time column's long backing
     * unit (MICROSECONDS for timestamp columns, raw for bigint). */
   def of(left: DataFrame, right: DataFrame,
-      key: String, time: String, tolerance: Option[Long]): DataFrame = {
+      key: String, time: String, tolerance: Option[Long]): DataFrame =
+    of(left, right, key, time, tolerance, "backward")
+
+  /** Full surface: direction ∈ backward | forward | nearest (pandas
+    * merge_asof's direction semantics — see the node doc), tolerance
+    * bounding the matched gap in the long backing unit. */
+  def of(left: DataFrame, right: DataFrame,
+      key: String, time: String, tolerance: Option[Long],
+      direction: String): DataFrame = {
     val s = left.sparkSession
     val lp = left.queryExecution.analyzed
     // self-join hygiene: when both sides derive from the same scan
@@ -193,7 +248,9 @@ object AsOfJoin {
     require(Seq(lkA, rkA, ltA, rtA).forall(longBacked),
       "asof join: key and time must be bigint or timestamp columns")
     require(tolerance.forall(_ >= 0L), "asof join: tolerance must be >= 0")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asof join: direction must be backward|forward|nearest, got $direction")
     GraftBridge.dataFrame(s,
-      AsOfJoin(lp, rp, lkA, rkA, ltA, rtA, tolerance))
+      AsOfJoin(lp, rp, lkA, rkA, ltA, rtA, tolerance, direction))
   }
 }

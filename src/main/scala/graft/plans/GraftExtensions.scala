@@ -110,20 +110,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"asof_join: $what must be a string literal, got $other")
         }
-        require(exprs.size == 4 || exprs.size == 5,
-          "asof_join(left_tbl, right_tbl, key, time[, tolerance])")
-        val tol = if (exprs.size < 5) None else Some(
-          exprs(4).eval(null) match {
-            case i: Int => i.toLong
-            case l: Long => l
-            case other => throw new IllegalArgumentException(
-              s"asof_join: tolerance must be an integer literal, got $other")
-          })
+        require(exprs.size >= 4 && exprs.size <= 6,
+          "asof_join(left_tbl, right_tbl, key, time[, tolerance][, direction])")
+        // arg 5 is either the integer tolerance or (when no tolerance
+        // is wanted) the direction string; arg 6 is always direction
+        def asTol(e: Expression): Option[Long] = e.eval(null) match {
+          case i: Int => Some(i.toLong)
+          case l: Long => Some(l)
+          case _ => None
+        }
+        val (tol, dir) = exprs.drop(4) match {
+          case Seq() => (None, "backward")
+          case Seq(one) => asTol(one) match {
+            case Some(t) => (Some(t), "backward")
+            case None => (None, str(one, "direction"))
+          }
+          case Seq(t, d) => (
+            Some(asTol(t).getOrElse(throw new IllegalArgumentException(
+              "asof_join: tolerance must be an integer literal"))),
+            str(d, "direction"))
+        }
         val s = org.apache.spark.sql.SparkSession.active
         AsOfJoin.of(
           s.table(str(exprs(0), "left table")),
           s.table(str(exprs(1), "right table")),
-          str(exprs(2), "key"), str(exprs(3), "time"), tol)
+          str(exprs(2), "key"), str(exprs(3), "time"), tol, dir)
           .queryExecution.analyzed
       }))
   }

@@ -136,7 +136,11 @@ object DumpPlans {
     "q339_g_test", "q340_edge_clustering", "q341_levene_bf",
     "q342_clustering_depth", "q343_grouped_folds", "q344_thumbnail",
     "q345_value_band", "q346_band_left", "q347_asof_sql",
-    "q348_band_semi")
+    "q348_band_semi", "q349_interval_join", "q350_asof_forward",
+    "q351_asof_nearest", "q352_welch_t", "q353_modularity",
+    "q354_quantile_norm", "q355_silhouette", "q356_huber_irls",
+    "q357_feature_hashing", "q358_event_motifs", "q359_wordpiece",
+    "q360_facility_location")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

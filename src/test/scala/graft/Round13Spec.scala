@@ -1,168 +1,275 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators._
 
-/** Pins for the round-13 work: exact-long band bucketing (the
-  * round-12 ADVICE correctness hole — double-cast buckets round at
-  * |x| ≥ 2^52 and DROP true pairs), the outer/semi/anti band-join
-  * rewrites, the spark-submit spelling of the durable-barrier knob,
-  * and the q346/q347/q348 fixtures. Each test fails on the
-  * pre-round-13 form. */
+/** Pins for the round-13 work: AS-OF direction semantics
+  * (forward/nearest on the same single-pass merge), the bucketed
+  * interval-overlap join's exactly-once construction, the modularity
+  * and Huber-IRLS cores on crafted fixtures, and the extended
+  * asof_join TVF surface. Each test fails on the pre-round-13 form. */
 class Round13Spec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  // ---- exact-long band bucketing --------------------------------------
-
-  /** Ground truth computed in plain-Scala EXACT long arithmetic. */
-  private def truePairs(ls: Seq[Long], rs: Seq[Long], eps: Long)
-      : Set[(Long, Long)] =
-    (for (a <- ls; b <- rs if math.abs(a - b) <= eps) yield (a, b)).toSet
-
-  test("band rewrite is exact on 2^60-magnitude longs (ADVICE r12)") {
+  private def asofRows(dirn: String, tol: Option[Long] = None)
+      : Map[(Long, Long), Option[String]] = {
     import spark.implicits._
-    // Nanosecond-epoch territory: ulp(double(2^60)) = 256, so the old
-    // Floor(x / 11.0d) bucket could land a true pair many buckets
-    // apart and the ±1 explode missed it. Values straddle bucket
-    // boundaries densely on both signs; eps = 10 → width-11 buckets.
-    val base = 1L << 60
-    val ls = (0L until 40L).map(i => base + i * 3 - 60) ++
-      (0L until 40L).map(i => -base + i * 3 - 60)
-    val rs = (0L until 40L).map(i => base + i * 7 - 140) ++
-      (0L until 40L).map(i => -base + i * 7 - 140)
-    val l = ls.toDF("a")
-    val r = rs.toDF("b")
-    val got = l.join(r, abs($"a" - $"b") <= 10L)
-      .as[(Long, Long)].collect().toSet
-    val want = truePairs(ls, rs, 10L)
-    assert(want.nonEmpty, "fixture must generate true pairs")
-    assert(got == want,
-      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
-    // and the plan is the rewrite, not a BNLJ
-    val plan = l.join(r, abs($"a" - $"b") <= 10L)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // key 1 rights: t ∈ {90, 195, 300}; key 2 rights: t = 10
+    val left = Seq((1L, 100L), (1L, 200L), (1L, 250L), (1L, 300L),
+      (2L, 50L), (3L, 7L)).toDF("k", "t")
+    val right = Seq((1L, 90L, "r90"), (1L, 195L, "r195"),
+      (1L, 300L, "r300"), (2L, 10L, "r10")).toDF("k", "t", "rtag")
+    graft.plans.AsOfJoin.of(left, right, "k", "t", tol, dirn)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getString(4))))
+      .toMap
   }
 
-  test("integral band with fractional eps routes via the exact path") {
+  test("asof direction=forward: earliest at-or-after, nulls when none") {
+    val f = asofRows("forward")
+    assert(f((1L, 100L)) == Some("r195"))  // next after 100
+    assert(f((1L, 200L)) == Some("r300"))
+    assert(f((1L, 250L)) == Some("r300"))
+    assert(f((1L, 300L)) == Some("r300"))  // co-timed gap-0 matches
+    assert(f((2L, 50L)) == None)           // only earlier rights
+    assert(f((3L, 7L)) == None)            // keyless
+  }
+
+  test("asof direction=nearest: smaller gap wins, ties → backward") {
+    val n = asofRows("nearest")
+    assert(n((1L, 100L)) == Some("r90"))   // 10 back vs 95 fwd
+    assert(n((1L, 200L)) == Some("r195"))  // 5 back vs 100 fwd
+    assert(n((1L, 250L)) == Some("r300"))  // 55 back vs 50 fwd
+    assert(n((1L, 300L)) == Some("r300"))  // gap 0
+    assert(n((2L, 50L)) == Some("r10"))    // only backward exists
+    // tolerance applies to the CHOSEN side: at 250 the forward gap 50
+    // is nearest; tol=30 nulls it (the farther backward r195 at 55
+    // must NOT sneak back in)
+    val nt = asofRows("nearest", Some(30L))
+    assert(nt((1L, 250L)) == None)
+    assert(nt((1L, 200L)) == Some("r195")) // gap 5 within 30
+  }
+
+  test("asof forward/nearest still plan as the single AsOfJoinExec") {
     import spark.implicits._
-    // |a−b| ≤ 2.5 on longs ⟺ |a−b| ≤ 2; the rewrite must agree with
-    // the predicate exactly (it buckets at width ⌊ε⌋+1 = 3)
-    val ls = (-20L to 20L by 3).toSeq
-    val rs = (-20L to 20L by 2).toSeq
-    val got = ls.toDF("a").join(rs.toDF("b"),
-        abs($"a" - $"b") <= 2.5).as[(Long, Long)].collect().toSet
-    assert(got == truePairs(ls, rs, 2L))
+    val df = TimeQueries.queries("q350_asof_forward")(spark, sf)
+    df.collect()
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case _: graft.plans.AsOfJoinExec => true
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => find(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => find(q.plan)
+        case other => other.children.exists(find)
+      }
+    assert(find(df.queryExecution.executedPlan),
+      "q350 must execute through AsOfJoinExec")
   }
 
-  // ---- outer/semi/anti band joins -------------------------------------
-
-  /** The same query under a rule-free session — the naive twin. */
-  private def naiveSession = {
-    val s = spark.newSession()
-    s
-  }
-
-  private def bandFrames(s: org.apache.spark.sql.SparkSession)
-      : (DataFrame, DataFrame) = {
-    val sess = s
-    import sess.implicits._
-    // negative and positive values riding bucket boundaries; nulls too
-    val l = Seq[java.lang.Long](-7L, -3L, 0L, 4L, 9L, 15L, 100L, null)
-      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
-      .toDF("lid", "a")
-    val r = Seq[java.lang.Long](-6L, 1L, 8L, 50L, null)
-      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
-      .toDF("rid", "b")
-    (l, r)
-  }
-
-  private def collectSorted(df: DataFrame): Seq[String] =
-    df.collect().map(_.toString).sorted.toSeq
-
-  test("left/right outer + semi/anti band joins: rewrite ≡ naive twin") {
-    val (l, r) = bandFrames(spark)
-    val (ln, rn) = bandFrames(naiveSession)
-    val cond = abs(col("a") - col("b")) <= lit(2L)
-    for (jt <- Seq("left_outer", "right_outer", "left_semi", "left_anti")) {
-      val got = l.join(r, cond, jt)
-      val want = ln.join(rn, cond, jt)
-      assert(collectSorted(got) == collectSorted(want), s"join type $jt")
-      // unmatched preserved rows must appear EXACTLY once (the explode
-      // sits on the non-preserved side) — proven by the naive-equality
-      // above; also pin that the rewrite actually fired (no BNLJ) and
-      // the naive twin didn't (BNLJ present, so the twin is a real twin)
-      val gotPlan = got.queryExecution.executedPlan.toString
-      val wantPlan = want.queryExecution.executedPlan.toString
-      assert(!gotPlan.contains("BroadcastNestedLoopJoin"),
-        s"$jt rewrote to BNLJ:\n$gotPlan")
-      assert(wantPlan.contains("BroadcastNestedLoopJoin"),
-        s"$jt naive twin unexpectedly rewritten — rule leaked into " +
-          s"the fresh session:\n$wantPlan")
-    }
-  }
-
-  // ---- durable-barrier conf spelling ----------------------------------
-
-  test("spark.graft.checkpoint.dir (spark-submit spelling) activates " +
-      "reliable checkpoints") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ckpt13_").toString
-    val s2 = spark.newSession()
-    s2.conf.set(Barrier.DirConfSpark, dir) // the --conf forwardable key
-    val sess = s2
-    import sess.implicits._
-    val und = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
-    val df = graft.operators.GraphQueries.starComponents(und)
-    val rdds = df.queryExecution.analyzed.collectLeaves().collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
-    assert(rdds.nonEmpty)
-    assert(rdds.forall(_.getCheckpointFile.exists(_.contains(dir))),
-      s"documented --conf spelling must reach the barrier, got " +
-        s"${rdds.map(_.getCheckpointFile)}")
-  }
-
-  // ---- round-13 query fixtures ----------------------------------------
-
-  test("q346: every sampled purchase keeps a row; matched stats exact") {
+  test("asof_join TVF: direction argument reaches the operator") {
     import spark.implicits._
-    val rows = graft.operators.TimeQueries.qBandLeft(spark, sf)
-    val n = rows.count()
-    val sampled = graft.sources.Tables.events(spark, sf)
-      .filter($"event_type" === "purchase" && $"user_id" % 50 === 0L)
-      .count()
-    assert(n == sampled, "LEFT OUTER must keep every sampled purchase")
-    val unmatched = rows.filter($"n_near" === 0L)
-    assert(unmatched.collect().forall(_.isNullAt(2)),
-      "zero-match rows publish NULL mean_gap, never 0/0")
-  }
-
-  test("q348 ⊆ q346's matched set (semi ≡ n_near > 0)") {
-    import spark.implicits._
-    val semi = graft.operators.TimeQueries.qBandSemi(spark, sf)
-      .select($"eid").as[Long].collect().toSet
-    val pos = graft.operators.TimeQueries.qBandLeft(spark, sf)
-      .filter($"n_near" > 0L).select($"eid").as[Long].collect().toSet
-    assert(semi == pos)
-  }
-
-  test("q347: the SQL TVF answer equals the native DataFrame as-of") {
-    import spark.implicits._
-    val viaSql = graft.operators.TimeQueries.qAsofSql(spark, sf)
-      .collect().map(_.toString).toSeq
+    org.apache.spark.sql.GraftBridge.applyExtensions(spark,
+      new graft.plans.GraftExtensions()(_))
     val ev = graft.sources.Tables.events(spark, sf)
-    val p = ev.filter($"event_type" === "purchase")
+    ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"ts", $"value")
-    val c = ev.filter($"event_type" === "click")
+      .createOrReplaceTempView("r13_purchases")
+    ev.filter($"event_type" === "click")
       .select($"user_id", $"ts", $"value".as("c_value"))
-    val viaDf = graft.plans.AsOfJoin.of(p, c, "user_id", "ts")
-      .select($"event_id", round($"value", 4).as("value"),
-        round($"c_value", 4).as("click_value"))
-      .orderBy($"event_id").collect().map(_.toString).toSeq
-    assert(viaSql == viaDf)
-    assert(viaSql.nonEmpty)
+      .createOrReplaceTempView("r13_clicks")
+    val viaSql = spark.sql(
+      """SELECT event_id, round(c_value, 4) AS cv
+        |FROM asof_join('r13_purchases', 'r13_clicks', 'user_id', 'ts',
+        |               'forward')
+        |ORDER BY event_id""".stripMargin).collect().toSeq
+    val viaDf = TimeQueries.queries("q350_asof_forward")(spark, sf)
+      .select($"event_id", $"click_value".as("cv")).collect().toSeq
+    assert(viaSql.map(_.toString) == viaDf.map(_.toString))
+    // 6-arg form: tolerance + direction both parse and bound the gap
+    val bounded = spark.sql(
+      """SELECT count(c_value) AS matched
+        |FROM asof_join('r13_purchases', 'r13_clicks', 'user_id', 'ts',
+        |               1000000, 'forward')""".stripMargin)
+      .collect().head.getLong(0)
+    val unbounded = viaDf.count(!_.isNullAt(1))
+    assert(bounded <= unbounded)
+  }
+
+  test("q349 bucketed interval join ≡ naive quadratic join") {
+    import spark.implicits._
+    // replay the span build, then the NAIVE theta join — the bucketed
+    // exactly-once construction must reproduce it row for row
+    val sp = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id", to_date($"ts").as("day"), $"event_type")
+      .agg(min(unix_micros($"ts")).as("t0"),
+        max(unix_micros($"ts")).as("t1"))
+    val v = sp.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day", $"t0".as("v0"),
+        $"t1".as("v1"))
+    val p = sp.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"t0".as("p0"), $"t1".as("p1"))
+    val naive = v.join(p,
+        $"vu" =!= $"pu" && $"v0" <= $"p1" && $"p0" <= $"v1")
+      .select($"day",
+        (least($"v1", $"p1") - greatest($"v0", $"p0")).as("ov"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ov").as("sum_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_pairs",
+        (floor($"sum_us".cast("double") / $"n_pairs" / 100.0 + 0.5)
+          / 1e4).as("mean_overlap_sec"))
+      .collect().map(_.toString).sorted.toSeq
+    val bucketed = TimeQueries.queries("q349_interval_join")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty, "fixture corpus produced no overlaps")
+  }
+
+  test("modularity: two disjoint triangles score exactly 1/2") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val r = GraphQueries.modularityOf(und).collect().head
+    assert(r.getAs[Long]("n_comms") == 2L)
+    assert(r.getAs[Long]("m_edges") == 6L)
+    assert(r.getAs[Long]("intra_edges") == 6L)
+    // Q = Σ_c (L_c/m − (d_c/2m)²) = 1 − 2·(6/12)² = 0.5
+    assert(math.abs(r.getAs[Double]("modularity") - 0.5) < 1e-9)
+  }
+
+  test("huber IRLS resists a planted outlier where ridge-OLS cannot") {
+    import spark.implicits._
+    // y = 10 + 5·x1 exactly on 200 points (Σx1² ≫ λ, so the ridge
+    // shrinkage is negligible), plus ONE wild high-leverage outlier;
+    // x2 is a constant regressor the λ keeps identifiable
+    val rows = (1 to 200).map(i => (i.toLong, 1L, 10L + 5L * i)) :+
+      ((201L, 1L, 1000000L))
+    val base = rows.toDF("x1", "x2", "y")
+    val w1Huber = ScoringQueries.huberCore(base)
+      .collect().head.getAs[Double]("w1")
+    val w1Ols = QualityQueries.ridgeCore(base)
+      .collect().head.getAs[Double]("w1")
+    // the squared-loss fit is dragged far off the law by the single
+    // outlier; two IRLS reweightings must land near the planted slope
+    assert(math.abs(w1Ols - 5.0) > 5.0,
+      s"fixture too tame: ridge-OLS slope $w1Ols not perturbed")
+    assert(math.abs(w1Huber - 5.0) < 1.0,
+      s"huber slope $w1Huber should be near the planted 5.0")
+  }
+
+  test("streaming forward as-of ≡ batch q350 across a 3-batch split") {
+    import spark.implicits._
+    import graft.streaming.{StreamingAsOf, StreamingAsOfForward}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // event-time-ordered feed, purchases before co-timed clicks (the
+    // forward join's gap-0 side ordering) so a tercile cut can never
+    // place a matching co-timed click BEFORE its purchase
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"event_id", $"value")
+      .as[StreamingAsOf.Ev].collect()
+      .sortBy(e => (e.ts.getTime,
+        if (e.event_type == "purchase") 0 else 1, e.event_id))
+    val n = evs.length
+    val batches = Seq(evs.slice(0, n / 3), evs.slice(n / 3, 2 * n / 3),
+      evs.slice(2 * n / 3, n))
+    // horizon wider than the corpus span: only never-clicked-again
+    // purchases time out — exactly the batch join's null rows
+    val horizonMs = 400L * 24 * 3600 * 1000
+    val far = new java.sql.Timestamp(
+      evs.map(_.ts.getTime).max + horizonMs + 86400000L)
+    val src = MemoryStream[StreamingAsOf.Ev]
+    val q = StreamingAsOfForward(
+        src.toDS().withWatermark("ts", "0 seconds"), horizonMs)
+      .writeStream.format("memory").queryName("fwd_asof_out")
+      .outputMode("append").start()
+    val got = try {
+      batches.foreach { b =>
+        src.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      // two far-future view batches: the first advances the watermark,
+      // the second fires the pending-purchase timeouts under it
+      for (i <- 0 to 1) {
+        src.addData(StreamingAsOf.Ev(-1L, far, "view", -1L - i, 0.0))
+        q.processAllAvailable()
+      }
+      spark.table("fwd_asof_out").as[StreamingAsOf.AsOfOut].collect()
+        .map(o => o.event_id -> ((o.user_id, r4(o.value),
+          o.click_ts.map(_.toString).orNull,
+          o.click_value.map(v => r4(v).toString).orNull))).toMap
+    } finally q.stop()
+    val exp = SparkEntry.queries("q350_asof_forward")(spark, sf)
+      .collect().map { r =>
+        r.getAs[Long]("event_id") -> ((r.getAs[Long]("user_id"),
+          r.getAs[Double]("value"),
+          Option(r.getAs[java.sql.Timestamp]("click_ts"))
+            .map(_.toString).orNull,
+          Option(r.get(r.fieldIndex("click_value")))
+            .map(_.toString).orNull))
+      }.toMap
+    assert(got.size == exp.size, s"${got.size} vs ${exp.size} purchases")
+    val diffs = exp.keys.filter(k => got(k) != exp(k)).take(3)
+    assert(diffs.isEmpty, diffs.map(k =>
+      s"$k: stream=${got(k)} batch=${exp(k)}").mkString("; "))
+  }
+
+  test("sorted sparse dot: merge ≡ naive intersection, exact micros") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_sort, collect_list, struct}
+    // two sparse vectors as key-sorted (h, w) postings
+    val x = Seq((1L, 0.5), (3L, 2.0), (7L, -1.5), (9L, 4.0))
+    val y = Seq((2L, 9.9), (3L, 3.0), (9L, 0.25), (11L, 1.0))
+    val xm = x.toMap
+    val ym = y.toMap
+    val expected = xm.keySet.intersect(ym.keySet).toSeq
+      .map(k => math.floor(xm(k) * ym(k) * 1e9 + 0.5).toLong)
+      .sum // 3: 6e9, 9: 1e9 → 7e9
+    def vec(s: Seq[(Long, Double)]) = s.toDF("h", "w")
+      .agg(array_sort(collect_list(struct($"h", $"w"))).as("v"))
+    val got = vec(x).crossJoin(vec(y).withColumnRenamed("v", "v2"))
+      .select(graft.plans.VectorExpressions
+        .sortedSparseDotMicro($"v", $"v2").as("dm"))
+      .collect().head.getLong(0)
+    assert(got == expected && got == 7000000000L)
+    // disjoint keys ⇒ 0
+    val z = Seq((100L, 5.0))
+    val zero = vec(x).crossJoin(vec(z).withColumnRenamed("v", "v2"))
+      .select(graft.plans.VectorExpressions
+        .sortedSparseDotMicro($"v", $"v2").as("dm"))
+      .collect().head.getLong(0)
+    assert(zero == 0L)
+  }
+
+  test("q172 rewrite: sorted-merge dots reproduce the planted near-dups") {
+    // the real corpus through the rewritten query: same pair set as
+    // the oracle (checked by the driver); here pin that the known
+    // near-dup structure still surfaces and every cos is in [0.5, 1]
+    val rows = DedupQueries.queries("q172_sparse_cosine")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty, "sf0.001 planted near-dups must surface")
+    for (r <- rows) {
+      val c = r.getAs[Double]("cos")
+      assert(c >= 0.5 && c <= 1.0001, s"cos $c out of range")
+    }
+  }
+
+  test("silhouette: cells valid, scores bounded to [-1, 1]") {
+    val rows = SimilarityQueries.queries("q355_silhouette")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val cell = r.getAs[Long]("cell")
+      assert(cell >= 0L && cell < 8L)
+      assert(r.getAs[Long]("n_scored") <= r.getAs[Long]("n"))
+      val ms = r.getAs[Double]("mean_silhouette")
+      assert(ms >= -1.0 && ms <= 1.0, s"cell $cell: $ms out of bounds")
+    }
   }
 }

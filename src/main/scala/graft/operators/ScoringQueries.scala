@@ -2639,6 +2639,57 @@ object ScoringQueries extends QueryModule {
       .orderBy($"source", $"decile")
   }
 
+  /** q362's persistence parameter and evaluation depth; the p^(d−1)
+    * weights ship as Scala-computed double literals so both engines
+    * hold identical constants (java Math.pow vs libm pow can differ
+    * in the last ulp). */
+  private val RboP = 0.9
+  private val RboDepth = 20
+  private val RboW: Seq[Double] =
+    (1 to RboDepth).map(d => math.pow(RboP, d - 1))
+
+  /** Rank-biased overlap (q362) — Webber, Moffat & Zobel 2010: the
+    * top-weighted agreement measure between two INDEFINITE rankings,
+    * RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_{:d} ∩ B_{:d}|/d — the metric
+    * for "did my ranker change meaningfully" that Kendall/Spearman
+    * (q314/q295) get wrong for rankings where only the head matters
+    * (a swap at rank 2 should cost more than one at rank 19). Here:
+    * the corpus ranked by length vs by lexical richness (distinct
+    * tokens), truncated at depth 20 with p = 0.9. Scale shape: two
+    * heap-rewritten global top-20s (never a full sort), their join
+    * collapses to ONE ≤20-element aggregated array, and every depth's
+    * intersection size is an in-row filter over it — the depth fold is
+    * a fixed 20-term expression tree, identical on both engines, so no
+    * accumulation-order issue exists. */
+  def qRbo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars",
+      size(array_distinct(split($"text", " "))).as("ntok"))
+    def top(c: Column, name: String): DataFrame = docs
+      .withColumn("rk", row_number().over(
+        Window.orderBy(c.desc, $"doc_id".asc)))
+      .filter($"rk" <= RboDepth)
+      .select($"doc_id", $"rk".cast("long").as(name))
+    val common = top($"n_chars", "ra").join(top($"ntok", "rb"), "doc_id")
+    // empty-intersection corpora: DuckDB's list() over zero rows is
+    // NULL where Spark's collect_list is [] — coalesce on BOTH engines
+    val carr = common
+      .agg(collect_list(struct($"ra", $"rb")).as("prs0"))
+      .select(coalesce($"prs0",
+        array().cast("array<struct<ra:bigint,rb:bigint>>")).as("prs"))
+    def xAt(d: Int): Column = size(filter($"prs",
+      p => p.getField("ra") <= lit(d.toLong) &&
+        p.getField("rb") <= lit(d.toLong)))
+    val rbo = (1 to RboDepth).map(d =>
+      lit(RboW(d - 1)) * xAt(d).cast("double") / lit(d.toDouble))
+      .reduce(_ + _) * lit(1.0 - RboP)
+    carr.select(
+      xAt(5).cast("long").as("overlap_5"),
+      xAt(10).cast("long").as("overlap_10"),
+      xAt(RboDepth).cast("long").as("overlap_20"),
+      (round(rbo, 4) + lit(0.0)).as("rbo"))
+  }
+
   /** q357's bucket count — 2^6, small enough that collisions are the
     * POINT (the query reports them). */
   private val FhBuckets = 64
@@ -2675,6 +2726,7 @@ object ScoringQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q354_quantile_norm" -> (qQuantileNorm _),
+      "q362_rbo" -> (qRbo _),
       "q356_huber_irls" -> (qHuberIrls _),
       "q357_feature_hashing" -> (qFeatureHashing _),
       "q296_good_turing" -> (qGoodTuring _),
@@ -3030,7 +3082,45 @@ object ScoringQueries extends QueryModule {
       |FROM w$HuberRounds""".stripMargin
   }
 
+  /** q362's oracle: same two top-20s, same ≤20-element pair list, the
+    * identical fixed 20-term weight tree (weights printed from the
+    * SAME Scala doubles the engine lits). */
+  private def rboSql: String = {
+    def xAt(d: Int): String =
+      s"len(list_filter(prs, p -> p.ra <= $d AND p.rb <= $d))"
+    val terms = (1 to RboDepth).map(d =>
+      s"${RboW(d - 1)} * CAST(${xAt(d)} AS DOUBLE) / ${d.toDouble}")
+      .mkString("\n|      + ")
+    s"""WITH docs AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+      |      AS ntok
+      |  FROM documents),
+      |ta AS (
+      |  SELECT doc_id, CAST(rk AS BIGINT) AS ra FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY n_chars DESC, doc_id) AS rk FROM docs)
+      |  WHERE rk <= $RboDepth),
+      |tb AS (
+      |  SELECT doc_id, CAST(rk AS BIGINT) AS rb FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY ntok DESC, doc_id) AS rk FROM docs)
+      |  WHERE rk <= $RboDepth),
+      |cm AS (SELECT ra, rb FROM ta JOIN tb USING (doc_id)),
+      |arr AS (
+      |  SELECT coalesce(list({'ra': ra, 'rb': rb}),
+      |    []::STRUCT(ra BIGINT, rb BIGINT)[]) AS prs
+      |  FROM cm)
+      |SELECT
+      |  CAST(${xAt(5)} AS BIGINT) AS overlap_5,
+      |  CAST(${xAt(10)} AS BIGINT) AS overlap_10,
+      |  CAST(${xAt(RboDepth)} AS BIGINT) AS overlap_20,
+      |  round(($terms) * ${1.0 - RboP}, 4) + 0.0 AS rbo
+      |FROM arr""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    "q362_rbo" -> rboSql,
     // q354: ntile replays identically (both engines deal the first
     // n mod 10 deciles the extra row); per-cell means quantize to
     // 1e-6 longs before the cross-source average

@@ -493,6 +493,65 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cell")
   }
 
+  /** q361's target sample size. */
+  private val CoresetM = 64
+
+  /** Sensitivity-sampled coreset (q361) — the Bachem/Feldman/Krause
+    * lightweight-coreset recipe: sample each point with probability
+    * ∝ its SENSITIVITY (here the cosine distance to its nearest
+    * anchor — points a quantizer already represents well are cheap to
+    * drop, outliers must survive) and carry the inverse-probability
+    * weight 1/(m·p_i), so any weighted sum over the coreset is an
+    * unbiased estimate of the full-corpus sum — the construction that
+    * lets k-means/quantizer refits run on 64 rows instead of the
+    * corpus. Published per cell: population, kept count, and the
+    * weighted population estimate (the unbiasedness self-check —
+    * E[est] = n per cell). Determinism: sensitivities quantize to
+    * 1e-6-grid longs (exact Σ), the keep draw is an md5-uniform on a
+    * 2⁻²⁴ grid, and the weight quantizes to 1e-6 — both engines
+    * compare/sum exact integers everywhere. One map pass + one
+    * 8-group aggregate; zero joins. */
+  def qCoresetSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d,
+      transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val aNorms = array(anchors.map(a =>
+      lit(math.sqrt(a.map(x => x * x).sum))): _*)
+    val base = vecs(s, dir).select($"vec_id", $"nrm",
+      element_at(sorted, 1).getField("idx").as("cell"),
+      (-element_at(sorted, 1).getField("nd")).as("best_dot"))
+    val sens = base.select($"vec_id", $"cell",
+      floor((lit(1.0) - $"best_dot" /
+        ($"nrm" * element_at(aNorms, $"cell" + 1))) * 1e6 + 0.5)
+        .cast("long").as("sm"))
+    val tot = sens.agg(sum($"sm").as("stot"))
+    val dec = sens.crossJoin(broadcast(tot))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("cs:"),
+          $"vec_id".cast("string"))), 1, 6), 16, 10).cast("double")
+          / lit(16777216.0))
+      .withColumn("thr",
+        lit(CoresetM) * $"sm".cast("double") /
+          when($"stot" > 0L, $"stot"))
+      // coalesce: an all-zero-sensitivity corpus gives NULL thresholds
+      // (stot = 0) — keep NOTHING on both engines, never a NULL kept
+      .withColumn("kept", coalesce($"u" < $"thr", lit(false)))
+    dec.groupBy($"cell")
+      .agg(count(lit(1)).as("n"),
+        sum($"kept".cast("long")).as("n_kept"),
+        // inverse-probability mass, 1e-6-quantized; thr > 0 whenever
+        // kept (u ≥ 0 can never beat a zero threshold), so the guard
+        // only shields the never-taken branch from ANSI /0
+        sum(when($"kept",
+          floor(lit(1.0) / when($"thr" > 0.0, $"thr") * 1e6 + 0.5)
+            .cast("long")).otherwise(0L)).as("wm"))
+      .select($"cell".cast("long").as("cell"), $"n", $"n_kept",
+        (round($"wm" / 1e6, 4) + lit(0.0)).as("est_n"))
+      .orderBy($"cell")
+  }
+
   /** q360's selection size. */
   private val FlK = 3
 
@@ -1573,6 +1632,7 @@ object SimilarityQueries extends QueryModule {
     "q44_cluster_stats" -> (qClusterStats _),
     "q355_silhouette" -> (qSilhouette _),
     "q360_facility_location" -> (qFacilityLocation _),
+    "q361_coreset_sample" -> (qCoresetSample _),
     "q235_shard_plan" -> (qShardPlan _),
     "q256_nprobe_sweep" -> (qNprobeSweep _),
     "q261_label_centroids" -> (qLabelCentroids _),
@@ -2184,6 +2244,48 @@ object SimilarityQueries extends QueryModule {
       |ORDER BY round""".stripMargin
   }
 
+  /** q361's oracle: the q44 assignment + the same micro-quantized
+    * sensitivity, md5-uniform draw and inverse-probability weight;
+    * the CASE arms mirror the engine's coalesced kept flag. */
+  private def coresetSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    val aNorms = anchors.map(a =>
+      math.sqrt(a.map(x => x * x).sum)).mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |asg AS (
+      |  SELECT vec_id, sqrt(list_dot_product(v, v)) AS nrm,
+      |    list_sort($structs)[1] AS best
+      |  FROM dots),
+      |sens AS (
+      |  SELECT vec_id, best.idx AS cell,
+      |    CAST(floor((1.0 - (-best.nd)
+      |      / (nrm * ($aNorms)[best.idx + 1])) * 1e6 + 0.5) AS BIGINT)
+      |      AS sm
+      |  FROM asg),
+      |tot AS (SELECT sum(sm) AS stot FROM sens),
+      |dec AS (
+      |  SELECT cell,
+      |    ('0x' || substr(md5('cs:' || CAST(vec_id AS VARCHAR)), 1, 6))
+      |      ::BIGINT / 16777216.0 AS u,
+      |    $CoresetM * CAST(sm AS DOUBLE) / nullif(stot, 0) AS thr
+      |  FROM sens CROSS JOIN tot)
+      |SELECT CAST(cell AS BIGINT) AS cell,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN u < thr THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  round(CAST(sum(CASE WHEN u < thr THEN
+      |    CAST(floor(1.0 / thr * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+      |    AS DOUBLE) / 1e6, 4) + 0.0 AS est_n
+      |FROM dec GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** q355's oracle: the q44 assignment + per-element cosine-distance
     * list (anchor norms as the same Scala-computed double literals),
     * a/b via 1-based list ops, 1e-6 quantization before the per-cell
@@ -2701,6 +2803,7 @@ object SimilarityQueries extends QueryModule {
     "q44_cluster_stats" -> clusterStatsSql,
     "q355_silhouette" -> silhouetteSql,
     "q360_facility_location" -> facilityLocationSql,
+    "q361_coreset_sample" -> coresetSql,
     "q321_mauve_proxy" -> mauveProxySql,
     "q235_shard_plan" -> shardPlanSql,
     "q256_nprobe_sweep" -> nprobeSweepSql,

@@ -140,7 +140,7 @@ object DumpPlans {
     "q351_asof_nearest", "q352_welch_t", "q353_modularity",
     "q354_quantile_norm", "q355_silhouette", "q356_huber_irls",
     "q357_feature_hashing", "q358_event_motifs", "q359_wordpiece",
-    "q360_facility_location")
+    "q360_facility_location", "q361_coreset_sample", "q362_rbo")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

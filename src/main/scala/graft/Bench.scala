@@ -151,6 +151,8 @@ object Bench {
         graft.plans.TopKWindowRule)
       org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
         graft.plans.BandJoinRule)
+      org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
+        graft.plans.IntervalJoinRule)
       org.apache.spark.sql.GraftBridge.installStrategy(s,
         graft.plans.AsOfJoinStrategy)
       // Warm the JVM/codegen paths once so the first timed query doesn't

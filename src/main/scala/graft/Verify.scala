@@ -22,6 +22,8 @@ object Verify {
       graft.plans.TopKWindowRule)
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.BandJoinRule)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.IntervalJoinRule)
     org.apache.spark.sql.GraftBridge.installStrategy(spark,
       graft.plans.AsOfJoinStrategy)
     new java.io.File(outDir).mkdirs()

@@ -1081,6 +1081,46 @@ object TimeQueries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** Naive-spelled interval overlap join (q363) — q349's question
+    * written the way a user writes it: a plain theta join
+    * `v.t0 <= p.t1 AND p.t0 <= v.t1` with no bucketing anywhere in the
+    * query — and rewritten by `graft.plans.IntervalJoinRule` into the
+    * both-sides-bucketed equi join (q330/q345's relationship to
+    * BandJoinRule, extended to interval×interval). The width is
+    * workload knowledge, so the rule activates through the
+    * `spark.graft.intervalJoin.width` session conf (set here to q349's
+    * 6 h micros); the conf stays set for the session, which is safe by
+    * construction — the rule is result-preserving on every join it can
+    * match (original predicate is the residual, owner-bucket equality
+    * keeps pairs exactly once), and BandJoinRule runs first in the
+    * batch so band joins keep their specialized shape. Oracle = q349's
+    * naive quadratic replay verbatim; Round13Spec pins zero BNLJ and
+    * the two Generate fan-outs in the executed plan. */
+  def qIntervalNaive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set(graft.plans.IntervalJoinRule.WidthConf,
+      IvBucketUs.toString)
+    val sp = Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id", to_date($"ts").as("day"), $"event_type")
+      .agg(min(unix_micros($"ts")).as("t0"),
+        max(unix_micros($"ts")).as("t1"))
+    val v = sp.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day",
+        $"t0".as("v0"), $"t1".as("v1"))
+    val p = sp.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"t0".as("p0"), $"t1".as("p1"))
+    v.join(p, $"vu" =!= $"pu" && $"v0" <= $"p1" && $"p0" <= $"v1")
+      .select($"day",
+        (least($"v1", $"p1") - greatest($"v0", $"p0")).as("ov_us"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_pairs"), sum($"ov_us").as("sum_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_pairs",
+        (floor($"sum_us".cast("double") / $"n_pairs" / 100.0 + 0.5)
+          / 1e4).as("mean_overlap_sec"))
+      .orderBy($"day")
+  }
+
   /** Event-sequence motif count (q358) — CEP-lite pattern matching
     * (the MATCH_RECOGNIZE shape) over each user's event-type string:
     * per user, order events by (ts, event_id), take each type's
@@ -2518,6 +2558,7 @@ object TimeQueries extends QueryModule {
     "q347_asof_sql"          -> (qAsofSql _),
     "q348_band_semi"         -> (qBandSemi _),
     "q349_interval_join"     -> (qIntervalJoin _),
+    "q363_interval_rule"     -> (qIntervalNaive _),
     "q350_asof_forward"      -> (qAsofForward _),
     "q351_asof_nearest"      -> (qAsofNearest _),
     "q358_event_motifs"      -> (qEventMotifs _),
@@ -3883,6 +3924,29 @@ object TimeQueries extends QueryModule {
     // exact integers, one double divide at the end (same tree as the
     // engine's)
     "q349_interval_join" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+        |      FROM sp WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+        |      FROM sp WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT v.day,
+        |    least(v1, p1) - greatest(v0, p0) AS ov_us
+        |  FROM v JOIN p
+        |    ON vu <> pu AND v0 <= p1 AND p0 <= v1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  floor(CAST(sum(ov_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
+        |    / 1e4 AS mean_overlap_sec
+        |FROM pr GROUP BY day ORDER BY day""".stripMargin,
+    // q363: identical semantics to q349 (the rule must not change the
+    // answer) — same naive quadratic replay
+    "q363_interval_rule" ->
       """WITH sp AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,

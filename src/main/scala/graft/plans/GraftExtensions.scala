@@ -91,6 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TopKWindowRule)
     // |a−b| ≤ ε theta join → bucketed equi join (kills the BNLJ plan)
     ext.injectOptimizerRule(_ => BandJoinRule)
+    // interval-overlap theta join → both-sides-bucketed equi join,
+    // active when spark.graft.intervalJoin.width is set
+    ext.injectOptimizerRule(_ => IntervalJoinRule)
     // native AS-OF JOIN physical operator (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // asof_join('left_tbl','right_tbl','key','time'[, tolerance]) —

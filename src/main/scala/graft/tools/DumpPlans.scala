@@ -140,7 +140,8 @@ object DumpPlans {
     "q351_asof_nearest", "q352_welch_t", "q353_modularity",
     "q354_quantile_norm", "q355_silhouette", "q356_huber_irls",
     "q357_feature_hashing", "q358_event_motifs", "q359_wordpiece",
-    "q360_facility_location", "q361_coreset_sample", "q362_rbo")
+    "q360_facility_location", "q361_coreset_sample", "q362_rbo",
+    "q363_interval_rule")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -204,6 +205,8 @@ object DumpPlans {
       graft.plans.TopKWindowRule)
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.BandJoinRule)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.IntervalJoinRule)
     org.apache.spark.sql.GraftBridge.installStrategy(spark,
       graft.plans.AsOfJoinStrategy)
     val sb = new StringBuilder

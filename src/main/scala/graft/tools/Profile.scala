@@ -21,6 +21,8 @@ object Profile {
       graft.plans.TopKWindowRule)
     org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
       graft.plans.BandJoinRule)
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(spark,
+      graft.plans.IntervalJoinRule)
     org.apache.spark.sql.GraftBridge.installStrategy(spark,
       graft.plans.AsOfJoinStrategy)
     val qs = graft.SparkEntry.queries.toSeq.sortBy(_._1)

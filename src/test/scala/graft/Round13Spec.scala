@@ -220,6 +220,55 @@ class Round13Spec extends AnyFunSuite {
       s"$k: stream=${got(k)} batch=${exp(k)}").mkString("; "))
   }
 
+  test("IntervalJoinRule: naive overlap join plans bucketed, result-identical") {
+    import org.apache.spark.sql.execution.SparkPlan
+    val s2 = spark.newSession() // isolate the width conf
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(s2,
+      graft.plans.IntervalJoinRule)
+    def frames(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      // crafted intervals incl. an INVERTED row (t0 > t1 — the min/max
+      // normalization must keep its bucket cover) and a null endpoint
+      val a = Seq((1L, 100L, 200L), (2L, 250L, 260L),
+        (3L, 320L, 300L), (4L, 100L, 100L))
+        .toDF("aid", "a0", "a1")
+      val b = Seq((10L, 150L, 160L), (11L, 255L, 400L),
+        (12L, 290L, 310L), (13L, 95L, 100L))
+        .toDF("bid", "b0", "b1")
+      a.join(b, $"a0" <= $"b1" && $"b0" <= $"a1")
+        .select($"aid", $"bid")
+    }
+    val naive = frames(spark).collect().map(_.toString).sorted.toSeq
+    s2.conf.set(graft.plans.IntervalJoinRule.WidthConf, "50")
+    val rewritten = frames(s2)
+    assert(rewritten.collect().map(_.toString).sorted.toSeq == naive)
+    // plan shape: zero BNLJ, two Generates (both sides fan out)
+    def count(p: SparkPlan, pred: SparkPlan => Boolean): Int = {
+      val self = if (pred(p)) 1 else 0
+      val kids = p match {
+        case aq: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(aq.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(count(_, pred)).sum
+    }
+    val plan = rewritten.queryExecution.executedPlan
+    assert(count(plan, _.isInstanceOf[org.apache.spark.sql.execution
+      .joins.BroadcastNestedLoopJoinExec]) == 0,
+      "naive interval join must not plan as BNLJ under the rule")
+    assert(count(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) == 2,
+      "both sides must explode their bucket cover")
+    // conf unset ⇒ the rule is a provable no-op
+    s2.conf.unset(graft.plans.IntervalJoinRule.WidthConf)
+    val off = frames(s2)
+    assert(count(off.queryExecution.executedPlan,
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) == 0)
+    assert(off.collect().map(_.toString).sorted.toSeq == naive)
+  }
+
   test("sorted sparse dot: merge ≡ naive intersection, exact micros") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{array_sort, collect_list, struct}

@@ -1992,9 +1992,19 @@ object QualityQueries extends QueryModule {
     * map-side-combined aggregate; scalar algebra after. */
   def qWelchT(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vm = floor($"value" * 1e6 + 0.5).cast("long")
-    val m = Tables.events(s, dir)
+    welchOf(Tables.events(s, dir)
       .filter($"event_type".isin("click", "purchase"))
+      .select($"event_type", $"value"))
+  }
+
+  /** Welch core over any (event_type ∈ {click, purchase}, value)
+    * frame; split out so the spec can pin t/df on a textbook
+    * fixture. */
+  private[graft] def welchOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val vm = floor($"value" * 1e6 + 0.5).cast("long")
+    val m = base
       .select($"event_type", vm.as("vm"))
       .agg(
         sum(when($"event_type" === "click", 1L).otherwise(0L)).as("n1"),

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.StructType
   * twins; on a real cluster with spark-sql-kafka on the classpath this
   * code runs as-is.
   *
-  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted round 12,
-  * 2026-08-15): `sbt 'set libraryDependencies += "org.apache.spark" %%
+  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted rounds 12 and 13,
+  * 2026-08-15/16 — same ResolveException both times, and a fresh
+  * filesystem-wide jar sweep found no kafka artifact):
+  * `sbt 'set libraryDependencies += "org.apache.spark" %%
   * "spark-sql-kafka-0-10" % "4.1.2" % Test' update` fails offline —
   * the artifact is in neither /opt/spark/jars, the pre-warmed coursier
   * cache, nor the local ivy repo (ResolveException: Not found), and the

@@ -309,6 +309,56 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("welch t: textbook fixture pins t and the Satterthwaite df") {
+    import spark.implicits._
+    // a = {1..5} clicks vs b = {2,4,..,12} purchases:
+    // t = −2.3764, df = 6.9723 (hand/scipy-checked)
+    val base = (Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("click", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r = QualityQueries.welchOf(base).collect().head
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 6L)
+    assert(r.getAs[Double]("mean_click") == 3.0)
+    assert(r.getAs[Double]("mean_purchase") == 7.0)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-2.3764)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("df_welch") - 6.9723) < 1e-4)
+  }
+
+  test("wordpiece: greedy longest-match splits a crafted vocabulary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_wp_").toString
+    Seq((1L, "thering rat")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // thering → the|##ri|##n|##g (longest-first: "the" beats "t";
+    // "ri" beats "r"); rat → ra|##t
+    val got = operators.TextQueries.queries("q359_wordpiece")(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("the" -> 1L, "##ri" -> 1L, "##n" -> 1L,
+      "##g" -> 1L, "ra" -> 1L, "##t" -> 1L), got.toString)
+  }
+
+  test("rbo: aligned rankings score the closed-form partial sum") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rbo_").toString
+    // three docs where length rank == richness rank (a b c / a b / a)
+    Seq((1L, "aa bb cc", 300L), (2L, "aa bb", 200L), (3L, "aa", 100L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = operators.ScoringQueries.queries("q362_rbo")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("overlap_5") == 3L)
+    assert(r.getAs[Long]("overlap_20") == 3L)
+    // identical rankings of 3 items: X_d = min(d, 3) →
+    // RBO = (1−p)·Σ_{d=1}^{20} p^{d−1}·min(d,3)/d
+    val p = 0.9
+    val expected = (1 to 20).map(d =>
+      math.pow(p, d - 1) * math.min(d, 3).toDouble / d).sum * (1 - p)
+    assert(math.abs(r.getAs[Double]("rbo") - expected) < 1e-3,
+      s"rbo ${r.getAs[Double]("rbo")} vs $expected")
+  }
+
   test("silhouette: cells valid, scores bounded to [-1, 1]") {
     val rows = SimilarityQueries.queries("q355_silhouette")(spark, sf)
       .collect()

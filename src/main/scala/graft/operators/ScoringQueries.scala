@@ -2368,12 +2368,13 @@ object ScoringQueries extends QueryModule {
       (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
   }
 
-  /** Cartography core over any (doc_id, y, x1, x2) frame; split out so
-    * the spec can pin the easy/hard split on a separable fixture. */
-  private[graft] def cartographyOf(base0: DataFrame): DataFrame = {
-    val s = base0.sparkSession
+  /** The q299 trajectory with every round's weights kept: LrIters
+    * 1-row frames (a_r, b_r, c_r) over any (doc_id, y, x1, x2) frame —
+    * shared by cartography (q338), EL2N (q364) and forgetting events
+    * (q365), which are all reads over the SAME training dynamics. */
+  private def lrWeights(base: DataFrame): Seq[DataFrame] = {
+    val s = base.sparkSession
     import s.implicits._
-    val base = base0.roundBarrier()
     val nF = base.agg(count(lit(1)).as("n")).roundBarrier()
     var w = s.range(1)
       .select(lit(0.0).as("a"), lit(0.0).as("b"), lit(0.0).as("c"))
@@ -2396,8 +2397,27 @@ object ScoringQueries extends QueryModule {
         .roundBarrier()
       ws += w.select($"a".as(s"a$r"), $"b".as(s"b$r"), $"c".as(s"c$r"))
     }
+    ws.result()
+  }
+
+  /** The per-round TRUE-label probability as a 1e-6-grid long (q338's
+    * t_r), over a frame that carries y/x1/x2 + the round-r weights. */
+  private def probMicroAt(r: Int): Column = {
+    val ur = col(s"a$r") + col(s"b$r") * col("x1") +
+      col(s"c$r") * col("x2")
+    val pr = lit(0.5) + ur / (lit(2.0) * (lit(1.0) + abs(ur)))
+    floor(lit(1e6) * when(col("y") === 1.0, pr).otherwise(lit(1.0) - pr)
+      + lit(0.5)).cast("long")
+  }
+
+  /** Cartography core over any (doc_id, y, x1, x2) frame; split out so
+    * the spec can pin the easy/hard split on a separable fixture. */
+  private[graft] def cartographyOf(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.roundBarrier()
     var frame = base
-    for (wr <- ws.result()) frame = frame.crossJoin(broadcast(wr))
+    for (wr <- lrWeights(base)) frame = frame.crossJoin(broadcast(wr))
     val probs = (1 to LrIters).map { r =>
       val ur = col(s"a$r") + col(s"b$r") * $"x1" + col(s"c$r") * $"x2"
       val pr = lit(0.5) + ur / (lit(2.0) * (lit(1.0) + abs(ur)))
@@ -2639,6 +2659,112 @@ object ScoringQueries extends QueryModule {
       .orderBy($"source", $"decile")
   }
 
+  /** q364's early-training read point (EL2N is most informative a few
+    * steps in — Paul et al. use ~10 epochs of 200; round 2 of 8 is the
+    * same early fraction). */
+  private val El2nRound = 2
+
+  /** EL2N data pruning (q364) — Paul, Ganguli & Dziugaite 2021 ("Deep
+    * Learning on a Data Diet"): the error-L2-norm score ‖p − y‖₂ read
+    * EARLY in training separates prunable-easy examples (tiny error
+    * almost immediately) from the ones worth training on — the
+    * third training-dynamics curation signal next to q338's
+    * cartography (needs the whole trajectory) and q310's TracIn
+    * (needs a val set); EL2N needs two gradient steps. Built on the
+    * SAME q299 trajectory (lrWeights), scored at round 2; the
+    * pruning decision is "below the corpus median EL2N" — median via
+    * the exact interpolated percentile (q58's pairing), everything
+    * else exact micro-integer sums. Output: the two pruning classes
+    * with size, mean EL2N, and positive-label share (a pruning pass
+    * that silently drops one class's positives is how data diets go
+    * wrong — the share column is the audit). */
+  def qEl2nPruning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    el2nOf(Tables.documents(s, dir).select($"doc_id",
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
+  }
+
+  /** EL2N core over any (doc_id, y, x1, x2) frame. */
+  private[graft] def el2nOf(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.roundBarrier()
+    val w2 = lrWeights(base)(El2nRound - 1)
+    // binary case: ‖softmax − onehot‖₂ = √2·|p_true − 1|; the √2 is a
+    // monotone constant, so the score is e = 1 − p_true (micro-exact)
+    val scored = base.crossJoin(broadcast(w2))
+      .select($"doc_id", $"y",
+        (lit(1000000L) - probMicroAt(El2nRound)).as("e"))
+      .roundBarrier()
+    val med = scored.agg(
+      expr("percentile(e, 0.5)").as("med")).roundBarrier()
+    scored.crossJoin(broadcast(med))
+      .withColumn("pruned", coalesce($"e" < $"med", lit(false)))
+      .groupBy($"pruned")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"e").as("se"),
+        sum(($"y" === 1.0).cast("long")).as("npos"))
+      .select($"pruned", $"n_docs",
+        (floor(lit(1e4) * $"se".cast("double")
+          / (lit(1e6) * $"n_docs") + 0.5) / 1e4).as("mean_el2n"),
+        (floor(lit(1e4) * $"npos".cast("double") / $"n_docs" + 0.5)
+          / 1e4).as("pos_share"))
+      .orderBy($"pruned")
+  }
+
+  /** Forgetting events (q365) — Toneva et al. 2019 ("An Empirical
+    * Study of Example Forgetting during Deep Neural Network
+    * Learning"): per example, count the correct→incorrect transitions
+    * along the training trajectory; UNFORGETTABLE examples (learned
+    * once, never forgotten) are the safely prunable mass, examples
+    * that are never learned or keep being forgotten carry the signal
+    * (or the label noise — q338's `hard` region from a different
+    * angle). Same lrWeights trajectory; "correct at round r" is the
+    * exact integer compare p_µ ≥ 500 000, so transition counting can
+    * never ride float dust. One corpus pass with 8 broadcast weight
+    * rows; per-class exact-integer aggregates. */
+  def qForgetting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    forgettingOf(Tables.documents(s, dir).select($"doc_id",
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
+  }
+
+  /** Forgetting core over any (doc_id, y, x1, x2) frame. */
+  private[graft] def forgettingOf(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.roundBarrier()
+    var frame = base
+    for (wr <- lrWeights(base)) frame = frame.crossJoin(broadcast(wr))
+    val corr = (1 to LrIters).map(r =>
+      when(probMicroAt(r) >= lit(500000L), 1L).otherwise(0L))
+    val nForget = (2 to LrIters).map(r =>
+      when(corr(r - 2) === 1L && corr(r - 1) === 0L, 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val learned = corr.reduce(_ + _) > 0L
+    frame
+      .select($"doc_id",
+        nForget.as("nf"),
+        probMicroAt(LrIters).as("pfin"),
+        when(!learned, "never_learned")
+          .when(nForget === 0L, "unforgettable")
+          .otherwise("forgettable").as("class"))
+      .groupBy($"class")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"nf").as("snf"),
+        sum($"pfin").as("spf"))
+      .select($"class", $"n_docs",
+        (floor(lit(1e4) * $"snf".cast("double") / $"n_docs" + 0.5)
+          / 1e4).as("mean_forget_events"),
+        (floor(lit(1e4) * $"spf".cast("double")
+          / (lit(1e6) * $"n_docs") + 0.5) / 1e4).as("mean_final_prob"))
+      .orderBy($"class")
+  }
+
   /** q362's persistence parameter and evaluation depth; the p^(d−1)
     * weights ship as Scala-computed double literals so both engines
     * hold identical constants (java Math.pow vs libm pow can differ
@@ -2727,6 +2853,8 @@ object ScoringQueries extends QueryModule {
     Map(
       "q354_quantile_norm" -> (qQuantileNorm _),
       "q362_rbo" -> (qRbo _),
+      "q364_el2n_pruning" -> (qEl2nPruning _),
+      "q365_forgetting" -> (qForgetting _),
       "q356_huber_irls" -> (qHuberIrls _),
       "q357_feature_hashing" -> (qFeatureHashing _),
       "q296_good_turing" -> (qGoodTuring _),
@@ -3082,6 +3210,110 @@ object ScoringQueries extends QueryModule {
       |FROM w$HuberRounds""".stripMargin
   }
 
+  /** The q299/q338 trajectory as CTEs (f, nn, w0, g1/w1 … gR/wR) —
+    * the q364/q365 oracles read different statistics off the same
+    * unrolled chain. */
+  private def lrChainCtes: String = {
+    def rd(p: String, c: String): String =
+      s"""g$c AS (
+        |  SELECT
+        |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+        |      + 0.5)) AS ga,
+        |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+        |      * x1 + 0.5)) AS gb,
+        |    sum(floor(1e6 * (y - (0.5 + u / (2.0 * (1.0 + abs(u)))))
+        |      * x2 + 0.5)) AS gc
+        |  FROM (SELECT f.y, f.x1, f.x2,
+        |      w$p.a + w$p.b * f.x1 + w$p.c * f.x2 AS u
+        |    FROM f CROSS JOIN w$p)),
+        |w$c AS (
+        |  SELECT
+        |    floor((w$p.a + $LrRate * g$c.ga / (1e6 * nn.n)) * 1e9
+        |      + 0.5) / 1e9 AS a,
+        |    floor((w$p.b + $LrRate * g$c.gb / (1e6 * nn.n)) * 1e9
+        |      + 0.5) / 1e9 AS b,
+        |    floor((w$p.c + $LrRate * g$c.gc / (1e6 * nn.n)) * 1e9
+        |      + 0.5) / 1e9 AS c
+        |  FROM w$p CROSS JOIN g$c CROSS JOIN nn)""".stripMargin
+    val rounds = (1 to LrIters)
+      .map(i => rd((i - 1).toString, i.toString)).mkString(",\n")
+    s"""f AS (
+      |  SELECT CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)
+      |      AS y,
+      |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |    CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x2
+      |  FROM documents),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+      |w0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(0 AS DOUBLE) AS b,
+      |  CAST(0 AS DOUBLE) AS c),
+      |$rounds""".stripMargin
+  }
+
+  /** t_r: the round-r true-label probability as a micro long (q338's
+    * term form), over a row exposing y and u$r. */
+  private def lrTermSql(r: Int): String =
+    s"""CAST(floor(1e6 * (CASE WHEN y = 1.0
+       |      THEN (0.5 + u$r / (2.0 * (1.0 + abs(u$r))))
+       |      ELSE 1.0 - (0.5 + u$r / (2.0 * (1.0 + abs(u$r)))) END)
+       |      + 0.5) AS BIGINT) AS t$r""".stripMargin
+
+  private def el2nSql: String =
+    s"""WITH $lrChainCtes,
+      |scored AS (
+      |  SELECT f.y, w$El2nRound.a + w$El2nRound.b * f.x1
+      |    + w$El2nRound.c * f.x2 AS u$El2nRound
+      |  FROM f CROSS JOIN w$El2nRound),
+      |terms AS (SELECT y, ${lrTermSql(El2nRound)} FROM scored),
+      |e AS (SELECT y, 1000000 - t$El2nRound AS e FROM terms),
+      |med AS (SELECT quantile_cont(e, 0.5) AS med FROM e),
+      |dec AS (
+      |  SELECT y, e, coalesce(e < med, FALSE) AS pruned
+      |  FROM e CROSS JOIN med)
+      |SELECT pruned, CAST(count(*) AS BIGINT) AS n_docs,
+      |  floor(1e4 * CAST(sum(e) AS DOUBLE) / (1e6 * count(*)) + 0.5)
+      |    / 1e4 AS mean_el2n,
+      |  floor(1e4 * CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*) + 0.5) / 1e4 AS pos_share
+      |FROM dec GROUP BY pruned ORDER BY pruned""".stripMargin
+
+  private def forgettingSql: String = {
+    val us = (1 to LrIters).map(r =>
+      s"w$r.a + w$r.b * f.x1 + w$r.c * f.x2 AS u$r").mkString(",\n|    ")
+    val crossWs = (1 to LrIters).map(r => s"CROSS JOIN w$r").mkString(" ")
+    val ts = (1 to LrIters).map(lrTermSql).mkString(",\n|    ")
+    val nf = (2 to LrIters).map(r =>
+      s"CASE WHEN t${r - 1} >= 500000 AND t$r < 500000 THEN 1 ELSE 0 END")
+      .mkString("\n|      + ")
+    val learned = (1 to LrIters).map(r => s"t$r >= 500000")
+      .mkString(" OR ")
+    s"""WITH $lrChainCtes,
+      |scored AS (
+      |  SELECT f.y,
+      |    $us
+      |  FROM f $crossWs),
+      |terms AS (
+      |  SELECT y,
+      |    $ts
+      |  FROM scored),
+      |doc AS (
+      |  SELECT
+      |    ($nf) AS nf,
+      |    ($learned) AS learned,
+      |    t$LrIters AS pfin
+      |  FROM terms),
+      |cls AS (
+      |  SELECT CASE WHEN NOT learned THEN 'never_learned'
+      |    WHEN nf = 0 THEN 'unforgettable'
+      |    ELSE 'forgettable' END AS class, nf, pfin
+      |  FROM doc)
+      |SELECT class, CAST(count(*) AS BIGINT) AS n_docs,
+      |  floor(1e4 * CAST(sum(nf) AS DOUBLE) / count(*) + 0.5) / 1e4
+      |    AS mean_forget_events,
+      |  floor(1e4 * CAST(sum(pfin) AS DOUBLE) / (1e6 * count(*))
+      |    + 0.5) / 1e4 AS mean_final_prob
+      |FROM cls GROUP BY class ORDER BY class""".stripMargin
+  }
+
   /** q362's oracle: same two top-20s, same ≤20-element pair list, the
     * identical fixed 20-term weight tree (weights printed from the
     * SAME Scala doubles the engine lits). */
@@ -3121,6 +3353,8 @@ object ScoringQueries extends QueryModule {
 
   override def oracleSql: Map[String, String] = Map(
     "q362_rbo" -> rboSql,
+    "q364_el2n_pruning" -> el2nSql,
+    "q365_forgetting" -> forgettingSql,
     // q354: ntile replays identically (both engines deal the first
     // n mod 10 deciles the extra row); per-cell means quantize to
     // 1e-6 longs before the cross-source average

@@ -359,6 +359,36 @@ class Round13Spec extends AnyFunSuite {
       s"rbo ${r.getAs[Double]("rbo")} vs $expected")
   }
 
+  test("el2n + forgetting: mislabeled doc scores hard on both signals") {
+    import spark.implicits._
+    // q338's fixture: separable mass + one mislabeled doc
+    val base = Seq(
+      (1L, 1.0, 5.0, 0.0), (2L, 1.0, 5.0, 0.0), (3L, 1.0, 5.0, 0.0),
+      (4L, 0.0, -5.0, 0.0), (5L, 0.0, -5.0, 0.0), (6L, 0.0, -5.0, 0.0),
+      (7L, 0.0, 5.0, 0.0)) // mislabeled
+      .toDF("doc_id", "y", "x1", "x2")
+    val el2n = ScoringQueries.el2nOf(base).collect()
+      .map(r => r.getAs[Boolean]("pruned") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_el2n"))).toMap
+    assert(el2n.values.map(_._1).sum == 7L)
+    // the kept (high-EL2N) class must carry a higher mean error than
+    // the pruned-easy class — the score separates by construction
+    assert(el2n(false)._2 > el2n(true)._2, el2n.toString)
+    val fg = ScoringQueries.forgettingOf(base).collect()
+      .map(r => r.getAs[String]("class") ->
+        (r.getAs[Long]("n_docs"),
+          r.getAs[Double]("mean_final_prob"))).toMap
+    assert(fg.values.map(_._1).sum == 7L)
+    // the aligned mass is learned and never forgotten; the mislabeled
+    // doc must NOT land in the unforgettable class
+    assert(fg.contains("unforgettable"), fg.toString)
+    assert(fg("unforgettable")._1 == 6L, fg.toString)
+    val rest = (fg - "unforgettable").values.headOption
+    assert(rest.exists(_._1 == 1L), fg.toString)
+    assert(rest.exists(_._2 < fg("unforgettable")._2),
+      "mislabeled doc's final probability must trail the aligned mass")
+  }
+
   test("silhouette: cells valid, scores bounded to [-1, 1]") {
     val rows = SimilarityQueries.queries("q355_silhouette")(spark, sf)
       .collect()

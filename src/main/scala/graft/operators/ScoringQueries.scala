@@ -2765,6 +2765,87 @@ object ScoringQueries extends QueryModule {
       .orderBy($"class")
   }
 
+  /** Self-influence / memorization proxy (q366) — Pruthi et al.
+    * 2020's TracIn self-influence Σ_r η·‖∇ℓ_i(w_r)‖², the tractable
+    * stand-in for Feldman & Zhang 2020's memorization score: examples
+    * whose OWN gradients stay large across training are atypical or
+    * memorized — the long-tail/mislabeled mass a curation pass
+    * reviews first (and the privacy-risk ranking: memorized examples
+    * are the extraction-prone ones). Completes the training-dynamics
+    * quartet on the shared lrWeights trajectory: q338 maps regions,
+    * q364 reads one early step, q365 counts transitions, q366 ranks
+    * by gradient energy — four curation signals, ONE trajectory fit.
+    * For the 3-parameter model ‖∇ℓ_i‖² = d²·(1 + x1² + x2²) exactly;
+    * per-round terms quantize to 1e-6 longs so the ranking never
+    * rides float dust; top-10 reads through the heap rewrite. */
+  def qSelfInfluence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    selfInfluenceOf(Tables.documents(s, dir).select($"doc_id",
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      ($"n_chars" / lit(1000.0)).as("x1"),
+      (size(split($"text", " ")).cast("double") / lit(100.0)).as("x2")))
+  }
+
+  /** Self-influence core over any (doc_id, y, x1, x2) frame. */
+  private[graft] def selfInfluenceOf(base0: DataFrame): DataFrame = {
+    val s = base0.sparkSession
+    import s.implicits._
+    val base = base0.roundBarrier()
+    var frame = base
+    for (wr <- lrWeights(base)) frame = frame.crossJoin(broadcast(wr))
+    val si = (1 to LrIters).map { r =>
+      val ur = col(s"a$r") + col(s"b$r") * $"x1" + col(s"c$r") * $"x2"
+      val dr = $"y" - (lit(0.5) + ur / (lit(2.0) * (lit(1.0) + abs(ur))))
+      floor(lit(1e6) * lit(LrRate) * dr * dr *
+        (lit(1.0) + $"x1" * $"x1" + $"x2" * $"x2") + lit(0.5))
+        .cast("long")
+    }.reduce(_ + _)
+    frame.select($"doc_id", si.as("sim"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy($"sim".desc, $"doc_id".asc)))
+      .filter($"pos" <= 10)
+      .select($"pos", $"doc_id",
+        ($"sim" / 1e6).as("self_influence"))
+      .orderBy($"pos")
+  }
+
+  private def selfInfluenceSql: String = {
+    val us = (1 to LrIters).map(r =>
+      s"w$r.a + w$r.b * f.x1 + w$r.c * f.x2 AS u$r").mkString(",\n|    ")
+    val crossWs = (1 to LrIters).map(r => s"CROSS JOIN w$r").mkString(" ")
+    val ts = (1 to LrIters).map(r =>
+      s"""CAST(floor(1e6 * $LrRate
+         |      * (y - (0.5 + u$r / (2.0 * (1.0 + abs(u$r)))))
+         |      * (y - (0.5 + u$r / (2.0 * (1.0 + abs(u$r)))))
+         |      * (1.0 + x1 * x1 + x2 * x2) + 0.5) AS BIGINT)
+         |      AS t$r""".stripMargin).mkString(",\n|    ")
+    val siSum = (1 to LrIters).map(r => s"t$r").mkString(" + ")
+    s"""WITH $lrChainCtes,
+      |fid AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)
+      |      AS y,
+      |    CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+      |    CAST(len(str_split(text, ' ')) AS DOUBLE) / 100.0 AS x2
+      |  FROM documents),
+      |scored AS (
+      |  SELECT f.doc_id, f.y, f.x1, f.x2,
+      |    $us
+      |  FROM fid f $crossWs),
+      |terms AS (
+      |  SELECT doc_id,
+      |    $ts
+      |  FROM scored),
+      |doc AS (SELECT doc_id, ($siSum) AS sim FROM terms),
+      |rk AS (
+      |  SELECT doc_id, sim, row_number() OVER (
+      |    ORDER BY sim DESC, doc_id ASC) AS pos
+      |  FROM doc)
+      |SELECT CAST(pos AS INTEGER) AS pos, doc_id,
+      |  sim / 1e6 AS self_influence
+      |FROM rk WHERE pos <= 10 ORDER BY pos""".stripMargin
+  }
+
   /** q362's persistence parameter and evaluation depth; the p^(d−1)
     * weights ship as Scala-computed double literals so both engines
     * hold identical constants (java Math.pow vs libm pow can differ
@@ -2855,6 +2936,7 @@ object ScoringQueries extends QueryModule {
       "q362_rbo" -> (qRbo _),
       "q364_el2n_pruning" -> (qEl2nPruning _),
       "q365_forgetting" -> (qForgetting _),
+      "q366_self_influence" -> (qSelfInfluence _),
       "q356_huber_irls" -> (qHuberIrls _),
       "q357_feature_hashing" -> (qFeatureHashing _),
       "q296_good_turing" -> (qGoodTuring _),
@@ -3355,6 +3437,7 @@ object ScoringQueries extends QueryModule {
     "q362_rbo" -> rboSql,
     "q364_el2n_pruning" -> el2nSql,
     "q365_forgetting" -> forgettingSql,
+    "q366_self_influence" -> selfInfluenceSql,
     // q354: ntile replays identically (both engines deal the first
     // n mod 10 deciles the extra row); per-cell means quantize to
     // 1e-6 longs before the cross-source average

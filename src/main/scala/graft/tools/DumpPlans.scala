@@ -141,7 +141,8 @@ object DumpPlans {
     "q354_quantile_norm", "q355_silhouette", "q356_huber_irls",
     "q357_feature_hashing", "q358_event_motifs", "q359_wordpiece",
     "q360_facility_location", "q361_coreset_sample", "q362_rbo",
-    "q363_interval_rule", "q364_el2n_pruning", "q365_forgetting")
+    "q363_interval_rule", "q364_el2n_pruning", "q365_forgetting",
+    "q366_self_influence")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -67,6 +67,28 @@ object ScaleGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // embeddings (round 13): slice k re-ids vectors and adds a small
+    // deterministic per-slice, per-dimension perturbation
+    // (±0.02·((xxhash64(vec_id·64+j, k) mod 5) − 2)) — slice-local
+    // neighborhood structure survives (the ANN/coreset/silhouette
+    // workload scales ×k) while cross-slice near-identity is broken
+    // the same way the token substitution breaks it for text. Slice 0
+    // is the source verbatim.
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVec = emb.agg(max($"vec_id")).head.getLong(0) + 1L
+    emb.crossJoin(slices)
+      .select(
+        ($"vec_id" + $"k" * nVec).as("vec_id"),
+        when($"k" === 0, $"embedding").otherwise(
+          zip_with($"embedding",
+            sequence(lit(0), lit(63)),
+            (x, j) => x + (lit(0.02) *
+              (pmod(xxhash64($"vec_id" * 64 + j, $"k"), lit(5)) - 2))
+              .cast("float"))).as("embedding"),
+        $"label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     println(s"SCALEGEN wrote $out at ${factor}x of $src")
     spark.stop()
   }

@@ -309,6 +309,60 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming nearest as-of ≡ batch q351 across a 3-batch split") {
+    import spark.implicits._
+    import graft.streaming.{StreamingAsOf, StreamingAsOfNearest}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // clicks before co-timed purchases (a gap-0 click is the winning
+    // backward candidate — it must be in state when its purchase lands)
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"event_id", $"value")
+      .as[StreamingAsOf.Ev].collect()
+      .sortBy(e => (e.ts.getTime,
+        if (e.event_type == "click") 0 else 1, e.event_id))
+    val n = evs.length
+    val batches = Seq(evs.slice(0, n / 3), evs.slice(n / 3, 2 * n / 3),
+      evs.slice(2 * n / 3, n))
+    val tolUs = 3600L * 1000000L // q351's 1 h WITHIN bound
+    val far = new java.sql.Timestamp(
+      evs.map(_.ts.getTime).max + 30L * 86400000L)
+    val src = MemoryStream[StreamingAsOf.Ev]
+    val q = StreamingAsOfNearest(
+        src.toDS().withWatermark("ts", "0 seconds"), tolUs)
+      .writeStream.format("memory").queryName("near_asof_out")
+      .outputMode("append").start()
+    val got = try {
+      batches.foreach { b =>
+        src.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      for (i <- 0 to 1) {
+        src.addData(StreamingAsOf.Ev(-1L, far, "view", -1L - i, 0.0))
+        q.processAllAvailable()
+      }
+      spark.table("near_asof_out").as[StreamingAsOf.AsOfOut].collect()
+        .map(o => o.event_id -> ((o.user_id, r4(o.value),
+          o.click_ts.map(_.toString).orNull,
+          o.click_value.map(v => r4(v).toString).orNull))).toMap
+    } finally q.stop()
+    val exp = SparkEntry.queries("q351_asof_nearest")(spark, sf)
+      .collect().map { r =>
+        r.getAs[Long]("event_id") -> ((r.getAs[Long]("user_id"),
+          r.getAs[Double]("value"),
+          Option(r.getAs[java.sql.Timestamp]("click_ts"))
+            .map(_.toString).orNull,
+          Option(r.get(r.fieldIndex("click_value")))
+            .map(_.toString).orNull))
+      }.toMap
+    assert(got.size == exp.size, s"${got.size} vs ${exp.size} purchases")
+    val diffs = exp.keys.filter(k => got(k) != exp(k)).take(3)
+    assert(diffs.isEmpty, diffs.map(k =>
+      s"$k: stream=${got(k)} batch=${exp(k)}").mkString("; "))
+  }
+
   test("welch t: textbook fixture pins t and the Satterthwaite df") {
     import spark.implicits._
     // a = {1..5} clicks vs b = {2,4,..,12} purchases:

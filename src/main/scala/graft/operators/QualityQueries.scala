@@ -2014,11 +2014,15 @@ object QualityQueries extends QueryModule {
           .as("s1"),
         sum(when($"event_type" === "purchase", $"vm").otherwise(0L))
           .as("s2"),
+        // vm casts to decimal BEFORE squaring (ADVICE r13): a long×long
+        // square wraps silently past |vm| ≈ 3e9 (|value| ≥ ~3035) under
+        // non-ANSI while DuckDB's BIGINT*BIGINT errors — the per-row
+        // product must already be wide, not just the cross-row sum
         sum(when($"event_type" === "click",
-          ($"vm" * $"vm").cast("decimal(38,0)"))
+          $"vm".cast("decimal(19,0)") * $"vm")
           .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
         sum(when($"event_type" === "purchase",
-          ($"vm" * $"vm").cast("decimal(38,0)"))
+          $"vm".cast("decimal(19,0)") * $"vm")
           .otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
     // sample variances in micro² units; n < 2 ⇒ NULL via the guards
     val v1 = ($"q1".cast("double") -
@@ -2429,9 +2433,11 @@ object QualityQueries extends QueryModule {
         |      END) AS DOUBLE) AS s1,
         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm ELSE 0
         |      END) AS DOUBLE) AS s2,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN vm * vm
+        |    CAST(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(vm AS HUGEINT) * vm
         |      ELSE 0 END) AS DOUBLE) AS q1,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN vm * vm
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(vm AS HUGEINT) * vm
         |      ELSE 0 END) AS DOUBLE) AS q2
         |  FROM b),
         |v AS (

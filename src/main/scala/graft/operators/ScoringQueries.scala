@@ -2555,25 +2555,30 @@ object ScoringQueries extends QueryModule {
     val lam = lit(100.0) // q300's ridge stabilizer, kept per round
     def snap9(c: Column): Column =
       floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
-    // one u-weighted solve; uMicro is an exact 1e-6-grid long per row
+    // one u-weighted solve; uMicro is an exact 1e-6-grid long per row.
+    // EVERY weighted moment — first moments included (ADVICE r13) —
+    // routes through decimal with uMicro widened BEFORE the product:
+    // u_µ·(x·x) in plain long wraps past x ≈ 3e6 per row, and the
+    // first-moment long SUMs wrap once n·x̄ > 9.2e12 (real at 100 TB)
+    // while DuckDB sums BIGINT into HUGEINT — a silent divergence.
     def solve(f: DataFrame, uMicro: Column): DataFrame = {
       def dm(c: Column): Column =
-        sum((uMicro * c).cast("decimal(38,0)")).cast("double") / 1e6
+        sum(uMicro.cast("decimal(19,0)") * c).cast("double") / 1e6
       f.agg(
-          sum(uMicro).cast("double").as("nw"),
+          sum(uMicro.cast("decimal(19,0)")).cast("double").as("nw"),
           count(lit(1)).as("nl"),
-          sum(uMicro * $"x1").cast("double").as("s1"),
-          sum(uMicro * $"x2").cast("double").as("s2"),
+          dm($"x1").as("s1"),
+          dm($"x2").as("s2"),
           dm($"x1" * $"x1").as("s11"),
           dm($"x1" * $"x2").as("s12"),
           dm($"x2" * $"x2").as("s22"),
-          sum(uMicro * $"y").cast("double").as("sy"),
+          dm($"y").as("sy"),
           dm($"x1" * $"y").as("s1y"),
           dm($"x2" * $"y").as("s2y"))
         .select($"nl", ($"nw" / 1e6).as("nw"),
-          ($"s1" / 1e6).as("s1"), ($"s2" / 1e6).as("s2"),
+          $"s1", $"s2",
           $"s11", $"s12", $"s22",
-          ($"sy" / 1e6).as("sy"), $"s1y", $"s2y")
+          $"sy", $"s1y", $"s2y")
         .withColumn("a11", $"nw" + lam)
         .withColumn("a22", $"s11" + lam)
         .withColumn("a33", $"s22" + lam)
@@ -2612,8 +2617,8 @@ object ScoringQueries extends QueryModule {
         count(lit(1)).as("n"),
         first($"w0").as("f0"), first($"w1").as("f1"),
         first($"w2").as("f2"),
-        sum(floor(abs(resid) * lit(1e6) + lit(0.5)).cast("long"))
-          .as("ar"))
+        sum(floor(abs(resid) * lit(1e6) + lit(0.5))
+          .cast("decimal(38,0)")).as("ar"))
       .select($"n",
         (round($"f0", 4) + lit(0.0)).as("w0"),
         (round($"f1", 4) + lit(0.0)).as("w1"),

@@ -1088,15 +1088,20 @@ object TimeQueries extends QueryModule {
     * both-sides-bucketed equi join (q330/q345's relationship to
     * BandJoinRule, extended to interval×interval). The width is
     * workload knowledge, so the rule activates through the
-    * `spark.graft.intervalJoin.width` session conf (set here to q349's
-    * 6 h micros); the conf stays set for the session, which is safe by
-    * construction — the rule is result-preserving on every join it can
-    * match (original predicate is the residual, owner-bucket equality
-    * keeps pairs exactly once), and BandJoinRule runs first in the
-    * batch so band joins keep their specialized shape. Oracle = q349's
+    * `spark.graft.intervalJoin.width` session conf. The conf is set on
+    * a CHILD session (`newSession()` — own SessionState/conf, shared
+    * SparkContext and extensions), not the caller's, so the width never
+    * leaks into unrelated queries' plans (ADVICE r13: a session-global
+    * width made every later interval-shaped join's plan order-dependent
+    * on whether q363 had run). A set-build-restore dance would NOT
+    * work instead: the rule fires at optimization time and
+    * `df.write`/actions re-optimize from the logical plan, so the conf
+    * must still be set when the driver executes the frame — the child
+    * session travels with the returned DataFrame. Oracle = q349's
     * naive quadratic replay verbatim; Round13Spec pins zero BNLJ and
     * the two Generate fan-outs in the executed plan. */
-  def qIntervalNaive(s: SparkSession, dir: String): DataFrame = {
+  def qIntervalNaive(s0: SparkSession, dir: String): DataFrame = {
+    val s = s0.newSession()
     import s.implicits._
     s.conf.set(graft.plans.IntervalJoinRule.WidthConf,
       IvBucketUs.toString)

@@ -43,7 +43,17 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * `direction` (round 13) is pandas merge_asof's direction surface:
   *  - "backward" (default): latest right at-or-before the left time;
   *  - "forward": EARLIEST right at-or-after the left time (DuckDB's
-  *    `ASOF ... ON l.t <= r.t`); tolerance bounds `r.time − l.time`;
+  *    `ASOF ... ON l.t <= r.t`); tolerance bounds `r.time − l.time`.
+  *    Co-timed-duplicate tie rule (ADVICE r13): when SEVERAL right
+  *    rows carry exactly the left time, forward returns the LAST of
+  *    them in sort order — the same tie rule as backward (the gap-0
+  *    rows are consumed into the backward buffer, which serves both
+  *    directions), where pandas merge_asof forward would return the
+  *    first. Among rows with identical (key, time) the physical sort
+  *    order is nondeterministic anyway (and DuckDB ASOF's equal-time
+  *    pick is unspecified), so no tie choice here is reproducible
+  *    across engines; callers needing a deterministic payload must
+  *    pre-aggregate co-timed right rows to one row per (key, time);
   *  - "nearest": whichever of the two candidates has the smaller
   *    absolute gap (exact-time ties → the backward side), tolerance
   *    bounding the chosen gap. All three run in the SAME single-pass

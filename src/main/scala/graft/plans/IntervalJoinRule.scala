@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -14,7 +14,9 @@ import org.apache.spark.sql.types._
   * (any ≤/< spelling, timestamp or integral columns) and no cross-side
   * equality — from the BroadcastNestedLoopJoin Spark plans for it into
   * the partitioned interval join (DeWitt et al. 1991; q349's
-  * hand-built shape):
+  * hand-built shape).
+  *
+  * INNER/CROSS (round 13):
   *
   *   Project(original output)
   *     Join(bkt_l = bkt_r AND bkt_l = ⌊max(l_start, r_start)/W⌋
@@ -32,25 +34,61 @@ import org.apache.spark.sql.types._
   * pair EXACTLY once. The original predicate runs as the equi join's
   * residual, so the rewrite is result-identical for any data.
   *
+  * LEFT OUTER / LEFT SEMI / LEFT ANTI / RIGHT OUTER (round 14 — the
+  * verdict's enrichment form): a both-sides fan-out cannot preserve
+  * rows (each unmatched preserved copy would null-extend once per
+  * bucket), so the preserved side does NOT explode — it keys on the
+  * single bucket ⌊lo_p/W⌋ of its interval's low endpoint, and the
+  * OTHER side explodes to [⌊lo_o/W⌋ − S, ⌊hi_o/W⌋] where
+  * S = ⌈maxSpan/W⌉ and maxSpan (the second conf,
+  * `spark.graft.intervalJoin.maxSpan`, same backing unit as width)
+  * bounds the preserved side's interval spans. Coverage proof: for a
+  * true pair, lo_p ≤ hi_o (from the overlap conjuncts, endpoints
+  * min/max-normalized) and lo_p ≥ hi_p − span_p ≥ lo_o − maxSpan ≥
+  * lo_o − S·W, and ⌊(lo_o − S·W)/W⌋ = ⌊lo_o/W⌋ − S exactly — so the
+  * preserved row's one bucket always lands inside the other side's
+  * exploded range, each true pair meets EXACTLY once (the preserved
+  * row has one copy; the other side's copies are distinct buckets),
+  * and other-side duplication is invisible to a preserved-side join
+  * (outer null-extends per preserved row; semi/anti are
+  * build-duplication-insensitive).
+  *
+  * maxSpan is a PERFORMANCE contract, never a correctness one: rows
+  * whose preserved-side span exceeds it are split off by an exact
+  * complementary Filter pair and joined through a plain (nested-loop)
+  * branch, and the two branches union — result-identical for ANY
+  * data, with the nested-loop branch empty (and collapsed at runtime
+  * by AQE's empty-relation propagation) whenever the contract holds.
+  * The span filter computes hi−lo in decimal, so ANSI mode never
+  * overflows on extreme raw-long endpoints. The preserved-side
+  * subtree is referenced by both branches (two scans of it — fine for
+  * the enrichment pattern's scan-shaped inputs; q369 profiles span
+  * p50/p99/max so the user can set maxSpan from measured data).
+  *
   * The bucket width is WORKLOAD knowledge (typical span / density —
   * Spark has no stats for it at this point in planning), so the rule
   * fires only when `spark.graft.intervalJoin.width` is set to a
   * positive long in the columns' long backing unit (MICROSECONDS for
   * timestamps — UnixMicros, never a seconds-rounding cast; raw for
-  * bigints). Unset ⇒ the rule is a no-op and plans are untouched.
+  * bigints); the preserved-side forms additionally require
+  * `spark.graft.intervalJoin.maxSpan`. Unset ⇒ no-op, plans untouched.
   *
-  * Guards: INNER/CROSS only (both sides fan out, so an outer join
-  * would null-extend each unmatched preserved row once per bucket
-  * copy); no cross-side equality conjunct (the planner already
+  * Guards: no cross-side equality conjunct (the planner already
   * hash-joins those — and this makes the rule a provable no-op on its
-  * own output, whose bucket equality is exactly such a conjunct); the
-  * four endpoint expressions deterministic, each referencing exactly
-  * one side, timestamp/integral typed. Null endpoints: the exploded
-  * sequence is null ⇒ the row drops, and the naive join drops such
-  * pairs too (NULL comparisons fail the predicate). */
+  * own bucketed output, whose bucket equality is exactly such a
+  * conjunct); the four endpoint expressions deterministic, each
+  * referencing exactly one side, timestamp/integral typed; the
+  * preserved-side rewrite skips a join whose preserved child already
+  * carries this rule's own span-overflow Filter (that IS the rewrite's
+  * plain branch — re-matching it would loop the fixpoint batch). Null
+  * endpoints: an exploded-side null drops at the Generate and can
+  * never satisfy the predicate; a preserved-side null keys on a null
+  * bucket, matches nothing, and null-extends (outer) / drops (semi) /
+  * passes (anti) — exactly the naive join's behavior. */
 object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.intervalJoin.width"
+  val MaxSpanConf = "spark.graft.intervalJoin.maxSpan"
 
   private def longBacked(e: Expression): Boolean = e.dataType match {
     case TimestampType | TimestampNTZType => true
@@ -85,16 +123,61 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     e.references.nonEmpty && e.references.subsetOf(side.outputSet) &&
       e.deterministic
 
+  /** Sign-safe exact-long floor division (BandJoinRule's form). */
+  private def bktOf(xv: Expression, w: Long): Expression = {
+    val wl = Literal(w)
+    Subtract(IntegralDivide(xv, wl),
+      If(And(LessThan(xv, Literal(0L)),
+          Not(EqualTo(Remainder(xv, wl), Literal(0L)))),
+        Literal(1L), Literal(0L)))
+  }
+
+  /** Explode `side` to the width-`w` buckets its [s, e] interval
+    * covers, widened `margin` buckets below the low end. */
+  private def ranged(side: LogicalPlan, s: Expression, e: Expression,
+      w: Long, margin: Long, tag: String): (Generate, Attribute) = {
+    val lo = bktOf(Least(Seq(asLong(s), asLong(e))), w) match {
+      case b if margin == 0L => b
+      case b => Subtract(b, Literal(margin))
+    }
+    val hi = bktOf(Greatest(Seq(asLong(s), asLong(e))), w)
+    val arr = Alias(
+      Sequence(lo, hi, Some(Literal(1L)),
+        Some(conf.sessionLocalTimeZone)), s"_iv_arr$tag")()
+    val proj = Project(side.output :+ arr, side)
+    val bktAttr = AttributeReference(
+      s"_iv_bkt$tag", LongType, nullable = true)()
+    (Generate(Explode(arr.toAttribute),
+      unrequiredChildIndex = Seq(side.output.size),
+      outer = false, qualifier = None,
+      generatorOutput = Seq(bktAttr), proj), bktAttr)
+  }
+
+  /** The preserved-side span-overflow predicate: |hi − lo| in DECIMAL
+    * (ANSI-safe on extreme raw longs) strictly above maxSpan. Also
+    * used to RECOGNIZE this rule's own plain branch and skip it. */
+  private def bigSpanPred(s: Expression, e: Expression,
+      maxSpan: Long): Expression = {
+    val dec = DecimalType(38, 0)
+    val span = Abs(Subtract(Cast(asLong(e), dec), Cast(asLong(s), dec)))
+    GreaterThan(span, Cast(Literal(maxSpan), dec))
+  }
+
+  private def confLong(key: String): Long = try {
+    conf.getConfString(key, "").trim match {
+      case "" => 0L
+      case s => s.toLong
+    }
+  } catch { case _: NumberFormatException => 0L }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = try {
-      conf.getConfString(WidthConf, "").trim match {
-        case "" => 0L
-        case s => s.toLong
-      }
-    } catch { case _: NumberFormatException => 0L }
+    val width = confLong(WidthConf)
+    val maxSpan = confLong(MaxSpanConf)
     if (width <= 0L) plan
     else plan.transformUp {
-      case j @ Join(l, r, Inner | Cross, Some(cond), hint) =>
+      case j @ Join(l, r,
+          Inner | Cross | LeftOuter | LeftSemi | LeftAnti | RightOuter,
+          Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val hasCrossEqui = conjuncts.exists {
           case EqualTo(a, b) =>
@@ -123,37 +206,58 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
         else {
           val (lStart, rEnd) = lr.get
           val (rStart, lEnd) = rl.get
-          val w = Literal(width)
-          // sign-safe exact-long floor division (BandJoinRule's form);
-          // callers pass already-long expressions so Least/Greatest
-          // never mix a timestamp with a bigint
-          def bkt(xv: Expression): Expression =
-            Subtract(IntegralDivide(xv, w),
-              If(And(LessThan(xv, Literal(0L)),
-                  Not(EqualTo(Remainder(xv, w), Literal(0L)))),
-                Literal(1L), Literal(0L)))
-          def ranged(side: LogicalPlan, s: Expression, e: Expression,
-              tag: String): (Generate, Attribute) = {
-            val lo = bkt(Least(Seq(asLong(s), asLong(e))))
-            val hi = bkt(Greatest(Seq(asLong(s), asLong(e))))
-            val arr = Alias(
-              Sequence(lo, hi, Some(Literal(1L)),
-                Some(conf.sessionLocalTimeZone)), s"_iv_arr$tag")()
-            val proj = Project(side.output :+ arr, side)
-            val bktAttr = AttributeReference(
-              s"_iv_bkt$tag", LongType, nullable = true)()
-            (Generate(Explode(arr.toAttribute),
-              unrequiredChildIndex = Seq(side.output.size),
-              outer = false, qualifier = None,
-              generatorOutput = Seq(bktAttr), proj), bktAttr)
+          j.joinType match {
+            case Inner | Cross =>
+              val (genL, lBkt) =
+                ranged(l, lStart, lEnd, width, 0L, "_l")
+              val (genR, rBkt) =
+                ranged(r, rStart, rEnd, width, 0L, "_r")
+              val owner = bktOf(
+                Greatest(Seq(asLong(lStart), asLong(rStart))), width)
+              val newCond = And(EqualTo(lBkt, rBkt),
+                And(EqualTo(lBkt, owner), cond))
+              Project(j.output,
+                Join(genL, genR, Inner, Some(newCond), hint))
+            case jt if maxSpan > 0L =>
+              val rightPreserved = jt == RightOuter
+              val (p, o) = if (rightPreserved) (r, l) else (l, r)
+              val (pS, pE) = if (rightPreserved) (rStart, rEnd)
+                else (lStart, lEnd)
+              val (oS, oE) = if (rightPreserved) (lStart, lEnd)
+                else (rStart, rEnd)
+              val bigPred = bigSpanPred(pS, pE, maxSpan)
+              val alreadySplit = p match {
+                case Filter(fc, _) => splitConjunctivePredicates(fc)
+                  .exists(_.semanticEquals(bigPred))
+                case _ => false
+              }
+              if (alreadySplit) j
+              else {
+                val margin = (maxSpan + width - 1L) / width
+                // exact complementary routing: ≤ maxSpan OR a null
+                // endpoint (null rows match nothing on either path —
+                // keep them off the nested-loop branch)
+                val smallPred = Or(Not(bigPred), IsNull(bigPred))
+                val pSmall = Filter(smallPred, p)
+                val pBig = Filter(bigPred, p)
+                val keyAlias = Alias(bktOf(
+                  Least(Seq(asLong(pS), asLong(pE))), width), "_iv_key")()
+                val pKeyed = Project(pSmall.output :+ keyAlias, pSmall)
+                val (genO, oBkt) =
+                  ranged(o, oS, oE, width, margin, "_o")
+                val newCond =
+                  And(EqualTo(keyAlias.toAttribute, oBkt), cond)
+                val smallJoin = if (rightPreserved)
+                  Join(genO, pKeyed, RightOuter, Some(newCond), hint)
+                else Join(pKeyed, genO, jt, Some(newCond), hint)
+                val bigJoin = if (rightPreserved)
+                  Join(o, pBig, RightOuter, Some(cond), hint)
+                else Join(pBig, o, jt, Some(cond), hint)
+                Union(Project(j.output, smallJoin),
+                  Project(j.output, bigJoin))
+              }
+            case _ => j // preserved-side form without maxSpan: no-op
           }
-          val (genL, lBkt) = ranged(l, lStart, lEnd, "_l")
-          val (genR, rBkt) = ranged(r, rStart, rEnd, "_r")
-          val owner = bkt(Greatest(Seq(asLong(lStart), asLong(rStart))))
-          val newCond = And(EqualTo(lBkt, rBkt),
-            And(EqualTo(lBkt, owner), cond))
-          Project(j.output,
-            Join(genL, genR, Inner, Some(newCond), hint))
         }
     }
   }

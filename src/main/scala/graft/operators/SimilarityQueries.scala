@@ -753,6 +753,64 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"vec_id")
   }
 
+  /** SemDeDup keeper-policy audit (q372) — q86 × q113: q86 keeps the
+    * LOWEST vec_id of each near-duplicate group (the arbitrary-but-
+    * deterministic policy every hash-dedup inherits); this measures
+    * what that policy COSTS against the quality-aware alternative
+    * (keep the longest document — q113's keeper-policy family, applied
+    * to the semantic clusters instead of the CC clusters). Groups are
+    * q86's pairwise-parent sets: keeper g plus every vector whose
+    * dup_of = g (NOT transitive closure — exactly the set q86's policy
+    * actually adjudicates). Per group the longest-doc keeper
+    * (n_chars desc, vec_id asc — exact-integer tie rule) is compared
+    * with g: published are group count, how many groups would change
+    * keeper, both policies' kept-char mass and the mean per-group gain
+    * — the number that says whether re-keeping is worth a backfill.
+    * Scale: groups come from the intra-cell dup frame (never
+    * all-pairs), the argmax window partitions BY GROUP, and the doc
+    * join is id-equi. */
+  def qSemdedupKeepers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Tau = 0.3
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d, transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val base = vecs(s, dir)
+      .select($"vec_id", $"v", $"nrm",
+        element_at(sorted, 1).getField("idx").as("cell"))
+    val x = base.select($"vec_id", $"cell", $"v".as("xv"), $"nrm".as("xn"))
+    val y = base.select($"vec_id".as("y_id"), $"cell", $"v".as("yv"),
+      $"nrm".as("yn"))
+    val dups = x.join(y, Seq("cell"))
+      .filter($"y_id" < $"vec_id")
+      .filter(dot($"xv", $"yv") / ($"xn" * $"yn") >= Tau)
+      .groupBy($"vec_id")
+      .agg(min($"y_id").as("g"))
+    val members = dups.select($"g", $"vec_id")
+      .unionByName(dups.select($"g").distinct()
+        .select($"g", $"g".as("vec_id")))
+    val chars = Tables.documents(s, dir)
+      .select($"doc_id".as("vec_id"), $"n_chars")
+    val w = Window.partitionBy($"g")
+      .orderBy($"n_chars".desc, $"vec_id".asc)
+    val pick = members.join(chars, Seq("vec_id"))
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"g", $"vec_id".as("keep_long"),
+        $"n_chars".as("long_chars"))
+    pick.join(chars.select($"vec_id".as("g"),
+        $"n_chars".as("min_chars")), Seq("g"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when($"keep_long" =!= $"g", 1L).otherwise(0L)),
+          lit(0L)).as("n_moved"),
+        coalesce(sum($"min_chars"), lit(0L)).as("minid_chars"),
+        coalesce(sum($"long_chars"), lit(0L)).as("longest_chars"))
+      .select($"n_groups", $"n_moved", $"minid_chars",
+        $"longest_chars",
+        (round(($"longest_chars" - $"minid_chars").cast("double")
+          / when($"n_groups" > 0L, $"n_groups"), 4) + lit(0.0))
+          .as("mean_gain_chars"))
+  }
+
   private def ivfWith(s: SparkSession, dir: String,
       anchorsArr: Array[Array[Double]]): DataFrame = {
     import s.implicits._
@@ -1640,6 +1698,7 @@ object SimilarityQueries extends QueryModule {
     "q263_mmr_rerank" -> (qMmrRerank _),
     "q265_rank_metrics" -> (qRankMetrics _),
     "q86_semdedup"    -> (qSemDedup _),
+    "q372_semdedup_keepers" -> (qSemdedupKeepers _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
     "q226_pq_rerank"  -> (qPqRerank _),
@@ -2026,6 +2085,53 @@ object SimilarityQueries extends QueryModule {
       |  coalesce(d.dup_of, -1) AS dup_of
       |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** q372's oracle: q86's dup frame, then the keeper-policy compare —
+    * longest-doc argmax via the same (n_chars desc, vec_id asc)
+    * row_number tie rule. */
+  private def keepersSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    s"""WITH $baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |assigned AS (
+      |  SELECT vec_id, v,
+      |    list_sort($structs)[1].idx AS cell
+      |  FROM dots),
+      |dups AS (
+      |  SELECT x.vec_id, min(y.vec_id) AS g
+      |  FROM assigned x JOIN assigned y USING (cell)
+      |  WHERE y.vec_id < x.vec_id
+      |    AND list_cosine_similarity(x.v, y.v) >= 0.3
+      |  GROUP BY x.vec_id),
+      |members AS (
+      |  SELECT g, vec_id FROM dups
+      |  UNION ALL
+      |  SELECT g, g AS vec_id FROM (SELECT DISTINCT g FROM dups)),
+      |ranked AS (
+      |  SELECT m.g, m.vec_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY m.g
+      |      ORDER BY d.n_chars DESC, m.vec_id) AS rk
+      |  FROM members m JOIN documents d ON d.doc_id = m.vec_id),
+      |pick AS (
+      |  SELECT g, vec_id AS keep_long, n_chars AS long_chars
+      |  FROM ranked WHERE rk = 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(coalesce(sum(CASE WHEN p.keep_long <> p.g THEN 1 ELSE 0
+      |    END), 0) AS BIGINT) AS n_moved,
+      |  CAST(coalesce(sum(d.n_chars), 0) AS BIGINT) AS minid_chars,
+      |  CAST(coalesce(sum(p.long_chars), 0) AS BIGINT)
+      |    AS longest_chars,
+      |  round(CAST(coalesce(sum(p.long_chars), 0)
+      |      - coalesce(sum(d.n_chars), 0) AS DOUBLE)
+      |    / nullif(count(*), 0), 4) + 0.0 AS mean_gain_chars
+      |FROM pick p JOIN documents d ON d.doc_id = p.g""".stripMargin
   }
 
   /** q235's oracle: q44's literal-anchor argmax assignment, rolled to
@@ -2852,6 +2958,7 @@ object SimilarityQueries extends QueryModule {
         |JOIN lab nl ON nl.vec_id = nn.nn_id
         |GROUP BY ql.label ORDER BY q_label""".stripMargin,
     "q86_semdedup"    -> semDedupSql,
+    "q372_semdedup_keepers" -> keepersSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
         s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")

@@ -652,6 +652,171 @@ object TextQueries extends QueryModule {
       .orderBy($"rk")
   }
 
+  // ---- unigram-LM tokenizer fit (q370) --------------------------------
+
+  /** q370's shape constants: words [a-z]{2..12} (the distinct-word
+    * discipline), pieces up to 4 chars, 32 seeded multi-char pieces
+    * beside every present single char, 2 Viterbi-EM rounds. */
+  private val UlmMaxWord = 12
+  private val UlmMaxPiece = 4
+  private val UlmSeedMulti = 32
+  private val UlmRounds = 2
+
+  /** The distinct [a-z]{2,12} word frame q370/q371 segment. */
+  private def ulmWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w".rlike(s"^[a-z]{2,$UlmMaxWord}$$"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+  }
+
+  /** Smoothed quantized log-prob: ⌊ln((cnt+1)/(total+V))·1e6⌋ — the
+    * add-one smoothing keeps every piece alive across EM rounds (a
+    * zero-count piece would be ln 0), and the 1e-6 grid makes every
+    * Viterbi comparison an exact-long compare. The identical formula
+    * runs in the oracle's SQL. */
+  private def ulmScore(cnt: Long, total: Long, v: Long): Long =
+    math.floor(math.log((cnt + 1).toDouble / (total + v)) * 1e6).toLong
+
+  /** One Viterbi E-step as in-row Column folds: `dpBests` builds the
+    * best-score array best[0..len] (best[j] = max over piece lengths
+    * d ≤ 4 of best[j−d] + score(w[j−d+1..j])), `ulmBacktrack` walks it
+    * back emitting the argmax pieces with the LONGEST-piece tie rule
+    * (descending-d CASE ⇔ the oracle's min(k)). Scores ride a literal
+    * map (≤ 58 entries — the small-artifact pattern of bpeFitSeq), so
+    * the whole segmentation is one codegen'd expression per word: no
+    * joins, no shuffles, |vocab|-bounded work at any corpus size. */
+  private def ulmScoreMap(pieces: Seq[(String, Long)]): Column =
+    if (pieces.isEmpty) map(lit(""), lit(0L)) // type-only; never matches
+    else map(pieces.flatMap { case (p, sc) =>
+      Seq(lit(p), lit(sc)) }: _*)
+
+  private def ulmDpBests(w: Column, m: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(lit(0L)),
+      (acc, j) => {
+        val terms = (1 to UlmMaxPiece).map { d =>
+          when(j >= d,
+            element_at(acc, j - d + lit(1)) +
+              try_element_at(m, w.substr(j - d + lit(1), lit(d))))
+        }
+        array_append(acc, greatest(terms: _*))
+      })
+
+  private def ulmBacktrack(w: Column, m: Column, bests: Column)
+      : Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).cast("int").as("j"),
+        array().cast("array<string>").as("toks")),
+      (st, _) => {
+        val j = st.getField("j")
+        val toks = st.getField("toks")
+        def hit(d: Int): Column = j >= d &&
+          try_element_at(m, w.substr(j - d + lit(1), lit(d)))
+            .isNotNull &&
+          (element_at(bests, j - d + lit(1)) +
+            try_element_at(m, w.substr(j - d + lit(1), lit(d))) ===
+            element_at(bests, j + lit(1)))
+        val dstar = (UlmMaxPiece to 2 by -1)
+          .foldLeft(null.asInstanceOf[Column]) { (acc, d) =>
+            if (acc == null) when(hit(d), lit(d))
+            else acc.when(hit(d), lit(d))
+          }.otherwise(lit(1))
+        when(j <= 0, st).otherwise(struct(
+          (j - dstar).cast("int").as("j"),
+          array_append(toks, w.substr(j - dstar + lit(1), dstar))
+            .as("toks")))
+      },
+      st => st.getField("toks"))
+
+  /** The fitted piece table after `UlmRounds` of Viterbi-EM, memoized
+    * per (session, dir) like fittedMerges: Seq of (piece, count,
+    * score). Seeding: every single char present + the top-32 substrings
+    * of length 2-4 by frequency-weighted count (ties piece-asc); each
+    * round segments the distinct-word frame with the current scores
+    * (distributed), recounts piece usage (one groupBy), and collects
+    * the ≤ 58-row count table to rebuild the literal scores — the
+    * same metadata-scale driver traffic as the BPE merge table. */
+  private val ulmMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long)]]()
+  private def ulmFit(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] =
+    ulmMemo.computeIfAbsent(
+      org.apache.spark.sql.GraftBridge.sessionUUID(s) + "@" + dir,
+      _ => ulmFitWords(ulmWords(s, dir)))
+
+  /** The fit over ANY (w, freq) frame — split out so the spec can pin
+    * the EM round-trip against an independent in-test reference. */
+  private[graft] def ulmFitWords(words: DataFrame)
+      : Seq[(String, Long, Long)] = {
+    val s = words.sparkSession
+    import s.implicits._
+    val subs = words.select($"freq", explode(expr(
+          s"""flatten(transform(sequence(1, least($UlmMaxPiece,
+             |  length(w))), d -> transform(
+             |  sequence(1, length(w) - d + 1),
+             |  i -> substring(w, i, d))))""".stripMargin)).as("p"))
+          .groupBy($"p").agg(sum($"freq").as("cnt"))
+        val singles = subs.filter(length($"p") === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val multi = subs.filter(length($"p") >= 2)
+          .orderBy($"cnt".desc, $"p".asc).limit(UlmSeedMulti)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        var counts = (singles ++ multi).toSeq.sortBy(_._1)
+        var fitted = Seq.empty[(String, Long, Long)]
+        for (_ <- 1 to UlmRounds) {
+          val total = counts.map(_._2).sum
+          val v = counts.size.toLong
+          val scored = counts.map { case (p, c) =>
+            (p, ulmScore(c, total, v)) }
+          val m = ulmScoreMap(scored)
+          val seg = words
+            .withColumn("bests", ulmDpBests($"w", m))
+            .select($"freq",
+              explode(ulmBacktrack($"w", m, $"bests")).as("piece"))
+            .groupBy($"piece").agg(sum($"freq").as("cnt"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          counts = counts.map { case (p, _) => (p, seg.getOrElse(p, 0L)) }
+          val t2 = counts.map(_._2).sum
+          fitted = counts.map { case (p, c) =>
+            (p, c, ulmScore(c, t2, v)) }
+        }
+    fitted
+  }
+
+  /** Unigram-LM tokenizer fit (q370) — Kudo 2018 / SentencePiece's
+    * unigram model, the third production tokenizer shape beside BPE
+    * fit/apply (q137/q132) and WordPiece (q359): pieces carry
+    * PROBABILITIES and a word's segmentation is the Viterbi argmax
+    * Σ log p(piece), re-estimated by EM — here the hard-EM (Viterbi)
+    * variant with 2 fixed rounds, add-one smoothing, and every score
+    * on the exact 1e-6 log grid so both engines' DP compares longs,
+    * never float dust. Unlike BPE (fit-order merge replay) and
+    * WordPiece (longest-prefix greedy), the unigram model can split
+    * the same word differently as OTHER pieces' probabilities shift —
+    * the EM round-trip the spec pins. Scale: segmentation is an
+    * in-row fold over the distinct-word frame (q110's discipline),
+    * piece recounts are one groupBy per round, and the only driver
+    * traffic is the ≤ 58-row count table (bpeFitSeq's small-artifact
+    * pattern). Output: top-30 pieces by final count (ties piece-asc)
+    * with the 1e-9-grid smoothed probability. */
+  def qUnigramFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fitted = ulmFit(s, dir)
+    val total = fitted.map(_._2).sum
+    val v = fitted.size.toLong
+    val top = fitted.sortBy { case (p, c, _) => (-c, p) }
+      .take(30).zipWithIndex
+      .map { case ((p, c, _), i) =>
+        (i + 1L, p, c,
+          math.floor((c + 1).toDouble / (total + v) * 1e9 + 0.5) / 1e9)
+      }
+    top.toDF("rk", "piece", "n", "prob")
+  }
+
   /** BPE compression card (q248) — the number a tokenizer fit is
     * JUDGED by (Sennrich et al. report it as the compression/fertility
     * trade): apply q137's sequential merge table to the vocabulary and
@@ -1099,6 +1264,7 @@ object TextQueries extends QueryModule {
     "q140_zipf_fit"       -> (qZipfFit _),
     "q132_bpe_encode"     -> (qBpeEncode _),
     "q359_wordpiece"      -> (qWordpiece _),
+    "q370_unigram_fit"    -> (qUnigramFit _),
     "q137_bpe_fit"        -> (qBpeFitSeq _),
     "q119_inverted_index" -> (qInvertedIndex _),
     "q121_word_entropy"   -> (qWordEntropy _),
@@ -1763,6 +1929,94 @@ object TextQueries extends QueryModule {
          |FROM fin""".stripMargin,
     // q359: the same greedy longest-first match, generated from the
     // same WpCands list as a CASE chain inside a recursive walk
+    "q370_unigram_fit" -> {
+      /* Two unrolled Viterbi-EM rounds. Each round's DP carries the
+       * best-score LIST down a recursive CTE (best[j+1] = max over
+       * piece length d of best[j+1−d] + score) and the backtrack
+       * recursion re-derives the argmax with max(d) — the engine's
+       * longest-piece tie rule. The d candidates come from a VALUES
+       * row set with `d <= j(+1)` in WHERE, so an out-of-range
+       * substring can never contribute. */
+      def round(r: Int, sc: String): String =
+        s"""dp$r AS (
+           |  SELECT w, freq, 0 AS j, [CAST(0 AS BIGINT)] AS bests
+           |  FROM words
+           |  UNION ALL
+           |  SELECT w, freq, j + 1, list_append(bests, (
+           |      SELECT max(bests[j + 2 - d] + sc.score)
+           |      FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
+           |      WHERE d <= j + 1
+           |        AND sc.piece = substring(w, j + 2 - d, d)))
+           |  FROM dp$r WHERE j < length(w)),
+           |bt$r AS (
+           |  SELECT w, freq, length(w) AS j, bests,
+           |    CAST([] AS VARCHAR[]) AS toks
+           |  FROM dp$r WHERE j = length(w)
+           |  UNION ALL
+           |  SELECT w, freq, j - ds, bests,
+           |    list_append(toks, substring(w, j - ds + 1, ds))
+           |  FROM (
+           |    SELECT w, freq, j, bests, toks, (
+           |        SELECT max(d)
+           |        FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
+           |        WHERE d <= j
+           |          AND sc.piece = substring(w, j - d + 1, d)
+           |          AND bests[j - d + 1] + sc.score = bests[j + 1]
+           |      ) AS ds
+           |    FROM bt$r WHERE j > 0)),
+           |tk$r AS (SELECT freq, unnest(toks) AS piece
+           |         FROM bt$r WHERE j = 0),
+           |cnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+           |          FROM tk$r GROUP BY 1),
+           |vc$r AS (SELECT v.piece AS piece,
+           |           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+           |         FROM (SELECT piece FROM $sc) v
+           |         LEFT JOIN cnt$r c ON v.piece = c.piece),
+           |st$r AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot,
+           |                CAST(count(*) AS BIGINT) AS v FROM vc$r),
+           |p$r AS (SELECT piece, CAST(floor(ln((cnt + 1)
+           |          / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT)
+           |          AS score
+           |        FROM vc$r CROSS JOIN st$r)""".stripMargin
+      s"""WITH RECURSIVE words AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(str_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]{2,$UlmMaxWord}$$')
+         |  GROUP BY w),
+         |pos AS (
+         |  SELECT w, freq, length(w) AS n,
+         |    unnest(generate_series(1, length(w))) AS i
+         |  FROM words),
+         |subs AS (
+         |  SELECT substring(w, CAST(i AS INTEGER), d) AS p,
+         |    sum(freq) AS cnt
+         |  FROM pos, (VALUES (1), (2), (3), (4)) rd(d)
+         |  WHERE i + d - 1 <= n
+         |  GROUP BY 1),
+         |vocab0 AS (
+         |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM subs
+         |  WHERE length(p) = 1
+         |  UNION ALL
+         |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM (
+         |    SELECT p, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, p) AS rk
+         |    FROM subs WHERE length(p) >= 2) WHERE rk <= $UlmSeedMulti),
+         |st0 AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot,
+         |               CAST(count(*) AS BIGINT) AS v FROM vocab0),
+         |p0 AS (SELECT p AS piece, CAST(floor(ln((cnt + 1)
+         |         / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT) AS score
+         |       FROM vocab0 CROSS JOIN st0),
+         |${round(1, "p0")},
+         |${round(2, "p1")}
+         |SELECT rk, piece, n, prob FROM (
+         |  SELECT piece, cnt AS n,
+         |    floor((cnt + 1) / CAST(tot + v AS DOUBLE) * 1e9 + 0.5)
+         |      / 1e9 AS prob,
+         |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |  FROM vc2 CROSS JOIN st2)
+         |WHERE rk <= 30 ORDER BY rk""".stripMargin
+    },
     "q359_wordpiece" -> {
       val caseChain = WpCands.map(p =>
         s"WHEN starts_with(rem, '$p') THEN '$p'").mkString("\n|      ")

@@ -1051,7 +1051,10 @@ object TimeQueries extends QueryModule {
     * and ⌊·/W⌋ is monotone). At 100 TB candidate volume is per-bucket
     * density², never corpus²; the oracle replays the naive quadratic
     * join. Overlap micros sum exactly as integers; one double divide
-    * at the end. */
+    * at the end. The 6 h width here is measured workload knowledge —
+    * q369 (qIntervalProfile) publishes exploded-row volume, hottest-
+    * bucket density and estimated candidate pairs per candidate W, the
+    * pre-flight table to set the width (and maxSpan) confs from. */
   def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def bkt(c: Column): Column =
@@ -1101,10 +1104,8 @@ object TimeQueries extends QueryModule {
     * naive quadratic replay verbatim; Round13Spec pins zero BNLJ and
     * the two Generate fan-outs in the executed plan. */
   def qIntervalNaive(s0: SparkSession, dir: String): DataFrame = {
-    val s = s0.newSession()
+    val s = ivChildSession(s0)
     import s.implicits._
-    s.conf.set(graft.plans.IntervalJoinRule.WidthConf,
-      IvBucketUs.toString)
     val sp = Tables.events(s, dir)
       .filter($"event_type".isin("view", "purchase"))
       .groupBy($"user_id", to_date($"ts").as("day"), $"event_type")
@@ -1124,6 +1125,173 @@ object TimeQueries extends QueryModule {
         (floor($"sum_us".cast("double") / $"n_pairs" / 100.0 + 0.5)
           / 1e4).as("mean_overlap_sec"))
       .orderBy($"day")
+  }
+
+  /** q367/q368's preserved-side span bound: 24 h micros. The (user,
+    * day, type) spans are intra-day by construction, so the rewrite's
+    * span-overflow branch is provably empty here — set from q369's
+    * measured `span_max_s` on any other workload. */
+  private val IvMaxSpanUs = 86400000000L
+
+  /** Child session for the naive-spelled interval queries: the width
+    * conf must not leak into the caller's plans (ADVICE r13), and a
+    * `newSession()` does NOT inherit `experimental.extraOptimizations`
+    * (fresh SessionState), so the rule is re-installed explicitly —
+    * without it the naive spelling still answers correctly but
+    * silently plans as the BNLJ the rule exists to kill. */
+  private def ivChildSession(s0: SparkSession,
+      withMaxSpan: Boolean = false): SparkSession = {
+    val s = s0.newSession()
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
+      graft.plans.IntervalJoinRule)
+    s.conf.set(graft.plans.IntervalJoinRule.WidthConf,
+      IvBucketUs.toString)
+    if (withMaxSpan)
+      s.conf.set(graft.plans.IntervalJoinRule.MaxSpanConf,
+        IvMaxSpanUs.toString)
+    s
+  }
+
+  /** The (user_id, day, event_type, t0, t1) activity-span frame q349/
+    * q363/q367/q368/q369 all share: per (user, day, type) the
+    * [first, last] event time in exact micros. */
+  private def ivSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .groupBy($"user_id", to_date($"ts").as("day"), $"event_type")
+      .agg(min(unix_micros($"ts")).as("t0"),
+        max(unix_micros($"ts")).as("t1"))
+  }
+
+  /** LEFT OUTER interval enrichment (q367) — the verdict's round-14
+    * form: KEEP every view span, attach any overlapping other-user
+    * purchase span, spelled as the plain left-outer theta join a user
+    * writes. `IntervalJoinRule` (preserved-side path, round 14)
+    * rewrites it: the preserved view keys on its interval's ONE start
+    * bucket (no fan-out ⇒ no duplicate null-extensions), the purchase
+    * side explodes to its covered buckets plus ⌈maxSpan/W⌉ margin
+    * buckets, and rows whose span exceeds maxSpan (none here — spans
+    * are intra-day, the conf is 24 h; q369 publishes the measured
+    * span_max to set it from on real data) route to a LOUD error
+    * branch — exact under the contract, a descriptive failure when it
+    * is violated, never a silent miss and never the whole-side
+    * broadcast a nested-loop fallback would cost. Confs live on a
+    * child session (q363's discipline — no cross-query leak). Output:
+    * per view-day matched-pair count, UNMATCHED view count (the
+    * outer-ness the oracle checks), and mean overlap. */
+  def qIntervalLeft(s0: SparkSession, dir: String): DataFrame = {
+    val s = ivChildSession(s0, withMaxSpan = true)
+    import s.implicits._
+    val sp = ivSpans(s, dir)
+    val v = sp.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day",
+        $"t0".as("v0"), $"t1".as("v1"))
+    val p = sp.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"t0".as("p0"), $"t1".as("p1"))
+    v.join(p, $"vu" =!= $"pu" && $"v0" <= $"p1" && $"p0" <= $"v1",
+        "left_outer")
+      .groupBy($"day")
+      .agg(
+        sum(when($"pu".isNotNull, 1L).otherwise(0L)).as("n_pairs"),
+        sum(when($"pu".isNull, 1L).otherwise(0L)).as("n_lonely"),
+        sum(when($"pu".isNotNull,
+          least($"v1", $"p1") - greatest($"v0", $"p0"))
+          .otherwise(0L)).as("sum_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_pairs", $"n_lonely",
+        (floor($"sum_us".cast("double")
+          / when($"n_pairs" > 0L, $"n_pairs") / 100.0 + 0.5)
+          / 1e4).as("mean_overlap_sec"))
+      .orderBy($"day")
+  }
+
+  /** SEMI interval join (q368) — "which view spans saw ANY concurrent
+    * other-user purchase activity", the EXISTS spelling. Same
+    * preserved-side rewrite as q367 (semi is build-duplication-
+    * insensitive, so the margin-exploded purchase side needs no
+    * dedup); per day the qualifying span count and mean span length.
+    * Oracle replays the literal EXISTS. */
+  def qIntervalSemi(s0: SparkSession, dir: String): DataFrame = {
+    val s = ivChildSession(s0, withMaxSpan = true)
+    import s.implicits._
+    val sp = ivSpans(s, dir)
+    val v = sp.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day",
+        $"t0".as("v0"), $"t1".as("v1"))
+    val p = sp.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"t0".as("p0"), $"t1".as("p1"))
+    v.join(p, $"vu" =!= $"pu" && $"v0" <= $"p1" && $"p0" <= $"v1",
+        "left_semi")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"v1" - $"v0").as("span_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_spans",
+        (floor($"span_us".cast("double") / $"n_spans" / 100.0 + 0.5)
+          / 1e4).as("mean_span_sec"))
+      .orderBy($"day")
+  }
+
+  /** q369's candidate bucket widths, in hours. */
+  private val IvWidthLadderH = Seq(1L, 3L, 6L, 12L, 24L)
+
+  /** Interval-join width profiler (q369) — the verdict's round-14
+    * pre-flight: `spark.graft.intervalJoin.width` and `.maxSpan` are
+    * WORKLOAD knowledge (a mis-set width is a silent 10-100× cost
+    * error at scale — q139's argument for join-key skew, applied to
+    * interval density), so this publishes the table a user sets them
+    * from. Per candidate width W ∈ {1,3,6,12,24} h over the shared
+    * activity-span frame: exploded-row volume Σ(buckets covered), the
+    * hottest bucket's density, and the estimated candidate-pair
+    * volume Σ_b nv_b·np_b of the both-sides rewrite — pick the W
+    * minimizing est_pairs + exploded_rows. Span stats (p50/p99/max
+    * seconds) come from a whole-second histogram with a cumulative
+    * window over the DISTINCT span-seconds domain (bounded ≤ 86 400
+    * for intra-day spans — never the corpus; PLANS.md budget), and
+    * `margin_buckets` = ⌈span_max/W⌉ is exactly the S the
+    * preserved-side outer rewrite will use. All integer arithmetic;
+    * est_pairs sums in decimal (bucket-density products overflow a
+    * long sum at 100 TB) and outputs BIGINT. */
+  def qIntervalProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sp = ivSpans(s, dir).select($"event_type", $"t0", $"t1")
+    val sw = sp.select(expr("(t1 - t0) div 1000000").as("span_s"))
+    val hist = sw.groupBy($"span_s").agg(count(lit(1)).as("c"))
+    val nRow = sw.agg(count(lit(1)).as("n_spans"),
+      max($"span_s").as("span_max_s"))
+    val cum = hist
+      .withColumn("cum", sum($"c").over(Window.orderBy($"span_s")))
+      .crossJoin(broadcast(nRow))
+    val stats = cum.agg(
+        min(when(lit(2L) * $"cum" >= $"n_spans", $"span_s"))
+          .as("span_p50_s"),
+        min(when(lit(100L) * $"cum" >= lit(99L) * $"n_spans", $"span_s"))
+          .as("span_p99_s"))
+      .crossJoin(broadcast(nRow))
+    val wdf = IvWidthLadderH.toDF("w_h")
+      .withColumn("w_us", $"w_h" * lit(3600000000L))
+    val bk = sp.crossJoin(broadcast(wdf))
+      .select($"w_h", $"w_us", $"event_type",
+        explode(expr("sequence(t0 div w_us, t1 div w_us)")).as("b"))
+    val dens = bk.groupBy($"w_h", $"w_us", $"b").agg(
+      sum(when($"event_type" === "view", 1L).otherwise(0L)).as("nv"),
+      sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("np"))
+    dens.groupBy($"w_h", $"w_us")
+      .agg(
+        sum(($"nv" + $"np").cast("decimal(38,0)")).cast("long")
+          .as("exploded_rows"),
+        max($"nv" + $"np").as("max_bucket_rows"),
+        sum(($"nv".cast("decimal(19,0)") * $"np")).cast("long")
+          .as("est_pairs"))
+      .crossJoin(broadcast(stats))
+      .select($"w_h".as("w_hours"), $"n_spans",
+        $"span_p50_s", $"span_p99_s", $"span_max_s",
+        $"exploded_rows", $"max_bucket_rows", $"est_pairs",
+        expr("(span_max_s * 1000000 + w_us - 1) div w_us")
+          .as("margin_buckets"))
+      .orderBy($"w_hours")
   }
 
   /** Event-sequence motif count (q358) — CEP-lite pattern matching
@@ -1149,6 +1317,48 @@ object TimeQueries extends QueryModule {
         size(regexp_extract_all($"seq", lit("v[^p]*c[^p]*p"), lit(0)))
           .cast("long").as("n_motifs"))
       .orderBy($"user_id")
+  }
+
+  /** Motif overlap policies (q371) — q358's converting-journey motif
+    * `v[^p]*c[^p]*p` re-counted under the three MATCH_RECOGNIZE
+    * AFTER-MATCH policies, which answer DIFFERENT product questions
+    * from the same pattern:
+    *  - SKIP PAST LAST ROW (q358's): non-overlapping leftmost scan —
+    *    "how many completed journeys";
+    *  - SKIP TO NEXT ROW (overlapping starts): every position where a
+    *    match BEGINS — "how many view-entry points lead to a
+    *    purchase" (each start counted even when journeys share their
+    *    purchase);
+    *  - ONE ROW PER MATCH / first-only: did the user convert at all.
+    * The overlapping count checks `^v[^p]*c[^p]*p` on each suffix —
+    * anchored EXISTENCE of a regular pattern, identical between
+    * backtracking java.util.regex and RE2 (no lookahead, which RE2
+    * lacks — the portable spelling of overlap counting). Per-user
+    * cost is O(seq²) on that user's OWN event count (never the
+    * corpus), all in-row higher-order functions after q358's single
+    * groupBy. Output: one scalar row (totals + matched-user counts
+    * per policy). */
+  def qMotifPolicies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Motif = "v[^p]*c[^p]*p"
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct($"ts", $"event_id",
+          substring($"event_type", 1, 1).as("i")))),
+        r => r.getField("i"))).as("seq"))
+      .select(
+        size(regexp_extract_all($"seq", lit(Motif), lit(0)))
+          .cast("long").as("n_skip"),
+        size(filter(sequence(lit(1), length($"seq")),
+          i => $"seq".substr(i, length($"seq")).rlike("^" + Motif)))
+          .cast("long").as("n_starts"))
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum($"n_skip").as("skip_motifs"),
+      sum(when($"n_skip" > 0L, 1L).otherwise(0L)).as("skip_users"),
+      sum($"n_starts").as("start_motifs"),
+      sum(when($"n_starts" > 0L, 1L).otherwise(0L)).as("start_users"))
   }
 
   /** q345's band half-width on purchase values, and the deterministic
@@ -2564,9 +2774,13 @@ object TimeQueries extends QueryModule {
     "q348_band_semi"         -> (qBandSemi _),
     "q349_interval_join"     -> (qIntervalJoin _),
     "q363_interval_rule"     -> (qIntervalNaive _),
+    "q367_interval_left"     -> (qIntervalLeft _),
+    "q368_interval_semi"     -> (qIntervalSemi _),
+    "q369_interval_profile"  -> (qIntervalProfile _),
     "q350_asof_forward"      -> (qAsofForward _),
     "q351_asof_nearest"      -> (qAsofNearest _),
     "q358_event_motifs"      -> (qEventMotifs _),
+    "q371_motif_policies"    -> (qMotifPolicies _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -3972,6 +4186,105 @@ object TimeQueries extends QueryModule {
         |  floor(CAST(sum(ov_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
         |    / 1e4 AS mean_overlap_sec
         |FROM pr GROUP BY day ORDER BY day""".stripMargin,
+    // q367: the literal LEFT JOIN replay — unmatched view spans
+    // survive with a NULL purchase side, so n_lonely checks the
+    // outer-ness the rewrite must preserve
+    "q367_interval_left" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+        |      FROM sp WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+        |      FROM sp WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT v.day, p.pu,
+        |    least(v1, p1) - greatest(v0, p0) AS ov_us
+        |  FROM v LEFT JOIN p
+        |    ON vu <> pu AND v0 <= p1 AND p0 <= v1),
+        |a AS (
+        |  SELECT day,
+        |    CAST(sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN pu IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_lonely,
+        |    sum(CASE WHEN pu IS NOT NULL THEN ov_us ELSE 0 END)
+        |      AS sum_us
+        |  FROM j GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_pairs, n_lonely,
+        |  floor(CAST(sum_us AS DOUBLE) / nullif(n_pairs, 0) / 100.0
+        |    + 0.5) / 1e4 AS mean_overlap_sec
+        |FROM a ORDER BY day""".stripMargin,
+    // q368: the literal EXISTS replay of the semi interval join
+    "q368_interval_semi" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+        |      FROM sp WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+        |      FROM sp WHERE event_type = 'purchase'),
+        |q AS (
+        |  SELECT day, v1 - v0 AS span_us FROM v
+        |  WHERE EXISTS (SELECT 1 FROM p
+        |    WHERE pu <> vu AND v0 <= p1 AND p0 <= v1))
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  floor(CAST(sum(span_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
+        |    / 1e4 AS mean_span_sec
+        |FROM q GROUP BY day ORDER BY day""".stripMargin,
+    // q369: the width-profiler replay — same whole-second histogram
+    // percentiles, same per-width bucket explode via generate_series,
+    // all integer arithmetic
+    "q369_interval_profile" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |sw AS (SELECT (t1 - t0) // 1000000 AS span_s FROM sp),
+        |hist AS (SELECT span_s, count(*) AS c FROM sw GROUP BY 1),
+        |cum AS (
+        |  SELECT span_s, sum(c) OVER (ORDER BY span_s) AS cum,
+        |    (SELECT count(*) FROM sw) AS n
+        |  FROM hist),
+        |stats AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sw) AS n_spans,
+        |  (SELECT min(span_s) FROM cum WHERE 2 * cum >= n)
+        |    AS span_p50_s,
+        |  (SELECT min(span_s) FROM cum WHERE 100 * cum >= 99 * n)
+        |    AS span_p99_s,
+        |  (SELECT max(span_s) FROM sw) AS span_max_s),
+        |w AS (SELECT w_h, w_h * 3600000000 AS w_us
+        |      FROM (VALUES (1), (3), (6), (12), (24)) AS t(w_h)),
+        |bk AS (
+        |  SELECT w_h, w_us, event_type,
+        |    unnest(generate_series(t0 // w_us, t1 // w_us)) AS b
+        |  FROM sp CROSS JOIN w),
+        |dens AS (
+        |  SELECT w_h, w_us, b,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS np
+        |  FROM bk GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT w_h, w_us,
+        |    CAST(sum(nv + np) AS BIGINT) AS exploded_rows,
+        |    CAST(max(nv + np) AS BIGINT) AS max_bucket_rows,
+        |    CAST(sum(nv * np) AS BIGINT) AS est_pairs
+        |  FROM dens GROUP BY 1, 2)
+        |SELECT CAST(w_h AS BIGINT) AS w_hours, n_spans, span_p50_s,
+        |  span_p99_s, span_max_s, exploded_rows, max_bucket_rows,
+        |  est_pairs,
+        |  (span_max_s * 1000000 + w_us - 1) // w_us AS margin_buckets
+        |FROM agg CROSS JOIN stats ORDER BY w_hours""".stripMargin,
     // q350: DuckDB's forward ASOF — the inequality flips, the engine
     // picks the smallest at-or-after right row
     "q350_asof_forward" ->
@@ -4043,6 +4356,31 @@ object TimeQueries extends QueryModule {
         |  CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))
         |    AS BIGINT) AS n_motifs
         |FROM seqs ORDER BY user_id""".stripMargin,
+    // q371: the three AFTER-MATCH policies replayed — non-overlapping
+    // extract_all, per-suffix anchored starts, and any-match; the
+    // suffix check is anchored existence (RE2-safe, no lookahead)
+    "q371_motif_policies" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |pu AS (
+        |  SELECT
+        |    CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))
+        |      AS BIGINT) AS n_skip,
+        |    CAST(len(list_filter(generate_series(1, length(seq)),
+        |      i -> regexp_matches(substring(seq, CAST(i AS INTEGER)),
+        |        '^v[^p]*c[^p]*p'))) AS BIGINT) AS n_starts
+        |  FROM seqs)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_skip) AS BIGINT) AS skip_motifs,
+        |  CAST(sum(CASE WHEN n_skip > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS skip_users,
+        |  CAST(sum(n_starts) AS BIGINT) AS start_motifs,
+        |  CAST(sum(CASE WHEN n_starts > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS start_users
+        |FROM pu""".stripMargin,
     // q347: same operator semantics as q334, reached via SQL — DuckDB
     // replays with its own ASOF LEFT JOIN
     "q347_asof_sql" ->

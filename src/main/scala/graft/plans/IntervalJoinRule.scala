@@ -53,17 +53,26 @@ import org.apache.spark.sql.types._
   * (outer null-extends per preserved row; semi/anti are
   * build-duplication-insensitive).
   *
-  * maxSpan is a PERFORMANCE contract, never a correctness one: rows
-  * whose preserved-side span exceeds it are split off by an exact
-  * complementary Filter pair and joined through a plain (nested-loop)
-  * branch, and the two branches union — result-identical for ANY
-  * data, with the nested-loop branch empty (and collapsed at runtime
-  * by AQE's empty-relation propagation) whenever the contract holds.
-  * The span filter computes hi−lo in decimal, so ANSI mode never
-  * overflows on extreme raw-long endpoints. The preserved-side
-  * subtree is referenced by both branches (two scans of it — fine for
-  * the enrichment pattern's scan-shaped inputs; q369 profiles span
-  * p50/p99/max so the user can set maxSpan from measured data).
+  * maxSpan is an ENFORCED contract — exact when it holds, LOUD when
+  * violated, never silently wrong and never scale-unsafe: rows whose
+  * preserved-side span exceeds it are split off by an exact
+  * complementary Filter pair into an error branch that RAISES a
+  * descriptive error per oversize row (pointing at the conf and at
+  * q369's span profiler). A plain-join fallback branch was rejected
+  * deliberately: Spark can only plan the non-equi outer join as a
+  * BroadcastNestedLoopJoin that broadcasts the ENTIRE non-preserved
+  * side (LeftOuter forces build-right), which is an OOM at 100 TB
+  * even when the oversize set is empty — the broadcast materializes
+  * before the streamed side's emptiness is knowable. The error branch
+  * is a scan+filter+project: no join, no broadcast, zero output rows
+  * whenever the contract holds. The span filter computes hi−lo in
+  * decimal, so ANSI mode never overflows on extreme raw-long
+  * endpoints; the raise is guarded by the (attribute-referencing)
+  * span predicate so constant folding can never fire it at plan time.
+  * The preserved-side subtree is referenced by both branches (two
+  * scans — fine for the enrichment pattern's scan-shaped inputs;
+  * q369 profiles span p50/p99/max so the user sets maxSpan from
+  * measured data, not hope).
   *
   * The bucket width is WORKLOAD knowledge (typical span / density —
   * Spark has no stats for it at this point in planning), so the rule
@@ -250,11 +259,26 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 val smallJoin = if (rightPreserved)
                   Join(genO, pKeyed, RightOuter, Some(newCond), hint)
                 else Join(pKeyed, genO, jt, Some(newCond), hint)
-                val bigJoin = if (rightPreserved)
-                  Join(o, pBig, RightOuter, Some(cond), hint)
-                else Join(pBig, o, jt, Some(cond), hint)
+                // the contract-violation branch: one raising column
+                // (guarded by the span predicate so it can never
+                // constant-fold), nulls elsewhere — no join, no
+                // broadcast, empty whenever the contract holds
+                val msg = "IntervalJoinRule: a preserved-side interval " +
+                  s"span exceeds $MaxSpanConf = $maxSpan; raise the " +
+                  "conf to the true span bound (q369's interval " +
+                  "profiler publishes span_max and margin_buckets) or " +
+                  "unset it to keep the unrewritten plan"
+                val errCols = j.output.zipWithIndex.map { case (a, i) =>
+                  val v: Expression =
+                    if (i == 0)
+                      If(bigPred,
+                        Cast(RaiseError(Literal(msg)), a.dataType),
+                        Literal(null, a.dataType))
+                    else Literal(null, a.dataType)
+                  Alias(v, a.name)()
+                }
                 Union(Project(j.output, smallJoin),
-                  Project(j.output, bigJoin))
+                  Project(errCols, pBig))
               }
             case _ => j // preserved-side form without maxSpan: no-op
           }

@@ -15,9 +15,10 @@ import org.apache.spark.sql.types.StructType
   * twins; on a real cluster with spark-sql-kafka on the classpath this
   * code runs as-is.
   *
-  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted rounds 12 and 13,
-  * 2026-08-15/16 — same ResolveException both times, and a fresh
-  * filesystem-wide jar sweep found no kafka artifact):
+  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted rounds 12, 13 and
+  * 14, 2026-08-15/16 — same ResolveException each time; the round-14
+  * sweep re-checked /opt/spark/jars, the coursier cache and a
+  * filesystem-wide `find` for any kafka artifact — none exists):
   * `sbt 'set libraryDependencies += "org.apache.spark" %%
   * "spark-sql-kafka-0-10" % "4.1.2" % Test' update` fails offline —
   * the artifact is in neither /opt/spark/jars, the pre-warmed coursier

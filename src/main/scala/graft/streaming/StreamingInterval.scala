@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the interval-overlap aggregate (q349): per day,
+  * the count and mean overlap of concurrent (view-span, purchase-span)
+  * pairs across different users — computed online as events arrive.
+  *
+  * State shape: the stream groups by DAY and each day's state
+  * accumulates one [min, max] activity span per (user, type) — the
+  * same (user, day, type) span frame the batch query aggregates, held
+  * incrementally. A span is only FINAL when the day can see no more
+  * events, so the event-time watermark timeout (armed at day end) is
+  * what turns accumulated spans into the day's pair aggregate — the
+  * streaming analogue of the batch groupBy's shuffle barrier. The
+  * pair count inside one day's timeout is O(users_that_day²) — honest
+  * for a per-day tumbling aggregate at fixture scale and the reason
+  * the BATCH form (IntervalJoinRule's bucketed rewrite) remains the
+  * 100 TB path: this twin demonstrates the state/timeout SHAPE
+  * (accumulate-then-close), not the join strategy.
+  *
+  * Round14Spec proves stream ≡ batch q349 row-for-row across a
+  * 3-batch event-time split. */
+object StreamingInterval {
+  import StreamingAsOf.Ev
+
+  case class SpanRow(user_id: Long, tpe: String, t0: Long, t1: Long)
+  case class DayState(spans: List[SpanRow])
+  case class DayOut(day: String, n_pairs: Long, mean_overlap_sec: Double)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+
+  private def dayOf(ts: java.sql.Timestamp): String =
+    java.time.Instant.ofEpochMilli(ts.getTime)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  private def dayEndMs(day: String): Long =
+    java.time.LocalDate.parse(day).plusDays(1)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+
+  /** `events` must carry a watermark on `ts` (the timeout clock) and
+    * be pre-filtered to view/purchase. */
+  def apply(events: Dataset[Ev]): Dataset[DayOut] = {
+    implicit val stateEnc = Encoders.product[DayState]
+    implicit val outEnc = Encoders.product[DayOut]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(e => dayOf(e.ts))
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (day: String, batch: Iterator[Ev], state: GroupState[DayState]) =>
+          if (state.hasTimedOut) {
+            // the day is closed: every span is final — aggregate the
+            // cross-user overlap pairs exactly as the batch join does
+            val spans = state.get.spans
+            state.remove()
+            val views = spans.filter(_.tpe == "view")
+            val purchases = spans.filter(_.tpe == "purchase")
+            var n = 0L
+            var sum = 0L
+            for (v <- views; p <- purchases
+                 if v.user_id != p.user_id &&
+                   v.t0 <= p.t1 && p.t0 <= v.t1) {
+              n += 1L
+              sum += math.min(v.t1, p.t1) - math.max(v.t0, p.t0)
+            }
+            if (n == 0L) Iterator.empty
+            else Iterator(DayOut(day, n,
+              math.floor(sum.toDouble / n / 100.0 + 0.5) / 1e4))
+          } else {
+            // fold the batch into per-(user, type) min/max spans
+            var m = state.getOption.map(_.spans).getOrElse(Nil)
+              .map(s => (s.user_id, s.tpe) -> (s.t0, s.t1)).toMap
+            batch.foreach { e =>
+              val k = (e.user_id, e.event_type)
+              val t = micros(e.ts)
+              val (lo, hi) = m.getOrElse(k, (t, t))
+              m = m.updated(k, (math.min(lo, t), math.max(hi, t)))
+            }
+            state.update(DayState(m.toList.map { case ((u, tp), (lo, hi))
+              => SpanRow(u, tp, lo, hi) }))
+            // close the day when the watermark passes its end; if the
+            // group was (re)seen late, push just past the watermark so
+            // the arm is always legal and fires at the next advance
+            val end = dayEndMs(day)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(end, wm + 1L))
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -142,7 +142,10 @@ object DumpPlans {
     "q357_feature_hashing", "q358_event_motifs", "q359_wordpiece",
     "q360_facility_location", "q361_coreset_sample", "q362_rbo",
     "q363_interval_rule", "q364_el2n_pruning", "q365_forgetting",
-    "q366_self_influence")
+    "q366_self_influence",
+    // round 14 additions
+    "q367_interval_left", "q368_interval_semi", "q369_interval_profile",
+    "q370_unigram_fit", "q371_motif_policies", "q372_semdedup_keepers")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -190,7 +193,10 @@ object DumpPlans {
     "q329_curriculum_schedule" ->
       "rounded-score histogram cumsum (q201's frame)",
     "q332_bh_drift_screen" ->
-      "sources-sized p-value rank/count windows (post-agg, |sources| rows)")
+      "sources-sized p-value rank/count windows (post-agg, |sources| rows)",
+    "q369_interval_profile" ->
+      ("whole-second span-histogram cumsum (value-domain-bounded, " +
+        "≤ 86400 rows for intra-day spans — q182's discipline)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1144,6 +1144,13 @@ object TimeQueries extends QueryModule {
     val s = s0.newSession()
     org.apache.spark.sql.GraftBridge.installOptimizerRule(s,
       graft.plans.IntervalJoinRule)
+    // W = 6 h for the preserved-side forms too: a 10× width sweep
+    // (Drill, BASELINE.md round-14 note) measured 6 h fastest
+    // (29.4 s) vs 12 h (34.7) and 24 h (34.0) at identical 128M-pair
+    // output — the margin fan-out S = ceil(maxSpan/W) matters less
+    // than per-bucket density, and the cost class is the OUTPUT
+    // volume itself (density² by the join's own semantics, q349's
+    // documented class)
     s.conf.set(graft.plans.IntervalJoinRule.WidthConf,
       IvBucketUs.toString)
     if (withMaxSpan)

@@ -811,6 +811,82 @@ object SimilarityQueries extends QueryModule {
           .as("mean_gain_chars"))
   }
 
+  /** ANN build-cost / recall frontier (q373) — the table that
+    * completes the q128/q134/q135/q256 story: ONE comparison card
+    * across index families, each row a config with its BUILD cost
+    * (index entries materialized at rest), probe cost (mean candidates
+    * per query over the full query spine — zero-candidate queries
+    * count, unlike q256's matched-only mean) and recall@5 against the
+    * exhaustive truth. brute = the ceiling row (recall 1 at n−1
+    * candidates); lsh / lsh_multiprobe share one 4-band index (4n
+    * entries) and differ only in probe fan-out; ivf_p2 pays n
+    * assignment entries and probes 2 of 8 cells. This is the artifact
+    * an index choice is made FROM at 100 TB: recall per candidate
+    * scanned, next to what the index costs to build. All counts are
+    * exact integers; the two published ratios quantize on the 1e-4
+    * grid with the identical floor(x·1e4+0.5) spelling both engines.
+    * Driver traffic is five scalar counts (metadata-scale). */
+  def qAnnFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, dir)
+    val n = all.count()
+    val truth = qCosineTopk(s, dir).select($"q_id", $"vec_id")
+    val nQ = all.filter($"vec_id" % 100 === 0).count()
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    def recall(approx: DataFrame): Double =
+      if (nQ == 0L) 0.0
+      else {
+        val hits = truth.join(approx.select($"q_id", $"vec_id"),
+          Seq("q_id", "vec_id"), "left_semi").count()
+        r4(hits.toDouble / (5L * nQ))
+      }
+    def meanCand(total: Long): Double =
+      if (nQ == 0L) 0.0 else r4(total.toDouble / nQ)
+    val banded = bandedVecs(s, dir)
+      .select($"vec_id", $"band_id", $"band_val")
+    val qBase = banded.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"band_id", $"band_val")
+    val qMulti = qBase.select($"q_id", $"band_id",
+      explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(m =>
+        $"band_val".bitwiseXOR(lit(m))): _*)).as("band_val"))
+    def candTotal(q: DataFrame): Long =
+      chunkedBandJoin(banded, q, QueryChunkRows)
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id").distinct().count()
+    val lshCand = candTotal(qBase)
+    val multiCand = candTotal(qMulti)
+    // ivf nprobe-2 candidates: Σ over the query's 2 probed (distinct)
+    // cells of that cell's population, minus the query itself (its own
+    // cell is always probe #1)
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val ranked = array_sort(zip_with(d, transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val withCells = all.withColumn("cells",
+      transform(ranked, r => r.getField("idx")))
+    val cellCnt = withCells
+      .select($"vec_id", element_at($"cells", 1).as("cell"))
+      .groupBy($"cell").agg(count(lit(1)).as("cn"))
+    val ivfCand = withCells.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), explode(slice($"cells", 1, 2))
+        .as("cell"))
+      .join(cellCnt, Seq("cell"))
+      .agg(coalesce(sum($"cn"), lit(0L))).head.getLong(0) - nQ
+    // brute retrieves the truth itself; on a tiny corpus truth can
+    // hold < 5 rows per query, so its recall is |truth|/(5·nQ), not a
+    // hardcoded 1
+    val bruteRecall =
+      if (nQ == 0L) 0.0 else r4(truth.count().toDouble / (5L * nQ))
+    Seq(
+      ("brute", n, meanCand(math.max(n - 1, 0L) * nQ), bruteRecall),
+      ("ivf_p2", n, meanCand(math.max(ivfCand, 0L)),
+        recall(qIvfAnn(s, dir))),
+      ("lsh", 4L * n, meanCand(lshCand), recall(qLshAnn(s, dir))),
+      ("lsh_multiprobe", 4L * n, meanCand(multiCand),
+        recall(qMultiprobeLsh(s, dir))))
+      .toDF("method", "index_rows", "mean_candidates", "recall_at5")
+      .orderBy($"method")
+  }
+
   private def ivfWith(s: SparkSession, dir: String,
       anchorsArr: Array[Array[Double]]): DataFrame = {
     import s.implicits._
@@ -1699,6 +1775,7 @@ object SimilarityQueries extends QueryModule {
     "q265_rank_metrics" -> (qRankMetrics _),
     "q86_semdedup"    -> (qSemDedup _),
     "q372_semdedup_keepers" -> (qSemdedupKeepers _),
+    "q373_ann_frontier" -> (qAnnFrontier _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
     "q226_pq_rerank"  -> (qPqRerank _),
@@ -2132,6 +2209,140 @@ object SimilarityQueries extends QueryModule {
       |      - coalesce(sum(d.n_chars), 0) AS DOUBLE)
       |    / nullif(count(*), 0), 4) + 0.0 AS mean_gain_chars
       |FROM pick p JOIN documents d ON d.doc_id = p.g""".stripMargin
+  }
+
+  /** q373's oracle: the full frontier replayed — LSH sig/band/cand
+    * (q41's literals), multiprobe fan-out (q134's), IVF 2-probe
+    * (q256's), exhaustive truth, and the identical floor-grid ratio
+    * folds over the full query spine. */
+  private def annFrontierSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i").mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    def mc(total: String) =
+      s"coalesce(floor($total / CAST(nullif(nq, 0) AS DOUBLE) " +
+        "* 1e4 + 0.5) / 1e4, 0.0)"
+    def rec(hits: String) =
+      s"coalesce(floor($hits / (5.0 * nullif(nq, 0)) " +
+        "* 1e4 + 0.5) / 1e4, 0.0)"
+    s"""WITH $baseCte,
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN vec_id % 100 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS nq
+      |  FROM base),
+      |tscored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    list_cosine_similarity(q.v, e.v) AS cos
+      |  FROM base q, base e
+      |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+      |truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk FROM tscored)
+      |  WHERE rk <= 5),
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |cand AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      |  FROM banded c JOIN banded q
+      |    ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+      |lscored AS (
+      |  SELECT cand.q_id, cand.vec_id,
+      |    list_cosine_similarity(qv.v, cv.v) AS cos
+      |  FROM cand JOIN base qv ON qv.vec_id = cand.q_id
+      |            JOIN base cv ON cv.vec_id = cand.vec_id),
+      |ltop AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id ASC) AS rk FROM lscored)
+      |  WHERE rk <= 5),
+      |probes AS (
+      |  SELECT vec_id, band_id,
+      |    unnest([band_val, xor(band_val, 1), xor(band_val, 2),
+      |            xor(band_val, 4), xor(band_val, 8)]) AS band_val
+      |  FROM banded WHERE vec_id % 100 = 0),
+      |candm AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+      |  FROM banded c JOIN probes q
+      |    ON c.band_id = q.band_id AND c.band_val = q.band_val
+      |  WHERE c.vec_id <> q.vec_id),
+      |mscored AS (
+      |  SELECT candm.q_id, candm.vec_id,
+      |    list_cosine_similarity(qv.v, cv.v) AS cos
+      |  FROM candm JOIN base qv ON qv.vec_id = candm.q_id
+      |             JOIN base cv ON cv.vec_id = candm.vec_id),
+      |mtop AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id ASC) AS rk FROM mscored)
+      |  WHERE rk <= 5),
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    list_transform(list_sort($structs), r -> r.idx) AS cells
+      |  FROM dots),
+      |corpus AS (SELECT vec_id, v, cells[1] AS cell FROM cells),
+      |qc AS (
+      |  SELECT vec_id AS q_id, v AS qv, unnest(cells[1:2]) AS cell
+      |  FROM cells WHERE vec_id % 100 = 0),
+      |iscored AS (
+      |  SELECT s.q_id, c.vec_id,
+      |    list_cosine_similarity(s.qv, c.v) AS cos
+      |  FROM corpus c JOIN qc s USING (cell)
+      |  WHERE c.vec_id <> s.q_id),
+      |itop AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk FROM iscored)
+      |  WHERE rk <= 5),
+      |counts AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS lsh_cand,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM candm) AS multi_cand,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM (
+      |       SELECT c.vec_id FROM corpus c JOIN qc USING (cell)))
+      |      - (SELECT nq FROM stats) AS ivf_cand,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS truth_rows,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      |       JOIN ltop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
+      |      AS lsh_hits,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      |       JOIN mtop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
+      |      AS multi_hits,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      |       JOIN itop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
+      |      AS ivf_hits)
+      |SELECT method, index_rows, mean_candidates, recall_at5
+      |FROM (
+      |  SELECT 'brute' AS method, n AS index_rows,
+      |    ${mc("(greatest(n - 1, 0) * nq)")} AS mean_candidates,
+      |    ${rec("truth_rows")} AS recall_at5
+      |  FROM stats CROSS JOIN counts
+      |  UNION ALL
+      |  SELECT 'ivf_p2', n, ${mc("greatest(ivf_cand, 0)")},
+      |    ${rec("ivf_hits")}
+      |  FROM stats CROSS JOIN counts
+      |  UNION ALL
+      |  SELECT 'lsh', 4 * n, ${mc("lsh_cand")}, ${rec("lsh_hits")}
+      |  FROM stats CROSS JOIN counts
+      |  UNION ALL
+      |  SELECT 'lsh_multiprobe', 4 * n, ${mc("multi_cand")},
+      |    ${rec("multi_hits")}
+      |  FROM stats CROSS JOIN counts)
+      |ORDER BY method""".stripMargin
   }
 
   /** q235's oracle: q44's literal-anchor argmax assignment, rolled to
@@ -2959,6 +3170,7 @@ object SimilarityQueries extends QueryModule {
         |GROUP BY ql.label ORDER BY q_label""".stripMargin,
     "q86_semdedup"    -> semDedupSql,
     "q372_semdedup_keepers" -> keepersSql,
+    "q373_ann_frontier" -> annFrontierSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
         s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")

@@ -787,6 +787,133 @@ object TextQueries extends QueryModule {
     fitted
   }
 
+  /* ---- q370/q374 oracle builders ------------------------------------
+   * Two unrolled Viterbi-EM rounds. Each round's DP carries the
+   * best-score LIST down a recursive CTE (best[j+1] = max over piece
+   * length d of best[j+1-d] + score) and the backtrack recursion
+   * re-derives the argmax with max(d) -- the engine's longest-piece
+   * tie rule. The d candidates come from a VALUES row set with
+   * `d <= j(+1)` in WHERE, so an out-of-range substring can never
+   * contribute. */
+
+  /** dp$r/bt$r: one Viterbi pass of round `r` against score table
+    * `sc`. */
+  private def ulmDpBtSql(r: Int, sc: String): String =
+    s"""dp$r AS (
+       |  SELECT w, freq, 0 AS j, [CAST(0 AS BIGINT)] AS bests
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, freq, j + 1, list_append(bests, (
+       |      SELECT max(bests[j + 2 - d] + sc.score)
+       |      FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
+       |      WHERE d <= j + 1
+       |        AND sc.piece = substring(w, j + 2 - d, d)))
+       |  FROM dp$r WHERE j < length(w)),
+       |bt$r AS (
+       |  SELECT w, freq, length(w) AS j, bests,
+       |    CAST([] AS VARCHAR[]) AS toks
+       |  FROM dp$r WHERE j = length(w)
+       |  UNION ALL
+       |  SELECT w, freq, j - ds, bests,
+       |    list_append(toks, substring(w, j - ds + 1, ds))
+       |  FROM (
+       |    SELECT w, freq, j, bests, toks, (
+       |        SELECT max(d)
+       |        FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
+       |        WHERE d <= j
+       |          AND sc.piece = substring(w, j - d + 1, d)
+       |          AND bests[j - d + 1] + sc.score = bests[j + 1]
+       |      ) AS ds
+       |    FROM bt$r WHERE j > 0))""".stripMargin
+
+  /** Full EM round `r`: segment with `sc`, recount, re-score. */
+  private def ulmRoundSql(r: Int, sc: String): String =
+    s"""${ulmDpBtSql(r, sc)},
+       |tk$r AS (SELECT freq, unnest(toks) AS piece
+       |         FROM bt$r WHERE j = 0),
+       |cnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |          FROM tk$r GROUP BY 1),
+       |vc$r AS (SELECT v.piece AS piece,
+       |           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       |         FROM (SELECT piece FROM $sc) v
+       |         LEFT JOIN cnt$r c ON v.piece = c.piece),
+       |st$r AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot,
+       |                CAST(count(*) AS BIGINT) AS v FROM vc$r),
+       |p$r AS (SELECT piece, CAST(floor(ln((cnt + 1)
+       |          / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT)
+       |          AS score
+       |        FROM vc$r CROSS JOIN st$r)""".stripMargin
+
+  /** Shared chain: word frame, substring seed, smoothed seed scores,
+    * and the two EM rounds -- everything through p2/vc2/st2. */
+  private def ulmChainSql: String =
+    s"""words AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS w
+       |        FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]{2,$UlmMaxWord}$$')
+       |  GROUP BY w),
+       |pos AS (
+       |  SELECT w, freq, length(w) AS n,
+       |    unnest(generate_series(1, length(w))) AS i
+       |  FROM words),
+       |subs AS (
+       |  SELECT substring(w, CAST(i AS INTEGER), d) AS p,
+       |    sum(freq) AS cnt
+       |  FROM pos, (VALUES (1), (2), (3), (4)) rd(d)
+       |  WHERE i + d - 1 <= n
+       |  GROUP BY 1),
+       |vocab0 AS (
+       |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM subs
+       |  WHERE length(p) = 1
+       |  UNION ALL
+       |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM (
+       |    SELECT p, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, p) AS rk
+       |    FROM subs WHERE length(p) >= 2) WHERE rk <= $UlmSeedMulti),
+       |st0 AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot,
+       |               CAST(count(*) AS BIGINT) AS v FROM vocab0),
+       |p0 AS (SELECT p AS piece, CAST(floor(ln((cnt + 1)
+       |         / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT) AS score
+       |       FROM vocab0 CROSS JOIN st0),
+       |${ulmRoundSql(1, "p0")},
+       |${ulmRoundSql(2, "p1")}""".stripMargin
+
+  private def ulmFitSql: String =
+    s"""WITH RECURSIVE $ulmChainSql
+       |SELECT rk, piece, n, prob FROM (
+       |  SELECT piece, cnt AS n,
+       |    floor((cnt + 1) / CAST(tot + v AS DOUBLE) * 1e9 + 0.5)
+       |      / 1e9 AS prob,
+       |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+       |  FROM vc2 CROSS JOIN st2)
+       |WHERE rk <= 30 ORDER BY rk""".stripMargin
+
+  private def ulmEncodeSql: String =
+    s"""WITH RECURSIVE $ulmChainSql,
+       |${ulmDpBtSql(3, "p2")},
+       |enc AS (
+       |  SELECT freq, length(w) AS wlen, toks
+       |  FROM bt3 WHERE j = 0),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS vocab_words,
+       |    CAST(coalesce(sum(freq), 0) AS BIGINT) AS stream_words,
+       |    CAST(coalesce(sum(freq * wlen), 0) AS BIGINT)
+       |      AS chars_before,
+       |    CAST(coalesce(sum(freq * len(toks)), 0) AS BIGINT)
+       |      AS pieces_after,
+       |    CAST(coalesce(sum(freq * len(list_filter(toks,
+       |      t -> length(t) >= 2))), 0) AS BIGINT) AS multi_pieces
+       |  FROM enc)
+       |SELECT vocab_words, stream_words, chars_before, pieces_after,
+       |  round(CAST(pieces_after AS DOUBLE)
+       |    / nullif(chars_before, 0), 4) + 0.0 AS compression,
+       |  round(CAST(pieces_after AS DOUBLE)
+       |    / nullif(stream_words, 0), 4) + 0.0 AS pieces_per_word,
+       |  round(CAST(multi_pieces AS DOUBLE)
+       |    / nullif(pieces_after, 0), 4) + 0.0 AS multi_piece_share
+       |FROM agg""".stripMargin
+
   /** Unigram-LM tokenizer fit (q370) — Kudo 2018 / SentencePiece's
     * unigram model, the third production tokenizer shape beside BPE
     * fit/apply (q137/q132) and WordPiece (q359): pieces carry
@@ -815,6 +942,46 @@ object TextQueries extends QueryModule {
           math.floor((c + 1).toDouble / (total + v) * 1e9 + 0.5) / 1e9)
       }
     top.toDF("rk", "piece", "n", "prob")
+  }
+
+  /** Unigram-LM compression card (q374) — q248's judged-by number for
+    * the q370 fit (the q137→q248 relationship replayed for the third
+    * tokenizer family): apply the FINAL fitted piece scores to
+    * re-segment the distinct-word frame once more and publish the
+    * frequency-weighted card — vocab size, stream words, chars before,
+    * pieces after, compression, pieces/word, and the multi-char-piece
+    * share (the number that says whether EM actually learned units
+    * bigger than characters). Same memoized fit artifact as q370, one
+    * extra map pass + one aggregate; oracle replays the full EM chain
+    * plus a third Viterbi pass. */
+  def qUnigramEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = ulmFit(s, dir).map { case (p, _, sc) => (p, sc) }
+    val m = ulmScoreMap(scored)
+    ulmWords(s, dir)
+      .withColumn("bests", ulmDpBests($"w", m))
+      .withColumn("toks", ulmBacktrack($"w", m, $"bests"))
+      .agg(
+        count(lit(1)).as("vocab_words"),
+        coalesce(sum($"freq"), lit(0L)).as("stream_words"),
+        coalesce(sum($"freq" * length($"w")), lit(0L))
+          .as("chars_before"),
+        coalesce(sum($"freq" * size($"toks")), lit(0L))
+          .as("pieces_after"),
+        coalesce(sum($"freq" *
+          size(filter($"toks", t => length(t) >= 2))), lit(0L))
+          .as("multi_pieces"))
+      .select($"vocab_words", $"stream_words", $"chars_before",
+        $"pieces_after",
+        (round($"pieces_after".cast("double")
+          / when($"chars_before" > 0L, $"chars_before"), 4) + lit(0.0))
+          .as("compression"),
+        (round($"pieces_after".cast("double")
+          / when($"stream_words" > 0L, $"stream_words"), 4) + lit(0.0))
+          .as("pieces_per_word"),
+        (round($"multi_pieces".cast("double")
+          / when($"pieces_after" > 0L, $"pieces_after"), 4) + lit(0.0))
+          .as("multi_piece_share"))
   }
 
   /** BPE compression card (q248) — the number a tokenizer fit is
@@ -1265,6 +1432,7 @@ object TextQueries extends QueryModule {
     "q132_bpe_encode"     -> (qBpeEncode _),
     "q359_wordpiece"      -> (qWordpiece _),
     "q370_unigram_fit"    -> (qUnigramFit _),
+    "q374_unigram_encode" -> (qUnigramEncode _),
     "q137_bpe_fit"        -> (qBpeFitSeq _),
     "q119_inverted_index" -> (qInvertedIndex _),
     "q121_word_entropy"   -> (qWordEntropy _),
@@ -1929,94 +2097,8 @@ object TextQueries extends QueryModule {
          |FROM fin""".stripMargin,
     // q359: the same greedy longest-first match, generated from the
     // same WpCands list as a CASE chain inside a recursive walk
-    "q370_unigram_fit" -> {
-      /* Two unrolled Viterbi-EM rounds. Each round's DP carries the
-       * best-score LIST down a recursive CTE (best[j+1] = max over
-       * piece length d of best[j+1−d] + score) and the backtrack
-       * recursion re-derives the argmax with max(d) — the engine's
-       * longest-piece tie rule. The d candidates come from a VALUES
-       * row set with `d <= j(+1)` in WHERE, so an out-of-range
-       * substring can never contribute. */
-      def round(r: Int, sc: String): String =
-        s"""dp$r AS (
-           |  SELECT w, freq, 0 AS j, [CAST(0 AS BIGINT)] AS bests
-           |  FROM words
-           |  UNION ALL
-           |  SELECT w, freq, j + 1, list_append(bests, (
-           |      SELECT max(bests[j + 2 - d] + sc.score)
-           |      FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
-           |      WHERE d <= j + 1
-           |        AND sc.piece = substring(w, j + 2 - d, d)))
-           |  FROM dp$r WHERE j < length(w)),
-           |bt$r AS (
-           |  SELECT w, freq, length(w) AS j, bests,
-           |    CAST([] AS VARCHAR[]) AS toks
-           |  FROM dp$r WHERE j = length(w)
-           |  UNION ALL
-           |  SELECT w, freq, j - ds, bests,
-           |    list_append(toks, substring(w, j - ds + 1, ds))
-           |  FROM (
-           |    SELECT w, freq, j, bests, toks, (
-           |        SELECT max(d)
-           |        FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
-           |        WHERE d <= j
-           |          AND sc.piece = substring(w, j - d + 1, d)
-           |          AND bests[j - d + 1] + sc.score = bests[j + 1]
-           |      ) AS ds
-           |    FROM bt$r WHERE j > 0)),
-           |tk$r AS (SELECT freq, unnest(toks) AS piece
-           |         FROM bt$r WHERE j = 0),
-           |cnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-           |          FROM tk$r GROUP BY 1),
-           |vc$r AS (SELECT v.piece AS piece,
-           |           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
-           |         FROM (SELECT piece FROM $sc) v
-           |         LEFT JOIN cnt$r c ON v.piece = c.piece),
-           |st$r AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot,
-           |                CAST(count(*) AS BIGINT) AS v FROM vc$r),
-           |p$r AS (SELECT piece, CAST(floor(ln((cnt + 1)
-           |          / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT)
-           |          AS score
-           |        FROM vc$r CROSS JOIN st$r)""".stripMargin
-      s"""WITH RECURSIVE words AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(str_split(text, ' ')) AS w
-         |        FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z]{2,$UlmMaxWord}$$')
-         |  GROUP BY w),
-         |pos AS (
-         |  SELECT w, freq, length(w) AS n,
-         |    unnest(generate_series(1, length(w))) AS i
-         |  FROM words),
-         |subs AS (
-         |  SELECT substring(w, CAST(i AS INTEGER), d) AS p,
-         |    sum(freq) AS cnt
-         |  FROM pos, (VALUES (1), (2), (3), (4)) rd(d)
-         |  WHERE i + d - 1 <= n
-         |  GROUP BY 1),
-         |vocab0 AS (
-         |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM subs
-         |  WHERE length(p) = 1
-         |  UNION ALL
-         |  SELECT p, CAST(cnt AS BIGINT) AS cnt FROM (
-         |    SELECT p, cnt,
-         |      row_number() OVER (ORDER BY cnt DESC, p) AS rk
-         |    FROM subs WHERE length(p) >= 2) WHERE rk <= $UlmSeedMulti),
-         |st0 AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS tot,
-         |               CAST(count(*) AS BIGINT) AS v FROM vocab0),
-         |p0 AS (SELECT p AS piece, CAST(floor(ln((cnt + 1)
-         |         / CAST(tot + v AS DOUBLE)) * 1e6) AS BIGINT) AS score
-         |       FROM vocab0 CROSS JOIN st0),
-         |${round(1, "p0")},
-         |${round(2, "p1")}
-         |SELECT rk, piece, n, prob FROM (
-         |  SELECT piece, cnt AS n,
-         |    floor((cnt + 1) / CAST(tot + v AS DOUBLE) * 1e9 + 0.5)
-         |      / 1e9 AS prob,
-         |    row_number() OVER (ORDER BY cnt DESC, piece) AS rk
-         |  FROM vc2 CROSS JOIN st2)
-         |WHERE rk <= 30 ORDER BY rk""".stripMargin
-    },
+    "q370_unigram_fit" -> ulmFitSql,
+    "q374_unigram_encode" -> ulmEncodeSql,
     "q359_wordpiece" -> {
       val caseChain = WpCands.map(p =>
         s"WHEN starts_with(rem, '$p') THEN '$p'").mkString("\n|      ")

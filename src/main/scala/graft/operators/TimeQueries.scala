@@ -1368,6 +1368,44 @@ object TimeQueries extends QueryModule {
       sum(when($"n_starts" > 0L, 1L).otherwise(0L)).as("start_users"))
   }
 
+  /** Circular time-of-day statistics (q375) — directional statistics
+    * (Fisher 1993; Mardia & Jupp 2000) on the 24 h clock, the family
+    * linear moments get WRONG for times-of-day (the linear mean of
+    * 23:00 and 01:00 is noon; the circular mean is midnight): per
+    * event type the circular mean hour (atan2 of the summed unit
+    * vectors), the resultant length R ∈ [0,1] (1 = perfectly peaked
+    * schedule, 0 = uniform — bot-like precision vs human spread,
+    * q198's bot score from the directional angle), and the Rayleigh
+    * z = n·R² whose large values reject uniformity — the diurnal-
+    * periodicity test q166's seasonality χ² approximates with bins.
+    * Determinism: each row's sin/cos quantize to exact 1e-9-grid longs
+    * BEFORE the sum (float Σ is accumulation-order-dependent), and
+    * both engines then run the identical atan2/sqrt tree on the two
+    * exact sums. One map-side-combined aggregate, zero joins. */
+  def qCircularHours(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val twoPi = 2.0 * math.Pi
+    val ang = (unix_micros($"ts") % lit(86400000000L)).cast("double") /
+      lit(86400000000.0) * lit(twoPi)
+    val b = Tables.events(s, dir).select($"event_type",
+      floor(sin(ang) * lit(1e9) + lit(0.5)).cast("long").as("sq"),
+      floor(cos(ang) * lit(1e9) + lit(0.5)).cast("long").as("cq"))
+    val a = b.groupBy($"event_type").agg(count(lit(1)).as("n"),
+      sum($"sq").cast("double").as("ssd"),
+      sum($"cq").cast("double").as("scd"))
+    val theta = atan2($"ssd", $"scd")
+    a.select($"event_type", $"n",
+        (round(when(theta < 0.0, theta + lit(twoPi)).otherwise(theta)
+          / lit(twoPi) * lit(24.0), 4) + lit(0.0)).as("mean_hour"),
+        (round(sqrt($"ssd" * $"ssd" + $"scd" * $"scd")
+          / ($"n".cast("double") * lit(1e9)), 4) + lit(0.0))
+          .as("resultant_r"),
+        (round(($"ssd" * $"ssd" + $"scd" * $"scd")
+          / ($"n".cast("double") * lit(1e18)), 4) + lit(0.0))
+          .as("rayleigh_z"))
+      .orderBy($"event_type")
+  }
+
   /** q345's band half-width on purchase values, and the deterministic
     * user sample that bounds the oracle's naive theta join. */
   private val ValueBandEps = 0.05
@@ -2788,6 +2826,7 @@ object TimeQueries extends QueryModule {
     "q351_asof_nearest"      -> (qAsofNearest _),
     "q358_event_motifs"      -> (qEventMotifs _),
     "q371_motif_policies"    -> (qMotifPolicies _),
+    "q375_circular_hours"    -> (qCircularHours _),
     "q312_theil_sen"         -> (qTheilSen _),
     "q318_page_hinkley"      -> (qPageHinkley _),
     "q293_acf"               -> (qAcf _),
@@ -4363,6 +4402,34 @@ object TimeQueries extends QueryModule {
         |  CAST(len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))
         |    AS BIGINT) AS n_motifs
         |FROM seqs ORDER BY user_id""".stripMargin,
+    // q375: identical unit-vector quantization, identical atan2/sqrt
+    // tree on the two exact integer sums
+    "q375_circular_hours" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(sin((epoch_us(CAST(ts AS TIMESTAMP))
+        |      % 86400000000) / 86400000000.0 * TWOPI) * 1e9 + 0.5)
+        |      AS BIGINT) AS sq,
+        |    CAST(floor(cos((epoch_us(CAST(ts AS TIMESTAMP))
+        |      % 86400000000) / 86400000000.0 * TWOPI) * 1e9 + 0.5)
+        |      AS BIGINT) AS cq
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(sq) AS DOUBLE) AS ssd,
+        |    CAST(sum(cq) AS DOUBLE) AS scd
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n,
+        |  round((CASE WHEN atan2(ssd, scd) < 0
+        |      THEN atan2(ssd, scd) + TWOPI
+        |      ELSE atan2(ssd, scd) END) / TWOPI * 24.0, 4) + 0.0
+        |    AS mean_hour,
+        |  round(sqrt(ssd * ssd + scd * scd)
+        |    / (CAST(n AS DOUBLE) * 1e9), 4) + 0.0 AS resultant_r,
+        |  round((ssd * ssd + scd * scd)
+        |    / (CAST(n AS DOUBLE) * 1e18), 4) + 0.0 AS rayleigh_z
+        |FROM a ORDER BY event_type""".stripMargin
+      .replace("TWOPI", "6.283185307179586"),
     // q371: the three AFTER-MATCH policies replayed — non-overlapping
     // extract_all, per-suffix anchored starts, and any-match; the
     // suffix check is anchored existence (RE2-safe, no lookahead)

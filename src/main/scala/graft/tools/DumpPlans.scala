@@ -145,7 +145,8 @@ object DumpPlans {
     "q366_self_influence",
     // round 14 additions
     "q367_interval_left", "q368_interval_semi", "q369_interval_profile",
-    "q370_unigram_fit", "q371_motif_policies", "q372_semdedup_keepers")
+    "q370_unigram_fit", "q371_motif_policies", "q372_semdedup_keepers",
+    "q373_ann_frontier", "q374_unigram_encode", "q375_circular_hours")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -91,8 +91,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TopKWindowRule)
     // |a−b| ≤ ε theta join → bucketed equi join (kills the BNLJ plan)
     ext.injectOptimizerRule(_ => BandJoinRule)
-    // interval-overlap theta join → both-sides-bucketed equi join,
-    // active when spark.graft.intervalJoin.width is set
+    // interval-overlap theta join → both-sides-bucketed equi join
+    // (INNER/CROSS, active when spark.graft.intervalJoin.width is
+    // set); outer/semi/anti preserved-side forms additionally need
+    // spark.graft.intervalJoin.maxSpan (round 14 — see the rule doc)
     ext.injectOptimizerRule(_ => IntervalJoinRule)
     // native AS-OF JOIN physical operator (graft.plans.AsOfJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)

@@ -90,6 +90,37 @@ class Round14Spec extends AnyFunSuite {
       "null endpoints must never match")
   }
 
+  test("preserved-side rewrite ≡ naive on seeded random NEGATIVE grids") {
+    // the crafted fixture is all-positive; this sweep drives the
+    // sign-safe floor-div buckets and negative-bucket sequences
+    // through every join type with endpoints straddling zero
+    val s2 = spark.newSession()
+    org.apache.spark.sql.GraftBridge.installOptimizerRule(s2,
+      graft.plans.IntervalJoinRule)
+    s2.conf.set(graft.plans.IntervalJoinRule.WidthConf, "37")
+    s2.conf.set(graft.plans.IntervalJoinRule.MaxSpanConf, "2000")
+    val rnd = new scala.util.Random(42)
+    def mk(): Seq[(Long, Option[Long], Option[Long])] =
+      (1 to 10).map { i =>
+        def v() = if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextLong() % 500L) // negative-heavy domain
+        (i.toLong, v(), v())
+      }
+    for (round <- 1 to 3; jt <- Seq("left_outer", "left_semi",
+        "left_anti", "right_outer")) {
+      val (as, bs) = (mk(), mk())
+      def run(s: SparkSession): Seq[String] = {
+        import s.implicits._
+        val a = as.toDF("aid", "a0", "a1")
+        val b = bs.toDF("bid", "b0", "b1")
+        a.join(b, $"a0" <= $"b1" && $"b0" <= $"a1", jt)
+          .collect().map(_.toString).sorted.toSeq
+      }
+      assert(run(s2) == run(spark),
+        s"round $round $jt diverged on a negative grid")
+    }
+  }
+
   test("interval maxSpan contract violation raises a descriptive error") {
     val s2 = spark.newSession()
     org.apache.spark.sql.GraftBridge.installOptimizerRule(s2,

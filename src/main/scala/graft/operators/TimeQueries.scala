@@ -1258,7 +1258,10 @@ object TimeQueries extends QueryModule {
     * `margin_buckets` = ⌈span_max/W⌉ is exactly the S the
     * preserved-side outer rewrite will use. All integer arithmetic;
     * est_pairs sums in decimal (bucket-density products overflow a
-    * long sum at 100 TB) and outputs BIGINT. */
+    * long sum at 100 TB) and outputs BIGINT — if a candidate width is
+    * SO bad that its estimated pair volume exceeds a BIGINT, the ANSI
+    * decimal→long cast fails loudly, which is itself the answer to
+    * "can I use this W" (never a silent wrap). */
   def qIntervalProfile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

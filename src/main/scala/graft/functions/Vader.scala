@@ -22,11 +22,11 @@ package graft.functions
   * lexicon; (b) emoticon entries are the common core, not the full set.
   *
   * LEXICON STATUS — PERMANENTLY ENVIRONMENT-BLOCKED (audited rounds
-  * 3-8, closed round 9; re-checked rounds 11-14 — latest sweep
-  * 2026-08-16 (round 14: filesystem-wide find for vader_lexicon*,
-  * nltk_data, and any vaderSentiment artifact; python3 has no nltk
-  * module) over /root/.cache and /root/.ivy2, no new lexicon
-  * source on disk or in the coursier cache): completing the lexicon
+  * 3-8, closed round 9; re-checked rounds 11-15 — latest sweep
+  * 2026-08-16 (round 15: filesystem-wide `find -iname '*vader*'`
+  * finds only this repo's own sources/classes; no nltk_data, no
+  * vaderSentiment artifact, no new lexicon source on disk or in the
+  * coursier cache): completing the lexicon
   * requires the vader_lexicon.txt data file, which ships with the
   * vaderSentiment / NLTK Python packages and is not redistributable
   * from memory nor fetchable in this zero-egress container. A round-11

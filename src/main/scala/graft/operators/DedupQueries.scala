@@ -736,11 +736,25 @@ object DedupQueries extends QueryModule {
   def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
     verifiedPairs(s, dir).orderBy(col("x_id"), col("y_id"))
 
-  /** The staged verified-pairs table (x_id, y_id, jaccard), persisted
-    * per session+dir: q32 emits it, and q64/q68/q94 are derived reads —
-    * recomputing LSH per consumer measured ~3s each at sf0.1. */
+  /** The staged verified-pairs table (x_id, y_id, jaccard): q32 emits
+    * it, and q64/q68/q94/q109/q136/q171/q185/q186 are derived reads —
+    * recomputing LSH per consumer measured ~3s each at sf0.1. Two
+    * staging layers (round-15 verdict #1): the in-memory SessionCache
+    * bounds the common case, and a run-DURABLE parquet stage
+    * (DurableStage — checkpoint-dir rooted) bounds the WORST case:
+    * after the first build anywhere, any recompute — cache eviction,
+    * host stall, family reorder, a fresh session or JVM — degrades to
+    * a columnar read instead of re-paying the 10-20 s
+    * MinHash+banding+verify chain (the q186 exposure that shipped
+    * three rounds running). The stage signature carries the LSH
+    * config; bump the version on any logic change to
+    * buildVerifiedPairs or its upstream shingle/signature steps. */
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.get(s, dir)(buildVerifiedPairs(s, dir))
+    pairCache.get(s, dir)(
+      DurableStage.get(s, "verified_pairs", 1,
+        Seq(s"$dir/documents.parquet"),
+        salt = s"k=$MinhashK;b=$BandRows;tau=0.9")(
+        buildVerifiedPairs(s, dir)))
 
   /** (doc_id, band_id, band_hash) LSH band frame off the staged
     * signature table. */

@@ -59,6 +59,68 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"doc_id")
   }
 
+  /** The q381 chunk-walk iteration cap: a metadata pass publishes a
+    * BOUNDED inventory (first 8 chunks) — the contract a real corpus
+    * raises, never removes; unbounded in-row loops are how a crafted
+    * payload turns a metadata scan into a DoS. */
+  private val PngWalkCap = 8
+
+  /** PNG structural-metadata extraction (q381) — the EXIF-class
+    * container-metadata op (round-15 widening): parse the image
+    * CONTAINER without decoding pixels — IHDR fields
+    * (width/height/bit-depth/color-type at their fixed offsets,
+    * big-endian) plus a bounded CHUNK WALK (each chunk's length read
+    * from its own header, offset advanced length+12) publishing the
+    * chunk inventory and IDAT byte mass. This is the pass a 100 TB
+    * media pipeline runs FIRST — pure byte arithmetic at scan speed,
+    * no decoder, no allocation — to route/filter payloads before any
+    * expensive decode (q61) touches them. Everything is Spark SQL
+    * byte-slicing (substring/hex/conv) inside one codegen'd
+    * projection: the walk is an `aggregate` fold over a constant
+    * 8-step spine carrying (offset, count, idat, types) — in-row
+    * state, no explode, no shuffle. Non-PNG rows (jpeg-magic, raw
+    * text) publish sniff + byte length with null structure — the
+    * per-record isolation contract (F4). The DuckDB oracle replays
+    * the walk as a recursive CTE over the same offsets — an
+    * independent reimplementation, not a constant table. */
+  def qPngMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isPngSql = "hex(substring(media, 1, 8)) = '89504E470D0A1A0A'"
+    def be(off: Int, len: Int) =
+      s"CAST(conv(hex(substring(media, $off, $len)), 16, 10) AS BIGINT)"
+    val walkSql =
+      s"""CASE WHEN $isPngSql THEN aggregate(
+         |  sequence(1, $PngWalkCap),
+         |  named_struct('o', CAST(9 AS BIGINT), 'n', CAST(0 AS BIGINT),
+         |    'idat', CAST(0 AS BIGINT),
+         |    'types', CAST(array() AS ARRAY<STRING>)),
+         |  (acc, i) -> IF(acc.o + 8 <= length(media) + 1,
+         |    named_struct(
+         |      'o', acc.o + 12 + CAST(conv(hex(substring(media,
+         |        CAST(acc.o AS INT), 4)), 16, 10) AS BIGINT),
+         |      'n', acc.n + CAST(1 AS BIGINT),
+         |      'idat', acc.idat + IF(CAST(substring(media,
+         |          CAST(acc.o + 4 AS INT), 4) AS STRING) = 'IDAT',
+         |        CAST(conv(hex(substring(media, CAST(acc.o AS INT), 4)),
+         |          16, 10) AS BIGINT), CAST(0 AS BIGINT)),
+         |      'types', concat(acc.types, array(CAST(substring(media,
+         |        CAST(acc.o + 4 AS INT), 4) AS STRING)))),
+         |    acc)) END AS w""".stripMargin
+    Tables.documents(s, dir)
+      .select($"doc_id", payload(s).as("media"))
+      .selectExpr("doc_id", "media",
+        "CAST(length(media) AS BIGINT) AS n_bytes",
+        s"$isPngSql AS is_png", walkSql)
+      .selectExpr("doc_id", "n_bytes", "is_png",
+        s"CASE WHEN is_png THEN ${be(17, 4)} END AS width",
+        s"CASE WHEN is_png THEN ${be(21, 4)} END AS height",
+        s"CASE WHEN is_png THEN ${be(25, 1)} END AS bit_depth",
+        s"CASE WHEN is_png THEN ${be(26, 1)} END AS color_type",
+        "w.n AS n_chunks", "w.idat AS idat_bytes",
+        "CASE WHEN is_png THEN array_join(w.types, ',') END AS chunk_list")
+      .orderBy($"doc_id")
+  }
+
   /** A complete RIFF/AVI container: 6 flat 4×3 grayscale PNG frames
     * (lumas 0,40,80,120,160,200) standing in for MJPEG payloads. Built
     * deterministically at class-load by MediaGen (pinned deflate level),
@@ -322,6 +384,7 @@ object MultimodalQueries extends QueryModule {
     "q284_scene_cuts" -> (qSceneCuts _),
     "q246_audio_spectrum" -> (qAudioSpectrum _),
     "q60_media_meta"     -> (qMediaMeta _),
+    "q381_png_meta"      -> (qPngMeta _),
     "q61_media_features" -> (qMediaFeatures _),
     "q138_video_frames"  -> (qVideoFrames _),
     "q163_image_phash"   -> (qImagePhash _),
@@ -449,6 +512,63 @@ object MultimodalQueries extends QueryModule {
         |      WHEN substr(upper(hex(media)), 1, 16) LIKE '52494646%' THEN 'riff'
         |      ELSE 'unknown' END AS kind
         |FROM m ORDER BY doc_id""".stripMargin,
+    // q381: the chunk walk replayed as a recursive CTE over the same
+    // byte offsets — an independent reimplementation, NOT a constant
+    // table. DuckDB 1.0 has no BLOB substring, so the walk slices the
+    // HEX image (byte o ↔ hex 2o−1), big-endian reads via '0x'||substr
+    // cast, type names rebuilt with chr(); the step cap mirrors the
+    // engine's 8-iteration fold.
+    "q381_png_meta" ->
+      s"""WITH RECURSIVE m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN unhex('$TinyPngHex')
+        |         WHEN doc_id % 3 = 1 THEN unhex('FFD8FFE0') || encode(text)
+        |         ELSE encode(text) END AS media
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT doc_id, upper(hex(media)) AS h,
+        |    CAST(octet_length(media) AS BIGINT) AS n_bytes,
+        |    (octet_length(media) >= 8 AND
+        |     substr(upper(hex(media)), 1, 16) = '89504E470D0A1A0A')
+        |      AS is_png
+        |  FROM m),
+        |walk AS (
+        |  SELECT doc_id, CAST(9 AS BIGINT) AS o, 0 AS step
+        |  FROM p2 WHERE is_png
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |    w.o + 12 + ('0x' || substr(p.h, 2 * w.o - 1, 8))::BIGINT,
+        |    w.step + 1
+        |  FROM walk w JOIN p2 p USING (doc_id)
+        |  WHERE w.o + 8 <= p.n_bytes + 1 AND w.step < 8),
+        |chunks AS (
+        |  SELECT w.doc_id, w.o,
+        |    ('0x' || substr(p.h, 2 * w.o - 1, 8))::BIGINT AS clen,
+        |    chr(('0x' || substr(p.h, 2 * (w.o + 4) - 1, 2))::INT) ||
+        |    chr(('0x' || substr(p.h, 2 * (w.o + 4) + 1, 2))::INT) ||
+        |    chr(('0x' || substr(p.h, 2 * (w.o + 4) + 3, 2))::INT) ||
+        |    chr(('0x' || substr(p.h, 2 * (w.o + 4) + 5, 2))::INT)
+        |      AS ctype
+        |  FROM walk w JOIN p2 p USING (doc_id)
+        |  WHERE w.o + 8 <= p.n_bytes + 1 AND w.step < 8),
+        |cagg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(CASE WHEN ctype = 'IDAT' THEN clen ELSE 0 END)
+        |      AS BIGINT) AS idat_bytes,
+        |    string_agg(ctype, ',' ORDER BY o) AS chunk_list
+        |  FROM chunks GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_bytes, p.is_png,
+        |  CASE WHEN is_png THEN
+        |    ('0x' || substr(h, 33, 8))::BIGINT END AS width,
+        |  CASE WHEN is_png THEN
+        |    ('0x' || substr(h, 41, 8))::BIGINT END AS height,
+        |  CASE WHEN is_png THEN
+        |    ('0x' || substr(h, 49, 2))::BIGINT END AS bit_depth,
+        |  CASE WHEN is_png THEN
+        |    ('0x' || substr(h, 51, 2))::BIGINT END AS color_type,
+        |  c.n_chunks, c.idat_bytes, c.chunk_list
+        |FROM p2 p LEFT JOIN cagg c USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     // q61: the engine really decodes; the oracle states the known
     // constants of the planted 4×3 grayscale PNG (decode succeeds only
     // there — jpeg-magic-over-text and raw text are rejected by every

@@ -355,6 +355,75 @@ object ScoringQueries extends QueryModule {
       .orderBy($"source")
   }
 
+  /** Percentile-bucketed domain mixing (q380) — the DoReMi follow-on
+    * (round-15 verdict #8): q277 reweights whole DOMAINS, but the
+    * lever a real pretraining mix actually pulls is finer — WITHIN
+    * each domain, quality strata get different sampling rates (the
+    * quality-bucketed CommonCrawl treatment). Each document scores a
+    * corpus-LM mean NLL (per-token NLL quantized to the 1e-9 grid
+    * BEFORE the doc sum — float Σ is order-dependent; the mean is
+    * then exact-int ÷ exact-int, the identical double both engines),
+    * docs split into per-source quality QUARTILES by
+    * ntile(4) over the total (mean_nll, doc_id) order, and the
+    * (source, quartile) CELLS — not the sources — take q277's
+    * group-DRO multiplicative update: cells harder than the global
+    * token-weighted mean get exp(η·excess) upweighting, smoothed with
+    * uniform mass. The published table is the sampling-rate manifest
+    * a mixture loader consumes: within one source, w_new now ramps
+    * across quartiles instead of moving in lockstep.
+    *
+    * Scale shape: ONE folded token pass → per-doc partial agg (the
+    * q72 class), one bounded ntile window per source (partitioned —
+    * never global), then everything is |sources|·4-row metadata. The
+    * cell NLL means and the reference mean divide exact integer
+    * sums, so no float accumulation exists anywhere upstream of the
+    * k-row softmax. */
+  def qQuartileMixing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        explode(split($"text", " ")).as("term")))
+    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("total"))
+    val perDoc = toks.join(broadcast(freq), "term")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"doc_id",
+        floor(-log($"cnt".cast("double") / $"total") * 1e9 + 0.5)
+          .cast("long").as("nllq"))
+      .groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"nllq").as("sum_q"))
+      .withColumn("m_nll", $"sum_q".cast("double") / $"n_toks" / 1e9)
+    val wQ = Window.partitionBy($"source")
+      .orderBy($"m_nll".asc, $"doc_id".asc)
+    // cell/reference sums widen to decimal before aggregation (the
+    // dm() discipline): Σ over a cell's docs of 1e9-grid doc sums
+    // wraps a long at 100 TB while DuckDB's HUGEINT sails on
+    val cells = perDoc.withColumn("quartile", ntile(4).over(wQ))
+      .groupBy($"source", $"quartile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        sum($"sum_q".cast("decimal(38,0)")).as("cell_q"))
+      .withColumn("m_nll", $"cell_q".cast("double") / $"n_tokens" / 1e9)
+    val ref = cells.agg(
+      (sum($"cell_q").cast("double") / sum($"n_tokens") / 1e9)
+        .as("ref_nll"),
+      sum($"n_tokens").cast("double").as("tok_all"),
+      count(lit(1)).cast("double").as("k"))
+    val scored = cells.crossJoin(broadcast(ref))
+      .withColumn("w_old", $"n_tokens" / $"tok_all")
+      .withColumn("excess", greatest(lit(0.0), $"m_nll" - $"ref_nll"))
+      .withColumn("raw", $"w_old" * exp(lit(DoremiEta) * $"excess"))
+    val z = scored.agg(sum($"raw").as("z"))
+    scored.crossJoin(broadcast(z))
+      .select($"source", $"quartile".cast("long").as("quartile"),
+        $"n_docs", $"n_tokens",
+        round($"m_nll", 4).as("mean_nll"),
+        (round($"excess", 4) + lit(0.0)).as("excess_nll"),
+        round($"w_old", 4).as("w_old"),
+        round(lit(1.0 - DoremiSmooth) * $"raw" / $"z" +
+          lit(DoremiSmooth) / $"k", 4).as("w_new"))
+      .orderBy($"source", $"quartile")
+  }
+
   /** EM iterations for the q282 Jelinek-Mercer fit — fixed and
     * literal so the oracle unrolls the identical chain. */
   private val JmIters = 3
@@ -2988,6 +3057,7 @@ object ScoringQueries extends QueryModule {
       "q101_ppl_routing" -> (qPerplexityRouting _),
       "q104_dsir_weights" -> (qDsirWeights _),
       "q277_doremi_reweight" -> (qDoremiReweight _),
+      "q380_quartile_mixing" -> (qQuartileMixing _),
       "q280_dedup_quality_skew" -> (qDedupQualitySkew _),
       "q282_jm_interpolation" -> (qJmInterpolation _),
     )
@@ -4477,6 +4547,58 @@ object ScoringQueries extends QueryModule {
         |  round(${1.0 - DoremiSmooth} * raw / z + $DoremiSmooth / k, 4)
         |    AS w_new
         |FROM sc2 CROSS JOIN z ORDER BY source""".stripMargin,
+    // q380: the DoReMi update replayed over (source, quartile) cells;
+    // the per-doc NLL quantizes per token before summing, so the
+    // ntile order key is an exact-integer-derived double both engines
+    "q380_quartile_mixing" ->
+      s"""$foldedToksCtes,
+        |freq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY term),
+        |tot AS (SELECT sum(cnt) AS total FROM freq),
+        |perdoc AS (
+        |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e9
+        |      + 0.5) AS BIGINT)) AS sum_q
+        |  FROM toks JOIN freq USING (term) CROSS JOIN tot
+        |  GROUP BY source, doc_id),
+        |pd2 AS (
+        |  SELECT *, CAST(sum_q AS DOUBLE) / n_toks / 1e9 AS m_nll
+        |  FROM perdoc),
+        |qt AS (
+        |  SELECT *, ntile(4) OVER (PARTITION BY source
+        |    ORDER BY m_nll, doc_id) AS quartile
+        |  FROM pd2),
+        |cells AS (
+        |  SELECT source, quartile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    sum(sum_q) AS cell_q
+        |  FROM qt GROUP BY source, quartile),
+        |c2 AS (
+        |  SELECT *, CAST(cell_q AS DOUBLE) / n_tokens / 1e9 AS m_nll
+        |  FROM cells),
+        |ref AS (
+        |  SELECT CAST(sum(cell_q) AS DOUBLE) / sum(n_tokens) / 1e9
+        |      AS ref_nll,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS tok_all,
+        |    CAST(count(*) AS DOUBLE) AS k
+        |  FROM c2),
+        |scored AS (
+        |  SELECT source, quartile, n_docs, n_tokens, m_nll,
+        |    n_tokens / tok_all AS w_old,
+        |    greatest(0.0, m_nll - ref_nll) AS excess, k
+        |  FROM c2 CROSS JOIN ref),
+        |sc2 AS (
+        |  SELECT *, w_old * exp($DoremiEta * excess) AS raw
+        |  FROM scored),
+        |z AS (SELECT sum(raw) AS z FROM sc2)
+        |SELECT source, CAST(quartile AS BIGINT) AS quartile, n_docs,
+        |  n_tokens, round(m_nll, 4) AS mean_nll,
+        |  round(excess, 4) + 0.0 AS excess_nll,
+        |  round(w_old, 4) AS w_old,
+        |  round(${1.0 - DoremiSmooth} * raw / z + $DoremiSmooth / k, 4)
+        |    AS w_new
+        |FROM sc2 CROSS JOIN z ORDER BY source, quartile""".stripMargin,
     "q280_dedup_quality_skew" -> {
       s"""WITH $labCtesSql,
         |cls AS (

@@ -876,8 +876,14 @@ object SimilarityQueries extends QueryModule {
     // hardcoded 1
     val bruteRecall =
       if (nQ == 0L) 0.0 else r4(truth.count().toDouble / (5L * nQ))
+    // graph row (round 15): index cost = edge count at rest; probe
+    // cost = every (q, v) the beam search actually scored
+    val (gVisited, gTop) = graphBeamParts(s, dir)
+    val gEdges = graphCache.get(s, dir)(buildGraphEdges(s, dir)).count()
+    val gCand = gVisited.count()
     Seq(
       ("brute", n, meanCand(math.max(n - 1, 0L) * nQ), bruteRecall),
+      ("graph_beam", gEdges, meanCand(gCand), recall(gTop)),
       ("ivf_p2", n, meanCand(math.max(ivfCand, 0L)),
         recall(qIvfAnn(s, dir))),
       ("lsh", 4L * n, meanCand(lshCand), recall(qLshAnn(s, dir))),
@@ -885,6 +891,109 @@ object SimilarityQueries extends QueryModule {
         recall(qMultiprobeLsh(s, dir))))
       .toDF("method", "index_rows", "mean_candidates", "recall_at5")
       .orderBy($"method")
+  }
+
+  /** Graph-ANN config (q379): out-degree of the neighbor graph, beam
+    * width, and greedy hops. Fixed small constants — index degree and
+    * probe work NEVER scale with the corpus, which is the entire
+    * point of the graph family. */
+  private val GraphDeg = 8
+  private val GraphBeam = 12
+  private val GraphHops = 4
+
+  private val graphCache = new SessionCache
+
+  /** The bounded-degree neighbor graph (q379's index at rest): per
+    * vector its top-GraphDeg cosine neighbors among its LSH band
+    * candidates (bucketed candidate generation — NEVER all-pairs,
+    * the same q32/q41 scale contract), symmetrized so greedy search
+    * can traverse against the edge direction (the NSW/HNSW trick —
+    * Malkov & Yashunin 2018 keep bidirectional links for exactly
+    * this). Build cost is the LSH verify class; the edge list is
+    * ≤ 2·GraphDeg·n rows at rest. */
+  private def buildGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = bandedVecs(s, dir)
+    val x = banded.select($"vec_id".as("src"), $"v".as("sv"),
+      $"nrm".as("sn"), $"band_id", $"band_val")
+    val y = banded.select($"vec_id".as("dst"), $"v".as("dv"),
+      $"nrm".as("dn"), $"band_id", $"band_val")
+    val cand = x.join(y, Seq("band_id", "band_val"))
+      .filter($"src" =!= $"dst")
+      .select($"src", $"dst",
+        (dot($"sv", $"dv") / ($"sn" * $"dn")).as("cos"))
+      .dropDuplicates("src", "dst")
+    val w = Window.partitionBy($"src").orderBy($"cos".desc, $"dst".asc)
+    val out = cand.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= GraphDeg).select($"src", $"dst")
+    out.union(out.select($"dst".as("src"), $"src".as("dst"))).distinct()
+  }
+
+  /** Greedy beam search over the neighbor graph: entry points are the
+    * MIN-ID co-bucket vector per (query, band) — four cheap
+    * navigation entries, NOT a bucket scan (DiskANN enters at a
+    * medoid; the LSH bucket min-id is the deterministic,
+    * SQL-replayable analogue) — then GraphHops rounds of expand-
+    * score-prune at beam width GraphBeam. Every scored (q, v) lands
+    * in `visited`, so candidate accounting is exact. Returns
+    * (visited, per-query top-5). */
+  private def graphBeamParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val edges = graphCache.get(s, dir)(buildGraphEdges(s, dir))
+    val all = vecs(s, dir)
+    val qs = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val bandedIdx = bandedVecs(s, dir)
+      .select($"vec_id", $"band_id", $"band_val")
+    val qb = bandedIdx.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"band_id", $"band_val")
+    val seeds = chunkedBroadcastJoin(bandedIdx, qb,
+        Seq("band_id", "band_val"), QueryChunkRows)
+      .filter($"vec_id" =!= $"q_id")
+      .groupBy($"q_id", $"band_id").agg(min($"vec_id").as("vec_id"))
+      .select($"q_id", $"vec_id").distinct()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(all.select($"vec_id", $"v", $"nrm"), Seq("vec_id"))
+        .join(qs, Seq("q_id"))
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+    val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    var visited = score(seeds).roundBarrier()
+    var beam = visited.withColumn("rk", row_number().over(wB))
+      .filter($"rk" <= GraphBeam).drop("rk")
+    for (_ <- 1 to GraphHops) {
+      val nb = beam.select($"q_id", $"vec_id".as("src"))
+        .join(edges, Seq("src"))
+        .select($"q_id", $"dst".as("vec_id"))
+        .filter($"vec_id" =!= $"q_id")
+        .distinct()
+      visited = visited.unionByName(score(nb))
+        .dropDuplicates("q_id", "vec_id").roundBarrier()
+      beam = visited.withColumn("rk", row_number().over(wB))
+        .filter($"rk" <= GraphBeam).drop("rk")
+    }
+    val top5 = visited.withColumn("rk", row_number().over(wB))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id",
+        (round($"cos", 4) + lit(0.0)).as("cos"))
+    (visited, top5)
+  }
+
+  /** Graph-based ANN (q379) — the HNSW-class index family the q373
+    * frontier card was missing: a bounded-degree proximity graph at
+    * rest + greedy beam search at probe time. Per-query work is
+    * seeds + hops·beam·degree score evaluations — INDEPENDENT of
+    * corpus size, the property that wins most real recall-per-
+    * candidate frontiers at scale (flat NSW here: one layer, LSH
+    * min-id entries standing in for the hierarchy's zoom-in; the
+    * hierarchy changes the entry cost, not the per-layer mechanics).
+    * Deterministic end-to-end (fixed planes, min-id entries, exact
+    * cos/vec_id tie ranks), so the DuckDB oracle replays build AND
+    * search literally — the q41/q42 pattern. */
+  def qGraphAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graphBeamParts(s, dir)._2.orderBy($"q_id", $"rk")
   }
 
   private def ivfWith(s: SparkSession, dir: String,
@@ -1776,6 +1885,7 @@ object SimilarityQueries extends QueryModule {
     "q86_semdedup"    -> (qSemDedup _),
     "q372_semdedup_keepers" -> (qSemdedupKeepers _),
     "q373_ann_frontier" -> (qAnnFrontier _),
+    "q379_graph_ann" -> (qGraphAnn _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
     "q226_pq_rerank"  -> (qPqRerank _),
@@ -2215,6 +2325,98 @@ object SimilarityQueries extends QueryModule {
     * (q41's literals), multiprobe fan-out (q134's), IVF 2-probe
     * (q256's), exhaustive truth, and the identical floor-grid ratio
     * folds over the full query spine. */
+  /** Graph-ANN CTE chain (assumes `base` and `banded` are in scope):
+    * neighbor-graph build (gedges), min-id entries (gseeds), the
+    * unrolled GraphHops beam rounds (gvis0..gvisH / gbeam0..gbeamH),
+    * and the final per-query top-5 (gtop) — the LITERAL replay of
+    * buildGraphEdges + graphBeamParts, same constants, same
+    * (cos DESC, vec_id) tie rule at every prune. */
+  private def graphCtes: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""gcand AS (
+        |  SELECT DISTINCT c.vec_id AS src, d.vec_id AS dst
+        |  FROM banded c JOIN banded d
+        |    ON c.band_id = d.band_id AND c.band_val = d.band_val
+        |  WHERE d.vec_id <> c.vec_id),
+        |gsc AS (
+        |  SELECT g.src, g.dst, list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM gcand g JOIN base a ON a.vec_id = g.src
+        |               JOIN base b ON b.vec_id = g.dst),
+        |gout AS (
+        |  SELECT src, dst FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY src
+        |      ORDER BY cos DESC, dst ASC) AS rk FROM gsc)
+        |  WHERE rk <= $GraphDeg),
+        |gedges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM gout
+        |    UNION ALL SELECT dst, src FROM gout)),
+        |gseeds AS (
+        |  SELECT DISTINCT q_id, vec_id FROM (
+        |    SELECT q.vec_id AS q_id, q.band_id, min(c.vec_id) AS vec_id
+        |    FROM banded q JOIN banded c
+        |      ON c.band_id = q.band_id AND c.band_val = q.band_val
+        |    WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        |    GROUP BY q.vec_id, q.band_id)),
+        |gvis0 AS (
+        |  SELECT s.q_id, s.vec_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM gseeds s JOIN base a ON a.vec_id = s.q_id
+        |                JOIN base b ON b.vec_id = s.vec_id),
+        |gbeam0 AS (
+        |  SELECT q_id, vec_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM gvis0)
+        |  WHERE rk <= $GraphBeam)""".stripMargin)
+    for (k <- 1 to GraphHops) {
+      sb.append(s""",
+        |gnb$k AS (
+        |  SELECT DISTINCT b.q_id, e.dst AS vec_id
+        |  FROM gbeam${k - 1} b JOIN gedges e ON e.src = b.vec_id
+        |  WHERE e.dst <> b.q_id),
+        |gsc$k AS (
+        |  SELECT n.q_id, n.vec_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM gnb$k n JOIN base a ON a.vec_id = n.q_id
+        |               JOIN base b ON b.vec_id = n.vec_id),
+        |gvis$k AS (
+        |  SELECT DISTINCT q_id, vec_id, cos FROM (
+        |    SELECT q_id, vec_id, cos FROM gvis${k - 1}
+        |    UNION ALL SELECT q_id, vec_id, cos FROM gsc$k)),
+        |gbeam$k AS (
+        |  SELECT q_id, vec_id, cos FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM gvis$k)
+        |  WHERE rk <= $GraphBeam)""".stripMargin)
+    }
+    sb.append(s""",
+      |gtop AS (
+      |  SELECT q_id, rk, vec_id, cos FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id ASC) AS rk
+      |    FROM gvis$GraphHops)
+      |  WHERE rk <= 5)""".stripMargin)
+    sb.toString
+  }
+
+  /** q379's oracle: the graph build + beam search replayed literally. */
+  private def graphAnnSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $baseCte,
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |$graphCtes
+      |SELECT q_id, rk, vec_id, round(cos, 4) + 0.0 AS cos
+      |FROM gtop ORDER BY q_id, rk""".stripMargin
+  }
+
   private def annFrontierSql: String = {
     val sigBits = (0 until 16).map { p =>
       s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
@@ -2251,6 +2453,7 @@ object SimilarityQueries extends QueryModule {
       |banded AS (
       |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
       |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |$graphCtes,
       |cand AS (
       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
       |  FROM banded c JOIN banded q
@@ -2324,12 +2527,22 @@ object SimilarityQueries extends QueryModule {
       |      AS multi_hits,
       |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
       |       JOIN itop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
-      |      AS ivf_hits)
+      |      AS ivf_hits,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM gedges) AS graph_edges,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM gvis$GraphHops)
+      |      AS graph_cand,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM truth t
+      |       JOIN gtop a ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
+      |      AS graph_hits)
       |SELECT method, index_rows, mean_candidates, recall_at5
       |FROM (
       |  SELECT 'brute' AS method, n AS index_rows,
       |    ${mc("(greatest(n - 1, 0) * nq)")} AS mean_candidates,
       |    ${rec("truth_rows")} AS recall_at5
+      |  FROM stats CROSS JOIN counts
+      |  UNION ALL
+      |  SELECT 'graph_beam', graph_edges, ${mc("graph_cand")},
+      |    ${rec("graph_hits")}
       |  FROM stats CROSS JOIN counts
       |  UNION ALL
       |  SELECT 'ivf_p2', n, ${mc("greatest(ivf_cand, 0)")},
@@ -3171,6 +3384,7 @@ object SimilarityQueries extends QueryModule {
     "q86_semdedup"    -> semDedupSql,
     "q372_semdedup_keepers" -> keepersSql,
     "q373_ann_frontier" -> annFrontierSql,
+    "q379_graph_ann" -> graphAnnSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
         s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")

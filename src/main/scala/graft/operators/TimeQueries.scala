@@ -1239,6 +1239,49 @@ object TimeQueries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** FULL OUTER interval join (q378) — the round-15 completion of
+    * IntervalJoinRule's type lattice: KEEP every view span AND every
+    * purchase span, spelled as the plain full-outer theta join a user
+    * writes. The rule decomposes it into inner matches plus each
+    * side's LeftAnti null-extension and rewrites all three children —
+    * inner via the both-sides owner-bucket explode, the antis via the
+    * preserved-side single-bucket + margin-explode form — so the
+    * final plan carries ZERO BroadcastNestedLoopJoin (Round15Spec
+    * pins it) and both sides' spans ride the enforced maxSpan
+    * contract. The purchase side carries its own day column as
+    * PAYLOAD (never an equi conjunct — that would no-op the rewrite
+    * by design) so unmatched purchases group under their own day.
+    * Output per day: matched pair count, unmatched views, unmatched
+    * purchases, mean overlap. Oracle replays the literal FULL JOIN. */
+  def qIntervalFull(s0: SparkSession, dir: String): DataFrame = {
+    val s = ivChildSession(s0, withMaxSpan = true)
+    import s.implicits._
+    val sp = ivSpans(s, dir)
+    val v = sp.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day",
+        $"t0".as("v0"), $"t1".as("v1"))
+    val p = sp.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"day".as("pday"),
+        $"t0".as("p0"), $"t1".as("p1"))
+    v.join(p, $"vu" =!= $"pu" && $"v0" <= $"p1" && $"p0" <= $"v1",
+        "full_outer")
+      .groupBy(coalesce($"day", $"pday").as("day"))
+      .agg(
+        sum(when($"vu".isNotNull && $"pu".isNotNull, 1L).otherwise(0L))
+          .as("n_pairs"),
+        sum(when($"pu".isNull, 1L).otherwise(0L)).as("n_lonely_v"),
+        sum(when($"vu".isNull, 1L).otherwise(0L)).as("n_lonely_p"),
+        sum(when($"vu".isNotNull && $"pu".isNotNull,
+          least($"v1", $"p1") - greatest($"v0", $"p0"))
+          .otherwise(0L)).as("sum_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_pairs", $"n_lonely_v", $"n_lonely_p",
+        (floor($"sum_us".cast("double")
+          / when($"n_pairs" > 0L, $"n_pairs") / 100.0 + 0.5)
+          / 1e4).as("mean_overlap_sec"))
+      .orderBy($"day")
+  }
+
   /** q369's candidate bucket widths, in hours. */
   private val IvWidthLadderH = Seq(1L, 3L, 6L, 12L, 24L)
 
@@ -1302,6 +1345,146 @@ object TimeQueries extends QueryModule {
         expr("(span_max_s * 1000000 + w_us - 1) div w_us")
           .as("margin_buckets"))
       .orderBy($"w_hours")
+  }
+
+  /** Sweep-line core shared by q376/q377 (round-15 verdict #4): the
+    * aggregate-consuming interval-overlap queries (q349/q363/q367)
+    * only publish per-day COUNTS and SUMS, yet their plans
+    * materialize the density² pair stream first (128M pairs at 10× —
+    * BASELINE.md). The classic endpoint sweep computes both without
+    * ever forming a pair, in O(n log n):
+    *
+    *  - PAIR COUNTS by complement: a (view, purchase) pair of one day
+    *    overlaps (closed intervals) unless v1 < p0 or p1 < v0, and
+    *    those two misses are disjoint — so per view span,
+    *    matched = #{p0 ≤ v1} − #{p1 < v0}, two running endpoint
+    *    counts. The strict/inclusive split maps exactly to window
+    *    RANGE frames over the long micros ordering column:
+    *    (-∞, -1] = strictly-before, (-∞, 0] = up-to-and-including.
+    *  - OVERLAP SUMS by integration: Σ_pairs |[v0,v1] ∩ [p0,p1]| =
+    *    ∫ activeV(t)·activeP(t) dt — the integrand counts every
+    *    concurrently-active pair at every instant. Between
+    *    consecutive endpoint times the integrand is constant, so the
+    *    integral is a per-day running-sum walk over ≤ 2n endpoint
+    *    rows. Products widen to decimal before the segment multiply
+    *    (active² × 86400 s in micros overflows a long at 100 TB).
+    *  - The vu ≠ pu exclusion by inclusion-exclusion: (user, day)
+    *    holds at most ONE span per type, so the same-user correction
+    *    is an equi join on (user, day) — linear, broadcast-able.
+    *
+    * Scale contract: everything shuffles once on DAY (the aggregate's
+    * own key) and walks each day's endpoint list sequentially — the
+    * partition grain the OUTPUT already demands; per-day cost is the
+    * day's event count n, never its pair count n². This is the
+    * scale-safe plan for the AGGREGATE spelling; IntervalJoinRule's
+    * bucketed join remains right for pair-EMITTING consumers.
+    * Returns (perView, perDay) where perView = (day, vu, matched)
+    * cross-user overlap counts per view span, and perDay =
+    * (day, sum_us) the cross-user overlap-micros sum as decimal. */
+  private def ivSweep(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sp = ivSpans(s, dir)
+    val isV = $"event_type" === "view"
+    // two endpoint rows per span, typed by (side, start/end)
+    val ev = sp.select($"day", $"user_id", isV.as("is_v"),
+        explode(array(struct($"t0".as("t"), lit(true).as("start")),
+          struct($"t1".as("t"), lit(false).as("start")))).as("e"))
+      .select($"day", $"user_id", $"is_v", $"e.t", $"e.start")
+    val wLt = Window.partitionBy($"day").orderBy($"t".asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.partitionBy($"day").orderBy($"t".asc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = ev
+      .withColumn("pe_lt", coalesce(sum(when(!$"is_v" && !$"start", 1L)
+        .otherwise(0L)).over(wLt), lit(0L)))
+      .withColumn("ps_le", sum(when(!$"is_v" && $"start", 1L)
+        .otherwise(0L)).over(wLe))
+    // per view span: purchases NOT missing on either side
+    val starts = cums.filter($"is_v" && $"start")
+      .select($"day", $"user_id".as("vu"), $"pe_lt".as("c_lt"))
+    val ends = cums.filter($"is_v" && !$"start")
+      .select($"day", $"user_id".as("vu"), $"ps_le".as("c_le"))
+    // same-user correction: ≤1 span per (user, day, type) ⇒ equi join
+    val v = sp.filter(isV).select($"user_id".as("vu"), $"day",
+      $"t0".as("v0"), $"t1".as("v1"))
+    val p = sp.filter(!isV).select($"user_id".as("vu"), $"day",
+      $"t0".as("p0"), $"t1".as("p1"))
+    val sameOv = $"v0" <= $"p1" && $"p0" <= $"v1"
+    val same = v.join(p, Seq("vu", "day"))
+      .select($"vu", $"day",
+        when(sameOv, 1L).otherwise(0L).as("s_cnt"),
+        when(sameOv, least($"v1", $"p1") - greatest($"v0", $"p0"))
+          .otherwise(0L).as("s_us"))
+    val perView = starts.join(ends, Seq("day", "vu"))
+      .join(same.select($"day", $"vu", $"s_cnt"), Seq("day", "vu"),
+        "left")
+      .select($"day", $"vu",
+        ($"c_le" - $"c_lt" - coalesce($"s_cnt", lit(0L))).as("matched"))
+    // ∫ activeV·activeP dt: collapse ties, run both actives, integrate
+    val deltas = ev.groupBy($"day", $"t").agg(
+      (sum(when($"is_v" && $"start", 1L).otherwise(0L)) -
+        sum(when($"is_v" && !$"start", 1L).otherwise(0L))).as("dv"),
+      (sum(when(!$"is_v" && $"start", 1L).otherwise(0L)) -
+        sum(when(!$"is_v" && !$"start", 1L).otherwise(0L))).as("dp"))
+    val wRun = Window.partitionBy($"day").orderBy($"t".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy($"day").orderBy($"t".asc)
+    val integ = deltas
+      .withColumn("av", sum($"dv").over(wRun))
+      .withColumn("ap", sum($"dp").over(wRun))
+      .withColumn("seg", coalesce(lead($"t", 1).over(wLead) - $"t",
+        lit(0L)))
+      .groupBy($"day")
+      .agg(sum(($"av" * $"ap").cast("decimal(38,0)") * $"seg")
+        .as("all_us"))
+    val sameDay = same.groupBy($"day")
+      .agg(sum($"s_us").as("same_us"))
+    val perDay = integ.join(sameDay, Seq("day"), "left")
+      .select($"day",
+        ($"all_us" - coalesce($"same_us", lit(0L)).cast("decimal(38,0)"))
+          .as("sum_us"))
+    (perView, perDay)
+  }
+
+  /** Sweep-line interval-overlap aggregate (q376) — q349's exact
+    * question and output, answered WITHOUT materializing pairs: per
+    * day the cross-user (view, purchase) overlapping-pair count and
+    * mean overlap, from the ivSweep endpoint walk. Oracle = q349's
+    * naive quadratic replay VERBATIM (same SQL string) — the
+    * strongest possible equivalence pin for the O(n log n) plan. */
+  def qIntervalSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (perView, perDay) = ivSweep(s, dir)
+    perView.groupBy($"day").agg(sum($"matched").as("n_pairs"))
+      .filter($"n_pairs" > 0L)
+      .join(perDay, Seq("day"), "left")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_pairs",
+        (floor(coalesce($"sum_us", lit(0L).cast("decimal(38,0)"))
+          .cast("double") / $"n_pairs" / 100.0 + 0.5) / 1e4)
+          .as("mean_overlap_sec"))
+      .orderBy($"day")
+  }
+
+  /** Sweep-line LEFT-OUTER twin (q377) — q367's exact output (pair
+    * count, UNMATCHED view count, mean overlap per day) from the same
+    * endpoint walk: a view span is lonely exactly when its sweep
+    * matched-count is zero, so outer-ness costs nothing extra. Oracle
+    * = q367's literal LEFT JOIN replay VERBATIM. */
+  def qSweepLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (perView, perDay) = ivSweep(s, dir)
+    perView.groupBy($"day").agg(
+        sum($"matched").as("n_pairs"),
+        sum(when($"matched" === 0L, 1L).otherwise(0L)).as("n_lonely"))
+      .join(perDay, Seq("day"), "left")
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_pairs", $"n_lonely",
+        (floor(coalesce($"sum_us", lit(0L).cast("decimal(38,0)"))
+          .cast("double") / when($"n_pairs" > 0L, $"n_pairs") / 100.0
+          + 0.5) / 1e4).as("mean_overlap_sec"))
+      .orderBy($"day")
   }
 
   /** Event-sequence motif count (q358) — CEP-lite pattern matching
@@ -1393,9 +1576,13 @@ object TimeQueries extends QueryModule {
     val b = Tables.events(s, dir).select($"event_type",
       floor(sin(ang) * lit(1e9) + lit(0.5)).cast("long").as("sq"),
       floor(cos(ang) * lit(1e9) + lit(0.5)).cast("long").as("cq"))
+    // widen the 1e9-grid longs to decimal BEFORE summing (the dm()
+    // discipline): a plain long sum wraps past ~9.2e9 events per type
+    // (ANSI ArithmeticException) while the DuckDB oracle sums BIGINT
+    // into HUGEINT and sails on — the r14 ADVICE's first-moment class
     val a = b.groupBy($"event_type").agg(count(lit(1)).as("n"),
-      sum($"sq").cast("double").as("ssd"),
-      sum($"cq").cast("double").as("scd"))
+      sum($"sq".cast("decimal(38,0)")).cast("double").as("ssd"),
+      sum($"cq".cast("decimal(38,0)")).cast("double").as("scd"))
     val theta = atan2($"ssd", $"scd")
     a.select($"event_type", $"n",
         (round(when(theta < 0.0, theta + lit(twoPi)).otherwise(theta)
@@ -2825,6 +3012,9 @@ object TimeQueries extends QueryModule {
     "q367_interval_left"     -> (qIntervalLeft _),
     "q368_interval_semi"     -> (qIntervalSemi _),
     "q369_interval_profile"  -> (qIntervalProfile _),
+    "q376_interval_sweep"    -> (qIntervalSweep _),
+    "q377_sweep_left"        -> (qSweepLeft _),
+    "q378_interval_full"     -> (qIntervalFull _),
     "q350_asof_forward"      -> (qAsofForward _),
     "q351_asof_nearest"      -> (qAsofNearest _),
     "q358_event_motifs"      -> (qEventMotifs _),
@@ -2905,6 +3095,66 @@ object TimeQueries extends QueryModule {
       |  SELECT d.day, CAST(d.day - d.lo AS BIGINT) + 1 AS i,
       |    CAST(coalesce(daily0.n, 0) AS BIGINT) AS y
       |  FROM days d LEFT JOIN daily0 ON d.day = daily0.day)""".stripMargin
+
+  /** The naive quadratic interval-overlap replay (DuckDB's IEJoin
+    * handles the theta join directly; overlap micros are exact
+    * integers, one double divide at the end — same tree as the
+    * engine's). Shared verbatim by q349 (hand-bucketed), q363
+    * (rule-rewritten) and q376 (sweep-line): three plans, one truth. */
+  private val ivOverlapAggSql: String =
+    """WITH sp AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2, 3),
+      |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+      |      FROM sp WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+      |      FROM sp WHERE event_type = 'purchase'),
+      |pr AS (
+      |  SELECT v.day,
+      |    least(v1, p1) - greatest(v0, p0) AS ov_us
+      |  FROM v JOIN p
+      |    ON vu <> pu AND v0 <= p1 AND p0 <= v1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  floor(CAST(sum(ov_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
+      |    / 1e4 AS mean_overlap_sec
+      |FROM pr GROUP BY day ORDER BY day""".stripMargin
+
+  /** The literal LEFT JOIN replay — unmatched view spans survive with
+    * a NULL purchase side, so n_lonely checks the outer-ness. Shared
+    * verbatim by q367 (rule-rewritten outer join) and q377 (sweep). */
+  private val ivLeftAggSql: String =
+    """WITH sp AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2, 3),
+      |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+      |      FROM sp WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+      |      FROM sp WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT v.day, p.pu,
+      |    least(v1, p1) - greatest(v0, p0) AS ov_us
+      |  FROM v LEFT JOIN p
+      |    ON vu <> pu AND v0 <= p1 AND p0 <= v1),
+      |a AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN pu IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_lonely,
+      |    sum(CASE WHEN pu IS NOT NULL THEN ov_us ELSE 0 END)
+      |      AS sum_us
+      |  FROM j GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_pairs, n_lonely,
+      |  floor(CAST(sum_us AS DOUBLE) / nullif(n_pairs, 0) / 100.0
+      |    + 0.5) / 1e4 AS mean_overlap_sec
+      |FROM a ORDER BY day""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q312_theil_sen" ->
@@ -4187,11 +4437,18 @@ object TimeQueries extends QueryModule {
         |  WHERE b.user_id <> a.user_id
         |    AND abs(a.value - b.value) <= $ValueBandEps)
         |ORDER BY eid""".stripMargin,
-    // q349: the naive quadratic interval-overlap replay — DuckDB's
-    // IEJoin handles the theta join directly; overlap micros are
-    // exact integers, one double divide at the end (same tree as the
-    // engine's)
-    "q349_interval_join" ->
+    // q349/q363/q376: one naive quadratic truth, three plans
+    // (hand-bucketed / rule-rewritten / sweep-line)
+    "q349_interval_join" -> ivOverlapAggSql,
+    "q363_interval_rule" -> ivOverlapAggSql,
+    "q376_interval_sweep" -> ivOverlapAggSql,
+    // q367/q377: the literal LEFT JOIN replay, shared by the
+    // rule-rewritten outer join and its sweep-line twin
+    "q367_interval_left" -> ivLeftAggSql,
+    "q377_sweep_left" -> ivLeftAggSql,
+    // q378: the literal FULL JOIN replay — both sides' unmatched
+    // rows survive, each grouped under its OWN day
+    "q378_interval_full" ->
       """WITH sp AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
         |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
@@ -4200,70 +4457,26 @@ object TimeQueries extends QueryModule {
         |  GROUP BY 1, 2, 3),
         |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
         |      FROM sp WHERE event_type = 'view'),
-        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
-        |      FROM sp WHERE event_type = 'purchase'),
-        |pr AS (
-        |  SELECT v.day,
-        |    least(v1, p1) - greatest(v0, p0) AS ov_us
-        |  FROM v JOIN p
-        |    ON vu <> pu AND v0 <= p1 AND p0 <= v1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  floor(CAST(sum(ov_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
-        |    / 1e4 AS mean_overlap_sec
-        |FROM pr GROUP BY day ORDER BY day""".stripMargin,
-    // q363: identical semantics to q349 (the rule must not change the
-    // answer) — same naive quadratic replay
-    "q363_interval_rule" ->
-      """WITH sp AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
-        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
-        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
-        |  FROM events WHERE event_type IN ('view', 'purchase')
-        |  GROUP BY 1, 2, 3),
-        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
-        |      FROM sp WHERE event_type = 'view'),
-        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
-        |      FROM sp WHERE event_type = 'purchase'),
-        |pr AS (
-        |  SELECT v.day,
-        |    least(v1, p1) - greatest(v0, p0) AS ov_us
-        |  FROM v JOIN p
-        |    ON vu <> pu AND v0 <= p1 AND p0 <= v1)
-        |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(count(*) AS BIGINT) AS n_pairs,
-        |  floor(CAST(sum(ov_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
-        |    / 1e4 AS mean_overlap_sec
-        |FROM pr GROUP BY day ORDER BY day""".stripMargin,
-    // q367: the literal LEFT JOIN replay — unmatched view spans
-    // survive with a NULL purchase side, so n_lonely checks the
-    // outer-ness the rewrite must preserve
-    "q367_interval_left" ->
-      """WITH sp AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
-        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
-        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
-        |  FROM events WHERE event_type IN ('view', 'purchase')
-        |  GROUP BY 1, 2, 3),
-        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
-        |      FROM sp WHERE event_type = 'view'),
-        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+        |p AS (SELECT user_id AS pu, day AS pday, t0 AS p0, t1 AS p1
         |      FROM sp WHERE event_type = 'purchase'),
         |j AS (
-        |  SELECT v.day, p.pu,
+        |  SELECT coalesce(v.day, p.pday) AS day, v.vu, p.pu,
         |    least(v1, p1) - greatest(v0, p0) AS ov_us
-        |  FROM v LEFT JOIN p
+        |  FROM v FULL JOIN p
         |    ON vu <> pu AND v0 <= p1 AND p0 <= v1),
         |a AS (
         |  SELECT day,
-        |    CAST(sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN vu IS NOT NULL AND pu IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
         |    CAST(sum(CASE WHEN pu IS NULL THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_lonely,
-        |    sum(CASE WHEN pu IS NOT NULL THEN ov_us ELSE 0 END)
-        |      AS sum_us
+        |      AS BIGINT) AS n_lonely_v,
+        |    CAST(sum(CASE WHEN vu IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_lonely_p,
+        |    sum(CASE WHEN vu IS NOT NULL AND pu IS NOT NULL
+        |      THEN ov_us ELSE 0 END) AS sum_us
         |  FROM j GROUP BY day)
-        |SELECT strftime(day, '%Y-%m-%d') AS day, n_pairs, n_lonely,
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_pairs,
+        |  n_lonely_v, n_lonely_p,
         |  floor(CAST(sum_us AS DOUBLE) / nullif(n_pairs, 0) / 100.0
         |    + 0.5) / 1e4 AS mean_overlap_sec
         |FROM a ORDER BY day""".stripMargin,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.{Cross, FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -82,18 +82,36 @@ import org.apache.spark.sql.types._
   * bigints); the preserved-side forms additionally require
   * `spark.graft.intervalJoin.maxSpan`. Unset ⇒ no-op, plans untouched.
   *
+  * FULL OUTER (round 15 — the last hole in the type lattice): both
+  * sides are preserved, so neither single-branch form applies;
+  * instead the join decomposes into the standard three-way union —
+  * the INNER matches, plus each side's unmatched rows null-extended
+  * through a LeftAnti against the other side. All three children are
+  * plain theta joins of exactly the shapes this rule's Inner and
+  * preserved-side branches rewrite on the next fixpoint iteration
+  * (extraOptimizations run in a fixed-point batch), so no BNLJ
+  * survives anywhere in the final plan; both anti branches carry the
+  * maxSpan contract, so an oversize row on EITHER side raises. The
+  * inputs are read three times — the scan-shaped-input tradeoff the
+  * preserved-side form already accepts (two scans), and the price of
+  * never broadcasting a whole side.
+  *
   * Guards: no cross-side equality conjunct (the planner already
   * hash-joins those — and this makes the rule a provable no-op on its
   * own bucketed output, whose bucket equality is exactly such a
-  * conjunct); the four endpoint expressions deterministic, each
-  * referencing exactly one side, timestamp/integral typed; the
-  * preserved-side rewrite skips a join whose preserved child already
-  * carries this rule's own span-overflow Filter (that IS the rewrite's
-  * plain branch — re-matching it would loop the fixpoint batch). Null
-  * endpoints: an exploded-side null drops at the Generate and can
-  * never satisfy the predicate; a preserved-side null keys on a null
-  * bucket, matches nothing, and null-extends (outer) / drops (semi) /
-  * passes (anti) — exactly the naive join's behavior. */
+  * conjunct: fixpoint idempotence rests on hasCrossEqui, and the
+  * span-overflow error branch is join-free, so nothing this rule
+  * emits can re-match); the four endpoint expressions deterministic,
+  * each referencing exactly one side, timestamp/integral typed. Null
+  * endpoints (Least/Greatest SKIP nulls, so only a both-null row
+  * degenerates): a BOTH-null exploded-side row drops at the Generate
+  * (null sequence) and a both-null preserved-side row keys on a null
+  * bucket and matches nothing; a ONE-null row normalizes to its
+  * non-null endpoint — it still generates buckets / keys on a real
+  * bucket and can MEET candidate rows, and correctness there rests on
+  * the residual original predicate, whose null comparison rejects
+  * every such pair. Either way the row null-extends (outer) / drops
+  * (semi) / passes (anti) — exactly the naive join's behavior. */
 object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthConf = "spark.graft.intervalJoin.width"
@@ -185,7 +203,8 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     if (width <= 0L) plan
     else plan.transformUp {
       case j @ Join(l, r,
-          Inner | Cross | LeftOuter | LeftSemi | LeftAnti | RightOuter,
+          Inner | Cross | LeftOuter | LeftSemi | LeftAnti | RightOuter
+          | FullOuter,
           Some(cond), hint) =>
         val conjuncts = splitConjunctivePredicates(cond)
         val hasCrossEqui = conjuncts.exists {
@@ -227,7 +246,20 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 And(EqualTo(lBkt, owner), cond))
               Project(j.output,
                 Join(genL, genR, Inner, Some(newCond), hint))
-            case jt if maxSpan > 0L =>
+            case FullOuter if maxSpan > 0L =>
+              // inner matches + each side's unmatched rows
+              // null-extended; all three children re-match this
+              // rule's Inner / preserved-side branches on the next
+              // fixpoint iteration, so no BNLJ survives
+              def nulls(as: Seq[Attribute]) =
+                as.map(a => Alias(Literal(null, a.dataType), a.name)())
+              Union(Seq(
+                Project(j.output, Join(l, r, Inner, Some(cond), hint)),
+                Project(l.output ++ nulls(r.output),
+                  Join(l, r, LeftAnti, Some(cond), hint)),
+                Project(nulls(l.output) ++ r.output,
+                  Join(r, l, LeftAnti, Some(cond), hint))))
+            case jt if maxSpan > 0L && jt != FullOuter =>
               val rightPreserved = jt == RightOuter
               val (p, o) = if (rightPreserved) (r, l) else (l, r)
               val (pS, pE) = if (rightPreserved) (rStart, rEnd)
@@ -235,13 +267,7 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               val (oS, oE) = if (rightPreserved) (lStart, lEnd)
                 else (rStart, rEnd)
               val bigPred = bigSpanPred(pS, pE, maxSpan)
-              val alreadySplit = p match {
-                case Filter(fc, _) => splitConjunctivePredicates(fc)
-                  .exists(_.semanticEquals(bigPred))
-                case _ => false
-              }
-              if (alreadySplit) j
-              else {
+              locally {
                 val margin = (maxSpan + width - 1L) / width
                 // exact complementary routing: ≤ maxSpan OR a null
                 // endpoint (null rows match nothing on either path —

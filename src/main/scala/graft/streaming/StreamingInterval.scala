@@ -26,7 +26,13 @@ object StreamingInterval {
   import StreamingAsOf.Ev
 
   case class SpanRow(user_id: Long, tpe: String, t0: Long, t1: Long)
-  case class DayState(spans: List[SpanRow])
+  /** `closed` is the day's TOMBSTONE: flatMapGroupsWithState does not
+    * drop post-watermark rows, so without it an event arriving after
+    * the day's timeout fired would re-create state and later emit a
+    * SECOND, partial DayOut for the same day (duplicate day keys in
+    * append mode — r14 ADVICE). Once a day closes, the tombstone
+    * absorbs late re-openings and a second timeout GCs it. */
+  case class DayState(spans: List[SpanRow], closed: Boolean = false)
   case class DayOut(day: String, n_pairs: Long, mean_overlap_sec: Double)
 
   private def micros(ts: java.sql.Timestamp): Long =
@@ -40,6 +46,11 @@ object StreamingInterval {
     java.time.LocalDate.parse(day).plusDays(1)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
 
+  /** How long (event time) a closed day's tombstone lingers before
+    * GC — generous vs any realistic watermark delay; one tiny state
+    * row per day in the window, so the cost is nil. */
+  private val TombstoneGraceMs = 7L * 24 * 3600 * 1000
+
   /** `events` must carry a watermark on `ts` (the timeout clock) and
     * be pre-filtered to view/purchase. */
   def apply(events: Dataset[Ev]): Dataset[DayOut] = {
@@ -50,11 +61,22 @@ object StreamingInterval {
       .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.EventTimeTimeout) {
         (day: String, batch: Iterator[Ev], state: GroupState[DayState]) =>
-          if (state.hasTimedOut) {
-            // the day is closed: every span is final — aggregate the
-            // cross-user overlap pairs exactly as the batch join does
-            val spans = state.get.spans
+          if (state.hasTimedOut && state.get.closed) {
+            // tombstone GC: the day emitted long ago and no late
+            // event re-opened it within the grace window — drop it
             state.remove()
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            // the day is closed: every span is final — aggregate the
+            // cross-user overlap pairs exactly as the batch join does,
+            // then leave a tombstone (NOT remove) so a late event
+            // cannot re-open the day and emit a duplicate; the
+            // tombstone GCs at a second, far timeout
+            val spans = state.get.spans
+            state.update(DayState(Nil, closed = true))
+            state.setTimeoutTimestamp(
+              math.max(dayEndMs(day), state.getCurrentWatermarkMs())
+                + TombstoneGraceMs)
             val views = spans.filter(_.tpe == "view")
             val purchases = spans.filter(_.tpe == "purchase")
             var n = 0L
@@ -68,6 +90,13 @@ object StreamingInterval {
             if (n == 0L) Iterator.empty
             else Iterator(DayOut(day, n,
               math.floor(sum.toDouble / n / 100.0 + 0.5) / 1e4))
+          } else if (state.getOption.exists(_.closed)) {
+            // late events for an already-emitted day: absorb them (the
+            // at-most-once-per-day contract) and re-arm the GC timeout
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + TombstoneGraceMs)
+            batch.foreach(_ => ())
+            Iterator.empty
           } else {
             // fold the batch into per-(user, type) min/max spans
             var m = state.getOption.map(_.spans).getOrElse(Nil)

@@ -146,7 +146,10 @@ object DumpPlans {
     // round 14 additions
     "q367_interval_left", "q368_interval_semi", "q369_interval_profile",
     "q370_unigram_fit", "q371_motif_policies", "q372_semdedup_keepers",
-    "q373_ann_frontier", "q374_unigram_encode", "q375_circular_hours")
+    "q373_ann_frontier", "q374_unigram_encode", "q375_circular_hours",
+    // round 15 additions
+    "q376_interval_sweep", "q377_sweep_left", "q378_interval_full",
+    "q379_graph_ann", "q380_quartile_mixing", "q381_png_meta")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -1423,19 +1423,7 @@ object TimeQueries extends QueryModule {
       .select($"day", $"vu",
         ($"c_le" - $"c_lt" - coalesce($"s_cnt", lit(0L))).as("matched"))
     // ∫ activeV·activeP dt: collapse ties, run both actives, integrate
-    val deltas = ev.groupBy($"day", $"t").agg(
-      (sum(when($"is_v" && $"start", 1L).otherwise(0L)) -
-        sum(when($"is_v" && !$"start", 1L).otherwise(0L))).as("dv"),
-      (sum(when(!$"is_v" && $"start", 1L).otherwise(0L)) -
-        sum(when(!$"is_v" && !$"start", 1L).otherwise(0L))).as("dp"))
-    val wRun = Window.partitionBy($"day").orderBy($"t".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wLead = Window.partitionBy($"day").orderBy($"t".asc)
-    val integ = deltas
-      .withColumn("av", sum($"dv").over(wRun))
-      .withColumn("ap", sum($"dp").over(wRun))
-      .withColumn("seg", coalesce(lead($"t", 1).over(wLead) - $"t",
-        lit(0L)))
+    val integ = ivRuns(s, dir)
       .groupBy($"day")
       .agg(sum(($"av" * $"ap").cast("decimal(38,0)") * $"seg")
         .as("all_us"))
@@ -1446,6 +1434,60 @@ object TimeQueries extends QueryModule {
         ($"all_us" - coalesce($"same_us", lit(0L)).cast("decimal(38,0)"))
           .as("sum_us"))
     (perView, perDay)
+  }
+
+  /** The per-day active-count walk shared by ivSweep's integral and
+    * q382's coverage: endpoint events collapsed per (day, t), running
+    * view/purchase active counts, and each row's segment length to
+    * the next event — the piecewise-constant profile every sweep
+    * aggregate integrates over. */
+  private def ivRuns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sp = ivSpans(s, dir)
+    val isV = $"event_type" === "view"
+    val ev = sp.select($"day", isV.as("is_v"),
+        explode(array(struct($"t0".as("t"), lit(true).as("start")),
+          struct($"t1".as("t"), lit(false).as("start")))).as("e"))
+      .select($"day", $"is_v", $"e.t", $"e.start")
+    val deltas = ev.groupBy($"day", $"t").agg(
+      (sum(when($"is_v" && $"start", 1L).otherwise(0L)) -
+        sum(when($"is_v" && !$"start", 1L).otherwise(0L))).as("dv"),
+      (sum(when(!$"is_v" && $"start", 1L).otherwise(0L)) -
+        sum(when(!$"is_v" && !$"start", 1L).otherwise(0L))).as("dp"))
+    val wRun = Window.partitionBy($"day").orderBy($"t".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy($"day").orderBy($"t".asc)
+    deltas
+      .withColumn("av", sum($"dv").over(wRun))
+      .withColumn("ap", sum($"dp").over(wRun))
+      .withColumn("seg", coalesce(lead($"t", 1).over(wLead) - $"t",
+        lit(0L)))
+  }
+
+  /** Interval coverage & concurrency profile (q382) — the UNION-
+    * length family from the same endpoint walk: per day the covered
+    * time (measure where ≥1 view span is active / ≥1 purchase span /
+    * BOTH — the window all of q349's pairs live inside), and the peak
+    * instantaneous pair density max(activeV·activeP) — the capacity
+    * number a concurrency-priced system plans against (q200 tracks
+    * peak SESSIONS; this is the peak of the pairwise interaction the
+    * interval joins price). Union length is exactly what pairwise
+    * operators CANNOT express (overlap double-counts); the sweep gets
+    * it for free from the running-active profile. All exact integer
+    * micros; zero joins, zero pairs. */
+  def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivRuns(s, dir).groupBy($"day").agg(
+        sum(when($"av" > 0L, $"seg").otherwise(0L)).as("view_cov_us"),
+        sum(when($"ap" > 0L, $"seg").otherwise(0L)).as("purch_cov_us"),
+        sum(when($"av" > 0L && $"ap" > 0L, $"seg").otherwise(0L))
+          .as("joint_cov_us"),
+        max(when($"seg" > 0L, $"av" * $"ap").otherwise(0L))
+          .as("peak_pairs"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"view_cov_us", $"purch_cov_us", $"joint_cov_us", $"peak_pairs")
+      .orderBy($"day")
   }
 
   /** Sweep-line interval-overlap aggregate (q376) — q349's exact
@@ -3015,6 +3057,7 @@ object TimeQueries extends QueryModule {
     "q376_interval_sweep"    -> (qIntervalSweep _),
     "q377_sweep_left"        -> (qSweepLeft _),
     "q378_interval_full"     -> (qIntervalFull _),
+    "q382_interval_coverage" -> (qIntervalCoverage _),
     "q350_asof_forward"      -> (qAsofForward _),
     "q351_asof_nearest"      -> (qAsofNearest _),
     "q358_event_motifs"      -> (qEventMotifs _),
@@ -4446,6 +4489,49 @@ object TimeQueries extends QueryModule {
     // rule-rewritten outer join and its sweep-line twin
     "q367_interval_left" -> ivLeftAggSql,
     "q377_sweep_left" -> ivLeftAggSql,
+    // q382: the endpoint walk replayed with DuckDB window functions —
+    // an independent implementation of the same sweep (the q369
+    // profiler's oracle class); all exact integer micros
+    "q382_interval_coverage" ->
+      """WITH sp AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2, 3),
+        |ev AS (
+        |  SELECT day, t, CAST(sum(dv) AS BIGINT) AS dv,
+        |    CAST(sum(dp) AS BIGINT) AS dp
+        |  FROM (
+        |    SELECT day, t0 AS t,
+        |      CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS dv,
+        |      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS dp
+        |    FROM sp
+        |    UNION ALL
+        |    SELECT day, t1,
+        |      CASE WHEN event_type = 'view' THEN -1 ELSE 0 END,
+        |      CASE WHEN event_type = 'purchase' THEN -1 ELSE 0 END
+        |    FROM sp)
+        |  GROUP BY day, t),
+        |run AS (
+        |  SELECT day, t,
+        |    sum(dv) OVER (PARTITION BY day ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS av,
+        |    sum(dp) OVER (PARTITION BY day ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS ap,
+        |    coalesce(lead(t) OVER (PARTITION BY day ORDER BY t) - t,
+        |      0) AS seg
+        |  FROM ev)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN av > 0 THEN seg ELSE 0 END) AS BIGINT)
+        |    AS view_cov_us,
+        |  CAST(sum(CASE WHEN ap > 0 THEN seg ELSE 0 END) AS BIGINT)
+        |    AS purch_cov_us,
+        |  CAST(sum(CASE WHEN av > 0 AND ap > 0 THEN seg ELSE 0 END)
+        |    AS BIGINT) AS joint_cov_us,
+        |  CAST(max(CASE WHEN seg > 0 THEN av * ap ELSE 0 END)
+        |    AS BIGINT) AS peak_pairs
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
     // q378: the literal FULL JOIN replay — both sides' unmatched
     // rows survive, each grouped under its OWN day
     "q378_interval_full" ->

@@ -26,6 +26,8 @@ object StreamingInterval {
   import StreamingAsOf.Ev
 
   case class SpanRow(user_id: Long, tpe: String, t0: Long, t1: Long)
+  case class DayOutLeft(day: String, n_pairs: Long, n_lonely: Long,
+    mean_overlap_sec: java.lang.Double)
   /** `closed` is the day's TOMBSTONE: flatMapGroupsWithState does not
     * drop post-watermark rows, so without it an event arriving after
     * the day's timeout fired would re-create state and later emit a
@@ -50,6 +52,75 @@ object StreamingInterval {
     * GC — generous vs any realistic watermark delay; one tiny state
     * row per day in the window, so the cost is nil. */
   private val TombstoneGraceMs = 7L * 24 * 3600 * 1000
+
+  /** Streaming twin of the PRESERVED-SIDE interval aggregate (q367 /
+    * q377): same day-keyed span state as [[apply]], but the close
+    * emits the left-outer shape — every view span counts, the
+    * unmatched ones as n_lonely, mean over matched pairs only (null
+    * when none — the batch twin's exact contract). One more consumer
+    * of the same accumulate-then-close state machine: outer-ness is
+    * free at close time because the day's spans are all present. */
+  def left(events: Dataset[Ev]): Dataset[DayOutLeft] = {
+    implicit val stateEnc = Encoders.product[DayState]
+    implicit val outEnc = Encoders.product[DayOutLeft]
+    implicit val keyEnc = Encoders.STRING
+    events.groupByKey(e => dayOf(e.ts))
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (day: String, batch: Iterator[Ev], state: GroupState[DayState]) =>
+          if (state.hasTimedOut && state.get.closed) {
+            state.remove()
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            val spans = state.get.spans
+            state.update(DayState(Nil, closed = true))
+            state.setTimeoutTimestamp(
+              math.max(dayEndMs(day), state.getCurrentWatermarkMs())
+                + TombstoneGraceMs)
+            val views = spans.filter(_.tpe == "view")
+            val purchases = spans.filter(_.tpe == "purchase")
+            var nPairs = 0L
+            var nLonely = 0L
+            var sum = 0L
+            for (v <- views) {
+              var m = 0L
+              for (p <- purchases
+                   if v.user_id != p.user_id &&
+                     v.t0 <= p.t1 && p.t0 <= v.t1) {
+                m += 1L
+                sum += math.min(v.t1, p.t1) - math.max(v.t0, p.t0)
+              }
+              nPairs += m
+              if (m == 0L) nLonely += 1L
+            }
+            if (views.isEmpty) Iterator.empty
+            else Iterator(DayOutLeft(day, nPairs, nLonely,
+              if (nPairs == 0L) null
+              else java.lang.Double.valueOf(
+                math.floor(sum.toDouble / nPairs / 100.0 + 0.5) / 1e4)))
+          } else if (state.getOption.exists(_.closed)) {
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + TombstoneGraceMs)
+            batch.foreach(_ => ())
+            Iterator.empty
+          } else {
+            var m = state.getOption.map(_.spans).getOrElse(Nil)
+              .map(s => (s.user_id, s.tpe) -> (s.t0, s.t1)).toMap
+            batch.foreach { e =>
+              val k = (e.user_id, e.event_type)
+              val t = micros(e.ts)
+              val (lo, hi) = m.getOrElse(k, (t, t))
+              m = m.updated(k, (math.min(lo, t), math.max(hi, t)))
+            }
+            state.update(DayState(m.toList.map { case ((u, tp), (lo, hi))
+              => SpanRow(u, tp, lo, hi) }))
+            val end = dayEndMs(day)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(end, wm + 1L))
+            Iterator.empty
+          }
+      }
+  }
 
   /** `events` must carry a watermark on `ts` (the timeout clock) and
     * be pre-filtered to view/purchase. */

@@ -149,7 +149,8 @@ object DumpPlans {
     "q373_ann_frontier", "q374_unigram_encode", "q375_circular_hours",
     // round 15 additions
     "q376_interval_sweep", "q377_sweep_left", "q378_interval_full",
-    "q379_graph_ann", "q380_quartile_mixing", "q381_png_meta")
+    "q379_graph_ann", "q380_quartile_mixing", "q381_png_meta",
+    "q382_interval_coverage")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -247,6 +247,50 @@ class Round15Spec extends AnyFunSuite {
     assert(lCand > 0 && gCand > 0)
   }
 
+  test("streaming left twin ≡ batch q367 across a 3-batch split") {
+    import spark.implicits._
+    import graft.streaming.{StreamingAsOf, StreamingInterval}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.sources.Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", $"ts", $"event_type", $"event_id", $"value")
+      .as[StreamingAsOf.Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val n = evs.length
+    val batches = Seq(evs.slice(0, n / 3), evs.slice(n / 3, 2 * n / 3),
+      evs.slice(2 * n / 3, n))
+    val far = new java.sql.Timestamp(
+      evs.map(_.ts.getTime).max + 30L * 86400000L)
+    val src = MemoryStream[StreamingAsOf.Ev]
+    val q = StreamingInterval.left(
+        src.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("iv_left_out")
+      .outputMode("append").start()
+    val got = try {
+      batches.foreach { b =>
+        src.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      for (i <- 0 to 1) {
+        src.addData(StreamingAsOf.Ev(-1L, far, "view", -1L - i, 0.0))
+        q.processAllAvailable()
+      }
+      spark.table("iv_left_out")
+        .as[StreamingInterval.DayOutLeft].collect()
+        .filter(_.day != far.toString.substring(0, 10))
+        .map(o => o.day ->
+          ((o.n_pairs, o.n_lonely, Option(o.mean_overlap_sec)
+            .map(_.doubleValue)))).toMap
+    } finally q.stop()
+    val exp = graft.operators.TimeQueries
+      .queries("q367_interval_left")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got == exp,
+      "streaming left aggregates must equal batch q367")
+    assert(exp.nonEmpty)
+  }
+
   test("streaming tombstone: late events cannot re-emit a closed day") {
     import spark.implicits._
     import graft.streaming.{StreamingAsOf, StreamingInterval}

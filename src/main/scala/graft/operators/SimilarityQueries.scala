@@ -937,8 +937,11 @@ object SimilarityQueries extends QueryModule {
     * score-prune at beam width GraphBeam. Every scored (q, v) lands
     * in `visited`, so candidate accounting is exact. Returns
     * (visited, per-query top-5). */
-  private def graphBeamParts(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** The beam search's per-hop visited frames (index k = state after
+    * k expansion rounds; last = the full search) — q379 consumes the
+    * last, q383's hop sweep consumes all of them. */
+  private def graphBeamStages(s: SparkSession, dir: String)
+      : Seq[DataFrame] = {
     import s.implicits._
     val edges = graphCache.get(s, dir)(buildGraphEdges(s, dir))
     val all = vecs(s, dir)
@@ -962,6 +965,8 @@ object SimilarityQueries extends QueryModule {
     var visited = score(seeds).roundBarrier()
     var beam = visited.withColumn("rk", row_number().over(wB))
       .filter($"rk" <= GraphBeam).drop("rk")
+    val stages = Seq.newBuilder[DataFrame]
+    stages += visited
     for (_ <- 1 to GraphHops) {
       val nb = beam.select($"q_id", $"vec_id".as("src"))
         .join(edges, Seq("src"))
@@ -972,7 +977,16 @@ object SimilarityQueries extends QueryModule {
         .dropDuplicates("q_id", "vec_id").roundBarrier()
       beam = visited.withColumn("rk", row_number().over(wB))
         .filter($"rk" <= GraphBeam).drop("rk")
+      stages += visited
     }
+    stages.result()
+  }
+
+  private def graphBeamParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val visited = graphBeamStages(s, dir).last
+    val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     val top5 = visited.withColumn("rk", row_number().over(wB))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id",
@@ -994,6 +1008,76 @@ object SimilarityQueries extends QueryModule {
   def qGraphAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graphBeamParts(s, dir)._2.orderBy($"q_id", $"rk")
+  }
+
+  /** Beam-hop sweep (q383) — q256's nprobe-sweep discipline applied
+    * to the graph index: recall@5 and candidate volume at every hop
+    * depth 0..GraphHops from ONE build and ONE search (hop k's state
+    * is a prefix of hop k+1's — the sweep is free). The production
+    * read: where the recall-per-hop curve knees is the search depth a
+    * serving config pins; hops past the knee buy candidates, not
+    * recall. Eval-harness class (recall needs q40's exhaustive
+    * truth), exactly like q373/q256. */
+  def qBeamSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, dir)
+    val nQ = all.filter($"vec_id" % 100 === 0).count()
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    val truth = scoredPairs(s, dir, QueryChunkRows)
+      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
+      .select($"q_id", $"vec_id").roundBarrier()
+    val rows = graphBeamStages(s, dir).zipWithIndex.map {
+      case (vis, k) =>
+        val cand = vis.count()
+        val top5 = vis.withColumn("rk", row_number().over(wT))
+          .filter($"rk" <= 5).select($"q_id", $"vec_id")
+        val hits = truth.join(top5, Seq("q_id", "vec_id"), "left_semi")
+          .count()
+        (k.toLong, nQ,
+          if (nQ == 0L) 0.0 else r4(cand.toDouble / nQ),
+          if (nQ == 0L) 0.0 else r4(hits.toDouble / (5L * nQ)))
+    }
+    rows.toDF("hops", "n_queries", "mean_cand", "recall_at5")
+      .orderBy($"hops")
+  }
+
+  /** Graph-index health audit (q384) — the at-rest ops card for
+    * q379's neighbor graph, the numbers an index OWNER watches
+    * between rebuilds: node/edge counts, ISOLATED nodes (no LSH
+    * co-bucket partner ⇒ unreachable by graph search — the recall
+    * ceiling's complement), mean/max degree and the median via the
+    * bounded degree-histogram cumsum (q369's value-domain discipline
+    * — the grid is ≤ max-degree rows, never the corpus). Degree
+    * mass concentrating on a few hubs = bucket skew in the underlying
+    * bands; isolated share growing = the signature family drifting
+    * off the data. */
+  def qGraphHealth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.{Window => W}
+    val edges = graphCache.get(s, dir)(buildGraphEdges(s, dir))
+    val deg = vecs(s, dir).select($"vec_id".as("src"))
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")),
+        Seq("src"), "left")
+      .select(coalesce($"deg", lit(0L)).as("deg"))
+    val hist = deg.groupBy($"deg").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum($"c").as("n_nodes"),
+      sum($"deg" * $"c").as("n_edges"),
+      coalesce(sum(when($"deg" === 0L, $"c")), lit(0L))
+        .as("n_isolated"),
+      max(when($"c" > 0L, $"deg")).as("max_degree"))
+    val cum = hist
+      .withColumn("cum", sum($"c").over(W.orderBy($"deg")))
+      .crossJoin(broadcast(tot))
+    cum.agg(
+        min(when(lit(2L) * $"cum" >= $"n_nodes", $"deg"))
+          .as("p50_degree"))
+      .crossJoin(broadcast(tot))
+      .select($"n_nodes", $"n_edges", $"n_isolated",
+        (round($"n_edges".cast("double")
+          / when($"n_nodes" > 0L, $"n_nodes"), 4) + lit(0.0))
+          .as("mean_degree"),
+        $"p50_degree", $"max_degree")
   }
 
   private def ivfWith(s: SparkSession, dir: String,
@@ -1886,6 +1970,8 @@ object SimilarityQueries extends QueryModule {
     "q372_semdedup_keepers" -> (qSemdedupKeepers _),
     "q373_ann_frontier" -> (qAnnFrontier _),
     "q379_graph_ann" -> (qGraphAnn _),
+    "q383_beam_sweep" -> (qBeamSweep _),
+    "q384_graph_health" -> (qGraphHealth _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
     "q226_pq_rerank"  -> (qPqRerank _),
@@ -2398,6 +2484,94 @@ object SimilarityQueries extends QueryModule {
       |    FROM gvis$GraphHops)
       |  WHERE rk <= 5)""".stripMargin)
     sb.toString
+  }
+
+  /** q383's oracle: the graph replay plus exhaustive truth, recall
+    * and candidate volume read at EVERY hop state gvis0..gvisH. */
+  private def beamSweepSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val perHopTops = (0 to GraphHops).map { k =>
+      s"""gt$k AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM gvis$k)
+        |  WHERE rk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val hopRows = (0 to GraphHops).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS hops, nq AS n_queries,
+        |  coalesce(floor((SELECT count(*) FROM gvis$k)
+        |    / CAST(nullif(nq, 0) AS DOUBLE) * 1e4 + 0.5) / 1e4, 0.0)
+        |    AS mean_cand,
+        |  coalesce(floor((SELECT count(*) FROM truth t
+        |      JOIN gt$k a ON a.q_id = t.q_id AND a.vec_id = t.vec_id)
+        |    / (5.0 * nullif(nq, 0)) * 1e4 + 0.5) / 1e4, 0.0)
+        |    AS recall_at5
+        |FROM stats""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $baseCte,
+      |stats AS (
+      |  SELECT CAST(sum(CASE WHEN vec_id % 100 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS nq FROM base),
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |$graphCtes,
+      |tscored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id,
+      |    list_cosine_similarity(q.v, e.v) AS cos
+      |  FROM base q, base e
+      |  WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id),
+      |truth AS (
+      |  SELECT q_id, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id) AS rk FROM tscored)
+      |  WHERE rk <= 5),
+      |$perHopTops
+      |SELECT * FROM ($hopRows) ORDER BY hops""".stripMargin
+  }
+
+  /** q384's oracle: the graph build replayed, then the degree
+    * histogram / cumsum arithmetic verbatim. */
+  private def graphHealthSql: String = {
+    val sigBits = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${sqlVec(planes(p))}) >= 0 " +
+        s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $baseCte,
+      |sig AS (
+      |  SELECT vec_id, v, ($sigBits) AS sig FROM base),
+      |banded AS (
+      |  SELECT vec_id, v, band_id, (sig >> (band_id * 4)) & 15 AS band_val
+      |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b),
+      |$graphCtes,
+      |deg AS (
+      |  SELECT b.vec_id, coalesce(d.deg, 0) AS deg
+      |  FROM base b LEFT JOIN (
+      |    SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |    FROM gedges GROUP BY src) d ON d.src = b.vec_id),
+      |hist AS (
+      |  SELECT deg, CAST(count(*) AS BIGINT) AS c
+      |  FROM deg GROUP BY deg),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_nodes,
+      |    CAST(sum(deg * c) AS BIGINT) AS n_edges,
+      |    CAST(coalesce(sum(CASE WHEN deg = 0 THEN c END), 0)
+      |      AS BIGINT) AS n_isolated,
+      |    max(deg) AS max_degree
+      |  FROM hist),
+      |cum AS (SELECT deg, sum(c) OVER (ORDER BY deg) AS cum FROM hist)
+      |SELECT n_nodes, n_edges, n_isolated,
+      |  round(CAST(n_edges AS DOUBLE) / nullif(n_nodes, 0), 4) + 0.0
+      |    AS mean_degree,
+      |  (SELECT min(deg) FROM cum CROSS JOIN tot
+      |     WHERE 2 * cum >= n_nodes) AS p50_degree,
+      |  max_degree
+      |FROM tot""".stripMargin
   }
 
   /** q379's oracle: the graph build + beam search replayed literally. */
@@ -3385,6 +3559,8 @@ object SimilarityQueries extends QueryModule {
     "q372_semdedup_keepers" -> keepersSql,
     "q373_ann_frontier" -> annFrontierSql,
     "q379_graph_ann" -> graphAnnSql,
+    "q383_beam_sweep" -> beamSweepSql,
+    "q384_graph_health" -> graphHealthSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
         s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")

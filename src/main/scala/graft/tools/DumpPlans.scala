@@ -150,7 +150,7 @@ object DumpPlans {
     // round 15 additions
     "q376_interval_sweep", "q377_sweep_left", "q378_interval_full",
     "q379_graph_ann", "q380_quartile_mixing", "q381_png_meta",
-    "q382_interval_coverage")
+    "q382_interval_coverage", "q383_beam_sweep", "q384_graph_health")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from
@@ -201,7 +201,10 @@ object DumpPlans {
       "sources-sized p-value rank/count windows (post-agg, |sources| rows)",
     "q369_interval_profile" ->
       ("whole-second span-histogram cumsum (value-domain-bounded, " +
-        "≤ 86400 rows for intra-day spans — q182's discipline)"))
+        "≤ 86400 rows for intra-day spans — q182's discipline)"),
+    "q384_graph_health" ->
+      ("degree-histogram cumsum (value-domain-bounded ≤ max degree " +
+        "rows — q369's discipline)"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

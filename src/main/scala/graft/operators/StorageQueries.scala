@@ -264,10 +264,16 @@ object StorageQueries extends QueryModule {
   private[operators] val JvmTag: String =
     java.util.UUID.randomUUID().toString.take(8)
 
-  /** JVM-scoped bucket-table name for `dir`-derived data. */
+  /** JVM-scoped bucket-table name for `dir`-derived data. Every
+    * non-identifier character folds to '_' — `.replace('.', '_')`
+    * alone let a hyphenated corpus dir (e.g. the ScaleGen
+    * `graft-sf1`) produce an unparseable table name, which only
+    * surfaced when the bucket-table family was first profiled at
+    * 10× (round 15). */
   private[operators] def bucketTableName(dir: String, what: String): String =
     s"graft_bkt_${what}_" +
-      new java.io.File(dir).getName.replace('.', '_') + "_" + JvmTag
+      new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_") +
+      "_" + JvmTag
 
   /** The in-memory catalog dies with the JVM but the warehouse files
     * don't: a table the catalog has never heard of may still own its

@@ -298,6 +298,25 @@ class Round15Spec extends AnyFunSuite {
     assert(exp.nonEmpty)
   }
 
+  test("DurableStage: one build per signature, reads after that") {
+    import graft.operators.DurableStage
+    var builds = 0
+    def build() = { builds += 1; spark.range(5).toDF("x") }
+    val salt = "r15spec-" + System.nanoTime()
+    val in = Seq(sf + "/documents.parquet")
+    val r1 = DurableStage.get(spark, "r15spec", 1, in, salt)(build())
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val r2 = DurableStage.get(spark, "r15spec", 1, in, salt)(build())
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(builds == 1,
+      "the second consumer must read the staged parquet, not rebuild")
+    assert(r1 == (0L until 5L) && r2 == r1)
+    // a different salt (changed logic constants) lands on a NEW path
+    DurableStage.get(spark, "r15spec", 1, in, salt + "-b")(build())
+      .collect()
+    assert(builds == 2, "a changed signature must rebuild")
+  }
+
   test("streaming tombstone: late events cannot re-emit a closed day") {
     import spark.implicits._
     import graft.streaming.{StreamingAsOf, StreamingInterval}

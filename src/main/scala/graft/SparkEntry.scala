@@ -42,7 +42,11 @@ object SparkEntry {
     modules.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Every oracle passes through OracleSql.materialize — DuckDB
+    * re-inlines chained CTEs exponentially otherwise (round-16
+    * verdict #1; q373's replay: 153 s inlined, seconds materialized). */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracleSql).toMap
+      .map { case (k, v) => k -> OracleSql.materialize(v) }
 }

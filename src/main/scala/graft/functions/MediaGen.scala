@@ -121,6 +121,90 @@ object MediaGen {
     fourcc("RIFF") ++ le32(body.length) ++ body
   }
 
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** A minimal JPEG carrying a little-endian EXIF APP1 segment —
+    * SOI, APP1("Exif\0\0" + TIFF: "II"+42, IFD0 with ImageWidth /
+    * ImageLength / Orientation / Make), SOF0 with the frame dims, EOI.
+    * Not decodable (no scan data — none is needed: q388 is a
+    * metadata WALK, not a decode), but marker- and TIFF-conformant so
+    * the byte arithmetic under test is the real format's. `make` must
+    * be ≤ 3 ASCII chars (inline IFD value). */
+  def jpegExif(width: Int, height: Int, orientation: Int,
+      make: String): Array[Byte] = {
+    require(make.length <= 3, "make must fit the inline IFD value")
+    def entry(tag: Int, tpe: Int, count: Int,
+        value: Array[Byte]): Array[Byte] =
+      le16(tag) ++ le16(tpe) ++ le32(count) ++ value.padTo(4, 0.toByte)
+    val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+    val ifd0 = le16(4) ++
+      entry(0x0100, 3, 1, le16(width)) ++
+      entry(0x0101, 3, 1, le16(height)) ++
+      entry(0x010f, 2, makeBytes.length, makeBytes) ++
+      entry(0x0112, 3, 1, le16(orientation)) ++
+      le32(0)
+    val tiff = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++ ifd0
+    val exif = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array(0xff.toByte, 0xe1.toByte) ++
+      be16(exif.length + 2) ++ exif
+    val sof0 = Array(0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(height) ++ be16(width) ++
+      Array[Byte](1, 1, 0x11, 0)
+    Array(0xff.toByte, 0xd8.toByte) ++ app1 ++ sof0 ++
+      Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** A minimal GIF89a: logical screen descriptor with a 2-entry global
+    * color table, then per frame a graphic-control extension + image
+    * descriptor + a tiny LZW body, then the trailer — the block
+    * grammar q392's walk parses. */
+  def gif(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val lsd = le16(width) ++ le16(height) ++
+      Array(0xf0.toByte, 0.toByte, 0.toByte)
+    val gct = Array[Byte](0, 0, 0, -1, -1, -1)
+    val frame =
+      Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0) ++  // GCE
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++            // image desc
+        le16(width) ++ le16(height) ++ Array[Byte](0) ++
+      Array[Byte](2, 2, 0x4c, 0x01, 0)                      // LZW body
+    "GIF89a".getBytes("US-ASCII") ++ lsd ++ gct ++
+      (0 until nFrames).flatMap(_ => frame).toArray ++
+      Array[Byte](0x3b)
+  }
+
+  /** A minimal BMP: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER + raw
+    * pixel rows. `topDown` plants a NEGATIVE height (the format's
+    * top-down flag) so q392's signed little-endian decode is
+    * exercised, not just assumed. */
+  def bmp(width: Int, height: Int, topDown: Boolean,
+      bpp: Int): Array[Byte] = {
+    val rowBytes = (width * (bpp / 8) + 3) / 4 * 4
+    val pixels = new Array[Byte](rowBytes * height)
+    val info = le32(40) ++ le32(width) ++
+      le32(if (topDown) -height else height) ++
+      le16(1) ++ le16(bpp) ++ le32(0) ++ le32(pixels.length) ++
+      le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0)
+    val offset = 14 + info.length
+    "BM".getBytes("US-ASCII") ++ le32(offset + pixels.length) ++
+      le16(0) ++ le16(0) ++ le32(offset) ++ info ++ pixels
+  }
+
+  /** A minimal MP3 head: ID3v2.3 tag (syncsafe tag size, one TIT2
+    * text frame) followed by one MPEG frame-sync header — the
+    * container prefix q393's syncsafe decode parses. */
+  def id3(title: String): Array[Byte] = {
+    val t = title.getBytes("US-ASCII")
+    val frame = "TIT2".getBytes("US-ASCII") ++ be32(t.length + 1) ++
+      Array[Byte](0, 0, 0) ++ t
+    val size = frame.length
+    val syncsafe = Array(((size >>> 21) & 0x7f).toByte,
+      ((size >>> 14) & 0x7f).toByte, ((size >>> 7) & 0x7f).toByte,
+      (size & 0x7f).toByte)
+    "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++ syncsafe ++
+      frame ++ Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0.toByte)
+  }
+
   def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 }

@@ -576,4 +576,52 @@ object Multimodal {
       }
     }
   }
+
+  /** Silence profile over decoded PCM (q390): per row the sample
+    * count, silent-sample count (|v| < threshold), leading/trailing
+    * silent run lengths and the longest silent run — the trim/VAD-gate
+    * numbers an audio curation pass routes on before any model hears
+    * the clip. Real AudioSystem decode (q208's path); rejected bytes
+    * yield null metadata (F4). Partition-local map work. */
+  def silenceProfile(df: DataFrame, binCol: String,
+      threshold: Int): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val outSchema = inSchema
+      .add("n_samples", LongType)
+      .add("n_silent", LongType)
+      .add("lead_silence", LongType)
+      .add("trail_silence", LongType)
+      .add("longest_run", LongType)
+    implicit val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] =
+          wavSamples(r.getAs[Array[Byte]](binIdx)) match {
+            case Some((_, xs)) =>
+              val n = xs.length
+              var nSil = 0L; var run = 0L; var longest = 0L
+              var lead = -1L; var trail = 0L
+              var i = 0
+              while (i < n) {
+                val silent = math.abs(xs(i)) < threshold
+                if (silent) {
+                  nSil += 1; run += 1
+                  if (run > longest) longest = run
+                } else {
+                  run = 0
+                  if (lead < 0) lead = i.toLong
+                  trail = i.toLong
+                }
+                i += 1
+              }
+              val leadN = if (lead < 0) n.toLong else lead
+              val trailN = if (lead < 0) n.toLong else n - 1L - trail
+              Seq[Any](n.toLong, nSil, leadN, trailN, longest)
+            case None => Seq(null, null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }
+  }
 }

@@ -22,9 +22,10 @@ package graft.functions
   * lexicon; (b) emoticon entries are the common core, not the full set.
   *
   * LEXICON STATUS — PERMANENTLY ENVIRONMENT-BLOCKED (audited rounds
-  * 3-8, closed round 9; re-checked rounds 11-15 — latest sweep
-  * 2026-08-16 (round 15: filesystem-wide `find -iname '*vader*'`
-  * finds only this repo's own sources/classes; no nltk_data, no
+  * 3-8, closed round 9; re-checked rounds 11-16 — latest sweep
+  * 2026-08-16 (round 16: filesystem-wide `find -iname '*vader*'` and
+  * `find -iname 'vader_lexicon*' -o -iname 'nltk_data'`
+  * find only this repo's own sources/classes; no nltk_data, no
   * vaderSentiment artifact, no new lexicon source on disk or in the
   * coursier cache): completing the lexicon
   * requires the vader_lexicon.txt data file, which ships with the
@@ -51,6 +52,12 @@ object Vader {
   /** Stable (sorted) view of the lexicon for the q50a broadcast-join
     * scoring path and its DuckDB VALUES-literal oracle. */
   def lexiconEntries: Seq[(String, Double)] = Lexicon.toSeq.sortBy(_._1)
+
+  /** Stable views of the booster and negation tables for q50's
+    * rule-replay oracle (round-16: the restricted-grammar DuckDB
+    * replay of the scoring state machine). */
+  def boosterEntries: Seq[(String, Double)] = Boosters.toSeq.sortBy(_._1)
+  def negationEntries: Seq[String] = Negations.toSeq.sorted
 
   // Published VADER constants
   private val BIncr    = 0.293

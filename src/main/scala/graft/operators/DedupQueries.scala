@@ -641,6 +641,11 @@ object DedupQueries extends QueryModule {
 
   private val MinhashK = 32   // signature length
   private val BandRows = 4    // rows per LSH band → 8 bands
+  // Verify-stage Jaccard threshold. Shared by buildVerifiedPairs'
+  // filter AND the DurableStage salt so the two can never drift — a
+  // threshold change without a salt change would silently serve stale
+  // staged pairs to q32/q64/q68/q94/q187/q387 (ADVICE r15).
+  private val VerifyTau = 0.9
 
   /** Per-doc MinHash signature columns h0..h{k-1}: min over shingles of a
     * seeded 64-bit hash. Partial aggregation applies — signatures cost one
@@ -753,7 +758,7 @@ object DedupQueries extends QueryModule {
     pairCache.get(s, dir)(
       DurableStage.get(s, "verified_pairs", 1,
         Seq(s"$dir/documents.parquet"),
-        salt = s"k=$MinhashK;b=$BandRows;tau=0.9")(
+        salt = s"k=$MinhashK;b=$BandRows;tau=$VerifyTau")(
         buildVerifiedPairs(s, dir)))
 
   /** The staged verified near-dup pair frame, exposed for the
@@ -824,7 +829,7 @@ object DedupQueries extends QueryModule {
     cand
       .join(sh.select($"doc_id".as("x_id"), $"sh".as("x_sh")), "x_id")
       .join(sh.select($"doc_id".as("y_id"), $"sh".as("y_sh")), "y_id")
-      .filter(jac >= 0.9)
+      .filter(jac >= VerifyTau)
       .select($"x_id", $"y_id", round(jac, 4).as("jaccard"))
   }
 

@@ -75,13 +75,32 @@ object DurableStage {
     lock.synchronized {
       val p = new Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(p, "_SUCCESS"))) {
+      def complete = fs.exists(new Path(p, "_SUCCESS"))
+      if (!complete) {
+        // A dir without _SUCCESS is a crash leftover; clear it, because
+        // Hadoop rename(src, existing-dst-dir) does NOT fail — it moves
+        // src INTO dst as a child, nesting garbage under the stage.
+        if (fs.exists(p)) fs.delete(p, true)
         val tmp = new Path(dir + ".tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
         build.write.mode("overwrite").parquet(tmp.toString)
-        // rename into place; if another JVM won the race, drop ours
-        if (!fs.rename(tmp, p)) fs.delete(tmp, true)
+        // Re-check immediately before rename: a racing JVM may have
+        // completed the stage while we built — renaming now would nest
+        // our tmp inside the winner. Drop ours and read the winner.
+        if (complete) fs.delete(tmp, true)
+        else {
+          if (fs.exists(p)) fs.delete(p, true)
+          if (!fs.rename(tmp, p)) fs.delete(tmp, true)
+          require(complete,
+            s"DurableStage: failed to materialize stage $dir")
+        }
       }
+      // Defensive sweep: a cross-JVM loser that renamed in the hairline
+      // window between our check and rename sits nested as a
+      // '<stage>.tmp-*' child — remove any such non-data subdirectory
+      // so the parquet read never mis-lists files.
+      fs.listStatus(p).filter(_.getPath.getName.contains(".tmp-"))
+        .foreach(st => fs.delete(st.getPath, true))
     }
     s.read.parquet(dir)
   }

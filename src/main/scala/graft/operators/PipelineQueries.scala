@@ -291,6 +291,165 @@ object PipelineQueries extends QueryModule {
            |SELECT doc_id, string_agg(t, ' ' ORDER BY rk) AS keywords
            |FROM ranked WHERE rk <= 5
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "q50_sentiment" -> {
+        // Rule-replay oracle (round-16 verdict #4): the VADER scoring
+        // state machine re-implemented in SQL over the same constant
+        // tables — two-step lexicon lookup (raw lowercase, then
+        // punct-stripped), booster token gate, ALL-CAPS emphasis,
+        // distance-1 booster scalar + negation flip (lexicon-skip
+        // respected), the "least" check, "but"-clause re-weighting,
+        // !/? punctuation emphasis, alpha-15 normalization, and the
+        // exact round3/round4 (floor(x*k + 0.5)/k == Java Math.round)
+        // arithmetic. RESTRICTED GRAMMAR, documented: look-back
+        // distances 2-3 (decay 0.95/0.9, never-so/this, without-doubt)
+        // and the idiom / booster-phrase windows are NOT replayed —
+        // the corpus vocabulary (31 words, audited via the q18 token
+        // domain) contains no booster, no negation, no idiom bigram,
+        // so those branches are dead on every input row; any drift
+        // surfaces as a hash mismatch, never silently. Per-token
+        // sentiments on this corpus are exact doubles (only
+        // fast=+1.0 / slow=-1.0 hit), so SUM order cannot perturb
+        // the rounded outputs.
+        val lexValues = graft.functions.Vader.lexiconEntries
+          .map { case (w, v) => s"('${w.replace("'", "''")}',$v)" }
+          .mkString(",")
+        val boostValues = graft.functions.Vader.boosterEntries
+          .map { case (w, v) => s"('${w.replace("'", "''")}',$v)" }
+          .mkString(",")
+        val negValues = graft.functions.Vader.negationEntries
+          .map(w => s"('${w.replace("'", "''")}')").mkString(",")
+        s"""WITH lex AS (
+           |  SELECT w, CAST(v AS DOUBLE) AS v FROM (VALUES $lexValues) t(w, v)),
+           |boost AS (
+           |  SELECT w, CAST(v AS DOUBLE) AS v FROM (VALUES $boostValues) t(w, v)),
+           |negs AS (SELECT w FROM (VALUES $negValues) t(w)),
+           |t0 AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(text, '\\s+'),
+           |      t -> length(t) > 1) AS toks
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, unnest(toks) AS tk,
+           |    unnest(range(1, len(toks) + 1)) AS i
+           |  FROM t0),
+           |fl AS (
+           |  SELECT doc_id, i, tk, lower(tk) AS lw,
+           |    regexp_replace(lower(tk),
+           |      '^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$$', '', 'g') AS st,
+           |    (regexp_matches(tk, '\\p{L}') AND tk = upper(tk)
+           |      AND tk <> lower(tk)) AS isup
+           |  FROM tok),
+           |fj AS (
+           |  SELECT f.*, lr.v AS v_raw,
+           |    coalesce(lr.v, ls.v) AS base,
+           |    (bg.w IS NOT NULL) AS gate_boost,
+           |    br.v AS b_raw,
+           |    (nn.w IS NOT NULL OR f.lw LIKE '%n''t') AS is_neg
+           |  FROM fl f
+           |  LEFT JOIN lex lr ON f.lw = lr.w
+           |  LEFT JOIN lex ls ON f.st = ls.w
+           |  LEFT JOIN boost bg ON f.st = bg.w
+           |  LEFT JOIN boost br ON f.lw = br.w
+           |  LEFT JOIN negs nn ON f.lw = nn.w),
+           |sq AS (
+           |  SELECT *,
+           |    sum(CASE WHEN isup THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id) AS n_caps,
+           |    count(*) OVER (PARTITION BY doc_id) AS n_toks,
+           |    lag(lw) OVER win AS p_lw,
+           |    lag(v_raw IS NOT NULL) OVER win AS p_inlex,
+           |    lag(b_raw) OVER win AS p_boost,
+           |    lag(is_neg) OVER win AS p_neg,
+           |    lag(isup) OVER win AS p_isup,
+           |    lag(lw, 2) OVER win AS pp_lw
+           |  FROM fj
+           |  WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+           |vals AS (
+           |  SELECT doc_id, i, lw,
+           |    CASE WHEN gate_boost OR base IS NULL THEN 0.0
+           |      ELSE base + CASE WHEN (n_caps > 0 AND n_caps < n_toks)
+           |          AND isup
+           |        THEN CASE WHEN base > 0 THEN 0.733 ELSE -0.733 END
+           |        ELSE 0.0 END END AS v0,
+           |    CASE WHEN NOT gate_boost AND base IS NOT NULL
+           |        AND p_lw IS NOT NULL AND NOT coalesce(p_inlex, false)
+           |      THEN (v0 + CASE WHEN p_boost IS NOT NULL THEN
+           |          ((CASE WHEN v0 < 0 THEN -p_boost ELSE p_boost END)
+           |           + CASE WHEN (n_caps > 0 AND n_caps < n_toks)
+           |               AND p_isup
+           |             THEN CASE WHEN v0 > 0 THEN 0.733 ELSE -0.733 END
+           |             ELSE 0.0 END) * 1.0
+           |          ELSE 0.0 END)
+           |        * CASE WHEN coalesce(p_neg, false) THEN -0.74
+           |            ELSE 1.0 END
+           |      ELSE v0 END AS v1,
+           |    CASE WHEN NOT gate_boost AND base IS NOT NULL
+           |        AND p_lw = 'least'
+           |        AND coalesce(pp_lw, '') NOT IN ('at', 'very')
+           |      THEN v1 * -0.74 ELSE v1 END AS v2
+           |  FROM sq),
+           |butp AS (
+           |  SELECT doc_id, min(i) AS bi FROM vals WHERE lw = 'but'
+           |  GROUP BY doc_id),
+           |fin AS (
+           |  SELECT v.doc_id,
+           |    CASE WHEN b.bi IS NOT NULL AND v.i < b.bi THEN v.v2 * 0.5
+           |         WHEN b.bi IS NOT NULL AND v.i > b.bi THEN v.v2 * 1.5
+           |         ELSE v.v2 END AS sv
+           |  FROM vals v LEFT JOIN butp b USING (doc_id)),
+           |agg AS (
+           |  SELECT doc_id, sum(sv) AS ssum,
+           |    sum(CASE WHEN sv > 0 THEN sv + 1 ELSE 0.0 END) AS pos0,
+           |    sum(CASE WHEN sv < 0 THEN sv - 1 ELSE 0.0 END) AS neg0,
+           |    CAST(sum(CASE WHEN sv = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           |      AS neu
+           |  FROM fin GROUP BY doc_id),
+           |pu AS (
+           |  SELECT doc_id,
+           |    least(length(text) - length(replace(text, '!', '')), 4)
+           |      * 0.292
+           |    + CASE WHEN (length(text) - length(replace(text, '?', '')))
+           |          > 1
+           |        THEN CASE WHEN (length(text)
+           |            - length(replace(text, '?', ''))) <= 3
+           |          THEN (length(text) - length(replace(text, '?', '')))
+           |            * 0.18
+           |          ELSE 0.96 END
+           |        ELSE 0.0 END AS punct
+           |  FROM documents),
+           |m AS (
+           |  SELECT a.doc_id,
+           |    CASE WHEN a.ssum > 0 THEN a.ssum + p.punct
+           |         WHEN a.ssum < 0 THEN a.ssum - p.punct
+           |         ELSE a.ssum END AS sump,
+           |    CASE WHEN a.pos0 > abs(a.neg0) THEN a.pos0 + p.punct
+           |         ELSE a.pos0 END AS posp,
+           |    CASE WHEN a.pos0 < abs(a.neg0) THEN a.neg0 - p.punct
+           |         ELSE a.neg0 END AS negp,
+           |    a.neu
+           |  FROM agg a JOIN pu p USING (doc_id)),
+           |r AS (
+           |  SELECT doc_id, posp, negp, neu,
+           |    posp + abs(negp) + neu AS total,
+           |    greatest(-1.0, least(1.0,
+           |      sump / sqrt(sump * sump + 15.0))) AS comp
+           |  FROM m)
+           |SELECT d.doc_id,
+           |  coalesce(CASE WHEN r.total <> 0
+           |    THEN floor(abs(r.negp) / r.total * 1000 + 0.5) / 1000 END,
+           |    0.0) + 0.0 AS negative,
+           |  coalesce(CASE WHEN r.total <> 0
+           |    THEN floor(r.neu / r.total * 1000 + 0.5) / 1000 END,
+           |    0.0) + 0.0 AS neutral,
+           |  coalesce(CASE WHEN r.total <> 0
+           |    THEN floor(r.posp / r.total * 1000 + 0.5) / 1000 END,
+           |    0.0) + 0.0 AS positive,
+           |  coalesce(CASE WHEN r.total <> 0
+           |    THEN floor(r.comp * 10000 + 0.5) / 10000 END, 0.0) + 0.0
+           |    AS compound
+           |FROM documents d LEFT JOIN r USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      },
       "q50a_lexicon_sentiment" -> {
         // the full lexicon as a VALUES literal — same trick as q41's
         // hyperplanes: engine constants are replayable in SQL

@@ -93,6 +93,48 @@ object ScoringQueries extends QueryModule {
       |    CASE WHEN v.t0 IS NULL THEN '$UnkToken' ELSE r.t0 END AS term
       |  FROM raw r LEFT JOIN vcap v USING (t0))""".stripMargin
 
+  /** Shared q380/q391 oracle chain: folded tokens → quantized per-doc
+    * NLL → per-source quartiles → cells → reference → `scored`
+    * (source, quartile, n_docs, n_tokens, m_nll, w_old, excess, k). */
+  private def quartileScoredCtes: String =
+    s"""$foldedToksCtes,
+      |freq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY term),
+      |tot AS (SELECT sum(cnt) AS total FROM freq),
+      |perdoc AS (
+      |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |    sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e9
+      |      + 0.5) AS BIGINT)) AS sum_q
+      |  FROM toks JOIN freq USING (term) CROSS JOIN tot
+      |  GROUP BY source, doc_id),
+      |pd2 AS (
+      |  SELECT *, CAST(sum_q AS DOUBLE) / n_toks / 1e9 AS m_nll
+      |  FROM perdoc),
+      |qt AS (
+      |  SELECT *, ntile(4) OVER (PARTITION BY source
+      |    ORDER BY m_nll, doc_id) AS quartile
+      |  FROM pd2),
+      |cells AS (
+      |  SELECT source, quartile, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |    sum(sum_q) AS cell_q
+      |  FROM qt GROUP BY source, quartile),
+      |c2 AS (
+      |  SELECT *, CAST(cell_q AS DOUBLE) / n_tokens / 1e9 AS m_nll
+      |  FROM cells),
+      |ref AS (
+      |  SELECT CAST(sum(cell_q) AS DOUBLE) / sum(n_tokens) / 1e9
+      |      AS ref_nll,
+      |    CAST(sum(n_tokens) AS DOUBLE) AS tok_all,
+      |    CAST(count(*) AS DOUBLE) AS k
+      |  FROM c2),
+      |scored AS (
+      |  SELECT source, quartile, n_docs, n_tokens, m_nll,
+      |    n_tokens / tok_all AS w_old,
+      |    greatest(0.0, m_nll - ref_nll) AS excess, k
+      |  FROM c2 CROSS JOIN ref)""".stripMargin
+
   /** Per-document top-3 terms by smoothed TF-IDF. The per-doc ranking is
     * the Filter(row_number <= k) idiom, which TopKWindowRule rewrites to
     * the bounded-heap top_k_rows aggregate — O(k) state per document,
@@ -380,29 +422,10 @@ object ScoringQueries extends QueryModule {
     * k-row softmax. */
   def qQuartileMixing(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = unkFold(Tables.documents(s, dir)
-      .select($"source", $"doc_id",
-        explode(split($"text", " ")).as("term")))
-    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
-    val tot = freq.agg(sum($"cnt").as("total"))
-    val perDoc = toks.join(broadcast(freq), "term")
-      .crossJoin(broadcast(tot))
-      .select($"source", $"doc_id",
-        floor(-log($"cnt".cast("double") / $"total") * 1e9 + 0.5)
-          .cast("long").as("nllq"))
-      .groupBy($"source", $"doc_id")
-      .agg(count(lit(1)).as("n_toks"), sum($"nllq").as("sum_q"))
-      .withColumn("m_nll", $"sum_q".cast("double") / $"n_toks" / 1e9)
-    val wQ = Window.partitionBy($"source")
-      .orderBy($"m_nll".asc, $"doc_id".asc)
     // cell/reference sums widen to decimal before aggregation (the
     // dm() discipline): Σ over a cell's docs of 1e9-grid doc sums
     // wraps a long at 100 TB while DuckDB's HUGEINT sails on
-    val cells = perDoc.withColumn("quartile", ntile(4).over(wQ))
-      .groupBy($"source", $"quartile")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
-        sum($"sum_q".cast("decimal(38,0)")).as("cell_q"))
-      .withColumn("m_nll", $"cell_q".cast("double") / $"n_tokens" / 1e9)
+    val cells = quartileCells(s, dir)
     val ref = cells.agg(
       (sum($"cell_q").cast("double") / sum($"n_tokens") / 1e9)
         .as("ref_nll"),
@@ -421,6 +444,79 @@ object ScoringQueries extends QueryModule {
         round($"w_old", 4).as("w_old"),
         round(lit(1.0 - DoremiSmooth) * $"raw" / $"z" +
           lit(DoremiSmooth) / $"k", 4).as("w_new"))
+      .orderBy($"source", $"quartile")
+  }
+
+  /** The (source, quartile) cell frame shared by q380 and q391:
+    * folded token pass → per-doc quantized NLL → per-source ntile(4)
+    * → cell aggregates with the decimal-widened quantized mass. */
+  private def quartileCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = unkFold(Tables.documents(s, dir)
+      .select($"source", $"doc_id",
+        explode(split($"text", " ")).as("term")))
+    val freq = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum($"cnt").as("total"))
+    val perDoc = toks.join(broadcast(freq), "term")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"doc_id",
+        floor(-log($"cnt".cast("double") / $"total") * 1e9 + 0.5)
+          .cast("long").as("nllq"))
+      .groupBy($"source", $"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"nllq").as("sum_q"))
+      .withColumn("m_nll", $"sum_q".cast("double") / $"n_toks" / 1e9)
+    val wQ = Window.partitionBy($"source")
+      .orderBy($"m_nll".asc, $"doc_id".asc)
+    perDoc.withColumn("quartile", ntile(4).over(wQ))
+      .groupBy($"source", $"quartile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        sum($"sum_q".cast("decimal(38,0)")).as("cell_q"))
+      .withColumn("m_nll", $"cell_q".cast("double") / $"n_tokens" / 1e9)
+  }
+
+  /** DoReMi iteration-2 reweight on q380's cells (q391 — round-16
+    * widening): the group-DRO multiplicative update applied TWICE
+    * against the static corpus-LM excess (the proxy model does not
+    * retrain between rounds here, so round 2 isolates the update's
+    * own dynamics): w_t = (1−s)·(w_{t−1}·e^{η·excess})/Z_t + s/k.
+    * The published trajectory (w0 → w1 → w2, plus the round-2 delta)
+    * is the convergence read a mixture owner watches: hard cells keep
+    * gaining mass round over round while the uniform floor keeps easy
+    * cells alive. Determinism: each round's raw mass quantizes to the
+    * 1e-12 grid BEFORE the Z sum, so the k-row normalizer is an
+    * exact-integer sum (order-independent — one notch tighter than
+    * q380's float Z, which its ≤ 20-row frame tolerates). Everything
+    * past the single token pass is |sources|·4-row metadata. */
+  def qDoremiIter2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = quartileCells(s, dir)
+    val ref = cells.agg(
+      (sum($"cell_q").cast("double") / sum($"n_tokens") / 1e9)
+        .as("ref_nll"),
+      sum($"n_tokens").cast("double").as("tok_all"),
+      count(lit(1)).cast("double").as("k"))
+    val base = cells.crossJoin(broadcast(ref))
+      .withColumn("w0", $"n_tokens" / $"tok_all")
+      .withColumn("excess", greatest(lit(0.0), $"m_nll" - $"ref_nll"))
+      .withColumn("boost", exp(lit(DoremiEta) * $"excess"))
+    def stepRound(df: DataFrame, wIn: String, wOut: String): DataFrame = {
+      val rq = df.withColumn("rawq",
+        floor(col(wIn) * col("boost") * lit(1e12) + lit(0.5)))
+      val z = rq.agg(sum($"rawq").as("zq"))
+      rq.crossJoin(broadcast(z))
+        .withColumn(wOut,
+          lit(1.0 - DoremiSmooth) * ($"rawq".cast("double") / $"zq") +
+            lit(DoremiSmooth) / $"k")
+        .drop("rawq", "zq")
+    }
+    stepRound(stepRound(base, "w0", "w1"), "w1", "w2")
+      .select($"source", $"quartile".cast("long").as("quartile"),
+        $"n_tokens",
+        (round($"excess", 4) + lit(0.0)).as("excess_nll"),
+        round($"w0", 4).as("w0"),
+        round($"w1", 4).as("w1"),
+        round($"w2", 4).as("w2"),
+        (round($"w2" - $"w1", 4) + lit(0.0)).as("delta2"))
       .orderBy($"source", $"quartile")
   }
 
@@ -3058,6 +3154,7 @@ object ScoringQueries extends QueryModule {
       "q104_dsir_weights" -> (qDsirWeights _),
       "q277_doremi_reweight" -> (qDoremiReweight _),
       "q380_quartile_mixing" -> (qQuartileMixing _),
+      "q391_doremi_iter2"   -> (qDoremiIter2 _),
       "q280_dedup_quality_skew" -> (qDedupQualitySkew _),
       "q282_jm_interpolation" -> (qJmInterpolation _),
     )
@@ -4547,47 +4644,12 @@ object ScoringQueries extends QueryModule {
         |  round(${1.0 - DoremiSmooth} * raw / z + $DoremiSmooth / k, 4)
         |    AS w_new
         |FROM sc2 CROSS JOIN z ORDER BY source""".stripMargin,
+    // q380/q391 shared chain is quartileScoredCtes (below the map).
     // q380: the DoReMi update replayed over (source, quartile) cells;
     // the per-doc NLL quantizes per token before summing, so the
     // ntile order key is an exact-integer-derived double both engines
     "q380_quartile_mixing" ->
-      s"""$foldedToksCtes,
-        |freq AS (
-        |  SELECT term, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM toks GROUP BY term),
-        |tot AS (SELECT sum(cnt) AS total FROM freq),
-        |perdoc AS (
-        |  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-        |    sum(CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e9
-        |      + 0.5) AS BIGINT)) AS sum_q
-        |  FROM toks JOIN freq USING (term) CROSS JOIN tot
-        |  GROUP BY source, doc_id),
-        |pd2 AS (
-        |  SELECT *, CAST(sum_q AS DOUBLE) / n_toks / 1e9 AS m_nll
-        |  FROM perdoc),
-        |qt AS (
-        |  SELECT *, ntile(4) OVER (PARTITION BY source
-        |    ORDER BY m_nll, doc_id) AS quartile
-        |  FROM pd2),
-        |cells AS (
-        |  SELECT source, quartile, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-        |    sum(sum_q) AS cell_q
-        |  FROM qt GROUP BY source, quartile),
-        |c2 AS (
-        |  SELECT *, CAST(cell_q AS DOUBLE) / n_tokens / 1e9 AS m_nll
-        |  FROM cells),
-        |ref AS (
-        |  SELECT CAST(sum(cell_q) AS DOUBLE) / sum(n_tokens) / 1e9
-        |      AS ref_nll,
-        |    CAST(sum(n_tokens) AS DOUBLE) AS tok_all,
-        |    CAST(count(*) AS DOUBLE) AS k
-        |  FROM c2),
-        |scored AS (
-        |  SELECT source, quartile, n_docs, n_tokens, m_nll,
-        |    n_tokens / tok_all AS w_old,
-        |    greatest(0.0, m_nll - ref_nll) AS excess, k
-        |  FROM c2 CROSS JOIN ref),
+      s"""$quartileScoredCtes,
         |sc2 AS (
         |  SELECT *, w_old * exp($DoremiEta * excess) AS raw
         |  FROM scored),
@@ -4599,6 +4661,36 @@ object ScoringQueries extends QueryModule {
         |  round(${1.0 - DoremiSmooth} * raw / z + $DoremiSmooth / k, 4)
         |    AS w_new
         |FROM sc2 CROSS JOIN z ORDER BY source, quartile""".stripMargin,
+    // q391: two unrolled update rounds on the same cell chain; each
+    // round's raw mass quantizes to the 1e-12 grid before its Z sum
+    // (exact-integer normalizer — see qDoremiIter2).
+    "q391_doremi_iter2" ->
+      s"""$quartileScoredCtes,
+        |b AS (
+        |  SELECT source, quartile, n_tokens, excess, k,
+        |    w_old AS w0, exp($DoremiEta * excess) AS boost
+        |  FROM scored),
+        |r1 AS (
+        |  SELECT *, CAST(floor(w0 * boost * 1e12 + 0.5) AS BIGINT)
+        |    AS rq1 FROM b),
+        |z1 AS (SELECT CAST(sum(rq1) AS BIGINT) AS zq1 FROM r1),
+        |s1 AS (
+        |  SELECT *, ${1.0 - DoremiSmooth} * (CAST(rq1 AS DOUBLE) / zq1)
+        |    + $DoremiSmooth / k AS w1
+        |  FROM r1 CROSS JOIN z1),
+        |r2 AS (
+        |  SELECT *, CAST(floor(w1 * boost * 1e12 + 0.5) AS BIGINT)
+        |    AS rq2 FROM s1),
+        |z2 AS (SELECT CAST(sum(rq2) AS BIGINT) AS zq2 FROM r2),
+        |s2 AS (
+        |  SELECT *, ${1.0 - DoremiSmooth} * (CAST(rq2 AS DOUBLE) / zq2)
+        |    + $DoremiSmooth / k AS w2
+        |  FROM r2 CROSS JOIN z2)
+        |SELECT source, CAST(quartile AS BIGINT) AS quartile, n_tokens,
+        |  round(excess, 4) + 0.0 AS excess_nll,
+        |  round(w0, 4) AS w0, round(w1, 4) AS w1, round(w2, 4) AS w2,
+        |  round(w2 - w1, 4) + 0.0 AS delta2
+        |FROM s2 ORDER BY source, quartile""".stripMargin,
     "q280_dedup_quality_skew" -> {
       s"""WITH $labCtesSql,
         |cls AS (

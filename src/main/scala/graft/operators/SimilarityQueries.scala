@@ -99,11 +99,20 @@ object SimilarityQueries extends QueryModule {
   private def truthTop5(s: SparkSession, dir: String): DataFrame =
     truthCache.get(s, dir) {
       import s.implicits._
-      val wT = Window.partitionBy($"q_id")
-        .orderBy($"cos".desc, $"vec_id".asc)
-      scoredPairs(s, dir, QueryChunkRows)
-        .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
-        .select($"q_id", $"vec_id")
+      // Double-staged (round-16 verdict #2, the verified-pairs
+      // discipline): the n²/100 brute pass is also run-DURABLE, so a
+      // fresh session/JVM (the bench's per-family cold start, the
+      // driver's separate Verify and Bench JVMs) re-pays a columnar
+      // read, not the full exhaustive scan. Bump the version on any
+      // change to scoredPairs or the tie rule.
+      DurableStage.get(s, "ann_truth5", 1,
+        Seq(s"$dir/embeddings.parquet"), salt = "k=5;qmod=100") {
+        val wT = Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"vec_id".asc)
+        scoredPairs(s, dir, QueryChunkRows)
+          .withColumn("rk", row_number().over(wT)).filter($"rk" <= 5)
+          .select($"q_id", $"vec_id")
+      }
     }
 
   /** Chunk size exposed for the equivalence test (chunking must never
@@ -898,7 +907,7 @@ object SimilarityQueries extends QueryModule {
     // graph row (round 15): index cost = edge count at rest; probe
     // cost = every (q, v) the beam search actually scored
     val (gVisited, gTop) = graphBeamParts(s, dir)
-    val gEdges = graphCache.get(s, dir)(buildGraphEdges(s, dir)).count()
+    val gEdges = stagedGraphEdges(s, dir).count()
     val gCand = gVisited.count()
     Seq(
       ("brute", n, meanCand(math.max(n - 1, 0L) * nQ), bruteRecall),
@@ -921,6 +930,19 @@ object SimilarityQueries extends QueryModule {
   private val GraphHops = 4
 
   private val graphCache = new SessionCache
+
+  /** The graph edge frame, double-staged (round-16 verdict #2):
+    * SessionCache bounds the common case, DurableStage the worst —
+    * q379/q383/q384/q386/q387 all ride this build, and before this a
+    * fresh session/JVM re-paid the ~6 s LSH-candidate + top-degree +
+    * symmetrize chain per consumer family. Bump the version on any
+    * change to buildGraphEdges, bandedVecs, or the plane seeds. */
+  private def stagedGraphEdges(s: SparkSession, dir: String): DataFrame =
+    graphCache.get(s, dir)(
+      DurableStage.get(s, "graph_edges", 1,
+        Seq(s"$dir/embeddings.parquet"),
+        salt = s"deg=$GraphDeg;planes=16;bands=4")(
+        buildGraphEdges(s, dir)))
 
   /** The bounded-degree neighbor graph (q379's index at rest): per
     * vector its top-GraphDeg cosine neighbors among its LSH band
@@ -962,7 +984,7 @@ object SimilarityQueries extends QueryModule {
   private def graphBeamStages(s: SparkSession, dir: String)
       : Seq[DataFrame] =
     graphBeamStagesOn(s, dir,
-      graphCache.get(s, dir)(buildGraphEdges(s, dir)))
+      stagedGraphEdges(s, dir))
 
   /** Beam search over a caller-supplied edge frame — the session-
     * staged build (q379/q383) and the persisted at-rest table (q386)
@@ -1139,7 +1161,9 @@ object SimilarityQueries extends QueryModule {
     import s.implicits._
     val bt = StorageQueries.bucketTableName(dir, "gedges")
     StorageQueries.ensureTable(s, bt) {
-      buildGraphEdges(s, dir).write.mode("overwrite")
+      // source the bucketed at-rest table from the durable stage: a
+      // rebuild is a columnar read + bucketed write, never a re-build
+      stagedGraphEdges(s, dir).write.mode("overwrite")
         .bucketBy(8, "src").sortBy("src")
         .saveAsTable(bt)
     }
@@ -1195,7 +1219,7 @@ object SimilarityQueries extends QueryModule {
   def qGraphHealth(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.{Window => W}
-    val edges = graphCache.get(s, dir)(buildGraphEdges(s, dir))
+    val edges = stagedGraphEdges(s, dir)
     val deg = vecs(s, dir).select($"vec_id".as("src"))
       .join(edges.groupBy($"src").agg(count(lit(1)).as("deg")),
         Seq("src"), "left")

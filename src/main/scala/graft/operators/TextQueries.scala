@@ -797,18 +797,38 @@ object TextQueries extends QueryModule {
    * contribute. */
 
   /** dp$r/bt$r: one Viterbi pass of round `r` against score table
-    * `sc`. */
+    * `sc`. De-correlated form (round 16): the original spelled the
+    * per-step max as a correlated scalar subquery over `sc`, which is
+    * both the statement's cost driver under DuckDB's CTE re-inlining
+    * (q374 measured 128 s) AND wrong under `AS MATERIALIZED`
+    * (correlated subqueries over a materialized CTE mis-evaluate in
+    * DuckDB 1.0 — the q368/q370/q374/q385 failure class). Instead,
+    * `cand$r` pre-joins every (word, end-position) to its matching
+    * vocab pieces ONCE as a plain equi join and carries the (d, score)
+    * candidates as a list; the recursion folds the list with a lambda
+    * — no correlation anywhere, so the statement materializes safely.
+    * NULL parity with the subquery form is exact: a position with no
+    * candidate list yields list_aggregate([], 'max') = NULL, the same
+    * NULL the empty correlated max produced. */
   private def ulmDpBtSql(r: Int, sc: String): String =
-    s"""dp$r AS (
+    s"""cand$r AS (
+       |  SELECT p.w, p.i + rd.d - 1 AS jend,
+       |    list({'d': rd.d, 'score': sc.score}) AS cands
+       |  FROM pos p
+       |  JOIN (VALUES (1), (2), (3), (4)) rd(d) ON p.i + rd.d - 1 <= p.n
+       |  JOIN $sc sc
+       |    ON sc.piece = substring(p.w, CAST(p.i AS INTEGER), rd.d)
+       |  GROUP BY p.w, p.i + rd.d - 1),
+       |dp$r AS (
        |  SELECT w, freq, 0 AS j, [CAST(0 AS BIGINT)] AS bests
        |  FROM words
        |  UNION ALL
-       |  SELECT w, freq, j + 1, list_append(bests, (
-       |      SELECT max(bests[j + 2 - d] + sc.score)
-       |      FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
-       |      WHERE d <= j + 1
-       |        AND sc.piece = substring(w, j + 2 - d, d)))
-       |  FROM dp$r WHERE j < length(w)),
+       |  SELECT dd.w, dd.freq, dd.j + 1, list_append(dd.bests,
+       |    list_aggregate(list_transform(coalesce(c.cands, []),
+       |      x -> dd.bests[dd.j + 2 - x.d] + x.score), 'max'))
+       |  FROM dp$r dd LEFT JOIN cand$r c
+       |    ON c.w = dd.w AND c.jend = dd.j + 1
+       |  WHERE dd.j < length(dd.w)),
        |bt$r AS (
        |  SELECT w, freq, length(w) AS j, bests,
        |    CAST([] AS VARCHAR[]) AS toks
@@ -817,14 +837,14 @@ object TextQueries extends QueryModule {
        |  SELECT w, freq, j - ds, bests,
        |    list_append(toks, substring(w, j - ds + 1, ds))
        |  FROM (
-       |    SELECT w, freq, j, bests, toks, (
-       |        SELECT max(d)
-       |        FROM (VALUES (1), (2), (3), (4)) rd(d), $sc sc
-       |        WHERE d <= j
-       |          AND sc.piece = substring(w, j - d + 1, d)
-       |          AND bests[j - d + 1] + sc.score = bests[j + 1]
-       |      ) AS ds
-       |    FROM bt$r WHERE j > 0))""".stripMargin
+       |    SELECT b.w, b.freq, b.j, b.bests, b.toks,
+       |      list_aggregate(list_transform(coalesce(c.cands, []),
+       |        x -> CASE WHEN b.bests[b.j - x.d + 1] + x.score
+       |                    = b.bests[b.j + 1] THEN x.d END), 'max')
+       |        AS ds
+       |    FROM bt$r b LEFT JOIN cand$r c
+       |      ON c.w = b.w AND c.jend = b.j
+       |    WHERE b.j > 0))""".stripMargin
 
   /** Full EM round `r`: segment with `sc`, recount, re-score. */
   private def ulmRoundSql(r: Int, sc: String): String =
@@ -1414,6 +1434,7 @@ object TextQueries extends QueryModule {
       .select($"rk", $"node".as("word"), round($"rank", 4).as("rank"))
       .orderBy($"rk")
   }
+
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_heaps_law" -> (qHeapsLaw _),

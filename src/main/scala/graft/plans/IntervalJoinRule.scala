@@ -258,7 +258,10 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
                 Project(l.output ++ nulls(r.output),
                   Join(l, r, LeftAnti, Some(cond), hint)),
                 Project(nulls(l.output) ++ r.output,
-                  Join(r, l, LeftAnti, Some(cond), hint))))
+                  // side-reversed child: swap any side-specific hints
+                  // so leftHint still describes l and rightHint r
+                  Join(r, l, LeftAnti, Some(cond),
+                    JoinHint(hint.rightHint, hint.leftHint)))))
             case jt if maxSpan > 0L && jt != FullOuter =>
               val rightPreserved = jt == RightOuter
               val (p, o) = if (rightPreserved) (r, l) else (l, r)

@@ -15,10 +15,11 @@ import org.apache.spark.sql.types.StructType
   * twins; on a real cluster with spark-sql-kafka on the classpath this
   * code runs as-is.
   *
-  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted rounds 12-15,
-  * 2026-08-15/16 — same ResolveException each time; the round-15
-  * sweep re-checked /opt/spark/jars (no kafka/token-provider jar) and
-  * a filesystem-wide `find -iname '*kafka*.jar'` — none exists):
+  * E2E STATUS — ENVIRONMENT-BLOCKED (re-attempted rounds 12-16,
+  * 2026-08-15/16 — same ResolveException each time; the round-16
+  * sweep re-checked with a filesystem-wide `find -iname
+  * '*kafka*jar*' -o -iname '*spark-sql-kafka*'` — still no
+  * kafka/token-provider jar anywhere, coursier cache included):
   * `sbt 'set libraryDependencies += "org.apache.spark" %%
   * "spark-sql-kafka-0-10" % "4.1.2" % Test' update` fails offline —
   * the artifact is in neither /opt/spark/jars, the pre-warmed coursier

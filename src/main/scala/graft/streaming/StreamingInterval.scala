@@ -37,14 +37,14 @@ object StreamingInterval {
   case class DayState(spans: List[SpanRow], closed: Boolean = false)
   case class DayOut(day: String, n_pairs: Long, mean_overlap_sec: Double)
 
-  private def micros(ts: java.sql.Timestamp): Long =
+  private[streaming] def micros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
 
-  private def dayOf(ts: java.sql.Timestamp): String =
+  private[streaming] def dayOf(ts: java.sql.Timestamp): String =
     java.time.Instant.ofEpochMilli(ts.getTime)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
 
-  private def dayEndMs(day: String): Long =
+  private[streaming] def dayEndMs(day: String): Long =
     java.time.LocalDate.parse(day).plusDays(1)
       .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
 
@@ -53,80 +53,23 @@ object StreamingInterval {
     * row per day in the window, so the cost is nil. */
   private val TombstoneGraceMs = 7L * 24 * 3600 * 1000
 
-  /** Streaming twin of the PRESERVED-SIDE interval aggregate (q367 /
-    * q377): same day-keyed span state as [[apply]], but the close
-    * emits the left-outer shape — every view span counts, the
-    * unmatched ones as n_lonely, mean over matched pairs only (null
-    * when none — the batch twin's exact contract). One more consumer
-    * of the same accumulate-then-close state machine: outer-ness is
-    * free at close time because the day's spans are all present. */
-  def left(events: Dataset[Ev]): Dataset[DayOutLeft] = {
-    implicit val stateEnc = Encoders.product[DayState]
-    implicit val outEnc = Encoders.product[DayOutLeft]
-    implicit val keyEnc = Encoders.STRING
-    events.groupByKey(e => dayOf(e.ts))
-      .flatMapGroupsWithState(OutputMode.Append,
-          GroupStateTimeout.EventTimeTimeout) {
-        (day: String, batch: Iterator[Ev], state: GroupState[DayState]) =>
-          if (state.hasTimedOut && state.get.closed) {
-            state.remove()
-            Iterator.empty
-          } else if (state.hasTimedOut) {
-            val spans = state.get.spans
-            state.update(DayState(Nil, closed = true))
-            state.setTimeoutTimestamp(
-              math.max(dayEndMs(day), state.getCurrentWatermarkMs())
-                + TombstoneGraceMs)
-            val views = spans.filter(_.tpe == "view")
-            val purchases = spans.filter(_.tpe == "purchase")
-            var nPairs = 0L
-            var nLonely = 0L
-            var sum = 0L
-            for (v <- views) {
-              var m = 0L
-              for (p <- purchases
-                   if v.user_id != p.user_id &&
-                     v.t0 <= p.t1 && p.t0 <= v.t1) {
-                m += 1L
-                sum += math.min(v.t1, p.t1) - math.max(v.t0, p.t0)
-              }
-              nPairs += m
-              if (m == 0L) nLonely += 1L
-            }
-            if (views.isEmpty) Iterator.empty
-            else Iterator(DayOutLeft(day, nPairs, nLonely,
-              if (nPairs == 0L) null
-              else java.lang.Double.valueOf(
-                math.floor(sum.toDouble / nPairs / 100.0 + 0.5) / 1e4)))
-          } else if (state.getOption.exists(_.closed)) {
-            state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + TombstoneGraceMs)
-            batch.foreach(_ => ())
-            Iterator.empty
-          } else {
-            var m = state.getOption.map(_.spans).getOrElse(Nil)
-              .map(s => (s.user_id, s.tpe) -> (s.t0, s.t1)).toMap
-            batch.foreach { e =>
-              val k = (e.user_id, e.event_type)
-              val t = micros(e.ts)
-              val (lo, hi) = m.getOrElse(k, (t, t))
-              m = m.updated(k, (math.min(lo, t), math.max(hi, t)))
-            }
-            state.update(DayState(m.toList.map { case ((u, tp), (lo, hi))
-              => SpanRow(u, tp, lo, hi) }))
-            val end = dayEndMs(day)
-            val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(end, wm + 1L))
-            Iterator.empty
-          }
-      }
-  }
-
-  /** `events` must carry a watermark on `ts` (the timeout clock) and
+  /** The shared day-keyed accumulate-then-close machine (round 16 —
+    * factored out verbatim so [[apply]], [[left]] and the
+    * StreamingSweep twins run ONE proven state discipline):
+    *  - accumulate: fold each batch into per-(user, type) min/max
+    *    spans, arm the close timeout at day end (or just past the
+    *    watermark for a late re-open, so the arm is always legal);
+    *  - close (first timeout): hand the day's final spans to `close`,
+    *    leave a TOMBSTONE (not remove) so a late event cannot re-open
+    *    the day and emit a duplicate;
+    *  - tombstone: absorb post-close stragglers, GC at a second, far
+    *    timeout.
+    * `events` must carry a watermark on `ts` (the timeout clock) and
     * be pre-filtered to view/purchase. */
-  def apply(events: Dataset[Ev]): Dataset[DayOut] = {
+  private[streaming] def perDaySpans[O](events: Dataset[Ev])(
+      close: (String, List[SpanRow]) => Iterator[O])(
+      implicit outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
     implicit val stateEnc = Encoders.product[DayState]
-    implicit val outEnc = Encoders.product[DayOut]
     implicit val keyEnc = Encoders.STRING
     events.groupByKey(e => dayOf(e.ts))
       .flatMapGroupsWithState(OutputMode.Append,
@@ -138,29 +81,14 @@ object StreamingInterval {
             state.remove()
             Iterator.empty
           } else if (state.hasTimedOut) {
-            // the day is closed: every span is final — aggregate the
-            // cross-user overlap pairs exactly as the batch join does,
-            // then leave a tombstone (NOT remove) so a late event
-            // cannot re-open the day and emit a duplicate; the
-            // tombstone GCs at a second, far timeout
+            // the day is closed: every span is final — emit, then
+            // leave the tombstone
             val spans = state.get.spans
             state.update(DayState(Nil, closed = true))
             state.setTimeoutTimestamp(
               math.max(dayEndMs(day), state.getCurrentWatermarkMs())
                 + TombstoneGraceMs)
-            val views = spans.filter(_.tpe == "view")
-            val purchases = spans.filter(_.tpe == "purchase")
-            var n = 0L
-            var sum = 0L
-            for (v <- views; p <- purchases
-                 if v.user_id != p.user_id &&
-                   v.t0 <= p.t1 && p.t0 <= v.t1) {
-              n += 1L
-              sum += math.min(v.t1, p.t1) - math.max(v.t0, p.t0)
-            }
-            if (n == 0L) Iterator.empty
-            else Iterator(DayOut(day, n,
-              math.floor(sum.toDouble / n / 100.0 + 0.5) / 1e4))
+            close(day, spans)
           } else if (state.getOption.exists(_.closed)) {
             // late events for an already-emitted day: absorb them (the
             // at-most-once-per-day contract) and re-arm the GC timeout
@@ -180,14 +108,71 @@ object StreamingInterval {
             }
             state.update(DayState(m.toList.map { case ((u, tp), (lo, hi))
               => SpanRow(u, tp, lo, hi) }))
-            // close the day when the watermark passes its end; if the
-            // group was (re)seen late, push just past the watermark so
-            // the arm is always legal and fires at the next advance
+            // close the day when the watermark passes its end
             val end = dayEndMs(day)
             val wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(math.max(end, wm + 1L))
             Iterator.empty
           }
       }
+  }
+
+  /** Streaming twin of the PRESERVED-SIDE interval aggregate (q367 /
+    * q377): same day-keyed span state as [[apply]], but the close
+    * emits the left-outer shape — every view span counts, the
+    * unmatched ones as n_lonely, mean over matched pairs only (null
+    * when none — the batch twin's exact contract). One more consumer
+    * of the same accumulate-then-close state machine: outer-ness is
+    * free at close time because the day's spans are all present. */
+  def left(events: Dataset[Ev]): Dataset[DayOutLeft] = {
+    implicit val outEnc = Encoders.product[DayOutLeft]
+    perDaySpans(events) { (day, spans) =>
+      val views = spans.filter(_.tpe == "view")
+      val purchases = spans.filter(_.tpe == "purchase")
+      var nPairs = 0L
+      var nLonely = 0L
+      var sum = 0L
+      for (v <- views) {
+        var m = 0L
+        for (p <- purchases
+             if v.user_id != p.user_id &&
+               v.t0 <= p.t1 && p.t0 <= v.t1) {
+          m += 1L
+          sum += math.min(v.t1, p.t1) - math.max(v.t0, p.t0)
+        }
+        nPairs += m
+        if (m == 0L) nLonely += 1L
+      }
+      if (views.isEmpty) Iterator.empty
+      else Iterator(DayOutLeft(day, nPairs, nLonely,
+        if (nPairs == 0L) null
+        else java.lang.Double.valueOf(
+          math.floor(sum.toDouble / nPairs / 100.0 + 0.5) / 1e4)))
+    }
+  }
+
+  /** Streaming twin of the inner interval aggregate (q349): the close
+    * aggregates the cross-user overlap pairs exactly as the batch
+    * join does. The pair loop inside one day's close is
+    * O(users_that_day²) — honest for a per-day tumbling aggregate at
+    * fixture scale; StreamingSweep is the close that survives a dense
+    * day. */
+  def apply(events: Dataset[Ev]): Dataset[DayOut] = {
+    implicit val outEnc = Encoders.product[DayOut]
+    perDaySpans(events) { (day, spans) =>
+      val views = spans.filter(_.tpe == "view")
+      val purchases = spans.filter(_.tpe == "purchase")
+      var n = 0L
+      var sum = 0L
+      for (v <- views; p <- purchases
+           if v.user_id != p.user_id &&
+             v.t0 <= p.t1 && p.t0 <= v.t1) {
+        n += 1L
+        sum += math.min(v.t1, p.t1) - math.max(v.t0, p.t0)
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator(DayOut(day, n,
+        math.floor(sum.toDouble / n / 100.0 + 0.5) / 1e4))
+    }
   }
 }

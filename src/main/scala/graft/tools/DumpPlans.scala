@@ -151,7 +151,10 @@ object DumpPlans {
     "q376_interval_sweep", "q377_sweep_left", "q378_interval_full",
     "q379_graph_ann", "q380_quartile_mixing", "q381_png_meta",
     "q382_interval_coverage", "q383_beam_sweep", "q384_graph_health",
-    "q385_sweep_semi", "q386_graph_at_rest", "q387_dedup_agreement")
+    "q385_sweep_semi", "q386_graph_at_rest", "q387_dedup_agreement",
+    "q388_jpeg_exif", "q389_riff_walk", "q390_silence_profile",
+    "q391_doremi_iter2", "q392_bmp_meta", "q393_id3_meta",
+    "q395_media_inventory")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

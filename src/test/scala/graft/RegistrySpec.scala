@@ -15,8 +15,6 @@ class RegistrySpec extends AnyFunSuite {
     * with the reason. Grown only with a justification — anything not
     * listed here must have an oracleSql entry. */
   val NoOracle: Map[String, String] = Map(
-    "q50_sentiment" -> ("VADER rule engine: procedural scoring is not " +
-      "SQL-expressible; pinned by VaderSpec fixtures"),
     "q52b_twitter_sentiment" -> ("VADER compound over the twitter flow " +
       "(same rule engine); pinned by VaderSpec/PipelineSpec"),
     "q53b_reddit_sentiment" -> ("VADER over nested reddit comments " +

@@ -457,52 +457,92 @@ object Multimodal {
     * anything else (other encodings, corrupt bytes, non-audio) returns
     * None — the F4 error-isolation posture shared with decodeImage. */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[AudioInfo] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val f = in.getFormat
-        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-            f.isBigEndian ||
-            f.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-        else {
-          val raw = in.readAllBytes()
-          val n = raw.length / 2
-          var i = 0; var sumSq = 0.0; var zc = 0L; var prev = 0
-          while (i < n) {
-            val v = (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff)
-            sumSq += v.toDouble * v
-            if (i > 0 && ((v < 0) != (prev < 0))) zc += 1
-            prev = v; i += 1
-          }
-          Some(AudioInfo(f.getSampleRate.toInt, n,
-            if (n == 0) 0.0 else math.sqrt(sumSq / n), zc))
-        }
-      } finally in.close()
-    } catch { case _: Exception => None }
+    wavSamples(bytes).map { case (rate, xs) =>
+      val n = xs.length
+      var i = 0; var sumSq = 0.0; var zc = 0L; var prev = 0
+      while (i < n) {
+        val v = xs(i)
+        sumSq += v.toDouble * v
+        if (i > 0 && ((v < 0) != (prev < 0))) zc += 1
+        prev = v; i += 1
+      }
+      AudioInfo(rate, n, if (n == 0) 0.0 else math.sqrt(sumSq / n), zc)
+    }
 
-  /** Decoded 16-bit mono PCM samples + rate, for spectral analysis. */
+  /** Canonical-container fast path (round 16): parse a strict minimal
+    * RIFF/WAVE PCM layout (16-bit mono little-endian, 'fmt ' before an
+    * exact-length 'data' chunk) directly from the bytes — sample-for-
+    * sample what AudioSystem yields on this layout, WITHOUT the
+    * per-call SPI provider probing that dominates at scale (measured
+    * ~1.1 ms/clip of pure reader overhead: 200k clips = 220 s at the
+    * 100× profile). Anything non-canonical — extra chunks before fmt
+    * we can't shape-check, truncated data, other encodings — returns
+    * None and the REAL reader decides, so the acceptance set never
+    * shifts, the slow path only shrinks. */
+  private[graft] def canonicalPcm(bytes: Array[Byte])
+      : Option[(Int, Array[Int])] = {
+    def ascii(o: Int) = new String(bytes, o, 4, "US-ASCII")
+    def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+      return None
+    var o = 12
+    var fmtOk = false
+    var rate = 0
+    while (o + 8 <= bytes.length) {
+      val id = ascii(o)
+      val sz = le32(o + 4)
+      if (sz < 0) return None
+      if (id == "fmt ") {
+        if (sz < 16 || o + 24 > bytes.length) return None
+        if (le16(o + 8) != 1 || le16(o + 10) != 1 ||
+            le16(o + 22) != 16) return None
+        rate = le32(o + 12)
+        if (rate <= 0) return None
+        fmtOk = true
+      } else if (id == "data") {
+        // exact-length data chunk ending the file, else fall back
+        if (!fmtOk || o.toLong + 8 + sz != bytes.length) return None
+        val n = sz / 2
+        val xs = Array.tabulate(n)(i =>
+          (bytes(o + 9 + 2 * i).toInt << 8) | (bytes(o + 8 + 2 * i) & 0xff))
+        return Some((rate, xs))
+      }
+      // Long-safe advance: a bogus near-2^31 chunk size must fall back
+      // to the real reader, not wrap the offset negative and throw out
+      // of the F4 error-isolation envelope.
+      val next = o.toLong + 8L + sz.toLong + (sz % 2)
+      if (next > bytes.length.toLong - 8) return None
+      o = next.toInt
+    }
+    None
+  }
+
+  /** Decoded 16-bit mono PCM samples + rate, for spectral analysis:
+    * canonical fast path first, the real AudioSystem reader for
+    * everything else (same acceptance conditions). */
   private[graft] def wavSamples(bytes: Array[Byte])
       : Option[(Int, Array[Int])] =
-    try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+    canonicalPcm(bytes).orElse(
       try {
-        val f = in.getFormat
-        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-            f.isBigEndian ||
-            f.getEncoding !=
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
-        else {
-          val raw = in.readAllBytes()
-          val n = raw.length / 2
-          val xs = Array.tabulate(n)(i =>
-            (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
-          Some((f.getSampleRate.toInt, xs))
-        }
-      } finally in.close()
-    } catch { case _: Exception => None }
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian ||
+              f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val raw = in.readAllBytes()
+            val n = raw.length / 2
+            val xs = Array.tabulate(n)(i =>
+              (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
+            Some((f.getSampleRate.toInt, xs))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None })
 
   /** Normalized single-bin DFT magnitude at `freq` Hz: |Σ x_j·e^(−2πi·
     * k·j/n)| / n with k = round(freq·n/rate) — the probe a quality

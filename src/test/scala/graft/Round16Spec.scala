@@ -80,4 +80,65 @@ class Round16Spec extends AnyFunSuite {
     assert(got == exp, "streaming coverage must equal batch q382")
     assert(exp.nonEmpty)
   }
+
+  /** The canonical-PCM fast path must be sample-for-sample identical to
+    * the JDK AudioSystem reader on the layouts MediaGen emits, decline
+    * (None → fallback) on anything non-canonical, and never throw — it
+    * runs OUTSIDE wavSamples' try, so an exception here would break the
+    * F4 per-record error-isolation posture. */
+  test("canonical PCM fast path ≡ AudioSystem; declines non-canonical") {
+    import graft.functions.{MediaGen, Multimodal}
+    def slow(bytes: Array[Byte]): Option[(Int, Array[Int])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian || f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val raw = in.readAllBytes()
+            val xs = Array.tabulate(raw.length / 2)(i =>
+              (raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
+            Some((f.getSampleRate.toInt, xs))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+    val rnd = new scala.util.Random(16)
+    val fixtures: Seq[Array[Byte]] =
+      Seq[Array[Short]](
+        graft.operators.MultimodalQueries.squareWave,
+        graft.operators.MultimodalQueries.silenceWave,
+        Array.empty[Short],
+        Array[Short](Short.MinValue, Short.MaxValue, -1, 0, 1),
+        Array.fill(1001)(rnd.nextInt(65536).toShort))
+        .flatMap(xs => Seq(MediaGen.wav(xs, 8000), MediaGen.wav(xs, 44100)))
+    fixtures.foreach { b =>
+      val fast = Multimodal.canonicalPcm(b)
+      val ref = slow(b)
+      assert(fast.isDefined, "fast path must accept MediaGen.wav output")
+      assert(fast.get._1 == ref.get._1)
+      assert(fast.get._2.toSeq == ref.get._2.toSeq,
+        "fast path samples must equal AudioSystem samples")
+    }
+    // Non-canonical → None (fall back to the real reader), never throw.
+    val wav = MediaGen.wav(graft.operators.MultimodalQueries.squareWave, 8000)
+    val truncated = wav.take(wav.length - 3)
+    val avi = MediaGen.avi(Seq(Array.fill(12)(1.toByte)), 2, 2)
+    val bomb = wav.clone() // chunk size near 2^31: offset-walk overflow
+    bomb(16) = 0xf0.toByte; bomb(17) = 0xff.toByte
+    bomb(18) = 0xff.toByte; bomb(19) = 0x7f.toByte
+    Seq(truncated, avi, bomb, Array.empty[Byte],
+        Array.fill(50)(0.toByte)).foreach { b =>
+      assert(Multimodal.canonicalPcm(b).isEmpty)
+      // and the composed reader still never throws on them
+      Multimodal.wavSamples(b)
+    }
+    // end-to-end: decodeWav (rms/zc) unchanged by the fast path
+    val info = Multimodal.decodeWav(wav).get
+    val (rms, zc) = graft.operators.MultimodalQueries
+      .waveStats(graft.operators.MultimodalQueries.squareWave)
+    assert(math.abs(info.rms - rms) < 1e-9 && info.zeroCrossings == zc)
+  }
 }

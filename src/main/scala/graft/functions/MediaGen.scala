@@ -205,6 +205,52 @@ object MediaGen {
       frame ++ Array(0xff.toByte, 0xfb.toByte, 0x90.toByte, 0.toByte)
   }
 
+  /** A bare MPEG audio frame header (4 bytes) + 8 payload bytes — the
+    * sync-word grammar q396 decodes when no ID3 tag precedes it.
+    * MPEG-1 Layer III: version bits 11, layer bits 01, no CRC. */
+  def mpeg(bitrateIdx: Int, srIdx: Int, padding: Boolean,
+      mono: Boolean): Array[Byte] = {
+    val b1 = 0xff
+    val b2 = 0xfb                       // 1111 1011: MPEG1, L3, no CRC
+    val b3 = ((bitrateIdx & 0xf) << 4) | ((srIdx & 0x3) << 2) |
+      (if (padding) 2 else 0)
+    val b4 = (if (mono) 0xc0 else 0x00) // channel mode bits 7-6
+    Array(b1.toByte, b2.toByte, b3.toByte, b4.toByte) ++
+      Array.fill(8)(0x55.toByte)
+  }
+
+  /** A minimal ZIP: STORED (method 0) entries, pinned DOS time/date,
+    * local headers + central directory + end-of-central-directory —
+    * hand-rolled so every byte is deterministic (java.util.zip's
+    * writer stamps wall-clock mtimes). The archive grammar q397 walks
+    * backwards from the EOCD. */
+  def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val dosTime = le16(0x6020) // 12:01:00
+    val dosDate = le16(0x5821) // 2024-01-01
+    val crc = new CRC32
+    val locals = new scala.collection.mutable.ArrayBuffer[Byte]
+    val centrals = new scala.collection.mutable.ArrayBuffer[Byte]
+    entries.foreach { case (name, data) =>
+      val off = locals.length
+      crc.reset(); crc.update(data)
+      val c = le32(crc.getValue.toInt)
+      val n = name.getBytes("US-ASCII")
+      locals ++= fourcc("PK") ++ Array[Byte](3, 4) ++ le16(20) ++
+        le16(0) ++ le16(0) ++ dosTime ++ dosDate ++ c ++
+        le32(data.length) ++ le32(data.length) ++ le16(n.length) ++
+        le16(0) ++ n ++ data
+      centrals ++= fourcc("PK") ++ Array[Byte](1, 2) ++ le16(20) ++
+        le16(20) ++ le16(0) ++ le16(0) ++ dosTime ++ dosDate ++ c ++
+        le32(data.length) ++ le32(data.length) ++ le16(n.length) ++
+        le16(0) ++ le16(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+        le32(off)
+    }
+    val eocd = fourcc("PK") ++ Array[Byte](5, 6) ++ le16(0) ++
+      le16(0) ++ le16(entries.length) ++ le16(entries.length) ++
+      le32(centrals.length) ++ le32(locals.length) ++ le16(0)
+    locals.toArray ++ centrals.toArray ++ eocd
+  }
+
   def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"${b & 0xff}%02X").mkString
 }

@@ -400,6 +400,27 @@ object MultimodalQueries extends QueryModule {
   private[graft] lazy val TinyId3Hex: String = graft.functions.MediaGen
     .hex(graft.functions.MediaGen.id3("graft title"))
 
+  /** Planted GIF89a: 11×7, 2-entry global color table, TWO frames
+    * each behind a graphic-control extension — q394's block walk must
+    * count frames through the sub-block chains. */
+  private[graft] lazy val TinyGifHex: String = graft.functions.MediaGen
+    .hex(graft.functions.MediaGen.gif(11, 7, 2))
+
+  /** Planted bare MPEG frame (no ID3 prefix): 192 kbps / 48 kHz /
+    * padded / mono — every header field differs from TinyId3Hex's
+    * trailing 128 kbps / 44.1 kHz / unpadded / stereo frame, so q396
+    * decodes both paths with distinct expected values. */
+  private[graft] lazy val TinyMpegHex: String = graft.functions.MediaGen
+    .hex(graft.functions.MediaGen.mpeg(11, 1, padding = true,
+      mono = true))
+
+  /** Planted ZIP: two STORED entries with pinned DOS timestamps —
+    * q397's EOCD + central-directory walk fixture. */
+  private[graft] lazy val TinyZipHex: String = graft.functions.MediaGen
+    .hex(graft.functions.MediaGen.zip(Seq(
+      "a.txt" -> "hello graft".getBytes("US-ASCII"),
+      "dir/b.bin" -> Array[Byte](0, 1, 2, 3, 4))))
+
   /** q390's planted signal: 100 silent samples, 200 of q208's square
     * wave, 100 silent — lead/trail trims and the longest run are
     * planted constants (100/100/100), the ratio exactly 0.5. */
@@ -712,7 +733,265 @@ object MultimodalQueries extends QueryModule {
       .orderBy($"kind")
   }
 
+  /** GIF block-walk cap (q394) and ZIP central-directory cap (q397) —
+    * same bounded-inventory contract as SegWalkCap. */
+  private val GifWalkCap = 24
+  private val ZipWalkCap = 8
+
+  /** GIF89a block walk (q394) — the third block grammar after JPEG
+    * markers (q388) and RIFF chunks (q389): a STATE-MACHINE walk,
+    * because GIF data is length-prefixed sub-block CHAINS (extension
+    * and image payloads are sequences of ≤255-byte blocks ending in a
+    * 0 terminator), so the walker carries an in-data flag across
+    * steps instead of a single per-segment size read. Publishes the
+    * logical-screen descriptor (dims, global-color-table size) and
+    * the walked inventory: frame count (image descriptors, honoring a
+    * local color table's bytes), extension count, block steps, and
+    * whether the trailer 0x3B terminated the walk. One codegen'd
+    * fold, no decode, no shuffle; non-GIF rows → null walk (F4). */
+  def qGifWalk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = when($"doc_id" % 3 === 0, unhex(lit(TinyGifHex)))
+      .otherwise($"text".cast("binary"))
+    def b(pos: String) = s"CAST(conv(${hx(pos)}, 16, 10) AS BIGINT)"
+    // struct builder: (o, data-mode, frames, exts, n, term, bad)
+    def st(o: String, d: String, f: String, e: String, n: String,
+        t: String, bad: String) =
+      s"named_struct('o', $o, 'd', $d, 'f', $f, 'e', $e, 'n', $n, " +
+        s"'t', $t, 'b', $bad)"
+    val keep = st("acc.o", "acc.d", "acc.f", "acc.e", "acc.n",
+      "acc.t", "acc.b")
+    val lctb = s"IF(${b("acc.o + 9")} >= 128, 3 * CAST(pow(2, " +
+      s"${b("acc.o + 9")} % 8 + 1) AS BIGINT), CAST(0 AS BIGINT))"
+    val walk =
+      s"""CASE WHEN is_gif THEN aggregate(
+         |  sequence(1, $GifWalkCap),
+         |  ${st("bstart", "false", "CAST(0 AS BIGINT)",
+                "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)", "false",
+                "false")},
+         |  (acc, i) -> IF(acc.t OR acc.b, acc,
+         |    IF(acc.o > CAST(length(media) AS BIGINT),
+         |      ${st("acc.o", "acc.d", "acc.f", "acc.e", "acc.n",
+                    "acc.t", "true")},
+         |      IF(acc.d,
+         |        ${st(s"IF(${b("acc.o")} = 0, acc.o + 1, " +
+                      s"acc.o + 1 + ${b("acc.o")})",
+                    s"${b("acc.o")} != 0", "acc.f", "acc.e",
+                    "acc.n + 1", "acc.t", "acc.b")},
+         |        CASE ${hx("acc.o")}
+         |          WHEN '21' THEN ${st("acc.o + 2", "true", "acc.f",
+                        "acc.e + 1", "acc.n + 1", "false", "false")}
+         |          WHEN '2C' THEN IF(
+         |              acc.o + 10 > CAST(length(media) AS BIGINT),
+         |            ${st("acc.o", "acc.d", "acc.f", "acc.e", "acc.n",
+                        "acc.t", "true")},
+         |            ${st(s"acc.o + 11 + $lctb", "true", "acc.f + 1",
+                        "acc.e", "acc.n + 1", "false", "false")})
+         |          WHEN '3B' THEN ${st("acc.o + 1", "acc.d", "acc.f",
+                        "acc.e", "acc.n + 1", "true", "false")}
+         |          ELSE ${st("acc.o", "acc.d", "acc.f", "acc.e",
+                        "acc.n", "acc.t", "true")}
+         |        END))) ) END AS w""".stripMargin
+    Tables.documents(s, dir)
+      .select($"doc_id", media.as("media"))
+      .selectExpr("doc_id", "media",
+        "hex(substring(media, 1, 4)) = '47494638'" +
+          " AND length(media) >= 14 AS is_gif")
+      .selectExpr("doc_id", "media", "is_gif",
+        s"""IF(is_gif, 14 + IF(${b("11")} >= 128,
+           |  3 * CAST(pow(2, ${b("11")} % 8 + 1) AS BIGINT),
+           |  CAST(0 AS BIGINT)), NULL) AS bstart""".stripMargin)
+      .selectExpr("doc_id", "media", "is_gif", "bstart", walk)
+      .selectExpr("doc_id", "is_gif",
+        "IF(is_gif, CAST(substring(media, 4, 3) AS STRING), NULL)" +
+          " AS version",
+        s"IF(is_gif, ${leN("7", 2)}, NULL) AS width",
+        s"IF(is_gif, ${leN("9", 2)}, NULL) AS height",
+        s"""IF(is_gif, IF(${b("11")} >= 128,
+           |  CAST(pow(2, ${b("11")} % 8 + 1) AS BIGINT),
+           |  CAST(0 AS BIGINT)), NULL) AS gct_entries""".stripMargin,
+        "IF(is_gif, w.f, NULL) AS n_frames",
+        "IF(is_gif, w.e, NULL) AS n_exts",
+        "IF(is_gif, w.n, NULL) AS n_blocks",
+        "IF(is_gif, CAST(w.t AS STRING), NULL) AS terminated",
+        "IF(is_gif, CAST(w.b AS STRING), NULL) AS walk_bad")
+      .orderBy($"doc_id")
+  }
+
+  /** MPEG audio frame-header decode (q396) — pure fixed-offset BIT
+    * arithmetic (the walks so far read whole bytes): sync word, then
+    * version/layer/bitrate-index/samplerate-index/padding/channel-mode
+    * sliced out of 4 bytes by div/mod, the indexes resolved through
+    * the published MPEG-1 Layer III tables, and the derived frame
+    * length floor(144000·kbps/rate)+padding a stream slicer needs.
+    * Handles both container spellings: an ID3v2 prefix (header at
+    * 11 + syncsafe tag size — q393's decode reused) and a bare sync
+    * at byte 1. Invalid headers (reserved version/layer/index values)
+    * publish the sync position but null decode fields (F4). */
+  def qMpegHeader(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = when($"doc_id" % 4 === 0, unhex(lit(TinyId3Hex)))
+      .when($"doc_id" % 4 === 1, unhex(lit(TinyMpegHex)))
+      .when($"doc_id" % 4 === 2,
+        concat(unhex(lit("FFE0")), $"text".cast("binary")))
+      .otherwise($"text".cast("binary"))
+    def b(pos: String) = s"CAST(conv(${hx(pos)}, 16, 10) AS BIGINT)"
+    val syncsafe = s"(((${b("7")} % 128) * 2097152) + " +
+      s"((${b("8")} % 128) * 16384) + ((${b("9")} % 128) * 128) + " +
+      s"(${b("10")} % 128))"
+    Tables.documents(s, dir)
+      .select($"doc_id", media.as("media"))
+      .selectExpr("doc_id", "media",
+        "hex(substring(media, 1, 3)) = '494433'" +
+          " AND length(media) >= 10 AS is_id3")
+      .selectExpr("doc_id", "media", "is_id3",
+        s"IF(is_id3, 11 + $syncsafe, CAST(1 AS BIGINT)) AS hoff")
+      .selectExpr("doc_id", "media", "is_id3", "hoff",
+        s"""(hoff + 3 <= CAST(length(media) AS BIGINT)
+           | AND ${b("hoff")} = 255
+           | AND ${b("hoff + 1")} >= 224) AS has_sync""".stripMargin)
+      .selectExpr("doc_id", "media", "is_id3", "hoff", "has_sync",
+        s"IF(has_sync, (${b("hoff + 1")} DIV 8) % 4, NULL) AS ver_id",
+        s"IF(has_sync, (${b("hoff + 1")} DIV 2) % 4, NULL) AS layer_id",
+        s"IF(has_sync, ${b("hoff + 2")} DIV 16, NULL) AS bitrate_idx",
+        s"IF(has_sync, (${b("hoff + 2")} DIV 4) % 4, NULL) AS sr_idx",
+        s"IF(has_sync, (${b("hoff + 2")} DIV 2) % 2, NULL) AS padding",
+        s"IF(has_sync, ${b("hoff + 3")} DIV 64, NULL) AS ch_mode")
+      .selectExpr("doc_id", "is_id3", "hoff", "has_sync",
+        "ver_id", "layer_id", "bitrate_idx", "sr_idx", "padding",
+        "ch_mode",
+        """(has_sync AND ver_id = 3 AND layer_id = 1
+          | AND bitrate_idx BETWEEN 1 AND 14 AND sr_idx <= 2)
+          | AS valid""".stripMargin)
+      .selectExpr("doc_id", "is_id3", "has_sync", "hoff",
+        "CAST(valid AS STRING) AS valid",
+        """IF(valid, CASE bitrate_idx
+          |  WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+          |  WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+          |  WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+          |  WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+          |  WHEN 13 THEN 256 WHEN 14 THEN 320 END, NULL)
+          |  AS bitrate_kbps""".stripMargin,
+        """IF(valid, CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+          |  WHEN 2 THEN 32000 END, NULL) AS sample_rate""".stripMargin,
+        """IF(valid, CASE ch_mode WHEN 0 THEN 'stereo'
+          |  WHEN 1 THEN 'joint_stereo' WHEN 2 THEN 'dual_channel'
+          |  WHEN 3 THEN 'mono' END, NULL) AS mode""".stripMargin,
+        "IF(valid, padding, NULL) AS padded")
+      .selectExpr("doc_id", "is_id3", "has_sync", "hoff", "valid",
+        "bitrate_kbps", "sample_rate", "mode", "padded",
+        """IF(valid IS NOT NULL AND valid = 'true',
+          |  CAST(floor(144000.0 * bitrate_kbps / sample_rate)
+          |    AS BIGINT) + padded, NULL) AS frame_bytes""".stripMargin)
+      .orderBy($"doc_id")
+  }
+
+  /** ZIP central-directory walk (q397) — the archive grammar document
+    * intake (docx/xlsx/epub are all ZIP) reads BACKWARDS: locate the
+    * end-of-central-directory record at the file tail, read the entry
+    * count and central-directory offset from it, then walk the
+    * central entries forward (each advancing by its own three
+    * variable-length fields) publishing names, stored/compressed byte
+    * masses, and whether every entry is STORED. Planted archive +
+    * non-ZIP rows (F4); bounded fold, one projection. */
+  def qZipWalk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = when($"doc_id" % 3 === 0, unhex(lit(TinyZipHex)))
+      .otherwise($"text".cast("binary"))
+    def st(o: String, n: String, nm: String, u: String, c: String,
+        sOnly: String, bad: String) =
+      s"named_struct('o', $o, 'n', $n, 'nm', $nm, 'u', $u, 'c', $c, " +
+        s"'s', $sOnly, 'b', $bad)"
+    val nlen = leN("acc.o + 28", 2)
+    val walk =
+      s"""CASE WHEN is_zip THEN aggregate(
+         |  sequence(1, $ZipWalkCap),
+         |  ${st("cd_off + 1", "CAST(0 AS BIGINT)", "''",
+                "CAST(0 AS BIGINT)", "CAST(0 AS BIGINT)", "true",
+                "false")},
+         |  (acc, i) -> IF(acc.b OR acc.n >= n_entries, acc,
+         |    IF(acc.o + 45 > CAST(length(media) AS BIGINT)
+         |        OR hex(substring(media, CAST(acc.o AS INT), 4))
+         |          != '504B0102'
+         |        OR acc.o + 45 + $nlen
+         |          > CAST(length(media) AS BIGINT),
+         |      ${st("acc.o", "acc.n", "acc.nm", "acc.u", "acc.c",
+                    "acc.s", "true")},
+         |      ${st(
+                  s"acc.o + 46 + $nlen + ${leN("acc.o + 30", 2)} + " +
+                    s"${leN("acc.o + 32", 2)}",
+                  "acc.n + 1",
+                  s"IF(acc.n = 0, CAST(substring(media, " +
+                    s"CAST(acc.o + 46 AS INT), CAST($nlen AS INT)) " +
+                    s"AS STRING), concat(acc.nm, ',', " +
+                    s"CAST(substring(media, CAST(acc.o + 46 AS INT), " +
+                    s"CAST($nlen AS INT)) AS STRING)))",
+                  s"acc.u + ${leN("acc.o + 24", 4)}",
+                  s"acc.c + ${leN("acc.o + 20", 4)}",
+                  s"acc.s AND ${leN("acc.o + 10", 2)} = 0",
+                  "false")}))) END AS w""".stripMargin
+    Tables.documents(s, dir)
+      .select($"doc_id", media.as("media"))
+      .selectExpr("doc_id", "media",
+        s"""(length(media) >= 22 AND hex(substring(media,
+           |  CAST(length(media) - 21 AS INT), 4)) = '504B0506')
+           |  AS is_zip""".stripMargin)
+      .selectExpr("doc_id", "media", "is_zip",
+        s"IF(is_zip, ${leN("length(media) - 11", 2)}, NULL)" +
+          " AS n_entries",
+        s"IF(is_zip, ${leN("length(media) - 9", 4)}, NULL) AS cd_size",
+        s"IF(is_zip, ${leN("length(media) - 5", 4)}, NULL) AS cd_off")
+      .selectExpr("doc_id", "media", "is_zip", "n_entries", "cd_size",
+        "cd_off", walk)
+      .selectExpr("doc_id", "is_zip", "n_entries", "cd_size", "cd_off",
+        "IF(is_zip, w.n, NULL) AS n_walked",
+        "IF(is_zip, w.nm, NULL) AS name_list",
+        "IF(is_zip, w.u, NULL) AS total_usize",
+        "IF(is_zip, w.c, NULL) AS total_csize",
+        "IF(is_zip, CAST(w.s AS STRING), NULL) AS stored_only",
+        "IF(is_zip, CAST(w.n = n_entries AND NOT w.b AS STRING), NULL)" +
+          " AS walk_ok")
+      .orderBy($"doc_id")
+  }
+
+  /** Binary text-content audit (q398) — the mislabel gate: is this
+    * blob actually text? Byte-class tallies (printable ASCII incl.
+    * tab/LF/CR, NULs, high bytes) over every payload, a printable
+    * ratio, and a ≥0.95 texty verdict. Engine-side the bytes are
+    * decoded ISO-8859-1 (a 1:1 byte↔char map) so the tallies are
+    * three codegen'd regexp counts — no per-byte HOF, no UDF; the
+    * oracle replays per-byte over hex. Scan-speed at any corpus. */
+  def qBinaryText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = when($"doc_id" % 4 === 0, unhex(lit(TinyPngHex)))
+      .when($"doc_id" % 4 === 1, unhex(lit(SilenceWavHex)))
+      .otherwise($"text".cast("binary"))
+    Tables.documents(s, dir)
+      .select($"doc_id", media.as("media"))
+      .withColumn("s", decode($"media", "ISO-8859-1"))
+      .select($"doc_id",
+        length($"media").cast("long").as("n_bytes"),
+        length(regexp_replace($"s", "[^\\x20-\\x7E\\t\\n\\r]", ""))
+          .cast("long").as("n_printable"),
+        length(regexp_replace($"s", "[^\\x00]", ""))
+          .cast("long").as("n_nul"),
+        length(regexp_replace($"s", "[\\x00-\\x7F]", ""))
+          .cast("long").as("n_hi"))
+      .select($"doc_id", $"n_bytes", $"n_printable", $"n_nul", $"n_hi",
+        (round(when($"n_bytes" > 0,
+            $"n_printable".cast("double") / $"n_bytes"), 4) + lit(0.0))
+          .as("printable_ratio"),
+        when($"n_bytes" > 0,
+          ($"n_printable".cast("double") / $"n_bytes" >= 0.95)
+            .cast("string")).as("is_texty"))
+      .orderBy($"doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q394_gif_walk" -> (qGifWalk _),
+    "q396_mpeg_header" -> (qMpegHeader _),
+    "q397_zip_walk" -> (qZipWalk _),
+    "q398_binary_text" -> (qBinaryText _),
     "q388_jpeg_exif" -> (qJpegExif _),
     "q389_riff_walk" -> (qRiffWalk _),
     "q390_silence_profile" -> (qSilenceProfile _),
@@ -745,6 +1024,301 @@ object MultimodalQueries extends QueryModule {
       .mkString(" || ")
 
   override def oracleSql: Map[String, String] = Map(
+    // q394: the GIF state machine replayed as a recursive CTE — the
+    // in-data flag travels in the recursion row; all byte reads are
+    // guarded in a derived table so an out-of-bounds step yields NULL
+    // fields and the bad flag, never a '0x'::BIGINT cast error.
+    "q394_gif_walk" -> {
+      def bAt(pos: String) = s"('0x' || substr(h, 2 * ($pos) - 1, 2))::BIGINT"
+      s"""WITH RECURSIVE m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN unhex('$TinyGifHex')
+        |         ELSE encode(text) END AS media
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, upper(hex(media)) AS h,
+        |    CAST(octet_length(media) AS BIGINT) AS len,
+        |    (substr(upper(hex(media)), 1, 8) = '47494638'
+        |      AND octet_length(media) >= 14) AS is_gif
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ${bAt("11")} >= 128
+        |      THEN CAST(power(2, ${bAt("11")} % 8 + 1) AS BIGINT)
+        |      ELSE 0 END AS gct_entries
+        |  FROM p WHERE is_gif),
+        |walk AS (
+        |  SELECT doc_id, CAST(14 + 3 * gct_entries AS BIGINT) AS o,
+        |    FALSE AS dat, CAST(0 AS BIGINT) AS f,
+        |    CAST(0 AS BIGINT) AS e, CAST(0 AS BIGINT) AS n,
+        |    FALSE AS term, FALSE AS bad, 0 AS step
+        |  FROM g
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN oob THEN o
+        |      WHEN dat THEN CASE WHEN bv = 0 THEN o + 1
+        |        ELSE o + 1 + bv END
+        |      WHEN cb = '21' THEN o + 2
+        |      WHEN cb = '2C' AND o + 10 <= len THEN o + 11 + lctb
+        |      WHEN cb = '3B' THEN o + 1
+        |      ELSE o END,
+        |    CASE WHEN oob THEN dat
+        |      WHEN dat THEN bv != 0
+        |      WHEN cb = '21' THEN TRUE
+        |      WHEN cb = '2C' AND o + 10 <= len THEN TRUE
+        |      ELSE dat END,
+        |    f + CASE WHEN NOT oob AND NOT dat
+        |      AND cb = '2C' AND o + 10 <= len THEN 1 ELSE 0 END,
+        |    e + CASE WHEN NOT oob AND NOT dat AND cb = '21'
+        |      THEN 1 ELSE 0 END,
+        |    n + CASE WHEN oob THEN 0
+        |      WHEN dat THEN 1
+        |      WHEN cb IN ('21', '3B') THEN 1
+        |      WHEN cb = '2C' AND o + 10 <= len THEN 1
+        |      ELSE 0 END,
+        |    NOT oob AND NOT dat AND cb = '3B',
+        |    oob OR (NOT dat AND cb NOT IN ('21', '2C', '3B'))
+        |      OR (NOT dat AND cb = '2C' AND o + 10 > len),
+        |    step + 1
+        |  FROM (
+        |    SELECT w.*, q.len, w.o > q.len AS oob,
+        |      CASE WHEN w.o <= q.len
+        |        THEN substr(q.h, 2 * w.o - 1, 2) END AS cb,
+        |      CASE WHEN w.o <= q.len THEN ${bAt("w.o")} END AS bv,
+        |      CASE WHEN w.o + 10 <= q.len THEN
+        |        CASE WHEN ${bAt("w.o + 9")} >= 128
+        |          THEN CAST(3 * power(2, ${bAt("w.o + 9")} % 8 + 1)
+        |            AS BIGINT)
+        |          ELSE 0 END END AS lctb
+        |    FROM walk w JOIN p q USING (doc_id)
+        |    WHERE w.step < $GifWalkCap AND NOT w.term AND NOT w.bad)),
+        |fin AS (
+        |  SELECT * FROM (
+        |    SELECT w.*, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY step DESC) AS rk FROM walk w)
+        |  WHERE rk = 1)
+        |SELECT p.doc_id, p.is_gif,
+        |  CASE WHEN p.is_gif THEN chr(${bAt("4")}::INT)
+        |    || chr(${bAt("5")}::INT) || chr(${bAt("6")}::INT) END
+        |    AS version,
+        |  CASE WHEN p.is_gif THEN ${oLeN("7", 2)} END AS width,
+        |  CASE WHEN p.is_gif THEN ${oLeN("9", 2)} END AS height,
+        |  g.gct_entries, f.f AS n_frames, f.e AS n_exts,
+        |  f.n AS n_blocks,
+        |  CASE WHEN p.is_gif THEN CAST(f.term AS VARCHAR) END
+        |    AS terminated,
+        |  CASE WHEN p.is_gif THEN CAST(f.bad AS VARCHAR) END
+        |    AS walk_bad
+        |FROM p
+        |LEFT JOIN g USING (doc_id)
+        |LEFT JOIN fin f USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin
+    },
+    // q396: fixed-offset bit slicing via div/mod, index tables as
+    // CASE decodes — no recursion needed.
+    "q396_mpeg_header" -> {
+      def bAt(pos: String) = s"('0x' || substr(h, 2 * ($pos) - 1, 2))::BIGINT"
+      val syncsafe = s"(((${bAt("7")} % 128) * 2097152) + " +
+        s"((${bAt("8")} % 128) * 16384) + ((${bAt("9")} % 128) * 128)" +
+        s" + (${bAt("10")} % 128))"
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN unhex('$TinyId3Hex')
+        |         WHEN doc_id % 4 = 1 THEN unhex('$TinyMpegHex')
+        |         WHEN doc_id % 4 = 2 THEN unhex('FFE0') || encode(text)
+        |         ELSE encode(text) END AS media
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, upper(hex(media)) AS h,
+        |    CAST(octet_length(media) AS BIGINT) AS len,
+        |    (substr(upper(hex(media)), 1, 6) = '494433'
+        |      AND octet_length(media) >= 10) AS is_id3
+        |  FROM m),
+        |o1 AS (
+        |  SELECT doc_id, h, len, is_id3,
+        |    CASE WHEN is_id3 THEN 11 + $syncsafe
+        |      ELSE CAST(1 AS BIGINT) END AS hoff
+        |  FROM p),
+        |o2 AS (
+        |  SELECT doc_id, h, len, is_id3, hoff,
+        |    CASE WHEN hoff + 3 <= len
+        |      THEN ${bAt("hoff")} = 255 AND ${bAt("hoff + 1")} >= 224
+        |      ELSE FALSE END AS has_sync
+        |  FROM o1),
+        |o3 AS (
+        |  SELECT doc_id, is_id3, hoff, has_sync,
+        |    CASE WHEN has_sync THEN (${bAt("hoff + 1")} // 8) % 4 END
+        |      AS ver_id,
+        |    CASE WHEN has_sync THEN (${bAt("hoff + 1")} // 2) % 4 END
+        |      AS layer_id,
+        |    CASE WHEN has_sync THEN ${bAt("hoff + 2")} // 16 END
+        |      AS bitrate_idx,
+        |    CASE WHEN has_sync THEN (${bAt("hoff + 2")} // 4) % 4 END
+        |      AS sr_idx,
+        |    CASE WHEN has_sync THEN (${bAt("hoff + 2")} // 2) % 2 END
+        |      AS padding,
+        |    CASE WHEN has_sync THEN ${bAt("hoff + 3")} // 64 END
+        |      AS ch_mode
+        |  FROM o2),
+        |o4 AS (
+        |  SELECT *, coalesce(has_sync AND ver_id = 3 AND layer_id = 1
+        |    AND bitrate_idx BETWEEN 1 AND 14 AND sr_idx <= 2, FALSE)
+        |    AS validb
+        |  FROM o3)
+        |SELECT doc_id, is_id3, has_sync, hoff,
+        |  CAST(validb AS VARCHAR) AS valid,
+        |  CASE WHEN validb THEN CASE bitrate_idx
+        |    WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |    WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |    WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |    WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |    WHEN 13 THEN 256 WHEN 14 THEN 320 END END AS bitrate_kbps,
+        |  CASE WHEN validb THEN CASE sr_idx WHEN 0 THEN 44100
+        |    WHEN 1 THEN 48000 WHEN 2 THEN 32000 END END AS sample_rate,
+        |  CASE WHEN validb THEN CASE ch_mode WHEN 0 THEN 'stereo'
+        |    WHEN 1 THEN 'joint_stereo' WHEN 2 THEN 'dual_channel'
+        |    WHEN 3 THEN 'mono' END END AS mode,
+        |  CASE WHEN validb THEN padding END AS padded,
+        |  CASE WHEN validb THEN CAST(floor(144000.0 * (CASE bitrate_idx
+        |    WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+        |    WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+        |    WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+        |    WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+        |    WHEN 13 THEN 256 WHEN 14 THEN 320 END)
+        |    / (CASE sr_idx WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    WHEN 2 THEN 32000 END)) AS BIGINT) + padding END
+        |    AS frame_bytes
+        |FROM o4 ORDER BY doc_id""".stripMargin
+    },
+    // q397: EOCD fixed reads + the central-directory walk as a
+    // recursive CTE carrying the accumulated name list.
+    "q397_zip_walk" -> {
+      def bAt(pos: String) = s"('0x' || substr(h, 2 * ($pos) - 1, 2))::BIGINT"
+      def le(pos: String, n: Int): String =
+        (0 until n).map(i =>
+          s"${bAt(s"($pos) + $i")} * ${1L << (8 * i)}")
+          .mkString("(", " + ", ")")
+      def nm(pos: String, ln: String) =
+        s"""list_aggregate(list_transform(
+           |      generate_series(0, CAST(($ln) - 1 AS INT)),
+           |      j -> chr(('0x' || substr(h, 2 * (($pos) + j) - 1, 2))
+           |        ::INT)), 'string_agg', '')""".stripMargin
+      s"""WITH RECURSIVE m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN unhex('$TinyZipHex')
+        |         ELSE encode(text) END AS media
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, upper(hex(media)) AS h,
+        |    CAST(octet_length(media) AS BIGINT) AS len,
+        |    (octet_length(media) >= 22 AND substr(upper(hex(media)),
+        |      2 * (octet_length(media) - 21) - 1, 8) = '504B0506')
+        |      AS is_zip
+        |  FROM m),
+        |z AS (
+        |  SELECT doc_id, h, len, ${le("len - 11", 2)} AS n_entries,
+        |    ${le("len - 9", 4)} AS cd_size,
+        |    ${le("len - 5", 4)} AS cd_off
+        |  FROM p WHERE is_zip),
+        |walk AS (
+        |  SELECT doc_id, cd_off + 1 AS o, CAST(0 AS BIGINT) AS n,
+        |    '' AS nm, CAST(0 AS BIGINT) AS u, CAST(0 AS BIGINT) AS c,
+        |    TRUE AS st, FALSE AS bad, 0 AS step
+        |  FROM z
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN hdr_bad THEN o
+        |      ELSE o + 46 + nlen + xlen + clen END,
+        |    CASE WHEN hdr_bad THEN n ELSE n + 1 END,
+        |    CASE WHEN hdr_bad THEN nm
+        |      WHEN n = 0 THEN ename
+        |      ELSE nm || ',' || ename END,
+        |    CASE WHEN hdr_bad THEN u ELSE u + usz END,
+        |    CASE WHEN hdr_bad THEN c ELSE c + csz END,
+        |    CASE WHEN hdr_bad THEN st ELSE st AND mth = 0 END,
+        |    hdr_bad,
+        |    step + 1
+        |  FROM (
+        |    SELECT w.*, q.len, q.n_entries,
+      |      CASE WHEN w.o + 45 > q.len THEN TRUE
+        |        ELSE substr(q.h, 2 * w.o - 1, 8) != '504B0102'
+        |          OR w.o + 45 + ${le("w.o + 28", 2)} > q.len
+        |        END AS hdr_bad,
+        |      CASE WHEN w.o + 45 <= q.len THEN ${le("w.o + 28", 2)}
+        |        END AS nlen,
+        |      CASE WHEN w.o + 45 <= q.len THEN ${le("w.o + 30", 2)}
+        |        END AS xlen,
+        |      CASE WHEN w.o + 45 <= q.len THEN ${le("w.o + 32", 2)}
+        |        END AS clen,
+        |      CASE WHEN w.o + 45 <= q.len THEN ${le("w.o + 24", 4)}
+        |        END AS usz,
+        |      CASE WHEN w.o + 45 <= q.len THEN ${le("w.o + 20", 4)}
+        |        END AS csz,
+        |      CASE WHEN w.o + 45 <= q.len THEN ${le("w.o + 10", 2)}
+        |        END AS mth,
+        |      CASE WHEN w.o + 45 <= q.len
+        |          AND w.o + 45 + ${le("w.o + 28", 2)} <= q.len
+        |          AND ${le("w.o + 28", 2)} >= 1
+        |        THEN ${nm("w.o + 46", le("w.o + 28", 2))} END AS ename
+        |    FROM walk w JOIN z q USING (doc_id)
+        |    WHERE w.step < $ZipWalkCap AND NOT w.bad
+        |      AND w.n < q.n_entries)),
+        |fin AS (
+        |  SELECT * FROM (
+        |    SELECT w.*, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY step DESC) AS rk FROM walk w)
+        |  WHERE rk = 1)
+        |SELECT p.doc_id, p.is_zip, z.n_entries, z.cd_size, z.cd_off,
+        |  f.n AS n_walked, f.nm AS name_list, f.u AS total_usize,
+        |  f.c AS total_csize,
+        |  CASE WHEN p.is_zip THEN CAST(f.st AS VARCHAR) END
+        |    AS stored_only,
+        |  CASE WHEN p.is_zip
+        |    THEN CAST(f.n = z.n_entries AND NOT f.bad AS VARCHAR) END
+        |    AS walk_ok
+        |FROM p
+        |LEFT JOIN z USING (doc_id)
+        |LEFT JOIN fin f USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin
+    },
+    // q398: per-byte class tallies replayed over hex via
+    // generate_series; the engine's regexp counts must agree exactly.
+    "q398_binary_text" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN unhex('$TinyPngHex')
+        |         WHEN doc_id % 4 = 1 THEN unhex('$SilenceWavHex')
+        |         ELSE encode(text) END AS media
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, upper(hex(media)) AS h,
+        |    CAST(octet_length(media) AS BIGINT) AS len
+        |  FROM m),
+        |b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(h, 2 * i - 1, 2))::INT AS v
+        |  FROM (SELECT doc_id, h,
+        |          unnest(generate_series(1, CAST(len AS INT))) AS i
+        |        FROM p WHERE len >= 1)),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (WHERE (v BETWEEN 32 AND 126)
+        |      OR v IN (9, 10, 13)) AS BIGINT) AS n_printable,
+        |    CAST(count(*) FILTER (WHERE v = 0) AS BIGINT) AS n_nul,
+        |    CAST(count(*) FILTER (WHERE v >= 128) AS BIGINT) AS n_hi
+        |  FROM b GROUP BY doc_id)
+        |SELECT p.doc_id, p.len AS n_bytes,
+        |  coalesce(c.n_printable, 0) AS n_printable,
+        |  coalesce(c.n_nul, 0) AS n_nul,
+        |  coalesce(c.n_hi, 0) AS n_hi,
+        |  CASE WHEN p.len > 0 THEN round(
+        |    CAST(coalesce(c.n_printable, 0) AS DOUBLE) / p.len, 4)
+        |    + 0.0 END AS printable_ratio,
+        |  CASE WHEN p.len > 0 THEN CAST(
+        |    CAST(coalesce(c.n_printable, 0) AS DOUBLE) / p.len >= 0.95
+        |    AS VARCHAR) END AS is_texty
+        |FROM p LEFT JOIN c USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     // q388: the marker walk replayed as a recursive CTE (q381's
     // pattern), EXIF entry scan via generate_series, little-endian
     // reads as byte-swapped hex casts, ASCII rebuilt with chr().

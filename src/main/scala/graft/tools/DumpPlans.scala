@@ -154,7 +154,10 @@ object DumpPlans {
     "q385_sweep_semi", "q386_graph_at_rest", "q387_dedup_agreement",
     "q388_jpeg_exif", "q389_riff_walk", "q390_silence_profile",
     "q391_doremi_iter2", "q392_bmp_meta", "q393_id3_meta",
-    "q395_media_inventory")
+    "q395_media_inventory",
+    // round 16 late additions
+    "q394_gif_walk", "q396_mpeg_header", "q397_zip_walk",
+    "q398_binary_text")
 
   /** Queries whose final plan may carry unpartitioned Windows, with
     * the reason each frame is bounded by construction. Populated from

@@ -951,7 +951,16 @@ object SimilarityQueries extends QueryModule {
     * can traverse against the edge direction (the NSW/HNSW trick —
     * Malkov & Yashunin 2018 keep bidirectional links for exactly
     * this). Build cost is the LSH verify class; the edge list is
-    * ≤ 2·GraphDeg·n rows at rest. */
+    * ≤ 2·GraphDeg·n rows at rest.
+    *
+    * SCALE LAW (measured at the 100× decade, BASELINE round-16 note):
+    * the 16-plane / 4-band geometry is FIXED, so per-band candidate
+    * volume is Σ|bucket|² ≈ n²/16 — fine at 10× (~10⁸ pairs, 52.8 s),
+    * hash-agg-spill class at 100× (~10¹⁰). The probe path stays
+    * corpus-independent; the build's honest scale path is bits-per-
+    * band ∝ log₂(n) (constant bucket occupancy, the q143 knob) —
+    * deferred because the five graph-family oracles replay the
+    * 16-plane constants literally. */
   private def buildGraphEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val banded = bandedVecs(s, dir)

@@ -130,10 +130,20 @@ class Round16Spec extends AnyFunSuite {
     bomb(16) = 0xf0.toByte; bomb(17) = 0xff.toByte
     bomb(18) = 0xff.toByte; bomb(19) = 0x7f.toByte
     Seq(truncated, avi, bomb, Array.empty[Byte],
-        Array.fill(50)(0.toByte)).foreach { b =>
-      assert(Multimodal.canonicalPcm(b).isEmpty)
-      // and the composed reader still never throws on them
-      Multimodal.wavSamples(b)
+        Array.fill(50)(0.toByte),
+        "plain text, not audio at all".getBytes("US-ASCII")).foreach {
+      b =>
+        assert(Multimodal.canonicalPcm(b).isEmpty)
+        // and the composed reader (fast path + magic-gated AudioSystem
+        // fallback) agrees with the raw AudioSystem decode on every
+        // one — the RIFF-magic rows (AVI, truncated WAV) exercise the
+        // real-reader fallback, not just the gate; note AudioSystem
+        // ACCEPTS a truncated data chunk (reads what's present), so
+        // the invariant is equality, not rejection
+        val got = Multimodal.wavSamples(b)
+        val ref = slow(b)
+        assert(got.map(_._1) == ref.map(_._1))
+        assert(got.map(_._2.toSeq) == ref.map(_._2.toSeq))
     }
     // end-to-end: decodeWav (rms/zc) unchanged by the fast path
     val info = Multimodal.decodeWav(wav).get

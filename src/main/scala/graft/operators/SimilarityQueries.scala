@@ -127,25 +127,59 @@ object SimilarityQueries extends QueryModule {
       .orderBy($"q_id", $"rk")
   }
 
-  /** 16 deterministic pseudo-random hyperplanes (seeded, 64-dim). */
-  private val planes: Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (seeded, 64-dim). 60 =
+    * 4 bands × 15-bit cap; Array.fill draws row-major from the one
+    * seeded stream, so planes 0-15 are byte-identical to the original
+    * fixed-16 pool — the oracle replays embed exactly those 16 and
+    * stay valid wherever bandBits(n) = 4 (every oracle-checked
+    * scale; Round16Spec pins both facts). */
+  private[graft] val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(16, 64)(rnd.nextGaussian())
+    Array.fill(60, 64)(rnd.nextGaussian())
   }
 
+  /** Target mean band-bucket occupancy for the LSH signature. */
+  private val BandTargetOcc = 1250L
+
+  /** Bits per band for a corpus of n vectors: the smallest b ≥ 4 with
+    * n ≤ 1250·2^b (integer arithmetic — no float log edge cases),
+    * capped at 15 (32 768 buckets/band, enough through ~40M vectors).
+    * This is the round-16 scale fix: with FIXED 4-bit bands the
+    * per-band candidate volume is Σ|bucket|² ≈ n²/16 — measured to
+    * destruction at the 100× decade (graph build: >76 GB spill,
+    * ENOSPC, BASELINE note) — while constant occupancy makes it
+    * ~n·1250, linear in the corpus. n ≤ 20 000 (every driver gate
+    * scale AND the 10× profile corpus) yields exactly 4, so
+    * signatures, stages and oracle replays there are byte-identical
+    * to the fixed geometry. */
+  private[graft] def bandBits(n: Long): Int = {
+    var b = 4
+    while (b < 15 && n > (BandTargetOcc << b)) b += 1
+    b
+  }
+
+  private val bandBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private def bandBitsFor(s: SparkSession, dir: String): Int =
+    bandBitsCache.computeIfAbsent(dir,
+      _ => Integer.valueOf(bandBits(vecs(s, dir).count()))).intValue
+
   /** The banded LSH index frame shared by q41/q134/q135: one row per
-    * (vector, band) with the 4-bit band value from the 16-plane
-    * sign-random-projection signature. */
+    * (vector, band) with the bandBits(n)-bit band value from the
+    * sign-random-projection signature (4 bands; 4 bits — the original
+    * fixed geometry — at every oracle-checked scale). */
   private def bandedVecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigBits = (0 until 16).map { p =>
+    val bits = bandBitsFor(s, dir)
+    val sigBits = (0 until 4 * bits).map { p =>
       val plane = array(planes(p).map(lit): _*)
       when(dot($"v", plane) >= 0, lit(1L << p)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+    val mask = (1L << bits) - 1
     vecs(s, dir).withColumn("sig", sigBits)
       .select($"vec_id", $"v", $"nrm",
         posexplode(array((0 until 4).map(b =>
-          shiftrightunsigned($"sig", b * 4).bitwiseAND(lit(0xFL))): _*))
+          shiftrightunsigned($"sig", b * bits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band_id", "band_val")))
   }
 
@@ -941,7 +975,7 @@ object SimilarityQueries extends QueryModule {
     graphCache.get(s, dir)(
       DurableStage.get(s, "graph_edges", 1,
         Seq(s"$dir/embeddings.parquet"),
-        salt = s"deg=$GraphDeg;planes=16;bands=4")(
+        salt = s"deg=$GraphDeg;bands=4;bits=${bandBitsFor(s, dir)}")(
         buildGraphEdges(s, dir)))
 
   /** The bounded-degree neighbor graph (q379's index at rest): per

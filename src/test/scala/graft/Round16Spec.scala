@@ -151,4 +151,31 @@ class Round16Spec extends AnyFunSuite {
       .waveStats(graft.operators.MultimodalQueries.squareWave)
     assert(math.abs(info.rms - rms) < 1e-9 && info.zeroCrossings == zc)
   }
+
+  /** The adaptive LSH band geometry (round-16 scale fix) must be
+    * byte-identical to the original fixed 16-plane/4-bit shape at
+    * every oracle-checked scale, and grow exactly one bit per corpus
+    * doubling beyond the 10× profile corpus — the contract that lets
+    * the static oracle replays stay valid while the 100× build stops
+    * being n²/16. */
+  test("bandBits: 4 at all oracle scales, log-growth beyond, planes stable") {
+    import graft.operators.SimilarityQueries.{bandBits, planes}
+    // driver gates: sf0.001 ≈ 200, sf0.01 ≈ 2k, sf0.1 = 5k vectors;
+    // 10× ScaleGen corpus = 20k — ALL must read exactly 4
+    for (n <- Seq(0L, 1L, 200L, 2000L, 5000L, 20000L))
+      assert(bandBits(n) == 4, s"n=$n")
+    assert(bandBits(20001L) == 5)
+    assert(bandBits(200000L) == 8)   // the 100× corpus
+    assert(bandBits(Long.MaxValue) == 15) // cap
+    // monotone non-decreasing
+    val xs = Seq(1L, 1000L, 20000L, 40000L, 80000L, 200000L, 2000000L)
+      .map(bandBits)
+    assert(xs == xs.sorted)
+    // planes 0-15 are the original seeded pool, verbatim
+    val rnd = new scala.util.Random(42)
+    val orig = Array.fill(16, 64)(rnd.nextGaussian())
+    for (p <- 0 until 16)
+      assert(planes(p).toSeq == orig(p).toSeq, s"plane $p drifted")
+    assert(planes.length == 60)
+  }
 }

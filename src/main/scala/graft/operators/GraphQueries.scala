@@ -45,17 +45,28 @@ object GraphQueries extends QueryModule {
     * round. GraphSpec pins lazy ≡ checkpointed on the shipped graph. */
   private val CheckpointAbove = 3
 
-  /** (src, dst, w) weighted transition edges + every node seen. */
-  private def edgesOf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(s, dir)
-      .select($"user_id", $"ts", $"event_id",
-        get_json_object($"props", "$.k").cast("long").as("item"))
-      .withColumn("src", lag($"item", 1).over(byUser))
-      .filter($"src".isNotNull && $"src" =!= $"item")
-      .select($"src", $"item".as("dst"))
-  }
+  /** One staged transition-edge frame per (session, dir) — round-16
+    * optimization: every graph query re-derived the raw (src, dst)
+    * edge stream from the events scan + per-user lag window (a full
+    * shuffle on user_id). 14 graph queries × 1 window shuffle each is
+    * 13 redundant passes per session; a 100 TB pipeline materializes
+    * the edge table next to the events exactly once (the sigCache/
+    * docShingles discipline from DedupQueries). */
+  private val edgeCache = new SessionCache
+
+  /** (src, dst) raw transition edges (one row per transition). */
+  private def edgesOf(s: SparkSession, dir: String): DataFrame =
+    edgeCache.get(s, dir) {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id",
+          get_json_object($"props", "$.k").cast("long").as("item"))
+        .withColumn("src", lag($"item", 1).over(byUser))
+        .filter($"src".isNotNull && $"src" =!= $"item")
+        .select($"src", $"item".as("dst"))
+    }
 
   def qPagerank(s: SparkSession, dir: String): DataFrame =
     pagerankWith(s, dir, Iters)
@@ -199,13 +210,31 @@ object GraphQueries extends QueryModule {
     * discipline as q144's naive-join triangle oracle). */
   def qConnectedStars(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val und = edgesOf(s, dir)
-      .groupBy(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .filter($"c" >= MinEdgeWeight)
-      .select($"a", $"b")
-    starComponents(und)
+    ccLabels(s, dir).orderBy($"node")
   }
+
+  /** The (node, comp) label frame of q158's support-filtered graph,
+    * double-staged (round-16 optimization, the verified_pairs
+    * discipline): q158 emits it and q175's histogram is a derived
+    * read — each used to re-run the full star-contraction convergence
+    * loop (~3 barriered rounds + fixpoint checks) independently, and
+    * any fresh session re-paid it again. Bump the version on any
+    * change to starComponents, edgesOf, or MinEdgeWeight. */
+  private val ccCache = new SessionCache
+  private def ccLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.get(s, dir)(
+      DurableStage.get(s, "cc_labels", 1,
+        Seq(s"$dir/events.parquet"),
+        salt = s"minw=$MinEdgeWeight;star-contraction") {
+        import s.implicits._
+        val und = edgesOf(s, dir)
+          .groupBy(least($"src", $"dst").as("a"),
+            greatest($"src", $"dst").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= MinEdgeWeight)
+          .select($"a", $"b")
+        starComponents(und)
+      })
 
   /** Star-contraction CC over canonical undirected edges (a < b,
     * distinct). Split out so GraphSpec can pin multi-component fixtures. */
@@ -263,7 +292,7 @@ object GraphQueries extends QueryModule {
     * Two metadata-scale aggregates on the component labels. */
   def qComponentSizes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sizes = qConnectedStars(s, dir)
+    val sizes = ccLabels(s, dir)
       .groupBy($"comp").agg(count(lit(1)).as("size"))
     val tot = sizes.agg(sum($"size").as("n_nodes"))
     sizes.groupBy($"size").agg(count(lit(1)).as("n_components"))
@@ -427,18 +456,37 @@ object GraphQueries extends QueryModule {
     * Oracle: four unrolled CTE rounds replaying the same argmax. */
   def qLpaCommunities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val und = edgesOf(s, dir)
-      .groupBy(least($"src", $"dst").as("a"),
-        greatest($"src", $"dst").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .filter($"c" >= LpaSupport)
-      .select($"a", $"b")
-    lpaLabels(und)
+    lpaStaged(s, dir)
+      .select($"node", $"lab".as("comm"),
+        count(lit(1)).over(Window.partitionBy($"lab")).as("comm_size"))
+      .orderBy($"node")
   }
 
+  /** The (node, lab) LPA label frame of the support-filtered graph,
+    * double-staged (round-16 optimization): q219 emits it and q353's
+    * modularity audit is a derived read — each used to re-run the
+    * full 4-round LPA loop independently. Bump the version on any
+    * change to lpaCore, edgesOf, LpaSupport, or LpaIters. */
+  private val lpaCache = new SessionCache
+  private def lpaStaged(s: SparkSession, dir: String): DataFrame =
+    lpaCache.get(s, dir)(
+      DurableStage.get(s, "lpa_labels", 1,
+        Seq(s"$dir/events.parquet"),
+        salt = s"sup=$LpaSupport;iters=$LpaIters") {
+        import s.implicits._
+        val und = edgesOf(s, dir)
+          .groupBy(least($"src", $"dst").as("a"),
+            greatest($"src", $"dst").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .filter($"c" >= LpaSupport)
+          .select($"a", $"b")
+        lpaCore(und)
+      })
+
   /** LPA core over canonical (a < b) undirected edges; split out so
-    * GraphSpec can pin community splits on crafted fixtures. */
-  private[graft] def lpaLabels(und: DataFrame): DataFrame = {
+    * GraphSpec can pin community splits on crafted fixtures. Returns
+    * the converged (node, lab) frame. */
+  private[graft] def lpaCore(und: DataFrame): DataFrame = {
     import und.sparkSession.implicits._
     val sym = und.select($"a".as("u"), $"b".as("v"))
       .union(und.select($"b".as("u"), $"a".as("v")))
@@ -455,7 +503,13 @@ object GraphQueries extends QueryModule {
         .select($"u".as("node"), $"lab")
         .roundBarrier()
     }
-    lbl.select($"node", $"lab".as("comm"),
+    lbl
+  }
+
+  /** Original full LPA shape over any edge frame (spec entry point). */
+  private[graft] def lpaLabels(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    lpaCore(und).select($"node", $"lab".as("comm"),
         count(lit(1)).over(Window.partitionBy($"lab")).as("comm_size"))
       .orderBy($"node")
   }
@@ -484,7 +538,10 @@ object GraphQueries extends QueryModule {
       .filter($"c" >= LpaSupport)
       .select($"a", $"b")
       .roundBarrier()
-    modularityOf(und)
+    // round-16: the LPA partition arrives staged (lpaStaged — the same
+    // labels q219 emits) instead of re-running the 4-round loop here.
+    modularityWith(und, lpaStaged(s, dir)
+      .select($"node", $"lab".as("comm")))
   }
 
   /** Modularity core over canonical (a < b) undirected edges; split
@@ -492,7 +549,13 @@ object GraphQueries extends QueryModule {
     * (two disjoint triangles ⇒ Q = 1/2). */
   private[graft] def modularityOf(und: DataFrame): DataFrame = {
     import und.sparkSession.implicits._
-    val lbl = lpaLabels(und).select($"node", $"comm")
+    modularityWith(und, lpaLabels(und).select($"node", $"comm"))
+  }
+
+  /** Modularity given the (node, comm) partition explicitly. */
+  private def modularityWith(und: DataFrame, lbl: DataFrame)
+      : DataFrame = {
+    import und.sparkSession.implicits._
     val deg = und.select($"a".as("node"))
       .union(und.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("d"))

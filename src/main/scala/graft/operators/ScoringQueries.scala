@@ -1079,7 +1079,17 @@ object ScoringQueries extends QueryModule {
     * weights next to the corpus exactly once). */
   private val weightCache = new SessionCache
   private def dsirWeightFrame(s: SparkSession, dir: String): DataFrame =
-    weightCache.get(s, dir)(buildDsirWeights(s, dir))
+    // Double-staged (round-16 optimization, the verified_pairs
+    // discipline): the gram-explode + double-histogram build measured
+    // ~4.0 s of q104's 4.34 s cold at sf0.1, re-paid by every fresh
+    // session; the run-durable parquet stage turns that into a
+    // columnar read. Bump the version on any change to
+    // buildDsirWeights (B, smoothing, hash prefix).
+    weightCache.get(s, dir)(
+      DurableStage.get(s, "dsir_weights", 1,
+        Seq(s"$dir/documents.parquet"),
+        salt = "B=1024;smooth=0.5;tgt=en")(
+        buildDsirWeights(s, dir)))
 
   private def buildDsirWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1830,6 +1840,13 @@ object ScoringQueries extends QueryModule {
       .withColumn("blk", array_min($"sh"))
       .withColumn("blk_n", count(lit(1)).over(Window.partitionBy($"blk")))
       .filter($"blk_n" <= BleuMaxBlock)
+      // round-16: d fans out to FOUR consumers (pairs, uni, big, lens)
+      // — barrier it once instead of re-running the tokenize + shingle
+      // + block-window chain per consumer (guide §5: reuse > recompute
+      // when the frame is a corpus-row token table). sh is only needed
+      // for blk, so it is projected away before materializing.
+      .select($"doc_id", $"tk", $"blk")
+      .roundBarrier()
     val pairs = d.select($"doc_id".as("a"), $"blk")
       .join(d.select($"doc_id".as("b"), $"blk"), Seq("blk"))
       .filter($"a" < $"b").select($"a", $"b")
@@ -1905,6 +1922,10 @@ object ScoringQueries extends QueryModule {
       .withColumn("blk", array_min($"sh"))
       .withColumn("blk_n", count(lit(1)).over(Window.partitionBy($"blk")))
       .filter($"blk_n" <= BleuMaxBlock)
+      // round-16: d is joined on BOTH sides of the pair self-join —
+      // barrier the projected frame once (q305's discipline).
+      .select($"doc_id", $"tk", $"blk")
+      .roundBarrier()
     val pairs = d.select($"doc_id".as("a"), $"blk", $"tk".as("ta"))
       .join(d.select($"doc_id".as("b"), $"blk", $"tk".as("tb")), Seq("blk"))
       .filter($"a" < $"b")
@@ -2320,11 +2341,22 @@ object ScoringQueries extends QueryModule {
     var w = s.range(0)
       .select($"id".as("f"), lit(0L).as("w_nano")).roundBarrier(true)
     var bNano = 0L
+    // Round-16 optimization: the weight-broadcast inference join used
+    // to run TWICE per round — once for the gradient's margins, once
+    // for the round metric at the updated weights, which is exactly
+    // the NEXT round's inference. Margins are now built once per
+    // weight frame, barriered, and shared by the metric and the next
+    // round's gradient (guide §1.2: don't compute things twice); the
+    // two weight-frame stats collapse into one aggregate job. Same
+    // integer arithmetic throughout — the unrolled oracle replay is
+    // untouched.
+    def marginsOf(wf: DataFrame): DataFrame =
+      feats.join(broadcast(wf), Seq("f"))
+        .groupBy($"doc_id").agg(sum($"w_nano").as("u_nano"))
+        .roundBarrier(true)
+    var uDoc = marginsOf(w)
     val out = Seq.newBuilder[(Int, Double, Double, Long, Double)]
     for (r <- 1 to SlrRounds) {
-      // inference: margins in exact nano-units (broadcast the weights)
-      val uDoc = feats.join(broadcast(w), Seq("f"))
-        .groupBy($"doc_id").agg(sum($"w_nano").as("u_nano"))
       val scored = docs.join(uDoc, Seq("doc_id"), "left")
         .select($"doc_id", $"y",
           ((coalesce($"u_nano", lit(0L)) + bNano) / 1e9).as("u"))
@@ -2347,20 +2379,21 @@ object ScoringQueries extends QueryModule {
         .filter($"w_nano" =!= 0L)
         .roundBarrier(true)
       bNano += math.floor(1e3 * SlrLr * gB / n).toLong
-      // round metrics: prediction at the UPDATED weights
-      val acc = feats.join(broadcast(w), Seq("f"))
-        .groupBy($"doc_id").agg(sum($"w_nano").as("u_nano"))
+      // round metrics: prediction at the UPDATED weights — the same
+      // margin frame the next round's gradient consumes
+      uDoc = marginsOf(w)
+      val acc = uDoc
         .join(docs, Seq("doc_id"), "right")
         .select($"y", (coalesce($"u_nano", lit(0L)) + bNano).as("un"))
         .agg(sum(when(($"un" > 0L).cast("double") === $"y", 1L)
           .otherwise(0L)).as("ok"), count(lit(1)).as("nn")).collect()(0)
-      val l1 = w.agg(coalesce(sum(abs($"w_nano")), lit(0L)).as("l1"))
-        .collect()(0).getLong(0)
-      val nActive = w.count()
+      val wStats = w.agg(
+        coalesce(sum(abs($"w_nano")), lit(0L)).as("l1"),
+        count(lit(1)).as("n_active")).collect()(0)
       out += ((r,
         math.floor(acc.getLong(0).toDouble / acc.getLong(1) * 1e4 + 0.5)
           / 1e4,
-        bNano / 1e9, nActive, l1 / 1e9))
+        bNano / 1e9, wStats.getLong(1), wStats.getLong(0) / 1e9))
     }
     s.createDataFrame(out.result()).toDF(
       "round", "acc", "w_bias", "n_active", "w_l1")
@@ -2644,21 +2677,31 @@ object ScoringQueries extends QueryModule {
     for (r <- 1 to TiIters) {
       ws += w.select($"a".as(s"a${r - 1}"), $"b".as(s"b${r - 1}"),
         $"c".as(s"c${r - 1}"))
-      val gv = va.crossJoin(broadcast(w)).agg(
-          sum(floor(lit(1e6) * d + lit(0.5))).as("sa"),
-          sum(floor(lit(1e6) * d * $"x1" + lit(0.5))).as("sb"),
-          sum(floor(lit(1e6) * d * $"x2" + lit(0.5))).as("sc"))
+      // Round-16 optimization: the validation gradient and the train
+      // gradient are two conditional sums over ONE pass of the same
+      // (base × w) frame — they used to be two separate scans/jobs per
+      // iteration (16 jobs over 8 iters). Conditional aggregation
+      // yields bit-identical sums: each branch folds exactly the rows
+      // its old filter kept, in the same integer micro-units.
+      val gAll = base.crossJoin(broadcast(w)).agg(
+          sum(when($"isval", floor(lit(1e6) * d + lit(0.5)))).as("sa"),
+          sum(when($"isval",
+            floor(lit(1e6) * d * $"x1" + lit(0.5)))).as("sb"),
+          sum(when($"isval",
+            floor(lit(1e6) * d * $"x2" + lit(0.5)))).as("sc"),
+          sum(when(!$"isval", floor(lit(1e6) * d + lit(0.5)))).as("ga"),
+          sum(when(!$"isval",
+            floor(lit(1e6) * d * $"x1" + lit(0.5)))).as("gb"),
+          sum(when(!$"isval",
+            floor(lit(1e6) * d * $"x2" + lit(0.5)))).as("gc"))
+        .roundBarrier()
+      gvs += gAll
         .crossJoin(broadcast(nVa))
         .select(($"sa" / (lit(1e6) * $"nv")).as(s"vga$r"),
           ($"sb" / (lit(1e6) * $"nv")).as(s"vgb$r"),
           ($"sc" / (lit(1e6) * $"nv")).as(s"vgc$r"))
-        .roundBarrier()
-      gvs += gv
-      val g = tr.crossJoin(broadcast(w)).agg(
-        sum(floor(lit(1e6) * d + lit(0.5))).as("ga"),
-        sum(floor(lit(1e6) * d * $"x1" + lit(0.5))).as("gb"),
-        sum(floor(lit(1e6) * d * $"x2" + lit(0.5))).as("gc"))
-      w = w.crossJoin(broadcast(g)).crossJoin(broadcast(nTr))
+      w = w.crossJoin(broadcast(gAll.select($"ga", $"gb", $"gc")))
+        .crossJoin(broadcast(nTr))
         .select(
           snap9($"a" + lit(TiRate) * $"ga" / (lit(1e6) * $"n")).as("a"),
           snap9($"b" + lit(TiRate) * $"gb" / (lit(1e6) * $"n")).as("b"),

@@ -891,9 +891,12 @@ object SimilarityQueries extends QueryModule {
   def qAnnFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val all = vecs(s, dir)
-    val n = all.count()
+    // one aggregate pass for both spine counts (was two count() jobs)
+    val cnts = all.agg(count(lit(1)),
+      count(when($"vec_id" % 100 === 0, lit(1)))).head
+    val n = cnts.getLong(0)
+    val nQ = cnts.getLong(1)
     val truth = truthTop5(s, dir)
-    val nQ = all.filter($"vec_id" % 100 === 0).count()
     def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
     def recall(approx: DataFrame): Double =
       if (nQ == 0L) 0.0
@@ -904,27 +907,51 @@ object SimilarityQueries extends QueryModule {
       }
     def meanCand(total: Long): Double =
       if (nQ == 0L) 0.0 else r4(total.toDouble / nQ)
+    // Round-16 optimization (guide §1.2/§2.4): each index family's
+    // candidate set used to be generated TWICE — once vector-free for
+    // the candidate count, once with vectors for the recall rerank —
+    // i.e. two band-join passes over the corpus per family (four at
+    // 100 TB = four corpus scans). Now ONE deduped scored candidate
+    // frame per family is materialized behind a barrier and both the
+    // count and the top-5 recall derive from it. dropDuplicates on
+    // (q_id, vec_id) keeps cos well-defined: duplicates only differ in
+    // the band that produced them, never in the vectors. Results are
+    // value-identical (same candidate set, same tie rule); the oracle
+    // replay is unchanged.
     val banded = bandedVecs(s, dir)
-      .select($"vec_id", $"band_id", $"band_val")
     val qBase = banded.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("q_id"), $"band_id", $"band_val")
-    val qMulti = qBase.select($"q_id", $"band_id",
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"band_id", $"band_val")
+    val qMulti = qBase.select($"q_id", $"qv", $"qn", $"band_id",
       explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(m =>
         $"band_val".bitwiseXOR(lit(m))): _*)).as("band_val"))
-    def candTotal(q: DataFrame): Long =
+    def scoredCand(q: DataFrame): DataFrame =
       chunkedBandJoin(banded, q, QueryChunkRows)
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id").distinct().count()
-    val lshCand = candTotal(qBase)
-    val multiCand = candTotal(qMulti)
+        .dropDuplicates("q_id", "vec_id")
+        .select($"q_id", $"vec_id",
+          (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+        .roundBarrier()
+    def top5(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"q_id")
+        .orderBy($"cos".desc, $"vec_id".asc)
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .select($"q_id", $"vec_id")
+    }
+    val lshScored = scoredCand(qBase)
+    val lshCand = lshScored.count()
+    val multiScored = scoredCand(qMulti)
+    val multiCand = multiScored.count()
     // ivf nprobe-2 candidates: Σ over the query's 2 probed (distinct)
     // cells of that cell's population, minus the query itself (its own
-    // cell is always probe #1)
+    // cell is always probe #1). The cell assignment is materialized
+    // once and shared with the recall rerank below (was: recomputed
+    // from scratch inside qIvfAnn).
     val d = array(anchors.map(a => dot($"v", array(a.map(lit): _*))): _*)
     val ranked = array_sort(zip_with(d, transform(d, (_, i) => i),
       (x, i) => struct((-x).as("nd"), i.as("idx"))))
     val withCells = all.withColumn("cells",
-      transform(ranked, r => r.getField("idx")))
+      transform(ranked, r => r.getField("idx"))).roundBarrier()
     val cellCnt = withCells
       .select($"vec_id", element_at($"cells", 1).as("cell"))
       .groupBy($"cell").agg(count(lit(1)).as("cn"))
@@ -933,6 +960,19 @@ object SimilarityQueries extends QueryModule {
         .as("cell"))
       .join(cellCnt, Seq("cell"))
       .agg(coalesce(sum($"cn"), lit(0L))).head.getLong(0) - nQ
+    // IVF recall path — ivfWith's exact pipeline over the shared cell
+    // assignment (only q_id/vec_id of the top-5 are consumed).
+    val ivfCorpus = withCells
+      .select($"vec_id", $"v", $"nrm", element_at($"cells", 1).as("cell"))
+    val ivfQueries = withCells.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(slice($"cells", 1, 2)).as("cell"))
+    val ivfScored = chunkedBroadcastJoin(ivfCorpus, ivfQueries,
+        Seq("cell"), QueryChunkRows)
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
+      .dropDuplicates("q_id", "vec_id")
     // brute retrieves the truth itself; on a tiny corpus truth can
     // hold < 5 rows per query, so its recall is |truth|/(5·nQ), not a
     // hardcoded 1
@@ -947,10 +987,10 @@ object SimilarityQueries extends QueryModule {
       ("brute", n, meanCand(math.max(n - 1, 0L) * nQ), bruteRecall),
       ("graph_beam", gEdges, meanCand(gCand), recall(gTop)),
       ("ivf_p2", n, meanCand(math.max(ivfCand, 0L)),
-        recall(qIvfAnn(s, dir))),
-      ("lsh", 4L * n, meanCand(lshCand), recall(qLshAnn(s, dir))),
+        recall(top5(ivfScored))),
+      ("lsh", 4L * n, meanCand(lshCand), recall(top5(lshScored))),
       ("lsh_multiprobe", 4L * n, meanCand(multiCand),
-        recall(qMultiprobeLsh(s, dir))))
+        recall(top5(multiScored))))
       .toDF("method", "index_rows", "mean_candidates", "recall_at5")
       .orderBy($"method")
   }
@@ -1027,14 +1067,34 @@ object SimilarityQueries extends QueryModule {
   private def graphBeamStages(s: SparkSession, dir: String)
       : Seq[DataFrame] =
     graphBeamStagesOn(s, dir,
-      stagedGraphEdges(s, dir))
+      stagedGraphEdges(s, dir), "staged")
 
   /** Beam search over a caller-supplied edge frame — the session-
     * staged build (q379/q383) and the persisted at-rest table (q386)
     * share every probe-side step, so persistence can change the READ
     * path, never the answer. */
-  private def graphBeamStagesOn(s: SparkSession, dir: String,
-      edges: DataFrame): Seq[DataFrame] = {
+  /** Round-16 optimization: the beam search is (a) built ONCE per
+    * (session, dir, edge source) — q373/q379/q383 used to each re-run
+    * the full seeds + 4-hop expand-score loop (~10 jobs each) for the
+    * SAME visited set — and (b) hop-incremental: new candidates are
+    * anti-joined against the visited set and only the FRESH ones are
+    * scored and appended, where the old loop re-unioned and re-deduped
+    * the whole visited frame every hop (a shuffle of all prior rows
+    * per hop — at scale that's O(hops²) re-movement of the same
+    * pairs). The hop-k stage is recovered as filter(first_hop ≤ k):
+    * visited grows monotonically, and duplicates between hops carry
+    * bit-identical cos (same vectors, same expression), so the sets —
+    * and every downstream beam/top-5 under the (cos desc, vec_id asc)
+    * tie rule — are unchanged row-for-row (Round15Spec pins q379/q386
+    * equality; the DuckDB replays are untouched). */
+  private val beamCache = new SessionCache
+
+  private def beamVisited(s: SparkSession, dir: String, tag: String,
+      edges: => DataFrame): DataFrame =
+    beamCache.get(s, s"$dir#$tag")(buildBeamVisited(s, dir, edges))
+
+  private def buildBeamVisited(s: SparkSession, dir: String,
+      edges: DataFrame): DataFrame = {
     import s.implicits._
     val all = vecs(s, dir)
     val qs = all.filter($"vec_id" % 100 === 0)
@@ -1054,24 +1114,33 @@ object SimilarityQueries extends QueryModule {
         .select($"q_id", $"vec_id",
           (dot($"qv", $"v") / ($"qn" * $"nrm")).as("cos"))
     val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
-    var visited = score(seeds).roundBarrier()
+    var visited = score(seeds).withColumn("first_hop", lit(0))
+      .roundBarrier()
     var beam = visited.withColumn("rk", row_number().over(wB))
       .filter($"rk" <= GraphBeam).drop("rk")
-    val stages = Seq.newBuilder[DataFrame]
-    stages += visited
-    for (_ <- 1 to GraphHops) {
+    for (h <- 1 to GraphHops) {
       val nb = beam.select($"q_id", $"vec_id".as("src"))
         .join(edges, Seq("src"))
         .select($"q_id", $"dst".as("vec_id"))
         .filter($"vec_id" =!= $"q_id")
         .distinct()
-      visited = visited.unionByName(score(nb))
-        .dropDuplicates("q_id", "vec_id").roundBarrier()
+      val fresh = nb.join(visited.select($"q_id", $"vec_id"),
+        Seq("q_id", "vec_id"), "left_anti")
+      visited = visited
+        .unionByName(score(fresh).withColumn("first_hop", lit(h)))
+        .roundBarrier()
       beam = visited.withColumn("rk", row_number().over(wB))
         .filter($"rk" <= GraphBeam).drop("rk")
-      stages += visited
     }
-    stages.result()
+    visited
+  }
+
+  private def graphBeamStagesOn(s: SparkSession, dir: String,
+      edges: DataFrame, tag: String): Seq[DataFrame] = {
+    import s.implicits._
+    val vis = beamVisited(s, dir, tag, edges)
+    (0 to GraphHops).map(k =>
+      vis.filter($"first_hop" <= k).drop("first_hop"))
   }
 
   private def graphBeamParts(s: SparkSession, dir: String)
@@ -1210,7 +1279,7 @@ object SimilarityQueries extends QueryModule {
         .bucketBy(8, "src").sortBy("src")
         .saveAsTable(bt)
     }
-    val visited = graphBeamStagesOn(s, dir, s.table(bt)).last
+    val visited = graphBeamStagesOn(s, dir, s.table(bt), "atrest").last
     val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id".asc)
     visited.withColumn("rk", row_number().over(wB))
       .filter($"rk" <= 5)

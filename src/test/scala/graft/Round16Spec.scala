@@ -178,4 +178,47 @@ class Round16Spec extends AnyFunSuite {
       assert(planes(p).toSeq == orig(p).toSeq, s"plane $p drifted")
     assert(planes.length == 60)
   }
+
+  /** Round-16 optimization pin: the compiled WinnowSelect expression
+    * (one in-row pass) must select EXACTLY the fingerprint set of the
+    * SQL spelling it replaced (k-gram HOF fold + explode + doc-
+    * partitioned sliding-window min with the rightmost-tie struct
+    * rule) — including hash-tie windows and minimum-length docs. */
+  test("WinnowSelect ≡ explode+window SQL spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 4; val w = 5
+    val rnd = new scala.util.Random(1234)
+    // small value domain forces k-gram hash ties; lengths straddle the
+    // k+w-1 guarantee boundary
+    val rows = (1L to 60L).map { id =>
+      val n = 6 + rnd.nextInt(40)
+      (id, Array.fill(n)(rnd.nextInt(5).toLong + 100L))
+    } :+ (61L, Array.fill(k + w - 1)(7L)) // all-equal hashes, min length
+    val d = rows.toDF("doc_id", "vals").filter(size($"vals") >= k + w - 1)
+    val fast = d.select($"doc_id",
+        explode(graft.plans.WinnowSelect.col($"vals", k, w)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val slow = d.select($"doc_id", $"vals", size($"vals").as("n"))
+      .select($"doc_id", $"n", explode(expr(
+        s"""transform(sequence(1, n - ${k - 1}), i -> named_struct(
+           |  'h', aggregate(slice(vals, i, $k), cast(7 as bigint),
+           |         (acc, x) -> (acc * 31 + x) % 2147483647),
+           |  'pos', i))""".stripMargin)).as("x"))
+      .select($"doc_id", $"n", $"x.h".as("h"), $"x.pos".as("pos"))
+      .withColumn("sel", min(struct($"h", (-$"pos").as("negp"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"pos").rowsBetween(0, w - 1)))
+      .filter($"pos" <= $"n" - (k + w - 2))
+      .select($"doc_id", $"sel.h".as("h")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == slow)
+    // per-doc arrays are already distinct (no explode-side dup rows)
+    val dup = d.select($"doc_id",
+        graft.plans.WinnowSelect.col($"vals", k, w).as("hs"))
+      .select($"doc_id", size($"hs").as("n"),
+        size(array_distinct($"hs")).as("nd"))
+      .collect()
+    assert(dup.forall(r => r.getInt(1) == r.getInt(2)))
+  }
 }
